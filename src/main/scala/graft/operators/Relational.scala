@@ -1,0 +1,464 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+import graft.sources.Tables
+
+/** Relational operator surface (SURVEY.md §2A) expressed Spark-first over the
+  * fixture tables: scan, project, filter, CASE WHEN, BETWEEN, substring/CAST,
+  * CTE-shaped pipelines, hash aggregation, joins (broadcast/shuffle/semi/
+  * anti), windows, set ops, distinct, rollup, sort/limit.
+  *
+  * The reference declares S1-S14 as Flink SQL text executed remotely
+  * (`/root/reference/dashboard.py:83,100,118-132`); here each shape is a
+  * declarative DataFrame plan so Catalyst does pushdown/pruning/partial-agg.
+  *
+  * Determinism rules (the driver hash-compares against a DuckDB oracle):
+  *   - double sums are computed over DECIMAL(18,2) casts so the result does
+  *     not depend on partition/summation order, then cast back to double;
+  *   - averages are sum_decimal/count (double division of identical
+  *     operands), never engine-native avg over doubles;
+  *   - every query ends in a total ORDER BY matching the oracle's.
+  *
+  * Scale notes are per-query in the scaladoc.
+  */
+object Relational {
+
+  /** Exact decimal view of a money/two-decimal double column. */
+  private def dec(c: Column): Column = c.cast(DecimalType(18, 2))
+  /** Order-independent sum of a two-decimal double column, as double. */
+  private def dsum(c: Column): Column = sum(dec(c)).cast(DoubleType)
+
+  /** Q1 — pricing summary (TPC-H Q1 shape): filter + group-agg.
+    * Exercises S2 projection, S10 hash agg, S11 count, S12 avg.
+    * Scale: partial aggregation map-side; 6 groups → final agg is tiny.
+    * Filter on l_shipdate is pushed to the parquet scan. */
+  def q1PricingSummary(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.load(spark, dir, "lineitem")
+      .filter($"l_shipdate" < lit("2001-06-01"))
+      .groupBy($"l_returnflag", $"l_linestatus")
+      .agg(
+        dsum($"l_quantity").as("sum_qty"),
+        dsum($"l_extendedprice").as("sum_base_price"),
+        sum(dec($"l_extendedprice") * dec(lit(1.0) - $"l_discount"))
+          .cast(DoubleType).as("sum_disc_price"),
+        (dsum($"l_quantity") / count(lit(1))).as("avg_qty"),
+        count(lit(1)).as("count_order"))
+      .orderBy($"l_returnflag", $"l_linestatus")
+  }
+
+  /** Q2 — filter + projection with pushdown (S2/S9 BETWEEN).
+    * Scale: predicate + column pruning must reach the scan
+    * (PushedFilters/ReadSchema in explain). */
+  def q2FilterProject(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.load(spark, dir, "lineitem")
+      .filter($"l_discount".between(0.05, 0.07) && $"l_quantity" < 10)
+      .select($"l_orderkey", $"l_linenumber", $"l_quantity",
+        $"l_extendedprice", $"l_returnflag")
+      .orderBy($"l_orderkey", $"l_linenumber")
+  }
+
+  /** Q3 — join + aggregation: revenue per market segment.
+    * customer is the small side → broadcast; lineitem⋈orders shuffles on
+    * the order key (the natural co-partition key at 100 TB: bucket both
+    * by orderkey to eliminate this exchange). */
+  def q3JoinAgg(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cust = Tables.load(spark, dir, "customer")
+      .select($"c_custkey", $"c_mktsegment")
+    val ord = Tables.load(spark, dir, "orders")
+      .select($"o_orderkey", $"o_custkey")
+    val li = Tables.load(spark, dir, "lineitem")
+      .select($"l_orderkey", $"l_extendedprice", $"l_discount")
+    li.join(ord, $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(cust), $"o_custkey" === $"c_custkey")
+      .groupBy($"c_mktsegment")
+      .agg(
+        sum(dec($"l_extendedprice") * dec(lit(1.0) - $"l_discount"))
+          .cast(DoubleType).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy($"c_mktsegment")
+  }
+
+  /** Q4 — searched CASE WHEN + BETWEEN buckets + grouped avg: the
+    * age-groups demo query re-targeted at customer balances
+    * (reference dashboard.py:118-132 — CTE, CASE WHEN ×4, BETWEEN,
+    * GROUP BY, AVG). */
+  def q4CaseWhenBuckets(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val withBucket = Tables.load(spark, dir, "customer")
+      .select($"c_acctbal",
+        when($"c_acctbal".between(0, 2499.99), "0-2499")
+          .when($"c_acctbal".between(2500, 4999.99), "2500-4999")
+          .when($"c_acctbal".between(5000, 7499.99), "5000-7499")
+          .when($"c_acctbal".between(7500, 9999.99), "7500-9999")
+          .otherwise("other").as("balance_group"))
+    withBucket
+      .groupBy($"balance_group")
+      .agg(
+        count(lit(1)).as("n_customers"),
+        (dsum($"c_acctbal") / count(lit(1))).as("avg_balance"))
+      .orderBy($"balance_group")
+  }
+
+  /** Q5 — substring + CAST: the balance-parsing demo shape
+    * (reference dashboard.py:120 `CAST(substring(balance FROM 2) AS
+    * DOUBLE)`) re-targeted at c_name's numeric suffix. */
+  def q5SubstringCast(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.load(spark, dir, "customer")
+      .select($"c_name",
+        substring($"c_name", 10, Int.MaxValue).cast("bigint").as("parsed_key"),
+        $"c_custkey")
+      .filter($"parsed_key" === $"c_custkey")
+      .orderBy($"c_custkey")
+  }
+
+  /** Q6 — the eye-colors demo query shape (reference dashboard.py:83:
+    * group on a low-cardinality string, count(*)) on c_mktsegment. */
+  def q6GroupCount(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.load(spark, dir, "customer")
+      .groupBy($"c_mktsegment")
+      .agg(count(lit(1)).as("seg_count"))
+      .orderBy($"c_mktsegment")
+  }
+
+  /** Q7 — top-k per group via ranking window: top 3 customers by balance
+    * per nation. Scale: window partitions by n_nationkey — one shuffle,
+    * no global sort; k is applied before any collect. */
+  def q7TopKPerGroup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"c_nationkey")
+      .orderBy($"c_acctbal".desc, $"c_custkey".asc)
+    Tables.load(spark, dir, "customer")
+      .withColumn("rk", row_number().over(w))
+      .filter($"rk" <= 3)
+      .select($"c_nationkey", $"rk", $"c_custkey", $"c_acctbal")
+      .orderBy($"c_nationkey", $"rk")
+  }
+
+  /** Q8 — semi/anti joins: customers with ≥1 order vs customers with none
+    * (EXISTS / NOT EXISTS). Emitted as one union'd frame with a tag.
+    * Scale: left_semi/left_anti never materialize the right payload. */
+  def q8SemiAnti(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cust = Tables.load(spark, dir, "customer").select($"c_custkey")
+    val ord = Tables.load(spark, dir, "orders").select($"o_custkey")
+    val withOrders = cust.join(ord, $"c_custkey" === $"o_custkey", "left_semi")
+      .select($"c_custkey", lit("has_orders").as("tag"))
+    val without = cust.join(ord, $"c_custkey" === $"o_custkey", "left_anti")
+      .select($"c_custkey", lit("no_orders").as("tag"))
+    withOrders.unionAll(without).orderBy($"c_custkey")
+  }
+
+  /** Q9 — DISTINCT + set operations: segments present in customer
+    * minus segments of customers with negative balance (EXCEPT),
+    * plus INTERSECT of order priorities across order status. */
+  def q9SetOps(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cust = Tables.load(spark, dir, "customer")
+    val allSegs = cust.select($"c_mktsegment".as("val"))
+    val negSegs = cust.filter($"c_acctbal" < 0).select($"c_mktsegment".as("val"))
+    val except = allSegs.except(negSegs).select($"val", lit("except").as("op"))
+    val ord = Tables.load(spark, dir, "orders")
+    val priF = ord.filter($"o_orderstatus" === "F").select($"o_orderpriority".as("val"))
+    val priO = ord.filter($"o_orderstatus" === "O").select($"o_orderpriority".as("val"))
+    val intersect = priF.intersect(priO).select($"val", lit("intersect").as("op"))
+    except.unionAll(intersect).orderBy($"op", $"val")
+  }
+
+  /** Q10 — multi-way star join (TPC-H Q5 shape): revenue by nation.
+    * region/nation/customer are broadcast; orders⋈lineitem shuffles on
+    * orderkey. At 100 TB: dims stay broadcast (<10 MB), the single big
+    * shuffle is on the co-partition key. */
+  def q10StarJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val region = Tables.load(spark, dir, "region")
+    val nation = Tables.load(spark, dir, "nation")
+    val cust = Tables.load(spark, dir, "customer")
+    val ord = Tables.load(spark, dir, "orders")
+    val li = Tables.load(spark, dir, "lineitem")
+    li.select($"l_orderkey", $"l_extendedprice", $"l_discount")
+      .join(ord.select($"o_orderkey", $"o_custkey"),
+        $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(cust.select($"c_custkey", $"c_nationkey")),
+        $"o_custkey" === $"c_custkey")
+      .join(broadcast(nation.select($"n_nationkey", $"n_name", $"n_regionkey")),
+        $"c_nationkey" === $"n_nationkey")
+      .join(broadcast(region.select($"r_regionkey", $"r_name")),
+        $"n_regionkey" === $"r_regionkey")
+      .groupBy($"r_name", $"n_name")
+      .agg(sum(dec($"l_extendedprice") * dec(lit(1.0) - $"l_discount"))
+        .cast(DoubleType).as("revenue"))
+      .orderBy($"r_name", $"n_name")
+  }
+
+  /** Q11 — date/time bucketing: daily event counts + exact value sums.
+    * Dates are emitted as strings so oracle comparison is
+    * representation-stable across engines. */
+  def q11DateAgg(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.load(spark, dir, "events")
+      .groupBy(date_format($"ts", "yyyy-MM-dd").as("day"))
+      .agg(count(lit(1)).as("n_events"),
+        dsum($"value").as("sum_value"))
+      .orderBy($"day")
+  }
+
+  /** Q12 — ROLLUP with coalesced group keys (grouping-sets surface).
+    * NULL subtotal markers are coalesced to 'ALL' so ordering and
+    * hashing are stable across engines. */
+  def q12Rollup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.load(spark, dir, "lineitem")
+      .rollup($"l_returnflag", $"l_linestatus")
+      .agg(count(lit(1)).as("n"), dsum($"l_quantity").as("sum_qty"))
+      .select(coalesce($"l_returnflag", lit("ALL")).as("returnflag"),
+        coalesce($"l_linestatus", lit("ALL")).as("linestatus"),
+        $"n", $"sum_qty")
+      .orderBy($"returnflag", $"linestatus")
+  }
+
+  /** Q13 — HAVING + countDistinct: order priorities whose distinct
+    * customer count exceeds a threshold. */
+  def q13HavingDistinct(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.load(spark, dir, "orders")
+      .groupBy($"o_orderpriority")
+      .agg(countDistinct($"o_custkey").as("n_cust"),
+        count(lit(1)).as("n_orders"))
+      .filter($"n_orders" > 10)
+      .orderBy($"o_orderpriority")
+  }
+
+  /** Q14 — global sort + limit (top-k): 10 largest orders. Tie-broken on
+    * the key so the result is total-ordered. Scale: Spark's
+    * TakeOrderedAndProject computes per-partition top-k then merges —
+    * no full global sort. */
+  def q14TopK(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.load(spark, dir, "orders")
+      .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+      .orderBy($"o_totalprice".desc, $"o_orderkey".asc)
+      .limit(10)
+  }
+
+  /** Q15 — analytic window functions: running revenue + lag per customer
+    * over their order history. */
+  def q15RunningWindow(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"o_custkey")
+      .orderBy($"o_orderdate".asc, $"o_orderkey".asc)
+    Tables.load(spark, dir, "orders")
+      .filter($"o_custkey" < 50)
+      .select($"o_custkey", $"o_orderkey",
+        date_format($"o_orderdate", "yyyy-MM-dd").as("order_day"),
+        $"o_totalprice",
+        sum(dec($"o_totalprice")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast(DoubleType).as("running_total"),
+        lag($"o_orderkey", 1).over(w).as("prev_orderkey"),
+        row_number().over(w).as("seq"))
+      .orderBy($"o_custkey", $"seq")
+  }
+
+  /** Q16 — correlated-scalar shape: each order vs its customer's average
+    * order value (join against a grouped subquery). */
+  def q16GroupedSubquery(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ord = Tables.load(spark, dir, "orders")
+    val custAvg = ord.groupBy($"o_custkey".as("k"))
+      .agg((dsum($"o_totalprice") / count(lit(1))).as("cust_avg"))
+    ord.join(custAvg, $"o_custkey" === $"k")
+      .filter($"o_totalprice" > $"cust_avg" * 2)
+      .select($"o_orderkey", $"o_custkey", $"o_totalprice", $"cust_avg")
+      .orderBy($"o_orderkey")
+  }
+
+  /** Q17 — scalar function surface: string + exact math functions
+    * (upper/lower/trim-class, concat, replace, length, abs/floor/ceil/
+    * sqrt — all IEEE-exact or integral, so oracle-stable). */
+  def q17ScalarFunctions(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.load(spark, dir, "part")
+      .select($"p_partkey",
+        upper($"p_brand").as("brand_upper"),
+        lower($"p_type").as("type_lower"),
+        length($"p_name").as("name_len"),
+        concat($"p_brand", lit("/"), $"p_type").as("brand_type"),
+        regexp_replace($"p_name", " ", "_").as("name_snake"),
+        abs($"p_size" - lit(25)).as("size_dist"),
+        floor($"p_retailprice").cast("bigint").as("price_floor"),
+        ceil($"p_retailprice").cast("bigint").as("price_ceil"),
+        sqrt($"p_size".cast(DoubleType)).as("size_sqrt"))
+      .orderBy($"p_partkey")
+  }
+
+  /** All relational queries, keyed for SparkEntry. */
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_pricing_summary" -> q1PricingSummary _,
+    "q2_filter_project" -> q2FilterProject _,
+    "q3_join_agg" -> q3JoinAgg _,
+    "q4_casewhen_buckets" -> q4CaseWhenBuckets _,
+    "q5_substring_cast" -> q5SubstringCast _,
+    "q6_group_count" -> q6GroupCount _,
+    "q7_topk_per_group" -> q7TopKPerGroup _,
+    "q8_semi_anti" -> q8SemiAnti _,
+    "q9_set_ops" -> q9SetOps _,
+    "q10_star_join" -> q10StarJoin _,
+    "q11_date_agg" -> q11DateAgg _,
+    "q12_rollup" -> q12Rollup _,
+    "q13_having_distinct" -> q13HavingDistinct _,
+    "q14_topk" -> q14TopK _,
+    "q15_running_window" -> q15RunningWindow _,
+    "q16_grouped_subquery" -> q16GroupedSubquery _,
+    "q17_scalar_functions" -> q17ScalarFunctions _,
+  )
+
+  /** DuckDB oracle SQL per query (column names and ORDER BY must match). */
+  val oracleSql: Map[String, String] = Map(
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1.0 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+        |  COUNT(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate < TIMESTAMP '2001-06-01'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q2_filter_project" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_returnflag
+        |FROM lineitem
+        |WHERE l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 10
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q3_join_agg" ->
+      """SELECT c_mktsegment,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1.0 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin,
+    "q4_casewhen_buckets" ->
+      """WITH bucketed AS (
+        |  SELECT c_acctbal,
+        |    CASE WHEN c_acctbal BETWEEN 0 AND 2499.99 THEN '0-2499'
+        |         WHEN c_acctbal BETWEEN 2500 AND 4999.99 THEN '2500-4999'
+        |         WHEN c_acctbal BETWEEN 5000 AND 7499.99 THEN '5000-7499'
+        |         WHEN c_acctbal BETWEEN 7500 AND 9999.99 THEN '7500-9999'
+        |         ELSE 'other' END AS balance_group
+        |  FROM customer)
+        |SELECT balance_group, COUNT(*) AS n_customers,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_balance
+        |FROM bucketed
+        |GROUP BY balance_group
+        |ORDER BY balance_group""".stripMargin,
+    "q5_substring_cast" ->
+      """SELECT c_name, CAST(substring(c_name FROM 10) AS BIGINT) AS parsed_key, c_custkey
+        |FROM customer
+        |WHERE CAST(substring(c_name FROM 10) AS BIGINT) = c_custkey
+        |ORDER BY c_custkey""".stripMargin,
+    "q6_group_count" ->
+      """SELECT c_mktsegment, COUNT(*) AS seg_count
+        |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "q7_topk_per_group" ->
+      """SELECT c_nationkey, rk, c_custkey, c_acctbal FROM (
+        |  SELECT c_nationkey, c_custkey, c_acctbal,
+        |    row_number() OVER (PARTITION BY c_nationkey
+        |      ORDER BY c_acctbal DESC, c_custkey ASC) AS rk
+        |  FROM customer) t
+        |WHERE rk <= 3
+        |ORDER BY c_nationkey, rk""".stripMargin,
+    "q8_semi_anti" ->
+      """SELECT c_custkey, 'has_orders' AS tag FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |UNION ALL
+        |SELECT c_custkey, 'no_orders' AS tag FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "q9_set_ops" ->
+      """SELECT * FROM (
+        |  SELECT val, 'except' AS op FROM (
+        |    SELECT DISTINCT c_mktsegment AS val FROM customer
+        |    EXCEPT
+        |    SELECT DISTINCT c_mktsegment AS val FROM customer WHERE c_acctbal < 0)
+        |  UNION ALL
+        |  SELECT val, 'intersect' AS op FROM (
+        |    SELECT DISTINCT o_orderpriority AS val FROM orders WHERE o_orderstatus = 'F'
+        |    INTERSECT
+        |    SELECT DISTINCT o_orderpriority AS val FROM orders WHERE o_orderstatus = 'O'))
+        |ORDER BY op, val""".stripMargin,
+    "q10_star_join" ->
+      """SELECT r_name, n_name,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1.0 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name
+        |ORDER BY r_name, n_name""".stripMargin,
+    "q11_date_agg" ->
+      """SELECT strftime(ts, '%Y-%m-%d') AS day, COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1 ORDER BY day""".stripMargin,
+    "q12_rollup" ->
+      """SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+        |  COALESCE(l_linestatus, 'ALL') AS linestatus,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY returnflag, linestatus""".stripMargin,
+    "q13_having_distinct" ->
+      """SELECT o_orderpriority, COUNT(DISTINCT o_custkey) AS n_cust,
+        |  COUNT(*) AS n_orders
+        |FROM orders GROUP BY o_orderpriority
+        |HAVING COUNT(*) > 10
+        |ORDER BY o_orderpriority""".stripMargin,
+    "q14_topk" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""".stripMargin,
+    "q15_running_window" ->
+      """SELECT o_custkey, o_orderkey,
+        |  strftime(o_orderdate, '%Y-%m-%d') AS order_day, o_totalprice,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total,
+        |  lag(o_orderkey, 1) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate ASC, o_orderkey ASC) AS prev_orderkey,
+        |  row_number() OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate ASC, o_orderkey ASC) AS seq
+        |FROM orders WHERE o_custkey < 50
+        |ORDER BY o_custkey, seq""".stripMargin,
+    "q16_grouped_subquery" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice, cust_avg FROM orders
+        |JOIN (SELECT o_custkey AS k,
+        |        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS cust_avg
+        |      FROM orders GROUP BY o_custkey) s
+        |ON o_custkey = k
+        |WHERE o_totalprice > cust_avg * 2
+        |ORDER BY o_orderkey""".stripMargin,
+    "q17_scalar_functions" ->
+      """SELECT p_partkey,
+        |  upper(p_brand) AS brand_upper,
+        |  lower(p_type) AS type_lower,
+        |  CAST(length(p_name) AS INT) AS name_len,
+        |  p_brand || '/' || p_type AS brand_type,
+        |  replace(p_name, ' ', '_') AS name_snake,
+        |  CAST(abs(p_size - 25) AS INT) AS size_dist,
+        |  CAST(floor(p_retailprice) AS BIGINT) AS price_floor,
+        |  CAST(ceil(p_retailprice) AS BIGINT) AS price_ceil,
+        |  sqrt(CAST(p_size AS DOUBLE)) AS size_sqrt
+        |FROM part ORDER BY p_partkey""".stripMargin,
+  )
+}

@@ -1,0 +1,43 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Fixture-table loader (see TESTDATA.md / FIXTURES.md): one parquet file per
+  * table under a scale-factor directory.
+  *
+  * Plays the role of the catalog/database the reference resolves per
+  * statement (`/root/reference/config.template.ini:41-44`,
+  * `/root/reference/api/statements.py:27-31`): `registerAll` makes every
+  * fixture table resolvable by name from SQL, the way the remote Flink
+  * catalog resolved `` `user` `` for the demo queries.
+  *
+  * Scale note: these are plain parquet scans — at cluster scale the same
+  * names would be backed by a partitioned/bucketed catalog table; all query
+  * code below only depends on the name → DataFrame mapping, so swapping the
+  * resolution layer does not touch operators.
+  */
+object Tables {
+  val all: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    if (name == "events") loadEvents(spark, dir)
+    else spark.read.parquet(s"$dir/$name.parquet")
+
+  /** events.parquet stores `ts` as parquet TIMESTAMP(NANOS), which Spark's
+    * vectorized reader rejects outright. Read nanos as raw INT64
+    * (`spark.sql.legacy.parquet.nanosAsLong`) and truncate to microseconds —
+    * the same truncation DuckDB applies — so `ts` is a first-class
+    * TimestampType downstream (watermarks, date functions). */
+  private def loadEvents(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    raw.withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
+  }
+
+  /** Register every fixture table as a temp view named after the table. */
+  def registerAll(spark: SparkSession, dir: String): Unit =
+    all.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+}
