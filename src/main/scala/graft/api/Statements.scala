@@ -1,0 +1,130 @@
+package graft.api
+
+import java.security.SecureRandom
+
+import scala.collection.concurrent.TrieMap
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+import graft.changelog.{Op, RawRecord}
+import graft.streaming.ChangelogStream
+
+/** Statement lifecycle phases, lowercase like the reference's
+  * `status.phase` (`/root/reference/api/statements.py:180-189`). */
+object Phase {
+  val Pending = "pending"
+  val Running = "running"
+  val Completed = "completed"
+  val Failed = "failed"
+}
+
+/** A created statement: name, SQL, result schema ("traits.schema" in the
+  * reference, read at `/root/reference/dashboard.py:201`), current phase,
+  * and a changelog-shaped result cursor. */
+final class Statement private[api] (
+    val name: String,
+    val sql: String,
+    val df: DataFrame,
+    streamHandle: Option[ChangelogStream.Handle]) {
+
+  val schema: StructType = df.schema
+  val columns: Seq[String] = schema.fieldNames.toSeq
+
+  @volatile private[api] var failure: Option[Throwable] = None
+
+  def isStreaming: Boolean = streamHandle.isDefined
+
+  def phase: String = streamHandle match {
+    case Some(h) =>
+      if (failure.isDefined) Phase.Failed
+      else if (h.query.isActive) Phase.Running
+      else Phase.Completed
+    case None => if (failure.isDefined) Phase.Failed else Phase.Completed
+  }
+
+  /** Result pages as a raw-record iterator: streaming statements read the
+    * live changelog queue; batch statements produce one page of `+I` rows
+    * (a bounded query's entire changelog is its result set). */
+  def results(): Iterator[Option[RawRecord]] = streamHandle match {
+    case Some(h) => new Iterator[Option[RawRecord]] {
+      private val inner = {
+        val cl = h.changelog()
+        () => cl.consume(1).headOption
+      }
+      override def hasNext: Boolean = true // continuous: never exhausts
+      override def next(): Option[RawRecord] = inner() match {
+        case Some(rec) => Some(RawRecord(rec.op.map(_.code), rec.values))
+        case None => None // heartbeat — no data this poll
+      }
+    }
+    case None =>
+      df.collect().iterator.map(r =>
+        Some(RawRecord(Some(Op.Insert.code), r.toSeq.toVector)))
+  }
+
+  def stop(): Unit = streamHandle.foreach(_.stop())
+  private[api] def handle: Option[ChangelogStream.Handle] = streamHandle
+}
+
+/** The engine's public statement facade — the Spark re-host of the
+  * reference's `StatementsEndpoint` (`/root/reference/api/statements.py`):
+  * `create(sql)` replaces the POST (Catalyst parses/plans instead of the
+  * remote Flink service), `waitForStatus` replaces the 300 ms status poll,
+  * `results` replaces the result-page generator. Statement names are a
+  * prefix + 12 random hex chars (`/root/reference/api/statements.py:11-13`).
+  *
+  * Statements are memoized by SQL text, like the reference's one-statement-
+  * per-distinct-SQL cache (`/root/reference/dashboard.py:195-209`).
+  */
+final class Statements(spark: SparkSession, prefix: String = "stmt-") {
+
+  private val rng = new SecureRandom()
+  private val byName = TrieMap.empty[String, Statement]
+  private val bySql = TrieMap.empty[String, String]
+
+  private def randomId(): String = {
+    val bytes = new Array[Byte](6)
+    rng.nextBytes(bytes)
+    bytes.map(b => f"${b & 0xff}%02x").mkString
+  }
+
+  /** Create (or return the memoized) statement for this SQL. Streaming
+    * plans start immediately with a changelog-synthesizing sink keyed on
+    * `keyCols` (the grouping columns); batch plans are complete on arrival.
+    */
+  def create(sql: String, keyCols: Seq[String] = Nil): Statement =
+    bySql.get(sql).flatMap(byName.get).getOrElse {
+      val name = prefix + randomId()
+      val df = spark.sql(sql)
+      val handle =
+        if (df.isStreaming) {
+          if (keyCols.nonEmpty) Some(ChangelogStream.updating(df, name, keyCols))
+          else Some(ChangelogStream.appending(df, name))
+        } else None
+      val stmt = new Statement(name, sql, df, handle)
+      byName.put(name, stmt)
+      bySql.put(sql, name)
+      stmt
+    }
+
+  def get(name: String): Option[Statement] = byName.get(name)
+
+  /** Block until the statement reaches one of `statuses` (poll every 100 ms,
+    * like the reference's 300 ms loop, `api/statements.py:171-192`).
+    * Returns None on `failed`; throws on timeout. */
+  def waitForStatus(stmt: Statement, statuses: Set[String],
+                    timeoutMs: Long = 120000L): Option[Statement] = {
+    val deadline = System.nanoTime() + timeoutMs * 1000000L
+    while (System.nanoTime() < deadline) {
+      val p = stmt.phase
+      if (p == Phase.Failed) return None
+      if (statuses.contains(p)) return Some(stmt)
+      Thread.sleep(100)
+    }
+    throw new java.util.concurrent.TimeoutException(
+      s"statement ${stmt.name} did not reach $statuses in ${timeoutMs} ms")
+  }
+
+  def stopAll(): Unit = byName.values.foreach(_.stop())
+}

@@ -1,0 +1,97 @@
+package graft.streaming
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+import graft.changelog.{ChangelogRecord, Op}
+
+/** The `user` fixture type — the four fields the reference's queries
+  * contractually require (FIXTURES.md §1). */
+case class User(guid: String, eyeColor: String, age: Int, balance: String)
+
+class ChangelogStreamSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private val users = Seq(
+    User("u1", "brown", 42, "$100.00"),
+    User("u2", "blue", 25, "$200.50"),
+    User("u3", "brown", 55, "$300.25"),
+    User("u4", "green", 33, "$50.75"),
+    User("u5", "brown", 47, "$812.10"),
+    User("u6", "blue", 61, "$999.99"))
+
+  test("synthesizer emits +I then adjacent -U/+U pairs") {
+    val s = new ChangelogSynthesizer(Seq("color", "n"), Seq("color"))
+    assert(s.onUpsert(Seq(Vector("brown", 1L))) ==
+      Seq(ChangelogRecord(Some(Op.Insert), Vector("brown", 1L))))
+    assert(s.onUpsert(Seq(Vector("brown", 2L))) == Seq(
+      ChangelogRecord(Some(Op.UpdateBefore), Vector("brown", 1L)),
+      ChangelogRecord(Some(Op.UpdateAfter), Vector("brown", 2L))))
+    // unchanged value → nothing (no spurious retractions)
+    assert(s.onUpsert(Seq(Vector("brown", 2L))).isEmpty)
+  }
+
+  test("snapshot diff emits -D for dropped groups") {
+    val s = new ChangelogSynthesizer(Seq("color", "n"), Seq("color"))
+    s.onSnapshot(Seq(Vector("brown", 1L), Vector("blue", 2L)))
+    val out = s.onSnapshot(Seq(Vector("brown", 3L)))
+    assert(out == Seq(
+      ChangelogRecord(Some(Op.UpdateBefore), Vector("brown", 1L)),
+      ChangelogRecord(Some(Op.UpdateAfter), Vector("brown", 3L)),
+      ChangelogRecord(Some(Op.Delete), Vector("blue", 2L))))
+  }
+
+  // SURVEY §7 M3: the eye-color demo query (reference dashboard.py:83) end
+  // to end — MemoryStream → groupBy.count → changelog sink → collapse()
+  // equals the batch answer after every micro-batch.
+  test("streaming eye-color changelog collapses to the batch answer") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val mem = MemoryStream[User]
+    val counts = mem.toDF()
+      .groupBy($"eyeColor")
+      .agg(count(lit(1)).as("eye_color_count"))
+    val handle = ChangelogStream.updating(counts, "eye-colors-test", Seq("eyeColor"))
+    val changelog = handle.changelog()
+    val table = new graft.changelog.ResultTable(handle.schema)
+    try {
+      users.grouped(2).foreach { batch =>
+        mem.addData(batch)
+        handle.processAllAvailable()
+        table.update(changelog.consume())
+        val fedSoFar = users.take(users.indexOf(batch.last) + 1)
+        val batchAnswer = fedSoFar.groupBy(_.eyeColor)
+          .map { case (c, us) => Vector[Any](c, us.size.toLong) }.toSet
+        assert(table.rows.toSet == batchAnswer)
+      }
+      // -U must immediately precede its +U in the history
+      val hist = changelog.history
+      hist.zipWithIndex.foreach { case (rec, i) =>
+        if (rec.op.contains(Op.UpdateBefore))
+          assert(hist(i + 1).op.contains(Op.UpdateAfter))
+      }
+      assert(changelog.opsReceived.contains(Op.UpdateBefore))
+    } finally handle.stop()
+  }
+
+  test("append-only streaming query passes rows through as +I") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val mem = MemoryStream[User]
+    val proj = mem.toDF().select($"guid", $"eyeColor")
+    val handle = ChangelogStream.appending(proj, "locations-test")
+    val changelog = handle.changelog()
+    try {
+      mem.addData(users.take(3))
+      handle.processAllAvailable()
+      val got = changelog.consume()
+      assert(got.map(_.op).forall(_.contains(Op.Insert)))
+      assert(got.map(_.values).toSet ==
+        users.take(3).map(u => Vector[Any](u.guid, u.eyeColor)).toSet)
+    } finally handle.stop()
+  }
+}
