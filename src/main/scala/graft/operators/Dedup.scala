@@ -1,0 +1,187 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+
+import graft.functions.TextFunctions._
+import graft.sources.Tables
+
+/** Deduplication operators over `documents` (SURVEY.md §2C): exact,
+  * fingerprint-keyed, n-gram Jaccard, MinHash+LSH, SimHash.
+  *
+  * Scale design: every variant reduces to hash-partitioned groupBy/join on a
+  * *small key* (16-byte fingerprint, 8-byte shingle hash, band hash) — the
+  * document text itself never crosses a shuffle except in the final
+  * candidate-verification step, which is bounded by candidate count, not
+  * corpus size. Stop-shingle pruning (df cap) bounds the inverted-index
+  * self-join the same way it would at 100 TB.
+  */
+object Dedup {
+
+  /** Max document frequency for a shingle to participate in the inverted
+    * index — drops quadratic-blowup "stop shingles" (same cap in oracle). */
+  val MaxShingleDf = 50
+  /** Near-dup Jaccard threshold. */
+  val JaccardThreshold = 0.8
+
+  /** D1 — exact dedup: one survivor (min doc_id) per distinct text.
+    * Scale: group key is md5(text) (16 bytes) rather than the text itself;
+    * the text column is dropped before the exchange. */
+  def d1ExactDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.load(spark, dir, "documents")
+      .select(md5($"text").as("text_key"), $"doc_id")
+      .groupBy($"text_key")
+      .agg(min($"doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+      .orderBy($"keep_id")
+  }
+
+  /** D2 — fingerprint dedup: exact dedup after normalization (case/
+    * punctuation-insensitive), via TextFunctions.fingerprint. */
+  def d2FingerprintDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.load(spark, dir, "documents")
+      .select(fingerprint($"text").as("fp"), $"doc_id")
+      .groupBy($"fp")
+      .agg(min($"doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+      .orderBy($"keep_id")
+  }
+
+  /** Distinct (doc_id, rare-shingle) pairs: the pruned inverted index. */
+  private def rareShingles(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val sh = Tables.load(spark, dir, "documents")
+      .select($"doc_id", explode(shingles(tokens($"text"), 3)).as("s"))
+    val rare = sh.groupBy($"s")
+      .agg(count(lit(1)).as("df"))
+      .filter($"df" <= MaxShingleDf && $"df" >= 2)
+      .select($"s")
+    sh.join(rare, "s")
+  }
+
+  /** D3 — n-gram Jaccard near-dup pairs via inverted-index self-join:
+    * explode 3-gram shingles, prune stop-shingles (df cap — also the
+    * 100 TB safety valve), join docs sharing a shingle, then
+    * |A∩B| / (|A|+|B|-|A∩B|) ≥ threshold. All counts are exact ints, so
+    * the jaccard double is oracle-exact. */
+  def d3JaccardPairs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val rsh = rareShingles(spark, dir).cache()
+    val sizes = rsh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+    val shared = rsh.as("a").join(rsh.as("b"),
+        $"a.s" === $"b.s" && $"a.doc_id" < $"b.doc_id")
+      .groupBy($"a.doc_id".as("d1"), $"b.doc_id".as("d2"))
+      .agg(count(lit(1)).as("shared"))
+    shared
+      .join(sizes.select($"doc_id".as("d1"), $"n".as("n1")), "d1")
+      .join(sizes.select($"doc_id".as("d2"), $"n".as("n2")), "d2")
+      .withColumn("jaccard",
+        $"shared".cast(DoubleType) / ($"n1" + $"n2" - $"shared"))
+      .filter($"jaccard" >= JaccardThreshold)
+      .select($"d1", $"d2", $"shared", $"n1", $"n2", $"jaccard")
+      .orderBy($"d1", $"d2")
+  }
+
+  /** MinHash signature table (k hashes), for tests and composition. */
+  def minHashSignatures(spark: SparkSession, dir: String, k: Int = 32): DataFrame = {
+    import spark.implicits._
+    Tables.load(spark, dir, "documents")
+      .select($"doc_id",
+        minHashSignature(shingles(tokens($"text"), 3), k).as("sig"))
+  }
+
+  /** D4 — MinHash + LSH banding near-dup: k=32 minhashes, 8 bands × 4 rows;
+    * docs colliding in any band become candidates; candidates are verified
+    * with the signature-estimated Jaccard (fraction of equal minhashes).
+    * Scale: the only shuffle is groupBy (band, bandHash) — signature
+    * generation is per-row codegen; candidate verification touches only
+    * colliding pairs. Hash values are engine-specific (xxhash64), so this
+    * query is rows-only checked by the driver and recall-tested in
+    * DedupSpec against D3's exact pairs. */
+  def d4MinHashLsh(spark: SparkSession, dir: String,
+                   k: Int = 32, bands: Int = 8): DataFrame = {
+    import spark.implicits._
+    val rows = k / bands
+    val sigs = minHashSignatures(spark, dir, k).cache()
+    val banded = sigs.select($"doc_id", $"sig",
+        explode(array((0 until bands).map { b =>
+          struct(lit(b).as("band"),
+            xxhash64(slice($"sig", b * rows + 1, rows)).as("bucket"))
+        }: _*)).as("bb"))
+      .select($"doc_id", $"sig", $"bb.band", $"bb.bucket")
+    val cand = banded.as("a").join(banded.as("b"),
+        $"a.band" === $"b.band" && $"a.bucket" === $"b.bucket" &&
+          $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("d1"), $"b.doc_id".as("d2"),
+        $"a.sig".as("sig1"), $"b.sig".as("sig2"))
+      .distinct()
+    cand
+      .withColumn("est_jaccard",
+        size(filter(zip_with($"sig1", $"sig2", (x, y) => x === y),
+          eq => eq)).cast(DoubleType) / k)
+      .filter($"est_jaccard" >= JaccardThreshold)
+      .select($"d1", $"d2", $"est_jaccard")
+      .orderBy($"d1", $"d2")
+  }
+
+  /** D5 — SimHash near-dup: 64-bit signature per doc, candidates via
+    * 4×16-bit band collisions, verified by Hamming distance ≤ 6.
+    * Rows-only checked (engine-specific hashing); tested in DedupSpec. */
+  def d5SimHash(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val sigs = Tables.load(spark, dir, "documents")
+      .select($"doc_id", simHash(tokens($"text")).as("sig")).cache()
+    val banded = sigs.select($"doc_id", $"sig",
+      explode(array((0 until 4).map { b =>
+        struct(lit(b).as("band"),
+          shiftright($"sig", b * 16).bitwiseAND(lit(0xffffL)).as("bucket"))
+      }: _*)).as("bb"))
+      .select($"doc_id", $"sig", $"bb.band", $"bb.bucket")
+    banded.as("a").join(banded.as("b"),
+        $"a.band" === $"b.band" && $"a.bucket" === $"b.bucket" &&
+          $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("d1"), $"b.doc_id".as("d2"),
+        hamming($"a.sig", $"b.sig").as("dist"))
+      .distinct()
+      .filter($"dist" <= 6)
+      .orderBy($"d1", $"d2")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d1_dedup_exact" -> d1ExactDedup _,
+    "d2_dedup_fingerprint" -> d2FingerprintDedup _,
+    "d3_jaccard_pairs" -> d3JaccardPairs _,
+    "d4_minhash_lsh" -> ((s: SparkSession, d: String) => d4MinHashLsh(s, d, 32, 8)),
+    "d5_simhash" -> d5SimHash _,
+  )
+
+  /** D4/D5 use engine-specific 64-bit hashing → no SQL oracle (driver
+    * records rows-only); their fidelity is covered by DedupSpec. */
+  val oracleSql: Map[String, String] = Map(
+    "d1_dedup_exact" ->
+      """SELECT md5(text) AS text_key, min(doc_id) AS keep_id,
+        |  count(*) AS n_copies
+        |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin,
+    "d2_dedup_fingerprint" ->
+      """SELECT md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp,
+        |  min(doc_id) AS keep_id, count(*) AS n_copies
+        |FROM documents GROUP BY 1 ORDER BY keep_id""".stripMargin,
+    "d3_jaccard_pairs" ->
+      s"""WITH docs AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+         |sh0 AS (SELECT DISTINCT doc_id, unnest(list_transform(generate_series(1, len(w)-2),
+         |          i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s FROM docs),
+         |rare AS (SELECT s FROM sh0 GROUP BY s
+         |         HAVING count(*) <= $MaxShingleDf AND count(*) >= 2),
+         |sh AS (SELECT sh0.doc_id, sh0.s FROM sh0 JOIN rare USING (s)),
+         |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS shared
+         |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+         |          GROUP BY 1, 2)
+         |SELECT d1, d2, shared, x.n AS n1, y.n AS n2,
+         |  CAST(shared AS DOUBLE) / (x.n + y.n - shared) AS jaccard
+         |FROM inter JOIN sz x ON d1 = x.doc_id JOIN sz y ON d2 = y.doc_id
+         |WHERE CAST(shared AS DOUBLE) / (x.n + y.n - shared) >= $JaccardThreshold
+         |ORDER BY d1, d2""".stripMargin,
+  )
+}

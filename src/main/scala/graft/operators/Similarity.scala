@@ -1,0 +1,173 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions._
+import graft.sources.Tables
+
+/** Similarity search over the `embeddings` table (SURVEY.md §2C):
+  * brute-force cosine top-k (the exactness baseline), thresholded
+  * all-pairs, and a random-hyperplane LSH variant (the 100 TB path).
+  *
+  * Scale design: the query set is the small side — broadcast it and the
+  * corpus streams through map-side cosine + per-query top-k
+  * (window partitioned by query id, rank ≤ k), so there is exactly one
+  * shuffle of size O(|corpus| × |queries| filtered) and no global sort.
+  * The LSH variant cuts the candidate set from N to bucket-sized groups:
+  * signature computation is per-row codegen; candidates come from an
+  * equi-join on the 16-bit signature.
+  */
+object Similarity {
+
+  val K = 5
+  val QueryCount = 20
+  val CosineThreshold = 0.4
+
+  /** V1 — brute-force cosine top-k: queries are vec_id < QueryCount,
+    * corpus is everything else; exact top-K per query. */
+  def v1AnnTopK(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.load(spark, dir, "embeddings")
+      .select($"vec_id", asDouble($"embedding").as("v"))
+    val queries = emb.filter($"vec_id" < QueryCount)
+      .select($"vec_id".as("query_id"), $"v".as("qv"))
+    val w = Window.partitionBy($"query_id")
+      .orderBy($"cos".desc, $"vec_id".asc)
+    Tables.load(spark, dir, "embeddings")
+      .select($"vec_id", asDouble($"embedding").as("v"))
+      .join(broadcast(queries), $"vec_id" =!= $"query_id")
+      .select($"query_id", $"vec_id", cosine($"qv", $"v").as("cos"))
+      .withColumn("rk", row_number().over(w))
+      .filter($"rk" <= K)
+      .select($"query_id", $"rk", $"vec_id", round($"cos", 6).as("cos_sim"))
+      .orderBy($"query_id", $"rk")
+  }
+
+  /** V2 — thresholded all-pairs cosine (embedding near-dup detection).
+    * Brute force N²/2 — correct baseline; d4-style LSH is the scale path. */
+  def v2CosinePairs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.load(spark, dir, "embeddings")
+      .select($"vec_id", asDouble($"embedding").as("v"))
+    emb.as("a").join(emb.as("b"), $"a.vec_id" < $"b.vec_id")
+      .select($"a.vec_id".as("v1"), $"b.vec_id".as("v2"),
+        cosine($"a.v", $"b.v").as("cos"))
+      .filter($"cos" >= CosineThreshold)
+      .select($"v1", $"v2", round($"cos", 6).as("cos_sim"))
+      .orderBy($"v1", $"v2")
+  }
+
+  /** Deterministic ±1 random hyperplanes (seeded per plane). */
+  private def planes(dim: Int, nPlanes: Int): Seq[Seq[Double]] =
+    (0 until nPlanes).map { j =>
+      val rng = new scala.util.Random(42L + j)
+      Seq.fill(dim)(if (rng.nextBoolean()) 1.0 else -1.0)
+    }
+
+  /** Random-hyperplane signature: bit j = sign(v · plane_j). */
+  private def lshSignature(v: org.apache.spark.sql.Column,
+                           dim: Int, nPlanes: Int): org.apache.spark.sql.Column = {
+    val bits = planes(dim, nPlanes).zipWithIndex.map { case (p, j) =>
+      val planeCol = array(p.map(lit): _*)
+      when(dot(v, planeCol) >= 0, lit(1L << j)).otherwise(lit(0L))
+    }
+    bits.reduceLeft((a: Column, b: Column) => a.bitwiseOR(b))
+  }
+
+  /** V3 — LSH-bucketed near-dup: 32 hyperplane bits split into 8 bands of
+    * 4; docs sharing any band bucket become candidates, then exact cosine
+    * verification (same band-OR construction as MinHash LSH). Short bands
+    * are deliberate: at this corpus's weak similarities (cos≈0.45, bit-match
+    * p≈0.65) an 8-bit band has ~3% hit rate — 4-bit bands give ~0.78
+    * theoretical recall. Hyperplane LSH only prunes aggressively when the
+    * threshold is high (cos≥0.9 → p≥0.9); the operator takes bands/bits as
+    * knobs for exactly that reason. Recall vs V2
+    * is asserted in SimilaritySpec; the driver records rows-only
+    * (signature bucketing is not expressible in portable SQL). */
+  def v3AnnLsh(spark: SparkSession, dir: String, nPlanes: Int = 32,
+               bands: Int = 8): DataFrame = {
+    import spark.implicits._
+    val dim = 64
+    val bits = nPlanes / bands
+    val emb = Tables.load(spark, dir, "embeddings")
+      .select($"vec_id", asDouble($"embedding").as("v"))
+      .withColumn("sig", lshSignature($"v", dim, nPlanes))
+    val banded = emb.select($"vec_id", $"v",
+        explode(array((0 until bands).map { b =>
+          struct(lit(b).as("band"),
+            shiftright($"sig", b * bits)
+              .bitwiseAND(lit((1L << bits) - 1)).as("bucket"))
+        }: _*)).as("bb"))
+      .select($"vec_id", $"v", $"bb.band", $"bb.bucket")
+    banded.as("a").join(banded.as("b"),
+        $"a.band" === $"b.band" && $"a.bucket" === $"b.bucket" &&
+          $"a.vec_id" < $"b.vec_id")
+      .select($"a.vec_id".as("v1"), $"b.vec_id".as("v2"),
+        $"a.v".as("va"), $"b.v".as("vb"))
+      .distinct()
+      .select($"v1", $"v2", cosine($"va", $"vb").as("cos"))
+      .filter($"cos" >= CosineThreshold)
+      .select($"v1", $"v2", round($"cos", 6).as("cos_sim"))
+      .orderBy($"v1", $"v2")
+  }
+
+  /** V4 — IVF-style coarse quantization: every 50th vector is a centroid;
+    * vectors are assigned to their nearest centroid (map-side, centroids
+    * broadcast); queries probe their own cell only. Approximate top-k with
+    * one small shuffle; recall tested in SimilaritySpec. Rows-only. */
+  def v4AnnIvf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.load(spark, dir, "embeddings")
+      .select($"vec_id", asDouble($"embedding").as("v"))
+    val centroids = emb.filter($"vec_id" % 50 === 0)
+      .select($"vec_id".as("cent_id"), $"v".as("cv"))
+    def assign(df: DataFrame): DataFrame = {
+      val w = Window.partitionBy($"vec_id").orderBy($"d".desc, $"cent_id".asc)
+      df.join(broadcast(centroids))
+        .select($"vec_id", $"v", $"cent_id", cosine($"v", $"cv").as("d"))
+        .withColumn("rk", row_number().over(w))
+        .filter($"rk" === 1)
+        .select($"vec_id", $"v", $"cent_id")
+    }
+    val assigned = assign(emb).cache()
+    val queries = assigned.filter($"vec_id" < QueryCount)
+      .select($"vec_id".as("query_id"), $"v".as("qv"), $"cent_id")
+    val w = Window.partitionBy($"query_id").orderBy($"cos".desc, $"vec_id".asc)
+    assigned.join(queries, Seq("cent_id"))
+      .filter($"vec_id" =!= $"query_id")
+      .select($"query_id", $"vec_id", cosine($"qv", $"v").as("cos"))
+      .withColumn("rk", row_number().over(w))
+      .filter($"rk" <= K)
+      .select($"query_id", $"rk", $"vec_id", round($"cos", 6).as("cos_sim"))
+      .orderBy($"query_id", $"rk")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "v1_ann_topk" -> v1AnnTopK _,
+    "v2_cosine_pairs" -> v2CosinePairs _,
+    "v3_ann_lsh" -> ((s: SparkSession, d: String) => v3AnnLsh(s, d)),
+    "v4_ann_ivf" -> v4AnnIvf _,
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "v1_ann_topk" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < $QueryCount),
+         |s AS (SELECT query_id, vec_id, list_cosine_similarity(qv, v) AS cos,
+         |        row_number() OVER (PARTITION BY query_id
+         |          ORDER BY list_cosine_similarity(qv, v) DESC, vec_id ASC) AS rk
+         |      FROM e CROSS JOIN q WHERE vec_id != query_id)
+         |SELECT query_id, rk, vec_id, round(cos, 6) AS cos_sim
+         |FROM s WHERE rk <= $K
+         |ORDER BY query_id, rk""".stripMargin,
+    "v2_cosine_pairs" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+         |SELECT a.vec_id AS v1, b.vec_id AS v2,
+         |  round(list_cosine_similarity(a.v, b.v), 6) AS cos_sim
+         |FROM e a JOIN e b ON a.vec_id < b.vec_id
+         |WHERE list_cosine_similarity(a.v, b.v) >= $CosineThreshold
+         |ORDER BY v1, v2""".stripMargin,
+  )
+}

