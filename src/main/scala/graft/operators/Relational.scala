@@ -300,6 +300,50 @@ object Relational {
       .orderBy($"p_partkey")
   }
 
+  /** Q18 — tumbling time window (batch twin of the streaming windowed
+    * aggregate): hourly event buckets via window(). The streaming version
+    * (watermark + same window) is exercised in StreamingEventsSpec; this
+    * batch twin is the oracle-checkable semantics anchor. */
+  def q18TumblingWindow(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.load(spark, dir, "events")
+      .groupBy(window($"ts", "1 hour").as("w"), $"event_type")
+      .agg(count(lit(1)).as("n"), dsum($"value").as("sum_value"))
+      .select(date_format($"w.start", "yyyy-MM-dd HH:mm:ss").as("hour_start"),
+        $"event_type", $"n", $"sum_value")
+      .orderBy($"hour_start", $"event_type")
+  }
+
+  /** Q19 — as-of join (an operator Spark lacks natively), composed from
+    * built-ins per the preference order: for each event, the most recent
+    * prior 'signup' event of the same user via last_value(IGNORE NULLS)
+    * over an unbounded-preceding window. One shuffle on user_id; no
+    * range-join explosion. */
+  def q19AsOfJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts".asc, $"event_id".asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.load(spark, dir, "events")
+      .select($"event_id", $"user_id", $"event_type",
+        date_format($"ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts_s"),
+        last(when($"event_type" === "signup", $"event_id"), ignoreNulls = true)
+          .over(w).as("prev_signup_event"))
+      .orderBy($"event_id")
+  }
+
+  /** Q20 — semi-structured access: JSON field extraction from the string
+    * props column + LIKE + IN predicates. */
+  def q20JsonExtract(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.load(spark, dir, "events")
+      .filter($"event_type".isin("purchase", "signup") &&
+        $"props".like("%k%"))
+      .select($"event_id", $"event_type",
+        get_json_object($"props", "$.k").cast("int").as("k_value"))
+      .filter($"k_value" >= 50)
+      .orderBy($"event_id")
+  }
+
   /** All relational queries, keyed for SparkEntry. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing_summary" -> q1PricingSummary _,
@@ -319,6 +363,9 @@ object Relational {
     "q15_running_window" -> q15RunningWindow _,
     "q16_grouped_subquery" -> q16GroupedSubquery _,
     "q17_scalar_functions" -> q17ScalarFunctions _,
+    "q18_tumbling_window" -> q18TumblingWindow _,
+    "q19_asof_join" -> q19AsOfJoin _,
+    "q20_json_extract" -> q20JsonExtract _,
   )
 
   /** DuckDB oracle SQL per query (column names and ORDER BY must match). */
@@ -460,5 +507,24 @@ object Relational {
         |  CAST(ceil(p_retailprice) AS BIGINT) AS price_ceil,
         |  sqrt(CAST(p_size AS DOUBLE)) AS size_sqrt
         |FROM part ORDER BY p_partkey""".stripMargin,
+    "q18_tumbling_window" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
+        |  event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type""".stripMargin,
+    "q19_asof_join" ->
+      """SELECT event_id, user_id, event_type,
+        |  strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_s,
+        |  last_value(CASE WHEN event_type = 'signup' THEN event_id END IGNORE NULLS)
+        |    OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_signup_event
+        |FROM events ORDER BY event_id""".stripMargin,
+    "q20_json_extract" ->
+      """SELECT event_id, event_type,
+        |  CAST(json_extract_string(props, '$.k') AS INT) AS k_value
+        |FROM events
+        |WHERE event_type IN ('purchase', 'signup') AND props LIKE '%k%'
+        |  AND CAST(json_extract_string(props, '$.k') AS INT) >= 50
+        |ORDER BY event_id""".stripMargin,
   )
 }

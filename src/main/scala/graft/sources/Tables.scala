@@ -34,7 +34,7 @@ object Tables {
     import org.apache.spark.sql.functions._
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = spark.read.parquet(s"$dir/events.parquet")
-    raw.withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
+    raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
   /** Register every fixture table as a temp view named after the table. */

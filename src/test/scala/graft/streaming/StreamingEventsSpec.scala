@@ -1,0 +1,58 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+import graft.changelog.ResultTable
+import graft.sources.Tables
+
+case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
+              event_type: String, value: Double, props: String)
+
+/** Streaming semantics over the events fixture: the watermarked tumbling-
+  * window aggregate (streaming twin of Relational.q18) must collapse to the
+  * batch answer after incremental micro-batches — the reference's
+  * incremental≡replay invariant lifted to event-time windows. */
+class StreamingEventsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  test("watermarked window aggregate collapses to the batch twin") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+
+    val events = Tables.load(s, SparkTestSession.sf0001, "events")
+      .as[Ev].collect().toSeq
+    assert(events.nonEmpty)
+
+    def windowed(df: org.apache.spark.sql.DataFrame) = df
+      .groupBy(window($"ts", "1 hour").as("w"), $"event_type")
+      .agg(count(lit(1)).as("n"), round(sum($"value"), 2).as("sum_value"))
+      .select(date_format($"w.start", "yyyy-MM-dd HH:mm:ss").as("hour_start"),
+        $"event_type", $"n", $"sum_value")
+
+    val mem = MemoryStream[Ev]
+    val agg = windowed(mem.toDF().withWatermark("ts", "1 day"))
+    val handle = ChangelogStream.updating(agg, "events-window-test",
+      Seq("hour_start", "event_type"))
+    val changelog = handle.changelog()
+    val table = new ResultTable(handle.schema)
+    try {
+      events.grouped(events.size / 3 + 1).foreach { chunk =>
+        mem.addData(chunk)
+        handle.processAllAvailable()
+        table.update(changelog.consume())
+      }
+      val batch = windowed(
+        Tables.load(s, SparkTestSession.sf0001, "events"))
+        .collect().map(_.toSeq.toVector).toSet
+      assert(table.rows.toSet == batch,
+        s"streaming collapse != batch twin (${table.size} vs ${batch.size} rows)")
+      assert(changelog.opsReceived.nonEmpty)
+    } finally handle.stop()
+  }
+}
