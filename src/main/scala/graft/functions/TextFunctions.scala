@@ -61,37 +61,18 @@ object TextFunctions {
     * key that ships 16 bytes instead of the document across the shuffle. */
   def fingerprint(text: Column): Column = md5(normalized(text))
 
-  /** Deterministic 64-bit shingle hash (xxhash64, seeded). */
-  def shingleHash(s: Column): Column = xxhash64(lit("graft"), s)
-
   /** MinHash signature: for each of k seeded hash functions, the min over
-    * the shingle set of (a_i * h(s) + b_i) mod p. Runs per-row inside
-    * codegen — the classic band-bucket join happens in Dedup.minHashLsh. */
-  def minHashSignature(shingleCol: Column, k: Int): Column = {
-    val p = 2147483647L // 2^31-1, Mersenne prime
-    val funcs = (0 until k).map { i =>
-      val a = 1103515245L * (i + 1) % p
-      val b = 12345L * (i + 7) % p
-      array_min(transform(shingleCol,
-        s => pmod(lit(a) * pmod(shingleHash(s), lit(p)) + lit(b), lit(p))))
-    }
-    array(funcs: _*)
-  }
+    * the shingle set of (a_i * h(s) + b_i) mod p. Native one-pass
+    * expression (graft.plans.MinHashSig): the HOF formulation re-traversed
+    * and re-hashed the shingle array k times. */
+  def minHashSignature(shingleCol: Column, k: Int): Column =
+    graft.plans.VectorExpressions.minhashSig(shingleCol, k)
 
-  /** SimHash over token hashes: sum ±1 per bit position weighted by token
-    * frequency, collapse to a 64-bit signature. Expressed with HOFs:
-    * for each bit, count tokens with that bit set vs total. */
-  def simHash(toks: Column): Column = {
-    // bitwise majority vote per bit over xxhash64(token)
-    val hashes = transform(toks, t => xxhash64(lit("graft"), t))
-    val n = size(hashes)
-    val bits = (0 until 64).map { b =>
-      val ones = aggregate(hashes, lit(0),
-        (acc, h) => acc + shiftright(h, b).bitwiseAND(lit(1L)).cast("int"))
-      when(ones * 2 > n, lit(1L << b)).otherwise(lit(0L))
-    }
-    bits.reduceLeft((a: Column, c: Column) => a.bitwiseOR(c))
-  }
+  /** SimHash: per-bit majority vote over 64-bit token hashes, one pass
+    * (graft.plans.SimHash64 — the HOF version aggregated the token array
+    * 64 times). */
+  def simHash(toks: Column): Column =
+    graft.plans.VectorExpressions.simhash64(toks)
 
   /** Hamming distance between two 64-bit signatures. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))

@@ -13,13 +13,18 @@ object VectorFunctions {
 
   def asDouble(v: Column): Column = v.cast("array<double>")
 
-  /** Dot product: sum of elementwise products, left-to-right. */
+  /** Dot product: sum of elementwise products, left-to-right. Native
+    * codegen'd loop (graft.plans.DotProduct) — the `zip_with`+`aggregate`
+    * formulation allocates a products array per call and evaluates the
+    * lambda interpreted, which dominated the all-pairs bench. */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+    graft.plans.VectorExpressions.dotProduct(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  /** Cosine similarity in double precision. */
+  /** Cosine similarity in double precision. Where one side is reused
+    * across many pairs, precompute `norm` once per vector and divide —
+    * see Similarity.v2/v3. */
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (norm(a) * norm(b))
 }

@@ -104,18 +104,22 @@ object Dedup {
     import spark.implicits._
     val rows = k / bands
     val sigs = minHashSignatures(spark, dir, k).cache()
-    val banded = sigs.select($"doc_id", $"sig",
+    val banded = sigs.select($"doc_id",
         explode(array((0 until bands).map { b =>
           struct(lit(b).as("band"),
             xxhash64(slice($"sig", b * rows + 1, rows)).as("bucket"))
         }: _*)).as("bb"))
-      .select($"doc_id", $"sig", $"bb.band", $"bb.bucket")
+      .select($"doc_id", $"bb.band", $"bb.bucket")
+    // dedupe candidates on id pairs only; signatures re-attached via
+    // broadcast (shuffling 32-long arrays through distinct() is the
+    // expensive path at scale)
     val cand = banded.as("a").join(banded.as("b"),
         $"a.band" === $"b.band" && $"a.bucket" === $"b.bucket" &&
           $"a.doc_id" < $"b.doc_id")
-      .select($"a.doc_id".as("d1"), $"b.doc_id".as("d2"),
-        $"a.sig".as("sig1"), $"b.sig".as("sig2"))
+      .select($"a.doc_id".as("d1"), $"b.doc_id".as("d2"))
       .distinct()
+      .join(broadcast(sigs.select($"doc_id".as("d1"), $"sig".as("sig1"))), "d1")
+      .join(broadcast(sigs.select($"doc_id".as("d2"), $"sig".as("sig2"))), "d2")
     cand
       .withColumn("est_jaccard",
         size(filter(zip_with($"sig1", $"sig2", (x, y) => x === y),
@@ -125,17 +129,22 @@ object Dedup {
       .orderBy($"d1", $"d2")
   }
 
+  /** Max Hamming distance (of 64) for SimHash near-dups. */
+  val SimHashMaxDist = 10
+
   /** D5 — SimHash near-dup: 64-bit signature per doc, candidates via
-    * 4×16-bit band collisions, verified by Hamming distance ≤ 6.
-    * Rows-only checked (engine-specific hashing); tested in DedupSpec. */
+    * 8×8-bit band collisions (pigeonhole: any pair within distance 7 shares
+    * a clean band; beyond that probabilistically), verified by Hamming
+    * distance ≤ SimHashMaxDist. Rows-only checked (engine-specific
+    * hashing); recall tested in DedupSpec. */
   def d5SimHash(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val sigs = Tables.load(spark, dir, "documents")
       .select($"doc_id", simHash(tokens($"text")).as("sig")).cache()
     val banded = sigs.select($"doc_id", $"sig",
-      explode(array((0 until 4).map { b =>
+      explode(array((0 until 8).map { b =>
         struct(lit(b).as("band"),
-          shiftright($"sig", b * 16).bitwiseAND(lit(0xffffL)).as("bucket"))
+          shiftright($"sig", b * 8).bitwiseAND(lit(0xffL)).as("bucket"))
       }: _*)).as("bb"))
       .select($"doc_id", $"sig", $"bb.band", $"bb.bucket")
     banded.as("a").join(banded.as("b"),
@@ -144,7 +153,7 @@ object Dedup {
       .select($"a.doc_id".as("d1"), $"b.doc_id".as("d2"),
         hamming($"a.sig", $"b.sig").as("dist"))
       .distinct()
-      .filter($"dist" <= 6)
+      .filter($"dist" <= SimHashMaxDist)
       .orderBy($"d1", $"d2")
   }
 

@@ -49,11 +49,13 @@ object Similarity {
     * Brute force N²/2 — correct baseline; d4-style LSH is the scale path. */
   def v2CosinePairs(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    // norm computed once per vector (N rows), not once per pair (N²/2)
     val emb = Tables.load(spark, dir, "embeddings")
       .select($"vec_id", asDouble($"embedding").as("v"))
+      .withColumn("nrm", norm($"v"))
     emb.as("a").join(emb.as("b"), $"a.vec_id" < $"b.vec_id")
       .select($"a.vec_id".as("v1"), $"b.vec_id".as("v2"),
-        cosine($"a.v", $"b.v").as("cos"))
+        (dot($"a.v", $"b.v") / ($"a.nrm" * $"b.nrm")).as("cos"))
       .filter($"cos" >= CosineThreshold)
       .select($"v1", $"v2", round($"cos", 6).as("cos_sim"))
       .orderBy($"v1", $"v2")
@@ -93,21 +95,32 @@ object Similarity {
     val bits = nPlanes / bands
     val emb = Tables.load(spark, dir, "embeddings")
       .select($"vec_id", asDouble($"embedding").as("v"))
+      .withColumn("nrm", norm($"v"))
+      .cache()
+    val banded = emb
       .withColumn("sig", lshSignature($"v", dim, nPlanes))
-    val banded = emb.select($"vec_id", $"v",
+      .select($"vec_id",
         explode(array((0 until bands).map { b =>
           struct(lit(b).as("band"),
             shiftright($"sig", b * bits)
               .bitwiseAND(lit((1L << bits) - 1)).as("bucket"))
         }: _*)).as("bb"))
-      .select($"vec_id", $"v", $"bb.band", $"bb.bucket")
-    banded.as("a").join(banded.as("b"),
+      .select($"vec_id", $"bb.band", $"bb.bucket")
+    // candidate pairs are deduped on (id, id) ONLY — shuffling the vector
+    // payload through distinct() was the dominant cost; vectors are
+    // re-attached afterwards via broadcast joins
+    val cand = banded.as("a").join(banded.as("b"),
         $"a.band" === $"b.band" && $"a.bucket" === $"b.bucket" &&
           $"a.vec_id" < $"b.vec_id")
-      .select($"a.vec_id".as("v1"), $"b.vec_id".as("v2"),
-        $"a.v".as("va"), $"b.v".as("vb"))
+      .select($"a.vec_id".as("v1"), $"b.vec_id".as("v2"))
       .distinct()
-      .select($"v1", $"v2", cosine($"va", $"vb").as("cos"))
+    cand
+      .join(broadcast(emb.select($"vec_id".as("v1"),
+        $"v".as("va"), $"nrm".as("na"))), "v1")
+      .join(broadcast(emb.select($"vec_id".as("v2"),
+        $"v".as("vb"), $"nrm".as("nb"))), "v2")
+      .select($"v1", $"v2",
+        (dot($"va", $"vb") / ($"na" * $"nb")).as("cos"))
       .filter($"cos" >= CosineThreshold)
       .select($"v1", $"v2", round($"cos", 6).as("cos_sim"))
       .orderBy($"v1", $"v2")
