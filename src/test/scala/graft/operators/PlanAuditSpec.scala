@@ -1,0 +1,59 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+
+/** Physical-plan regression tests: the properties that make these operators
+  * survive a 100× scale-up are asserted, not assumed — predicate/column
+  * pushdown reaching the parquet scan, broadcast joins for dimension
+  * tables, per-partition top-k instead of a global sort, partial (map-side)
+  * aggregation, and whole-stage codegen coverage. */
+class PlanAuditSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val dir = SparkTestSession.sf0001
+
+  private def formatted(name: String): String = {
+    val df = graft.SparkEntry.queries(name)(spark, dir)
+    df.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+  }
+
+  test("q2: filter and projection are pushed to the parquet scan") {
+    val plan = formatted("q2_filter_project")
+    assert(plan.contains("PushedFilters:") &&
+      plan.contains("LessThan(l_quantity,10.0)"),
+      s"filter must reach the scan:\n$plan")
+    assert(!plan.contains("l_shipdate"),
+      "unused columns must be pruned from ReadSchema")
+  }
+
+  test("q3: dimension tables join via broadcast, no shuffle of the fact side for the join") {
+    val plan = formatted("q3_join_agg")
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast join:\n$plan")
+  }
+
+  test("q14: top-k compiles to TakeOrderedAndProject, not a global sort") {
+    val plan = formatted("q14_topk")
+    assert(plan.contains("TakeOrderedAndProject"), s"expected top-k operator:\n$plan")
+  }
+
+  test("q1: aggregation is two-phase (map-side partial)") {
+    val plan = formatted("q1_pricing_summary")
+    assert("HashAggregate".r.findAllIn(plan).size >= 2,
+      s"expected partial+final HashAggregate:\n$plan")
+  }
+
+  test("q1: hot path is inside whole-stage codegen") {
+    val df = graft.SparkEntry.queries("q1_pricing_summary")(spark, dir)
+    df.collect() // AQE finalizes the physical plan lazily
+    val exec = df.queryExecution.executedPlan.toString
+    assert(exec.contains("WholeStageCodegen"), s"no codegen spans:\n$exec")
+  }
+
+  test("v1: query side of ann top-k is broadcast (corpus never shuffles for the join)") {
+    val plan = formatted("v1_ann_topk")
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastHashJoin"), s"queries must broadcast:\n$plan")
+  }
+}
