@@ -344,6 +344,45 @@ object Relational {
       .orderBy($"event_id")
   }
 
+  /** Q21 — gap-based sessionization: split each user's event stream into
+    * sessions separated by >30 min of silence (lag + cumulative session
+    * counter — the batch twin of session_window in streaming). Gap math in
+    * integer microseconds for oracle exactness. */
+  def q21Sessionize(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts".asc, $"event_id".asc)
+    val gapUs = 30L * 60 * 1000000
+    Tables.load(spark, dir, "events")
+      .withColumn("prev_us", lag(unix_micros($"ts"), 1).over(w))
+      .withColumn("new_sess",
+        when($"prev_us".isNull ||
+          unix_micros($"ts") - $"prev_us" > gapUs, 1).otherwise(0))
+      .withColumn("sess_id",
+        sum($"new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy($"user_id", $"sess_id")
+      .agg(count(lit(1)).as("n_events"),
+        (max(unix_micros($"ts")) - min(unix_micros($"ts"))).as("duration_us"))
+      .orderBy($"user_id", $"sess_id")
+  }
+
+  /** Q22 — skew-resistant aggregation via salting: events.user_id is
+    * heavily skewed (~15 users over the whole table), so a direct groupBy
+    * funnels everything into ~15 reducer tasks. Salt the key into 16
+    * subkeys, partially aggregate, then merge — two cheap shuffles instead
+    * of one skewed one. Decimal partials keep the final doubles exact, so
+    * the result hash-matches the unsalted oracle. */
+  def q22SaltedAgg(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.load(spark, dir, "events")
+      .withColumn("salt", pmod(xxhash64($"event_id"), lit(16)))
+      .groupBy($"user_id", $"salt")
+      .agg(count(lit(1)).as("pn"), sum(dec($"value")).as("pv"))
+      .groupBy($"user_id")
+      .agg(sum($"pn").as("n_events"),
+        sum($"pv").cast(DoubleType).as("sum_value"))
+      .orderBy($"user_id")
+  }
+
   /** All relational queries, keyed for SparkEntry. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing_summary" -> q1PricingSummary _,
@@ -366,6 +405,8 @@ object Relational {
     "q18_tumbling_window" -> q18TumblingWindow _,
     "q19_asof_join" -> q19AsOfJoin _,
     "q20_json_extract" -> q20JsonExtract _,
+    "q21_sessionize" -> q21Sessionize _,
+    "q22_salted_agg" -> q22SaltedAgg _,
   )
 
   /** DuckDB oracle SQL per query (column names and ORDER BY must match). */
@@ -526,5 +567,30 @@ object Relational {
         |WHERE event_type IN ('purchase', 'signup') AND props LIKE '%k%'
         |  AND CAST(json_extract_string(props, '$.k') AS INT) >= 50
         |ORDER BY event_id""".stripMargin,
+    "q21_sessionize" ->
+      """WITH t AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS us,
+        |    lag(epoch_us(ts), 1) OVER (PARTITION BY user_id
+        |      ORDER BY ts ASC, event_id ASC) AS prev_us
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id, event_id, us,
+        |    CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000
+        |         THEN 1 ELSE 0 END AS new_sess
+        |  FROM t),
+        |g AS (
+        |  SELECT user_id, us,
+        |    SUM(new_sess) OVER (PARTITION BY user_id
+        |      ORDER BY us ASC, event_id ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+        |  FROM s)
+        |SELECT user_id, sess_id, COUNT(*) AS n_events,
+        |  MAX(us) - MIN(us) AS duration_us
+        |FROM g GROUP BY user_id, sess_id
+        |ORDER BY user_id, sess_id""".stripMargin,
+    "q22_salted_agg" ->
+      """SELECT user_id, COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
   )
 }

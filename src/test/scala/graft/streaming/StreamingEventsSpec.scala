@@ -55,4 +55,30 @@ class StreamingEventsSpec extends AnyFunSuite {
       assert(changelog.opsReceived.nonEmpty)
     } finally handle.stop()
   }
+
+  test("streaming dedup within watermark drops replayed events") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val base = Tables.load(s, SparkTestSession.sf0001, "events")
+      .as[Ev].collect().take(50).toSeq
+    val mem = MemoryStream[Ev]
+    val deduped = mem.toDF()
+      .withWatermark("ts", "1 day")
+      .dropDuplicatesWithinWatermark("event_id")
+      .select($"event_id")
+    val handle = ChangelogStream.appending(deduped, "events-dedup-test")
+    val changelog = handle.changelog()
+    try {
+      mem.addData(base)
+      handle.processAllAvailable()
+      mem.addData(base.take(20)) // replay duplicates
+      mem.addData(base.drop(20).take(5))
+      handle.processAllAvailable()
+      changelog.consume()
+      val ids = changelog.history.map(_.values.head)
+      assert(ids.distinct.size == ids.size, "duplicates must be dropped")
+      assert(ids.size == 50)
+    } finally handle.stop()
+  }
 }
