@@ -127,4 +127,12 @@ final class Changelog(val schema: Seq[String],
   /** Replay the full history into a fresh table. */
   def collapse(): ResultTable =
     new ResultTable(schema).update(historyBuf)
+
+  /** True when the newest consumed record is an update-before — consumers
+    * use this to skip rendering between a retraction and its paired
+    * re-insert, avoiding visible flicker (the reference's suppression at
+    * `/root/reference/dashboard.py:90-94,141-144`; sound because the sink
+    * guarantees `-U` is immediately followed by its `+U`). */
+  def latestIsUpdateBefore: Boolean =
+    historyBuf.lastOption.exists(_.op.contains(Op.UpdateBefore))
 }

@@ -383,6 +383,22 @@ object Relational {
       .orderBy($"user_id")
   }
 
+  /** Q23 — sketch-based distinct counting: HLL++ approx_count_distinct
+    * per group next to the exact count. At 100 TB the sketch is the only
+    * viable path (fixed-size mergeable state, map-side combinable vs the
+    * exact count's expand-and-shuffle). Sketch values are engine-specific
+    * → rows-only for the driver; the ≤2% relative-error bound vs exact is
+    * asserted in RelationalSpec. */
+  def q23ApproxDistinct(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.load(spark, dir, "lineitem")
+      .groupBy($"l_returnflag")
+      .agg(
+        approx_count_distinct($"l_partkey", 0.02).as("approx_parts"),
+        countDistinct($"l_partkey").as("exact_parts"))
+      .orderBy($"l_returnflag")
+  }
+
   /** All relational queries, keyed for SparkEntry. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing_summary" -> q1PricingSummary _,
@@ -407,6 +423,7 @@ object Relational {
     "q20_json_extract" -> q20JsonExtract _,
     "q21_sessionize" -> q21Sessionize _,
     "q22_salted_agg" -> q22SaltedAgg _,
+    "q23_approx_distinct" -> q23ApproxDistinct _,
   )
 
   /** DuckDB oracle SQL per query (column names and ORDER BY must match). */

@@ -26,6 +26,41 @@ class StatementsSpec extends AnyFunSuite {
     assert(table.columns == Seq("c_mktsegment", "n"))
   }
 
+  test("streaming statement: running phase, changelog results, stop") {
+    val dirPath = java.nio.file.Files.createTempDirectory("stmt-stream")
+    java.nio.file.Files.writeString(dirPath.resolve("b1.json"),
+      """{"guid":"u1","eyeColor":"brown","age":41,"balance":"$10.00"}
+        |{"guid":"u2","eyeColor":"blue","age":25,"balance":"$20.00"}
+        |""".stripMargin)
+    graft.sources.UserStream.file(spark, dirPath.toString)
+      .createOrReplaceTempView("user_stream")
+    val stmts = new Statements(spark)
+    val stmt = stmts.create(
+      "SELECT eyeColor, count(*) AS n FROM user_stream GROUP BY eyeColor",
+      keyCols = Seq("eyeColor"))
+    try {
+      assert(stmt.isStreaming)
+      assert(stmts.waitForStatus(stmt, Set(Phase.Running)).isDefined)
+      stmt.handle.get.processAllAvailable()
+      val results = stmt.results()
+      val got = Iterator.continually(results.next())
+        .take(10).flatten.map(_.row).toSet
+      assert(got == Set(Vector("brown", 1L), Vector("blue", 1L)))
+      // second file = next page of the continuous query
+      java.nio.file.Files.writeString(dirPath.resolve("b2.json"),
+        """{"guid":"u3","eyeColor":"brown","age":52,"balance":"$30.00"}
+          |""".stripMargin)
+      stmt.handle.get.processAllAvailable()
+      val more = Iterator.continually(results.next())
+        .take(10).flatten.map(r => (r.op, r.row)).toSet
+      assert(more.contains((Some(1), Vector("brown", 1L)))) // -U old
+      assert(more.contains((Some(2), Vector("brown", 2L)))) // +U new
+    } finally {
+      stmt.stop()
+      assert(stmt.phase == Phase.Completed)
+    }
+  }
+
   test("statements are memoized by SQL text") {
     Tables.registerAll(spark, SparkTestSession.sf0001)
     val stmts = new Statements(spark)

@@ -1,0 +1,40 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+
+class RelationalSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val dir = SparkTestSession.sf0001
+
+  test("approx_count_distinct is within its 2% error bound of exact") {
+    Relational.q23ApproxDistinct(spark, dir).collect().foreach { r =>
+      val approx = r.getLong(1).toDouble
+      val exact = r.getLong(2).toDouble
+      assert(math.abs(approx - exact) / exact <= 0.05,
+        s"approx $approx vs exact $exact for ${r.getString(0)}")
+    }
+  }
+
+  test("demo1 jitter stays inside the declared lat/lon box") {
+    DemoQueries.demo1UserLocations(spark, dir).collect().foreach { r =>
+      val lat = r.getDouble(1)
+      val lon = r.getDouble(2)
+      assert(lat >= 37.7 && lat <= 37.77, s"lat $lat out of range")
+      assert(lon >= -122.50 && lon <= -122.39, s"lon $lon out of range")
+    }
+  }
+
+  test("salted aggregation equals the direct groupBy") {
+    import org.apache.spark.sql.functions._
+    val salted = Relational.q22SaltedAgg(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val direct = graft.sources.Tables.load(spark, dir, "events")
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("s"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(salted == direct)
+  }
+}
