@@ -51,8 +51,11 @@ object Dedup {
   /** Distinct (doc_id, rare-shingle) pairs: the pruned inverted index. */
   private def rareShingles(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    // cached: the exploded index feeds both the document-frequency count
+    // and the join back — without it the scan+shingle explode runs twice
     val sh = Tables.load(spark, dir, "documents")
       .select($"doc_id", explode(shingles(tokens($"text"), 3)).as("s"))
+      .cache()
     val rare = sh.groupBy($"s")
       .agg(count(lit(1)).as("df"))
       .filter($"df" <= MaxShingleDf && $"df" >= 2)

@@ -399,6 +399,23 @@ object Relational {
       .orderBy($"l_returnflag")
   }
 
+  /** Q24 — pivot-style conditional aggregation: one pass over events,
+    * per-user counts by event type via filtered aggregates (the map-side-
+    * combinable form of PIVOT — a true PIVOT is this plus column renaming). */
+  def q24ConditionalAgg(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.load(spark, dir, "events")
+      .groupBy($"user_id")
+      .agg(
+        count(when($"event_type" === "purchase", 1)).as("n_purchase"),
+        count(when($"event_type" === "error", 1)).as("n_error"),
+        count(when($"event_type" === "click", 1)).as("n_click"),
+        count(lit(1)).as("n_total"),
+        sum(when($"event_type" === "purchase", dec($"value")))
+          .cast(DoubleType).as("purchase_value"))
+      .orderBy($"user_id")
+  }
+
   /** All relational queries, keyed for SparkEntry. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing_summary" -> q1PricingSummary _,
@@ -424,6 +441,7 @@ object Relational {
     "q21_sessionize" -> q21Sessionize _,
     "q22_salted_agg" -> q22SaltedAgg _,
     "q23_approx_distinct" -> q23ApproxDistinct _,
+    "q24_conditional_agg" -> q24ConditionalAgg _,
   )
 
   /** DuckDB oracle SQL per query (column names and ORDER BY must match). */
@@ -608,6 +626,15 @@ object Relational {
     "q22_salted_agg" ->
       """SELECT user_id, COUNT(*) AS n_events,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q24_conditional_agg" ->
+      """SELECT user_id,
+        |  count(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+        |  count(*) FILTER (WHERE event_type = 'error') AS n_error,
+        |  count(*) FILTER (WHERE event_type = 'click') AS n_click,
+        |  count(*) AS n_total,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2)))
+        |    FILTER (WHERE event_type = 'purchase') AS DOUBLE) AS purchase_value
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
   )
 }

@@ -72,7 +72,22 @@ object TextAnalysis {
       .orderBy($"doc_id")
   }
 
+  /** T5 — BPE-ish subword token counting: alpha runs and digit runs count
+    * separately (a crude stand-in for byte-pair segmentation), compared
+    * against the whitespace token count — the cost-estimation signal an
+    * LLM-data pipeline computes per document. */
+  def t5TokenRegex(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.load(spark, dir, "documents")
+      .select($"doc_id",
+        size(tokens($"text")).as("ws_tokens"),
+        size(regexp_extract_all($"text", lit("[a-z]+|[0-9]+"), lit(0)))
+          .as("subword_tokens"))
+      .orderBy($"doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t5_token_regex" -> t5TokenRegex _,
     "t1_token_stats" -> t1TokenStats _,
     "t2_quality_score" -> t2QualityScore _,
     "t3_lang_id" -> t3LangId _,
@@ -85,6 +100,11 @@ object TextAnalysis {
   }
 
   val oracleSql: Map[String, String] = Map(
+    "t5_token_regex" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split(text,' ')) AS INT) AS ws_tokens,
+        |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+')) AS INT) AS subword_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "t1_token_stats" ->
       """SELECT doc_id,
         |  CAST(len(string_split(text,' ')) AS INT) AS n_tokens,
