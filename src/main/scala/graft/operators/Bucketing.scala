@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+import graft.sources.Tables
+
+/** Bucketed co-located join: the 100 TB answer to the lineitem⋈orders
+  * shuffle that q3/q10 pay on every run. Both fact tables are written
+  * bucketed (and sorted) by the join key; Spark then plans a SortMergeJoin
+  * with **zero Exchange** — each bucket pair joins locally. At cluster
+  * scale this turns the per-query O(data) shuffle into a one-time write
+  * cost amortized over every subsequent join on that key.
+  *
+  * BucketingSpec asserts the exchange-free plan and result equality with
+  * the shuffled join.
+  */
+object Bucketing {
+
+  /** Write lineitem and orders bucketed by order key into the session
+    * warehouse (idempotent per session). Returns the table names. */
+  def prepare(spark: SparkSession, dir: String,
+              buckets: Int = 8): (String, String) = {
+    val li = "graft_lineitem_bkt"
+    val ord = "graft_orders_bkt"
+    if (!spark.catalog.tableExists(li)) {
+      // the in-memory catalog forgets tables across JVMs but their files
+      // survive in the warehouse dir — clear stale locations first
+      val wh = java.nio.file.Paths.get(
+        new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath)
+      Seq(li, ord).foreach { t =>
+        spark.sql(s"DROP TABLE IF EXISTS $t")
+        val p = wh.resolve(t)
+        if (java.nio.file.Files.exists(p)) {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+            .foreach(java.nio.file.Files.delete)
+        }
+      }
+      Tables.load(spark, dir, "lineitem")
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+        .write.mode(SaveMode.Overwrite)
+        .bucketBy(buckets, "l_orderkey").sortBy("l_orderkey")
+        .saveAsTable(li)
+      Tables.load(spark, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .write.mode(SaveMode.Overwrite)
+        .bucketBy(buckets, "o_orderkey").sortBy("o_orderkey")
+        .saveAsTable(ord)
+    }
+    (li, ord)
+  }
+
+  /** Revenue per order over the bucketed tables — joins without any
+    * Exchange on the fact sides. */
+  def bucketedJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (li, ord) = prepare(spark, dir)
+    spark.table(li).join(spark.table(ord), $"l_orderkey" === $"o_orderkey")
+      .groupBy($"o_custkey")
+      .agg(sum($"l_extendedprice".cast(DecimalType(18, 2)) *
+          (lit(1.0) - $"l_discount").cast(DecimalType(18, 2)))
+        .cast(DoubleType).as("revenue"))
+      .orderBy($"o_custkey")
+  }
+}

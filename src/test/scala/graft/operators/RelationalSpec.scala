@@ -26,6 +26,26 @@ class RelationalSpec extends AnyFunSuite {
     }
   }
 
+  test("property: $-balance strings round-trip substring+CAST exactly") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    import org.apache.spark.sql.functions._
+    val s = spark
+    import s.implicits._
+    val gen = Gen.chooseNum(-999999L, 999999L)
+    val cents = (0 until 200).map(i =>
+      gen.pureApply(Gen.Parameters.default, Seed(7L + i))).distinct
+    val df = cents.map(c => BigDecimal(c, 2)).toDF("bal")
+      .select($"bal",
+        concat(lit("$"), $"bal".cast("string")).as("s"))
+      .select($"bal",
+        substring($"s", 2, Int.MaxValue).cast("double").as("rt"))
+    df.collect().foreach { r =>
+      assert(r.getDouble(1) == r.getDecimal(0).doubleValue,
+        s"round-trip mismatch for ${r.getDecimal(0)}")
+    }
+  }
+
   test("salted aggregation equals the direct groupBy") {
     import org.apache.spark.sql.functions._
     val salted = Relational.q22SaltedAgg(spark, dir).collect()

@@ -77,6 +77,44 @@ class ChangelogStreamSpec extends AnyFunSuite {
     } finally handle.stop()
   }
 
+  // demo query 3 (CTE + substring/CAST + CASE WHEN + AVG) as a stream:
+  // the full scalar surface must work under incremental execution too.
+  test("streaming age-groups query collapses to the batch answer") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val mem = MemoryStream[User]
+    val agg = mem.toDF()
+      .select(
+        substring($"balance", 2, Int.MaxValue).cast("double").as("bal"),
+        when($"age".between(20, 29), "20s")
+          .when($"age".between(30, 39), "30s")
+          .when($"age".between(40, 49), "40s")
+          .when($"age".between(50, 59), "50s")
+          .otherwise("other").as("age_group"))
+      .groupBy($"age_group")
+      .agg(count(lit(1)).as("n"), round(sum($"bal"), 2).as("total_bal"))
+    val handle = ChangelogStream.updating(agg, "age-groups-test", Seq("age_group"))
+    val changelog = handle.changelog()
+    val table = new graft.changelog.ResultTable(handle.schema)
+    try {
+      users.grouped(3).foreach { batch =>
+        mem.addData(batch)
+        handle.processAllAvailable()
+        table.update(changelog.consume())
+      }
+      val expected = users.groupBy(u => u.age / 10 match {
+        case 2 => "20s"; case 3 => "30s"; case 4 => "40s"; case 5 => "50s"
+        case _ => "other"
+      }).map { case (g, us) =>
+        Vector[Any](g, us.size.toLong,
+          BigDecimal(us.map(_.balance.drop(1).toDouble).sum)
+            .setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }.toSet
+      assert(table.rows.toSet == expected)
+    } finally handle.stop()
+  }
+
   test("append-only streaming query passes rows through as +I") {
     val s = spark
     import s.implicits._
