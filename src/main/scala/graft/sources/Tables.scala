@@ -21,9 +21,16 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  // memoized per (session, path): re-reading re-lists files and re-reads
+  // footers; with 40+ registry queries per Verify/Bench run that overhead
+  // repeats for nothing (plans are immutable, reuse is safe)
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    if (name == "events") loadEvents(spark, dir)
-    else spark.read.parquet(s"$dir/$name.parquet")
+    cache.computeIfAbsent((spark, s"$dir/$name.parquet"), _ =>
+      if (name == "events") loadEvents(spark, dir)
+      else spark.read.parquet(s"$dir/$name.parquet"))
 
   /** events.parquet stores `ts` as parquet TIMESTAMP(NANOS), which Spark's
     * vectorized reader rejects outright. Read nanos as raw INT64
