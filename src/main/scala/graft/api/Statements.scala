@@ -37,7 +37,7 @@ final class Statement private[api] (
 
   def phase: String = streamHandle match {
     case Some(h) =>
-      if (failure.isDefined) Phase.Failed
+      if (failure.isDefined || h.query.exception.isDefined) Phase.Failed
       else if (h.query.isActive) Phase.Running
       else Phase.Completed
     case None => if (failure.isDefined) Phase.Failed else Phase.Completed

@@ -56,6 +56,28 @@ class StreamingEventsSpec extends AnyFunSuite {
     } finally handle.stop()
   }
 
+  test("flatMapGroupsWithState keeps running per-key state across batches") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val mem = MemoryStream[Ev]
+    val counts = StatefulOps.runningCounts[Ev](
+      mem.toDS(), _.event_type, _.value)
+    val q = counts.writeStream.outputMode("update")
+      .format("memory").queryName("stateful_test").start()
+    try {
+      val evs = Tables.load(s, SparkTestSession.sf0001, "events")
+        .as[Ev].collect().take(60).toSeq
+      mem.addData(evs.take(30)); q.processAllAvailable()
+      mem.addData(evs.drop(30)); q.processAllAvailable()
+      val last = s.sql(
+        """SELECT key, max(n) AS n FROM stateful_test GROUP BY key""")
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val expected = evs.groupBy(_.event_type).view.mapValues(_.size.toLong).toMap
+      assert(last == expected, s"state must survive across batches: $last vs $expected")
+    } finally q.stop()
+  }
+
   test("streaming dedup within watermark drops replayed events") {
     val s = spark
     import s.implicits._
