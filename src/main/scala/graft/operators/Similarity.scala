@@ -128,29 +128,31 @@ object Similarity {
 
   /** V4 — IVF-style coarse quantization: every 50th vector is a centroid;
     * vectors are assigned to their nearest centroid (map-side, centroids
-    * broadcast); queries probe their own cell only. Approximate top-k with
-    * one small shuffle; recall tested in SimilaritySpec. Rows-only. */
-  def v4AnnIvf(spark: SparkSession, dir: String): DataFrame = {
+    * broadcast); queries probe their `nprobe` nearest cells. Approximate
+    * top-k with one small shuffle; recall tested in SimilaritySpec.
+    * Rows-only. */
+  def v4AnnIvf(spark: SparkSession, dir: String, nprobe: Int = 2): DataFrame = {
     import spark.implicits._
     val emb = Tables.load(spark, dir, "embeddings")
       .select($"vec_id", asDouble($"embedding").as("v"))
     val centroids = emb.filter($"vec_id" % 50 === 0)
       .select($"vec_id".as("cent_id"), $"v".as("cv"))
-    def assign(df: DataFrame): DataFrame = {
+    def assign(df: DataFrame, probes: Int): DataFrame = {
       val w = Window.partitionBy($"vec_id").orderBy($"d".desc, $"cent_id".asc)
       df.join(broadcast(centroids))
         .select($"vec_id", $"v", $"cent_id", cosine($"v", $"cv").as("d"))
         .withColumn("rk", row_number().over(w))
-        .filter($"rk" === 1)
+        .filter($"rk" <= probes)
         .select($"vec_id", $"v", $"cent_id")
     }
-    val assigned = assign(emb).cache()
-    val queries = assigned.filter($"vec_id" < QueryCount)
+    val assigned = assign(emb, 1).cache() // corpus: one cell per vector
+    val queries = assign(emb.filter($"vec_id" < QueryCount), nprobe)
       .select($"vec_id".as("query_id"), $"v".as("qv"), $"cent_id")
     val w = Window.partitionBy($"query_id").orderBy($"cos".desc, $"vec_id".asc)
     assigned.join(queries, Seq("cent_id"))
       .filter($"vec_id" =!= $"query_id")
       .select($"query_id", $"vec_id", cosine($"qv", $"v").as("cos"))
+      .distinct()
       .withColumn("rk", row_number().over(w))
       .filter($"rk" <= K)
       .select($"query_id", $"rk", $"vec_id", round($"cos", 6).as("cos_sim"))
@@ -161,7 +163,7 @@ object Similarity {
     "v1_ann_topk" -> v1AnnTopK _,
     "v2_cosine_pairs" -> v2CosinePairs _,
     "v3_ann_lsh" -> ((s: SparkSession, d: String) => v3AnnLsh(s, d)),
-    "v4_ann_ivf" -> v4AnnIvf _,
+    "v4_ann_ivf" -> ((s: SparkSession, d: String) => v4AnnIvf(s, d)),
   )
 
   val oracleSql: Map[String, String] = Map(

@@ -119,6 +119,32 @@ object ChangelogStream {
     new Handle(query, schema, queue)
   }
 
+  /** Start a complete-mode query with full-snapshot diffing: each batch
+    * carries the entire result, and groups that leave it (e.g. crossing a
+    * HAVING-style threshold) emit `-D` — the transition update mode cannot
+    * express. Only for small (dashboard-sized) results: the snapshot is
+    * O(result), though never O(input). */
+  def snapshotting(df: DataFrame, queryName: String, keyCols: Seq[String],
+                   trigger: Trigger = Trigger.ProcessingTime(0)): Handle = {
+    val schema = df.schema.fieldNames.toSeq
+    val synth = new ChangelogSynthesizer(schema, keyCols)
+    val queue = new ConcurrentLinkedQueue[Option[RawRecord]]()
+    val query = df.writeStream
+      .outputMode("complete")
+      .queryName(queryName)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val rows = batch.collect().iterator.map(r => r.toSeq.toVector).toSeq
+        val recs = synth.synchronized(synth.onSnapshot(rows))
+        if (recs.isEmpty) queue.add(None)
+        else recs.foreach(r =>
+          queue.add(Some(RawRecord(r.op.map(_.code), r.values))))
+        ()
+      }
+      .start()
+    new Handle(query, schema, queue)
+  }
+
   /** Start an append-only query (no aggregation): rows pass through as
     * `+I`, matching the reference's append wire form. */
   def appending(df: DataFrame, queryName: String,

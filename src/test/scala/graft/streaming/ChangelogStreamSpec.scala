@@ -115,6 +115,34 @@ class ChangelogStreamSpec extends AnyFunSuite {
     } finally handle.stop()
   }
 
+  // live -D: a group crossing a HAVING-style threshold must leave the
+  // materialized result via a delete record (complete-mode snapshot diff)
+  test("snapshotting query emits -D when a group exits the result") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val mem = MemoryStream[User]
+    val smallGroups = mem.toDF()
+      .groupBy($"eyeColor")
+      .agg(count(lit(1)).as("n"))
+      .filter($"n" <= 2)
+    val handle = ChangelogStream.snapshotting(
+      smallGroups, "having-test", Seq("eyeColor"))
+    val changelog = handle.changelog()
+    val table = new graft.changelog.ResultTable(handle.schema)
+    try {
+      mem.addData(users.filter(_.eyeColor == "brown").take(2)) // brown=2: in
+      handle.processAllAvailable()
+      table.update(changelog.consume())
+      assert(table.rows == Seq(Vector("brown", 2L)))
+      mem.addData(users.filter(_.eyeColor == "brown").drop(2)) // brown=3: out
+      handle.processAllAvailable()
+      table.update(changelog.consume())
+      assert(table.rows.isEmpty, "group must be deleted once over threshold")
+      assert(changelog.opsReceived.contains(Op.Delete))
+    } finally handle.stop()
+  }
+
   test("append-only streaming query passes rows through as +I") {
     val s = spark
     import s.implicits._
