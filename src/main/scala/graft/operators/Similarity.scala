@@ -159,24 +159,51 @@ object Similarity {
       .orderBy($"query_id", $"rk")
   }
 
+  /** V5 — brute-force top-k via the mergeable TopKAggregate: identical
+    * results to V1, but the shuffle carries only k (score,id) pairs per
+    * query (partial heaps combine map-side) instead of every candidate row
+    * sorting through the window — the formulation that survives 100 TB.
+    * Oracle: the same SQL as V1, since results are identical. */
+  def v5AnnTopKAgg(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.load(spark, dir, "embeddings")
+      .select($"vec_id", asDouble($"embedding").as("v"))
+    val queries = emb.filter($"vec_id" < QueryCount)
+      .select($"vec_id".as("query_id"), $"v".as("qv"))
+    emb.join(broadcast(queries), $"vec_id" =!= $"query_id")
+      .select($"query_id", cosine($"qv", $"v").as("cos"), $"vec_id")
+      .groupBy($"query_id")
+      .agg(graft.plans.TopKAggregate.topK($"cos", $"vec_id", K).as("top"))
+      .select($"query_id", posexplode($"top"))
+      .select($"query_id", ($"pos" + 1).cast("int").as("rk"),
+        $"col.id".as("vec_id"), round($"col.score", 6).as("cos_sim"))
+      .orderBy($"query_id", $"rk")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "v1_ann_topk" -> v1AnnTopK _,
+    "v5_ann_topk_agg" -> v5AnnTopKAgg _,
     "v2_cosine_pairs" -> v2CosinePairs _,
     "v3_ann_lsh" -> ((s: SparkSession, d: String) => v3AnnLsh(s, d)),
     "v4_ann_ivf" -> ((s: SparkSession, d: String) => v4AnnIvf(s, d)),
   )
 
+  /** Shared by v1 and v5: both compute exact top-k, by different physical
+    * strategies (window vs mergeable aggregate), so one oracle covers both. */
+  private val annTopKOracle: String =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < $QueryCount),
+       |s AS (SELECT query_id, vec_id, list_cosine_similarity(qv, v) AS cos,
+       |        row_number() OVER (PARTITION BY query_id
+       |          ORDER BY list_cosine_similarity(qv, v) DESC, vec_id ASC) AS rk
+       |      FROM e CROSS JOIN q WHERE vec_id != query_id)
+       |SELECT query_id, rk, vec_id, round(cos, 6) AS cos_sim
+       |FROM s WHERE rk <= $K
+       |ORDER BY query_id, rk""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
-    "v1_ann_topk" ->
-      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-         |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < $QueryCount),
-         |s AS (SELECT query_id, vec_id, list_cosine_similarity(qv, v) AS cos,
-         |        row_number() OVER (PARTITION BY query_id
-         |          ORDER BY list_cosine_similarity(qv, v) DESC, vec_id ASC) AS rk
-         |      FROM e CROSS JOIN q WHERE vec_id != query_id)
-         |SELECT query_id, rk, vec_id, round(cos, 6) AS cos_sim
-         |FROM s WHERE rk <= $K
-         |ORDER BY query_id, rk""".stripMargin,
+    "v1_ann_topk" -> annTopKOracle,
+    "v5_ann_topk_agg" -> annTopKOracle,
     "v2_cosine_pairs" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
          |SELECT a.vec_id AS v1, b.vec_id AS v2,

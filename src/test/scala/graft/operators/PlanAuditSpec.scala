@@ -53,6 +53,12 @@ class PlanAuditSpec extends AnyFunSuite {
       s"no codegen spans:\n$exec")
   }
 
+  test("v5: top-k aggregate is partial (only k rows per group cross the shuffle)") {
+    val plan = formatted("v5_ann_topk_agg")
+    assert(plan.contains("partial_top_k"),
+      s"expected map-side partial top_k aggregation:\n$plan")
+  }
+
   test("v1: query side of ann top-k is broadcast (corpus never shuffles for the join)") {
     val plan = formatted("v1_ann_topk")
     assert(plan.contains("BroadcastNestedLoopJoin") ||
