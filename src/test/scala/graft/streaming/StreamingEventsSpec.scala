@@ -78,6 +78,71 @@ class StreamingEventsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  // the state backend that holds streaming aggregation state at 100 TB:
+  // RocksDB keeps state off-heap/on-disk per executor instead of in the
+  // JVM heap (bundled with Spark 4; no external service)
+  test("streaming aggregate runs on the RocksDB state store") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val prev = s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val mem = MemoryStream[Ev]
+    val agg = mem.toDF().groupBy($"event_type")
+      .agg(count(lit(1)).as("n"))
+    val handle = ChangelogStream.updating(agg, "rocksdb-test", Seq("event_type"))
+    try {
+      val evs = Tables.load(s, SparkTestSession.sf0001, "events")
+        .as[Ev].collect().take(40).toSeq
+      mem.addData(evs.take(20)); handle.processAllAvailable()
+      mem.addData(evs.drop(20)); handle.processAllAvailable()
+      val table = handle.changelog().consume()
+      val collapsed = new ResultTable(handle.schema).update(table)
+      val expected = evs.groupBy(_.event_type)
+        .map { case (t, es) => Vector[Any](t, es.size.toLong) }.toSet
+      assert(collapsed.rows.toSet == expected)
+    } finally {
+      handle.stop()
+      prev match {
+        case Some(p) => s.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
+  // native gap-based session windows in streaming (the streaming twin of
+  // Relational.q21's batch sessionization)
+  test("session_window aggregates events into gap-based sessions") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val mem = MemoryStream[Ev]
+    val agg = mem.toDF()
+      .withWatermark("ts", "1 day")
+      .groupBy(session_window($"ts", "30 minutes").as("sw"), $"user_id")
+      .agg(count(lit(1)).as("n"))
+      .select($"user_id", $"n")
+    val q = agg.writeStream.outputMode("append")
+      .format("memory").queryName("session_test").start()
+    try {
+      val evs = Tables.load(s, SparkTestSession.sf0001, "events")
+        .as[Ev].collect().filter(_.user_id < 3).toSeq
+      mem.addData(evs)
+      q.processAllAvailable()
+      // append mode emits only watermark-closed sessions; feed a far-future
+      // event to close them all
+      mem.addData(Seq(Ev(999999L, java.sql.Timestamp.valueOf("2030-01-01 00:00:00"),
+        0L, "click", 0.0, "{}")))
+      q.processAllAvailable()
+      val total = s.sql("SELECT sum(n) FROM session_test").head().getLong(0)
+      assert(total == evs.size, s"all events must land in closed sessions ($total)")
+      val sessions = s.sql("SELECT count(*) FROM session_test").head().getLong(0)
+      assert(sessions > evs.map(_.user_id).distinct.size,
+        "gap-based splitting must produce multiple sessions per user")
+    } finally q.stop()
+  }
+
   test("streaming dedup within watermark drops replayed events") {
     val s = spark
     import s.implicits._
