@@ -89,17 +89,34 @@ final class Statements(spark: SparkSession, prefix: String = "stmt-") {
     bytes.map(b => f"${b & 0xff}%02x").mkString
   }
 
+  /** Grouping-key columns of the statement's top aggregate, read from the
+    * analyzed plan (the way the reference reads the server-inferred schema,
+    * `dashboard.py:201` — the engine knows its own plan). Only keys that
+    * survive into the output schema count; empty for non-aggregating
+    * (append-only) queries. */
+  private def derivedKeys(df: DataFrame): Seq[String] = {
+    import org.apache.spark.sql.catalyst.plans.logical.Aggregate
+    import org.apache.spark.sql.catalyst.expressions.NamedExpression
+    val out = df.schema.fieldNames.toSet
+    df.queryExecution.analyzed.collectFirst {
+      case a: Aggregate => a.groupingExpressions.collect {
+        case ne: NamedExpression if out.contains(ne.name) => ne.name
+      }
+    }.getOrElse(Nil)
+  }
+
   /** Create (or return the memoized) statement for this SQL. Streaming
     * plans start immediately with a changelog-synthesizing sink keyed on
-    * `keyCols` (the grouping columns); batch plans are complete on arrival.
-    */
+    * `keyCols` — or, when omitted, on the grouping columns derived from
+    * the analyzed plan; batch plans are complete on arrival. */
   def create(sql: String, keyCols: Seq[String] = Nil): Statement =
     bySql.get(sql).flatMap(byName.get).getOrElse {
       val name = prefix + randomId()
       val df = spark.sql(sql)
       val handle =
         if (df.isStreaming) {
-          if (keyCols.nonEmpty) Some(ChangelogStream.updating(df, name, keyCols))
+          val keys = if (keyCols.nonEmpty) keyCols else derivedKeys(df)
+          if (keys.nonEmpty) Some(ChangelogStream.updating(df, name, keys))
           else Some(ChangelogStream.appending(df, name))
         } else None
       val stmt = new Statement(name, sql, df, handle)

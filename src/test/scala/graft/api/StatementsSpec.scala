@@ -35,9 +35,9 @@ class StatementsSpec extends AnyFunSuite {
     graft.sources.UserStream.file(spark, dirPath.toString)
       .createOrReplaceTempView("user_stream")
     val stmts = new Statements(spark)
+    // no keyCols: the facade derives the grouping key from the plan
     val stmt = stmts.create(
-      "SELECT eyeColor, count(*) AS n FROM user_stream GROUP BY eyeColor",
-      keyCols = Seq("eyeColor"))
+      "SELECT eyeColor, count(*) AS n FROM user_stream GROUP BY eyeColor")
     try {
       assert(stmt.isStreaming)
       assert(stmts.waitForStatus(stmt, Set(Phase.Running)).isDefined)
