@@ -416,6 +416,28 @@ object Relational {
       .orderBy($"user_id")
   }
 
+  /** Q25 — sequence/funnel detection (the MATCH_RECOGNIZE-shaped
+    * capability): purchases preceded by a signup of the same user within
+    * 1 hour, counted per day. Composed from the as-of machinery (q19):
+    * last signup timestamp via IGNORE-NULLS window, then the time-bound
+    * predicate — one shuffle on user_id. */
+  def q25Funnel(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts".asc, $"event_id".asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val hourUs = 3600L * 1000000
+    Tables.load(spark, dir, "events")
+      .withColumn("last_signup_us",
+        last(when($"event_type" === "signup", unix_micros($"ts")),
+          ignoreNulls = true).over(w))
+      .filter($"event_type" === "purchase" && $"last_signup_us".isNotNull &&
+        unix_micros($"ts") - $"last_signup_us" <= hourUs)
+      .groupBy(date_format($"ts", "yyyy-MM-dd").as("day"))
+      .agg(count(lit(1)).as("n_conversions"),
+        countDistinct($"user_id").as("n_users"))
+      .orderBy($"day")
+  }
+
   /** All relational queries, keyed for SparkEntry. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing_summary" -> q1PricingSummary _,
@@ -442,6 +464,7 @@ object Relational {
     "q22_salted_agg" -> q22SaltedAgg _,
     "q23_approx_distinct" -> q23ApproxDistinct _,
     "q24_conditional_agg" -> q24ConditionalAgg _,
+    "q25_funnel" -> q25Funnel _,
   )
 
   /** DuckDB oracle SQL per query (column names and ORDER BY must match). */
@@ -627,6 +650,20 @@ object Relational {
       """SELECT user_id, COUNT(*) AS n_events,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q25_funnel" ->
+      """WITH t AS (
+        |  SELECT user_id, event_id, ts, event_type,
+        |    last_value(CASE WHEN event_type = 'signup' THEN epoch_us(ts) END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_signup_us
+        |  FROM events)
+        |SELECT strftime(ts, '%Y-%m-%d') AS day,
+        |  COUNT(*) AS n_conversions,
+        |  COUNT(DISTINCT user_id) AS n_users
+        |FROM t
+        |WHERE event_type = 'purchase' AND last_signup_us IS NOT NULL
+        |  AND epoch_us(ts) - last_signup_us <= 3600000000
+        |GROUP BY 1 ORDER BY day""".stripMargin,
     "q24_conditional_agg" ->
       """SELECT user_id,
         |  count(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
