@@ -51,6 +51,16 @@ for name in sorted(oracle):
         continue
     gc, gr = canon(got)
     ec, er = canon(exp)
+    # dtype-kind mismatch (e.g. DuckDB HUGEINT → float64/object vs spark
+    # int64) breaks the driver's hasher even when pandas-normalized values
+    # compare equal — q21 round 1. Width differences (int32 vs int64) are
+    # fine (v1/v5 hash-passed with int32 rk), so compare kinds, not dtypes.
+    gt = [got[c].dtype.kind for c in sorted(got.columns)]
+    et = [exp[c].dtype.kind for c in sorted(exp.columns)]
+    if gc == ec and gt != et:
+        print(f"FAIL {name}: dtypes differ spark={gt} oracle={et} (cols {gc})")
+        fails += 1
+        continue
     if gc != ec:
         print(f"FAIL {name}: columns differ spark={gc} oracle={ec}")
         fails += 1

@@ -77,7 +77,8 @@ final class Statement private[api] (
   * Statements are memoized by SQL text, like the reference's one-statement-
   * per-distinct-SQL cache (`/root/reference/dashboard.py:195-209`).
   */
-final class Statements(spark: SparkSession, prefix: String = "stmt-") {
+final class Statements(spark: SparkSession, prefix: String = "stmt-",
+                       pollMs: Long = 300L) {
 
   private val rng = new SecureRandom()
   private val byName = TrieMap.empty[String, Statement]
@@ -127,8 +128,9 @@ final class Statements(spark: SparkSession, prefix: String = "stmt-") {
 
   def get(name: String): Option[Statement] = byName.get(name)
 
-  /** Block until the statement reaches one of `statuses` (poll every 100 ms,
-    * like the reference's 300 ms loop, `api/statements.py:171-192`).
+  /** Block until the statement reaches one of `statuses`, polling at the
+    * reference's cadence (`poll_ms=300`, `api/statements.py:24,171-192`;
+    * overridable via the `pollMs` constructor parameter).
     * Returns None on `failed`; throws on timeout. */
   def waitForStatus(stmt: Statement, statuses: Set[String],
                     timeoutMs: Long = 120000L): Option[Statement] = {
@@ -137,7 +139,7 @@ final class Statements(spark: SparkSession, prefix: String = "stmt-") {
       val p = stmt.phase
       if (p == Phase.Failed) return None
       if (statuses.contains(p)) return Some(stmt)
-      Thread.sleep(100)
+      Thread.sleep(pollMs)
     }
     throw new java.util.concurrent.TimeoutException(
       s"statement ${stmt.name} did not reach $statuses in ${timeoutMs} ms")

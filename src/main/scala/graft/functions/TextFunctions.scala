@@ -17,12 +17,17 @@ object TextFunctions {
 
   /** Word n-gram shingles (distinct), the unit of near-dup detection.
     * `transform(sequence(...))` keeps this inside codegen; at 100 TB this
-    * runs per-row with no shuffle. */
+    * runs per-row with no shuffle. Docs shorter than n tokens yield an
+    * empty set (like the oracle's generate_series(1, len-(n-1))) — without
+    * the guard, sequence(1, 0) is the DESCENDING [1, 0] and slice(toks, 0,
+    * n) throws (SQL array indices are 1-based). */
   def shingles(toks: Column, n: Int): Column =
     array_distinct(
-      transform(
-        sequence(lit(1), greatest(size(toks) - (n - 1), lit(0))),
-        i => concat_ws(" ", slice(toks, i, lit(n)))))
+      when(size(toks) >= n,
+        transform(
+          sequence(lit(1), size(toks) - (n - 1)),
+          i => concat_ws(" ", slice(toks, i, lit(n)))))
+      .otherwise(typedLit(Array.empty[String])))
 
   /** Total characters across tokens (robust to delimiter count). */
   def tokenChars(toks: Column): Column =

@@ -48,19 +48,26 @@ object Dedup {
       .orderBy($"keep_id")
   }
 
-  /** Distinct (doc_id, rare-shingle) pairs: the pruned inverted index. */
+  /** Distinct (doc_id, rare-shingle) pairs: the pruned inverted index.
+    * Shingles are dictionary-encoded to 64-bit xxhash64 keys at the scan —
+    * the shingle *strings* never cross a shuffle (the df-count groupBy, the
+    * rare-filter join, and d3's self-join all move 8-byte keys). Jaccard
+    * needs only per-doc counts and intersection sizes, which the hash
+    * preserves (a 64-bit collision within one corpus is ~N²/2⁶⁵ — d3 stays
+    * oracle hash-exact). */
   private def rareShingles(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     // cached: the exploded index feeds both the document-frequency count
     // and the join back — without it the scan+shingle explode runs twice
     val sh = Tables.load(spark, dir, "documents")
       .select($"doc_id", explode(shingles(tokens($"text"), 3)).as("s"))
+      .select($"doc_id", xxhash64($"s").as("h"))
       .cache()
-    val rare = sh.groupBy($"s")
+    val rare = sh.groupBy($"h")
       .agg(count(lit(1)).as("df"))
       .filter($"df" <= MaxShingleDf && $"df" >= 2)
-      .select($"s")
-    sh.join(rare, "s")
+      .select($"h")
+    sh.join(rare, "h")
   }
 
   /** D3 — n-gram Jaccard near-dup pairs via inverted-index self-join:
@@ -73,7 +80,7 @@ object Dedup {
     val rsh = rareShingles(spark, dir).cache()
     val sizes = rsh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
     val shared = rsh.as("a").join(rsh.as("b"),
-        $"a.s" === $"b.s" && $"a.doc_id" < $"b.doc_id")
+        $"a.h" === $"b.h" && $"a.doc_id" < $"b.doc_id")
       .groupBy($"a.doc_id".as("d1"), $"b.doc_id".as("d2"))
       .agg(count(lit(1)).as("shared"))
     shared
@@ -113,16 +120,18 @@ object Dedup {
             xxhash64(slice($"sig", b * rows + 1, rows)).as("bucket"))
         }: _*)).as("bb"))
       .select($"doc_id", $"bb.band", $"bb.bucket")
-    // dedupe candidates on id pairs only; signatures re-attached via
-    // broadcast (shuffling 32-long arrays through distinct() is the
-    // expensive path at scale)
+    // dedupe candidates on id pairs only (8-byte keys through distinct(),
+    // not 32-long signature arrays); signatures re-attached by shuffle
+    // equi-join on doc_id ("merge" hint pins sort-merge so neither the
+    // corpus-sized signature table nor the candidate list is ever
+    // broadcast — a full-corpus broadcast cannot survive 100 TB)
     val cand = banded.as("a").join(banded.as("b"),
         $"a.band" === $"b.band" && $"a.bucket" === $"b.bucket" &&
           $"a.doc_id" < $"b.doc_id")
       .select($"a.doc_id".as("d1"), $"b.doc_id".as("d2"))
       .distinct()
-      .join(broadcast(sigs.select($"doc_id".as("d1"), $"sig".as("sig1"))), "d1")
-      .join(broadcast(sigs.select($"doc_id".as("d2"), $"sig".as("sig2"))), "d2")
+      .join(sigs.select($"doc_id".as("d1"), $"sig".as("sig1")).hint("merge"), "d1")
+      .join(sigs.select($"doc_id".as("d2"), $"sig".as("sig2")).hint("merge"), "d2")
     cand
       .withColumn("est_jaccard",
         size(filter(zip_with($"sig1", $"sig2", (x, y) => x === y),

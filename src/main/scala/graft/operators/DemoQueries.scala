@@ -68,8 +68,10 @@ object DemoQueries {
   }
 
   /** Query 3 — users per age group (reference dashboard.py:118-132): CTE +
-    * substring/CAST + searched CASE + BETWEEN + grouped COUNT/AVG. AVG is
-    * decimal-summed for oracle exactness. */
+    * substring/CAST + searched CASE + BETWEEN + grouped AVG. AVG is
+    * decimal-summed (sum/count) for oracle exactness; count(*) participates
+    * in the division but is NOT projected — the reference emits exactly
+    * `age_group, avg_balance` (dashboard.py:128-131). */
   def demo3AgeGroups(spark: SparkSession, dir: String): DataFrame = {
     registerUserView(spark, dir)
     spark.sql(
@@ -83,7 +85,7 @@ object DemoQueries {
         |      ELSE 'other'
         |    END AS age_group
         |  FROM `user`)
-        |SELECT age_group, count(*) AS n_users,
+        |SELECT age_group,
         |  CAST(SUM(CAST(balance_double AS DECIMAL(18,2))) AS DOUBLE) / count(*)
         |    AS avg_balance
         |FROM users_with_age_groups
@@ -114,7 +116,7 @@ object DemoQueries {
          |      ELSE 'other'
          |    END AS age_group
          |  FROM "user")
-         |SELECT age_group, count(*) AS n_users,
+         |SELECT age_group,
          |  CAST(SUM(CAST(balance_double AS DECIMAL(18,2))) AS DOUBLE) / count(*)
          |    AS avg_balance
          |FROM users_with_age_groups

@@ -638,9 +638,9 @@ object Relational {
         |  FROM t),
         |g AS (
         |  SELECT user_id, us,
-        |    SUM(new_sess) OVER (PARTITION BY user_id
+        |    CAST(SUM(new_sess) OVER (PARTITION BY user_id
         |      ORDER BY us ASC, event_id ASC
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sess_id
         |  FROM s)
         |SELECT user_id, sess_id, COUNT(*) AS n_events,
         |  MAX(us) - MIN(us) AS duration_us

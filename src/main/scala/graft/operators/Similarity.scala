@@ -108,17 +108,19 @@ object Similarity {
       .select($"vec_id", $"bb.band", $"bb.bucket")
     // candidate pairs are deduped on (id, id) ONLY — shuffling the vector
     // payload through distinct() was the dominant cost; vectors are
-    // re-attached afterwards via broadcast joins
+    // re-attached via shuffle equi-join on vec_id ("merge" hint pins
+    // sort-merge: broadcasting the full embedding corpus would OOM the
+    // driver at 100 TB, a shuffle on the 8-byte id scales linearly)
     val cand = banded.as("a").join(banded.as("b"),
         $"a.band" === $"b.band" && $"a.bucket" === $"b.bucket" &&
           $"a.vec_id" < $"b.vec_id")
       .select($"a.vec_id".as("v1"), $"b.vec_id".as("v2"))
       .distinct()
     cand
-      .join(broadcast(emb.select($"vec_id".as("v1"),
-        $"v".as("va"), $"nrm".as("na"))), "v1")
-      .join(broadcast(emb.select($"vec_id".as("v2"),
-        $"v".as("vb"), $"nrm".as("nb"))), "v2")
+      .join(emb.select($"vec_id".as("v1"),
+        $"v".as("va"), $"nrm".as("na")).hint("merge"), "v1")
+      .join(emb.select($"vec_id".as("v2"),
+        $"v".as("vb"), $"nrm".as("nb")).hint("merge"), "v2")
       .select($"v1", $"v2",
         (dot($"va", $"vb") / ($"na" * $"nb")).as("cos"))
       .filter($"cos" >= CosineThreshold)
@@ -126,36 +128,73 @@ object Similarity {
       .orderBy($"v1", $"v2")
   }
 
-  /** V4 — IVF-style coarse quantization: every 50th vector is a centroid;
-    * vectors are assigned to their nearest centroid (map-side, centroids
-    * broadcast); queries probe their `nprobe` nearest cells. Approximate
-    * top-k with one small shuffle; recall tested in SimilaritySpec.
-    * Rows-only. */
-  def v4AnnIvf(spark: SparkSession, dir: String, nprobe: Int = 2): DataFrame = {
+  /** V4 — IVF-style coarse quantization with k-means-refined centroids.
+    * Seed = every 50th vector; `kmeansIters` Lloyd passes (assign =
+    * map-side argmax-cosine, recenter = posexplode → per-(cell, dim) mean,
+    * which partial-aggregates map-side so the recenter shuffle is O(C×dim),
+    * not O(N×dim)). Cell assignment ships the centroid table to every task
+    * as ONE broadcast row (an array of (cent_id, cv, cn) structs) and picks
+    * the best cell inside a higher-order function — no join, no window, no
+    * exchange in the assignment stage (the round-1 formulation put N×C rows
+    * through a shuffle+sort). Queries probe their `nprobe` nearest cells
+    * (array_sort desc + slice, still map-side). A corpus vector lives in
+    * exactly one cell, so (query, vec) candidates cannot duplicate — no
+    * distinct(). Final per-query top-k via the mergeable TopKAggregate:
+    * only k (score, id) pairs per query cross the shuffle.
+    * Rows-only for the driver; overlap vs exact V1 in SimilaritySpec. */
+  def v4AnnIvf(spark: SparkSession, dir: String, nprobe: Int = 2,
+               kmeansIters: Int = 2): DataFrame = {
     import spark.implicits._
     val emb = Tables.load(spark, dir, "embeddings")
       .select($"vec_id", asDouble($"embedding").as("v"))
-    val centroids = emb.filter($"vec_id" % 50 === 0)
-      .select($"vec_id".as("cent_id"), $"v".as("cv"))
-    def assign(df: DataFrame, probes: Int): DataFrame = {
-      val w = Window.partitionBy($"vec_id").orderBy($"d".desc, $"cent_id".asc)
-      df.join(broadcast(centroids))
-        .select($"vec_id", $"v", $"cent_id", cosine($"v", $"cv").as("d"))
-        .withColumn("rk", row_number().over(w))
-        .filter($"rk" <= probes)
-        .select($"vec_id", $"v", $"cent_id")
+      .withColumn("nrm", norm($"v"))
+      .cache()
+
+    // the whole centroid table as one row: array<struct<cent_id,cv,cn>>
+    def centArray(c: DataFrame): DataFrame =
+      c.agg(collect_list(struct($"cent_id", $"cv", norm($"cv").as("cn")))
+        .as("cents"))
+
+    // map-side cell assignment: score every centroid in a HOF over the
+    // broadcast array, sort descending, keep `probes` cells
+    def assign(df: DataFrame, cents: DataFrame, probes: Int): DataFrame = {
+      val scored = transform($"cents", c =>
+        struct(
+          (dot($"v", c("cv")) / ($"nrm" * c("cn"))).as("cos"),
+          (-c("cent_id")).as("nk"), // tie-break: lowest cent_id wins
+          c("cent_id").as("cent_id")))
+      df.crossJoin(broadcast(cents))
+        .select($"vec_id", $"v", $"nrm",
+          explode(slice(reverse(array_sort(scored)), 1, probes)).as("best"))
+        .select($"vec_id", $"v", $"nrm", $"best.cent_id".as("cent_id"))
     }
-    val assigned = assign(emb, 1).cache() // corpus: one cell per vector
-    val queries = assign(emb.filter($"vec_id" < QueryCount), nprobe)
-      .select($"vec_id".as("query_id"), $"v".as("qv"), $"cent_id")
-    val w = Window.partitionBy($"query_id").orderBy($"cos".desc, $"vec_id".asc)
-    assigned.join(queries, Seq("cent_id"))
+
+    var centroids = emb.filter($"vec_id" % 50 === 0)
+      .select(($"vec_id" / 50).cast("long").as("cent_id"), $"v".as("cv"))
+    for (_ <- 1 to kmeansIters) {
+      centroids = assign(emb, centArray(centroids), 1)
+        .select($"cent_id", posexplode($"v"))
+        .groupBy($"cent_id", $"pos").agg(avg($"col").as("m"))
+        .groupBy($"cent_id")
+        .agg(array_sort(collect_list(struct($"pos", $"m"))).as("pm"))
+        .select($"cent_id", transform($"pm", x => x("m")).as("cv"))
+        .localCheckpoint() // truncate iterative lineage; only C rows
+    }
+
+    val cents = centArray(centroids).cache()
+    val assigned = assign(emb, cents, 1)
+    val queries = assign(emb.filter($"vec_id" < QueryCount), cents, nprobe)
+      .select($"vec_id".as("query_id"), $"v".as("qv"), $"nrm".as("qn"),
+        $"cent_id")
+    assigned.join(broadcast(queries), Seq("cent_id"))
       .filter($"vec_id" =!= $"query_id")
-      .select($"query_id", $"vec_id", cosine($"qv", $"v").as("cos"))
-      .distinct()
-      .withColumn("rk", row_number().over(w))
-      .filter($"rk" <= K)
-      .select($"query_id", $"rk", $"vec_id", round($"cos", 6).as("cos_sim"))
+      .select($"query_id",
+        (dot($"qv", $"v") / ($"qn" * $"nrm")).as("cos"), $"vec_id")
+      .groupBy($"query_id")
+      .agg(graft.plans.TopKAggregate.topK($"cos", $"vec_id", K).as("top"))
+      .select($"query_id", posexplode($"top"))
+      .select($"query_id", ($"pos" + 1).cast("int").as("rk"),
+        $"col.id".as("vec_id"), round($"col.score", 6).as("cos_sim"))
       .orderBy($"query_id", $"rk")
   }
 

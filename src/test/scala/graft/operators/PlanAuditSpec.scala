@@ -64,4 +64,23 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastNestedLoopJoin") ||
       plan.contains("BroadcastHashJoin"), s"queries must broadcast:\n$plan")
   }
+
+  test("d4/v3: payload re-attach joins are pinned sort-merge, never a corpus broadcast") {
+    // the two verification joins carry the full signature/embedding corpus —
+    // the merge hint pins them to shuffle joins at every scale (broadcasting
+    // a corpus-sized table OOMs the driver at 100 TB)
+    for (q <- Seq("d4_minhash_lsh", "v3_ann_lsh")) {
+      val plan = formatted(q)
+      assert("SortMergeJoin".r.findAllIn(plan).size >= 2,
+        s"$q re-attach joins must be sort-merge:\n$plan")
+    }
+  }
+
+  test("v4: cell assignment is map-side — no window, top-k is partial aggregate") {
+    val plan = formatted("v4_ann_ivf")
+    assert(!plan.contains("Window"),
+      s"assignment must be a HOF argmin, not join+window:\n$plan")
+    assert(plan.contains("partial_top_k"),
+      s"final top-k must be the mergeable aggregate:\n$plan")
+  }
 }
