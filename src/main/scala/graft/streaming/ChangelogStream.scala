@@ -1,7 +1,5 @@
 package graft.streaming
 
-import java.util.concurrent.ConcurrentLinkedQueue
-
 import scala.collection.mutable
 
 import org.apache.spark.sql.DataFrame
@@ -25,8 +23,16 @@ import graft.changelog.{Changelog, ChangelogRecord, Op, RawRecord}
   * e.g. 5 eye colors), not per input row — the heavy aggregation state lives
   * in Spark's StateStore on the executors. The sink only sees the per-batch
   * delta, so its cost is O(changed groups per micro-batch).
+  *
+  * `evictIdx`, when set, names the output column holding a group's
+  * event-time upper bound (e.g. `window.end`): [[evictBefore]] then emits
+  * `-D` with the group's final value once the watermark passes it — the
+  * deletion the reference's wire format carries
+  * (`/root/reference/api/statements.py:168`) but Spark's update mode never
+  * surfaces.
   */
-final class ChangelogSynthesizer(schema: Seq[String], keyCols: Seq[String]) {
+final class ChangelogSynthesizer(schema: Seq[String], keyCols: Seq[String],
+                                 evictIdx: Option[Int] = None) {
   private val keyIdx: Seq[Int] = keyCols.map(schema.indexOf)
   require(!keyIdx.contains(-1),
     s"key columns $keyCols not all present in schema $schema")
@@ -45,6 +51,28 @@ final class ChangelogSynthesizer(schema: Seq[String], keyCols: Seq[String]) {
           ChangelogRecord(Some(Op.UpdateBefore), old),
           ChangelogRecord(Some(Op.UpdateAfter), r))
       }
+    }
+
+  private def epochMillis(v: Any): Long = v match {
+    case t: java.sql.Timestamp => t.getTime
+    case i: java.time.Instant => i.toEpochMilli
+    case l: java.lang.Long => l.longValue()
+    case other => throw new IllegalArgumentException(
+      s"eviction column must be a timestamp, got: $other")
+  }
+
+  /** Emit `-D` (with the final value) for every group whose event-time
+    * bound is strictly before the watermark, and forget it. Strictly-before
+    * keeps the `-D` non-spurious: a group AT the watermark can still
+    * legally update. No-op when no eviction column was configured. */
+  def evictBefore(watermarkMillis: Long): Seq[ChangelogRecord] =
+    evictIdx match {
+      case None => Seq.empty
+      case Some(i) =>
+        val dead = state.iterator
+          .filter { case (_, row) => epochMillis(row(i)) < watermarkMillis }
+          .map(_._1).toVector
+        dead.map(k => ChangelogRecord(Some(Op.Delete), state.remove(k).get))
     }
 
   /** One complete-mode micro-batch: rows are the *entire* result. Diffs
@@ -75,48 +103,119 @@ final class ChangelogSynthesizer(schema: Seq[String], keyCols: Seq[String]) {
   * exposes the result as a [[graft.changelog.Changelog]] — the Spark
   * replacement for the reference's statement-results loop
   * (`/root/reference/api/statements.py:96-169` +
-  * `/root/reference/lib/flink.py`): each micro-batch ≙ one result page;
-  * an empty micro-batch enqueues a `None` heartbeat
-  * (mirrors `/root/reference/api/statements.py:132-141`).
+  * `/root/reference/lib/flink.py`): each micro-batch ≙ one result page.
+  *
+  * These sinks are **result consumption, not ETL**: emitted records are
+  * retained driver-side so any number of cursors can replay them (the
+  * reference's `results()` also re-pages from the first page). The
+  * retention is bounded by `maxBufferedRecords` — a query that outgrows it
+  * fails fast with a clear error instead of silently exhausting driver
+  * memory. Route large results through a real sink (parquet/Kafka), not
+  * this facade.
   */
 object ChangelogStream {
 
-  final class Handle(val query: StreamingQuery,
-                     val schema: Seq[String],
-                     queue: ConcurrentLinkedQueue[Option[RawRecord]]) {
-    /** Fresh cursor over everything this sink has emitted so far. The
-      * iterator is live: records enqueued after creation are still seen. */
-    def changelog(): Changelog = new Changelog(schema, new Iterator[Option[RawRecord]] {
-      override def hasNext: Boolean = !queue.isEmpty
-      override def next(): Option[RawRecord] = queue.poll()
-    })
+  /** Default cap on driver-retained changelog records (dashboard-sized
+    * results are thousands of rows; a million signals misuse). */
+  val DefaultMaxBufferedRecords: Int = 1 << 20
+
+  /** Append-only, bounded record log. Cursors read at their own offset and
+    * never steal from each other (unlike a shared destructive queue);
+    * records appended after a cursor is created are still seen by it. */
+  private final class RecordLog(maxRecords: Int) {
+    private val buf = mutable.ArrayBuffer.empty[RawRecord]
+
+    def append(recs: Seq[RawRecord]): Unit = synchronized {
+      if (buf.length + recs.length > maxRecords)
+        throw new IllegalStateException(
+          s"changelog sink exceeded maxBufferedRecords=$maxRecords: these " +
+            "sinks retain results driver-side for cursor replay and are " +
+            "meant for dashboard-sized result consumption, not ETL — " +
+            "consume a bounded query, or write large results to a real sink")
+      buf ++= recs
+    }
+    private def logSize: Int = synchronized(buf.length)
+    private def at(i: Int): RawRecord = synchronized(buf(i))
+
+    /** Live non-destructive cursor from offset 0: exhausts when caught up
+      * with everything appended so far, sees later appends on re-poll. */
+    def cursor(): Iterator[Option[RawRecord]] = new Iterator[Option[RawRecord]] {
+      private var off = 0
+      override def hasNext: Boolean = off < logSize
+      override def next(): Option[RawRecord] = {
+        val r = at(off); off += 1; Some(r)
+      }
+    }
+  }
+
+  final class Handle private[ChangelogStream] (
+      getQuery: () => StreamingQuery,
+      val schema: Seq[String],
+      log: RecordLog) {
+    def query: StreamingQuery = getQuery()
+    /** Fresh independent cursor over everything this sink has emitted so
+      * far (and live for whatever it emits later). Cursors replay from the
+      * beginning and do not interfere with each other. */
+    def changelog(): Changelog = new Changelog(schema, log.cursor())
 
     /** Process all currently-available input synchronously (test hook). */
     def processAllAvailable(): Unit = query.processAllAvailable()
     def stop(): Unit = query.stop()
   }
 
+  /** Current watermark of a running query in epoch millis, if one exists.
+    * Read from the last progress event, so it reflects the previous batch
+    * — eviction therefore lags one micro-batch, which only delays (never
+    * falsifies) a `-D`. */
+  private def watermarkMillis(q: StreamingQuery): Option[Long] =
+    Option(q).flatMap(q => Option(q.lastProgress))
+      .flatMap(p => Option(p.eventTime.get("watermark")))
+      .flatMap { iso =>
+        try Some(java.time.Instant.parse(iso).toEpochMilli)
+        catch { case _: java.time.format.DateTimeParseException => None }
+      }
+      .filter(_ > 0L)
+
   /** Start an updating (grouped-aggregate) query with `-U/+U` synthesis.
-    * `keyCols` are the grouping columns identifying a result row. */
+    * `keyCols` are the grouping columns identifying a result row.
+    * `evictBy` optionally names a timestamp output column (a group's
+    * event-time upper bound, e.g. the aggregation window's `end`): once the
+    * query's watermark passes it, the sink emits a single `-D` carrying the
+    * group's final value — mirroring state eviction as the deletion the
+    * changelog wire format expects. */
   def updating(df: DataFrame, queryName: String, keyCols: Seq[String],
-               trigger: Trigger = Trigger.ProcessingTime(0)): Handle = {
+               trigger: Trigger = Trigger.ProcessingTime(0),
+               evictBy: Option[String] = None,
+               maxBufferedRecords: Int = DefaultMaxBufferedRecords): Handle = {
     val schema = df.schema.fieldNames.toSeq
-    val synth = new ChangelogSynthesizer(schema, keyCols)
-    val queue = new ConcurrentLinkedQueue[Option[RawRecord]]()
+    val evictIdx = evictBy.map { c =>
+      val i = schema.indexOf(c)
+      require(i >= 0, s"evictBy column $c not in output schema $schema")
+      i
+    }
+    val synth = new ChangelogSynthesizer(schema, keyCols, evictIdx)
+    val log = new RecordLog(maxBufferedRecords)
+    // the closure needs the query for watermark lookup, but the query only
+    // exists after start(): late-bound reference
+    @volatile var queryRef: StreamingQuery = null
     val query = df.writeStream
       .outputMode("update")
       .queryName(queryName)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val rows = batch.collect().iterator.map(r => r.toSeq.toVector).toSeq
-        val recs = synth.synchronized(synth.onUpsert(rows))
-        if (recs.isEmpty) queue.add(None)
-        else recs.foreach(r =>
-          queue.add(Some(RawRecord(r.op.map(_.code), r.values))))
+        val recs = synth.synchronized {
+          val upserts = synth.onUpsert(rows)
+          val evicted = watermarkMillis(queryRef)
+            .map(synth.evictBefore).getOrElse(Seq.empty)
+          upserts ++ evicted
+        }
+        log.append(recs.map(r => RawRecord(r.op.map(_.code), r.values)))
         ()
       }
       .start()
-    new Handle(query, schema, queue)
+    queryRef = query
+    new Handle(() => query, schema, log)
   }
 
   /** Start a complete-mode query with full-snapshot diffing: each batch
@@ -125,10 +224,11 @@ object ChangelogStream {
     * express. Only for small (dashboard-sized) results: the snapshot is
     * O(result), though never O(input). */
   def snapshotting(df: DataFrame, queryName: String, keyCols: Seq[String],
-                   trigger: Trigger = Trigger.ProcessingTime(0)): Handle = {
+                   trigger: Trigger = Trigger.ProcessingTime(0),
+                   maxBufferedRecords: Int = DefaultMaxBufferedRecords): Handle = {
     val schema = df.schema.fieldNames.toSeq
     val synth = new ChangelogSynthesizer(schema, keyCols)
-    val queue = new ConcurrentLinkedQueue[Option[RawRecord]]()
+    val log = new RecordLog(maxBufferedRecords)
     val query = df.writeStream
       .outputMode("complete")
       .queryName(queryName)
@@ -136,33 +236,32 @@ object ChangelogStream {
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val rows = batch.collect().iterator.map(r => r.toSeq.toVector).toSeq
         val recs = synth.synchronized(synth.onSnapshot(rows))
-        if (recs.isEmpty) queue.add(None)
-        else recs.foreach(r =>
-          queue.add(Some(RawRecord(r.op.map(_.code), r.values))))
+        log.append(recs.map(r => RawRecord(r.op.map(_.code), r.values)))
         ()
       }
       .start()
-    new Handle(query, schema, queue)
+    new Handle(() => query, schema, log)
   }
 
   /** Start an append-only query (no aggregation): rows pass through as
-    * `+I`, matching the reference's append wire form. */
+    * `+I`, matching the reference's append wire form. The buffer cap
+    * matters most here — an unbounded append stream would otherwise
+    * accumulate every row on the driver. */
   def appending(df: DataFrame, queryName: String,
-                trigger: Trigger = Trigger.ProcessingTime(0)): Handle = {
+                trigger: Trigger = Trigger.ProcessingTime(0),
+                maxBufferedRecords: Int = DefaultMaxBufferedRecords): Handle = {
     val schema = df.schema.fieldNames.toSeq
-    val queue = new ConcurrentLinkedQueue[Option[RawRecord]]()
+    val log = new RecordLog(maxBufferedRecords)
     val query = df.writeStream
       .outputMode("append")
       .queryName(queryName)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val rows = batch.collect()
-        if (rows.isEmpty) queue.add(None)
-        else rows.foreach(r =>
-          queue.add(Some(RawRecord(Some(Op.Insert.code), r.toSeq.toVector))))
+        log.append(batch.collect().toSeq
+          .map(r => RawRecord(Some(Op.Insert.code), r.toSeq.toVector)))
         ()
       }
       .start()
-    new Handle(query, schema, queue)
+    new Handle(() => query, schema, log)
   }
 }

@@ -143,6 +143,51 @@ class ChangelogStreamSpec extends AnyFunSuite {
     } finally handle.stop()
   }
 
+  // cursors must not steal from each other: each changelog() call replays
+  // from record 0 (the reference's results() also re-pages from the start)
+  test("two cursors over one handle each see the full history") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val mem = MemoryStream[User]
+    val counts = mem.toDF().groupBy($"eyeColor").agg(count(lit(1)).as("n"))
+    val handle = ChangelogStream.updating(counts, "cursors-test", Seq("eyeColor"))
+    try {
+      val first = handle.changelog()
+      mem.addData(users.take(4))
+      handle.processAllAvailable()
+      first.consume()
+      assert(first.history.nonEmpty)
+      // a cursor created AFTER consumption still replays everything, and
+      // records emitted later are visible to both
+      val second = handle.changelog()
+      mem.addData(users.drop(4))
+      handle.processAllAvailable()
+      first.consume(); second.consume()
+      assert(second.history == first.history,
+        "late cursor must see the identical full history")
+    } finally handle.stop()
+  }
+
+  // the driver-retention guardrail: a query that outgrows the buffer fails
+  // fast with a clear error instead of silently exhausting driver memory
+  test("append sink over the record budget fails fast") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val mem = MemoryStream[User]
+    val handle = ChangelogStream.appending(
+      mem.toDF().select($"guid"), "cap-test", maxBufferedRecords = 4)
+    try {
+      mem.addData(users) // 6 rows > cap of 4
+      val ex = intercept[Exception](handle.processAllAvailable())
+      def messages(t: Throwable): Seq[String] =
+        Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ messages(e.getCause))
+      assert(messages(ex).exists(_.contains("maxBufferedRecords")),
+        s"error must name the budget: ${messages(ex)}")
+    } finally handle.stop()
+  }
+
   test("append-only streaming query passes rows through as +I") {
     val s = spark
     import s.implicits._

@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.SparkTestSession
-import graft.changelog.ResultTable
+import graft.changelog.{Op, ResultTable}
 import graft.sources.Tables
 
 case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
@@ -141,6 +141,50 @@ class StreamingEventsSpec extends AnyFunSuite {
       assert(sessions > evs.map(_.user_id).distinct.size,
         "gap-based splitting must produce multiple sessions per user")
     } finally q.stop()
+  }
+
+  // the update-mode twin of the reference's delete op
+  // (/root/reference/api/statements.py:168): once the watermark passes a
+  // window's end, its group is final — the sink emits exactly one -D
+  // carrying the final value, mirroring state eviction on the wire.
+  test("update-mode sink emits one -D with the final value on watermark eviction") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val mem = MemoryStream[Ev]
+    val agg = mem.toDF()
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window($"ts", "1 hour").as("w"), $"event_type")
+      .agg(count(lit(1)).as("n"))
+      .select($"w.end".as("w_end"), $"event_type", $"n")
+    val handle = ChangelogStream.updating(agg, "eviction-test",
+      Seq("w_end", "event_type"), evictBy = Some("w_end"))
+    val changelog = handle.changelog()
+    try {
+      def ev(id: Long, t: String) =
+        Ev(id, Timestamp.valueOf(t), 1L, "click", 1.0, "{}")
+      // three events in the 00:00 window → group reaches n=3
+      mem.addData(Seq(ev(1, "2024-01-01 00:05:00"), ev(2, "2024-01-01 00:10:00"),
+        ev(3, "2024-01-01 00:20:00")))
+      handle.processAllAvailable()
+      // far-future event advances the watermark past 01:00 (recorded after
+      // this batch)...
+      mem.addData(Seq(ev(4, "2024-01-01 09:00:00")))
+      handle.processAllAvailable()
+      // ...and the next batch's sink pass observes it and evicts
+      mem.addData(Seq(ev(5, "2024-01-01 09:30:00")))
+      handle.processAllAvailable()
+      changelog.consume()
+      val deletes = changelog.history.filter(_.op.contains(Op.Delete))
+      assert(deletes.size == 1, s"exactly one -D expected, got $deletes")
+      assert(deletes.head.values(1) == "click" && deletes.head.values(2) == 3L,
+        s"-D must carry the group's final value: ${deletes.head}")
+      // and it is non-spurious: the still-open 09:00 window has no -D
+      val openWindow = changelog.history.filter(r =>
+        r.op.contains(Op.Delete) &&
+          r.values.head.toString.contains("09:00:00"))
+      assert(openWindow.isEmpty)
+    } finally handle.stop()
   }
 
   test("streaming dedup within watermark drops replayed events") {
