@@ -44,24 +44,33 @@ final class Statement private[api] (
   }
 
   /** Result pages as a raw-record iterator: streaming statements read the
-    * live changelog queue; batch statements produce one page of `+I` rows
-    * (a bounded query's entire changelog is its result set). */
-  def results(): Iterator[Option[RawRecord]] = streamHandle match {
-    case Some(h) => new Iterator[Option[RawRecord]] {
-      private val inner = {
-        val cl = h.changelog()
-        () => cl.consume(1).headOption
+    * live changelog cursor; batch statements produce one page of `+I` rows
+    * (a bounded query's entire changelog is its result set).
+    *
+    * The streaming iterator never exhausts (the query is continuous), so
+    * consumers must pass a bounded `limit` to `Changelog.consume`. Each
+    * empty poll sleeps `heartbeatMs` before yielding its heartbeat —
+    * the in-process stand-in for the reference's per-page HTTP round trip,
+    * without which a drained cursor busy-spins. */
+  def results(heartbeatMs: Long = 10L): Iterator[Option[RawRecord]] =
+    streamHandle match {
+      case Some(h) => new Iterator[Option[RawRecord]] {
+        private val cl = h.changelog()
+        override def hasNext: Boolean = true // continuous: never exhausts
+        override def next(): Option[RawRecord] = cl.consume(1).headOption match {
+          case Some(rec) => Some(RawRecord(rec.op.map(_.code), rec.values))
+          case None => // heartbeat — no data this poll; back off
+            if (heartbeatMs > 0) Thread.sleep(heartbeatMs)
+            None
+        }
       }
-      override def hasNext: Boolean = true // continuous: never exhausts
-      override def next(): Option[RawRecord] = inner() match {
-        case Some(rec) => Some(RawRecord(rec.op.map(_.code), rec.values))
-        case None => None // heartbeat — no data this poll
-      }
+      case None =>
+        val rows =
+          try df.collect()
+          catch { case e: Throwable => failure = Some(e); throw e }
+        rows.iterator.map(r =>
+          Some(RawRecord(Some(Op.Insert.code), r.toSeq.toVector)))
     }
-    case None =>
-      df.collect().iterator.map(r =>
-        Some(RawRecord(Some(Op.Insert.code), r.toSeq.toVector)))
-  }
 
   def stop(): Unit = streamHandle.foreach(_.stop())
   private[api] def handle: Option[ChangelogStream.Handle] = streamHandle
@@ -74,15 +83,19 @@ final class Statement private[api] (
   * `results` replaces the result-page generator. Statement names are a
   * prefix + 12 random hex chars (`/root/reference/api/statements.py:11-13`).
   *
-  * Statements are memoized by SQL text, like the reference's one-statement-
-  * per-distinct-SQL cache (`/root/reference/dashboard.py:195-209`).
+  * Statements are memoized by (SQL text, changelog keys), like the
+  * reference's one-statement-per-distinct-SQL cache
+  * (`/root/reference/dashboard.py:195-209`) — keying also on `keyCols` so
+  * the same SQL with different changelog keying gets its own statement
+  * rather than silently reusing the first keying.
   */
 final class Statements(spark: SparkSession, prefix: String = "stmt-",
                        pollMs: Long = 300L) {
 
   private val rng = new SecureRandom()
   private val byName = TrieMap.empty[String, Statement]
-  private val bySql = TrieMap.empty[String, String]
+  private val byQuery = TrieMap.empty[(String, Seq[String]), Statement]
+  private val createLock = new Object
 
   private def randomId(): String = {
     val bytes = new Array[Byte](6)
@@ -110,21 +123,27 @@ final class Statements(spark: SparkSession, prefix: String = "stmt-",
     * plans start immediately with a changelog-synthesizing sink keyed on
     * `keyCols` — or, when omitted, on the grouping columns derived from
     * the analyzed plan; batch plans are complete on arrival. */
-  def create(sql: String, keyCols: Seq[String] = Nil): Statement =
-    bySql.get(sql).flatMap(byName.get).getOrElse {
-      val name = prefix + randomId()
-      val df = spark.sql(sql)
-      val handle =
-        if (df.isStreaming) {
-          val keys = if (keyCols.nonEmpty) keyCols else derivedKeys(df)
-          if (keys.nonEmpty) Some(ChangelogStream.updating(df, name, keys))
-          else Some(ChangelogStream.appending(df, name))
-        } else None
-      val stmt = new Statement(name, sql, df, handle)
-      byName.put(name, stmt)
-      bySql.put(sql, name)
-      stmt
-    }
+  def create(sql: String, keyCols: Seq[String] = Nil): Statement = {
+    val cacheKey = (sql, keyCols)
+    // creation is heavyweight (may start a live streaming query), so misses
+    // serialize: concurrent creates of the same SQL must not race two
+    // queries into existence with one silently leaked
+    byQuery.get(cacheKey).getOrElse(createLock.synchronized {
+      byQuery.getOrElseUpdate(cacheKey, {
+        val name = prefix + randomId()
+        val df = spark.sql(sql)
+        val handle =
+          if (df.isStreaming) {
+            val keys = if (keyCols.nonEmpty) keyCols else derivedKeys(df)
+            if (keys.nonEmpty) Some(ChangelogStream.updating(df, name, keys))
+            else Some(ChangelogStream.appending(df, name))
+          } else None
+        val stmt = new Statement(name, sql, df, handle)
+        byName.put(name, stmt)
+        stmt
+      })
+    })
+  }
 
   def get(name: String): Option[Statement] = byName.get(name)
 

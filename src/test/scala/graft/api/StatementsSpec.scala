@@ -68,4 +68,31 @@ class StatementsSpec extends AnyFunSuite {
     val b = stmts.create("SELECT count(*) AS n FROM nation")
     assert(a eq b)
   }
+
+  test("same SQL with different keyCols is a distinct statement") {
+    Tables.registerAll(spark, SparkTestSession.sf0001)
+    val stmts = new Statements(spark)
+    val sql = "SELECT n_regionkey, n_name, count(*) AS n FROM nation " +
+      "GROUP BY n_regionkey, n_name"
+    val a = stmts.create(sql)
+    val b = stmts.create(sql, keyCols = Seq("n_regionkey", "n_name"))
+    assert(!(a eq b), "different changelog keying must not reuse the memo")
+    assert(stmts.create(sql, keyCols = Seq("n_regionkey", "n_name")) eq b)
+  }
+
+  test("a failing batch statement reaches the failed phase") {
+    Tables.registerAll(spark, SparkTestSession.sf0001)
+    val stmts = new Statements(spark)
+    // analyzes fine, fails at execution: ANSI cast of a non-numeric string
+    val stmt = stmts.create(
+      "SELECT CAST(n_name AS INT) + 1 AS boom FROM nation")
+    intercept[Exception] {
+      spark.conf.set("spark.sql.ansi.enabled", "true")
+      try stmt.results().foreach(_ => ())
+      finally spark.conf.set("spark.sql.ansi.enabled", "false")
+    }
+    assert(stmt.phase == Phase.Failed)
+    assert(stmts.waitForStatus(stmt, Set(Phase.Completed)).isEmpty,
+      "waitForStatus returns None on failed")
+  }
 }
