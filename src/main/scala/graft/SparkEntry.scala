@@ -1,6 +1,6 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
-import graft.operators.{Dedup, DemoQueries, Relational, Similarity, TextAnalysis}
+import graft.operators.{Dedup, DemoQueries, Pipeline, Relational, Similarity, TextAnalysis}
 import graft.multimodal.Multimodal
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -14,11 +14,12 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ TextAnalysis.queries ++ Dedup.queries ++
-      Similarity.queries ++ Multimodal.queries ++ DemoQueries.queries
+      Similarity.queries ++ Multimodal.queries ++ DemoQueries.queries ++
+      Pipeline.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Relational.oracleSql ++ TextAnalysis.oracleSql ++ Dedup.oracleSql ++
-      Similarity.oracleSql ++ DemoQueries.oracleSql
+      Similarity.oracleSql ++ DemoQueries.oracleSql ++ Pipeline.oracleSql
 }

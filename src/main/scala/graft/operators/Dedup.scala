@@ -122,16 +122,19 @@ object Dedup {
       .select($"doc_id", $"bb.band", $"bb.bucket")
     // dedupe candidates on id pairs only (8-byte keys through distinct(),
     // not 32-long signature arrays); signatures re-attached by shuffle
-    // equi-join on doc_id ("merge" hint pins sort-merge so neither the
-    // corpus-sized signature table nor the candidate list is ever
-    // broadcast — a full-corpus broadcast cannot survive 100 TB)
+    // equi-join on doc_id. The candidate list is hinted as the
+    // shuffle-hash build side (candidates ≪ corpus after banding; SHJ
+    // skips sorting the signature table twice) — never a broadcast: a
+    // full-corpus broadcast cannot survive 100 TB.
     val cand = banded.as("a").join(banded.as("b"),
         $"a.band" === $"b.band" && $"a.bucket" === $"b.bucket" &&
           $"a.doc_id" < $"b.doc_id")
       .select($"a.doc_id".as("d1"), $"b.doc_id".as("d2"))
       .distinct()
-      .join(sigs.select($"doc_id".as("d1"), $"sig".as("sig1")).hint("merge"), "d1")
-      .join(sigs.select($"doc_id".as("d2"), $"sig".as("sig2")).hint("merge"), "d2")
+      .hint("shuffle_hash")
+      .join(sigs.select($"doc_id".as("d1"), $"sig".as("sig1")), "d1")
+      .hint("shuffle_hash")
+      .join(sigs.select($"doc_id".as("d2"), $"sig".as("sig2")), "d2")
     cand
       .withColumn("est_jaccard",
         size(filter(zip_with($"sig1", $"sig2", (x, y) => x === y),

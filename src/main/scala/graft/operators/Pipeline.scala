@@ -1,0 +1,238 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+
+import graft.functions.TextFunctions._
+import graft.sources.Tables
+
+/** Corpus-preparation operators a training-data pipeline runs between
+  * ingestion and shard-writing (SURVEY.md §2C extension surface):
+  * repetition-based quality filters, deterministic sampling, token-budget
+  * sharding, benchmark-contamination detection, vocabulary statistics.
+  *
+  * Scale design notes, per operator:
+  *  - p1 is pure per-row map work inside whole-stage codegen (higher-order
+  *    functions over the token array) — no shuffle, linear to 100 TB.
+  *  - p2 is a deterministic hash filter — pushes to the scan, no shuffle.
+  *  - p3 is a two-phase distributed prefix sum: per-block window + tiny
+  *    block-offset table, never a single-partition pass over the corpus.
+  *  - p4 broadcasts only the benchmark n-gram set (the small side by
+  *    definition); the corpus streams map-side through the join.
+  *  - p5 is groupBy(lang, token) with map-side partial aggregation; the
+  *    ranking window runs over the already-aggregated (small) table.
+  */
+object Pipeline {
+
+  /** P1 — Gopher-style repetition metrics per document: duplicate-word
+    * fraction, most-frequent-word fraction, duplicate-bigram fraction.
+    * The top-word count is a max-run-length over the sorted token array
+    * (one `aggregate` HOF pass) rather than an explode+groupBy — the
+    * shuffle-free formulation. All doubles are ratios of exact ints, so
+    * the DuckDB oracle matches bit-for-bit. */
+  def p1Repetition(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    // run-length scan over array_sort(toks): (prev token, current run, max)
+    def topCount(toks: Column): Column = {
+      val init = struct(lit("").as("prev"), lit(0).as("run"), lit(0).as("mx"))
+      aggregate(
+        array_sort(toks), init,
+        (acc, t) => {
+          val run = when(t === acc("prev"), acc("run") + 1).otherwise(lit(1))
+          struct(t.as("prev"), run.as("run"),
+            greatest(acc("mx"), run).as("mx"))
+        },
+        acc => acc("mx"))
+    }
+    Tables.load(spark, dir, "documents")
+      .select($"doc_id", tokens($"text").as("toks"))
+      .select($"doc_id",
+        size($"toks").as("n_tokens"),
+        (lit(1.0) - size(array_distinct($"toks")).cast(DoubleType) /
+          size($"toks")).as("dup_word_frac"),
+        (topCount($"toks").cast(DoubleType) / size($"toks"))
+          .as("top_word_frac"),
+        when(size($"toks") >= 2,
+          lit(1.0) - size(shingles($"toks", 2)).cast(DoubleType) /
+            (size($"toks") - 1))
+          .otherwise(lit(0.0)).as("dup_bigram_frac"))
+      .orderBy($"doc_id")
+  }
+
+  /** Per-language md5 sampling thresholds: first hex byte of
+    * md5("smpl" || doc_id) below the threshold keeps the row.
+    * "14" = 20/256 ≈ 7.8% for the dominant language, "80" = 50% for the
+    * long-tail languages — the stratified shape a pipeline uses to
+    * rebalance a skewed corpus. */
+  val SampleThresholds: Seq[(String, String)] =
+    Seq("en" -> "14", "zh" -> "40")
+  val SampleDefaultThreshold = "80"
+
+  /** P2 — deterministic stratified sampling: a pure filter on a salted md5
+    * of the stable key, so the sample is reproducible across runs/engines
+    * and needs no shuffle (contrast `sample()`, which is seed- and
+    * partitioning-dependent). The hex-prefix comparison makes the rate
+    * exactly thresh/256 in expectation with zero engine-specific RNG. */
+  def p2StratifiedSample(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val bucket = substring(md5(concat(lit("smpl"), $"doc_id".cast("string"))), 1, 2)
+    val thresh = SampleThresholds.foldRight(lit(SampleDefaultThreshold): Column) {
+      case ((lang, t), els) => when($"lang" === lang, lit(t)).otherwise(els)
+    }
+    Tables.load(spark, dir, "documents")
+      .select($"doc_id", $"lang", $"source")
+      .filter(bucket < thresh)
+      .orderBy($"doc_id")
+  }
+
+  /** Docs per prefix-sum block (p3). At 100 TB pick the block key so block
+    * count stays ~1e6: the offsets table must be window-sortable cheaply. */
+  val ShardBlockSize = 100
+  /** Token budget per output shard (p3). */
+  val ShardTokenBudget = 500
+
+  /** P3 — token-budget sharding: assign documents (in stable doc_id order)
+    * to contiguous shards of ~ShardTokenBudget tokens — how a pipeline
+    * cuts a corpus into equal-cost training shards. The running sum is a
+    * two-phase distributed prefix sum: a window inside each doc_id block
+    * (parallel across blocks) plus an exclusive running total over the
+    * per-block sums (a table ~N/ShardBlockSize rows, broadcast back).
+    * A naive `Window.orderBy(doc_id)` with no partitioning would drag the
+    * whole corpus through ONE task; this formulation never does. */
+  def p3TokenShards(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val base = Tables.load(spark, dir, "documents")
+      .select($"doc_id", size(tokens($"text")).as("n_tokens"),
+        expr(s"doc_id DIV $ShardBlockSize").as("block"))
+    val wIn = Window.partitionBy($"block").orderBy($"doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    // block offsets: single-partition window is fine HERE — the table has
+    // N/ShardBlockSize rows (the corpus itself never enters this sort)
+    val wBlocks = Window.orderBy($"block")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = base.groupBy($"block")
+      .agg(sum($"n_tokens").as("block_total"))
+      .select($"block",
+        coalesce(sum($"block_total").over(wBlocks), lit(0L)).as("block_off"))
+    base.join(broadcast(offsets), "block")
+      .select($"doc_id", $"n_tokens",
+        ($"block_off" + coalesce(sum($"n_tokens").over(wIn), lit(0L)))
+          .as("cum_before"))
+      .select($"doc_id", $"n_tokens", $"cum_before",
+        expr(s"cum_before DIV $ShardTokenBudget").as("shard_id"))
+      .orderBy($"doc_id")
+  }
+
+  /** n-gram width for contamination checks (p4). */
+  val ContamN = 5
+  /** Benchmark slice: documents from this source act as the eval set. */
+  val BenchmarkSource = "src0"
+
+  /** P4 — benchmark contamination: which corpus documents share a
+    * ContamN-gram with any "benchmark" document (source = src0)? The
+    * dedup-adjacent check every training pipeline runs against its eval
+    * sets. The benchmark n-gram table is the small side by definition —
+    * broadcast it; the corpus streams through a map-side join, then one
+    * aggregation keyed by doc_id. */
+  def p4Contamination(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val grams = Tables.load(spark, dir, "documents")
+      .select($"doc_id", $"source",
+        explode(shingles(tokens($"text"), ContamN)).as("s"))
+    val bench = grams.filter($"source" === BenchmarkSource)
+      .select($"s", $"doc_id".as("bench_id"))
+    grams.filter($"source" =!= BenchmarkSource)
+      .join(broadcast(bench), "s")
+      .groupBy($"doc_id")
+      .agg(countDistinct($"s").as("n_shared_ngrams"),
+        countDistinct($"bench_id").as("n_bench_docs"))
+      .orderBy($"doc_id")
+  }
+
+  /** Vocabulary top-k per language (p5). */
+  val VocabK = 10
+
+  /** P5 — corpus vocabulary statistics: top-VocabK tokens per language by
+    * frequency. explode + groupBy(lang, token) partial-aggregates map-side;
+    * the rank window runs over the aggregated table (|vocab| rows, not
+    * |corpus| rows). */
+  def p5VocabTopK(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"lang").orderBy($"cnt".desc, $"token".asc)
+    Tables.load(spark, dir, "documents")
+      .select($"lang", explode(tokens($"text")).as("token"))
+      .groupBy($"lang", $"token")
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("rk", row_number().over(w))
+      .filter($"rk" <= VocabK)
+      .select($"lang", $"rk", $"token", $"cnt")
+      .orderBy($"lang", $"rk")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p1_repetition" -> p1Repetition _,
+    "p2_stratified_sample" -> p2StratifiedSample _,
+    "p3_token_shards" -> p3TokenShards _,
+    "p4_contamination" -> p4Contamination _,
+    "p5_vocab_topk" -> p5VocabTopK _,
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "p1_repetition" ->
+      """WITH t AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+        |cnt AS (SELECT doc_id, tok, count(*) AS c
+        |        FROM (SELECT doc_id, unnest(w) AS tok FROM t) u GROUP BY 1, 2),
+        |m AS (SELECT doc_id, max(c) AS topc FROM cnt GROUP BY 1)
+        |SELECT t.doc_id, CAST(len(w) AS INT) AS n_tokens,
+        |  1.0 - CAST(len(list_distinct(w)) AS DOUBLE) / len(w) AS dup_word_frac,
+        |  CAST(topc AS DOUBLE) / len(w) AS top_word_frac,
+        |  CASE WHEN len(w) >= 2 THEN
+        |    1.0 - CAST(len(list_distinct(list_transform(generate_series(1, len(w)-1),
+        |      i -> w[i] || ' ' || w[i+1]))) AS DOUBLE) / (len(w) - 1)
+        |  ELSE 0.0 END AS dup_bigram_frac
+        |FROM t JOIN m USING (doc_id) ORDER BY doc_id""".stripMargin,
+    "p2_stratified_sample" -> {
+      val cases = SampleThresholds
+        .map { case (l, t) => s"WHEN lang = '$l' THEN '$t'" }
+        .mkString(" ")
+      s"""SELECT doc_id, lang, source FROM documents
+         |WHERE substr(md5('smpl' || CAST(doc_id AS VARCHAR)), 1, 2)
+         |  < (CASE $cases ELSE '$SampleDefaultThreshold' END)
+         |ORDER BY doc_id""".stripMargin
+    },
+    "p3_token_shards" ->
+      s"""WITH t AS (SELECT doc_id,
+         |  CAST(len(string_split(text,' ')) AS INT) AS n_tokens FROM documents),
+         |c AS (SELECT doc_id, n_tokens,
+         |  CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+         |    AS cum_before
+         |FROM t)
+         |SELECT doc_id, n_tokens, cum_before,
+         |  CAST(cum_before // $ShardTokenBudget AS BIGINT) AS shard_id
+         |FROM c ORDER BY doc_id""".stripMargin,
+    "p4_contamination" ->
+      s"""WITH d AS (SELECT doc_id, source, string_split(text,' ') AS w FROM documents),
+         |g AS (SELECT doc_id, source,
+         |        unnest(list_distinct(list_transform(generate_series(1, len(w)-4),
+         |          i -> w[i]||' '||w[i+1]||' '||w[i+2]||' '||w[i+3]||' '||w[i+4]))) AS s
+         |      FROM d WHERE len(w) >= $ContamN),
+         |b AS (SELECT DISTINCT s, doc_id AS bench_id FROM g
+         |      WHERE source = '$BenchmarkSource')
+         |SELECT g.doc_id,
+         |  CAST(count(DISTINCT g.s) AS BIGINT) AS n_shared_ngrams,
+         |  CAST(count(DISTINCT b.bench_id) AS BIGINT) AS n_bench_docs
+         |FROM g JOIN b USING (s) WHERE g.source <> '$BenchmarkSource'
+         |GROUP BY g.doc_id ORDER BY doc_id""".stripMargin,
+    "p5_vocab_topk" ->
+      s"""WITH c AS (SELECT lang, tok AS token, count(*) AS cnt
+         |  FROM (SELECT lang, unnest(string_split(text,' ')) AS tok FROM documents) u
+         |  GROUP BY 1, 2),
+         |r AS (SELECT lang, token, cnt, CAST(row_number() OVER (PARTITION BY lang
+         |        ORDER BY cnt DESC, token ASC) AS INT) AS rk FROM c)
+         |SELECT lang, rk, token, cnt FROM r WHERE rk <= $VocabK
+         |ORDER BY lang, rk""".stripMargin,
+  )
+}

@@ -85,46 +85,44 @@ object Similarity {
     * p≈0.65) an 8-bit band has ~3% hit rate — 4-bit bands give ~0.78
     * theoretical recall. Hyperplane LSH only prunes aggressively when the
     * threshold is high (cos≥0.9 → p≥0.9); the operator takes bands/bits as
-    * knobs for exactly that reason. Recall vs V2
-    * is asserted in SimilaritySpec; the driver records rows-only
-    * (signature bucketing is not expressible in portable SQL). */
+    * knobs for exactly that reason.
+    *
+    * Physical shape (same as D5): the vector rides through the band
+    * self-join and cosine is verified IMMEDIATELY on each collision, so
+    * only post-filter survivors (≤ bands× duplicated, deduped at the end)
+    * ever hit a second shuffle. The round-1 formulation deduplicated the
+    * raw candidate pairs first and re-attached vectors by join — but at
+    * weak-similarity parameterizations banding prunes little (~40% of all
+    * pairs collide here), so distinct() over the near-quadratic pair list
+    * plus two corpus-wide joins cost more than the cosines they saved.
+    * Payload-through-band shuffle is bands×|corpus| rows — linear, no
+    * broadcast, no re-attach. Recall vs V2 is asserted in SimilaritySpec;
+    * the driver records rows-only (signature bucketing is not expressible
+    * in portable SQL). */
   def v3AnnLsh(spark: SparkSession, dir: String, nPlanes: Int = 32,
                bands: Int = 8): DataFrame = {
     import spark.implicits._
     val dim = 64
     val bits = nPlanes / bands
-    val emb = Tables.load(spark, dir, "embeddings")
+    val banded = Tables.load(spark, dir, "embeddings")
       .select($"vec_id", asDouble($"embedding").as("v"))
       .withColumn("nrm", norm($"v"))
-      .cache()
-    val banded = emb
       .withColumn("sig", lshSignature($"v", dim, nPlanes))
-      .select($"vec_id",
+      .select($"vec_id", $"v", $"nrm",
         explode(array((0 until bands).map { b =>
           struct(lit(b).as("band"),
             shiftright($"sig", b * bits)
               .bitwiseAND(lit((1L << bits) - 1)).as("bucket"))
         }: _*)).as("bb"))
-      .select($"vec_id", $"bb.band", $"bb.bucket")
-    // candidate pairs are deduped on (id, id) ONLY — shuffling the vector
-    // payload through distinct() was the dominant cost; vectors are
-    // re-attached via shuffle equi-join on vec_id ("merge" hint pins
-    // sort-merge: broadcasting the full embedding corpus would OOM the
-    // driver at 100 TB, a shuffle on the 8-byte id scales linearly)
-    val cand = banded.as("a").join(banded.as("b"),
+      .select($"vec_id", $"v", $"nrm", $"bb.band", $"bb.bucket")
+    banded.as("a").join(banded.as("b"),
         $"a.band" === $"b.band" && $"a.bucket" === $"b.bucket" &&
           $"a.vec_id" < $"b.vec_id")
-      .select($"a.vec_id".as("v1"), $"b.vec_id".as("v2"))
-      .distinct()
-    cand
-      .join(emb.select($"vec_id".as("v1"),
-        $"v".as("va"), $"nrm".as("na")).hint("merge"), "v1")
-      .join(emb.select($"vec_id".as("v2"),
-        $"v".as("vb"), $"nrm".as("nb")).hint("merge"), "v2")
-      .select($"v1", $"v2",
-        (dot($"va", $"vb") / ($"na" * $"nb")).as("cos"))
+      .select($"a.vec_id".as("v1"), $"b.vec_id".as("v2"),
+        (dot($"a.v", $"b.v") / ($"a.nrm" * $"b.nrm")).as("cos"))
       .filter($"cos" >= CosineThreshold)
       .select($"v1", $"v2", round($"cos", 6).as("cos_sim"))
+      .distinct() // collisions in >1 band carry identical values
       .orderBy($"v1", $"v2")
   }
 
@@ -219,8 +217,29 @@ object Similarity {
       .orderBy($"query_id", $"rk")
   }
 
+  /** V6 — per-label embedding centroids (class prototypes): mean vector per
+    * label, one output row per (label, dimension). Floats are quantized to
+    * round(x·10⁶) BIGINTs before summing, so the aggregation is
+    * order-independent integer math — exactly reproducible across engines
+    * and partitionings (a double sum would differ in the last bits per
+    * reduction order). posexplode + groupBy(label, pos) partial-aggregates
+    * map-side; the shuffle carries C×dim rows, not N×dim. */
+  def v6LabelCentroids(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.load(spark, dir, "embeddings")
+      .select($"label", posexplode($"embedding"))
+      .select($"label", $"pos",
+        round($"col".cast("double") * 1000000).cast("long").as("q"))
+      .groupBy($"label", $"pos")
+      .agg(count(lit(1)).as("n_vecs"), sum($"q").as("sum_q"))
+      .select($"label", $"pos", $"n_vecs", $"sum_q",
+        round($"sum_q" / $"n_vecs" / 1000000, 6).as("centroid"))
+      .orderBy($"label", $"pos")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "v1_ann_topk" -> v1AnnTopK _,
+    "v6_label_centroids" -> v6LabelCentroids _,
     "v5_ann_topk_agg" -> v5AnnTopKAgg _,
     "v2_cosine_pairs" -> v2CosinePairs _,
     "v3_ann_lsh" -> ((s: SparkSession, d: String) => v3AnnLsh(s, d)),
@@ -250,5 +269,16 @@ object Similarity {
          |FROM e a JOIN e b ON a.vec_id < b.vec_id
          |WHERE list_cosine_similarity(a.v, b.v) >= $CosineThreshold
          |ORDER BY v1, v2""".stripMargin,
+    "v6_label_centroids" ->
+      """WITH u AS (SELECT label, unnest(embedding) AS x,
+        |             unnest(generate_series(0, len(embedding)-1)) AS pos
+        |           FROM embeddings),
+        |q AS (SELECT label, CAST(pos AS INT) AS pos,
+        |        CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT) AS qv
+        |      FROM u)
+        |SELECT label, pos, CAST(count(*) AS BIGINT) AS n_vecs,
+        |  CAST(sum(qv) AS BIGINT) AS sum_q,
+        |  round(CAST(sum(qv) AS BIGINT) / count(*) / 1000000, 6) AS centroid
+        |FROM q GROUP BY label, pos ORDER BY label, pos""".stripMargin,
   )
 }

@@ -1,0 +1,142 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+
+/** Corpus-pipeline operators: result fidelity against driver-side
+  * recomputation, plus the plan properties that make each one scale
+  * (see Pipeline.scala's scale notes). */
+class PipelineSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val dir = SparkTestSession.sf0001
+
+  private def docs: Array[(Long, String)] =
+    graft.sources.Tables.load(spark, dir, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+
+  test("p1: repetition metrics match a driver-side recomputation") {
+    val got = Pipeline.p1Repetition(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))))
+      .toMap
+    docs.foreach { case (id, text) =>
+      val toks = text.split(" ", -1).toSeq
+      val n = toks.size
+      val top = toks.groupBy(identity).values.map(_.size).max
+      val bi = toks.sliding(2).filter(_.size == 2).map(_.mkString(" ")).toSeq
+      val (gn, gDup, gTop, gBi) = got(id)
+      assert(gn == n, s"doc $id n_tokens")
+      assert(math.abs(gDup - (1.0 - toks.distinct.size.toDouble / n)) < 1e-12)
+      assert(math.abs(gTop - top.toDouble / n) < 1e-12, s"doc $id top_word_frac")
+      val expBi = if (n >= 2) 1.0 - bi.distinct.size.toDouble / (n - 1) else 0.0
+      assert(math.abs(gBi - expBi) < 1e-12, s"doc $id dup_bigram_frac")
+    }
+  }
+
+  test("p1 plan: shuffle-free map work (no Exchange before the final sort)") {
+    val df = Pipeline.p1Repetition(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    // exactly the one exchange the global ORDER BY needs — the metrics
+    // themselves never shuffle
+    assert("Exchange".r.findAllIn(plan).size <= 1, s"unexpected shuffles:\n$plan")
+  }
+
+  test("p2: sample is a deterministic subset at roughly the stratified rates") {
+    val all = graft.sources.Tables.load(spark, dir, "documents")
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val s1 = Pipeline.p2StratifiedSample(spark, dir).collect()
+    val s2 = Pipeline.p2StratifiedSample(spark, dir).collect()
+    assert(s1.map(_.getLong(0)).toSeq == s2.map(_.getLong(0)).toSeq,
+      "sample must be reproducible run-to-run")
+    val byLang = s1.groupBy(_.getString(1)).map { case (l, rs) => l -> rs.length }
+    // en threshold 0x14 = 7.8%, zh 0x40 = 25%, default 0x80 = 50%:
+    // just assert ordering and bounds loosely (small fixture)
+    val enRate = byLang.getOrElse("en", 0).toDouble / all("en")
+    assert(enRate < 0.25, s"en sampled at $enRate, expected ~0.078")
+    assert(s1.length > 0 && s1.length < all.values.sum)
+  }
+
+  test("p3: shard assignment is the sequential prefix sum") {
+    val got = Pipeline.p3TokenShards(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    val sorted = docs.sortBy(_._1)
+    var cum = 0L
+    sorted.zip(got).foreach { case ((id, text), (gid, gn, gCum, gShard)) =>
+      val n = text.split(" ", -1).length
+      assert(gid == id && gn == n)
+      assert(gCum == cum, s"doc $id cum_before: got $gCum want $cum")
+      assert(gShard == cum / Pipeline.ShardTokenBudget)
+      cum += n
+    }
+  }
+
+  test("p3 plan: the corpus-wide window is per-block, not single-partition") {
+    val plan = Pipeline.p3TokenShards(spark, dir)
+      .queryExecution.executedPlan.toString
+    // the only unpartitioned window may run over the tiny block table;
+    // the base-table window must be partitioned by block
+    assert(plan.contains("block"), s"expected block-partitioned window:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"block offsets must re-attach via broadcast:\n$plan")
+  }
+
+  test("p4: every flagged doc truly shares a 5-gram with a benchmark doc") {
+    def grams(text: String): Set[String] =
+      text.split(" ", -1).sliding(Pipeline.ContamN)
+        .filter(_.size == Pipeline.ContamN).map(_.mkString(" ")).toSet
+    val bySource = graft.sources.Tables.load(spark, dir, "documents")
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val bench = bySource.filter(_._2 == Pipeline.BenchmarkSource)
+      .flatMap(d => grams(d._3)).toSet
+    val expected = bySource.filter(_._2 != Pipeline.BenchmarkSource)
+      .map(d => d._1 -> grams(d._3).count(bench.contains))
+      .filter(_._2 > 0).toMap
+    val got = Pipeline.p4Contamination(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.keySet == expected.keySet, s"got $got want $expected")
+    expected.foreach { case (id, n) => assert(got(id) == n, s"doc $id") }
+  }
+
+  test("p4 plan: benchmark n-grams broadcast; corpus never does") {
+    val plan = Pipeline.p4Contamination(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"benchmark side must broadcast:\n$plan")
+  }
+
+  test("p5: top-k vocabulary is ranked and bounded per language") {
+    val got = Pipeline.p5VocabTopK(spark, dir).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getString(2), r.getLong(3)))
+    got.groupBy(_._1).foreach { case (lang, rows) =>
+      assert(rows.length <= Pipeline.VocabK)
+      val sorted = rows.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (1 to rows.length), s"$lang ranks")
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a._4 > b._4 || (a._4 == b._4 && a._3 < b._3),
+            s"$lang rank order: $a then $b")
+        case _ =>
+      }
+    }
+  }
+
+  test("v6: label centroids match a driver-side quantized mean") {
+    val vecs = graft.sources.Tables.load(spark, dir, "embeddings")
+      .select("label", "embedding").collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
+    val got = Similarity.v6LabelCentroids(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> ((r.getLong(2), r.getLong(3))))
+      .toMap
+    vecs.groupBy(_._1).foreach { case (label, rows) =>
+      val dim = rows.head._2.length
+      (0 until dim).foreach { pos =>
+        val qs = rows.map(r => math.round(r._2(pos).toDouble * 1000000))
+        val (n, sum) = got((label, pos))
+        assert(n == rows.length && sum == qs.sum, s"label $label pos $pos")
+      }
+    }
+  }
+}

@@ -65,15 +65,26 @@ class PlanAuditSpec extends AnyFunSuite {
       plan.contains("BroadcastHashJoin"), s"queries must broadcast:\n$plan")
   }
 
-  test("d4/v3: payload re-attach joins are pinned sort-merge, never a corpus broadcast") {
-    // the two verification joins carry the full signature/embedding corpus —
-    // the merge hint pins them to shuffle joins at every scale (broadcasting
-    // a corpus-sized table OOMs the driver at 100 TB)
-    for (q <- Seq("d4_minhash_lsh", "v3_ann_lsh")) {
-      val plan = formatted(q)
-      assert("SortMergeJoin".r.findAllIn(plan).size >= 2,
-        s"$q re-attach joins must be sort-merge:\n$plan")
-    }
+  test("d4: signature re-attach joins are shuffle joins, never a corpus broadcast") {
+    // the two verification joins carry the full signature corpus — the
+    // shuffle_hash hint pins them to shuffled hash joins (candidate list
+    // as build side; no corpus-wide sorts) at every scale: broadcasting a
+    // corpus-sized table OOMs the driver at 100 TB. Any remaining
+    // BroadcastHashJoin is Catalyst's size-based choice on the tiny
+    // fixture (band self-join), not a pinned broadcast().
+    val plan = formatted("d4_minhash_lsh")
+    assert("ShuffledHashJoin".r.findAllIn(plan).size >= 2,
+      s"d4 re-attach joins must be shuffled hash joins:\n$plan")
+  }
+
+  test("v3: single band self-join, no re-attach pass over the corpus") {
+    // the vector rides through the band join and cosine filters collisions
+    // immediately — exactly one join in the whole plan, nothing re-attached
+    val plan = formatted("v3_ann_lsh")
+    // count join operator nodes in the numbered detail section (each node
+    // appears once there; the tree rendering above repeats the names)
+    assert("""(?m)^\(\d+\) \w*Join""".r.findAllIn(plan).size == 1,
+      s"v3 must have exactly the band self-join:\n$plan")
   }
 
   test("v4: cell assignment is map-side — no window, top-k is partial aggregate") {
