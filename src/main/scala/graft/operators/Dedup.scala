@@ -172,8 +172,53 @@ object Dedup {
       .orderBy($"d1", $"d2")
   }
 
+  /** D6 — dedup cluster formation: connected components over the D3
+    * near-dup pair graph, so every document maps to one canonical
+    * representative (the min doc_id in its component) — the step a real
+    * dedup pipeline runs after pair generation, since near-duplicate is
+    * not transitive but retention decisions must be.
+    *
+    * Algorithm: distributed min-label propagation — each round, every node
+    * takes the min label among itself and its neighbors (one shuffle join
+    * + one groupBy per round), until a fixpoint. Rounds = component
+    * diameter; near-dup components are tiny cliques, so 2-3 rounds. The
+    * driver loop holds only a row COUNT per round (convergence check);
+    * labels live distributed, with localCheckpoint truncating the
+    * iterative lineage. At 100 TB with adversarial long-chain components
+    * you'd switch to large-star/small-star (O(log n) rounds) — same
+    * per-round shape, noted here so the choice is deliberate. */
+  def d6DedupClusters(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val pairs = d3JaccardPairs(spark, dir).select($"d1", $"d2")
+    val sym = pairs.union(pairs.select($"d2".as("d1"), $"d1".as("d2")))
+      .cache()
+    var labels = sym.select($"d1".as("node")).distinct()
+      .select($"node", $"node".as("rep"))
+      .localCheckpoint()
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < 50) {
+      val neighborReps = sym
+        .join(labels.select($"node".as("d2"), $"rep"), "d2")
+        .select($"d1".as("node"), $"rep")
+      val next = labels.union(neighborReps)
+        .groupBy($"node").agg(min($"rep").as("rep"))
+        .localCheckpoint()
+      changed = next.as("n")
+        .join(labels.select($"node", $"rep".as("old_rep")), "node")
+        .filter($"rep" =!= $"old_rep").count()
+      labels = next
+      rounds += 1
+    }
+    val sizes = labels.groupBy($"rep").agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, "rep")
+      .select($"node".as("doc_id"), $"rep".as("cluster_rep"), $"cluster_size")
+      .orderBy($"doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d1_dedup_exact" -> d1ExactDedup _,
+    "d6_dedup_clusters" -> d6DedupClusters _,
     "d2_dedup_fingerprint" -> d2FingerprintDedup _,
     "d3_jaccard_pairs" -> d3JaccardPairs _,
     "d4_minhash_lsh" -> ((s: SparkSession, d: String) => d4MinHashLsh(s, d, 32, 8)),
@@ -192,20 +237,41 @@ object Dedup {
         |  min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY 1 ORDER BY keep_id""".stripMargin,
     "d3_jaccard_pairs" ->
-      s"""WITH docs AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
-         |sh0 AS (SELECT DISTINCT doc_id, unnest(list_transform(generate_series(1, len(w)-2),
-         |          i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s FROM docs),
-         |rare AS (SELECT s FROM sh0 GROUP BY s
-         |         HAVING count(*) <= $MaxShingleDf AND count(*) >= 2),
-         |sh AS (SELECT sh0.doc_id, sh0.s FROM sh0 JOIN rare USING (s)),
-         |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-         |inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS shared
-         |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-         |          GROUP BY 1, 2)
+      s"""WITH $d3Ctes
          |SELECT d1, d2, shared, x.n AS n1, y.n AS n2,
          |  CAST(shared AS DOUBLE) / (x.n + y.n - shared) AS jaccard
          |FROM inter JOIN sz x ON d1 = x.doc_id JOIN sz y ON d2 = y.doc_id
          |WHERE CAST(shared AS DOUBLE) / (x.n + y.n - shared) >= $JaccardThreshold
          |ORDER BY d1, d2""".stripMargin,
+    // connected components over d3's pair graph: transitive closure by
+    // recursive CTE (components are tiny, closure stays small), rep = min
+    // reachable node
+    "d6_dedup_clusters" ->
+      s"""WITH RECURSIVE $d3Ctes,
+         |pairs AS (SELECT d1, d2
+         |          FROM inter JOIN sz x ON d1 = x.doc_id JOIN sz y ON d2 = y.doc_id
+         |          WHERE CAST(shared AS DOUBLE) / (x.n + y.n - shared) >= $JaccardThreshold),
+         |e AS (SELECT d1, d2 FROM pairs UNION ALL SELECT d2, d1 FROM pairs),
+         |tc AS (SELECT d1 AS a, d2 AS b FROM e
+         |       UNION
+         |       SELECT tc.a, e.d2 FROM tc JOIN e ON tc.b = e.d1),
+         |rep AS (SELECT a AS doc_id, least(a, min(b)) AS cluster_rep
+         |        FROM tc GROUP BY a),
+         |cs AS (SELECT cluster_rep, count(*) AS cluster_size FROM rep GROUP BY 1)
+         |SELECT doc_id, cluster_rep, CAST(cluster_size AS BIGINT) AS cluster_size
+         |FROM rep JOIN cs USING (cluster_rep) ORDER BY doc_id""".stripMargin,
   )
+
+  /** Shared CTE chain of the d3 oracle (also the pair source for d6). */
+  private lazy val d3Ctes: String =
+    s"""docs AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+       |sh0 AS (SELECT DISTINCT doc_id, unnest(list_transform(generate_series(1, len(w)-2),
+       |          i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s FROM docs),
+       |rare AS (SELECT s FROM sh0 GROUP BY s
+       |         HAVING count(*) <= $MaxShingleDf AND count(*) >= 2),
+       |sh AS (SELECT sh0.doc_id, sh0.s FROM sh0 JOIN rare USING (s)),
+       |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       |inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS shared
+       |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+       |          GROUP BY 1, 2)""".stripMargin
 }

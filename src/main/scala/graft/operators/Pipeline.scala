@@ -171,8 +171,38 @@ object Pipeline {
       .orderBy($"lang", $"rk")
   }
 
+  /** Email / phone regexes shared by the Spark and oracle sides of p6.
+    * (Same syntax subset works in Spark's java.util.regex and DuckDB's
+    * RE2: character classes, +, {n}, alternation — no lookaround.) */
+  val EmailRe = "[a-z0-9._]+@[a-z0-9.-]+\\.[a-z]+"
+  val PhoneRe = "555-[0-9]{4}"
+
+  /** P6 — PII detection and redaction. The fixture corpus contains no PII,
+    * so each document gets a deterministic synthetic contact line appended
+    * (derived from doc_id — identical on the oracle side) and the operator
+    * must find and mask exactly those. Emits match counts and a digest of
+    * the redacted text (not the text itself — at 100 TB the redacted
+    * corpus is written to storage, not returned to a result set). Pure
+    * per-row regex map work: no shuffle, linear scale. */
+  def p6PiiRedact(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val synth = concat($"text",
+      lit(" contact user"), $"doc_id".cast("string"), lit("@example.com"),
+      lit(" or call 555-"),
+      lpad(pmod($"doc_id", lit(10000)).cast("string"), 4, "0"))
+    Tables.load(spark, dir, "documents")
+      .select($"doc_id", synth.as("t"))
+      .select($"doc_id",
+        size(regexp_extract_all($"t", lit(EmailRe), lit(0))).as("n_emails"),
+        size(regexp_extract_all($"t", lit(PhoneRe), lit(0))).as("n_phones"),
+        md5(regexp_replace(regexp_replace($"t", EmailRe, "<EMAIL>"),
+          PhoneRe, "<PHONE>")).as("redacted_md5"))
+      .orderBy($"doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p1_repetition" -> p1Repetition _,
+    "p6_pii_redact" -> p6PiiRedact _,
     "p2_stratified_sample" -> p2StratifiedSample _,
     "p3_token_shards" -> p3TokenShards _,
     "p4_contamination" -> p4Contamination _,
@@ -226,6 +256,17 @@ object Pipeline {
          |  CAST(count(DISTINCT b.bench_id) AS BIGINT) AS n_bench_docs
          |FROM g JOIN b USING (s) WHERE g.source <> '$BenchmarkSource'
          |GROUP BY g.doc_id ORDER BY doc_id""".stripMargin,
+    "p6_pii_redact" ->
+      s"""WITH s AS (SELECT doc_id,
+         |  text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+         |       || ' or call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS t
+         |FROM documents)
+         |SELECT doc_id,
+         |  CAST(len(regexp_extract_all(t, '$EmailRe')) AS INT) AS n_emails,
+         |  CAST(len(regexp_extract_all(t, '$PhoneRe')) AS INT) AS n_phones,
+         |  md5(regexp_replace(regexp_replace(t, '$EmailRe', '<EMAIL>', 'g'),
+         |    '$PhoneRe', '<PHONE>', 'g')) AS redacted_md5
+         |FROM s ORDER BY doc_id""".stripMargin,
     "p5_vocab_topk" ->
       s"""WITH c AS (SELECT lang, tok AS token, count(*) AS cnt
          |  FROM (SELECT lang, unnest(string_split(text,' ')) AS tok FROM documents) u

@@ -123,6 +123,51 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("p6: synthetic PII is found and fully masked") {
+    val emailRe = Pipeline.EmailRe.r
+    val phoneRe = Pipeline.PhoneRe.r
+    val got = Pipeline.p6PiiRedact(spark, dir).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      assert(r.getInt(1) == 1, s"doc ${r.getLong(0)}: expected 1 email")
+      assert(r.getInt(2) == 1, s"doc ${r.getLong(0)}: expected 1 phone")
+    }
+    // recompute one redaction driver-side and compare the digest
+    val (id, text) = docs.head
+    val synth = s"$text contact user$id@example.com or call 555-" +
+      f"${id % 10000}%04d"
+    val masked = phoneRe.replaceAllIn(
+      emailRe.replaceAllIn(synth, "<EMAIL>"), "<PHONE>")
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(masked.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val gotRow = got.find(_.getLong(0) == id).get
+    assert(gotRow.getString(3) == md, s"doc $id redacted digest")
+  }
+
+  test("d6: cluster assignment equals a driver-side union-find over d3 pairs") {
+    val pairs = Dedup.d3JaccardPairs(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val nodes = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+    val expected = nodes.map(n => n -> find(n)).toMap
+    val got = Dedup.d6DedupClusters(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.map(_._1).toSet == expected.keySet)
+    got.foreach { case (node, rep, size) =>
+      assert(rep == expected(node), s"doc $node rep")
+      assert(size == expected.values.count(_ == expected(node)).toLong,
+        s"doc $node cluster_size")
+    }
+  }
+
   test("v6: label centroids match a driver-side quantized mean") {
     val vecs = graft.sources.Tables.load(spark, dir, "embeddings")
       .select("label", "embedding").collect()
