@@ -1,0 +1,144 @@
+package graft.multimodal
+
+import java.nio.{ByteBuffer, ByteOrder}
+
+/** Pure-JVM codecs for the uncompressed media formats the multimodal
+  * operators decode for real: binary PPM (P6) images and PCM-16 WAV audio.
+  * No codec libraries exist in this environment, so compressed formats
+  * (JPEG/MP3/H264) cannot be decoded — but nothing about the *operator*
+  * shape depends on compression: these formats exercise the same
+  * bytes-in → pixels/samples-out contract a libjpeg/ffmpeg call would.
+  *
+  * Everything here is deterministic byte/int math — safe to run inside
+  * mapPartitions on any executor with identical results.
+  */
+object Codec {
+
+  // ---------------------------------------------------------------- PPM P6
+
+  /** Encode interleaved RGB bytes (len = w*h*3) as a binary PPM. */
+  def encodePpm(w: Int, h: Int, rgb: Array[Byte]): Array[Byte] = {
+    require(rgb.length == w * h * 3, s"rgb length ${rgb.length} != ${w * h * 3}")
+    val header = s"P6\n$w $h\n255\n".getBytes("US-ASCII")
+    val out = new Array[Byte](header.length + rgb.length)
+    System.arraycopy(header, 0, out, 0, header.length)
+    System.arraycopy(rgb, 0, out, header.length, rgb.length)
+    out
+  }
+
+  /** One decoded PPM frame plus the offset just past it (frames may be
+    * concatenated back-to-back — the "video" container). */
+  final case class PpmFrame(width: Int, height: Int, rgb: Array[Byte], end: Int)
+
+  /** Decode the PPM frame starting at `off`. */
+  def decodePpm(bytes: Array[Byte], off: Int = 0): PpmFrame = {
+    var i = off
+    def skipWs(): Unit = {
+      while (i < bytes.length && (bytes(i) == ' ' || bytes(i) == '\n' ||
+        bytes(i) == '\r' || bytes(i) == '\t')) i += 1
+    }
+    def token(): String = {
+      skipWs()
+      val start = i
+      while (i < bytes.length && bytes(i) > ' ') i += 1
+      new String(bytes, start, i - start, "US-ASCII")
+    }
+    val magic = token()
+    require(magic == "P6", s"not a P6 PPM at offset $off: '$magic'")
+    val w = token().toInt
+    val h = token().toInt
+    val maxVal = token().toInt
+    require(maxVal == 255, s"unsupported maxval $maxVal")
+    i += 1 // single whitespace after maxval, then raster
+    val n = w * h * 3
+    require(i + n <= bytes.length, "truncated PPM raster")
+    val rgb = java.util.Arrays.copyOfRange(bytes, i, i + n)
+    PpmFrame(w, h, rgb, i + n)
+  }
+
+  /** Decode a stream of concatenated P6 frames. */
+  def decodePpmSeq(bytes: Array[Byte]): Seq[PpmFrame] = {
+    val frames = Seq.newBuilder[PpmFrame]
+    var off = 0
+    while (off < bytes.length) {
+      val f = decodePpm(bytes, off)
+      frames += f
+      off = f.end
+    }
+    frames.result()
+  }
+
+  /** Nearest-neighbor resample of interleaved RGB pixels. */
+  def resizeNearest(w: Int, h: Int, rgb: Array[Byte],
+                    newW: Int, newH: Int): Array[Byte] = {
+    val out = new Array[Byte](newW * newH * 3)
+    var y = 0
+    while (y < newH) {
+      val sy = y * h / newH
+      var x = 0
+      while (x < newW) {
+        val sx = x * w / newW
+        val src = (sy * w + sx) * 3
+        val dst = (y * newW + x) * 3
+        out(dst) = rgb(src); out(dst + 1) = rgb(src + 1); out(dst + 2) = rgb(src + 2)
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  // ------------------------------------------------------------- WAV PCM16
+
+  /** Encode mono 16-bit PCM samples as a RIFF/WAVE file. */
+  def encodeWav(samples: Array[Short], sampleRate: Int): Array[Byte] = {
+    val dataLen = samples.length * 2
+    val buf = ByteBuffer.allocate(44 + dataLen).order(ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1) // PCM
+      .putShort(1) // mono
+      .putInt(sampleRate)
+      .putInt(sampleRate * 2) // byte rate
+      .putShort(2) // block align
+      .putShort(16) // bits per sample
+      .put("data".getBytes("US-ASCII")).putInt(dataLen)
+    samples.foreach(buf.putShort)
+    buf.array()
+  }
+
+  final case class WavAudio(sampleRate: Int, samples: Array[Short])
+
+  /** Decode a mono PCM-16 RIFF/WAVE file (walks chunks to find fmt/data). */
+  def decodeWav(bytes: Array[Byte]): WavAudio = {
+    val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    def fourcc(): String = {
+      val b = new Array[Byte](4); buf.get(b); new String(b, "US-ASCII")
+    }
+    require(fourcc() == "RIFF", "not a RIFF file")
+    buf.getInt // riff size
+    require(fourcc() == "WAVE", "not a WAVE file")
+    var rate = -1
+    var samples: Array[Short] = null
+    while (buf.remaining() >= 8 && (rate < 0 || samples == null)) {
+      val id = fourcc()
+      val len = buf.getInt
+      id match {
+        case "fmt " =>
+          val fmt = buf.getShort; val ch = buf.getShort
+          require(fmt == 1 && ch == 1, s"only mono PCM supported ($fmt/$ch)")
+          rate = buf.getInt
+          buf.position(buf.position() + len - 8) // skip rest of fmt
+        case "data" =>
+          samples = new Array[Short](len / 2)
+          var j = 0
+          while (j < samples.length) { samples(j) = buf.getShort; j += 1 }
+        case _ =>
+          buf.position(buf.position() + len)
+      }
+    }
+    require(rate > 0 && samples != null, "missing fmt/data chunk")
+    WavAudio(rate, samples)
+  }
+}

@@ -31,59 +31,149 @@ case class MediaFrames(
 
 /** Multimodal-column operators (SURVEY.md §2C): treat image/audio/video as
   * opaque `binary` columns with typed metadata; decode / feature-extract /
-  * frame-sample run as *batched partition-level* functions over
+  * frame-sample / resize run as *batched partition-level* functions over
   * `Dataset[MediaRecord]` — the Scala equivalent of the arrow-batched
-  * mapInPandas shape: one JVM call per batch, not per row, so a real codec
-  * would amortize model/codec init across the batch.
+  * mapInPandas shape: one JVM call per batch, not per row, so codec/model
+  * init amortizes across the batch.
   *
-  * ⚠ STUBBED DECODE: no image/audio codec libraries exist in this
-  * environment, so `decodeStub` produces a *deterministic fake* feature
-  * vector seeded from the payload bytes. The Spark-side plumbing — schema,
-  * encoders, batching, partitioning — is real and tested; swap `decodeStub`
-  * for a real decoder to productionize.
+  * The decode is REAL for uncompressed formats: binary PPM (P6) images,
+  * PCM-16 WAV audio, and concatenated-PPM "video" are decoded to pixels /
+  * samples by `Codec` (pure JVM — no codec libraries exist in this
+  * environment, which rules out JPEG/H264 but changes nothing about the
+  * operator contract: bytes in, pixels/samples out). Features, resize, and
+  * frame sampling all operate on the decoded representation.
   *
   * Scale: all stages are narrow (mapPartitions, no shuffle); payload bytes
   * stay on the executor that read them. At 100 TB the media table would be
   * size-partitioned parquet with payloads in their own column chunk so
-  * metadata-only queries never read the bytes (column pruning).
+  * metadata-only queries never read the bytes (column pruning — asserted
+  * in MultimodalSpec).
   */
 object Multimodal {
 
   val FeatureDim = 32
   val BatchSize = 64
+  val VideoFrames = 4
+  val AudioRate = 8000
 
-  /** Synthesize the media fixture from `documents`: payload = utf-8 text
-    * bytes (opaque stand-in), kind/format/dims derived deterministically
-    * from doc_id. */
+  /** Synthesize the media fixture from `documents`: REAL encoded payloads
+    * (PPM/WAV/PPM-sequence) with contents derived deterministically from
+    * doc_id, so every decode-side assertion can be recomputed driver-side. */
   def mediaTable(spark: SparkSession, dir: String): Dataset[MediaRecord] = {
     import spark.implicits._
     Tables.load(spark, dir, "documents")
-      .select(
-        $"doc_id".as("media_id"),
-        element_at(array(lit("image"), lit("audio"), lit("video")),
-          ($"doc_id" % 3 + 1).cast("int")).as("kind"),
-        $"text".cast("binary").as("payload"),
-        element_at(array(lit("jpeg"), lit("wav"), lit("mp4")),
-          ($"doc_id" % 3 + 1).cast("int")).as("format"),
-        (($"doc_id" % 8) * 160 + 320).cast("int").as("width"),
-        (($"doc_id" % 8) * 90 + 180).cast("int").as("height"),
-        ($"n_chars" * 10).as("duration_ms"))
-      .as[MediaRecord]
+      .select($"doc_id", $"n_chars").as[(Long, Long)]
+      .map { case (id, _) => synthesize(id) }
   }
 
-  /** STUB: deterministic fake "decode + embed". A real implementation
-    * would decode `payload` (JPEG/WAV/H264) and run a feature extractor;
-    * here the features are a seeded PRNG stream from the payload hash so
-    * results are stable across runs/partitionings. */
-  private[multimodal] def decodeStub(payload: Array[Byte], dim: Int): Array[Float] = {
-    val crc = new java.util.zip.CRC32()
-    crc.update(payload)
-    val rng = new scala.util.Random(crc.getValue)
-    Array.fill(dim)(rng.nextFloat() * 2f - 1f)
+  /** Deterministic media synth for one id (also used by specs). */
+  def synthesize(id: Long): MediaRecord = (id % 3) match {
+    case 0 => // image: one PPM frame
+      val w = 16 + (id % 8).toInt * 4
+      val h = 9 + (id % 8).toInt * 2
+      MediaRecord(id, "image", Codec.encodePpm(w, h, imagePixels(id, w, h, 0)),
+        "ppm", w, h, 0L)
+    case 1 => // audio: mono PCM-16 WAV
+      val n = 400 + (id % 100).toInt * 8
+      val samples = Array.tabulate(n) { i =>
+        ((((i * (1 + id % 17)) % 4096) - 2048) * 8).toShort
+      }
+      MediaRecord(id, "audio", Codec.encodeWav(samples, AudioRate),
+        "wav", 0, 0, n * 1000L / AudioRate)
+    case _ => // video: VideoFrames concatenated PPM frames
+      val w = 16 + (id % 4).toInt * 4
+      val h = 8 + (id % 4).toInt * 2
+      val payload = (0 until VideoFrames).toArray
+        .flatMap(f => Codec.encodePpm(w, h, imagePixels(id, w, h, f)))
+      MediaRecord(id, "video", payload, "ppms", w, h, VideoFrames * 40L)
   }
 
-  /** Feature extraction over batches: the per-batch grouping is where a
-    * real codec/model would be initialized once and reused. */
+  private def imagePixels(id: Long, w: Int, h: Int, frame: Int): Array[Byte] = {
+    val px = new Array[Byte](w * h * 3)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val i = (y * w + x) * 3
+        px(i) = ((x * 7 + y * 13 + id + frame * 11) % 256).toByte
+        px(i + 1) = ((x * 3 + y * 5 + id * 2 + frame * 17) % 256).toByte
+        px(i + 2) = ((x + y + id * 3 + frame * 29) % 256).toByte
+        x += 1
+      }
+      y += 1
+    }
+    px
+  }
+
+  /** The media table materialized as parquet — payloads live in their own
+    * column chunk, so metadata-only queries prune them at the SCAN (the
+    * 100 TB storage layout; asserted in MultimodalSpec). Written once per
+    * fixture dir per JVM; queries read this, not the in-memory synth. */
+  def mediaParquet(spark: SparkSession, dir: String): DataFrame = synchronized {
+    val out = new java.io.File(sys.props("java.io.tmpdir"),
+      "graft-media-" + Integer.toHexString(dir.hashCode))
+    if (!new java.io.File(out, "_SUCCESS").exists())
+      mediaTable(spark, dir).write.mode("overwrite").parquet(out.getPath)
+    spark.read.parquet(out.getPath)
+  }
+
+  /** Decode + featurize one record (real decode; deterministic int math,
+    * one sqrt). Padded/truncated to `dim`. */
+  private[multimodal] def decodeFeatures(m: MediaRecord, dim: Int): Array[Float] = {
+    def lum(rgb: Array[Byte], i: Int): Int = {
+      val r = rgb(i) & 0xff; val g = rgb(i + 1) & 0xff; val b = rgb(i + 2) & 0xff
+      (r * 299 + g * 587 + b * 114) / 1000
+    }
+    val fs: Array[Float] = m.kind match {
+      case "image" =>
+        val f = Codec.decodePpm(m.payload)
+        val n = f.width * f.height
+        var (sr, sg, sb, sl) = (0L, 0L, 0L, 0L)
+        var (mn, mx) = (255, 0)
+        val hist = new Array[Int](8)
+        var i = 0
+        while (i < n * 3) {
+          sr += f.rgb(i) & 0xff; sg += f.rgb(i + 1) & 0xff; sb += f.rgb(i + 2) & 0xff
+          val l = lum(f.rgb, i)
+          sl += l; if (l < mn) mn = l; if (l > mx) mx = l
+          hist(l / 32) += 1
+          i += 3
+        }
+        Array[Float](f.width, f.height,
+          sr.toFloat / n, sg.toFloat / n, sb.toFloat / n,
+          sl.toFloat / n, mn, mx) ++ hist.map(_.toFloat / n)
+      case "audio" =>
+        val a = Codec.decodeWav(m.payload)
+        val n = a.samples.length
+        var sq = 0L; var peak = 0; var zc = 0; var sa = 0L
+        var i = 0
+        while (i < n) {
+          val s = a.samples(i).toInt
+          sq += s.toLong * s; sa += math.abs(s)
+          if (math.abs(s) > peak) peak = math.abs(s)
+          if (i > 0 && ((s >= 0) != (a.samples(i - 1) >= 0))) zc += 1
+          i += 1
+        }
+        Array[Float](a.sampleRate, n, math.sqrt(sq.toDouble / n).toFloat,
+          peak, zc.toFloat / n, sa.toFloat / n)
+      case _ =>
+        val frames = Codec.decodePpmSeq(m.payload)
+        val perFrame = frames.map { f =>
+          var sl = 0L; var i = 0
+          val n = f.width * f.height
+          while (i < n * 3) { sl += lum(f.rgb, i); i += 3 }
+          sl.toFloat / n
+        }
+        Array[Float](frames.length, frames.head.width, frames.head.height) ++
+          perFrame
+    }
+    java.util.Arrays.copyOf(fs, dim)
+  }
+
+  /** Feature extraction over batches: decodes the payload for real and
+    * emits per-kind signal statistics (pixel means/histogram, RMS/peak/
+    * zero-crossings, per-frame luminance). The per-batch grouping is where
+    * a heavier codec/model would be initialized once and reused. */
   def extractFeatures(media: Dataset[MediaRecord],
                       dim: Int = FeatureDim,
                       batchSize: Int = BatchSize): Dataset[MediaFeatures] = {
@@ -93,51 +183,73 @@ object Multimodal {
         // batch-scoped init would go here (codec/model handle)
         batch.iterator.map { m =>
           MediaFeatures(m.media_id, m.kind, m.payload.length,
-            decodeStub(m.payload, dim))
+            decodeFeatures(m, dim))
         }
       }
     }
   }
 
-  /** STUB frame sampling: a real implementation would seek keyframes; the
-    * fake slices the payload into `n` contiguous chunks (deterministic,
-    * preserves bytes) so downstream shape/partitioning is exercised. */
-  def sampleFrames(media: Dataset[MediaRecord], n: Int = 4): Dataset[MediaFrames] = {
+  /** Frame sampling on the decoded representation: video yields its real
+    * frames (each re-encoded standalone PPM, up to n), an image is its own
+    * single frame, audio splits into n standalone WAV chunks. */
+  def sampleFrames(media: Dataset[MediaRecord], n: Int = VideoFrames): Dataset[MediaFrames] = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
       it.map { m =>
-        val len = m.payload.length
-        val frames = (0 until math.min(n, math.max(len, 1))).map { i =>
-          val from = (len.toLong * i / n).toInt
-          val until = (len.toLong * (i + 1) / n).toInt
-          java.util.Arrays.copyOfRange(m.payload, from, math.max(until, from))
-        }.toArray
+        val frames: Array[Array[Byte]] = m.kind match {
+          case "image" => Array(m.payload)
+          case "video" =>
+            Codec.decodePpmSeq(m.payload).take(n)
+              .map(f => Codec.encodePpm(f.width, f.height, f.rgb)).toArray
+          case _ =>
+            val a = Codec.decodeWav(m.payload)
+            val per = math.max(1, (a.samples.length + n - 1) / n)
+            a.samples.grouped(per).take(n)
+              .map(chunk => Codec.encodeWav(chunk, a.sampleRate)).toArray
+        }
         MediaFrames(m.media_id, m.kind, frames.length, frames)
       }
     }
   }
 
-  /** STUB resize: real impl decodes + rescales pixels; fake rewrites the
-    * typed metadata (the part a catalog query would predicate on) and
-    * passes the payload through. */
+  /** Real resize: nearest-neighbor resample of the decoded pixels,
+    * re-encoded (every video frame individually); audio passes through.
+    * Narrow map work — bytes never shuffle. */
   def resize(media: Dataset[MediaRecord], w: Int, h: Int): Dataset[MediaRecord] = {
     import media.sparkSession.implicits._
-    media.map(m => m.copy(width = w, height = h))
+    media.mapPartitions { it =>
+      it.map { m =>
+        m.kind match {
+          case "image" =>
+            val f = Codec.decodePpm(m.payload)
+            m.copy(payload = Codec.encodePpm(w, h,
+              Codec.resizeNearest(f.width, f.height, f.rgb, w, h)),
+              width = w, height = h)
+          case "video" =>
+            val frames = Codec.decodePpmSeq(m.payload)
+            m.copy(payload = frames.toArray.flatMap(f => Codec.encodePpm(w, h,
+              Codec.resizeNearest(f.width, f.height, f.rgb, w, h))),
+              width = w, height = h)
+          case _ => m
+        }
+      }
+    }
   }
 
-  /** Rows-only driver queries (binary payloads and stubbed decode are not
-    * SQL-oracle territory; MultimodalSpec covers determinism + shape). */
+  /** Rows-only driver queries (binary payloads are not SQL-oracle
+    * territory; MultimodalSpec covers decode fidelity + shape). */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m1_media_features" -> ((s: SparkSession, d: String) => {
       import s.implicits._
-      extractFeatures(mediaTable(s, d))
+      extractFeatures(mediaParquet(s, d).as[MediaRecord])
         .select($"media_id", $"kind", $"n_bytes",
-          size($"features").as("feature_dim"))
+          size($"features").as("feature_dim"),
+          round(element_at($"features", 3), 4).as("f2"))
         .orderBy($"media_id")
     }),
     "m2_frame_sample" -> ((s: SparkSession, d: String) => {
       import s.implicits._
-      sampleFrames(mediaTable(s, d))
+      sampleFrames(mediaParquet(s, d).as[MediaRecord])
         .select($"media_id", $"kind", $"n_frames",
           aggregate(transform($"frames", f => length(f)),
             lit(0), (acc, v) => acc + v).as("total_frame_bytes"))
@@ -145,13 +257,27 @@ object Multimodal {
     }),
     "m3_media_catalog" -> ((s: SparkSession, d: String) => {
       import s.implicits._
-      // metadata-only scan: never touches payload (column pruning)
-      mediaTable(s, d).toDF()
+      // metadata-only scan: never touches payload (column pruning at the
+      // parquet reader — payload bytes stay on disk)
+      mediaParquet(s, d)
         .groupBy($"kind", $"format")
         .agg(count(lit(1)).as("n"),
           sum($"duration_ms").as("total_ms"),
           max($"width").as("max_w"))
         .orderBy($"kind", $"format")
+    }),
+    "m4_resize_decode" -> ((s: SparkSession, d: String) => {
+      import s.implicits._
+      // distributed resize, then decode the resized payloads back to
+      // prove they are valid media (dims read from the bytes, not the
+      // metadata)
+      val resized = resize(mediaParquet(s, d).as[MediaRecord]
+        .filter(col("kind").isin("image", "video")), 32, 18)
+      resized.map { m =>
+        val f = Codec.decodePpm(m.payload)
+        (m.media_id, m.kind, f.width, f.height, m.payload.length)
+      }.toDF("media_id", "kind", "decoded_w", "decoded_h", "n_bytes")
+        .orderBy($"media_id")
     }),
   )
 }

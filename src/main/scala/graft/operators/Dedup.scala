@@ -195,19 +195,24 @@ object Dedup {
     var labels = sym.select($"d1".as("node")).distinct()
       .select($"node", $"node".as("rep"))
       .localCheckpoint()
-    var changed = 1L
+    // convergence: per-node reps only ever decrease, so the label sum is
+    // strictly monotone until the fixpoint — one cheap aggregate per round
+    // instead of a join+count
+    def labelSum(df: DataFrame): Long =
+      df.agg(sum($"rep")).head.getLong(0)
+    var prevSum = labelSum(labels)
     var rounds = 0
-    while (changed > 0 && rounds < 50) {
+    var converged = false
+    while (!converged && rounds < 50) {
       val neighborReps = sym
         .join(labels.select($"node".as("d2"), $"rep"), "d2")
         .select($"d1".as("node"), $"rep")
-      val next = labels.union(neighborReps)
+      labels = labels.union(neighborReps)
         .groupBy($"node").agg(min($"rep").as("rep"))
         .localCheckpoint()
-      changed = next.as("n")
-        .join(labels.select($"node", $"rep".as("old_rep")), "node")
-        .filter($"rep" =!= $"old_rep").count()
-      labels = next
+      val s = labelSum(labels)
+      converged = s == prevSum
+      prevSum = s
       rounds += 1
     }
     val sizes = labels.groupBy($"rep").agg(count(lit(1)).as("cluster_size"))

@@ -151,6 +151,31 @@ object Pipeline {
       .orderBy($"doc_id")
   }
 
+  /** Static benchmark n-gram set for the streaming contamination check:
+    * the distinct ContamN-grams of the benchmark documents. */
+  def benchmarkGrams(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.load(spark, dir, "documents")
+      .filter($"source" === BenchmarkSource)
+      .select(explode(shingles(tokens($"text"), ContamN)).as("s"))
+      .distinct()
+  }
+
+  /** Streaming twin of p4: documents arrive as a stream and are checked
+    * against the static benchmark n-gram set via a stream-static broadcast
+    * join — contamination flagged as data lands, not in a nightly batch.
+    * Per-doc shingles are distinct and the bench set is deduped, so
+    * count(*) equals the batch p4's count(DISTINCT s). Update-mode
+    * streaming aggregation keyed by doc_id. */
+  def contaminationStream(stream: DataFrame, benchGrams: DataFrame): DataFrame = {
+    import stream.sparkSession.implicits._
+    stream
+      .select($"doc_id", explode(shingles(tokens($"text"), ContamN)).as("s"))
+      .join(broadcast(benchGrams), "s")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_shared_ngrams"))
+  }
+
   /** Vocabulary top-k per language (p5). */
   val VocabK = 10
 

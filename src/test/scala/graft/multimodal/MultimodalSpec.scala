@@ -8,12 +8,52 @@ class MultimodalSpec extends AnyFunSuite {
   private lazy val spark = SparkTestSession.spark
   private val dir = SparkTestSession.sf0001
 
-  test("media table schema: opaque binary + typed metadata") {
+  test("ppm codec round-trips pixels exactly") {
+    val rgb = Array.tabulate(4 * 3 * 3)(i => ((i * 31) % 256).toByte)
+    val f = Codec.decodePpm(Codec.encodePpm(4, 3, rgb))
+    assert(f.width == 4 && f.height == 3)
+    assert(f.rgb.toSeq == rgb.toSeq)
+  }
+
+  test("wav codec round-trips samples exactly") {
+    val samples = Array.tabulate(777)(i => ((i * 997) % 30000 - 15000).toShort)
+    val a = Codec.decodeWav(Codec.encodeWav(samples, 8000))
+    assert(a.sampleRate == 8000)
+    assert(a.samples.toSeq == samples.toSeq)
+  }
+
+  test("concatenated ppm frames decode back individually") {
+    val frames = (0 until 3).map { f =>
+      Array.tabulate(2 * 2 * 3)(i => (i + f * 50).toByte)
+    }
+    val stream = frames.toArray.flatMap(p => Codec.encodePpm(2, 2, p))
+    val decoded = Codec.decodePpmSeq(stream)
+    assert(decoded.length == 3)
+    decoded.zip(frames).foreach { case (d, exp) =>
+      assert(d.rgb.toSeq == exp.toSeq)
+    }
+  }
+
+  test("media table schema: opaque binary + typed metadata, real payloads") {
     val m = Multimodal.mediaTable(spark, dir)
     val f = m.schema.fields.map(f => f.name -> f.dataType.simpleString).toMap
     assert(f("payload") == "binary")
     assert(f("kind") == "string" && f("width") == "int")
-    assert(m.count() == 500)
+    val rows = m.collect()
+    assert(rows.length == 500)
+    rows.foreach { r =>
+      r.kind match {
+        case "image" =>
+          val d = Codec.decodePpm(r.payload)
+          assert(d.width == r.width && d.height == r.height,
+            s"media ${r.media_id}: metadata dims must match decoded dims")
+        case "audio" =>
+          val a = Codec.decodeWav(r.payload)
+          assert(a.samples.length * 1000L / a.sampleRate == r.duration_ms)
+        case "video" =>
+          assert(Codec.decodePpmSeq(r.payload).length == Multimodal.VideoFrames)
+      }
+    }
   }
 
   test("feature extraction is deterministic and batch-shaped") {
@@ -29,26 +69,81 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
-  test("frame sampling preserves payload bytes across frames") {
+  test("image features come from the decoded pixels") {
+    val rec = Multimodal.synthesize(0) // id 0 -> image
+    val fs = Multimodal.decodeFeatures(rec, Multimodal.FeatureDim)
+    val d = Codec.decodePpm(rec.payload)
+    val n = d.width * d.height
+    val meanR = (0 until n).map(i => d.rgb(i * 3) & 0xff).sum.toFloat / n
+    assert(fs(0) == d.width && fs(1) == d.height)
+    assert(fs(2) == meanR, s"mean_r ${fs(2)} != $meanR")
+    // 8-bin luminance histogram sums to 1
+    assert(math.abs(fs.slice(8, 16).sum - 1.0f) < 1e-5)
+  }
+
+  test("audio features come from the decoded samples") {
+    val rec = Multimodal.synthesize(1) // id 1 -> audio
+    val fs = Multimodal.decodeFeatures(rec, Multimodal.FeatureDim)
+    val a = Codec.decodeWav(rec.payload)
+    val rms = math.sqrt(a.samples.map(s => s.toDouble * s).sum / a.samples.length)
+    assert(fs(0) == Multimodal.AudioRate && fs(1) == a.samples.length)
+    assert(math.abs(fs(2) - rms) < 1e-2, s"rms ${fs(2)} != $rms")
+    assert(fs(3) == a.samples.map(s => math.abs(s.toInt)).max)
+  }
+
+  test("frame sampling yields decodable frames preserving content") {
     val m = Multimodal.mediaTable(spark, dir)
-    val frames = Multimodal.sampleFrames(m, 4).collect()
-    val orig = m.collect().map(r => r.media_id -> r.payload).toMap
-    frames.foreach { fr =>
-      assert(fr.n_frames == 4)
-      assert(fr.frames.map(_.length).sum == orig(fr.media_id).length)
+    val byId = m.collect().map(r => r.media_id -> r).toMap
+    Multimodal.sampleFrames(m, 4).collect().foreach { fr =>
+      val orig = byId(fr.media_id)
+      fr.kind match {
+        case "video" =>
+          assert(fr.n_frames == Multimodal.VideoFrames)
+          val expected = Codec.decodePpmSeq(orig.payload)
+          fr.frames.zip(expected).foreach { case (bytes, exp) =>
+            assert(Codec.decodePpm(bytes).rgb.toSeq == exp.rgb.toSeq)
+          }
+        case "image" =>
+          assert(fr.n_frames == 1)
+          assert(fr.frames.head.toSeq == orig.payload.toSeq)
+        case "audio" =>
+          val joined = fr.frames.flatMap(b => Codec.decodeWav(b).samples)
+          assert(joined.toSeq == Codec.decodeWav(orig.payload).samples.toSeq,
+            "audio chunks must reassemble to the original samples")
+      }
     }
   }
 
-  test("resize rewrites metadata only") {
+  test("resize rescales real pixels (nearest-neighbor) and re-encodes") {
     val m = Multimodal.mediaTable(spark, dir)
-    val r = Multimodal.resize(m, 64, 32).collect()
-    assert(r.forall(x => x.width == 64 && x.height == 32))
+      .filter(org.apache.spark.sql.functions.col("kind") === "image")
+    val resized = Multimodal.resize(m, 64, 32).collect()
+    val origById = m.collect().map(r => r.media_id -> r).toMap
+    resized.foreach { r =>
+      val d = Codec.decodePpm(r.payload)
+      assert(d.width == 64 && d.height == 32)
+      // corner pixel maps to the source corner under nearest-neighbor
+      val o = Codec.decodePpm(origById(r.media_id).payload)
+      assert(d.rgb(0) == o.rgb(0) && d.rgb(1) == o.rgb(1) && d.rgb(2) == o.rgb(2))
+    }
   }
 
-  test("catalog query prunes the payload column from the scan") {
-    val plan = Multimodal.queries("m3_media_catalog")(spark, dir)
-      .queryExecution.optimizedPlan.toString
-    assert(!plan.contains("payload"),
-      s"metadata-only query must not read payload:\n$plan")
+  test("catalog query prunes the payload column at the parquet scan") {
+    val df = Multimodal.queries("m3_media_catalog")(spark, dir)
+    val plan = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    val readSchemas = plan.linesIterator.filter(_.contains("ReadSchema")).toSeq
+    assert(readSchemas.nonEmpty)
+    assert(readSchemas.forall(!_.contains("payload")),
+      s"metadata-only query must not read payload bytes:\n$plan")
+  }
+
+  test("m4 resize-decode query proves resized payloads are valid media") {
+    val rows = Multimodal.queries("m4_resize_decode")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getInt(2) == 32 && r.getInt(3) == 18,
+        s"media ${r.getLong(0)}: decoded dims must be the resize target")
+    }
   }
 }

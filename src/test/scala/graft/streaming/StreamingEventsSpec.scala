@@ -13,6 +13,9 @@ import graft.sources.Tables
 case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
               event_type: String, value: Double, props: String)
 
+case class Doc(doc_id: Long, text: String, lang: String, source: String,
+               n_chars: Long)
+
 /** Streaming semantics over the events fixture: the watermarked tumbling-
   * window aggregate (streaming twin of Relational.q18) must collapse to the
   * batch answer after incremental micro-batches — the reference's
@@ -53,6 +56,36 @@ class StreamingEventsSpec extends AnyFunSuite {
       assert(table.rows.toSet == batch,
         s"streaming collapse != batch twin (${table.size} vs ${batch.size} rows)")
       assert(changelog.opsReceived.nonEmpty)
+    } finally handle.stop()
+  }
+
+  test("streaming contamination (stream-static join) collapses to batch p4") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val dir = SparkTestSession.sf0001
+
+    val docs = Tables.load(s, dir, "documents").as[Doc].collect().toSeq
+      .filter(_.source != graft.operators.Pipeline.BenchmarkSource)
+    val bench = graft.operators.Pipeline.benchmarkGrams(s, dir)
+
+    val mem = MemoryStream[Doc]
+    val agg = graft.operators.Pipeline.contaminationStream(mem.toDF(), bench)
+    val handle = ChangelogStream.updating(agg, "contamination-stream-test",
+      Seq("doc_id"))
+    val changelog = handle.changelog()
+    val table = new ResultTable(handle.schema)
+    try {
+      docs.grouped(docs.size / 3 + 1).foreach { chunk =>
+        mem.addData(chunk)
+        handle.processAllAvailable()
+        table.update(changelog.consume())
+      }
+      val batch = graft.operators.Pipeline.p4Contamination(s, dir)
+        .select("doc_id", "n_shared_ngrams")
+        .collect().map(_.toSeq.toVector).toSet
+      assert(table.rows.toSet == batch,
+        s"streaming contamination != batch p4 (${table.size} vs ${batch.size})")
     } finally handle.stop()
   }
 
