@@ -225,9 +225,53 @@ object Pipeline {
       .orderBy($"doc_id")
   }
 
+  /** Docs kept per stratum by p7. */
+  val StratumK = 5
+
+  /** P7 — per-stratum fixed-size sampling: exactly StratumK documents per
+    * language, chosen by salted-md5 order — how a pipeline draws a
+    * balanced eval subset that is stable across runs and engines. The
+    * rank window is partitioned by the stratum key, so the sort is
+    * per-group (parallel), never corpus-global. */
+  def p7StratumSample(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val order = md5(concat(lit("strat"), $"doc_id".cast("string")))
+    val w = Window.partitionBy($"lang").orderBy(order.asc, $"doc_id".asc)
+    Tables.load(spark, dir, "documents")
+      .select($"doc_id", $"lang")
+      .withColumn("rk", row_number().over(w))
+      .filter($"rk" <= StratumK)
+      .select($"lang", $"rk", $"doc_id")
+      .orderBy($"lang", $"rk")
+  }
+
+  /** P8 — cross-modal join: text-side statistics per embedding-side label
+    * (documents ⋈ embeddings on the shared id). Both sides are
+    * corpus-scale, so this is the co-partitioned shuffle-join shape (at
+    * 100 TB: bucket both tables by id and the exchange disappears —
+    * demonstrated in operators/Bucketing.scala); token counts aggregate
+    * as exact ints. */
+  def p8CrossModal(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.load(spark, dir, "documents")
+      .select($"doc_id", $"lang", size(tokens($"text")).as("n_tokens"))
+    val emb = Tables.load(spark, dir, "embeddings")
+      .select($"vec_id".as("doc_id"), $"label")
+    docs.join(emb, "doc_id")
+      .groupBy($"label")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"n_tokens").as("total_tokens"),
+        countDistinct($"lang").as("n_langs"))
+      .select($"label", $"n_docs", $"total_tokens", $"n_langs",
+        ($"total_tokens".cast(DoubleType) / $"n_docs").as("avg_tokens"))
+      .orderBy($"label")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p1_repetition" -> p1Repetition _,
     "p6_pii_redact" -> p6PiiRedact _,
+    "p7_stratum_sample" -> p7StratumSample _,
+    "p8_crossmodal" -> p8CrossModal _,
     "p2_stratified_sample" -> p2StratifiedSample _,
     "p3_token_shards" -> p3TokenShards _,
     "p4_contamination" -> p4Contamination _,
@@ -292,6 +336,24 @@ object Pipeline {
          |  md5(regexp_replace(regexp_replace(t, '$EmailRe', '<EMAIL>', 'g'),
          |    '$PhoneRe', '<PHONE>', 'g')) AS redacted_md5
          |FROM s ORDER BY doc_id""".stripMargin,
+    "p7_stratum_sample" ->
+      s"""WITH r AS (SELECT lang, doc_id,
+         |  CAST(row_number() OVER (PARTITION BY lang
+         |    ORDER BY md5('strat' || CAST(doc_id AS VARCHAR)) ASC, doc_id ASC)
+         |    AS INT) AS rk
+         |FROM documents)
+         |SELECT lang, rk, doc_id FROM r WHERE rk <= $StratumK
+         |ORDER BY lang, rk""".stripMargin,
+    "p8_crossmodal" ->
+      """WITH d AS (SELECT doc_id, lang,
+        |  CAST(len(string_split(text,' ')) AS INT) AS n_tokens FROM documents),
+        |e AS (SELECT vec_id AS doc_id, label FROM embeddings)
+        |SELECT label, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+        |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+        |  CAST(CAST(sum(n_tokens) AS BIGINT) AS DOUBLE) / count(*) AS avg_tokens
+        |FROM d JOIN e USING (doc_id)
+        |GROUP BY label ORDER BY label""".stripMargin,
     "p5_vocab_topk" ->
       s"""WITH c AS (SELECT lang, tok AS token, count(*) AS cnt
          |  FROM (SELECT lang, unnest(string_split(text,' ')) AS tok FROM documents) u

@@ -86,8 +86,31 @@ object TextAnalysis {
       .orderBy($"doc_id")
   }
 
+  /** T6 — corpus length distribution per language: exact quartiles of the
+    * token count (linear-interpolated, matching DuckDB quantile_cont).
+    * The exact percentile shuffles every value to its group — fine keyed
+    * by lang; at 100 TB with huge groups the sketch (percentile_approx,
+    * asserted within ε of exact in RelationalSpec-style spec) is the scale
+    * path, exactly like q23's HLL-vs-exact pairing. */
+  def t6LengthPercentiles(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.load(spark, dir, "documents")
+      .select($"lang", size(tokens($"text")).as("n_tokens"))
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs"),
+        expr("percentile(n_tokens, array(0.25, 0.5, 0.75))").as("q"),
+        max($"n_tokens").as("max_tokens"))
+      .select($"lang", $"n_docs",
+        element_at($"q", 1).as("p25"),
+        element_at($"q", 2).as("p50"),
+        element_at($"q", 3).as("p75"),
+        $"max_tokens")
+      .orderBy($"lang")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t5_token_regex" -> t5TokenRegex _,
+    "t6_length_percentiles" -> t6LengthPercentiles _,
     "t1_token_stats" -> t1TokenStats _,
     "t2_quality_score" -> t2QualityScore _,
     "t3_lang_id" -> t3LangId _,
@@ -144,5 +167,14 @@ object TextAnalysis {
       """SELECT doc_id,
         |  md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "t6_length_percentiles" ->
+      """WITH t AS (SELECT lang,
+        |  CAST(len(string_split(text,' ')) AS INT) AS n_tokens FROM documents)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  quantile_cont(n_tokens, 0.25) AS p25,
+        |  quantile_cont(n_tokens, 0.5) AS p50,
+        |  quantile_cont(n_tokens, 0.75) AS p75,
+        |  max(n_tokens) AS max_tokens
+        |FROM t GROUP BY lang ORDER BY lang""".stripMargin,
   )
 }

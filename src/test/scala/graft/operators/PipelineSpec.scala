@@ -168,6 +168,57 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("p7: exactly StratumK docs per language, stable across runs") {
+    val a = Pipeline.p7StratumSample(spark, dir).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+    val b = Pipeline.p7StratumSample(spark, dir).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+    assert(a.toSeq == b.toSeq, "sample must be reproducible")
+    a.groupBy(_._1).foreach { case (lang, rows) =>
+      assert(rows.length == Pipeline.StratumK, s"$lang stratum size")
+      assert(rows.map(_._2).sorted.toSeq == (1 to Pipeline.StratumK))
+    }
+  }
+
+  test("p8: cross-modal aggregates match a driver-side join") {
+    val docs = graft.sources.Tables.load(spark, dir, "documents")
+      .select("doc_id", "lang", "text").collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getString(2).split(" ", -1).length)))
+      .toMap
+    val labels = graft.sources.Tables.load(spark, dir, "embeddings")
+      .select("vec_id", "label").collect()
+      .map(r => (r.getLong(0), r.getInt(1)))
+    val byLabel = labels.filter(l => docs.contains(l._1)).groupBy(_._2)
+    val got = Pipeline.p8CrossModal(spark, dir).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got.keySet == byLabel.keySet)
+    byLabel.foreach { case (label, vs) =>
+      val ds = vs.map(v => docs(v._1))
+      val (n, tot, langs) = got(label)
+      assert(n == ds.length && tot == ds.map(_._2.toLong).sum &&
+        langs == ds.map(_._1).distinct.length.toLong, s"label $label")
+    }
+  }
+
+  test("t6: percentile sketch stays within 5% of the exact quartiles") {
+    import org.apache.spark.sql.functions._
+    val s = spark
+    import s.implicits._
+    val exact = TextAnalysis.t6LengthPercentiles(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getDouble(3)).toMap // p50
+    val sketch = graft.sources.Tables.load(spark, dir, "documents")
+      .select($"lang",
+        size(graft.functions.TextFunctions.tokens($"text")).as("n"))
+      .groupBy($"lang")
+      .agg(percentile_approx($"n", lit(0.5), lit(1000)).as("p50"))
+      .collect().map(r => r.getString(0) -> r.getInt(1).toDouble).toMap
+    exact.foreach { case (lang, p50) =>
+      assert(math.abs(sketch(lang) - p50) <= math.max(0.05 * p50, 1.0),
+        s"$lang sketch p50 ${sketch(lang)} vs exact $p50")
+    }
+  }
+
   test("v6: label centroids match a driver-side quantized mean") {
     val vecs = graft.sources.Tables.load(spark, dir, "embeddings")
       .select("label", "embedding").collect()
