@@ -197,9 +197,9 @@ object Dedup {
       .localCheckpoint()
     // convergence: per-node reps only ever decrease, so the label sum is
     // strictly monotone until the fixpoint — one cheap aggregate per round
-    // instead of a join+count
+    // instead of a join+count (coalesce: a pair-free corpus sums to null)
     def labelSum(df: DataFrame): Long =
-      df.agg(sum($"rep")).head.getLong(0)
+      df.agg(coalesce(sum($"rep"), lit(0L))).head.getLong(0)
     var prevSum = labelSum(labels)
     var rounds = 0
     var converged = false
@@ -221,9 +221,32 @@ object Dedup {
       .orderBy($"doc_id")
   }
 
+  /** D7 — canonical selection: within each near-dup cluster (d6), keep the
+    * highest-quality document (t2's score; ties to the lowest doc_id) —
+    * the retention policy step after cluster formation: dedup pipelines
+    * keep the BEST copy, not an arbitrary one. Window ranks run per
+    * cluster (keyed, parallel); cluster tables are a tiny fraction of the
+    * corpus by the time this runs. */
+  def d7CanonicalSelection(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val clusters = d6DedupClusters(spark, dir)
+    val quality = TextAnalysis.t2QualityScore(spark, dir)
+      .select($"doc_id", $"quality_score")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"cluster_rep")
+      .orderBy($"quality_score".desc, $"doc_id".asc)
+    clusters.join(quality, "doc_id")
+      .withColumn("rk", row_number().over(w))
+      .filter($"rk" === 1)
+      .select($"cluster_rep", $"doc_id".as("keep_id"),
+        $"quality_score".as("keep_quality"), $"cluster_size")
+      .orderBy($"cluster_rep")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d1_dedup_exact" -> d1ExactDedup _,
     "d6_dedup_clusters" -> d6DedupClusters _,
+    "d7_canonical_selection" -> d7CanonicalSelection _,
     "d2_dedup_fingerprint" -> d2FingerprintDedup _,
     "d3_jaccard_pairs" -> d3JaccardPairs _,
     "d4_minhash_lsh" -> ((s: SparkSession, d: String) => d4MinHashLsh(s, d, 32, 8)),
@@ -252,20 +275,35 @@ object Dedup {
     // recursive CTE (components are tiny, closure stays small), rep = min
     // reachable node
     "d6_dedup_clusters" ->
-      s"""WITH RECURSIVE $d3Ctes,
-         |pairs AS (SELECT d1, d2
-         |          FROM inter JOIN sz x ON d1 = x.doc_id JOIN sz y ON d2 = y.doc_id
-         |          WHERE CAST(shared AS DOUBLE) / (x.n + y.n - shared) >= $JaccardThreshold),
-         |e AS (SELECT d1, d2 FROM pairs UNION ALL SELECT d2, d1 FROM pairs),
-         |tc AS (SELECT d1 AS a, d2 AS b FROM e
-         |       UNION
-         |       SELECT tc.a, e.d2 FROM tc JOIN e ON tc.b = e.d1),
-         |rep AS (SELECT a AS doc_id, least(a, min(b)) AS cluster_rep
-         |        FROM tc GROUP BY a),
-         |cs AS (SELECT cluster_rep, count(*) AS cluster_size FROM rep GROUP BY 1)
+      s"""WITH RECURSIVE $d3Ctes, $ccCtes
          |SELECT doc_id, cluster_rep, CAST(cluster_size AS BIGINT) AS cluster_size
          |FROM rep JOIN cs USING (cluster_rep) ORDER BY doc_id""".stripMargin,
+    "d7_canonical_selection" ->
+      s"""WITH RECURSIVE $d3Ctes, $ccCtes,
+         |q AS (${TextAnalysis.qualityCte}),
+         |sel AS (SELECT r.cluster_rep, r.doc_id, q.quality_score, cs.cluster_size,
+         |          row_number() OVER (PARTITION BY r.cluster_rep
+         |            ORDER BY q.quality_score DESC, r.doc_id ASC) AS rk
+         |        FROM rep r JOIN cs USING (cluster_rep)
+         |          JOIN q ON r.doc_id = q.doc_id)
+         |SELECT cluster_rep, doc_id AS keep_id, quality_score AS keep_quality,
+         |  CAST(cluster_size AS BIGINT) AS cluster_size
+         |FROM sel WHERE rk = 1 ORDER BY cluster_rep""".stripMargin,
   )
+
+  /** Connected-component CTEs shared by the d6/d7 oracles (expects the d3
+    * chain in scope; `rep` = node → min reachable, `cs` = component size). */
+  private lazy val ccCtes: String =
+    s"""pairs AS (SELECT d1, d2
+       |          FROM inter JOIN sz x ON d1 = x.doc_id JOIN sz y ON d2 = y.doc_id
+       |          WHERE CAST(shared AS DOUBLE) / (x.n + y.n - shared) >= $JaccardThreshold),
+       |e AS (SELECT d1, d2 FROM pairs UNION ALL SELECT d2, d1 FROM pairs),
+       |tc AS (SELECT d1 AS a, d2 AS b FROM e
+       |       UNION
+       |       SELECT tc.a, e.d2 FROM tc JOIN e ON tc.b = e.d1),
+       |rep AS (SELECT a AS doc_id, least(a, min(b)) AS cluster_rep
+       |        FROM tc GROUP BY a),
+       |cs AS (SELECT cluster_rep, count(*) AS cluster_size FROM rep GROUP BY 1)""".stripMargin
 
   /** Shared CTE chain of the d3 oracle (also the pair source for d6). */
   private lazy val d3Ctes: String =

@@ -176,6 +176,19 @@ object Pipeline {
       .agg(count(lit(1)).as("n_shared_ngrams"))
   }
 
+  /** Streaming incremental dedup: documents arrive as a stream and are
+    * dropped if their fingerprint is already in the known (static) set —
+    * the ingest-time twin of d2: history stays a compact fingerprint
+    * table, new data never rescans old text. Stream-static LEFT ANTI join;
+    * append mode, no aggregation state. */
+  def incrementalDedup(stream: DataFrame, knownFps: DataFrame): DataFrame = {
+    import stream.sparkSession.implicits._
+    stream
+      .withColumn("fp", graft.functions.TextFunctions.fingerprint($"text"))
+      .join(broadcast(knownFps), Seq("fp"), "left_anti")
+      .select($"doc_id", $"fp")
+  }
+
   /** Vocabulary top-k per language (p5). */
   val VocabK = 10
 

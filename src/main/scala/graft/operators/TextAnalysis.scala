@@ -118,6 +118,18 @@ object TextAnalysis {
   )
 
   private val enList = langMarkers.toMap.apply("en").mkString("'", "','", "'")
+
+  /** The t2 quality score as a reusable oracle CTE body (also composed by
+    * Dedup's d7 canonical-selection oracle). */
+  val qualityCte: String =
+    s"""SELECT doc_id,
+       |  CAST(len(list_distinct(string_split(text,' '))) AS DOUBLE)
+       |      / len(string_split(text,' ')) * 0.5
+       |  + (1.0 - CAST(len(list_filter(string_split(text,' '), x -> x IN ($enList))) AS DOUBLE)
+       |      / len(string_split(text,' '))) * 0.3
+       |  + least(CAST(len(string_split(text,' ')) AS DOUBLE) / 100.0, 1.0) * 0.2
+       |    AS quality_score
+       |FROM documents""".stripMargin
   private val markerSql = langMarkers.map { case (l, ws) =>
     l -> ws.mkString("'", "','", "'")
   }

@@ -219,6 +219,20 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("d7: keeps exactly the highest-quality doc per cluster") {
+    val clusters = Dedup.d6DedupClusters(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val quality = TextAnalysis.t2QualityScore(spark, dir)
+      .select("doc_id", "quality_score").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val expected = clusters.groupBy(_._2).map { case (rep, members) =>
+      rep -> members.map(_._1).minBy(id => (-quality(id), id))
+    }
+    val got = Dedup.d7CanonicalSelection(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expected)
+  }
+
   test("v6: label centroids match a driver-side quantized mean") {
     val vecs = graft.sources.Tables.load(spark, dir, "embeddings")
       .select("label", "embedding").collect()

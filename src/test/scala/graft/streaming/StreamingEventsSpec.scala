@@ -89,6 +89,49 @@ class StreamingEventsSpec extends AnyFunSuite {
     } finally handle.stop()
   }
 
+  test("streaming incremental dedup anti-joins the known fingerprint set") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val dir = SparkTestSession.sf0001
+
+    val all = Tables.load(s, dir, "documents").as[Doc].collect().toSeq
+    // "history": fingerprints of the first half; stream the full corpus
+    val known = graft.operators.Pipeline.incrementalDedup(
+      Tables.load(s, dir, "documents")
+        .filter($"doc_id" < 250), // bootstrap trick: anti vs empty set
+      s.emptyDataset[String].toDF("fp"))
+      .select($"fp").distinct()
+    val knownSet = known.collect().map(_.getString(0)).toSet
+
+    val mem = MemoryStream[Doc]
+    val out = graft.operators.Pipeline.incrementalDedup(mem.toDF(), known)
+    val handle = ChangelogStream.appending(out, "incr-dedup-test")
+    val changelog = handle.changelog()
+    val table = new ResultTable(handle.schema)
+    try {
+      all.grouped(all.size / 2 + 1).foreach { chunk =>
+        mem.addData(chunk)
+        handle.processAllAvailable()
+        table.update(changelog.consume())
+      }
+      val keptFps = table.rows.map(_(1).asInstanceOf[String])
+      assert(keptFps.nonEmpty, "some new documents must survive")
+      assert(!keptFps.exists(knownSet.contains),
+        "no surviving document may carry a known fingerprint")
+      // every streamed doc whose fp is new must survive exactly once per
+      // distinct appearance
+      val expected = all.map(d => d.doc_id).filterNot { id =>
+        knownSet.contains(
+          java.security.MessageDigest.getInstance("MD5")
+            .digest(all.find(_.doc_id == id).get.text.toLowerCase
+              .replaceAll("[^a-z0-9]+", " ").trim.getBytes("UTF-8"))
+            .map("%02x".format(_)).mkString)
+      }.toSet
+      assert(table.rows.map(_(0).asInstanceOf[Long]).toSet == expected)
+    } finally handle.stop()
+  }
+
   test("flatMapGroupsWithState keeps running per-key state across batches") {
     val s = spark
     import s.implicits._
