@@ -1,0 +1,97 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.SparkSession
+
+/** Scale-trend probe: runs every registry query at a ladder of scale
+  * factors (default sf0.001 → sf0.01 → sf0.1, each 10× the data of the
+  * last) and writes a machine-readable `SCALING.json` — per-query times at
+  * each rung, the time ratio across the largest 10× step, and an explicit
+  * `superlinear` list of queries whose ratio exceeds the data ratio. A
+  * query whose time grows faster than its input cannot survive the
+  * 100 TB target, so the flag list is the artifact a scale review reads
+  * first (ScalingArtifactSpec asserts it stays empty).
+  *
+  * Measurement protocol matches Bench: noop-sink materialization,
+  * min-of-2 with a cold operator-cache per run (clearCache), shared JIT
+  * warmth via an untimed warmup query.
+  */
+object Scaling {
+  def main(args: Array[String]): Unit = {
+    val dirs = sys.env.getOrElse("SPARK_GRAFT_SCALING_DIRS",
+      "/root/testdata/sf0.001,/root/testdata/sf0.01,/root/testdata/sf0.1")
+      .split(",").toSeq
+    val out = sys.env.getOrElse("SPARK_GRAFT_SCALING_OUT", "SCALING.json")
+    // time ratio allowed across one 10× data step before a query is
+    // flagged: exactly-linear is 10×; fixed per-query overheads push real
+    // ratios far BELOW 10, so crossing it means superlinear work
+    val dataRatio = sys.env.getOrElse("SPARK_GRAFT_SCALING_DATA_RATIO", "10.0").toDouble
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-scaling")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    {
+      import org.apache.spark.sql.functions._
+      val n = spark.read.parquet(s"${dirs.head}/nation.parquet")
+      val r = spark.read.parquet(s"${dirs.head}/region.parquet")
+      n.join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name")).count().orderBy(col("r_name"))
+        .write.format("noop").mode("overwrite").save()
+    }
+
+    def time(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
+             dir: String): Option[Double] = {
+      val ts = (1 to 2).flatMap { _ =>
+        spark.catalog.clearCache()
+        val t0 = System.nanoTime()
+        try {
+          fn(spark, dir).write.format("noop").mode("overwrite").save()
+          Some((System.nanoTime() - t0) / 1e9)
+        } catch { case e: Throwable =>
+          System.err.println(s"[scaling] failed on $dir: ${e.getMessage}")
+          None
+        }
+      }
+      if (ts.size == 2) Some(ts.min) else None
+    }
+
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    val rows = names.map { name =>
+      val fn = SparkEntry.queries(name)
+      val times = dirs.map(d => time(fn, d))
+      // ratio over the LAST (largest) 10× step — the one that predicts the
+      // next scale-up; smaller rungs are dominated by fixed overhead
+      val ratio = (times.takeRight(2) match {
+        case Seq(Some(a), Some(b)) if a > 0 => Some(b / a)
+        case _ => None
+      })
+      System.err.println(s"[scaling] $name: " +
+        times.map(_.map(t => f"$t%.2f").getOrElse("fail")).mkString(" -> ") +
+        ratio.map(r => f" (ratio $r%.2f)").getOrElse(""))
+      (name, times, ratio)
+    }
+    val superlinear = rows.collect {
+      case (n, _, Some(r)) if r > dataRatio => n
+    }
+    def jd(d: Double): String = f"$d%.3f"
+    val qjson = rows.map { case (n, times, ratio) =>
+      val ts = times.map(_.map(jd).getOrElse("null")).mkString("[", ",", "]")
+      s""""$n":{"times":$ts,"ratio":${ratio.map(jd).getOrElse("null")}}"""
+    }.mkString("{", ",", "}")
+    val dj = dirs.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val sj = superlinear.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val json =
+      s"""{"dirs":$dj,"data_ratio_per_step":$dataRatio,"queries":$qjson,"superlinear":$sj}"""
+    Files.writeString(Paths.get(out), json)
+    println(json)
+    spark.stop()
+  }
+}
