@@ -172,49 +172,87 @@ object Dedup {
       .orderBy($"d1", $"d2")
   }
 
+  /** Distributed connected components over an undirected pair graph via
+    * alternating large-star / small-star contractions (the MapReduce CC
+    * algorithm of Kiveris et al., "Connected Components in MapReduce and
+    * Beyond", SoCC'14): converges in O(log n) star passes even on
+    * adversarial long-chain components, where plain min-label propagation
+    * needs component-diameter rounds. Each pass is one groupBy + one join
+    * over the edge set (8-byte ids only); `localCheckpoint` truncates the
+    * iterative lineage.
+    *
+    * Convergence is an exact edge-set-equality check (equal counts + empty
+    * anti-join) — no aggregate fingerprint, so no 64-bit-wraparound
+    * false-convergence risk at any id range. At the fixpoint every
+    * component is a star rooted at its min node, which IS the label table.
+    *
+    * Returns (node → rep labels, number of star passes taken). Input may
+    * carry any two numeric columns; self-pairs are dropped. */
+  def connectedComponents(pairs: DataFrame): (DataFrame, Int) = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    val cols = pairs.columns
+    // canonical undirected edges (a < b), deduped
+    var edges = pairs
+      .select(least(col(cols(0)), col(cols(1))).as("a"),
+        greatest(col(cols(0)), col(cols(1))).as("b"))
+      .where($"a" =!= $"b").distinct()
+      .localCheckpoint()
+
+    // large-star(u): m = min(Γ(u) ∪ {u}); connect every STRICTLY LARGER
+    // neighbor v to m. Output edges are canonical (m < v) by construction.
+    def largeStar(e: DataFrame): DataFrame = {
+      val bidir = e.select($"a", $"b")
+        .union(e.select($"b".as("a"), $"a".as("b")))
+      val mins = bidir.groupBy($"a").agg(min($"b").as("mb"))
+        .select($"a", least($"mb", $"a").as("m"))
+      bidir.join(mins, "a").where($"b" > $"a")
+        .select($"m".as("a"), $"b")
+        .distinct()
+    }
+
+    // small-star(u): over the SMALLER-or-equal neighborhood N (edges
+    // oriented toward their larger endpoint), m = min(N); connect every
+    // other v ∈ N and u itself to m.
+    def smallStar(e: DataFrame): DataFrame = {
+      val mins = e.groupBy($"b").agg(min($"a").as("m"))
+      e.join(mins, "b").where($"a" =!= $"m")
+        .select($"m".as("a"), $"a".as("b"))
+        .union(mins.select($"m".as("a"), $"b"))
+        .where($"a" =!= $"b")
+        .distinct()
+    }
+
+    var rounds = 0
+    var converged = edges.isEmpty
+    while (!converged && rounds < 100) {
+      val next = smallStar(largeStar(edges)).localCheckpoint()
+      // set equality: both sides are distinct, so equal counts plus an
+      // empty (next \ edges) anti-join means identical edge sets
+      converged = next.count() == edges.count() &&
+        next.join(edges, Seq("a", "b"), "left_anti").isEmpty
+      edges = next
+      rounds += 1
+    }
+    // fixpoint edges are (root, member) stars; the groupBy(min) is a
+    // safety net that also folds roots (rep = self) into the label table
+    val labels = edges.select($"b".as("node"), $"a".as("rep"))
+      .union(edges.select($"a".as("node"), $"a".as("rep")))
+      .groupBy($"node").agg(min($"rep").as("rep"))
+    (labels, rounds)
+  }
+
   /** D6 — dedup cluster formation: connected components over the D3
     * near-dup pair graph, so every document maps to one canonical
     * representative (the min doc_id in its component) — the step a real
     * dedup pipeline runs after pair generation, since near-duplicate is
-    * not transitive but retention decisions must be.
-    *
-    * Algorithm: distributed min-label propagation — each round, every node
-    * takes the min label among itself and its neighbors (one shuffle join
-    * + one groupBy per round), until a fixpoint. Rounds = component
-    * diameter; near-dup components are tiny cliques, so 2-3 rounds. The
-    * driver loop holds only a row COUNT per round (convergence check);
-    * labels live distributed, with localCheckpoint truncating the
-    * iterative lineage. At 100 TB with adversarial long-chain components
-    * you'd switch to large-star/small-star (O(log n) rounds) — same
-    * per-round shape, noted here so the choice is deliberate. */
+    * not transitive but retention decisions must be. Componentry runs on
+    * [[connectedComponents]] (large-star/small-star, O(log n) rounds);
+    * the adversarial-chain bound is spec-tested in PipelineSpec. */
   def d6DedupClusters(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val pairs = d3JaccardPairs(spark, dir).select($"d1", $"d2")
-    val sym = pairs.union(pairs.select($"d2".as("d1"), $"d1".as("d2")))
-      .cache()
-    var labels = sym.select($"d1".as("node")).distinct()
-      .select($"node", $"node".as("rep"))
-      .localCheckpoint()
-    // convergence: per-node reps only ever decrease, so the label sum is
-    // strictly monotone until the fixpoint — one cheap aggregate per round
-    // instead of a join+count (coalesce: a pair-free corpus sums to null)
-    def labelSum(df: DataFrame): Long =
-      df.agg(coalesce(sum($"rep"), lit(0L))).head.getLong(0)
-    var prevSum = labelSum(labels)
-    var rounds = 0
-    var converged = false
-    while (!converged && rounds < 50) {
-      val neighborReps = sym
-        .join(labels.select($"node".as("d2"), $"rep"), "d2")
-        .select($"d1".as("node"), $"rep")
-      labels = labels.union(neighborReps)
-        .groupBy($"node").agg(min($"rep").as("rep"))
-        .localCheckpoint()
-      val s = labelSum(labels)
-      converged = s == prevSum
-      prevSum = s
-      rounds += 1
-    }
+    val (labels, _) = connectedComponents(pairs)
     val sizes = labels.groupBy($"rep").agg(count(lit(1)).as("cluster_size"))
     labels.join(sizes, "rep")
       .select($"node".as("doc_id"), $"rep".as("cluster_rep"), $"cluster_size")

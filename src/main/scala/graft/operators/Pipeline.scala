@@ -87,9 +87,12 @@ object Pipeline {
       .orderBy($"doc_id")
   }
 
-  /** Docs per prefix-sum block (p3). At 100 TB pick the block key so block
-    * count stays ~1e6: the offsets table must be window-sortable cheaply. */
-  val ShardBlockSize = 100
+  /** Upper bound on prefix-sum blocks (p3). The per-block offsets table is
+    * the only thing that crosses p3's single-task window, so its size must
+    * be a CONSTANT, not a function of corpus size: block width is derived
+    * from max(doc_id), which caps the offsets table at ShardMaxBlocks rows
+    * whether the corpus has 10³ documents or 10¹². */
+  val ShardMaxBlocks = 4096L
   /** Token budget per output shard (p3). */
   val ShardTokenBudget = 500
 
@@ -98,18 +101,26 @@ object Pipeline {
     * cuts a corpus into equal-cost training shards. The running sum is a
     * two-phase distributed prefix sum: a window inside each doc_id block
     * (parallel across blocks) plus an exclusive running total over the
-    * per-block sums (a table ~N/ShardBlockSize rows, broadcast back).
-    * A naive `Window.orderBy(doc_id)` with no partitioning would drag the
-    * whole corpus through ONE task; this formulation never does. */
+    * per-block sums (a table of AT MOST ShardMaxBlocks rows, broadcast
+    * back). A naive `Window.orderBy(doc_id)` with no partitioning would
+    * drag the whole corpus through ONE task; this formulation never does,
+    * at any scale: blocks are contiguous id ranges of width
+    * ceil((max_id+1)/ShardMaxBlocks), so the block count — and therefore
+    * the one unpartitioned window's input — is bounded by a constant. The
+    * max(doc_id) probe is a map-side-combinable scalar aggregate (one
+    * cheap extra job), not a collect of data rows. */
   def p3TokenShards(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val base = Tables.load(spark, dir, "documents")
-      .select($"doc_id", size(tokens($"text")).as("n_tokens"),
-        expr(s"doc_id DIV $ShardBlockSize").as("block"))
+    val docs = Tables.load(spark, dir, "documents")
+      .select($"doc_id", size(tokens($"text")).as("n_tokens"))
+    val maxId = docs.agg(max($"doc_id")).head.getLong(0)
+    val blockWidth = maxId / ShardMaxBlocks + 1
+    val base = docs
+      .withColumn("block", expr(s"doc_id DIV $blockWidth"))
     val wIn = Window.partitionBy($"block").orderBy($"doc_id")
       .rowsBetween(Window.unboundedPreceding, -1)
-    // block offsets: single-partition window is fine HERE — the table has
-    // N/ShardBlockSize rows (the corpus itself never enters this sort)
+    // block offsets: single-partition window is fine HERE — the table is
+    // bounded at ShardMaxBlocks rows (the corpus never enters this sort)
     val wBlocks = Window.orderBy($"block")
       .rowsBetween(Window.unboundedPreceding, -1)
     val offsets = base.groupBy($"block")

@@ -384,18 +384,18 @@ object Relational {
   }
 
   /** Q23 — sketch-based distinct counting: HLL++ approx_count_distinct
-    * per group next to the exact count. At 100 TB the sketch is the only
-    * viable path (fixed-size mergeable state, map-side combinable vs the
-    * exact count's expand-and-shuffle). Sketch values are engine-specific
-    * → rows-only for the driver; the ≤2% relative-error bound vs exact is
-    * asserted in RelationalSpec. */
+    * per group. At 100 TB the sketch is the only viable path (fixed-size
+    * mergeable state, map-side combinable); the exact count's
+    * expand-and-shuffle is the scale-killer and deliberately does NOT
+    * appear in this query — the ≤2% relative-error bound vs exact is
+    * asserted spec-side (RelationalSpec), where exactness belongs. Sketch
+    * values are engine-specific → rows-only for the driver. */
   def q23ApproxDistinct(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     Tables.load(spark, dir, "lineitem")
       .groupBy($"l_returnflag")
-      .agg(
-        approx_count_distinct($"l_partkey", 0.02).as("approx_parts"),
-        countDistinct($"l_partkey").as("exact_parts"))
+      .agg(count(lit(1)).as("n_rows"),
+        approx_count_distinct($"l_partkey", 0.02).as("approx_parts"))
       .orderBy($"l_returnflag")
   }
 

@@ -82,6 +82,25 @@ class PipelineSpec extends AnyFunSuite {
       s"block offsets must re-attach via broadcast:\n$plan")
   }
 
+  test("p3 scale: block count is bounded by ShardMaxBlocks at ANY id range") {
+    // the unpartitioned window's input is the per-block offsets table;
+    // block width derives from max(doc_id), so the block count — hence
+    // that window's input — is a constant, not a function of corpus size
+    def blocksFor(maxId: Long): Long = {
+      val width = maxId / Pipeline.ShardMaxBlocks + 1
+      maxId / width + 1
+    }
+    val fixtureMax = graft.sources.Tables.load(spark, dir, "documents")
+      .agg(org.apache.spark.sql.functions.max("doc_id")).head.getLong(0)
+    // fixture, dense ids, sparse 64-bit hash ids, adversarial extremes:
+    // the bound holds everywhere
+    Seq(fixtureMax, 0L, 1L, 4095L, 4096L, 1000000L, 1000000000000L,
+        Long.MaxValue / 3, Long.MaxValue - 1).foreach { maxId =>
+      assert(blocksFor(maxId) <= Pipeline.ShardMaxBlocks,
+        s"maxId=$maxId yields ${blocksFor(maxId)} blocks")
+    }
+  }
+
   test("p4: every flagged doc truly shares a 5-gram with a benchmark doc") {
     def grams(text: String): Set[String] =
       text.split(" ", -1).sliding(Pipeline.ContamN)
@@ -166,6 +185,22 @@ class PipelineSpec extends AnyFunSuite {
       assert(size == expected.values.count(_ == expected(node)).toLong,
         s"doc $node cluster_size")
     }
+  }
+
+  test("connected components: adversarial 256-node chain converges in O(log n) star passes") {
+    // a path graph maximizes diameter — min-label propagation would need
+    // ~255 rounds; large-star/small-star must close it in O(log n) passes
+    val chain = spark.range(255).selectExpr("id AS d1", "id + 1 AS d2")
+    // plus a disjoint clique, so multiple components resolve in one run
+    val clique = spark.range(4).selectExpr("id + 1000 AS d1", "1004 AS d2")
+    val (labelsDf, rounds) = Dedup.connectedComponents(chain.union(clique))
+    val labels = labelsDf.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(labels.size == 261)
+    (0L to 255L).foreach(n => assert(labels(n) == 0L, s"chain node $n"))
+    (1000L to 1004L).foreach(n => assert(labels(n) == 1000L, s"clique node $n"))
+    assert(rounds <= 16, s"chain of diameter 255 took $rounds star passes " +
+      "- expected O(log n)")
   }
 
   test("p7: exactly StratumK docs per language, stable across runs") {

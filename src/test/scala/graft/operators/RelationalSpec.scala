@@ -9,12 +9,26 @@ class RelationalSpec extends AnyFunSuite {
   private val dir = SparkTestSession.sf0001
 
   test("approx_count_distinct is within its 2% error bound of exact") {
+    import org.apache.spark.sql.functions._
+    // the exact countDistinct lives HERE, not in the registry query: its
+    // expand-and-shuffle is exactly what the sketch exists to avoid
+    val exact = graft.sources.Tables.load(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_partkey")).as("exact_parts"))
+      .collect().map(r => r.getString(0) -> r.getLong(1).toDouble).toMap
     Relational.q23ApproxDistinct(spark, dir).collect().foreach { r =>
-      val approx = r.getLong(1).toDouble
-      val exact = r.getLong(2).toDouble
-      assert(math.abs(approx - exact) / exact <= 0.05,
-        s"approx $approx vs exact $exact for ${r.getString(0)}")
+      val approx = r.getLong(2).toDouble
+      val e = exact(r.getString(0))
+      assert(math.abs(approx - e) / e <= 0.05,
+        s"approx $approx vs exact $e for ${r.getString(0)}")
     }
+  }
+
+  test("q23 plan: no exact-distinct expand survives in the registry query") {
+    val plan = Relational.q23ApproxDistinct(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.toLowerCase.contains("expand"),
+      s"exact countDistinct expand leaked back into q23:\n$plan")
   }
 
   test("demo1 jitter stays inside the declared lat/lon box") {
