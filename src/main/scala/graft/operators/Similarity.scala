@@ -126,51 +126,121 @@ object Similarity {
       .orderBy($"v1", $"v2")
   }
 
-  /** V4 — IVF-style coarse quantization with k-means-refined centroids.
-    * Seed = every 50th vector; `kmeansIters` Lloyd passes (assign =
-    * map-side argmax-cosine, recenter = posexplode → per-(cell, dim) mean,
-    * which partial-aggregates map-side so the recenter shuffle is O(C×dim),
-    * not O(N×dim)). Cell assignment ships the centroid table to every task
-    * as ONE broadcast row (an array of (cent_id, cv, cn) structs) and picks
-    * the best cell inside a higher-order function — no join, no window, no
-    * exchange in the assignment stage (the round-1 formulation put N×C rows
-    * through a shuffle+sort). Queries probe their `nprobe` nearest cells
-    * (array_sort desc + slice, still map-side). A corpus vector lives in
-    * exactly one cell, so (query, vec) candidates cannot duplicate — no
-    * distinct(). Final per-query top-k via the mergeable TopKAggregate:
-    * only k (score, id) pairs per query cross the shuffle.
-    * Rows-only for the driver; overlap vs exact V1 in SimilaritySpec. */
-  def v4AnnIvf(spark: SparkSession, dir: String, nprobe: Int = 2,
-               kmeansIters: Int = 2): DataFrame = {
+  /** Target vectors per IVF cell: cell count k ≈ N / IvfVectorsPerCell. */
+  val IvfVectorsPerCell = 50
+
+  /** The whole centroid table as one row: array<struct<cent_id,cv,cn>> —
+    * the broadcast unit every map-side assignment/seeding pass consumes. */
+  private def centArray(c: DataFrame): DataFrame = {
+    import c.sparkSession.implicits._
+    c.agg(collect_list(struct($"cent_id", $"cv", norm($"cv").as("cn")))
+      .as("cents"))
+  }
+
+  /** Map-side cell assignment: score every centroid in a HOF over the ONE
+    * broadcast centroid row, sort descending, keep `probes` cells — no
+    * join, no window, no exchange. `df` needs (vec_id, v, nrm). */
+  private def ivfAssign(df: DataFrame, cents: DataFrame, probes: Int): DataFrame = {
+    import df.sparkSession.implicits._
+    val scored = transform($"cents", c =>
+      struct(
+        (dot($"v", c("cv")) / ($"nrm" * c("cn"))).as("cos"),
+        (-c("cent_id")).as("nk"), // tie-break: lowest cent_id wins
+        c("cent_id").as("cent_id")))
+    df.crossJoin(broadcast(cents))
+      .select($"vec_id", $"v", $"nrm",
+        explode(slice(reverse(array_sort(scored)), 1, probes)).as("best"))
+      .select($"vec_id", $"v", $"nrm", $"best.cent_id".as("cent_id"))
+  }
+
+  /** Deterministic k-means||-style seeding (Bahmani et al., VLDB'12 —
+    * the distributed k-means++): one salted-hash-min first center, then
+    * `rounds` oversampling passes that admit each point with probability
+    * ∝ its spherical distance (1 − cos) to the nearest chosen center
+    * (the "random" draw is a salted xxhash64 uniform, so seeding is
+    * exactly reproducible), then a weighted greedy farthest-point
+    * reduction of the ~rounds×k candidates down to k.
+    *
+    * Scale shape: every corpus-wide step is the same map-side
+    * HOF-vs-one-broadcast-row pattern as assignment; only the candidate
+    * set — O(k·rounds) rows, never the corpus — reaches the driver for
+    * the final reduction, which is the published algorithm's recluster
+    * step. Replaces the round-2 every-50th-vector seeding, whose
+    * id-order-correlated picks left cells unbalanced. */
+  private[operators] def seedCentroids(emb: DataFrame, k: Int,
+                                       rounds: Int = 2): DataFrame = {
+    val spark = emb.sparkSession
     import spark.implicits._
-    val emb = Tables.load(spark, dir, "embeddings")
-      .select($"vec_id", asDouble($"embedding").as("v"))
-      .withColumn("nrm", norm($"v"))
-      .cache()
-
-    // the whole centroid table as one row: array<struct<cent_id,cv,cn>>
-    def centArray(c: DataFrame): DataFrame =
-      c.agg(collect_list(struct($"cent_id", $"cv", norm($"cv").as("cn")))
-        .as("cents"))
-
-    // map-side cell assignment: score every centroid in a HOF over the
-    // broadcast array, sort descending, keep `probes` cells
-    def assign(df: DataFrame, cents: DataFrame, probes: Int): DataFrame = {
-      val scored = transform($"cents", c =>
-        struct(
-          (dot($"v", c("cv")) / ($"nrm" * c("cn"))).as("cos"),
-          (-c("cent_id")).as("nk"), // tie-break: lowest cent_id wins
-          c("cent_id").as("cent_id")))
-      df.crossJoin(broadcast(cents))
-        .select($"vec_id", $"v", $"nrm",
-          explode(slice(reverse(array_sort(scored)), 1, probes)).as("best"))
-        .select($"vec_id", $"v", $"nrm", $"best.cent_id".as("cent_id"))
+    // first center: salted-hash-min vector (deterministic "random" pick)
+    var cand = emb
+      .withColumn("h", xxhash64(lit("seed0"), $"vec_id"))
+      .orderBy($"h", $"vec_id").limit(1)
+      .select($"vec_id", $"v")
+      .localCheckpoint()
+    for (r <- 1 to rounds) {
+      val ca = centArray(cand.select($"vec_id".as("cent_id"), $"v".as("cv")))
+      val d2 = emb.crossJoin(broadcast(ca))
+        .select($"vec_id", $"v",
+          greatest(lit(0.0), lit(1.0) - array_max(transform($"cents",
+            c => dot($"v", c("cv")) / ($"nrm" * c("cn"))))).as("d2"))
+      val tot = math.max(
+        d2.agg(sum($"d2")).head.getDouble(0), 1e-12)
+      val u = pmod(xxhash64(lit(s"seed$r"), $"vec_id"), lit(1L << 24))
+        .cast("double") / (1L << 24).toDouble
+      cand = cand.union(
+          d2.filter(u * tot < $"d2" * k).select($"vec_id", $"v"))
+        .dropDuplicates("vec_id")
+        .localCheckpoint()
     }
+    // weight candidates by how many corpus points they currently own
+    val weights = ivfAssign(emb,
+        centArray(cand.select($"vec_id".as("cent_id"), $"v".as("cv"))), 1)
+      .groupBy($"cent_id").agg(count(lit(1)).as("w"))
+    val cs = cand.join(weights, cand("vec_id") === weights("cent_id"), "left")
+      .select(cand("vec_id"), $"v", coalesce($"w", lit(0L)).as("w"))
+      .orderBy($"vec_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getLong(2)))
+    // greedy weighted farthest-point over the SMALL candidate set: start
+    // from the heaviest, then repeatedly add the candidate maximizing
+    // weight × spherical distance to its nearest chosen center
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / math.sqrt(na * nb)
+    }
+    val chosen = scala.collection.mutable.ArrayBuffer.empty[Array[Double]]
+    if (cs.nonEmpty) {
+      val bestD = Array.fill(cs.length)(1.0) // 1 - cos to nearest chosen
+      var next = cs.indices.maxBy(i => (cs(i)._3, -cs(i)._1))
+      while (chosen.length < k && next >= 0) {
+        chosen += cs(next)._2
+        var i = 0
+        while (i < cs.length) {
+          bestD(i) = math.min(bestD(i), math.max(0.0, 1.0 - cos(cs(i)._2, cs(next)._2)))
+          i += 1
+        }
+        val left = cs.indices.filter(i => bestD(i) > 1e-12)
+        next = if (left.isEmpty || chosen.length >= k) -1
+               else left.maxBy(i => (cs(i)._3 * bestD(i), -cs(i)._1))
+      }
+    }
+    spark.createDataFrame(chosen.toSeq.zipWithIndex.map { case (v, i) =>
+      (i.toLong, v.toSeq)
+    }).toDF("cent_id", "cv")
+  }
 
-    var centroids = emb.filter($"vec_id" % 50 === 0)
-      .select(($"vec_id" / 50).cast("long").as("cent_id"), $"v".as("cv"))
+  /** Fit IVF centroids: k-means|| seed + `kmeansIters` Lloyd passes
+    * (assign = map-side argmax-cosine; recenter = posexplode →
+    * per-(cell, dim) mean, which partial-aggregates map-side so the
+    * recenter shuffle is O(C×dim), not O(N×dim)). One Lloyd pass suffices
+    * after k-means|| seeding — that trade is the algorithm's point. */
+  private def fitIvfCentroids(emb: DataFrame, kmeansIters: Int): DataFrame = {
+    import emb.sparkSession.implicits._
+    val k = math.max(1L, emb.count() / IvfVectorsPerCell)
+    var centroids = seedCentroids(emb, k.toInt)
     for (_ <- 1 to kmeansIters) {
-      centroids = assign(emb, centArray(centroids), 1)
+      centroids = ivfAssign(emb, centArray(centroids), 1)
         .select($"cent_id", posexplode($"v"))
         .groupBy($"cent_id", $"pos").agg(avg($"col").as("m"))
         .groupBy($"cent_id")
@@ -178,10 +248,28 @@ object Similarity {
         .select($"cent_id", transform($"pm", x => x("m")).as("cv"))
         .localCheckpoint() // truncate iterative lineage; only C rows
     }
+    centroids
+  }
 
-    val cents = centArray(centroids).cache()
-    val assigned = assign(emb, cents, 1)
-    val queries = assign(emb.filter($"vec_id" < QueryCount), cents, nprobe)
+  /** V4 — IVF-style coarse quantization over k-means||-seeded,
+    * Lloyd-refined centroids. Queries probe their `nprobe` nearest cells
+    * (array_sort desc + slice, still map-side). A corpus vector lives in
+    * exactly one cell, so (query, vec) candidates cannot duplicate — no
+    * distinct(). Final per-query top-k via the mergeable TopKAggregate:
+    * only k (score, id) pairs per query cross the shuffle.
+    * Rows-only for the driver; cell balance + recall-vs-nprobe curve in
+    * SimilaritySpec. */
+  def v4AnnIvf(spark: SparkSession, dir: String, nprobe: Int = 2,
+               kmeansIters: Int = 1): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.load(spark, dir, "embeddings")
+      .select($"vec_id", asDouble($"embedding").as("v"))
+      .withColumn("nrm", norm($"v"))
+      .cache()
+
+    val cents = centArray(fitIvfCentroids(emb, kmeansIters)).cache()
+    val assigned = ivfAssign(emb, cents, 1)
+    val queries = ivfAssign(emb.filter($"vec_id" < QueryCount), cents, nprobe)
       .select($"vec_id".as("query_id"), $"v".as("qv"), $"nrm".as("qn"),
         $"cent_id")
     assigned.join(broadcast(queries), Seq("cent_id"))
@@ -194,6 +282,19 @@ object Similarity {
       .select($"query_id", ($"pos" + 1).cast("int").as("rk"),
         $"col.id".as("vec_id"), round($"col.score", 6).as("cos_sim"))
       .orderBy($"query_id", $"rk")
+  }
+
+  /** The fitted IVF cell assignment (vec_id → cent_id) — exposed so the
+    * cell-balance property is spec-checkable on the exact model v4 uses. */
+  private[operators] def ivfCellAssignment(spark: SparkSession, dir: String,
+                                           kmeansIters: Int = 1): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.load(spark, dir, "embeddings")
+      .select($"vec_id", asDouble($"embedding").as("v"))
+      .withColumn("nrm", norm($"v"))
+      .cache()
+    ivfAssign(emb, centArray(fitIvfCentroids(emb, kmeansIters)), 1)
+      .select($"vec_id", $"cent_id")
   }
 
   /** V5 — brute-force top-k via the mergeable TopKAggregate: identical

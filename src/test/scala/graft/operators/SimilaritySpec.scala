@@ -27,9 +27,36 @@ class SimilaritySpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(2))).toSet
     val ivf = Similarity.v4AnnIvf(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(2))).toSet
-    // IVF probes one cell: approximate by design; just require real overlap
+    // IVF probes few cells: approximate by design; require real overlap
     val overlap = exact.count(ivf.contains).toDouble / exact.size
     assert(overlap >= 0.2, s"ivf overlap $overlap suspiciously low")
+  }
+
+  test("ivf recall grows monotonically with nprobe") {
+    val exact = Similarity.v1AnnTopK(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    def overlap(nprobe: Int): Double = {
+      val ivf = Similarity.v4AnnIvf(spark, dir, nprobe = nprobe).collect()
+        .map(r => (r.getLong(0), r.getLong(2))).toSet
+      exact.count(ivf.contains).toDouble / exact.size
+    }
+    // seeding is deterministic, so probing more cells only ever ADDS
+    // candidates: the recall curve must be non-decreasing in nprobe
+    val curve = Seq(1, 2, 4).map(overlap)
+    assert(curve(0) <= curve(1) && curve(1) <= curve(2),
+      s"recall-vs-nprobe curve not monotone: $curve")
+    assert(curve(2) >= 0.5, s"nprobe=4 recall ${curve(2)} too low ($curve)")
+  }
+
+  test("ivf cells are balanced after k-means|| seeding") {
+    val sizes = Similarity.ivfCellAssignment(spark, dir)
+      .groupBy("cent_id").count().collect().map(_.getLong(1))
+    assert(sizes.nonEmpty)
+    val mean = sizes.sum.toDouble / sizes.length
+    // every-50th-vector seeding left cells wildly uneven; the balance
+    // bound here is the property the k-means|| seed exists to provide
+    assert(sizes.max <= 4.0 * mean,
+      s"largest cell ${sizes.max} vs mean $mean: ${sizes.toSeq.sorted}")
   }
 
   test("brute-force top-k is k rows per query, ranked by cosine desc") {
