@@ -44,10 +44,65 @@ object UserStream {
       .format(format)
       .load(path)
 
+  /** Schema-Registry wire format (the framing JR produces for the `user`
+    * topic): 1 magic byte 0x00, then a 4-byte big-endian schema id, then
+    * the Avro binary payload. This framing logic needs no connector jars,
+    * so it IS unit-testable in this environment (UserStreamSpec) even
+    * though the Kafka reader itself is not. */
+  val WireMagic: Byte = 0x00
+  val WireHeaderLen: Int = 5
+
+  /** Schema id of a wire-format message (big-endian bytes 1–4). */
+  def wireSchemaId(msg: Array[Byte]): Int = {
+    require(msg.length >= WireHeaderLen && msg(0) == WireMagic,
+      s"not Schema-Registry wire format: len=${msg.length}, " +
+        s"magic=${if (msg.nonEmpty) msg(0) else "∅"}")
+    ((msg(1) & 0xff) << 24) | ((msg(2) & 0xff) << 16) |
+      ((msg(3) & 0xff) << 8) | (msg(4) & 0xff)
+  }
+
+  /** Drop the 5-byte header, returning the raw Avro payload — the JVM twin
+    * of the Column-level strip used in [[kafka]]. */
+  def stripWireHeader(msg: Array[Byte]): Array[Byte] = {
+    wireSchemaId(msg) // validates magic + length
+    java.util.Arrays.copyOfRange(msg, WireHeaderLen, msg.length)
+  }
+
+  /** Column-level header strip (1-based SQL substring: byte 6 onward). */
+  def stripWireHeaderCol(value: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    substring(value, WireHeaderLen + 1, Int.MaxValue)
+
+  /** Decode the Avro *binary* encoding of the user record without the
+    * spark-avro jar: Avro binary is field-ordered with no tags — strings
+    * are a zigzag-varint byte length + UTF-8, ints are zigzag varints
+    * (Avro spec §binary encoding). Used by UserStreamSpec to round-trip
+    * crafted wire messages, keeping the kafka() path's decode contract
+    * honest even though `from_avro` itself cannot load here. */
+  def decodeAvroUser(payload: Array[Byte]): (String, String, Int, String) = {
+    var pos = 0
+    def varint(): Long = {
+      var shift = 0; var acc = 0L; var b = 0
+      do {
+        b = payload(pos) & 0xff; pos += 1
+        acc |= (b & 0x7fL) << shift; shift += 7
+      } while ((b & 0x80) != 0)
+      (acc >>> 1) ^ -(acc & 1) // zigzag decode
+    }
+    def str(): String = {
+      val len = varint().toInt
+      val s = new String(payload, pos, len, "UTF-8"); pos += len; s
+    }
+    val guid = str(); val eyeColor = str()
+    val age = varint().toInt
+    val balance = str()
+    require(pos == payload.length,
+      s"trailing ${payload.length - pos} bytes after user record")
+    (guid, eyeColor, age, balance)
+  }
+
   /** Kafka + Avro wiring (requires spark-sql-kafka-0-10 and spark-avro on
-    * the classpath; not present in this environment). The substring(6)
-    * drops the 1-byte magic + 4-byte schema-id Confluent wire-format
-    * header before Avro decoding. */
+    * the classpath; not present in this environment — the framing logic
+    * above is the unit-tested subset). */
   def kafka(spark: SparkSession, bootstrap: String, topic: String = "user"): DataFrame = {
     val raw = spark.readStream
       .format("kafka")
@@ -55,7 +110,7 @@ object UserStream {
       .option("subscribe", topic)
       .option("startingOffsets", "earliest")
       .load()
-    val payload = expr("substring(value, 6, 2147483647)") // strip SR header
+    val payload = stripWireHeaderCol(col("value"))
     raw.select(
       // from_avro lives in the spark-avro module; resolved reflectively so
       // this class links without the jar and fails only if actually used
