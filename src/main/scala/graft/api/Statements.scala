@@ -119,17 +119,27 @@ final class Statements(spark: SparkSession, prefix: String = "stmt-",
     }.getOrElse(Nil)
   }
 
+  /** A memo hit is only served while the statement is still usable: a
+    * Failed statement (batch collect() threw, or the streaming query
+    * died), or a streaming statement that was stopped, would otherwise be
+    * returned permanently broken for its SQL with no way to re-run it. */
+  private def live(s: Statement): Boolean =
+    s.phase != Phase.Failed &&
+      !(s.isStreaming && !s.handle.exists(_.query.isActive))
+
   /** Create (or return the memoized) statement for this SQL. Streaming
     * plans start immediately with a changelog-synthesizing sink keyed on
     * `keyCols` — or, when omitted, on the grouping columns derived from
-    * the analyzed plan; batch plans are complete on arrival. */
+    * the analyzed plan; batch plans are complete on arrival. A cached
+    * statement that has failed (or whose streaming query is no longer
+    * active) is evicted and re-created rather than returned dead. */
   def create(sql: String, keyCols: Seq[String] = Nil): Statement = {
     val cacheKey = (sql, keyCols)
     // creation is heavyweight (may start a live streaming query), so misses
     // serialize: concurrent creates of the same SQL must not race two
     // queries into existence with one silently leaked
-    byQuery.get(cacheKey).getOrElse(createLock.synchronized {
-      byQuery.getOrElseUpdate(cacheKey, {
+    byQuery.get(cacheKey).filter(live).getOrElse(createLock.synchronized {
+      byQuery.get(cacheKey).filter(live).getOrElse {
         val name = prefix + randomId()
         val df = spark.sql(sql)
         val handle =
@@ -140,8 +150,9 @@ final class Statements(spark: SparkSession, prefix: String = "stmt-",
           } else None
         val stmt = new Statement(name, sql, df, handle)
         byName.put(name, stmt)
+        byQuery.put(cacheKey, stmt)
         stmt
-      })
+      }
     })
   }
 

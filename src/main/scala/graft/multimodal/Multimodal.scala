@@ -108,12 +108,36 @@ object Multimodal {
   /** The media table materialized as parquet — payloads live in their own
     * column chunk, so metadata-only queries prune them at the SCAN (the
     * 100 TB storage layout; asserted in MultimodalSpec). Written once per
-    * fixture dir per JVM; queries read this, not the in-memory synth. */
+    * fixture per JVM; queries read this, not the in-memory synth.
+    *
+    * Cache keying: canonical fixture path PLUS a content stamp (mtime +
+    * size of the source documents parquet), md5'd — a regenerated fixture
+    * at the same path gets a fresh cache entry instead of silently
+    * serving stale media, and distinct fixture dirs cannot collide the
+    * way a raw String.hashCode could. Cross-process safety: the table is
+    * written to a unique temp dir and atomically renamed into place; a
+    * concurrent JVM that wins the race simply has its output adopted. */
   def mediaParquet(spark: SparkSession, dir: String): DataFrame = synchronized {
-    val out = new java.io.File(sys.props("java.io.tmpdir"),
-      "graft-media-" + Integer.toHexString(dir.hashCode))
-    if (!new java.io.File(out, "_SUCCESS").exists())
-      mediaTable(spark, dir).write.mode("overwrite").parquet(out.getPath)
+    val src = new java.io.File(dir, "documents.parquet")
+    val stamp = new java.io.File(dir).getCanonicalPath +
+      "|" + src.lastModified + "|" + src.length
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(stamp.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
+    val out = new java.io.File(sys.props("java.io.tmpdir"), s"graft-media-$key")
+    if (!new java.io.File(out, "_SUCCESS").exists()) {
+      val tmp = new java.io.File(out.getParentFile,
+        out.getName + ".tmp-" + java.util.UUID.randomUUID().toString.take(8))
+      mediaTable(spark, dir).write.mode("overwrite").parquet(tmp.getPath)
+      if (!tmp.renameTo(out)) {
+        // lost the cross-process race (out now exists): drop our copy
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        rm(tmp)
+        require(new java.io.File(out, "_SUCCESS").exists(),
+          s"media cache rename failed and no winner present at $out")
+      }
+    }
     spark.read.parquet(out.getPath)
   }
 

@@ -64,13 +64,17 @@ final class ChangelogSynthesizer(schema: Seq[String], keyCols: Seq[String],
   /** Emit `-D` (with the final value) for every group whose event-time
     * bound is strictly before the watermark, and forget it. Strictly-before
     * keeps the `-D` non-spurious: a group AT the watermark can still
-    * legally update. No-op when no eviction column was configured. */
+    * legally update. A group whose eviction value is null is treated as
+    * not-yet-evictable (kept), never as a crash. No-op when no eviction
+    * column was configured. */
   def evictBefore(watermarkMillis: Long): Seq[ChangelogRecord] =
     evictIdx match {
       case None => Seq.empty
       case Some(i) =>
         val dead = state.iterator
-          .filter { case (_, row) => epochMillis(row(i)) < watermarkMillis }
+          .filter { case (_, row) =>
+            row(i) != null && epochMillis(row(i)) < watermarkMillis
+          }
           .map(_._1).toVector
         dead.map(k => ChangelogRecord(Some(Op.Delete), state.remove(k).get))
     }
@@ -191,12 +195,22 @@ object ChangelogStream {
     val evictIdx = evictBy.map { c =>
       val i = schema.indexOf(c)
       require(i >= 0, s"evictBy column $c not in output schema $schema")
+      // fail at setup, not per-row inside a running foreachBatch: the
+      // eviction comparison needs an event-time-comparable type
+      import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+      val dt = df.schema.fields(i).dataType
+      require(dt == TimestampType || dt == TimestampNTZType || dt == LongType,
+        s"evictBy column $c must be timestamp or epoch-millis long, got $dt")
       i
     }
     val synth = new ChangelogSynthesizer(schema, keyCols, evictIdx)
     val log = new RecordLog(maxBufferedRecords)
     // the closure needs the query for watermark lookup, but the query only
-    // exists after start(): late-bound reference
+    // exists after start(): late-bound reference, with a by-name registry
+    // fallback for batches that complete before start() returns (batch 0
+    // would otherwise see null and silently skip eviction). Eviction still
+    // lags one micro-batch (lastProgress semantics, see watermarkMillis) —
+    // a -D can be DELAYED, never falsified.
     @volatile var queryRef: StreamingQuery = null
     val query = df.writeStream
       .outputMode("update")
@@ -204,9 +218,11 @@ object ChangelogStream {
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val rows = batch.collect().iterator.map(r => r.toSeq.toVector).toSeq
+        val q = Option(queryRef).orElse(
+          batch.sparkSession.streams.active.find(_.name == queryName))
         val recs = synth.synchronized {
           val upserts = synth.onUpsert(rows)
-          val evicted = watermarkMillis(queryRef)
+          val evicted = q.flatMap(watermarkMillis(_))
             .map(synth.evictBefore).getOrElse(Seq.empty)
           upserts ++ evicted
         }

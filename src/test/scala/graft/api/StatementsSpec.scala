@@ -80,6 +80,123 @@ class StatementsSpec extends AnyFunSuite {
     assert(stmts.create(sql, keyCols = Seq("n_regionkey", "n_name")) eq b)
   }
 
+  test("all three reference queries run end-to-end through the facade") {
+    // the reference's exact SQL (dashboard.py:83,100,118-132 — no ORDER
+    // BY; continuous queries deliver changelogs, not sorted snapshots)
+    // over a continuously-fed `user` table, at the reference cadences:
+    // 300 ms status poll (Statements default), consume(1) per tick.
+    val dirPath = java.nio.file.Files.createTempDirectory("stmt-demo-e2e")
+    val written = scala.collection.mutable.ArrayBuffer.empty[(String, String, Int, Double)]
+    def page(name: String, users: (String, String, Int, Double)*): Unit = {
+      written ++= users
+      java.nio.file.Files.writeString(dirPath.resolve(name),
+        users.map { case (g, e, a, b) =>
+          f"""{"guid":"$g","eyeColor":"$e","age":$a,"balance":"$$$b%.2f"}"""
+        }.mkString("", "\n", "\n"))
+    }
+    page("p1.json", ("u1", "brown", 41, 10.0), ("u2", "blue", 25, 20.0),
+      ("u3", "brown", 52, 6.0))
+    graft.sources.UserStream.file(spark, dirPath.toString)
+      .createOrReplaceTempView("user")
+    val stmts = new Statements(spark)
+    val demo1 = stmts.create(
+      """SELECT `user`.guid,
+        |  37.7 + (RAND(42) * (37.77 - 37.7)) AS latitude,
+        |  -122.50 + (RAND(24) * (-122.39 - (-122.50))) AS longitude
+        |FROM `user`""".stripMargin)
+    val demo2 = stmts.create(
+      "SELECT eyeColor, count(*) AS eye_color_count FROM `user` GROUP BY eyeColor")
+    val demo3 = stmts.create(
+      """WITH users_with_age_groups AS (
+        |  SELECT CAST(substring(balance FROM 2) AS DOUBLE) AS balance_double,
+        |    CASE
+        |      WHEN age BETWEEN 20 AND 29 THEN '20s'
+        |      WHEN age BETWEEN 30 AND 39 THEN '30s'
+        |      WHEN age BETWEEN 40 AND 49 THEN '40s'
+        |      WHEN age BETWEEN 50 AND 59 THEN '50s'
+        |      ELSE 'other'
+        |    END AS age_group
+        |  FROM `user`)
+        |SELECT age_group, AVG(balance_double) AS avg_balance
+        |FROM users_with_age_groups
+        |GROUP BY age_group""".stripMargin)
+    val all = Seq(demo1, demo2, demo3)
+    try {
+      all.foreach { s =>
+        assert(s.isStreaming)
+        assert(stmts.waitForStatus(s, Set(Phase.Running)).isDefined)
+      }
+      // one live cursor per statement, spanning all pages
+      val cls = all.map(_.handle.get.changelog())
+      def tick(): Unit = { // reference cadence: consume ONE record per tick
+        all.foreach(_.handle.get.processAllAvailable())
+        cls.foreach(cl => while (cl.consume(1).nonEmpty) ())
+      }
+      def checkAll(): Unit = {
+        // demo1 (append mode): one +I per input row, jitter in bounds
+        val t1 = cls(0).collapse()
+        assert(t1.size == written.size)
+        assert(t1.rows.map(_(0)).toSet == written.map(_._1).toSet)
+        t1.rows.foreach { r =>
+          val lat = r(1).asInstanceOf[Double]; val lon = r(2).asInstanceOf[Double]
+          assert(lat >= 37.7 && lat <= 37.77 && lon >= -122.50 && lon <= -122.39)
+        }
+        // demo2/demo3 (update mode): collapse() == the batch answer over
+        // everything fed so far — the lib/flink.py:14-20 invariant
+        val t2 = cls(1).collapse()
+        val exp2 = written.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+        assert(t2.toMultiset == exp2.map { case (e, n) => Vector[Any](e, n) -> 1 },
+          s"demo2 collapse ${t2.rows} vs batch $exp2")
+        val t3 = cls(2).collapse()
+        def ageGroup(a: Int): String =
+          if (a >= 20 && a <= 29) "20s" else if (a <= 39) "30s"
+          else if (a <= 49) "40s" else if (a <= 59) "50s" else "other"
+        val exp3 = written.groupBy(r => ageGroup(r._3))
+          .map { case (g, rs) => g -> rs.map(_._4).sum / rs.size }
+        assert(t3.rows.map(r => r(0).toString ->
+          r(1).asInstanceOf[Double]).toMap.map { case (k, v) =>
+            k -> math.rint(v * 1e9) / 1e9
+          } == exp3.map { case (k, v) => k -> math.rint(v * 1e9) / 1e9 },
+          s"demo3 collapse ${t3.rows} vs batch $exp3")
+      }
+      tick(); checkAll()
+      // page 2: u4 inserts a new eye color; u5 bumps brown 3→4 (forces
+      // -U/+U); u6 moves the 40s average
+      page("p2.json", ("u4", "green", 33, 8.0), ("u5", "brown", 47, 12.0),
+        ("u6", "blue", 44, 50.0))
+      tick(); checkAll()
+      // flicker-suppression contract: every -U is immediately followed by
+      // its +U carrying the same key (dashboard.py:90-91 relies on this)
+      cls.drop(1).foreach { cl =>
+        val h = cl.history
+        h.zipWithIndex.foreach { case (rec, i) =>
+          if (rec.op.contains(graft.changelog.Op.UpdateBefore)) {
+            assert(i + 1 < h.length &&
+              h(i + 1).op.contains(graft.changelog.Op.UpdateAfter),
+              s"-U at $i not followed by +U: $h")
+            assert(h(i + 1).values(0) == rec.values(0), "-U/+U key mismatch")
+          }
+        }
+      }
+      // page 3: only demo3 effectively changes within '40s'+'other' strata
+      page("p3.json", ("u7", "brown", 61, 100.0))
+      tick(); checkAll()
+    } finally all.foreach(_.stop())
+  }
+
+  test("a failed statement is evicted from the memo and re-created") {
+    Tables.registerAll(spark, SparkTestSession.sf0001)
+    val stmts = new Statements(spark)
+    // fails unconditionally at EXECUTION (not analysis), no conf involved
+    val sql = "SELECT raise_error('boom') AS x FROM nation"
+    val stmt = stmts.create(sql)
+    intercept[Exception](stmt.results().foreach(_ => ()))
+    assert(stmt.phase == Phase.Failed)
+    val again = stmts.create(sql)
+    assert(!(again eq stmt), "a Failed statement must not be served from memo")
+    assert(again.phase != Phase.Failed)
+  }
+
   test("a failing batch statement reaches the failed phase") {
     Tables.registerAll(spark, SparkTestSession.sf0001)
     val stmts = new Statements(spark)
