@@ -269,6 +269,39 @@ object Pipeline {
       .orderBy($"lang", $"rk")
   }
 
+  /** Distinctive terms kept per language by p9. */
+  val TfidfK = 10
+
+  /** P9 — TF-IDF distinctive terms per language: rank tokens by term
+    * frequency within the language weighted by corpus-wide rarity — how a
+    * pipeline characterizes sub-corpora (domain tags, contamination
+    * review, mixture design). The idf factor is the LINEAR form
+    * n_docs/df, not log(n_docs/df): ln() differs in the last ulp across
+    * engines and a one-ulp flip reorders ranks, while tf·N/df is ONE IEEE
+    * division of exact integers — bit-identical on the oracle side and
+    * rank-monotone in df exactly like the log form.
+    *
+    * Scale shape (p5's): tf and df both partial-aggregate map-side; the
+    * corpus-wide df join and the ranking window run over the aggregated
+    * vocabulary (|vocab| rows), never the corpus. */
+  def p9TfIdf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.load(spark, dir, "documents")
+    val nDocs = docs.count() // one map-side-combinable scalar job
+    val tok = docs.select($"doc_id", $"lang",
+      explode(tokens($"text")).as("token"))
+    val dfT = tok.select($"doc_id", $"token").distinct()
+      .groupBy($"token").agg(count(lit(1)).as("df"))
+    val tf = tok.groupBy($"lang", $"token").agg(count(lit(1)).as("tf"))
+    val w = Window.partitionBy($"lang").orderBy($"score".desc, $"token".asc)
+    tf.join(dfT, "token")
+      .withColumn("score", ($"tf" * nDocs).cast(DoubleType) / $"df")
+      .withColumn("rk", row_number().over(w))
+      .filter($"rk" <= TfidfK)
+      .select($"lang", $"rk", $"token", $"tf", $"df", $"score")
+      .orderBy($"lang", $"rk")
+  }
+
   /** P8 — cross-modal join: text-side statistics per embedding-side label
     * (documents ⋈ embeddings on the shared id). Both sides are
     * corpus-scale, so this is the co-partitioned shuffle-join shape (at
@@ -300,6 +333,7 @@ object Pipeline {
     "p3_token_shards" -> p3TokenShards _,
     "p4_contamination" -> p4Contamination _,
     "p5_vocab_topk" -> p5VocabTopK _,
+    "p9_tfidf" -> p9TfIdf _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -378,6 +412,21 @@ object Pipeline {
         |  CAST(CAST(sum(n_tokens) AS BIGINT) AS DOUBLE) / count(*) AS avg_tokens
         |FROM d JOIN e USING (doc_id)
         |GROUP BY label ORDER BY label""".stripMargin,
+    "p9_tfidf" ->
+      s"""WITH u AS (SELECT doc_id, lang, unnest(string_split(text,' ')) AS token
+         |  FROM documents),
+         |n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+         |dft AS (SELECT token, CAST(count(*) AS BIGINT) AS df
+         |  FROM (SELECT DISTINCT doc_id, token FROM u) GROUP BY token),
+         |tf AS (SELECT lang, token, CAST(count(*) AS BIGINT) AS tf
+         |  FROM u GROUP BY 1, 2),
+         |s AS (SELECT lang, token, tf, df,
+         |  CAST(tf * (SELECT n_docs FROM n) AS DOUBLE) / df AS score
+         |  FROM tf JOIN dft USING (token)),
+         |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY lang
+         |    ORDER BY score DESC, token ASC) AS INT) AS rk FROM s)
+         |SELECT lang, rk, token, tf, df, score FROM r WHERE rk <= $TfidfK
+         |ORDER BY lang, rk""".stripMargin,
     "p5_vocab_topk" ->
       s"""WITH c AS (SELECT lang, tok AS token, count(*) AS cnt
          |  FROM (SELECT lang, unnest(string_split(text,' ')) AS tok FROM documents) u

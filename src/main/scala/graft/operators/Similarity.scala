@@ -318,6 +318,53 @@ object Similarity {
       .orderBy($"query_id", $"rk")
   }
 
+  /** V7 — int8-quantized brute-force top-k: each vector is symmetrically
+    * quantized to `round(x·127/max|x|)` stored as `array<tinyint>` — an
+    * 8× storage/bandwidth cut vs float64 (the compression that makes a
+    * 100 TB embedding corpus broadcast- and cache-friendly); scoring is
+    * EXACT integer dot products over the quantized values with one final
+    * double division, so results are deterministic. Same physical shape
+    * as v5 (queries broadcast, corpus streams, mergeable top-k — only k
+    * pairs per query cross the shuffle). Quantized scores reorder
+    * near-ties vs exact cosine → rows-only for the driver; recall@k vs
+    * exact v1 plus the tinyint schema claim are asserted in
+    * SimilaritySpec. */
+  def v7AnnQuantized(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val qemb = quantizedEmbeddings(spark, dir)
+    val queries = qemb.filter($"vec_id" < QueryCount)
+      .select($"vec_id".as("query_id"), $"qv".as("qq"), $"qn".as("qqn"))
+    qemb.join(broadcast(queries), $"vec_id" =!= $"query_id")
+      .select($"query_id",
+        (intDot($"qq", $"qv").cast("double") / ($"qqn" * $"qn")).as("qcos"),
+        $"vec_id")
+      .groupBy($"query_id")
+      .agg(graft.plans.TopKAggregate.topK($"qcos", $"vec_id", K).as("top"))
+      .select($"query_id", posexplode($"top"))
+      .select($"query_id", ($"pos" + 1).cast("int").as("rk"),
+        $"col.id".as("vec_id"), round($"col.score", 6).as("qcos_sim"))
+      .orderBy($"query_id", $"rk")
+  }
+
+  /** Exact integer dot product over two tinyint arrays (HOF, codegen'd). */
+  private def intDot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x.cast("int") * y.cast("int"))
+      .cast("long")), lit(0L), (acc, p) => acc + p)
+
+  /** The quantized embedding table (vec_id, qv: array<tinyint>, qn):
+    * per-vector symmetric int8 quantization. */
+  private[operators] def quantizedEmbeddings(spark: SparkSession,
+                                             dir: String): DataFrame = {
+    import spark.implicits._
+    val mx = array_max(transform($"v", x => abs(x)))
+    Tables.load(spark, dir, "embeddings")
+      .select($"vec_id", asDouble($"embedding").as("v"))
+      .select($"vec_id",
+        transform($"v", x => round(x * lit(127.0) / mx).cast("tinyint"))
+          .as("qv"))
+      .withColumn("qn", sqrt(intDot($"qv", $"qv").cast("double")))
+  }
+
   /** V6 — per-label embedding centroids (class prototypes): mean vector per
     * label, one output row per (label, dimension). Floats are quantized to
     * round(x·10⁶) BIGINTs before summing, so the aggregation is
@@ -345,6 +392,7 @@ object Similarity {
     "v2_cosine_pairs" -> v2CosinePairs _,
     "v3_ann_lsh" -> ((s: SparkSession, d: String) => v3AnnLsh(s, d)),
     "v4_ann_ivf" -> ((s: SparkSession, d: String) => v4AnnIvf(s, d)),
+    "v7_ann_quantized" -> v7AnnQuantized _,
   )
 
   /** Shared by v1 and v5: both compute exact top-k, by different physical

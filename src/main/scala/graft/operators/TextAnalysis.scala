@@ -108,9 +108,43 @@ object TextAnalysis {
       .orderBy($"lang")
   }
 
+  /** T7 — lexical-diversity statistics per document: type-token ratio,
+    * hapax-legomenon fraction (words occurring exactly once), and Yule's K
+    * (the classic vocabulary-richness statistic, 10⁴·(Σc²−N)/N²) — the
+    * signals a quality-filtering pipeline uses to catch keyword-stuffed or
+    * template-generated text that plain length/stopword ratios miss.
+    *
+    * Shuffle-free per-row HOF work (nested filter over the distinct-token
+    * array — documents are short relative to vocabulary, so the quadratic
+    * inner loop is bounded per row and embarrassingly parallel). Every
+    * emitted double is ONE IEEE division of exact integers computed in the
+    * same shape on the oracle side → bit-exact. */
+  def t7LexicalDiversity(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    def occurrences(t: org.apache.spark.sql.Column) =
+      size(filter($"toks", x => x === t)).cast("long")
+    Tables.load(spark, dir, "documents")
+      .select($"doc_id", tokens($"text").as("toks"))
+      .select($"doc_id",
+        size($"toks").cast("long").as("n"),
+        size(array_distinct($"toks")).cast("long").as("d"),
+        size(filter(array_distinct($"toks"), t => occurrences(t) === 1L))
+          .cast("long").as("hapax"),
+        aggregate(array_distinct($"toks"), lit(0L),
+          (acc, t) => acc + occurrences(t) * occurrences(t)).as("s2"))
+      .select($"doc_id",
+        $"n".cast("int").as("n_tokens"),
+        ($"d".cast(DoubleType) / $"n").as("ttr"),
+        ($"hapax".cast(DoubleType) / $"n").as("hapax_frac"),
+        ((($"s2" - $"n") * 10000).cast(DoubleType) / ($"n" * $"n"))
+          .as("yule_k"))
+      .orderBy($"doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t5_token_regex" -> t5TokenRegex _,
     "t6_length_percentiles" -> t6LengthPercentiles _,
+    "t7_lexical_diversity" -> t7LexicalDiversity _,
     "t1_token_stats" -> t1TokenStats _,
     "t2_quality_score" -> t2QualityScore _,
     "t3_lang_id" -> t3LangId _,
@@ -179,6 +213,22 @@ object TextAnalysis {
       """SELECT doc_id,
         |  md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "t7_lexical_diversity" ->
+      """WITH t AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+        |c AS (SELECT doc_id,
+        |  CAST(len(w) AS BIGINT) AS n,
+        |  CAST(len(list_distinct(w)) AS BIGINT) AS d,
+        |  CAST(len(list_filter(list_distinct(w),
+        |    t -> len(list_filter(w, x -> x = t)) = 1)) AS BIGINT) AS hapax,
+        |  CAST(list_sum(list_transform(list_distinct(w),
+        |    t -> len(list_filter(w, x -> x = t)) * len(list_filter(w, x -> x = t))))
+        |    AS BIGINT) AS s2
+        |FROM t)
+        |SELECT doc_id, CAST(n AS INT) AS n_tokens,
+        |  CAST(d AS DOUBLE) / n AS ttr,
+        |  CAST(hapax AS DOUBLE) / n AS hapax_frac,
+        |  CAST((s2 - n) * 10000 AS DOUBLE) / (n * n) AS yule_k
+        |FROM c ORDER BY doc_id""".stripMargin,
     "t6_length_percentiles" ->
       """WITH t AS (SELECT lang,
         |  CAST(len(string_split(text,' ')) AS INT) AS n_tokens FROM documents)

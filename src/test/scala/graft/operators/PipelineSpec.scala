@@ -187,6 +187,36 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("p9: tf-idf ranking matches a driver-side recomputation") {
+    val all = graft.sources.Tables.load(spark, dir, "documents")
+      .select("doc_id", "lang", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2).split(" ", -1).toSeq))
+    val nDocs = all.length.toLong
+    val df = all.flatMap { case (id, _, toks) => toks.distinct.map(t => t) }
+      .groupBy(identity).map { case (t, o) => t -> o.length.toLong }
+    val expected = all.groupBy(_._2).flatMap { case (lang, docs) =>
+      val tf = docs.flatMap(_._3).groupBy(identity)
+        .map { case (t, o) => t -> o.length.toLong }
+      tf.toSeq.map { case (t, f) => (t, f, df(t), f * nDocs / df(t).toDouble) }
+        .sortBy { case (t, _, _, s) => (-s, t) }
+        .take(Pipeline.TfidfK).zipWithIndex
+        .map { case ((t, f, d, s), i) => (lang, i + 1, t, f, d) }
+    }.toSet
+    val got = Pipeline.p9TfIdf(spark, dir).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getString(2), r.getLong(3),
+        r.getLong(4))).toSet
+    assert(got == expected)
+  }
+
+  test("p9 plan: ranking runs over the aggregated vocabulary, not the corpus") {
+    val plan = Pipeline.p9TfIdf(spark, dir)
+      .queryExecution.executedPlan.toString
+    // partial (map-side) aggregation before both tf and df shuffles
+    assert("partial_count".r.findAllIn(plan).size >= 2 ||
+      "HashAggregate".r.findAllIn(plan).size >= 4,
+      s"expected map-side partial aggregation:\n$plan")
+  }
+
   test("connected components: adversarial 256-node chain converges in O(log n) star passes") {
     // a path graph maximizes diameter — min-label propagation would need
     // ~255 rounds; large-star/small-star must close it in O(log n) passes
@@ -251,6 +281,25 @@ class PipelineSpec extends AnyFunSuite {
     exact.foreach { case (lang, p50) =>
       assert(math.abs(sketch(lang) - p50) <= math.max(0.05 * p50, 1.0),
         s"$lang sketch p50 ${sketch(lang)} vs exact $p50")
+    }
+  }
+
+  test("t7: lexical diversity matches a driver-side recomputation") {
+    val got = TextAnalysis.t7LexicalDiversity(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4)))).toMap
+    docs.foreach { case (id, text) =>
+      val toks = text.split(" ", -1).toSeq
+      val n = toks.size.toLong
+      val counts = toks.groupBy(identity).map { case (_, o) => o.size.toLong }
+      val hapax = counts.count(_ == 1L)
+      val s2 = counts.map(c => c * c).sum
+      val (gn, gTtr, gHapax, gYule) = got(id)
+      assert(gn == n, s"doc $id n_tokens")
+      assert(math.abs(gTtr - counts.size.toDouble / n) < 1e-12)
+      assert(math.abs(gHapax - hapax.toDouble / n) < 1e-12, s"doc $id hapax")
+      assert(math.abs(gYule - (s2 - n) * 10000.0 / (n * n)) < 1e-9,
+        s"doc $id yule_k")
     }
   }
 

@@ -59,6 +59,23 @@ class SimilaritySpec extends AnyFunSuite {
       s"largest cell ${sizes.max} vs mean $mean: ${sizes.toSeq.sorted}")
   }
 
+  test("v7: int8-quantized top-k recalls exact top-k; storage IS tinyint") {
+    val exact = Similarity.v1AnnTopK(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val quant = Similarity.v7AnnQuantized(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = exact.count(quant.contains).toDouble / exact.size
+    // int8 quantization only reorders near-ties of the cosine
+    assert(recall >= 0.6, s"quantized recall $recall too low")
+    // the 8x compression claim: the quantized column really is tinyint
+    val qvType = Similarity.quantizedEmbeddings(spark, dir)
+      .schema("qv").dataType
+    assert(qvType == org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.ByteType, containsNull = false) ||
+      qvType.simpleString == "array<tinyint>",
+      s"expected array<tinyint>, got ${qvType.simpleString}")
+  }
+
   test("brute-force top-k is k rows per query, ranked by cosine desc") {
     val rows = Similarity.v1AnnTopK(spark, dir).collect()
     val byQuery = rows.groupBy(_.getLong(0))
