@@ -302,6 +302,41 @@ object Pipeline {
       .orderBy($"lang", $"rk")
   }
 
+  /** Tokens per training chunk (p10) and overlap between adjacent chunks. */
+  val ChunkSize = 64
+  val ChunkOverlap = 16
+  /** Stride between chunk starts. */
+  val ChunkStride: Int = ChunkSize - ChunkOverlap
+
+  /** P10 — sliding-window document chunking: split each document's token
+    * stream into ChunkSize-token training chunks overlapping by
+    * ChunkOverlap — the step that turns a cleaned corpus into
+    * context-window-sized training examples. A doc of n tokens yields
+    * 1 + ceil((n − ChunkSize)/ChunkStride) chunks (one, if it fits);
+    * every token lands in ≥1 chunk and the last chunk may run short.
+    *
+    * Emits chunk index, exact token count, and an md5 digest of the chunk
+    * text instead of the text itself: at 100 TB chunks are WRITTEN to
+    * shard storage, not returned through a result set, and the digest
+    * keeps the oracle able to verify content byte-for-byte while only
+    * 16-byte keys leave the executor. Pure narrow map work (explode
+    * factor ≈ n/ChunkStride, no shuffle before the final ORDER BY). */
+  def p10Chunking(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val nChunks = when($"n" <= ChunkSize, lit(1L))
+      .otherwise(expr(s"(n - $ChunkSize + $ChunkStride - 1) DIV $ChunkStride") + 1)
+    Tables.load(spark, dir, "documents")
+      .select($"doc_id", tokens($"text").as("toks"))
+      .select($"doc_id", $"toks", size($"toks").cast("long").as("n"))
+      .select($"doc_id", $"n",
+        posexplode(transform(sequence(lit(0L), nChunks - 1),
+          i => slice($"toks", (i * ChunkStride + 1).cast("int"), lit(ChunkSize)))))
+      .select($"doc_id", $"pos".cast("int").as("chunk_idx"),
+        size($"col").as("chunk_tokens"),
+        md5(concat_ws(" ", $"col")).as("chunk_md5"))
+      .orderBy($"doc_id", $"chunk_idx")
+  }
+
   /** P8 — cross-modal join: text-side statistics per embedding-side label
     * (documents ⋈ embeddings on the shared id). Both sides are
     * corpus-scale, so this is the co-partitioned shuffle-join shape (at
@@ -334,6 +369,7 @@ object Pipeline {
     "p4_contamination" -> p4Contamination _,
     "p5_vocab_topk" -> p5VocabTopK _,
     "p9_tfidf" -> p9TfIdf _,
+    "p10_chunking" -> p10Chunking _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -412,6 +448,23 @@ object Pipeline {
         |  CAST(CAST(sum(n_tokens) AS BIGINT) AS DOUBLE) / count(*) AS avg_tokens
         |FROM d JOIN e USING (doc_id)
         |GROUP BY label ORDER BY label""".stripMargin,
+    "p10_chunking" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text,' ') AS w,
+         |  CAST(len(string_split(text,' ')) AS BIGINT) AS n FROM documents),
+         |c AS (SELECT doc_id, n,
+         |  CASE WHEN n <= $ChunkSize THEN 1
+         |       ELSE (n - $ChunkSize + $ChunkStride - 1) // $ChunkStride + 1
+         |  END AS nc, w
+         |FROM t),
+         |e AS (SELECT doc_id,
+         |  CAST(unnest(generate_series(0, nc - 1)) AS INT) AS chunk_idx, w
+         |FROM c)
+         |SELECT doc_id, chunk_idx,
+         |  CAST(len(list_slice(w, chunk_idx * $ChunkStride + 1,
+         |    chunk_idx * $ChunkStride + $ChunkSize)) AS INT) AS chunk_tokens,
+         |  md5(array_to_string(list_slice(w, chunk_idx * $ChunkStride + 1,
+         |    chunk_idx * $ChunkStride + $ChunkSize), ' ')) AS chunk_md5
+         |FROM e ORDER BY doc_id, chunk_idx""".stripMargin,
     "p9_tfidf" ->
       s"""WITH u AS (SELECT doc_id, lang, unnest(string_split(text,' ')) AS token
          |  FROM documents),

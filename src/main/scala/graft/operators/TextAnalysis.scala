@@ -114,29 +114,40 @@ object TextAnalysis {
     * signals a quality-filtering pipeline uses to catch keyword-stuffed or
     * template-generated text that plain length/stopword ratios miss.
     *
-    * Shuffle-free per-row HOF work (nested filter over the distinct-token
-    * array — documents are short relative to vocabulary, so the quadratic
-    * inner loop is bounded per row and embarrassingly parallel). Every
-    * emitted double is ONE IEEE division of exact integers computed in the
-    * same shape on the oracle side → bit-exact. */
+    * Shuffle-free per-row map work: distinct-count, hapax count, and Σc²
+    * all come from ONE run-length scan over the sorted token array
+    * (p1's pattern) — O(n log n) per document, not the O(d·n) a nested
+    * count-occurrences filter would cost. Σc² updates incrementally
+    * ((r+1)² − r² = 2r+1), so no per-run finalization is needed. The `run
+    * > 0` guard makes the empty-string sentinel safe even when "" is a
+    * real token. Every emitted double is ONE IEEE division of exact
+    * integers computed in the same shape on the oracle side → bit-exact. */
   def t7LexicalDiversity(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    def occurrences(t: org.apache.spark.sql.Column) =
-      size(filter($"toks", x => x === t)).cast("long")
+    val scan = aggregate(
+      array_sort($"toks"),
+      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("d"),
+        lit(0L).as("hapax"), lit(0L).as("s2")),
+      (acc, t) => {
+        val same = (t === acc("prev")) && (acc("run") > 0)
+        struct(
+          t.as("prev"),
+          when(same, acc("run") + 1).otherwise(lit(1L)).as("run"),
+          when(same, acc("d")).otherwise(acc("d") + 1).as("d"),
+          when(same, when(acc("run") === 1, acc("hapax") - 1)
+            .otherwise(acc("hapax"))).otherwise(acc("hapax") + 1).as("hapax"),
+          when(same, acc("s2") + acc("run") * 2 + 1)
+            .otherwise(acc("s2") + 1).as("s2"))
+      },
+      acc => struct(acc("d"), acc("hapax"), acc("s2")))
     Tables.load(spark, dir, "documents")
       .select($"doc_id", tokens($"text").as("toks"))
-      .select($"doc_id",
-        size($"toks").cast("long").as("n"),
-        size(array_distinct($"toks")).cast("long").as("d"),
-        size(filter(array_distinct($"toks"), t => occurrences(t) === 1L))
-          .cast("long").as("hapax"),
-        aggregate(array_distinct($"toks"), lit(0L),
-          (acc, t) => acc + occurrences(t) * occurrences(t)).as("s2"))
+      .select($"doc_id", size($"toks").cast("long").as("n"), scan.as("sc"))
       .select($"doc_id",
         $"n".cast("int").as("n_tokens"),
-        ($"d".cast(DoubleType) / $"n").as("ttr"),
-        ($"hapax".cast(DoubleType) / $"n").as("hapax_frac"),
-        ((($"s2" - $"n") * 10000).cast(DoubleType) / ($"n" * $"n"))
+        ($"sc.d".cast(DoubleType) / $"n").as("ttr"),
+        ($"sc.hapax".cast(DoubleType) / $"n").as("hapax_frac"),
+        ((($"sc.s2" - $"n") * 10000).cast(DoubleType) / ($"n" * $"n"))
           .as("yule_k"))
       .orderBy($"doc_id")
   }

@@ -187,6 +187,36 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("p10: chunks cover every token with the declared overlap") {
+    val got = Pipeline.p10Chunking(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3)))
+      .groupBy(_._1)
+    docs.foreach { case (id, text) =>
+      val toks = text.split(" ", -1).toSeq
+      val chunks = got(id).sortBy(_._2)
+      // chunk 0..k contiguous, starts stride apart, sizes and digests exact
+      chunks.zipWithIndex.foreach { case ((_, idx, nTok, digest), i) =>
+        assert(idx == i)
+        val expected = toks.slice(i * Pipeline.ChunkStride,
+          i * Pipeline.ChunkStride + Pipeline.ChunkSize)
+        assert(nTok == expected.size, s"doc $id chunk $i size")
+        val md = java.security.MessageDigest.getInstance("MD5")
+          .digest(expected.mkString(" ").getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString
+        assert(digest == md, s"doc $id chunk $i digest")
+      }
+      // full coverage: the last chunk reaches the final token
+      val lastStart = (chunks.size - 1) * Pipeline.ChunkStride
+      assert(lastStart + chunks.last._3 == toks.size ||
+        (chunks.size == 1 && chunks.head._3 == toks.size),
+        s"doc $id: tokens uncovered")
+      // no spurious trailing chunk: a further start would add nothing new
+      assert(chunks.size == 1 ||
+        lastStart < toks.size - Pipeline.ChunkOverlap,
+        s"doc $id: chunk count ${chunks.size} too high for ${toks.size} tokens")
+    }
+  }
+
   test("p9: tf-idf ranking matches a driver-side recomputation") {
     val all = graft.sources.Tables.load(spark, dir, "documents")
       .select("doc_id", "lang", "text").collect()
