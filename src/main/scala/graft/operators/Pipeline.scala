@@ -149,6 +149,12 @@ object Pipeline {
     * aggregation keyed by doc_id. */
   def p4Contamination(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    // `grams` feeds both branches, so the scan runs twice — deliberately
+    // NOT cached: the exploded corpus is the biggest intermediate in the
+    // whole pipeline (n-grams × corpus), while the bench branch's
+    // source-filter pushes to the parquet scan and reads only the (tiny
+    // by definition) benchmark row groups. One cheap pushed-down scan +
+    // one full scan beats materializing n_grams × corpus rows.
     val grams = Tables.load(spark, dir, "documents")
       .select($"doc_id", $"source",
         explode(shingles(tokens($"text"), ContamN)).as("s"))
@@ -335,6 +341,35 @@ object Pipeline {
         size($"col").as("chunk_tokens"),
         md5(concat_ws(" ", $"col")).as("chunk_md5"))
       .orderBy($"doc_id", $"chunk_idx")
+  }
+
+  /** P11 — training-shard writer: the terminal step of the corpus pipeline.
+    * Joins p3's token-budget shard assignment back to the documents and
+    * writes one parquet partition per shard, documents in stable doc_id
+    * order within each.
+    *
+    * Scale shape: `repartition(shard_id)` BEFORE `partitionBy(shard_id)`
+    * is the load-bearing move — without it every write task holds an open
+    * file per shard it happens to see (the classic small-files explosion:
+    * tasks × shards files); with it each shard's rows converge on one
+    * task and each partition directory gets one file. Not a registry
+    * query (it writes, returning only per-shard stats); PipelineSpec
+    * round-trips the output. */
+  def writeTrainingShards(spark: SparkSession, dir: String,
+                          outPath: String): DataFrame = {
+    import spark.implicits._
+    val shards = p3TokenShards(spark, dir)
+      .select($"doc_id", $"shard_id", $"n_tokens")
+    Tables.load(spark, dir, "documents")
+      .join(shards, "doc_id")
+      .repartition($"shard_id")
+      .sortWithinPartitions($"shard_id", $"doc_id")
+      .write.mode("overwrite").partitionBy("shard_id").parquet(outPath)
+    spark.read.parquet(outPath)
+      // partition-dir columns read back with inferred (int) type: pin long
+      .groupBy($"shard_id".cast("long").as("shard_id"))
+      .agg(count(lit(1)).as("n_docs"), sum($"n_tokens").as("shard_tokens"))
+      .orderBy($"shard_id")
   }
 
   /** P8 — cross-modal join: text-side statistics per embedding-side label

@@ -217,6 +217,28 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("p11: shard writer round-trips the corpus, one file per shard dir") {
+    val out = java.nio.file.Files.createTempDirectory("graft-shards").toString
+    val stats = Pipeline.writeTrainingShards(spark, dir, out).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // every document lands in exactly one shard
+    assert(stats.map(_._2).sum == docs.length)
+    // shard budget: each shard except possibly the last stays under
+    // budget + one max-length document (contiguous cum ranges)
+    val maxDoc = docs.map(_._2.split(" ", -1).length).max
+    stats.foreach { case (sid, _, toks) =>
+      assert(toks < Pipeline.ShardTokenBudget + maxDoc,
+        s"shard $sid holds $toks tokens")
+    }
+    // the small-files property: one data file per shard directory
+    stats.foreach { case (sid, _, _) =>
+      val files = new java.io.File(s"$out/shard_id=$sid")
+        .listFiles().filter(_.getName.endsWith(".parquet"))
+      assert(files.length == 1,
+        s"shard $sid has ${files.length} files — repartition(shard_id) lost")
+    }
+  }
+
   test("p9: tf-idf ranking matches a driver-side recomputation") {
     val all = graft.sources.Tables.load(spark, dir, "documents")
       .select("doc_id", "lang", "text").collect()

@@ -94,4 +94,19 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(plan.contains("partial_top_k"),
       s"final top-k must be the mergeable aggregate:\n$plan")
   }
+
+  test("v7: quantized top-k keeps v5's shape — queries broadcast, partial top-k") {
+    val plan = formatted("v7_ann_quantized")
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastHashJoin"), s"queries must broadcast:\n$plan")
+    assert(plan.contains("partial_top_k"),
+      s"only k pairs per query may cross the shuffle:\n$plan")
+  }
+
+  test("p10: chunking is narrow map work — only the final sort exchanges") {
+    val df = graft.SparkEntry.queries("p10_chunking")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert("Exchange".r.findAllIn(plan).size <= 1,
+      s"chunk explode/digest must not shuffle:\n$plan")
+  }
 }
