@@ -163,9 +163,9 @@ object Multimodal {
           hist(l / 32) += 1
           i += 3
         }
-        Array[Float](f.width, f.height,
+        Array[Float](f.width.toFloat, f.height.toFloat,
           sr.toFloat / n, sg.toFloat / n, sb.toFloat / n,
-          sl.toFloat / n, mn, mx) ++ hist.map(_.toFloat / n)
+          sl.toFloat / n, mn.toFloat, mx.toFloat) ++ hist.map(_.toFloat / n)
       case "audio" =>
         val a = Codec.decodeWav(m.payload)
         val n = a.samples.length
@@ -178,8 +178,9 @@ object Multimodal {
           if (i > 0 && ((s >= 0) != (a.samples(i - 1) >= 0))) zc += 1
           i += 1
         }
-        Array[Float](a.sampleRate, n, math.sqrt(sq.toDouble / n).toFloat,
-          peak, zc.toFloat / n, sa.toFloat / n)
+        Array[Float](a.sampleRate.toFloat, n.toFloat,
+          math.sqrt(sq.toDouble / n).toFloat,
+          peak.toFloat, zc.toFloat / n, sa.toFloat / n)
       case _ =>
         val frames = Codec.decodePpmSeq(m.payload)
         val perFrame = frames.map { f =>
@@ -188,8 +189,8 @@ object Multimodal {
           while (i < n * 3) { sl += lum(f.rgb, i); i += 3 }
           sl.toFloat / n
         }
-        Array[Float](frames.length, frames.head.width, frames.head.height) ++
-          perFrame
+        Array[Float](frames.length.toFloat, frames.head.width.toFloat,
+          frames.head.height.toFloat) ++ perFrame
     }
     java.util.Arrays.copyOf(fs, dim)
   }
