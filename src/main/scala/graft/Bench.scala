@@ -60,14 +60,16 @@ object Bench {
       }
       name -> (if (times.forall(_.isDefined)) Some(times.flatten.min) else None)
     }
+    // Locale.ROOT: the JSON line must parse on comma-decimal locales too
+    def jd(d: Double): String = String.format(java.util.Locale.ROOT, "%.3f", d)
     val qs = results.map {
-      case (k, Some(v)) => "\"" + k + f"""\":$v%.3f"""
+      case (k, Some(v)) => "\"" + k + "\":" + jd(v)
       case (k, None) => "\"" + k + "\":null"
     }.mkString("{", ",", "}")
     val failed = results.collect { case (k, None) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.flatMap(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${jd(total)},"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

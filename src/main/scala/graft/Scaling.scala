@@ -81,15 +81,21 @@ object Scaling {
     val superlinear = rows.collect {
       case (n, _, Some(r)) if r > dataRatio => n
     }
-    def jd(d: Double): String = f"$d%.3f"
+    // a query that cannot produce a ratio (failed at any rung) must be
+    // LOUD, not silently absent from the superlinear list — failing at the
+    // largest scale factor is the worst possible scale verdict
+    val failed = rows.collect { case (n, times, _) if times.exists(_.isEmpty) => n }
+    // Locale.ROOT: the artifact must be valid JSON on comma-decimal locales
+    def jd(d: Double): String = String.format(java.util.Locale.ROOT, "%.3f", d)
     val qjson = rows.map { case (n, times, ratio) =>
       val ts = times.map(_.map(jd).getOrElse("null")).mkString("[", ",", "]")
       s""""$n":{"times":$ts,"ratio":${ratio.map(jd).getOrElse("null")}}"""
     }.mkString("{", ",", "}")
     val dj = dirs.map("\"" + _ + "\"").mkString("[", ",", "]")
     val sj = superlinear.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val fj = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val json =
-      s"""{"dirs":$dj,"data_ratio_per_step":$dataRatio,"queries":$qjson,"superlinear":$sj}"""
+      s"""{"dirs":$dj,"data_ratio_per_step":${jd(dataRatio)},"queries":$qjson,"superlinear":$sj,"failed":$fj}"""
     Files.writeString(Paths.get(out), json)
     println(json)
     spark.stop()

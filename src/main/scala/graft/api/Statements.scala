@@ -140,6 +140,9 @@ final class Statements(spark: SparkSession, prefix: String = "stmt-",
     // queries into existence with one silently leaked
     byQuery.get(cacheKey).filter(live).getOrElse(createLock.synchronized {
       byQuery.get(cacheKey).filter(live).getOrElse {
+        // evicting a dead statement must also drop it from the by-name
+        // index, or failed statements pile up for the facade's lifetime
+        byQuery.get(cacheKey).foreach(dead => byName.remove(dead.name))
         val name = prefix + randomId()
         val df = spark.sql(sql)
         val handle =

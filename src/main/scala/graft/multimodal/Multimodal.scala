@@ -125,17 +125,24 @@ object Multimodal {
       .digest(stamp.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
     val out = new java.io.File(sys.props("java.io.tmpdir"), s"graft-media-$key")
     if (!new java.io.File(out, "_SUCCESS").exists()) {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
       val tmp = new java.io.File(out.getParentFile,
         out.getName + ".tmp-" + java.util.UUID.randomUUID().toString.take(8))
       mediaTable(spark, dir).write.mode("overwrite").parquet(tmp.getPath)
       if (!tmp.renameTo(out)) {
-        // lost the cross-process race (out now exists): drop our copy
-        def rm(f: java.io.File): Unit = {
-          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+        // rename can fail because a concurrent JVM won the race (adopt its
+        // output) or because a stale half-written dir occupies the target
+        // (no _SUCCESS) — clear the debris and retry once, so the cache
+        // self-heals instead of failing permanently
+        if (!new java.io.File(out, "_SUCCESS").exists()) {
+          rm(out)
+          tmp.renameTo(out)
         }
-        rm(tmp)
+        if (tmp.exists()) rm(tmp)
         require(new java.io.File(out, "_SUCCESS").exists(),
-          s"media cache rename failed and no winner present at $out")
+          s"media cache could not be populated at $out")
       }
     }
     spark.read.parquet(out.getPath)

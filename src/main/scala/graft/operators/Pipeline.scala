@@ -113,7 +113,10 @@ object Pipeline {
     import spark.implicits._
     val docs = Tables.load(spark, dir, "documents")
       .select($"doc_id", size(tokens($"text")).as("n_tokens"))
-    val maxId = docs.agg(max($"doc_id")).head.getLong(0)
+    // max over an empty table is null → getLong would NPE; 0L keeps the
+    // empty-corpus result empty with blockWidth 1
+    val maxId = Option(docs.agg(max($"doc_id")).head.get(0))
+      .map(_.asInstanceOf[Long]).getOrElse(0L)
     val blockWidth = maxId / ShardMaxBlocks + 1
     val base = docs
       .withColumn("block", expr(s"doc_id DIV $blockWidth"))
@@ -301,7 +304,11 @@ object Pipeline {
     val tf = tok.groupBy($"lang", $"token").agg(count(lit(1)).as("tf"))
     val w = Window.partitionBy($"lang").orderBy($"score".desc, $"token".asc)
     tf.join(dfT, "token")
-      .withColumn("score", ($"tf" * nDocs).cast(DoubleType) / $"df")
+      // tf·N as DOUBLE×long, not long×long: at 10¹¹ docs a common token's
+      // tf·N overflows int64 (Spark would wrap, DuckDB would error);
+      // double·long is exact here anyway (tf, N ≪ 2⁵³) and the oracle
+      // computes the identical shape
+      .withColumn("score", $"tf".cast(DoubleType) * nDocs / $"df")
       .withColumn("rk", row_number().over(w))
       .filter($"rk" <= TfidfK)
       .select($"lang", $"rk", $"token", $"tf", $"df", $"score")
@@ -509,7 +516,7 @@ object Pipeline {
          |tf AS (SELECT lang, token, CAST(count(*) AS BIGINT) AS tf
          |  FROM u GROUP BY 1, 2),
          |s AS (SELECT lang, token, tf, df,
-         |  CAST(tf * (SELECT n_docs FROM n) AS DOUBLE) / df AS score
+         |  CAST(tf AS DOUBLE) * (SELECT n_docs FROM n) / df AS score
          |  FROM tf JOIN dft USING (token)),
          |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY lang
          |    ORDER BY score DESC, token ASC) AS INT) AS rk FROM s)

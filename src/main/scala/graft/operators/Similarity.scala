@@ -183,8 +183,13 @@ object Similarity {
         .select($"vec_id", $"v",
           greatest(lit(0.0), lit(1.0) - array_max(transform($"cents",
             c => dot($"v", c("cv")) / ($"nrm" * c("cn"))))).as("d2"))
+      // the admission threshold must be order-independent (a raw double
+      // sum differs in the last ulps per reduction order and could flip
+      // a borderline candidate): quantize, sum integers, rescale — the
+      // v6 pattern
       val tot = math.max(
-        d2.agg(sum($"d2")).head.getDouble(0), 1e-12)
+        d2.agg(sum(round($"d2" * 1e6).cast("long"))).head.getLong(0) / 1e6,
+        1e-12)
       val u = pmod(xxhash64(lit(s"seed$r"), $"vec_id"), lit(1L << 24))
         .cast("double") / (1L << 24).toDouble
       cand = cand.union(
@@ -262,11 +267,7 @@ object Similarity {
   def v4AnnIvf(spark: SparkSession, dir: String, nprobe: Int = 2,
                kmeansIters: Int = 1): DataFrame = {
     import spark.implicits._
-    val emb = Tables.load(spark, dir, "embeddings")
-      .select($"vec_id", asDouble($"embedding").as("v"))
-      .withColumn("nrm", norm($"v"))
-      .cache()
-
+    val emb = normalizedEmbeddings(spark, dir)
     val cents = centArray(fitIvfCentroids(emb, kmeansIters)).cache()
     val assigned = ivfAssign(emb, cents, 1)
     val queries = ivfAssign(emb.filter($"vec_id" < QueryCount), cents, nprobe)
@@ -284,15 +285,22 @@ object Similarity {
       .orderBy($"query_id", $"rk")
   }
 
+  /** Embeddings as (vec_id, v: array<double>, nrm), cached — the common
+    * prep for every vector operator that iterates (v4 fit, cell audit). */
+  private def normalizedEmbeddings(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.load(spark, dir, "embeddings")
+      .select($"vec_id", asDouble($"embedding").as("v"))
+      .withColumn("nrm", norm($"v"))
+      .cache()
+  }
+
   /** The fitted IVF cell assignment (vec_id → cent_id) — exposed so the
     * cell-balance property is spec-checkable on the exact model v4 uses. */
   private[operators] def ivfCellAssignment(spark: SparkSession, dir: String,
                                            kmeansIters: Int = 1): DataFrame = {
     import spark.implicits._
-    val emb = Tables.load(spark, dir, "embeddings")
-      .select($"vec_id", asDouble($"embedding").as("v"))
-      .withColumn("nrm", norm($"v"))
-      .cache()
+    val emb = normalizedEmbeddings(spark, dir)
     ivfAssign(emb, centArray(fitIvfCentroids(emb, kmeansIters)), 1)
       .select($"vec_id", $"cent_id")
   }

@@ -56,6 +56,9 @@ final class ChangelogSynthesizer(schema: Seq[String], keyCols: Seq[String],
   private def epochMillis(v: Any): Long = v match {
     case t: java.sql.Timestamp => t.getTime
     case i: java.time.Instant => i.toEpochMilli
+    // TIMESTAMP_NTZ rows collect as LocalDateTime; the engine pins the
+    // session to UTC (EngineSession/Bench), so NTZ values are UTC instants
+    case d: java.time.LocalDateTime => d.toInstant(java.time.ZoneOffset.UTC).toEpochMilli
     case l: java.lang.Long => l.longValue()
     case other => throw new IllegalArgumentException(
       s"eviction column must be a timestamp, got: $other")
@@ -208,9 +211,13 @@ object ChangelogStream {
     // the closure needs the query for watermark lookup, but the query only
     // exists after start(): late-bound reference, with a by-name registry
     // fallback for batches that complete before start() returns (batch 0
-    // would otherwise see null and silently skip eviction). Eviction still
+    // would otherwise see null and silently skip eviction). The lookup
+    // goes through the ORIGINAL session's StreamingQueryManager — inside
+    // foreachBatch, `batch.sparkSession` is the cloned micro-batch
+    // session whose manager holds no registered queries. Eviction still
     // lags one micro-batch (lastProgress semantics, see watermarkMillis) —
     // a -D can be DELAYED, never falsified.
+    val ownerSession = df.sparkSession
     @volatile var queryRef: StreamingQuery = null
     val query = df.writeStream
       .outputMode("update")
@@ -219,7 +226,7 @@ object ChangelogStream {
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val rows = batch.collect().iterator.map(r => r.toSeq.toVector).toSeq
         val q = Option(queryRef).orElse(
-          batch.sparkSession.streams.active.find(_.name == queryName))
+          ownerSession.streams.active.find(_.name == queryName))
         val recs = synth.synchronized {
           val upserts = synth.onUpsert(rows)
           val evicted = q.flatMap(watermarkMillis(_))

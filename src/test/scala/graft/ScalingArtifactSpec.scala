@@ -23,6 +23,16 @@ class ScalingArtifactSpec extends AnyFunSuite {
     assert(flagged.isEmpty, s"superlinear queries flagged: $flagged")
   }
 
+  test("SCALING.json records no failed query at any scale rung") {
+    assume(Files.exists(path), "SCALING.json not generated in this checkout")
+    val json = Files.readString(path)
+    val m = """"failed"\s*:\s*\[([^\]]*)\]""".r.findFirstMatchIn(json)
+    assert(m.isDefined, "artifact must carry a failed list " +
+      "(a query that cannot run at a rung is the worst scale verdict)")
+    val failed = m.get.group(1).trim
+    assert(failed.isEmpty, s"queries failed during scaling: $failed")
+  }
+
   test("SCALING.json covers every registry query") {
     assume(Files.exists(path), "SCALING.json not generated in this checkout")
     val json = Files.readString(path)
