@@ -195,6 +195,10 @@ class StatementsSpec extends AnyFunSuite {
     val again = stmts.create(sql)
     assert(!(again eq stmt), "a Failed statement must not be served from memo")
     assert(again.phase != Phase.Failed)
+    // the dead statement is fully evicted: its name no longer resolves
+    assert(stmts.get(stmt.name).isEmpty,
+      "evicted statements must leave the by-name index")
+    assert(stmts.get(again.name).contains(again))
   }
 
   test("a failing batch statement reaches the failed phase") {

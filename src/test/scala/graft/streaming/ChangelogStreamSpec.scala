@@ -50,6 +50,17 @@ class ChangelogStreamSpec extends AnyFunSuite {
       .contains(Op.UpdateBefore))
   }
 
+  test("eviction understands TIMESTAMP_NTZ (LocalDateTime) bounds") {
+    val s = new ChangelogSynthesizer(Seq("color", "end_ts", "n"),
+      Seq("color"), evictIdx = Some(1))
+    val ntz = java.time.LocalDateTime.ofEpochSecond(1L, 0,
+      java.time.ZoneOffset.UTC) // 1000 ms as an NTZ (UTC-pinned session)
+    s.onUpsert(Seq(Vector("brown", ntz, 1L)))
+    assert(s.evictBefore(2000L) ==
+      Seq(ChangelogRecord(Some(Op.Delete), Vector("brown", ntz, 1L))))
+    assert(s.evictBefore(2000L).isEmpty, "evicted group must be forgotten")
+  }
+
   test("snapshot diff emits -D for dropped groups") {
     val s = new ChangelogSynthesizer(Seq("color", "n"), Seq("color"))
     s.onSnapshot(Seq(Vector("brown", 1L), Vector("blue", 2L)))
