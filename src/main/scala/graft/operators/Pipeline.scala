@@ -32,20 +32,23 @@ object Pipeline {
     * (one `aggregate` HOF pass) rather than an explode+groupBy — the
     * shuffle-free formulation. All doubles are ratios of exact ints, so
     * the DuckDB oracle matches bit-for-bit. */
+  /** Most-frequent-token count via a run-length scan over array_sort —
+    * the shuffle-free formulation shared by p1 and the ingest-time
+    * repetition filter in [[prepStream]]. */
+  private def topCount(toks: Column): Column = {
+    val init = struct(lit("").as("prev"), lit(0).as("run"), lit(0).as("mx"))
+    aggregate(
+      array_sort(toks), init,
+      (acc, t) => {
+        val run = when(t === acc("prev"), acc("run") + 1).otherwise(lit(1))
+        struct(t.as("prev"), run.as("run"),
+          greatest(acc("mx"), run).as("mx"))
+      },
+      acc => acc("mx"))
+  }
+
   def p1Repetition(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    // run-length scan over array_sort(toks): (prev token, current run, max)
-    def topCount(toks: Column): Column = {
-      val init = struct(lit("").as("prev"), lit(0).as("run"), lit(0).as("mx"))
-      aggregate(
-        array_sort(toks), init,
-        (acc, t) => {
-          val run = when(t === acc("prev"), acc("run") + 1).otherwise(lit(1))
-          struct(t.as("prev"), run.as("run"),
-            greatest(acc("mx"), run).as("mx"))
-        },
-        acc => acc("mx"))
-    }
     Tables.load(spark, dir, "documents")
       .select($"doc_id", tokens($"text").as("toks"))
       .select($"doc_id",
@@ -336,18 +339,42 @@ object Pipeline {
     * factor ≈ n/ChunkStride, no shuffle before the final ORDER BY). */
   def p10Chunking(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    chunked(Tables.load(spark, dir, "documents")
+        .select($"doc_id", tokens($"text").as("toks")))
+      .orderBy($"doc_id", $"chunk_idx")
+  }
+
+  /** The chunk explode shared by p10 (batch) and [[prepStream]] (ingest):
+    * (doc_id, toks) → one row per sliding-window chunk with its digest. */
+  private def chunked(df: DataFrame): DataFrame = {
+    import df.sparkSession.implicits._
     val nChunks = when($"n" <= ChunkSize, lit(1L))
       .otherwise(expr(s"(n - $ChunkSize + $ChunkStride - 1) DIV $ChunkStride") + 1)
-    Tables.load(spark, dir, "documents")
-      .select($"doc_id", tokens($"text").as("toks"))
-      .select($"doc_id", $"toks", size($"toks").cast("long").as("n"))
+    df.select($"doc_id", $"toks", size($"toks").cast("long").as("n"))
       .select($"doc_id", $"n",
         posexplode(transform(sequence(lit(0L), nChunks - 1),
           i => slice($"toks", (i * ChunkStride + 1).cast("int"), lit(ChunkSize)))))
       .select($"doc_id", $"pos".cast("int").as("chunk_idx"),
         size($"col").as("chunk_tokens"),
         md5(concat_ws(" ", $"col")).as("chunk_md5"))
-      .orderBy($"doc_id", $"chunk_idx")
+  }
+
+  /** Max most-frequent-token fraction admitted by the ingest filter. */
+  val PrepMaxTopWordFrac = 0.2
+
+  /** Streaming corpus prep — the ingest-time twin of the p1→p10 batch
+    * path: documents arrive as a stream, keyword-stuffed ones (top-word
+    * fraction above PrepMaxTopWordFrac) are dropped, survivors are split
+    * into training chunks — all append-mode map work, so it runs with
+    * zero state at any ingest rate; chunks land in shard storage as data
+    * arrives instead of waiting for a nightly batch. Collapses to the
+    * batch answer (StreamingEventsSpec). */
+  def prepStream(stream: DataFrame): DataFrame = {
+    import stream.sparkSession.implicits._
+    chunked(stream
+      .select($"doc_id", tokens($"text").as("toks"))
+      .filter(topCount($"toks").cast(DoubleType) / size($"toks")
+        <= PrepMaxTopWordFrac))
   }
 
   /** P11 — training-shard writer: the terminal step of the corpus pipeline.

@@ -91,7 +91,7 @@ class PipelineSpec extends AnyFunSuite {
       maxId / width + 1
     }
     val fixtureMax = graft.sources.Tables.load(spark, dir, "documents")
-      .agg(org.apache.spark.sql.functions.max("doc_id")).head.getLong(0)
+      .agg(org.apache.spark.sql.functions.max("doc_id")).head().getLong(0)
     // fixture, dense ids, sparse 64-bit hash ids, adversarial extremes:
     // the bound holds everywhere
     Seq(fixtureMax, 0L, 1L, 4095L, 4096L, 1000000L, 1000000000000L,

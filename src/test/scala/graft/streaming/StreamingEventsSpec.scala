@@ -89,6 +89,38 @@ class StreamingEventsSpec extends AnyFunSuite {
     } finally handle.stop()
   }
 
+  test("streaming corpus prep (filter + chunk) collapses to the batch path") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val dir = SparkTestSession.sf0001
+
+    val docs = Tables.load(s, dir, "documents").as[Doc].collect().toSeq
+    val mem = MemoryStream[Doc]
+    val out = graft.operators.Pipeline.prepStream(mem.toDF())
+    val handle = ChangelogStream.appending(out, "prep-stream-test")
+    val changelog = handle.changelog()
+    val table = new ResultTable(handle.schema)
+    try {
+      docs.grouped(docs.size / 3 + 1).foreach { chunk =>
+        mem.addData(chunk)
+        handle.processAllAvailable()
+        table.update(changelog.consume())
+      }
+      // batch twin: p10 chunks restricted to docs passing the p1 filter
+      val passing = graft.operators.Pipeline.p1Repetition(s, dir)
+        .filter($"top_word_frac" <= graft.operators.Pipeline.PrepMaxTopWordFrac)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(passing.nonEmpty && passing.size < docs.size,
+        "fixture must exercise both filter outcomes")
+      val batch = graft.operators.Pipeline.p10Chunking(s, dir)
+        .collect().map(_.toSeq.toVector)
+        .filter(r => passing(r(0).asInstanceOf[Long])).toSet
+      assert(table.rows.toSet == batch,
+        s"stream prep != batch (${table.size} vs ${batch.size})")
+    } finally handle.stop()
+  }
+
   test("streaming incremental dedup anti-joins the known fingerprint set") {
     val s = spark
     import s.implicits._
