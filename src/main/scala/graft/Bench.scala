@@ -49,6 +49,11 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val times = (1 to 2).map { _ =>
         spark.catalog.clearCache()
+        // clearCache misses localCheckpoint blocks (freed only when their
+        // RDD is GC'd via the ContextCleaner): iterative queries (d6, v4)
+        // leave dozens of pinned block sets behind, and late-alphabet
+        // queries otherwise measure under accumulated memory pressure
+        System.gc()
         val t0 = System.nanoTime()
         try {
           fn(spark, sfDir).write.format("noop").mode("overwrite").save()
