@@ -51,6 +51,7 @@ object Scaling {
              dir: String): Option[Double] = {
       val ts = (1 to 2).flatMap { _ =>
         spark.catalog.clearCache()
+        System.gc() // release localCheckpoint blocks too (see Bench)
         val t0 = System.nanoTime()
         try {
           fn(spark, dir).write.format("noop").mode("overwrite").save()
