@@ -438,6 +438,28 @@ object Relational {
       .orderBy($"day")
   }
 
+  /** Q26 — interval (range) join: per user, count ordered event pairs
+    * within one hour of each other — the temporal-join family member the
+    * as-of join (q19) doesn't cover (bounded-window pairing vs
+    * latest-preceding lookup). The equi-key on user_id makes this a plain
+    * hash/merge join with the range condition as a post-filter — never a
+    * cartesian; at 100 TB the refinement is bucketing events by
+    * (user, time-bucket) so candidate pairs co-locate exchange-free
+    * (Bucketing.scala's shape). Time arithmetic in integer microseconds,
+    * matching the oracle's epoch_us exactly. */
+  def q26IntervalJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val hourUs = 3600L * 1000000
+    val ev = Tables.load(spark, dir, "events")
+      .select($"user_id", unix_micros($"ts").as("us"))
+    ev.as("a").join(ev.as("b"),
+        $"a.user_id" === $"b.user_id" &&
+          $"b.us" > $"a.us" && $"b.us" <= $"a.us" + hourUs)
+      .groupBy($"a.user_id".as("user_id"))
+      .agg(count(lit(1)).as("n_pairs_1h"))
+      .orderBy($"user_id")
+  }
+
   /** All relational queries, keyed for SparkEntry. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing_summary" -> q1PricingSummary _,
@@ -465,6 +487,7 @@ object Relational {
     "q23_approx_distinct" -> q23ApproxDistinct _,
     "q24_conditional_agg" -> q24ConditionalAgg _,
     "q25_funnel" -> q25Funnel _,
+    "q26_interval_join" -> q26IntervalJoin _,
   )
 
   /** DuckDB oracle SQL per query (column names and ORDER BY must match). */
@@ -673,5 +696,11 @@ object Relational {
         |  CAST(SUM(CAST(value AS DECIMAL(18,2)))
         |    FILTER (WHERE event_type = 'purchase') AS DOUBLE) AS purchase_value
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q26_interval_join" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events)
+        |SELECT a.user_id, CAST(count(*) AS BIGINT) AS n_pairs_1h
+        |FROM e a JOIN e b ON a.user_id = b.user_id
+        |  AND b.us > a.us AND b.us <= a.us + 3600000000
+        |GROUP BY a.user_id ORDER BY a.user_id""".stripMargin,
   )
 }

@@ -103,6 +103,16 @@ class PlanAuditSpec extends AnyFunSuite {
       s"only k pairs per query may cross the shuffle:\n$plan")
   }
 
+  test("q26: interval join is an equi-join on user_id, never a cartesian") {
+    val plan = formatted("q26_interval_join")
+    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin")
+      || plan.contains("BroadcastHashJoin"),
+      s"range condition must ride an equi-join:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"interval join degenerated to a product:\n$plan")
+  }
+
   test("p10: chunking is narrow map work — only the final sort exchanges") {
     val df = graft.SparkEntry.queries("p10_chunking")(spark, dir)
     val plan = df.queryExecution.executedPlan.toString
