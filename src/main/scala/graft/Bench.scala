@@ -65,8 +65,7 @@ object Bench {
       }
       name -> (if (times.forall(_.isDefined)) Some(times.flatten.min) else None)
     }
-    // Locale.ROOT: the JSON line must parse on comma-decimal locales too
-    def jd(d: Double): String = String.format(java.util.Locale.ROOT, "%.3f", d)
+    def jd(d: Double): String = SparkEntry.jsonDouble(d)
     val qs = results.map {
       case (k, Some(v)) => "\"" + k + "\":" + jd(v)
       case (k, None) => "\"" + k + "\":null"

@@ -86,8 +86,7 @@ object Scaling {
     // LOUD, not silently absent from the superlinear list — failing at the
     // largest scale factor is the worst possible scale verdict
     val failed = rows.collect { case (n, times, _) if times.exists(_.isEmpty) => n }
-    // Locale.ROOT: the artifact must be valid JSON on comma-decimal locales
-    def jd(d: Double): String = String.format(java.util.Locale.ROOT, "%.3f", d)
+    def jd(d: Double): String = SparkEntry.jsonDouble(d)
     val qjson = rows.map { case (n, times, ratio) =>
       val ts = times.map(_.map(jd).getOrElse("null")).mkString("[", ",", "]")
       s""""$n":{"times":$ts,"ratio":${ratio.map(jd).getOrElse("null")}}"""

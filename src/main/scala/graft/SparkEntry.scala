@@ -22,4 +22,9 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     Relational.oracleSql ++ TextAnalysis.oracleSql ++ Dedup.oracleSql ++
       Similarity.oracleSql ++ DemoQueries.oracleSql ++ Pipeline.oracleSql
+
+  /** Locale-safe JSON double (Bench + Scaling artifacts must parse on
+    * comma-decimal locales too). */
+  private[graft] def jsonDouble(d: Double): String =
+    String.format(java.util.Locale.ROOT, "%.3f", d)
 }

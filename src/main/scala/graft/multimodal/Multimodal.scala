@@ -131,18 +131,18 @@ object Multimodal {
       val tmp = new java.io.File(out.getParentFile,
         out.getName + ".tmp-" + java.util.UUID.randomUUID().toString.take(8))
       mediaTable(spark, dir).write.mode("overwrite").parquet(tmp.getPath)
+      // shared state is only ever MUTATED by the atomic rename-into-place;
+      // nothing here deletes `out` (a check-then-delete could tear down a
+      // concurrent winner's completed output between its rename and read)
       if (!tmp.renameTo(out)) {
-        // rename can fail because a concurrent JVM won the race (adopt its
-        // output) or because a stale half-written dir occupies the target
-        // (no _SUCCESS) — clear the debris and retry once, so the cache
-        // self-heals instead of failing permanently
-        if (!new java.io.File(out, "_SUCCESS").exists()) {
-          rm(out)
-          tmp.renameTo(out)
+        if (new java.io.File(out, "_SUCCESS").exists()) {
+          rm(tmp) // a concurrent JVM won the race: adopt its output
+        } else {
+          // stale debris occupies the target and cannot be cleared safely:
+          // serve this JVM's own complete copy (tmpdir-resident, bounded
+          // to the pathological case) rather than touch shared state
+          return spark.read.parquet(tmp.getPath)
         }
-        if (tmp.exists()) rm(tmp)
-        require(new java.io.File(out, "_SUCCESS").exists(),
-          s"media cache could not be populated at $out")
       }
     }
     spark.read.parquet(out.getPath)

@@ -26,12 +26,6 @@ import graft.sources.Tables
   */
 object Pipeline {
 
-  /** P1 — Gopher-style repetition metrics per document: duplicate-word
-    * fraction, most-frequent-word fraction, duplicate-bigram fraction.
-    * The top-word count is a max-run-length over the sorted token array
-    * (one `aggregate` HOF pass) rather than an explode+groupBy — the
-    * shuffle-free formulation. All doubles are ratios of exact ints, so
-    * the DuckDB oracle matches bit-for-bit. */
   /** Most-frequent-token count via a run-length scan over array_sort —
     * the shuffle-free formulation shared by p1 and the ingest-time
     * repetition filter in [[prepStream]]. */
@@ -47,6 +41,12 @@ object Pipeline {
       acc => acc("mx"))
   }
 
+  /** P1 — Gopher-style repetition metrics per document: duplicate-word
+    * fraction, most-frequent-word fraction, duplicate-bigram fraction.
+    * The top-word count is a max-run-length over the sorted token array
+    * (one `aggregate` HOF pass via [[topCount]]) rather than an
+    * explode+groupBy — the shuffle-free formulation. All doubles are
+    * ratios of exact ints, so the DuckDB oracle matches bit-for-bit. */
   def p1Repetition(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     Tables.load(spark, dir, "documents")
