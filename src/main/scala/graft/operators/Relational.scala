@@ -460,6 +460,43 @@ object Relational {
       .orderBy($"user_id")
   }
 
+  /** Q27 — CUBE grouping sets: counts and quantity sums for every
+    * combination of (returnflag, linestatus) including both one-sided
+    * subtotals and the grand total — the full grouping-set lattice where
+    * q12's ROLLUP is only the prefix chain. Same physical shape as any
+    * grouped agg (Expand + two-phase hash aggregate, 4× input rows for 2
+    * cube columns — the multiplier is the cost knob at 100 TB); NULL
+    * markers coalesced to 'ALL' for stable cross-engine ordering. */
+  def q27Cube(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.load(spark, dir, "lineitem")
+      .cube($"l_returnflag", $"l_linestatus")
+      .agg(count(lit(1)).as("n"), dsum($"l_quantity").as("sum_qty"))
+      .select(coalesce($"l_returnflag", lit("ALL")).as("returnflag"),
+        coalesce($"l_linestatus", lit("ALL")).as("linestatus"),
+        $"n", $"sum_qty")
+      .orderBy($"returnflag", $"linestatus")
+  }
+
+  /** Q28 — UNPIVOT (wide → long): per-user event-type counts computed as
+    * a wide conditional aggregate (q24's shape), then unpivoted to
+    * (user_id, metric, n) rows via the `stack` generator — the transform
+    * that feeds metric stores and long-format consumers. stack is a
+    * narrow generator (no shuffle beyond the aggregation's own); the
+    * oracle expresses the identical desugaring as a UNION ALL. */
+  def q28Unpivot(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.load(spark, dir, "events")
+      .groupBy($"user_id")
+      .agg(
+        count(when($"event_type" === "purchase", 1)).as("purchase"),
+        count(when($"event_type" === "error", 1)).as("error"),
+        count(when($"event_type" === "click", 1)).as("click"))
+      .select($"user_id", expr(
+        "stack(3, 'purchase', purchase, 'error', error, 'click', click) AS (metric, n)"))
+      .orderBy($"user_id", $"metric")
+  }
+
   /** All relational queries, keyed for SparkEntry. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing_summary" -> q1PricingSummary _,
@@ -488,6 +525,8 @@ object Relational {
     "q24_conditional_agg" -> q24ConditionalAgg _,
     "q25_funnel" -> q25Funnel _,
     "q26_interval_join" -> q26IntervalJoin _,
+    "q27_cube" -> q27Cube _,
+    "q28_unpivot" -> q28Unpivot _,
   )
 
   /** DuckDB oracle SQL per query (column names and ORDER BY must match). */
@@ -702,5 +741,26 @@ object Relational {
         |FROM e a JOIN e b ON a.user_id = b.user_id
         |  AND b.us > a.us AND b.us <= a.us + 3600000000
         |GROUP BY a.user_id ORDER BY a.user_id""".stripMargin,
+    "q27_cube" ->
+      """SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+        |  COALESCE(l_linestatus, 'ALL') AS linestatus,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY returnflag, linestatus""".stripMargin,
+    "q28_unpivot" ->
+      """WITH w AS (SELECT user_id,
+        |  count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+        |  count(*) FILTER (WHERE event_type = 'error') AS error,
+        |  count(*) FILTER (WHERE event_type = 'click') AS click
+        |FROM events GROUP BY user_id)
+        |SELECT user_id, metric, n FROM (
+        |  SELECT user_id, 'purchase' AS metric, purchase AS n FROM w
+        |  UNION ALL
+        |  SELECT user_id, 'error' AS metric, error AS n FROM w
+        |  UNION ALL
+        |  SELECT user_id, 'click' AS metric, click AS n FROM w)
+        |ORDER BY user_id, metric""".stripMargin,
   )
 }
