@@ -66,6 +66,15 @@ object TextFunctions {
     * key that ships 16 bytes instead of the document across the shuffle. */
   def fingerprint(text: Column): Column = md5(normalized(text))
 
+  /** Distinct word-n-gram shingle keys as 64-bit hashes, computed in one
+    * native pass over the document bytes (graft.plans.ShingleHashes) —
+    * no shingle strings are materialized. Same distinct-set semantics as
+    * `array_distinct(shingles(tokens(text), n))` keyed by xxhash64, but
+    * ~an order of magnitude cheaper per row (the HOF pipeline is
+    * interpreted per element). */
+  def shingleHashes(text: Column, n: Int): Column =
+    graft.plans.VectorExpressions.shingleHashes(text, n)
+
   /** MinHash signature: for each of k seeded hash functions, the min over
     * the shingle set of (a_i * h(s) + b_i) mod p. Native one-pass
     * expression (graft.plans.MinHashSig): the HOF formulation re-traversed

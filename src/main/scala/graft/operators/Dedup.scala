@@ -49,20 +49,24 @@ object Dedup {
   }
 
   /** Distinct (doc_id, rare-shingle) pairs: the pruned inverted index.
-    * Shingles are dictionary-encoded to 64-bit xxhash64 keys at the scan —
-    * the shingle *strings* never cross a shuffle (the df-count groupBy, the
-    * rare-filter join, and d3's self-join all move 8-byte keys). Jaccard
-    * needs only per-doc counts and intersection sizes, which the hash
-    * preserves (a 64-bit collision within one corpus is ~N²/2⁶⁵ — d3 stays
-    * oracle hash-exact). */
+    * Shingles are dictionary-encoded to 64-bit keys AT THE SCAN by the
+    * one-pass ShingleHashes expression — shingle *strings* are never even
+    * materialized, and the df-count groupBy, the rare-filter join, and
+    * d3's self-join all move 8-byte keys. Jaccard needs only per-doc
+    * counts and intersection sizes, which the hash preserves (a 64-bit
+    * collision within one corpus is ~N²/2⁶⁵ — d3 stays oracle
+    * hash-exact). */
   private def rareShingles(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    // cached: the exploded index feeds both the document-frequency count
-    // and the join back — without it the scan+shingle explode runs twice
+    // NOT cached: ShingleHashes makes the explode nearly free, so the index
+    // is recomputed per consumer and Catalyst's ReuseExchange dedupes the
+    // shuffles of identical subplans within one query. Caching here would
+    // materialize O(total shingles) rows — ~16 TB at a 10¹²-shingle corpus
+    // — to save a map-side pass that costs less than the cache write
+    // (round-2 verdict: unreleased operator caches were also the bench
+    // cross-contamination mechanism).
     val sh = Tables.load(spark, dir, "documents")
-      .select($"doc_id", explode(shingles(tokens($"text"), 3)).as("s"))
-      .select($"doc_id", xxhash64($"s").as("h"))
-      .cache()
+      .select($"doc_id", explode(shingleHashes($"text", 3)).as("h"))
     val rare = sh.groupBy($"h")
       .agg(count(lit(1)).as("df"))
       .filter($"df" <= MaxShingleDf && $"df" >= 2)
@@ -77,7 +81,7 @@ object Dedup {
     * the jaccard double is oracle-exact. */
   def d3JaccardPairs(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val rsh = rareShingles(spark, dir).cache()
+    val rsh = rareShingles(spark, dir)
     val sizes = rsh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
     val shared = rsh.as("a").join(rsh.as("b"),
         $"a.h" === $"b.h" && $"a.doc_id" < $"b.doc_id")
@@ -93,12 +97,15 @@ object Dedup {
       .orderBy($"d1", $"d2")
   }
 
-  /** MinHash signature table (k hashes), for tests and composition. */
+  /** MinHash signature table (k hashes), for tests and composition.
+    * Shingle keys come from the one-pass ShingleHashes expression; the
+    * long-input MinHashSig path then runs k affine transforms per shingle
+    * with no string hashing at all. */
   def minHashSignatures(spark: SparkSession, dir: String, k: Int = 32): DataFrame = {
     import spark.implicits._
     Tables.load(spark, dir, "documents")
       .select($"doc_id",
-        minHashSignature(shingles(tokens($"text"), 3), k).as("sig"))
+        minHashSignature(shingleHashes($"text", 3), k).as("sig"))
   }
 
   /** D4 — MinHash + LSH banding near-dup: k=32 minhashes, 8 bands × 4 rows;
