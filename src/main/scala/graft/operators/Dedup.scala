@@ -288,8 +288,37 @@ object Dedup {
       .orderBy($"cluster_rep")
   }
 
+  /** D8 — duplicated-span coverage (the audit behind substring-level
+    * dedup, à la Lee et al. 2021 "Deduplicating Training Data Makes
+    * Language Models Better"): per document, the fraction of its distinct
+    * 3-gram spans that also occur in at least one other document. High
+    * `dup_fraction` docs are boilerplate/templated content that exact and
+    * near-dup passes (d1–d7) miss because the *document* is unique even
+    * though its *text spans* are not.
+    *
+    * Scale shape: identical to d3's index — the corpus is exploded to
+    * 8-byte shingle keys by the one-pass ShingleHashes expression, the
+    * span-frequency table is one groupBy(h), and the join back moves only
+    * (doc_id, h) pairs; no df cap is needed because nothing here is
+    * quadratic (no self-join — per-doc aggregation only). dup_fraction is
+    * one IEEE division of two exact counts, so the result is oracle-exact. */
+  def d8DuplicateSpans(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val sh = Tables.load(spark, dir, "documents")
+      .select($"doc_id", explode(shingleHashes($"text", 3)).as("h"))
+    val df = sh.groupBy($"h").agg(count(lit(1)).as("df"))
+    sh.join(df, "h")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when($"df" >= 2, 1L).otherwise(0L)).as("n_dup_shingles"))
+      .withColumn("dup_fraction",
+        $"n_dup_shingles".cast(DoubleType) / $"n_shingles")
+      .orderBy($"doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d1_dedup_exact" -> d1ExactDedup _,
+    "d8_duplicate_spans" -> d8DuplicateSpans _,
     "d6_dedup_clusters" -> d6DedupClusters _,
     "d7_canonical_selection" -> d7CanonicalSelection _,
     "d2_dedup_fingerprint" -> d2FingerprintDedup _,
@@ -309,6 +338,16 @@ object Dedup {
       """SELECT md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp,
         |  min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY 1 ORDER BY keep_id""".stripMargin,
+    "d8_duplicate_spans" ->
+      """WITH docs AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+        |sh0 AS (SELECT DISTINCT doc_id, unnest(list_transform(generate_series(1, len(w)-2),
+        |          i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s FROM docs),
+        |df AS (SELECT s, count(*) AS c FROM sh0 GROUP BY s)
+        |SELECT sh0.doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+        |  CAST(sum(CASE WHEN df.c >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_shingles,
+        |  CAST(sum(CASE WHEN df.c >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS dup_fraction
+        |FROM sh0 JOIN df USING (s)
+        |GROUP BY sh0.doc_id ORDER BY doc_id""".stripMargin,
     "d3_jaccard_pairs" ->
       s"""WITH $d3Ctes
          |SELECT d1, d2, shared, x.n AS n1, y.n AS n2,

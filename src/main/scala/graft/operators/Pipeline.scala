@@ -428,8 +428,50 @@ object Pipeline {
       .orderBy($"label")
   }
 
+  /** Target mixture weights per language (p12): the proportions the
+    * resampled corpus should have. Integer weights keep every quota
+    * computation in exact integer arithmetic. */
+  val MixtureWeights: Seq[(String, Long)] =
+    Seq("en" -> 4L, "de" -> 2L, "es" -> 2L, "fr" -> 1L, "zh" -> 1L)
+
+  /** P12 — data-mixture resampling: downsample the corpus so the language
+    * proportions match `MixtureWeights` exactly — the "data mixing" step
+    * that sets a training corpus's domain/language ratios. The feasible
+    * total is bound by the scarcest stratum (T = min over langs of
+    * ⌊count·W/w⌋, W = Σweights); each stratum then keeps quota =
+    * ⌊T·w/W⌋ documents, chosen by salted-md5 rank so the sample is
+    * deterministic and engine-portable (p2's trick + p7's exactly-k
+    * shape).
+    *
+    * Scale notes: quotas derive from one tiny groupBy(lang) aggregate
+    * joined to a literal weight table (broadcast); the only corpus-scale
+    * work is the per-stratum rank window — p7's documented shape, keyed
+    * and parallel across strata. All quota math is integer DIV, so Spark
+    * and the oracle agree bit-for-bit. */
+  def p12MixtureSample(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val W = MixtureWeights.map(_._2).sum
+    val wdf = MixtureWeights.toDF("lang", "w")
+    val docs = Tables.load(spark, dir, "documents")
+      .select($"doc_id", $"lang", $"source")
+    val counts = docs.groupBy($"lang").agg(count(lit(1)).as("cnt"))
+    val feasible = counts.join(broadcast(wdf), "lang")
+      .agg(min(expr(s"(cnt * $W) DIV w")).as("tot"))
+    val quotas = counts.join(broadcast(wdf), "lang")
+      .crossJoin(broadcast(feasible))
+      .select($"lang", expr(s"(tot * w) DIV $W").as("quota"))
+    val rkWin = Window.partitionBy($"lang")
+      .orderBy(md5(concat(lit("mix"), $"doc_id".cast("string"))), $"doc_id")
+    docs.join(broadcast(quotas), "lang")
+      .withColumn("rk", row_number().over(rkWin))
+      .filter($"rk" <= $"quota")
+      .select($"doc_id", $"lang", $"source", $"rk", $"quota")
+      .orderBy($"doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p1_repetition" -> p1Repetition _,
+    "p12_mixture_sample" -> p12MixtureSample _,
     "p6_pii_redact" -> p6PiiRedact _,
     "p7_stratum_sample" -> p7StratumSample _,
     "p8_crossmodal" -> p8CrossModal _,
@@ -442,6 +484,24 @@ object Pipeline {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "p12_mixture_sample" -> {
+      val values = MixtureWeights
+        .map { case (l, w) => s"('$l', $w)" }.mkString(", ")
+      val w = MixtureWeights.map(_._2).sum
+      s"""WITH wt(lang, w) AS (VALUES $values),
+         |c AS (SELECT lang, count(*) AS cnt FROM documents GROUP BY lang),
+         |t AS (SELECT min((cnt * $w) // w.w) AS tot FROM c JOIN wt w USING (lang)),
+         |q AS (SELECT c.lang, (t.tot * w.w) // $w AS quota
+         |      FROM c JOIN wt w USING (lang) CROSS JOIN t),
+         |r AS (SELECT doc_id, lang, source,
+         |        row_number() OVER (PARTITION BY lang
+         |          ORDER BY md5('mix' || CAST(doc_id AS VARCHAR)), doc_id) AS rk
+         |      FROM documents)
+         |SELECT r.doc_id, r.lang, r.source, CAST(r.rk AS INT) AS rk,
+         |  CAST(q.quota AS BIGINT) AS quota
+         |FROM r JOIN q ON r.lang = q.lang WHERE r.rk <= q.quota
+         |ORDER BY doc_id""".stripMargin
+    },
     "p1_repetition" ->
       """WITH t AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
         |cnt AS (SELECT doc_id, tok, count(*) AS c

@@ -497,8 +497,52 @@ object Relational {
       .orderBy($"user_id", $"metric")
   }
 
+  /** Q29 — PIVOT (long → wide): per-user-bucket spend by event type as a
+    * wide table, the inverse of q28's UNPIVOT. `pivot` with an explicit
+    * value list compiles to the same conditional-aggregate plan as q24
+    * (no extra pass to discover distinct keys — at 100 TB the implicit
+    * form would need one); sums are DECIMAL(18,2) for order-independent
+    * aggregation, cast to double only at the output edge. */
+  def q29Pivot(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    Tables.load(spark, dir, "events")
+      .select(($"user_id" % 10).as("user_bucket"), $"event_type",
+        dec($"value").as("v"))
+      .groupBy($"user_bucket")
+      .pivot("event_type", types)
+      .agg(sum($"v"))
+      .select($"user_bucket" +:
+        types.map(t => coalesce(col(t), lit(0)).cast(DoubleType).as(t)): _*)
+      .orderBy($"user_bucket")
+  }
+
+  /** Q30 — window-frame suite: per-user event sequences with a bounded
+    * moving sum (ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), lag delta,
+    * quartile bucket (ntile) and percent_rank — the analytic-frame
+    * surface q15's running total doesn't cover. All frames are keyed by
+    * user_id (parallel windows, no global sort until the final ORDER BY);
+    * the moving sum aggregates DECIMAL(18,2); percent_rank is one IEEE
+    * division of exact ints, so everything is oracle-exact. */
+  def q30WindowFrames(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts".asc, $"event_id".asc)
+    val wv = Window.partitionBy($"user_id").orderBy($"value".asc, $"event_id".asc)
+    Tables.load(spark, dir, "events")
+      .filter($"user_id" < 40)
+      .select($"user_id", $"event_id", $"value",
+        sum(dec($"value")).over(w.rowsBetween(-3, Window.currentRow))
+          .cast(DoubleType).as("moving_sum4"),
+        lag($"value", 1).over(w).as("prev_value"),
+        ntile(4).over(w).as("quartile"),
+        percent_rank().over(wv).as("value_pct_rank"))
+      .orderBy($"user_id", $"event_id")
+  }
+
   /** All relational queries, keyed for SparkEntry. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q29_pivot" -> q29Pivot _,
+    "q30_window_frames" -> q30WindowFrames _,
     "q1_pricing_summary" -> q1PricingSummary _,
     "q2_filter_project" -> q2FilterProject _,
     "q3_join_agg" -> q3JoinAgg _,
@@ -531,6 +575,29 @@ object Relational {
 
   /** DuckDB oracle SQL per query (column names and ORDER BY must match). */
   val oracleSql: Map[String, String] = Map(
+    "q29_pivot" -> {
+      val cols = Seq("click", "error", "purchase", "signup", "view").map { t =>
+        s"""CAST(COALESCE(sum(CASE WHEN event_type = '$t'
+           |    THEN CAST(value AS DECIMAL(18,2)) END), 0) AS DOUBLE) AS $t"""
+          .stripMargin
+      }.mkString(",\n  ")
+      s"""SELECT user_id % 10 AS user_bucket,
+         |  $cols
+         |FROM events GROUP BY user_id % 10 ORDER BY user_bucket""".stripMargin
+    },
+    "q30_window_frames" ->
+      """SELECT user_id, event_id, value,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id
+        |    ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS DOUBLE) AS moving_sum4,
+        |  lag(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |    AS prev_value,
+        |  CAST(ntile(4) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |    AS INT) AS quartile,
+        |  percent_rank() OVER (PARTITION BY user_id ORDER BY value, event_id)
+        |    AS value_pct_rank
+        |FROM events WHERE user_id < 40
+        |ORDER BY user_id, event_id""".stripMargin,
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

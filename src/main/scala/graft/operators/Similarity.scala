@@ -373,6 +373,45 @@ object Similarity {
       .withColumn("qn", sqrt(intDot($"qv", $"qv").cast("double")))
   }
 
+  /** V8 — semantic deduplication (SemDeDup, Abbas et al. 2023,
+    * arXiv:2303.09540): k-means-cluster the embedding space (v4's IVF
+    * machinery), then WITHIN each cell drop every vector that has a
+    * lower-id neighbor with cosine ≥ threshold — embedding-level near-dup
+    * removal that catches paraphrases exact/shingle dedup (d1–d8) cannot.
+    *
+    * The keep rule is the paper's deterministic variant: a vector is
+    * dropped iff ANY smaller-id vector in its cell is ≥ τ similar (not
+    * just kept ones), which makes the decision a single anti-join over
+    * the within-cell pair list — one pass, no iteration, and the kept set
+    * is guaranteed pairwise < τ within every cell (if u < v and
+    * cos(u,v) ≥ τ then v is dropped, whatever happened to u).
+    *
+    * Scale shape: this is THE point of clustering first — pairwise work
+    * is Σ_cell |cell|², bounded by N × IvfVectorsPerCell (linear in N
+    * with balanced cells, which the k-means|| seeding + cell-balance spec
+    * maintain), never the all-pairs N². The self-join keys on cent_id
+    * (co-partitioned shuffle); vectors ride the join; candidates are
+    * verified by exact cosine immediately (v3's payload-through-join
+    * lesson). Cell assignment depends on the fitted centroids → rows-only
+    * for the driver; the kept-set invariants and recall vs the v2 labeled
+    * pairs are asserted in SimilaritySpec. */
+  def v8SemanticDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = normalizedEmbeddings(spark, dir)
+    val cells = ivfCellAssignment(spark, dir)
+    val e = emb.join(cells, "vec_id")
+    val dropped = e.as("a").join(e.as("b"),
+        $"a.cent_id" === $"b.cent_id" && $"a.vec_id" < $"b.vec_id")
+      .filter(dot($"a.v", $"b.v") / ($"a.nrm" * $"b.nrm") >= CosineThreshold)
+      .select($"b.vec_id".as("vec_id"))
+      .distinct()
+      .withColumn("kept", lit(false))
+    e.select($"vec_id", $"cent_id")
+      .join(dropped, Seq("vec_id"), "left")
+      .select($"vec_id", $"cent_id", coalesce($"kept", lit(true)).as("kept"))
+      .orderBy($"vec_id")
+  }
+
   /** V6 — per-label embedding centroids (class prototypes): mean vector per
     * label, one output row per (label, dimension). Floats are quantized to
     * round(x·10⁶) BIGINTs before summing, so the aggregation is
@@ -401,6 +440,7 @@ object Similarity {
     "v3_ann_lsh" -> ((s: SparkSession, d: String) => v3AnnLsh(s, d)),
     "v4_ann_ivf" -> ((s: SparkSession, d: String) => v4AnnIvf(s, d)),
     "v7_ann_quantized" -> v7AnnQuantized _,
+    "v8_semantic_dedup" -> v8SemanticDedup _,
   )
 
   /** Shared by v1 and v5: both compute exact top-k, by different physical

@@ -119,4 +119,28 @@ class PlanAuditSpec extends AnyFunSuite {
     assert("Exchange".r.findAllIn(plan).size <= 1,
       s"chunk explode/digest must not shuffle:\n$plan")
   }
+
+  test("d8: span audit has no self-join — per-doc aggregation only") {
+    // d3's pair generation is quadratic-prone and needs the df cap; d8 by
+    // construction is linear: the only joins allowed are the df-table
+    // re-attach (h) — never a doc×doc pair join
+    val plan = formatted("d8_duplicate_spans")
+    assert("""(?m)^\(\d+\) \w*Join""".r.findAllIn(plan).size == 1,
+      s"d8 must have exactly the df re-attach join:\n$plan")
+  }
+
+  test("q29: explicit pivot values compile to one conditional aggregate, " +
+      "no Expand") {
+    val plan = formatted("q29_pivot")
+    assert(!plan.contains("Expand"),
+      s"pivot with explicit values must not expand rows:\n$plan")
+    assert("HashAggregate".r.findAllIn(plan).size >= 2,
+      s"pivot aggregate must be two-phase:\n$plan")
+  }
+
+  test("p12: quota join is broadcast — corpus never shuffles for quotas") {
+    val plan = formatted("p12_mixture_sample")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the 5-row quota table must broadcast:\n$plan")
+  }
 }

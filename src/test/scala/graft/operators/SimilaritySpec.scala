@@ -76,6 +76,45 @@ class SimilaritySpec extends AnyFunSuite {
       s"expected array<tinyint>, got ${qvType.simpleString}")
   }
 
+  test("v8: semantic dedup invariants — kept set is pairwise < τ per cell; " +
+      "drops are justified and labeled near-dups") {
+    val rows = Similarity.v8SemanticDedup(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(rows.nonEmpty)
+    // exact cosines recomputed driver-side (sf0.001 is small)
+    val emb = graft.sources.Tables.load(spark, dir, "embeddings")
+      .selectExpr("vec_id", "cast(embedding as array<double>) v").collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i)*b(i); na += a(i)*a(i); nb += b(i)*b(i); i += 1 }
+      d / math.sqrt(na * nb)
+    }
+    val tau = Similarity.CosineThreshold
+    val byCell = rows.groupBy(_._2)
+    // (1) no kept-kept pair within a cell reaches τ
+    for ((_, cell) <- byCell) {
+      val kept = cell.filter(_._3).map(_._1)
+      for (u <- kept; v <- kept if u < v)
+        assert(cos(emb(u), emb(v)) < tau,
+          s"kept pair ($u,$v) at cos ${cos(emb(u), emb(v))} >= $tau")
+    }
+    // (2) every dropped vector has a smaller-id same-cell witness >= τ
+    for ((_, cell) <- byCell) {
+      val ids = cell.map(_._1).toSet
+      for ((v, _, kept) <- cell if !kept)
+        assert(ids.exists(u => u < v && cos(emb(u), emb(v)) >= tau),
+          s"vec $v dropped without a witness")
+    }
+    // (3) drops are a subset of the labeled near-dup pair members (v2):
+    // within-cell pairs >= τ are global pairs >= τ
+    val paired = Similarity.v2CosinePairs(spark, dir).collect()
+      .flatMap(r => Seq(r.getLong(0), r.getLong(1))).toSet
+    val dropped = rows.filter(!_._3).map(_._1).toSet
+    assert(dropped.subsetOf(paired),
+      s"dropped vectors not in any labeled pair: ${dropped -- paired}")
+  }
+
   test("brute-force top-k is k rows per query, ranked by cosine desc") {
     val rows = Similarity.v1AnnTopK(spark, dir).collect()
     val byQuery = rows.groupBy(_.getLong(0))
