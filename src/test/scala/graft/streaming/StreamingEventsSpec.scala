@@ -320,4 +320,61 @@ class StreamingEventsSpec extends AnyFunSuite {
       assert(ids.size == 50)
     } finally handle.stop()
   }
+
+  test("stream-stream interval join collapses to the batch pairing") {
+    // the one Structured Streaming join mode the other tests don't cover:
+    // BOTH sides unbounded, equi-key + event-time range condition (q26's
+    // batch semantics). Watermarks on both sides + the time bound are what
+    // let Spark evict join state — without them a stream-stream join
+    // buffers forever, which is the 100 TB failure mode.
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val events = Tables.load(s, SparkTestSession.sf0001, "events")
+      .as[Ev].collect().toSeq
+    val memC = MemoryStream[Ev]
+    val memP = MemoryStream[Ev]
+    val clicks = memC.toDF().filter($"event_type" === "click")
+      .select($"user_id", $"ts".as("click_ts"), $"event_id".as("click_id"))
+      .withWatermark("click_ts", "2 hours")
+    val purchases = memP.toDF().filter($"event_type" === "purchase")
+      .select($"user_id".as("p_user"), $"ts".as("p_ts"),
+        $"event_id".as("p_id"))
+      .withWatermark("p_ts", "2 hours")
+    val joined = clicks.join(purchases,
+      $"user_id" === $"p_user" &&
+        $"p_ts" > $"click_ts" &&
+        $"p_ts" <= $"click_ts" + expr("INTERVAL 1 HOUR"))
+      .select($"user_id", $"click_id", $"p_id")
+    val q = joined.writeStream.format("memory")
+      .queryName("ss_interval_join").outputMode("append").start()
+    try {
+      // interleave arrivals across micro-batches (out-of-order within the
+      // watermark): matches must not depend on arrival batching
+      events.grouped(events.size / 4 + 1).foreach { chunk =>
+        memC.addData(chunk)
+        memP.addData(chunk.reverse)
+        q.processAllAvailable()
+      }
+      val streamed = s.table("ss_interval_join").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val ev = Tables.load(s, SparkTestSession.sf0001, "events")
+      val batch = ev.filter($"event_type" === "click")
+        .select($"user_id", $"ts".as("click_ts"), $"event_id".as("click_id"))
+        .join(ev.filter($"event_type" === "purchase")
+            .select($"user_id".as("p_user"), $"ts".as("p_ts"),
+              $"event_id".as("p_id")),
+          $"user_id" === $"p_user" &&
+            $"p_ts" > $"click_ts" &&
+            $"p_ts" <= $"click_ts" + expr("INTERVAL 1 HOUR"))
+        .select($"user_id", $"click_id", $"p_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(batch.nonEmpty, "fixture should produce click→purchase pairs")
+      assert(streamed == batch,
+        s"stream-stream join != batch twin (${streamed.size} vs ${batch.size})")
+    } finally {
+      q.stop()
+      s.catalog.dropTempView("ss_interval_join")
+    }
+  }
 }
