@@ -171,14 +171,25 @@ object Similarity {
                                        rounds: Int = 2): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
+    // Driver-side candidate registry: the candidate set is O(k·rounds) BY
+    // DESIGN — corpus-scale work stays in the map passes below; only
+    // admitted candidates ever leave the cluster (the published
+    // algorithm's own recluster step collects them anyway). Merging here
+    // replaces the previous union + dropDuplicates + localCheckpoint per
+    // round — three cluster jobs and a shuffle whose only purpose was
+    // deduping a driver-sized set.
+    val cand = scala.collection.mutable.LinkedHashMap.empty[Long, Array[Double]]
+    def candDf: DataFrame =
+      spark.createDataFrame(
+          cand.toSeq.sortBy(_._1).map { case (id, v) => (id, v.toSeq) })
+        .toDF("cent_id", "cv")
     // first center: salted-hash-min vector (deterministic "random" pick)
-    var cand = emb
-      .withColumn("h", xxhash64(lit("seed0"), $"vec_id"))
+    emb.withColumn("h", xxhash64(lit("seed0"), $"vec_id"))
       .orderBy($"h", $"vec_id").limit(1)
-      .select($"vec_id", $"v")
-      .localCheckpoint()
+      .select($"vec_id", $"v").collect()
+      .foreach(r => cand(r.getLong(0)) = r.getSeq[Double](1).toArray)
     for (r <- 1 to rounds) {
-      val ca = centArray(cand.select($"vec_id".as("cent_id"), $"v".as("cv")))
+      val ca = centArray(candDf)
       val d2 = emb.crossJoin(broadcast(ca))
         .select($"vec_id", $"v",
           greatest(lit(0.0), lit(1.0) - array_max(transform($"cents",
@@ -192,20 +203,21 @@ object Similarity {
         1e-12)
       val u = pmod(xxhash64(lit(s"seed$r"), $"vec_id"), lit(1L << 24))
         .cast("double") / (1L << 24).toDouble
-      cand = cand.union(
-          d2.filter(u * tot < $"d2" * k).select($"vec_id", $"v"))
-        .dropDuplicates("vec_id")
-        .localCheckpoint()
+      // admission is a per-vector deterministic predicate, so the collect
+      // order doesn't matter; the map dedupes re-admitted candidates
+      d2.filter(u * tot < $"d2" * k).select($"vec_id", $"v").collect()
+        .foreach { row =>
+          val id = row.getLong(0)
+          if (!cand.contains(id)) cand(id) = row.getSeq[Double](1).toArray
+        }
     }
     // weight candidates by how many corpus points they currently own
-    val weights = ivfAssign(emb,
-        centArray(cand.select($"vec_id".as("cent_id"), $"v".as("cv"))), 1)
+    val weights = ivfAssign(emb, centArray(candDf), 1)
       .groupBy($"cent_id").agg(count(lit(1)).as("w"))
-    val cs = cand.join(weights, cand("vec_id") === weights("cent_id"), "left")
-      .select(cand("vec_id"), $"v", coalesce($"w", lit(0L)).as("w"))
-      .orderBy($"vec_id")
-      .collect()
-      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getLong(2)))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val cs = cand.toSeq.sortBy(_._1)
+      .map { case (id, v) => (id, v, weights.getOrElse(id, 0L)) }
+      .toArray
     // greedy weighted farthest-point over the SMALL candidate set: start
     // from the heaviest, then repeatedly add the candidate maximizing
     // weight × spherical distance to its nearest chosen center
