@@ -1,0 +1,103 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Scratch stage profiler (not part of the deliverable surface). */
+object Profile {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .appName("graft-profile")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    import graft.functions.TextFunctions._
+    import graft.sources.Tables
+
+    def time(name: String)(f: => Unit): Unit = {
+      spark.catalog.clearCache(); System.gc()
+      val t0 = System.nanoTime()
+      f
+      println(f"[profile] $name%-30s ${(System.nanoTime() - t0) / 1e9}%.3f s")
+    }
+    def noop(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+
+    // warmup
+    noop(Tables.load(spark, sfDir, "documents").groupBy($"lang").count())
+
+    for (_ <- 1 to 2) {
+      time("scan+explode+hash") {
+        noop(Tables.load(spark, sfDir, "documents")
+          .select($"doc_id", explode(shingles(tokens($"text"), 3)).as("s"))
+          .select($"doc_id", xxhash64($"s").as("h")))
+      }
+      time("scan only") {
+        noop(Tables.load(spark, sfDir, "documents").select($"doc_id", $"text"))
+      }
+      time("native shingle hashes") {
+        noop(Tables.load(spark, sfDir, "documents")
+          .select($"doc_id", explode(shingleHashes($"text", 3)).as("h")))
+      }
+      time("df-count (native, 1 part)") {
+        val sh = Tables.load(spark, sfDir, "documents")
+          .select($"doc_id", explode(shingleHashes($"text", 3)).as("h"))
+        noop(sh.groupBy($"h").agg(count(lit(1)).as("df"))
+          .filter($"df" <= 50 && $"df" >= 2).select($"h"))
+      }
+      time("df-count (native, repart)") {
+        val sh = Tables.load(spark, sfDir, "documents")
+          .repartition(32)
+          .select($"doc_id", explode(shingleHashes($"text", 3)).as("h"))
+        noop(sh.groupBy($"h").agg(count(lit(1)).as("df"))
+          .filter($"df" <= 50 && $"df" >= 2).select($"h"))
+      }
+      time("full d3 (cached, current)") {
+        noop(graft.operators.Dedup.d3JaccardPairs(spark, sfDir))
+      }
+      time("full d3 (no cache)") {
+        import org.apache.spark.sql.types.DoubleType
+        val sh = Tables.load(spark, sfDir, "documents")
+          .select($"doc_id", explode(shingleHashes($"text", 3)).as("h"))
+        val rare = sh.groupBy($"h").agg(count(lit(1)).as("df"))
+          .filter($"df" <= 50 && $"df" >= 2).select($"h")
+        val rsh = sh.join(rare, "h")
+        val sizes = rsh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+        val shared = rsh.as("a").join(rsh.as("b"),
+            $"a.h" === $"b.h" && $"a.doc_id" < $"b.doc_id")
+          .groupBy($"a.doc_id".as("d1"), $"b.doc_id".as("d2"))
+          .agg(count(lit(1)).as("shared"))
+        noop(shared
+          .join(sizes.select($"doc_id".as("d1"), $"n".as("n1")), "d1")
+          .join(sizes.select($"doc_id".as("d2"), $"n".as("n2")), "d2")
+          .withColumn("jaccard",
+            $"shared".cast(DoubleType) / ($"n1" + $"n2" - $"shared"))
+          .filter($"jaccard" >= 0.8)
+          .select($"d1", $"d2", $"shared", $"n1", $"n2", $"jaccard")
+          .orderBy($"d1", $"d2"))
+      }
+      time("d6 (d3 + CC)") {
+        noop(graft.operators.Dedup.d6DedupClusters(spark, sfDir))
+      }
+      time("p1 repetition") {
+        noop(graft.operators.Pipeline.queries("p1_repetition")(spark, sfDir))
+      }
+      time("p4 contamination") {
+        noop(graft.operators.Pipeline.queries("p4_contamination")(spark, sfDir))
+      }
+      time("v4 ivf") {
+        noop(graft.operators.Similarity.queries("v4_ann_ivf")(spark, sfDir))
+      }
+      time("v8 semantic dedup") {
+        noop(graft.operators.Similarity.queries("v8_semantic_dedup")(spark, sfDir))
+      }
+    }
+    spark.stop()
+  }
+}

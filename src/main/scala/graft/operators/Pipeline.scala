@@ -49,16 +49,22 @@ object Pipeline {
     * ratios of exact ints, so the DuckDB oracle matches bit-for-bit. */
   def p1Repetition(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    // distinct word/bigram counts come from ShingleHashes (n=1/n=2): the
+    // hash sets are a faithful dictionary encoding of the token sets
+    // (TextFunctionsSpec), and the one-pass byte scan replaces the
+    // interpreted array_distinct/HOF-bigram build in the hot path
     Tables.load(spark, dir, "documents")
-      .select($"doc_id", tokens($"text").as("toks"))
+      .select($"doc_id", tokens($"text").as("toks"),
+        size(shingleHashes($"text", 1)).as("n_distinct"),
+        size(shingleHashes($"text", 2)).as("n_distinct_bigrams"))
       .select($"doc_id",
         size($"toks").as("n_tokens"),
-        (lit(1.0) - size(array_distinct($"toks")).cast(DoubleType) /
+        (lit(1.0) - $"n_distinct".cast(DoubleType) /
           size($"toks")).as("dup_word_frac"),
         (topCount($"toks").cast(DoubleType) / size($"toks"))
           .as("top_word_frac"),
         when(size($"toks") >= 2,
-          lit(1.0) - size(shingles($"toks", 2)).cast(DoubleType) /
+          lit(1.0) - $"n_distinct_bigrams".cast(DoubleType) /
             (size($"toks") - 1))
           .otherwise(lit(0.0)).as("dup_bigram_frac"))
       .orderBy($"doc_id")
@@ -161,9 +167,12 @@ object Pipeline {
     // source-filter pushes to the parquet scan and reads only the (tiny
     // by definition) benchmark row groups. One cheap pushed-down scan +
     // one full scan beats materializing n_grams × corpus rows.
+    // grams are ShingleHashes keys (8 bytes), not strings: the join key,
+    // the broadcast build side, and both countDistincts shrink ~10×, and
+    // the n-gram build is one native pass instead of an interpreted HOF
     val grams = Tables.load(spark, dir, "documents")
       .select($"doc_id", $"source",
-        explode(shingles(tokens($"text"), ContamN)).as("s"))
+        explode(shingleHashes($"text", ContamN)).as("s"))
     val bench = grams.filter($"source" === BenchmarkSource)
       .select($"s", $"doc_id".as("bench_id"))
     grams.filter($"source" =!= BenchmarkSource)
@@ -180,7 +189,7 @@ object Pipeline {
     import spark.implicits._
     Tables.load(spark, dir, "documents")
       .filter($"source" === BenchmarkSource)
-      .select(explode(shingles(tokens($"text"), ContamN)).as("s"))
+      .select(explode(shingleHashes($"text", ContamN)).as("s"))
       .distinct()
   }
 
@@ -193,7 +202,7 @@ object Pipeline {
   def contaminationStream(stream: DataFrame, benchGrams: DataFrame): DataFrame = {
     import stream.sparkSession.implicits._
     stream
-      .select($"doc_id", explode(shingles(tokens($"text"), ContamN)).as("s"))
+      .select($"doc_id", explode(shingleHashes($"text", ContamN)).as("s"))
       .join(broadcast(benchGrams), "s")
       .groupBy($"doc_id")
       .agg(count(lit(1)).as("n_shared_ngrams"))
@@ -469,9 +478,47 @@ object Pipeline {
       .orderBy($"doc_id")
   }
 
+  /** P13 thresholds: minimum tokens, minimum composite quality (t2's
+    * score), maximum duplicated-bigram fraction (p1's metric). Safe to
+    * compare against computed doubles because both inputs are
+    * oracle-hash-exact — the values are bit-identical across engines. */
+  val FilterMinTokens = 25
+  val FilterMinQuality = 0.60
+  val FilterMaxDupBigram = 0.06
+
+  /** P13 — composite quality filter (the C4/Gopher-style keep/drop pass):
+    * combines the length rule, t2's composite quality score, and p1's
+    * repetition metric into one keep decision PLUS a reason bitmask
+    * (1 = too short, 2 = low quality, 4 = repetitive) — pipelines keep the
+    * reasons, not just the verdict, so filter rates are auditable per
+    * rule.
+    *
+    * Scale shape: both inputs are shuffle-free per-row map work over the
+    * same scan; the join keys on doc_id (co-partitioned at scale — in a
+    * real pipeline these metrics come from ONE projection pass anyway,
+    * and Catalyst's scan reuse gets most of that here). */
+  def p13QualityFilter(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val quality = TextAnalysis.t2QualityScore(spark, dir)
+      .select($"doc_id", $"quality_score")
+    val repetition = p1Repetition(spark, dir)
+      .select($"doc_id", $"n_tokens", $"dup_bigram_frac")
+    repetition.join(quality, "doc_id")
+      .withColumn("reason_mask",
+        (when($"n_tokens" < FilterMinTokens, 1).otherwise(0) +
+         when($"quality_score" < FilterMinQuality, 2).otherwise(0) +
+         when($"dup_bigram_frac" > FilterMaxDupBigram, 4).otherwise(0))
+          .cast("int"))
+      .withColumn("keep", $"reason_mask" === 0)
+      .select($"doc_id", $"n_tokens", $"quality_score", $"dup_bigram_frac",
+        $"reason_mask", $"keep")
+      .orderBy($"doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p1_repetition" -> p1Repetition _,
     "p12_mixture_sample" -> p12MixtureSample _,
+    "p13_quality_filter" -> p13QualityFilter _,
     "p6_pii_redact" -> p6PiiRedact _,
     "p7_stratum_sample" -> p7StratumSample _,
     "p8_crossmodal" -> p8CrossModal _,
@@ -484,6 +531,24 @@ object Pipeline {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "p13_quality_filter" ->
+      s"""WITH q AS (${TextAnalysis.qualityCte}),
+         |t AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+         |r AS (SELECT doc_id, CAST(len(w) AS INT) AS n_tokens,
+         |        CASE WHEN len(w) >= 2 THEN
+         |          1.0 - CAST(len(list_distinct(list_transform(generate_series(1, len(w)-1),
+         |            i -> w[i] || ' ' || w[i+1]))) AS DOUBLE) / (len(w) - 1)
+         |        ELSE 0.0 END AS dup_bigram_frac
+         |      FROM t),
+         |m AS (SELECT r.doc_id, r.n_tokens, q.quality_score, r.dup_bigram_frac,
+         |        CAST(CASE WHEN r.n_tokens < $FilterMinTokens THEN 1 ELSE 0 END
+         |           + CASE WHEN q.quality_score < $FilterMinQuality THEN 2 ELSE 0 END
+         |           + CASE WHEN r.dup_bigram_frac > $FilterMaxDupBigram THEN 4 ELSE 0 END
+         |          AS INT) AS reason_mask
+         |      FROM r JOIN q USING (doc_id))
+         |SELECT doc_id, n_tokens, quality_score, dup_bigram_frac, reason_mask,
+         |  reason_mask = 0 AS keep
+         |FROM m ORDER BY doc_id""".stripMargin,
     "p12_mixture_sample" -> {
       val values = MixtureWeights
         .map { case (l, w) => s"('$l', $w)" }.mkString(", ")

@@ -152,7 +152,38 @@ object TextAnalysis {
       .orderBy($"doc_id")
   }
 
+  /** T8 — vocabulary coverage / out-of-vocabulary rate: per document, the
+    * fraction of token instances not covered by its language's top-k
+    * vocabulary (p5's table) — the audit a pipeline runs before committing
+    * to a tokenizer/vocab: high-OOV documents either get a bigger vocab or
+    * get dropped.
+    *
+    * Scale shape: the vocabulary is langs×k rows — a broadcast dimension
+    * by construction — so the corpus-side token explode joins map-side
+    * with no shuffle of the corpus; the only exchanges are the vocab's own
+    * tiny aggregation and the final per-doc groupBy. oov_rate is one IEEE
+    * division of exact counts. */
+  def t8OovRate(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val toks = Tables.load(spark, dir, "documents")
+      .select($"doc_id", $"lang", explode(tokens($"text")).as("token"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"lang").orderBy($"cnt".desc, $"token".asc)
+    val vocab = toks.groupBy($"lang", $"token")
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("rk", row_number().over(w))
+      .filter($"rk" <= Pipeline.VocabK)
+      .select($"lang", $"token", lit(true).as("in_vocab"))
+    toks.join(broadcast(vocab), Seq("lang", "token"), "left")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when($"in_vocab".isNull, 1L).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_rate", $"n_oov".cast(DoubleType) / $"n_tokens")
+      .orderBy($"doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t8_oov_rate" -> t8OovRate _,
     "t5_token_regex" -> t5TokenRegex _,
     "t6_length_percentiles" -> t6LengthPercentiles _,
     "t7_lexical_diversity" -> t7LexicalDiversity _,
@@ -180,6 +211,21 @@ object TextAnalysis {
   }
 
   val oracleSql: Map[String, String] = Map(
+    "t8_oov_rate" ->
+      s"""WITH u AS (SELECT doc_id, lang, unnest(string_split(text,' ')) AS token
+         |           FROM documents),
+         |cnt AS (SELECT lang, token, count(*) AS cnt FROM u GROUP BY 1, 2),
+         |v AS (SELECT lang, token FROM (
+         |        SELECT lang, token, row_number() OVER (PARTITION BY lang
+         |          ORDER BY cnt DESC, token ASC) AS rk FROM cnt)
+         |      WHERE rk <= ${Pipeline.VocabK}),
+         |j AS (SELECT u.doc_id, v.token AS vt
+         |      FROM u LEFT JOIN v ON u.lang = v.lang AND u.token = v.token)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         |  CAST(sum(CASE WHEN vt IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+         |  CAST(sum(CASE WHEN vt IS NULL THEN 1 ELSE 0 END) AS DOUBLE) / count(*)
+         |    AS oov_rate
+         |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "t5_token_regex" ->
       """SELECT doc_id,
         |  CAST(len(string_split(text,' ')) AS INT) AS ws_tokens,

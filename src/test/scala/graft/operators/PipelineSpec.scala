@@ -385,4 +385,25 @@ class PipelineSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("p13: every filter rule fires on the fixture; mask and keep agree") {
+    val rows = Pipeline.p13QualityFilter(spark, dir).collect()
+      .map(r => (r.getInt(1), r.getDouble(2), r.getDouble(3), r.getInt(4),
+        r.getBoolean(5)))
+    assert(rows.nonEmpty)
+    // keep iff mask == 0, and the mask re-derives from the metrics
+    rows.foreach { case (n, q, dup, mask, keep) =>
+      val expected =
+        (if (n < Pipeline.FilterMinTokens) 1 else 0) +
+        (if (q < Pipeline.FilterMinQuality) 2 else 0) +
+        (if (dup > Pipeline.FilterMaxDupBigram) 4 else 0)
+      assert(mask == expected && keep == (mask == 0), s"mask $mask != $expected")
+    }
+    // a filter whose rules never fire is dead config: each bit must
+    // trigger somewhere, and a majority of the corpus must survive
+    Seq(1, 2, 4).foreach { bit =>
+      assert(rows.exists(r => (r._4 & bit) != 0), s"rule $bit never fired")
+    }
+    assert(rows.count(_._5) > rows.length / 2, "filter dropped the majority")
+  }
 }

@@ -143,4 +143,12 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"),
       s"the 5-row quota table must broadcast:\n$plan")
   }
+
+  test("t8: vocab joins the corpus tokens via broadcast") {
+    // the vocabulary is langs×k rows by construction — if it ever rode a
+    // shuffle join, the corpus-side token explode would exchange too
+    val plan = formatted("t8_oov_rate")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"vocab must broadcast to the token stream:\n$plan")
+  }
 }
