@@ -3,7 +3,9 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-/** Scratch stage profiler (not part of the deliverable surface). */
+/** Scratch stage profiler (not part of the deliverable surface).
+  * Pass query names as args to time just those (min-of-2, cold caches),
+  * or no args for the full stage breakdown. */
 object Profile {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -20,17 +22,29 @@ object Profile {
     import graft.functions.TextFunctions._
     import graft.sources.Tables
 
-    def time(name: String)(f: => Unit): Unit = {
+    def timed(f: => Unit): Double = {
       spark.catalog.clearCache(); System.gc()
       val t0 = System.nanoTime()
       f
-      println(f"[profile] $name%-30s ${(System.nanoTime() - t0) / 1e9}%.3f s")
+      (System.nanoTime() - t0) / 1e9
     }
+    def time(name: String)(f: => Unit): Unit =
+      println(f"[profile] $name%-30s ${timed(f)}%.3f s")
     def noop(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
 
     // warmup
     noop(Tables.load(spark, sfDir, "documents").groupBy($"lang").count())
+
+    if (args.nonEmpty) {
+      val registry = SparkEntry.queries
+      args.foreach { q =>
+        val runs = (1 to 2).map(_ => timed(noop(registry(q)(spark, sfDir))))
+        println(f"[profile] $q%-30s min ${runs.min}%.3f s  runs ${runs.map(t => f"$t%.3f").mkString(" ")}")
+      }
+      spark.stop()
+      return
+    }
 
     for (_ <- 1 to 2) {
       time("scan+explode+hash") {
@@ -44,22 +58,6 @@ object Profile {
       time("native shingle hashes") {
         noop(Tables.load(spark, sfDir, "documents")
           .select($"doc_id", explode(shingleHashes($"text", 3)).as("h")))
-      }
-      time("df-count (native, 1 part)") {
-        val sh = Tables.load(spark, sfDir, "documents")
-          .select($"doc_id", explode(shingleHashes($"text", 3)).as("h"))
-        noop(sh.groupBy($"h").agg(count(lit(1)).as("df"))
-          .filter($"df" <= 50 && $"df" >= 2).select($"h"))
-      }
-      time("df-count (native, repart)") {
-        val sh = Tables.load(spark, sfDir, "documents")
-          .repartition(32)
-          .select($"doc_id", explode(shingleHashes($"text", 3)).as("h"))
-        noop(sh.groupBy($"h").agg(count(lit(1)).as("df"))
-          .filter($"df" <= 50 && $"df" >= 2).select($"h"))
-      }
-      time("full d3 (cached, current)") {
-        noop(graft.operators.Dedup.d3JaccardPairs(spark, sfDir))
       }
       time("full d3 (no cache)") {
         import org.apache.spark.sql.types.DoubleType
@@ -81,21 +79,6 @@ object Profile {
           .filter($"jaccard" >= 0.8)
           .select($"d1", $"d2", $"shared", $"n1", $"n2", $"jaccard")
           .orderBy($"d1", $"d2"))
-      }
-      time("d6 (d3 + CC)") {
-        noop(graft.operators.Dedup.d6DedupClusters(spark, sfDir))
-      }
-      time("p1 repetition") {
-        noop(graft.operators.Pipeline.queries("p1_repetition")(spark, sfDir))
-      }
-      time("p4 contamination") {
-        noop(graft.operators.Pipeline.queries("p4_contamination")(spark, sfDir))
-      }
-      time("v4 ivf") {
-        noop(graft.operators.Similarity.queries("v4_ann_ivf")(spark, sfDir))
-      }
-      time("v8 semantic dedup") {
-        noop(graft.operators.Similarity.queries("v8_semantic_dedup")(spark, sfDir))
       }
     }
     spark.stop()
