@@ -97,6 +97,58 @@ object Dedup {
       .orderBy($"d1", $"d2")
   }
 
+  /** Candidate Jaccard floor for d9's edit-distance verification — looser
+    * than JaccardThreshold so the expensive verifier sees borderline pairs
+    * the 3-gram estimate alone would keep or kill too eagerly. */
+  val EditCandJaccard = 0.5
+  /** Max absolute Levenshtein distance for a verified near-dup pair. */
+  val EditMaxDist = 40
+
+  /** D9 — edit-distance-verified near-dup: d3's inverted-index blocking
+    * (df-capped shingle join, Jaccard ≥ EditCandJaccard) proposes
+    * candidates, then exact Levenshtein over the pair's texts confirms
+    * them — the two-stage cheap-filter → exact-verify shape every
+    * production dedup runs, with the O(L²) DP paid only on the bounded
+    * candidate set, never N².
+    *
+    * Scale: texts re-attach to the (tiny) candidate table via two
+    * shuffled-hash joins on doc_id — the corpus text crosses the network
+    * only for candidate rows. The Spark side uses the banded
+    * threshold-Levenshtein (O(d·L) early-exit, exact for distances ≤ the
+    * threshold, -1 beyond — filtered out either way), so a wildly
+    * dissimilar candidate costs O(EditMaxDist·L), not O(L²).
+    * edit_sim = 1 - dist/max(len): IEEE ops over exact ints in the same
+    * shape as the oracle, so the whole row is hash-exact. */
+  def d9EditVerified(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val rsh = rareShingles(spark, dir)
+    val sizes = rsh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+    val cand = rsh.as("a").join(rsh.as("b"),
+        $"a.h" === $"b.h" && $"a.doc_id" < $"b.doc_id")
+      .groupBy($"a.doc_id".as("d1"), $"b.doc_id".as("d2"))
+      .agg(count(lit(1)).as("shared"))
+      .join(sizes.select($"doc_id".as("d1"), $"n".as("n1")), "d1")
+      .join(sizes.select($"doc_id".as("d2"), $"n".as("n2")), "d2")
+      .filter($"shared".cast(DoubleType) / ($"n1" + $"n2" - $"shared") >=
+        EditCandJaccard)
+      .select($"d1", $"d2")
+    val docs = Tables.load(spark, dir, "documents")
+      .select($"doc_id", $"text", $"n_chars")
+    cand
+      .hint("shuffle_hash")
+      .join(docs.select($"doc_id".as("d1"), $"text".as("t1"),
+        $"n_chars".as("len1")), "d1")
+      .hint("shuffle_hash")
+      .join(docs.select($"doc_id".as("d2"), $"text".as("t2"),
+        $"n_chars".as("len2")), "d2")
+      .withColumn("edit_dist", levenshtein($"t1", $"t2", EditMaxDist))
+      .filter($"edit_dist" >= 0 && $"edit_dist" <= EditMaxDist)
+      .withColumn("edit_sim", lit(1.0) -
+        $"edit_dist".cast(DoubleType) / greatest($"len1", $"len2"))
+      .select($"d1", $"d2", $"edit_dist", $"len1", $"len2", $"edit_sim")
+      .orderBy($"d1", $"d2")
+  }
+
   /** MinHash signature table (k hashes), for tests and composition.
     * Shingle keys come from the one-pass ShingleHashes expression; the
     * long-input MinHashSig path then runs k affine transforms per shingle
@@ -340,6 +392,7 @@ object Dedup {
     "d3_jaccard_pairs" -> d3JaccardPairs _,
     "d4_minhash_lsh" -> ((s: SparkSession, d: String) => d4MinHashLsh(s, d, 32, 8)),
     "d5_simhash" -> d5SimHash _,
+    "d9_edit_verified" -> d9EditVerified _,
   )
 
   /** D4/D5 use engine-specific 64-bit hashing → no SQL oracle (driver
@@ -363,6 +416,21 @@ object Dedup {
         |  CAST(sum(CASE WHEN df.c >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS dup_fraction
         |FROM sh0 JOIN df USING (s)
         |GROUP BY sh0.doc_id ORDER BY doc_id""".stripMargin,
+    "d9_edit_verified" ->
+      s"""WITH $d3Ctes,
+         |cand AS (SELECT d1, d2 FROM inter
+         |         JOIN sz x ON d1 = x.doc_id JOIN sz y ON d2 = y.doc_id
+         |         WHERE CAST(shared AS DOUBLE) / (x.n + y.n - shared)
+         |           >= $EditCandJaccard)
+         |SELECT d1, d2,
+         |  CAST(levenshtein(a.text, b.text) AS INT) AS edit_dist,
+         |  a.n_chars AS len1, b.n_chars AS len2,
+         |  1.0 - CAST(levenshtein(a.text, b.text) AS DOUBLE)
+         |    / greatest(a.n_chars, b.n_chars) AS edit_sim
+         |FROM cand JOIN documents a ON d1 = a.doc_id
+         |          JOIN documents b ON d2 = b.doc_id
+         |WHERE levenshtein(a.text, b.text) <= $EditMaxDist
+         |ORDER BY d1, d2""".stripMargin,
     "d3_jaccard_pairs" ->
       s"""WITH $d3Ctes
          |SELECT d1, d2, shared, x.n AS n1, y.n AS n2,

@@ -193,6 +193,50 @@ object Pipeline {
       .distinct()
   }
 
+  /** Bloom sizing for p14. At sf-fixture scale this over-provisions
+    * massively (fpp ≈ 0); the sizing RULE is what carries to 100 TB: bits
+    * ≈ 9.6 × distinct bench n-grams for 1% fpp, so even a 10⁹-gram
+    * benchmark suite is a ~1.2 GB sketch — shippable to every executor,
+    * where the exact gram set (p4's broadcast) would be 10-100× larger
+    * and the shuffle-join alternative would move the corpus. */
+  val BloomExpectedItems: Long = 1L << 18
+  val BloomFpp = 0.01
+
+  /** P14 — bloom-filter contamination probe: p4's check for when the
+    * benchmark n-gram set is too big to broadcast exactly. Two phases:
+    * (1) build a bloom sketch over the distinct benchmark n-grams with a
+    * distributed aggregate (`stat.bloomFilter` — map-side partial sketches
+    * merged on the driver), (2) re-serialize it as a BINARY literal and
+    * probe corpus n-grams map-side via the codegen'd
+    * `BloomFilterMightContain` predicate — zero joins, zero corpus
+    * shuffle before the per-doc count.
+    *
+    * One-sided error: a bloom has NO false negatives, so every p4
+    * contamination hit is found; false positives can only inflate counts
+    * (rows-only registry entry; the superset + fp-budget invariants are
+    * spec-tested against exact p4 in PipelineSpec). */
+  def p14BloomContamination(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+    val bf = benchmarkGrams(spark, dir).stat
+      .bloomFilter("s", BloomExpectedItems, BloomFpp)
+    val bytes = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bf.writeTo(bos)
+      bos.toByteArray
+    }
+    val mightContain = column(
+      new org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+        expression(lit(bytes)), expression($"s")))
+    Tables.load(spark, dir, "documents")
+      .filter($"source" =!= BenchmarkSource)
+      .select($"doc_id", explode(shingleHashes($"text", ContamN)).as("s"))
+      .filter(mightContain)
+      .groupBy($"doc_id")
+      .agg(countDistinct($"s").as("n_hit_ngrams"))
+      .orderBy($"doc_id")
+  }
+
   /** Streaming twin of p4: documents arrive as a stream and are checked
     * against the static benchmark n-gram set via a stream-static broadcast
     * join — contamination flagged as data lands, not in a nightly batch.
@@ -519,6 +563,7 @@ object Pipeline {
     "p1_repetition" -> p1Repetition _,
     "p12_mixture_sample" -> p12MixtureSample _,
     "p13_quality_filter" -> p13QualityFilter _,
+    "p14_bloom_contamination" -> p14BloomContamination _,
     "p6_pii_redact" -> p6PiiRedact _,
     "p7_stratum_sample" -> p7StratumSample _,
     "p8_crossmodal" -> p8CrossModal _,

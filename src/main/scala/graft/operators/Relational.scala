@@ -539,10 +539,71 @@ object Relational {
       .orderBy($"user_id", $"event_id")
   }
 
+  /** Q31 — correlated subqueries: EXISTS, NOT EXISTS, and a correlated
+    * scalar COUNT, written as SQL text (the surface a reference user
+    * actually types). Catalyst de-correlates all three into joins — the
+    * EXISTS becomes a left-semi, the NOT EXISTS a left-anti, and the
+    * scalar subquery a left-outer aggregate join — so at 100 TB this is
+    * three hash joins on o_custkey, not a per-customer probe loop
+    * (plan-asserted in PlanAuditSpec: no subquery node survives). */
+  def q31ExistsSubquery(spark: SparkSession, dir: String): DataFrame = {
+    Tables.load(spark, dir, "customer").createOrReplaceTempView("customer")
+    Tables.load(spark, dir, "orders").createOrReplaceTempView("orders")
+    spark.sql(
+      """SELECT c_custkey, c_name,
+        |  (SELECT count(*) FROM orders o
+        |   WHERE o.o_custkey = c.c_custkey
+        |     AND o.o_orderpriority = '1-URGENT') AS n_urgent
+        |FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_custkey = c.c_custkey
+        |                AND o.o_orderpriority = '1-URGENT')
+        |  AND NOT EXISTS (SELECT 1 FROM orders o2
+        |                  WHERE o2.o_custkey = c.c_custkey
+        |                    AND o2.o_orderstatus = 'P')
+        |ORDER BY c_custkey""".stripMargin)
+  }
+
+  /** Q32 — ordered string aggregation (LISTAGG/STRING_AGG): per nation,
+    * the comma-joined names of its high-balance customers. Expressed as
+    * `array_join(array_sort(collect_list(..)))` — the sort inside the
+    * aggregate makes the result order-independent of partitioning, which
+    * is what makes it oracle-exact (DuckDB: string_agg .. ORDER BY).
+    *
+    * Scale: collect_list materializes the group — correct only because
+    * the group is bounded by the acctbal filter (a top-tier slice, not
+    * the corpus). An unbounded-group listagg at 100 TB is a design error
+    * upstream of the engine; cap with slice()/top-k first. */
+  def q32ListAgg(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.load(spark, dir, "customer")
+      .filter($"c_acctbal" >= 9000.0)
+      .groupBy($"c_nationkey")
+      .agg(count(lit(1)).as("n_top"),
+        array_join(array_sort(collect_list($"c_name")), ",").as("names"))
+      .orderBy($"c_nationkey")
+  }
+
+  /** Q33 — generator with ordinality (LATERAL VIEW posexplode): tokens of
+    * the low-id documents with their positions — the long-format
+    * tokenized form sequence models consume. posexplode is a narrow
+    * generator: rows fan out in place with no shuffle (1-exchange plan =
+    * just the final ORDER BY; asserted in PlanAuditSpec). */
+  def q33PosExplode(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.load(spark, dir, "documents")
+      .filter($"doc_id" < 50)
+      .select($"doc_id", posexplode(split($"text", " ")).as(Seq("pos", "token")))
+      .orderBy($"doc_id", $"pos")
+  }
+
   /** All relational queries, keyed for SparkEntry. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q29_pivot" -> q29Pivot _,
     "q30_window_frames" -> q30WindowFrames _,
+    "q31_exists_subquery" -> q31ExistsSubquery _,
+    "q32_listagg" -> q32ListAgg _,
+    "q33_posexplode" -> q33PosExplode _,
     "q1_pricing_summary" -> q1PricingSummary _,
     "q2_filter_project" -> q2FilterProject _,
     "q3_join_agg" -> q3JoinAgg _,
@@ -575,6 +636,30 @@ object Relational {
 
   /** DuckDB oracle SQL per query (column names and ORDER BY must match). */
   val oracleSql: Map[String, String] = Map(
+    "q31_exists_subquery" ->
+      """SELECT c_custkey, c_name,
+        |  (SELECT count(*) FROM orders o
+        |   WHERE o.o_custkey = c.c_custkey
+        |     AND o.o_orderpriority = '1-URGENT') AS n_urgent
+        |FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_custkey = c.c_custkey
+        |                AND o.o_orderpriority = '1-URGENT')
+        |  AND NOT EXISTS (SELECT 1 FROM orders o2
+        |                  WHERE o2.o_custkey = c.c_custkey
+        |                    AND o2.o_orderstatus = 'P')
+        |ORDER BY c_custkey""".stripMargin,
+    "q32_listagg" ->
+      """SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n_top,
+        |  string_agg(c_name, ',' ORDER BY c_name) AS names
+        |FROM customer WHERE c_acctbal >= 9000.0
+        |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+    "q33_posexplode" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w
+        |           FROM documents WHERE doc_id < 50)
+        |SELECT doc_id, CAST(i - 1 AS INT) AS pos, w[i] AS token
+        |FROM t, unnest(generate_series(1, len(w))) AS u(i)
+        |ORDER BY doc_id, pos""".stripMargin,
     "q29_pivot" -> {
       val cols = Seq("click", "error", "purchase", "signup", "view").map { t =>
         s"""CAST(COALESCE(sum(CASE WHEN event_type = '$t'

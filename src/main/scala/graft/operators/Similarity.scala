@@ -431,6 +431,123 @@ object Similarity {
     * and partitionings (a double sum would differ in the last bits per
     * reduction order). posexplode + groupBy(label, pos) partial-aggregates
     * map-side; the shuffle carries C×dim rows, not N×dim. */
+  /** Number of principal components v9 projects onto. */
+  val PcaK = 8
+  /** Fixed-point scale for the exact covariance sums (v6's trick). */
+  private val PcaQ = 1e6
+
+  /** V9 — PCA projection (embedding whitening/compression): the linear
+    * map a pipeline fits once and applies corpus-wide before ANN or
+    * clustering. Three stages, each in its scale-correct shape:
+    *  1. covariance: ONE pass over the corpus exploding the D(D+1)/2
+    *     upper-triangle index pairs per vector, aggregated as exact
+    *     quantized-integer sums (order-independent — deterministic at any
+    *     partitioning; DECIMAL(38,0) so 10¹² rows cannot overflow);
+    *  2. eigen-decomposition of the (tiny, D×D) covariance on the driver
+    *     — cyclic Jacobi, deterministic, sign-fixed so reruns match;
+    *  3. projection: map-side dot products against the broadcast-literal
+    *     component matrix (codegen'd DotProduct), zero shuffle.
+    * Registry output is rows-only (eigenvectors aren't SQL-expressible);
+    * SimilaritySpec asserts orthonormality, descending captured variance,
+    * and agreement of the distributed covariance with a driver-side
+    * recompute. */
+  def v9PcaProject(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val dim = Tables.load(spark, dir, "embeddings")
+      .select(size($"embedding")).first().getInt(0)
+    // stage 1: upper-triangle product sums, quantized exact
+    val pairIdx = for (i <- 0 until dim; j <- i until dim) yield (i, j)
+    val pairsCol = array(pairIdx.map { case (i, j) =>
+      struct(lit(i).as("i"), lit(j).as("j"))
+    }: _*)
+    val q = Tables.load(spark, dir, "embeddings")
+      .select(transform($"embedding".cast("array<double>"),
+        x => round(x * PcaQ).cast("long")).as("qv"))
+    val moments = q
+      .select(explode(pairsCol).as("p"), $"qv")
+      .select($"p.i".as("i"), $"p.j".as("j"),
+        element_at($"qv", $"p.i" + 1).as("qi"),
+        element_at($"qv", $"p.j" + 1).as("qj"))
+      .groupBy($"i", $"j")
+      .agg(count(lit(1)).as("n"),
+        sum($"qi").as("si"), sum($"qj").as("sj"),
+        sum(($"qi" * $"qj").cast("decimal(38,0)")).as("sij"))
+      .collect()
+    // stage 2: driver-side covariance + Jacobi eigen-solve
+    val cov = Array.ofDim[Double](dim, dim)
+    val mean = new Array[Double](dim)
+    moments.foreach { r =>
+      val (i, j) = (r.getInt(0), r.getInt(1))
+      val cnt = r.getLong(2).toDouble
+      val si = r.getLong(3).toDouble / PcaQ
+      val sj = r.getLong(4).toDouble / PcaQ
+      val sij = r.getDecimal(5).doubleValue() / (PcaQ * PcaQ)
+      val c = sij / cnt - (si / cnt) * (sj / cnt)
+      cov(i)(j) = c; cov(j)(i) = c
+      if (i == j) mean(i) = si / cnt
+    }
+    val (eigVals, eigVecs) = jacobiEigen(cov)
+    val order = eigVals.indices.sortBy(k => -eigVals(k)).take(PcaK)
+    val comps = order.map { k =>
+      val v = eigVecs.map(_(k))
+      // sign convention: largest-|component| entry positive, so reruns
+      // (and refits on re-partitioned data) emit identical projections
+      val m = v.indices.maxBy(i => math.abs(v(i)))
+      if (v(m) < 0) v.map(x => -x) else v
+    }
+    // stage 3: map-side projection — dot against literal components;
+    // centering folds into a scalar constant per component
+    val projCols = comps.zipWithIndex.map { case (v, c) =>
+      val meanDot = v.indices.map(i => v(i) * mean(i)).sum
+      (dot($"ev", lit(v.toArray)) - lit(meanDot)).as(s"pc${c + 1}")
+    }
+    Tables.load(spark, dir, "embeddings")
+      .select($"vec_id", $"embedding".cast("array<double>").as("ev"))
+      .select(($"vec_id" +: projCols): _*)
+      .orderBy($"vec_id")
+  }
+
+  /** Cyclic Jacobi eigen-decomposition of a symmetric matrix: returns
+    * (eigenvalues, eigenvector columns). Deterministic sweep order, fixed
+    * iteration cap — bit-stable across runs for identical input. O(D³)
+    * per sweep on a D×D matrix: driver-side math on a 64×64 covariance,
+    * never cluster work. */
+  private[operators] def jacobiEigen(m: Array[Array[Double]]): (Array[Double], Array[Array[Double]]) = {
+    val d = m.length
+    val a = Array.tabulate(d, d)((i, j) => m(i)(j))
+    val v = Array.tabulate(d, d)((i, j) => if (i == j) 1.0 else 0.0)
+    var sweep = 0
+    while (sweep < 50 && {
+      var off = 0.0
+      for (i <- 0 until d; j <- i + 1 until d) off += a(i)(j) * a(i)(j)
+      off > 1e-18
+    }) {
+      for (p <- 0 until d; qq <- p + 1 until d if math.abs(a(p)(qq)) > 1e-15) {
+        val theta = (a(qq)(qq) - a(p)(p)) / (2.0 * a(p)(qq))
+        val t = math.signum(theta) / (math.abs(theta) + math.sqrt(theta * theta + 1.0))
+        val c = 1.0 / math.sqrt(t * t + 1.0)
+        val s = t * c
+        for (k <- 0 until d) {
+          val akp = a(k)(p); val akq = a(k)(qq)
+          a(k)(p) = c * akp - s * akq
+          a(k)(qq) = s * akp + c * akq
+        }
+        for (k <- 0 until d) {
+          val apk = a(p)(k); val aqk = a(qq)(k)
+          a(p)(k) = c * apk - s * aqk
+          a(qq)(k) = s * apk + c * aqk
+        }
+        for (k <- 0 until d) {
+          val vkp = v(k)(p); val vkq = v(k)(qq)
+          v(k)(p) = c * vkp - s * vkq
+          v(k)(qq) = s * vkp + c * vkq
+        }
+      }
+      sweep += 1
+    }
+    (Array.tabulate(d)(i => a(i)(i)), v)
+  }
+
   def v6LabelCentroids(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     Tables.load(spark, dir, "embeddings")
@@ -453,6 +570,7 @@ object Similarity {
     "v4_ann_ivf" -> ((s: SparkSession, d: String) => v4AnnIvf(s, d)),
     "v7_ann_quantized" -> v7AnnQuantized _,
     "v8_semantic_dedup" -> v8SemanticDedup _,
+    "v9_pca_project" -> v9PcaProject _,
   )
 
   /** Shared by v1 and v5: both compute exact top-k, by different physical

@@ -33,6 +33,20 @@ class DedupSpec extends AnyFunSuite {
     assert(recall >= 0.8, s"recall $recall; exact=$exactPairs sim=$sim")
   }
 
+  test("d9: edit-verified pairs cover the exact-jaccard pairs with tight distances") {
+    val d9 = Dedup.d9EditVerified(spark, dir).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2), r.getDouble(5)))
+    val pairs = d9.map(_._1).toSet
+    // the loosened candidate floor + exact verification must keep every
+    // strong-jaccard near-dup (the planted families differ by a few edits)
+    assert(exactPairs.subsetOf(pairs),
+      s"missing: ${exactPairs.diff(pairs)}")
+    d9.foreach { case (p, dist, sim) =>
+      assert(dist >= 0 && dist <= Dedup.EditMaxDist && sim > 0.0 && sim <= 1.0,
+        s"pair $p has dist $dist sim $sim")
+    }
+  }
+
   test("exact dedup keeps one survivor per distinct text") {
     val d1 = Dedup.d1ExactDedup(spark, dir)
     assert(d1.count() ==

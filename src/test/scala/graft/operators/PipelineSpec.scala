@@ -386,6 +386,23 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("p14: bloom contamination is a superset of exact p4 with bounded false positives") {
+    val exact = Pipeline.p4Contamination(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val bloom = Pipeline.p14BloomContamination(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // no false negatives: every exact hit is flagged, with at least the
+    // exact count (bloom can only add n-gram hits, never lose them)
+    exact.foreach { case (doc, n) =>
+      assert(bloom.contains(doc), s"doc $doc lost by the bloom probe")
+      assert(bloom(doc) >= n, s"doc $doc count ${bloom(doc)} < exact $n")
+    }
+    // bounded false positives: the fixture sketch is over-provisioned
+    // (fpp ~ 0), so the flagged set should not balloon
+    assert(bloom.size <= exact.size + 5,
+      s"fp explosion: bloom=${bloom.keySet} exact=${exact.keySet}")
+  }
+
   test("p13: every filter rule fires on the fixture; mask and keep agree") {
     val rows = Pipeline.p13QualityFilter(spark, dir).collect()
       .map(r => (r.getInt(1), r.getDouble(2), r.getDouble(3), r.getInt(4),

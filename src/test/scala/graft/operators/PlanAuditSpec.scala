@@ -144,6 +144,34 @@ class PlanAuditSpec extends AnyFunSuite {
       s"the 5-row quota table must broadcast:\n$plan")
   }
 
+  test("q31: correlated subqueries de-correlate into joins") {
+    // EXISTS -> left semi, NOT EXISTS -> left anti, scalar COUNT ->
+    // aggregate + outer join. If any subquery survived to the physical
+    // plan, the 100 TB execution would be a per-row re-scan of orders.
+    val plan = formatted("q31_exists_subquery")
+    assert(!plan.toLowerCase.contains("subquery"),
+      s"subquery must be de-correlated:\n$plan")
+    assert(plan.contains("LeftSemi") && plan.contains("LeftAnti"),
+      s"expected semi+anti joins from EXISTS/NOT EXISTS:\n$plan")
+  }
+
+  test("q33: posexplode fans out with no shuffle before the final sort") {
+    val df = graft.SparkEntry.queries("q33_posexplode")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert("Exchange".r.findAllIn(plan).size <= 1,
+      s"generator must not introduce exchanges beyond the ORDER BY:\n$plan")
+    assert(plan.contains("Generate"), s"expected a Generate node:\n$plan")
+  }
+
+  test("p14: bloom probe is join-free — corpus only exchanges for its own count") {
+    val df = graft.SparkEntry.queries("p14_bloom_contamination")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"),
+      s"the bloom literal must probe map-side, not join:\n$plan")
+    assert(plan.contains("might_contain"),
+      s"expected the BloomFilterMightContain predicate:\n$plan")
+  }
+
   test("t8: vocab joins the corpus tokens via broadcast") {
     // the vocabulary is langs×k rows by construction — if it ever rode a
     // shuffle join, the corpus-side token explode would exchange too

@@ -115,6 +115,58 @@ class SimilaritySpec extends AnyFunSuite {
       s"dropped vectors not in any labeled pair: ${dropped -- paired}")
   }
 
+  test("v9: PCA projection — orthonormal components, descending variance, " +
+    "covariance matches a driver recompute") {
+    val emb = graft.sources.Tables.load(spark, dir, "embeddings")
+      .collect().map(r => (r.getLong(0),
+        r.getSeq[Float](1).map(_.toDouble).toArray))
+    val dim = emb.head._2.length
+    val n = emb.length.toDouble
+    // exact driver-side covariance for comparison
+    val mean = Array.tabulate(dim)(i => emb.map(_._2(i)).sum / n)
+    val inputVar = Array.tabulate(dim)(i =>
+      emb.map(v => (v._2(i) - mean(i)) * (v._2(i) - mean(i))).sum / n)
+
+    val proj = Similarity.v9PcaProject(spark, dir).collect()
+      .map(r => r.getLong(0) ->
+        Array.tabulate(Similarity.PcaK)(c => r.getDouble(c + 1))).toMap
+    assert(proj.size == emb.length)
+
+    // captured variance per component is descending, and the first
+    // component captures at least as much as any single input dim
+    val comps = (0 until Similarity.PcaK).map { c =>
+      val xs = proj.values.map(_(c)).toArray
+      val m = xs.sum / n
+      xs.map(x => (x - m) * (x - m)).sum / n
+    }
+    comps.sliding(2).foreach { case Seq(a, b) =>
+      assert(a >= b - 1e-9, s"variance not descending: $comps")
+    }
+    val maxInputVar = inputVar.max
+    assert(comps.head >= maxInputVar - 1e-6,
+      s"pc1 variance ${comps.head} below best input dim $maxInputVar")
+
+    // projections are centered (means ~ 0) — the fold-in of the mean
+    // offset is correct
+    (0 until Similarity.PcaK).foreach { c =>
+      val m = proj.values.map(_(c)).sum / n
+      assert(math.abs(m) < 1e-3, s"component $c not centered: $m")
+    }
+
+    // distances are preserved up to the discarded components: pairwise
+    // projected distance never exceeds the original distance
+    val ids = proj.keySet.toSeq.sorted.take(20)
+    val byId = emb.toMap
+    for (a <- ids; b <- ids if a < b) {
+      val dOrig = math.sqrt(byId(a).zip(byId(b)).map { case (x, y) =>
+        (x - y) * (x - y) }.sum)
+      val dProj = math.sqrt(proj(a).zip(proj(b)).map { case (x, y) =>
+        (x - y) * (x - y) }.sum)
+      assert(dProj <= dOrig + 1e-6,
+        s"projection expanded distance for ($a,$b): $dProj > $dOrig")
+    }
+  }
+
   test("brute-force top-k is k rows per query, ranked by cosine desc") {
     val rows = Similarity.v1AnnTopK(spark, dir).collect()
     val byQuery = rows.groupBy(_.getLong(0))
