@@ -120,6 +120,19 @@ object Pipeline {
     * cheap extra job), not a collect of data rows. */
   def p3TokenShards(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    tokenPrefixSums(spark, dir)
+      .select($"doc_id", $"n_tokens", $"cum_before",
+        expr(s"cum_before DIV $ShardTokenBudget").as("shard_id"))
+      .orderBy($"doc_id")
+  }
+
+  /** The two-phase distributed prefix sum shared by p3 and p15:
+    * (doc_id, n_tokens, cum_before) with cum_before the exclusive running
+    * token total in doc_id order. See p3's doc for why the block
+    * decomposition bounds the one unpartitioned window at ShardMaxBlocks
+    * rows at any corpus size. */
+  private def tokenPrefixSums(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
     val docs = Tables.load(spark, dir, "documents")
       .select($"doc_id", size(tokens($"text")).as("n_tokens"))
     // max over an empty table is null → getLong would NPE; 0L keeps the
@@ -143,8 +156,28 @@ object Pipeline {
       .select($"doc_id", $"n_tokens",
         ($"block_off" + coalesce(sum($"n_tokens").over(wIn), lit(0L)))
           .as("cum_before"))
+  }
+
+  /** Tokens per packed training sequence (p15). */
+  val SeqLen = 256
+
+  /** P15 — sequence packing: lay the corpus tokens end-to-end (stable
+    * doc_id order) and cut fixed-SeqLen training sequences, reporting for
+    * each document the sequence it starts in, its offset there, and how
+    * many sequences it spans — the assignment a dataloader needs to pack
+    * without padding. Same two-phase prefix sum as p3 (the only
+    * distributed state is the bounded block-offset table); everything
+    * else is per-row integer arithmetic, so the row is oracle-exact.
+    * Documents are never empty under `split(text,' ')` semantics
+    * (n_tokens ≥ 1), so seq_end is always well-defined. */
+  def p15SequencePack(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    tokenPrefixSums(spark, dir)
       .select($"doc_id", $"n_tokens", $"cum_before",
-        expr(s"cum_before DIV $ShardTokenBudget").as("shard_id"))
+        expr(s"cum_before DIV $SeqLen").as("seq_start"),
+        expr(s"(cum_before + n_tokens - 1) DIV $SeqLen").as("seq_end"),
+        expr(s"cum_before % $SeqLen").as("seq_offset"))
+      .withColumn("n_seqs_spanned", $"seq_end" - $"seq_start" + 1)
       .orderBy($"doc_id")
   }
 
@@ -215,11 +248,13 @@ object Pipeline {
     * contamination hit is found; false positives can only inflate counts
     * (rows-only registry entry; the superset + fp-budget invariants are
     * spec-tested against exact p4 in PipelineSpec). */
-  def p14BloomContamination(spark: SparkSession, dir: String): DataFrame = {
+  def p14BloomContamination(spark: SparkSession, dir: String,
+      expectedItems: Long = BloomExpectedItems,
+      fpp: Double = BloomFpp): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
     val bf = benchmarkGrams(spark, dir).stat
-      .bloomFilter("s", BloomExpectedItems, BloomFpp)
+      .bloomFilter("s", expectedItems, fpp)
     val bytes = {
       val bos = new java.io.ByteArrayOutputStream()
       bf.writeTo(bos)
@@ -563,7 +598,9 @@ object Pipeline {
     "p1_repetition" -> p1Repetition _,
     "p12_mixture_sample" -> p12MixtureSample _,
     "p13_quality_filter" -> p13QualityFilter _,
-    "p14_bloom_contamination" -> p14BloomContamination _,
+    "p14_bloom_contamination" -> ((s: SparkSession, d: String) =>
+      p14BloomContamination(s, d)),
+    "p15_sequence_pack" -> p15SequencePack _,
     "p6_pii_redact" -> p6PiiRedact _,
     "p7_stratum_sample" -> p7StratumSample _,
     "p8_crossmodal" -> p8CrossModal _,
@@ -634,6 +671,21 @@ object Pipeline {
          |  < (CASE $cases ELSE '$SampleDefaultThreshold' END)
          |ORDER BY doc_id""".stripMargin
     },
+    "p15_sequence_pack" ->
+      s"""WITH t AS (SELECT doc_id,
+         |  CAST(len(string_split(text,' ')) AS INT) AS n_tokens FROM documents),
+         |c AS (SELECT doc_id, n_tokens,
+         |  CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+         |    AS cum_before
+         |FROM t)
+         |SELECT doc_id, n_tokens, cum_before,
+         |  CAST(cum_before // $SeqLen AS BIGINT) AS seq_start,
+         |  CAST((cum_before + n_tokens - 1) // $SeqLen AS BIGINT) AS seq_end,
+         |  CAST(cum_before % $SeqLen AS BIGINT) AS seq_offset,
+         |  CAST((cum_before + n_tokens - 1) // $SeqLen
+         |     - cum_before // $SeqLen + 1 AS BIGINT) AS n_seqs_spanned
+         |FROM c ORDER BY doc_id""".stripMargin,
     "p3_token_shards" ->
       s"""WITH t AS (SELECT doc_id,
          |  CAST(len(string_split(text,' ')) AS INT) AS n_tokens FROM documents),

@@ -597,8 +597,34 @@ object Relational {
       .orderBy($"doc_id", $"pos")
   }
 
+  /** Q34 — bag-semantics set operations (EXCEPT ALL / INTERSECT ALL):
+    * q9 covers the DISTINCT set ops; these preserve multiplicity — the
+    * difference that matters when the inputs are event streams, not keys.
+    * The raw bag result is multiplicity-many identical rows, so the query
+    * aggregates it to (value, n) — the EXCEPT ALL/INTERSECT ALL operators
+    * still execute (Spark plans them as count-and-replicate aggregates:
+    * two-phase, shuffle on the value — the scale-correct shape). */
+  def q34BagSetOps(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ord = Tables.load(spark, dir, "orders")
+    val priF = ord.filter($"o_orderstatus" === "F")
+      .select($"o_orderpriority".as("val"))
+    val priO = ord.filter($"o_orderstatus" === "O")
+      .select($"o_orderpriority".as("val"))
+    val exceptAll = priF.exceptAll(priO)
+      .groupBy($"val").agg(count(lit(1)).as("n"))
+      .withColumn("op", lit("except_all"))
+    val intersectAll = priF.intersectAll(priO)
+      .groupBy($"val").agg(count(lit(1)).as("n"))
+      .withColumn("op", lit("intersect_all"))
+    exceptAll.unionAll(intersectAll)
+      .select($"op", $"val", $"n")
+      .orderBy($"op", $"val")
+  }
+
   /** All relational queries, keyed for SparkEntry. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q34_bag_set_ops" -> q34BagSetOps _,
     "q29_pivot" -> q29Pivot _,
     "q30_window_frames" -> q30WindowFrames _,
     "q31_exists_subquery" -> q31ExistsSubquery _,
@@ -636,6 +662,19 @@ object Relational {
 
   /** DuckDB oracle SQL per query (column names and ORDER BY must match). */
   val oracleSql: Map[String, String] = Map(
+    "q34_bag_set_ops" ->
+      """SELECT 'except_all' AS op, val, count(*) AS n FROM (
+        |  SELECT o_orderpriority AS val FROM orders WHERE o_orderstatus = 'F'
+        |  EXCEPT ALL
+        |  SELECT o_orderpriority AS val FROM orders WHERE o_orderstatus = 'O')
+        |GROUP BY val
+        |UNION ALL
+        |SELECT 'intersect_all' AS op, val, count(*) AS n FROM (
+        |  SELECT o_orderpriority AS val FROM orders WHERE o_orderstatus = 'F'
+        |  INTERSECT ALL
+        |  SELECT o_orderpriority AS val FROM orders WHERE o_orderstatus = 'O')
+        |GROUP BY val
+        |ORDER BY op, val""".stripMargin,
     "q31_exists_subquery" ->
       """SELECT c_custkey, c_name,
         |  (SELECT count(*) FROM orders o

@@ -403,6 +403,45 @@ class PipelineSpec extends AnyFunSuite {
       s"fp explosion: bloom=${bloom.keySet} exact=${exact.keySet}")
   }
 
+  test("p14: an undersized bloom still has no false negatives — only extra flags") {
+    val exact = Pipeline.p4Contamination(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // 8 expected items at 40% fpp: guaranteed-saturated sketch — the
+    // one-sided-error claim must survive the worst sizing, not just the
+    // over-provisioned default
+    val tiny = Pipeline.p14BloomContamination(spark, dir,
+        expectedItems = 8, fpp = 0.4).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    exact.foreach { case (doc, n) =>
+      assert(tiny.contains(doc) && tiny(doc) >= n,
+        s"doc $doc lost or undercounted by the saturated bloom")
+    }
+    // and the saturation is real: a sketch this small over ~1k grams must
+    // actually produce false positives, or the test proves nothing
+    assert(tiny.size > exact.size,
+      s"expected false positives from the saturated sketch (exact=${exact.size}, tiny=${tiny.size})")
+  }
+
+  test("p15: packing invariants — offsets in range, spans consistent, tokens conserved") {
+    val rows = Pipeline.p15SequencePack(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(rows.nonEmpty)
+    val L = Pipeline.SeqLen
+    rows.foreach { case (id, n, cum, s0, s1, off, spans) =>
+      assert(off >= 0 && off < L, s"doc $id offset $off out of range")
+      assert(s0 == cum / L && off == cum % L, s"doc $id start/offset mismatch")
+      assert(s1 == (cum + n - 1) / L, s"doc $id seq_end mismatch")
+      assert(spans == s1 - s0 + 1 && spans >= 1, s"doc $id span mismatch")
+    }
+    // token conservation: consecutive docs tile the token line exactly
+    rows.sortBy(_._1).sliding(2).foreach { case Array(a, b) =>
+      assert(a._3 + a._2 == b._3,
+        s"gap between doc ${a._1} and ${b._1}: ${a._3}+${a._2} != ${b._3}")
+    case _ => ()
+    }
+  }
+
   test("p13: every filter rule fires on the fixture; mask and keep agree") {
     val rows = Pipeline.p13QualityFilter(spark, dir).collect()
       .map(r => (r.getInt(1), r.getDouble(2), r.getDouble(3), r.getInt(4),
