@@ -2,17 +2,81 @@ package graft.multimodal
 
 import java.nio.{ByteBuffer, ByteOrder}
 
-/** Pure-JVM codecs for the uncompressed media formats the multimodal
-  * operators decode for real: binary PPM (P6) images and PCM-16 WAV audio.
-  * No codec libraries exist in this environment, so compressed formats
-  * (JPEG/MP3/H264) cannot be decoded — but nothing about the *operator*
-  * shape depends on compression: these formats exercise the same
-  * bytes-in → pixels/samples-out contract a libjpeg/ffmpeg call would.
+/** Pure-JVM codecs for the media formats the multimodal operators decode
+  * for real: binary PPM (P6) images and PCM-16 WAV audio by hand, and
+  * COMPRESSED images (JPEG, PNG) through the JDK's own `javax.imageio`
+  * (headless, no external libraries) — so the image path covers both a
+  * raw and a real-world compressed format end to end. Only compressed
+  * *video/audio* codecs (H264/MP3) remain out of reach in this
+  * environment; their operator shape is identical (bytes in →
+  * pixels/samples out), exercised here via the PPM-sequence container.
   *
-  * Everything here is deterministic byte/int math — safe to run inside
-  * mapPartitions on any executor with identical results.
+  * The hand-rolled paths are deterministic byte/int math; the imageio
+  * paths are deterministic within a JDK (the same encoder produces the
+  * same bytes for the same pixels). All are safe inside mapPartitions on
+  * any executor.
   */
 object Codec {
+
+  // headless + no temp-file cache: executor-thread-friendly imageio
+  System.setProperty("java.awt.headless", "true")
+  javax.imageio.ImageIO.setUseCache(false)
+
+  // ---------------------------------------------------------- JPEG / PNG
+
+  /** Encode interleaved RGB bytes as JPEG or PNG via the JDK codec. */
+  def encodeImageIo(format: String, w: Int, h: Int, rgb: Array[Byte]): Array[Byte] = {
+    require(rgb.length == w * h * 3, s"rgb length ${rgb.length} != ${w * h * 3}")
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val i = (y * w + x) * 3
+        img.setRGB(x, y, ((rgb(i) & 0xff) << 16) |
+          ((rgb(i + 1) & 0xff) << 8) | (rgb(i + 2) & 0xff))
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    val ok = javax.imageio.ImageIO.write(img, format, bos)
+    require(ok, s"no JDK image writer for format '$format'")
+    bos.toByteArray
+  }
+
+  /** Decode a JPEG/PNG (any JDK-readable image) to interleaved RGB. The
+    * container self-describes — no format argument needed. */
+  def decodeImageIo(bytes: Array[Byte]): PpmFrame = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    require(img != null, "undecodable image payload")
+    val (w, h) = (img.getWidth, img.getHeight)
+    val rgb = new Array[Byte](w * h * 3)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val p = img.getRGB(x, y)
+        val i = (y * w + x) * 3
+        rgb(i) = ((p >> 16) & 0xff).toByte
+        rgb(i + 1) = ((p >> 8) & 0xff).toByte
+        rgb(i + 2) = (p & 0xff).toByte
+        x += 1
+      }
+      y += 1
+    }
+    PpmFrame(w, h, rgb, bytes.length)
+  }
+
+  /** Format-dispatched single-image decode: hand-rolled PPM for 'ppm',
+    * the JDK codec for compressed formats. */
+  def decodeImage(format: String, bytes: Array[Byte]): PpmFrame =
+    if (format == "ppm") decodePpm(bytes) else decodeImageIo(bytes)
+
+  /** Format-dispatched single-image encode. */
+  def encodeImage(format: String, w: Int, h: Int, rgb: Array[Byte]): Array[Byte] =
+    if (format == "ppm") encodePpm(w, h, rgb) else encodeImageIo(format, w, h, rgb)
 
   // ---------------------------------------------------------------- PPM P6
 

@@ -36,12 +36,13 @@ case class MediaFrames(
   * mapInPandas shape: one JVM call per batch, not per row, so codec/model
   * init amortizes across the batch.
   *
-  * The decode is REAL for uncompressed formats: binary PPM (P6) images,
-  * PCM-16 WAV audio, and concatenated-PPM "video" are decoded to pixels /
-  * samples by `Codec` (pure JVM — no codec libraries exist in this
-  * environment, which rules out JPEG/H264 but changes nothing about the
-  * operator contract: bytes in, pixels/samples out). Features, resize, and
-  * frame sampling all operate on the decoded representation.
+  * The decode is REAL: binary PPM (P6) images, PCM-16 WAV audio, and
+  * concatenated-PPM "video" by hand-rolled pure-JVM codecs, plus
+  * COMPRESSED images (JPEG/PNG) through the JDK's own `javax.imageio` —
+  * no external libraries. Only compressed video/audio (H264/MP3) remain
+  * environment-blocked; the operator contract (bytes in, pixels/samples
+  * out) is identical either way. Features, resize, and frame sampling all
+  * operate on the decoded representation.
   *
   * Scale: all stages are narrow (mapPartitions, no shuffle); payload bytes
   * stay on the executor that read them. At 100 TB the media table would be
@@ -66,13 +67,21 @@ object Multimodal {
       .map { case (id, _) => synthesize(id) }
   }
 
-  /** Deterministic media synth for one id (also used by specs). */
+  /** Deterministic media synth for one id (also used by specs). Images
+    * rotate through ppm / jpeg / png so the compressed-codec path (JDK
+    * imageio) is exercised by every media query, not just its own spec. */
   def synthesize(id: Long): MediaRecord = (id % 3) match {
-    case 0 => // image: one PPM frame
+    case 0 => // image: one frame, format ppm | jpeg | png by id
       val w = 16 + (id % 8).toInt * 4
       val h = 9 + (id % 8).toInt * 2
-      MediaRecord(id, "image", Codec.encodePpm(w, h, imagePixels(id, w, h, 0)),
-        "ppm", w, h, 0L)
+      val format = ((id / 3) % 3) match {
+        case 0 => "ppm"
+        case 1 => "jpeg"
+        case _ => "png"
+      }
+      MediaRecord(id, "image",
+        Codec.encodeImage(format, w, h, imagePixels(id, w, h, 0)),
+        format, w, h, 0L)
     case 1 => // audio: mono PCM-16 WAV
       val n = 400 + (id % 100).toInt * 8
       val samples = Array.tabulate(n) { i =>
@@ -119,8 +128,10 @@ object Multimodal {
     * concurrent JVM that wins the race simply has its output adopted. */
   def mediaParquet(spark: SparkSession, dir: String): DataFrame = synchronized {
     val src = new java.io.File(dir, "documents.parquet")
+    // v2: synth version participates in the stamp — a synth-logic change
+    // (e.g. adding the jpeg/png formats) must invalidate older caches
     val stamp = new java.io.File(dir).getCanonicalPath +
-      "|" + src.lastModified + "|" + src.length
+      "|" + src.lastModified + "|" + src.length + "|v2"
     val key = java.security.MessageDigest.getInstance("MD5")
       .digest(stamp.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
     val out = new java.io.File(sys.props("java.io.tmpdir"), s"graft-media-$key")
@@ -157,7 +168,7 @@ object Multimodal {
     }
     val fs: Array[Float] = m.kind match {
       case "image" =>
-        val f = Codec.decodePpm(m.payload)
+        val f = Codec.decodeImage(m.format, m.payload)
         val n = f.width * f.height
         var (sr, sg, sb, sl) = (0L, 0L, 0L, 0L)
         var (mn, mx) = (255, 0)
@@ -253,8 +264,8 @@ object Multimodal {
       it.map { m =>
         m.kind match {
           case "image" =>
-            val f = Codec.decodePpm(m.payload)
-            m.copy(payload = Codec.encodePpm(w, h,
+            val f = Codec.decodeImage(m.format, m.payload)
+            m.copy(payload = Codec.encodeImage(m.format, w, h,
               Codec.resizeNearest(f.width, f.height, f.rgb, w, h)),
               width = w, height = h)
           case "video" =>
@@ -306,7 +317,8 @@ object Multimodal {
       val resized = resize(mediaParquet(s, d).as[MediaRecord]
         .filter(col("kind").isin("image", "video")), 32, 18)
       resized.map { m =>
-        val f = Codec.decodePpm(m.payload)
+        val f = if (m.kind == "image") Codec.decodeImage(m.format, m.payload)
+          else Codec.decodePpm(m.payload)
         (m.media_id, m.kind, f.width, f.height, m.payload.length)
       }.toDF("media_id", "kind", "decoded_w", "decoded_h", "n_bytes")
         .orderBy($"media_id")

@@ -44,7 +44,7 @@ class MultimodalSpec extends AnyFunSuite {
     rows.foreach { r =>
       r.kind match {
         case "image" =>
-          val d = Codec.decodePpm(r.payload)
+          val d = Codec.decodeImage(r.format, r.payload)
           assert(d.width == r.width && d.height == r.height,
             s"media ${r.media_id}: metadata dims must match decoded dims")
         case "audio" =>
@@ -114,18 +114,44 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
-  test("resize rescales real pixels (nearest-neighbor) and re-encodes") {
+  test("resize rescales real pixels (nearest-neighbor) and re-encodes per format") {
     val m = Multimodal.mediaTable(spark, dir)
       .filter(org.apache.spark.sql.functions.col("kind") === "image")
     val resized = Multimodal.resize(m, 64, 32).collect()
     val origById = m.collect().map(r => r.media_id -> r).toMap
+    assert(resized.map(_.format).toSet == Set("ppm", "jpeg", "png"),
+      "all three image formats must flow through resize")
     resized.foreach { r =>
-      val d = Codec.decodePpm(r.payload)
+      val d = Codec.decodeImage(r.format, r.payload)
       assert(d.width == 64 && d.height == 32)
-      // corner pixel maps to the source corner under nearest-neighbor
-      val o = Codec.decodePpm(origById(r.media_id).payload)
-      assert(d.rgb(0) == o.rgb(0) && d.rgb(1) == o.rgb(1) && d.rgb(2) == o.rgb(2))
+      // ground truth: nearest-neighbor of the DECODED original pixels
+      val o = Codec.decodeImage(r.format, origById(r.media_id).payload)
+      val exp = Codec.resizeNearest(o.width, o.height, o.rgb, 64, 32)
+      if (r.format == "jpeg") {
+        // lossy: one extra encode/decode separates d from exp — bound the
+        // mean absolute channel error instead of matching bytes
+        val mae = d.rgb.zip(exp).map { case (a, b) =>
+          math.abs((a & 0xff) - (b & 0xff)) }.sum.toDouble / d.rgb.length
+        assert(mae <= 16.0, s"media ${r.media_id}: jpeg resize MAE $mae")
+      } else {
+        assert(d.rgb.toSeq == exp.toSeq,
+          s"media ${r.media_id}: lossless format must resize exactly")
+      }
     }
+  }
+
+  test("png codec round-trips pixels exactly; jpeg within a loss bound") {
+    val rgb = Array.tabulate(48 * 20 * 3)(i => ((i * 37) % 256).toByte)
+    val png = Codec.decodeImageIo(Codec.encodeImageIo("png", 48, 20, rgb))
+    assert(png.width == 48 && png.height == 20)
+    assert(png.rgb.toSeq == rgb.toSeq, "png is lossless")
+    val jpg = Codec.decodeImageIo(Codec.encodeImageIo("jpeg", 48, 20, rgb))
+    assert(jpg.width == 48 && jpg.height == 20)
+    val mae = jpg.rgb.zip(rgb).map { case (a, b) =>
+      math.abs((a & 0xff) - (b & 0xff)) }.sum.toDouble / rgb.length
+    // the fixture pattern is adversarially high-frequency; the JDK encoder
+    // at default quality still lands well under gray-noise MAE (~85)
+    assert(mae < 48.0, s"jpeg roundtrip MAE $mae")
   }
 
   test("catalog query prunes the payload column at the parquet scan") {
