@@ -12,11 +12,13 @@ import org.apache.spark.sql.types._
   *  - `memory`: MemoryStream-driven (tests; see ChangelogStreamSpec)
   *  - `file`: a parquet/json directory watched as an unbounded source —
   *    the offline twin used in this zero-egress environment
-  *  - `kafka`: the production wiring. NOTE: this container ships neither
-  *    spark-sql-kafka nor spark-avro jars, so `kafka()` documents and
-  *    constructs the standard reader shape but cannot run here; on a real
-  *    cluster add the two connector jars and it is the reference's exact
-  *    pipeline (value → strip 5-byte Schema-Registry header → from_avro).
+  *  - `kafka`: the production wiring. The Avro decode and SR-header strip
+  *    run through [[avroUserRows]] (Apache Avro CORE, which ships on
+  *    Spark's own classpath) — so everything downstream of the Kafka
+  *    `.load()` is real, runnable code, spec-tested here against
+  *    library-encoded wire bytes. Only the Kafka *socket* needs a jar
+  *    this image lacks (spark-sql-kafka-0-10); add that one jar on a
+  *    cluster and `kafka()` is the reference's exact pipeline.
   */
 object UserStream {
 
@@ -100,31 +102,49 @@ object UserStream {
     (guid, eyeColor, age, balance)
   }
 
-  /** Kafka + Avro wiring (requires spark-sql-kafka-0-10 and spark-avro on
-    * the classpath; not present in this environment — the framing logic
-    * above is the unit-tested subset). */
-  def kafka(spark: SparkSession, bootstrap: String, topic: String = "user"): DataFrame = {
-    val raw = spark.readStream
+  /** Decode a stream (or batch) of Schema-Registry-framed user messages
+    * into typed rows using the Apache Avro CORE library — `avro-1.12.1`
+    * ships on Spark's own classpath even though the `spark-avro` Column
+    * wrapper does not, so this path actually RUNS here: it is the exact
+    * decode `from_avro` performs, as a batched partition-level map
+    * (schema parse + `GenericDatumReader` built once per partition, the
+    * decoder and record buffers reused across rows — no per-row codec
+    * init, no shuffle). Works on any DataFrame with a BINARY `value`
+    * column: a MemoryStream in tests, a file stream of captured messages,
+    * or the `kafka()` reader's output on a cluster with the connector
+    * jar. The only unrunnable piece left in this environment is the Kafka
+    * socket itself. */
+  def avroUserRows(raw: DataFrame): DataFrame = {
+    import raw.sparkSession.implicits._
+    raw.select(col("value").cast("binary")).as[Array[Byte]]
+      .mapPartitions { it =>
+        val schema = new org.apache.avro.Schema.Parser().parse(avroSchema)
+        val reader = new org.apache.avro.generic
+          .GenericDatumReader[org.apache.avro.generic.GenericRecord](schema)
+        var dec: org.apache.avro.io.BinaryDecoder = null
+        var rec: org.apache.avro.generic.GenericRecord = null
+        it.map { msg =>
+          val payload = stripWireHeader(msg)
+          dec = org.apache.avro.io.DecoderFactory.get().binaryDecoder(payload, dec)
+          rec = reader.read(rec, dec)
+          (rec.get("guid").toString, rec.get("eyeColor").toString,
+            rec.get("age").asInstanceOf[Int], rec.get("balance").toString)
+        }
+      }.toDF("guid", "eyeColor", "age", "balance")
+  }
+
+  /** Kafka wiring: the reference's exact pipeline (topic → strip SR
+    * header → Avro decode → rows). The decode goes through
+    * [[avroUserRows]] — Avro core, already on Spark's classpath — so the
+    * ONLY jar a real cluster needs beyond this image is
+    * spark-sql-kafka-0-10 (the socket); no spark-avro required. Every
+    * stage downstream of `.load()` is exercised in UserStreamSpec against
+    * library-encoded wire bytes. */
+  def kafka(spark: SparkSession, bootstrap: String, topic: String = "user"): DataFrame =
+    avroUserRows(spark.readStream
       .format("kafka")
       .option("kafka.bootstrap.servers", bootstrap)
       .option("subscribe", topic)
       .option("startingOffsets", "earliest")
-      .load()
-    val payload = stripWireHeaderCol(col("value"))
-    raw.select(
-      // from_avro lives in the spark-avro module; resolved reflectively so
-      // this class links without the jar and fails only if actually used
-      callAvroDecode(payload, avroSchema).as("user"))
-      .select("user.guid", "user.eyeColor", "user.age", "user.balance")
-  }
-
-  private def callAvroDecode(value: org.apache.spark.sql.Column,
-                             schema: String): org.apache.spark.sql.Column = {
-    val cls = Class.forName("org.apache.spark.sql.avro.functions$")
-    val module = cls.getField("MODULE$").get(null)
-    cls.getMethod("from_avro", classOf[org.apache.spark.sql.Column],
-        classOf[String])
-      .invoke(module, value, schema)
-      .asInstanceOf[org.apache.spark.sql.Column]
-  }
+      .load())
 }

@@ -86,4 +86,65 @@ class UserStreamSpec extends AnyFunSuite {
     }
     assert(stripped.map(UserStream.decodeAvroUser).toSeq == users)
   }
+
+  /** Encode with the REAL Avro library (GenericDatumWriter) — the same
+    * code path JR/Kafka producers use — so the decode tests below run
+    * against library-authored bytes, not just our hand encoder. */
+  private def encodeAvroUserLib(guid: String, eyeColor: String, age: Int,
+                                balance: String): Array[Byte] = {
+    val schema = new org.apache.avro.Schema.Parser().parse(UserStream.avroSchema)
+    val rec = new org.apache.avro.generic.GenericData.Record(schema)
+    rec.put("guid", guid); rec.put("eyeColor", eyeColor)
+    rec.put("age", age); rec.put("balance", balance)
+    val out = new ByteArrayOutputStream()
+    val enc = org.apache.avro.io.EncoderFactory.get().binaryEncoder(out, null)
+    new org.apache.avro.generic.GenericDatumWriter[
+      org.apache.avro.generic.GenericRecord](schema).write(rec, enc)
+    enc.flush()
+    out.toByteArray
+  }
+
+  test("hand-rolled encoder/decoder agree with the Apache Avro library bit-for-bit") {
+    val cases = Seq(("u-1", "brown", 41, "$1,234.56"), ("", "blüe", 0, ""),
+      ("g" * 200, "amber", 127, "$0.01"), ("x", "green", -3, "$9.99"))
+    cases.foreach { case (g, e, a, b) =>
+      val lib = encodeAvroUserLib(g, e, a, b)
+      assert(lib.toSeq == encodeAvroUser(g, e, a, b).toSeq,
+        s"encoding mismatch for $g/$e/$a/$b")
+      assert(UserStream.decodeAvroUser(lib) == ((g, e, a, b)))
+    }
+  }
+
+  test("avroUserRows: library-grade decode runs as a streaming source end to end") {
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    val users = (1 to 30).map(i =>
+      (s"guid-$i", Seq("brown", "blue", "green")(i % 3), 20 + i % 50, s"$$$i.00"))
+    val msgs = users.map { case (g, e, a, b) =>
+      frame(42, encodeAvroUserLib(g, e, a, b))
+    }
+    // batch: decoded rows equal the library-encoded inputs
+    val batch = UserStream.avroUserRows(msgs.toDF("value"))
+      .as[(String, String, Int, String)].collect().toSeq
+    assert(batch.sortBy(_._1) == users.sortBy(_._1))
+
+    // streaming: the same decode over a MemoryStream, aggregated demo2-
+    // style, equals the batch answer — the reference's topic->agg path
+    // with the Kafka socket as the only absent piece
+    implicit val sqlCtx = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming
+      .runtime.MemoryStream[Array[Byte]]
+    val q = UserStream.avroUserRows(mem.toDF())
+      .groupBy($"eyeColor").count()
+      .writeStream.format("memory").queryName("avro_users_agg")
+      .outputMode("complete").start()
+    try {
+      mem.addData(msgs: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("avro_users_agg")
+        .as[(String, Long)].collect().toMap
+      val expected = users.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+      assert(streamed == expected, s"$streamed != $expected")
+    } finally q.stop()
+  }
 }
