@@ -431,6 +431,157 @@ object Similarity {
     * and partitionings (a double sum would differ in the last bits per
     * reduction order). posexplode + groupBy(label, pos) partial-aggregates
     * map-side; the shuffle carries C×dim rows, not N×dim. */
+  /** PQ (v10) geometry: PqM subspaces × PqK centroids each. 8 subspaces
+    * of a 64-dim embedding at 16 codes = 8 bytes/vector (4 bits used of
+    * each) — 32× smaller than float64, the compression that lets a
+    * 100 TB embedding corpus score from memory. */
+  val PqM = 8
+  val PqK = 16
+  /** Lloyd refinement passes per subspace codebook. */
+  val PqLloyd = 2
+  /** ADC shortlist size before the exact re-rank. */
+  val PqShortlist = 50
+
+  /** Subvector view of the corpus: (vec_id, nrm, m, sv) — one row per
+    * subspace, built by an in-row slice explode (narrow, no shuffle). */
+  private def pqSubvectors(emb: DataFrame, d: Int): DataFrame = {
+    import emb.sparkSession.implicits._
+    emb.select($"vec_id", $"nrm",
+      explode(array((0 until PqM).map { m =>
+        struct(lit(m).as("m"), slice($"v", m * d + 1, d).as("sv"))
+      }: _*)).as("s"))
+      .select($"vec_id", $"nrm", $"s.m".as("m"), $"s.sv".as("sv"))
+  }
+
+  /** The M×K×d codebook as a nested literal column (small by contract:
+    * 8×16×8 doubles — it rides the task binary like any broadcast). */
+  private def pqCodebookLit(cb: Array[Array[Array[Double]]]): Column =
+    array(cb.map(mArr => array(mArr.map(kArr => lit(kArr)): _*)): _*)
+
+  /** Map-side PQ assignment: per (m, sv) row, argmin-L2² over the m-th
+    * codebook via HOFs against the literal — no join, no shuffle.
+    * `array_position(scored, array_min(scored))` is exact (the min
+    * element equals itself bit-for-bit) and breaks ties toward the
+    * lowest code deterministically. */
+  private def pqAssign(sub: DataFrame, cb: Array[Array[Array[Double]]]): DataFrame = {
+    import sub.sparkSession.implicits._
+    val cents = element_at(pqCodebookLit(cb), $"m" + 1)
+    val scored = transform(cents, c =>
+      aggregate(zip_with($"sv", c, (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, x) => acc + x))
+    sub.withColumn("code",
+      (array_position(scored, array_min(scored)) - 1).cast("int"))
+  }
+
+  /** Fit the per-subspace codebooks (driver-side M×K×d result — the PQ
+    * model IS driver-sized by design): deterministic salted-hash seeding
+    * (K lowest hashes per subspace), then PqLloyd recenter passes where
+    * assignment is the map-side HOF argmin and the recenter shuffle
+    * carries M×K×d cells, never the corpus. */
+  private[operators] def fitPqCodebooks(emb: DataFrame, d: Int): Array[Array[Array[Double]]] = {
+    import emb.sparkSession.implicits._
+    val sub = pqSubvectors(emb, d)
+    val w = Window.partitionBy($"m")
+      .orderBy(xxhash64(lit("pqseed"), $"vec_id", $"m"), $"vec_id")
+    val cb: Array[Array[Array[Double]]] =
+      Array.tabulate(PqM, PqK)((_, _) => new Array[Double](d))
+    sub.withColumn("rk", row_number().over(w))
+      .filter($"rk" <= PqK).select($"m", $"rk", $"sv").collect()
+      .foreach { r =>
+        cb(r.getInt(0))(r.getInt(1) - 1) = r.getSeq[Double](2).toArray
+      }
+    var cur = cb
+    for (_ <- 1 to PqLloyd) {
+      val next = cur.map(_.map(_.clone())) // empty cells keep their center
+      pqAssign(sub, cur)
+        .select($"m", $"code", posexplode($"sv"))
+        .groupBy($"m", $"code", $"pos").agg(avg($"col").as("c"))
+        .collect()
+        .foreach { r =>
+          next(r.getInt(0))(r.getInt(1))(r.getInt(2)) = r.getDouble(3)
+        }
+      cur = next
+    }
+    cur
+  }
+
+  /** Corpus PQ codes: (vec_id, nrm, codes array<tinyint> of length M). */
+  private[operators] def pqEncode(emb: DataFrame, cb: Array[Array[Array[Double]]],
+                                  d: Int): DataFrame = {
+    import emb.sparkSession.implicits._
+    pqAssign(pqSubvectors(emb, d), cb)
+      .groupBy($"vec_id")
+      .agg(first($"nrm").as("nrm"),
+        transform(array_sort(collect_list(struct($"m", $"code"))),
+          x => x("code").cast("byte")).as("codes"))
+  }
+
+  /** V10 — product quantization ANN (Jégou et al., PAMI 2011): per-
+    * subspace k-means codebooks compress each vector to M byte codes
+    * (32× vs float64); queries score the whole corpus by summing M
+    * table lookups (ADC — asymmetric distance computation), shortlist
+    * via the mergeable top-k aggregate, then re-rank the shortlist with
+    * exact cosine.
+    *
+    * Scale shape, stage by stage: the codebook fit collects only
+    * M×K×d-cell aggregates (the model is driver-sized by contract);
+    * encoding is map-side HOF argmin (no join); the per-query LUT —
+    * queries × M×K dots — is computed once on the driver from the
+    * (small-by-definition) query set and broadcast, so corpus scoring is
+    * M array lookups per (vector, query) pair with NO shuffle before the
+    * partial top-k; only PqShortlist ids per query reach the exact
+    * re-rank, which re-attaches true vectors via a hash join bounded by
+    * queries×shortlist. Rows-only registry entry; recall-vs-exact and
+    * tinyint-compression specs in SimilaritySpec. */
+  def v10AnnPq(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = normalizedEmbeddings(spark, dir)
+    val dim = emb.select(size($"v")).first().getInt(0)
+    val d = dim / PqM
+    val cb = fitPqCodebooks(emb, d)
+    val codes = pqEncode(emb, cb, d)
+    // per-query ADC lookup tables, driver-computed from the broadcast side
+    val lutRows = emb.filter($"vec_id" < QueryCount)
+      .select($"vec_id", $"v", $"nrm").collect().toSeq
+      .map { r =>
+        val qv = r.getSeq[Double](1).toArray
+        val lut = Seq.tabulate(PqM, PqK) { (m, k) =>
+          var s = 0.0; var i = 0
+          while (i < d) { s += qv(m * d + i) * cb(m)(k)(i); i += 1 }
+          s
+        }
+        (r.getLong(0), r.getDouble(2), lut)
+      }
+    val qdf = spark.createDataFrame(lutRows).toDF("query_id", "qn", "lut")
+    val shortlist = codes.crossJoin(broadcast(qdf))
+      .filter($"vec_id" =!= $"query_id")
+      .select($"query_id", $"vec_id", $"qn",
+        (aggregate(sequence(lit(0), lit(PqM - 1)), lit(0.0), (acc, m) =>
+          acc + element_at(element_at($"lut", m + 1),
+            element_at($"codes", m + 1).cast("int") + 1)) /
+          ($"qn" * $"nrm")).as("approx_cos"))
+      .groupBy($"query_id")
+      .agg(graft.plans.TopKAggregate.topK($"approx_cos", $"vec_id", PqShortlist)
+        .as("top"))
+      .select($"query_id", explode($"top").as("c"))
+      .select($"query_id", $"c.id".as("vec_id"))
+    // exact re-rank of the bounded shortlist
+    val qvec = emb.filter($"vec_id" < QueryCount)
+      .select($"vec_id".as("query_id"), $"v".as("qv"), $"nrm".as("qn"))
+    shortlist
+      .join(broadcast(qvec), "query_id")
+      .hint("shuffle_hash")
+      .join(emb.select($"vec_id", $"v", $"nrm"), "vec_id")
+      .select($"query_id",
+        (dot($"qv", $"v") / ($"qn" * $"nrm")).as("cos"), $"vec_id")
+      .groupBy($"query_id")
+      .agg(graft.plans.TopKAggregate.topK($"cos", $"vec_id", K).as("top"))
+      .select($"query_id", posexplode($"top"))
+      .select($"query_id", ($"pos" + 1).cast("int").as("rk"),
+        $"col.id".as("vec_id"), round($"col.score", 6).as("cos_sim"))
+      .orderBy($"query_id", $"rk")
+  }
+
   /** Number of principal components v9 projects onto. */
   val PcaK = 8
   /** Fixed-point scale for the exact covariance sums (v6's trick). */
@@ -571,6 +722,7 @@ object Similarity {
     "v7_ann_quantized" -> v7AnnQuantized _,
     "v8_semantic_dedup" -> v8SemanticDedup _,
     "v9_pca_project" -> v9PcaProject _,
+    "v10_ann_pq" -> v10AnnPq _,
   )
 
   /** Shared by v1 and v5: both compute exact top-k, by different physical

@@ -167,6 +167,50 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("v10: PQ shortlist + exact re-rank recalls the exact top-k; codes ARE M tinyints") {
+    val exact = Similarity.v1AnnTopK(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    val pq = Similarity.v10AnnPq(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    assert(pq.keySet == exact.keySet, "every query must produce results")
+    val recalls = exact.map { case (q, ids) =>
+      pq(q).intersect(ids).size.toDouble / ids.size
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.7, s"mean recall@10 $mean below 0.7")
+    // re-ranked rows carry EXACT cosines: each returned (q, id) pair's
+    // score must match v1's for the same pair
+    val exactScores = Similarity.v1AnnTopK(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    Similarity.v10AnnPq(spark, dir).collect().foreach { r =>
+      val key = (r.getLong(0), r.getLong(2))
+      exactScores.get(key).foreach { s =>
+        assert(math.abs(r.getDouble(3) - s) < 1e-9,
+          s"re-ranked score for $key differs from exact: ${r.getDouble(3)} vs $s")
+      }
+    }
+    // the compression contract: the encoded corpus is array<tinyint> of
+    // length M — 8 bytes of codes per vector
+    import org.apache.spark.sql.functions.{col, size}
+    val emb = graft.sources.Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"),
+        col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm",
+        graft.functions.VectorFunctions.norm(col("v")))
+    val dim = emb.select(size(col("v"))).first().getInt(0)
+    val codes = Similarity.pqEncode(emb,
+      Similarity.fitPqCodebooks(emb, dim / Similarity.PqM),
+      dim / Similarity.PqM)
+    assert(codes.schema("codes").dataType.simpleString == "array<tinyint>")
+    codes.collect().foreach { r =>
+      val cs = r.getSeq[Byte](2)
+      assert(cs.length == Similarity.PqM)
+      assert(cs.forall(c => c >= 0 && c < Similarity.PqK))
+    }
+  }
+
   test("brute-force top-k is k rows per query, ranked by cosine desc") {
     val rows = Similarity.v1AnnTopK(spark, dir).collect()
     val byQuery = rows.groupBy(_.getLong(0))
