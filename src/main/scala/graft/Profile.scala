@@ -59,26 +59,8 @@ object Profile {
         noop(Tables.load(spark, sfDir, "documents")
           .select($"doc_id", explode(shingleHashes($"text", 3)).as("h")))
       }
-      time("full d3 (no cache)") {
-        import org.apache.spark.sql.types.DoubleType
-        val sh = Tables.load(spark, sfDir, "documents")
-          .select($"doc_id", explode(shingleHashes($"text", 3)).as("h"))
-        val rare = sh.groupBy($"h").agg(count(lit(1)).as("df"))
-          .filter($"df" <= 50 && $"df" >= 2).select($"h")
-        val rsh = sh.join(rare, "h")
-        val sizes = rsh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
-        val shared = rsh.as("a").join(rsh.as("b"),
-            $"a.h" === $"b.h" && $"a.doc_id" < $"b.doc_id")
-          .groupBy($"a.doc_id".as("d1"), $"b.doc_id".as("d2"))
-          .agg(count(lit(1)).as("shared"))
-        noop(shared
-          .join(sizes.select($"doc_id".as("d1"), $"n".as("n1")), "d1")
-          .join(sizes.select($"doc_id".as("d2"), $"n".as("n2")), "d2")
-          .withColumn("jaccard",
-            $"shared".cast(DoubleType) / ($"n1" + $"n2" - $"shared"))
-          .filter($"jaccard" >= 0.8)
-          .select($"d1", $"d2", $"shared", $"n1", $"n2", $"jaccard")
-          .orderBy($"d1", $"d2"))
+      time("full d3 (registry)") {
+        noop(SparkEntry.queries("d3_jaccard_pairs")(spark, sfDir))
       }
     }
     spark.stop()

@@ -29,17 +29,18 @@ object Codec {
     require(rgb.length == w * h * 3, s"rgb length ${rgb.length} != ${w * h * 3}")
     val img = new java.awt.image.BufferedImage(
       w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
-    var y = 0
-    while (y < h) {
-      var x = 0
-      while (x < w) {
-        val i = (y * w + x) * 3
-        img.setRGB(x, y, ((rgb(i) & 0xff) << 16) |
-          ((rgb(i + 1) & 0xff) << 8) | (rgb(i + 2) & 0xff))
-        x += 1
-      }
-      y += 1
+    // bulk transfer: one setRGB call for the whole image — the per-pixel
+    // form routes through color-model conversion per call, ~10-50× slower
+    // on the executor decode hot path
+    val packed = new Array[Int](w * h)
+    var p = 0
+    while (p < packed.length) {
+      val i = p * 3
+      packed(p) = ((rgb(i) & 0xff) << 16) |
+        ((rgb(i + 1) & 0xff) << 8) | (rgb(i + 2) & 0xff)
+      p += 1
     }
+    img.setRGB(0, 0, w, h, packed, 0, w)
     val bos = new java.io.ByteArrayOutputStream()
     val ok = javax.imageio.ImageIO.write(img, format, bos)
     require(ok, s"no JDK image writer for format '$format'")
@@ -52,19 +53,16 @@ object Codec {
     val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
     require(img != null, "undecodable image payload")
     val (w, h) = (img.getWidth, img.getHeight)
+    val packed = img.getRGB(0, 0, w, h, null, 0, w) // bulk, one call
     val rgb = new Array[Byte](w * h * 3)
-    var y = 0
-    while (y < h) {
-      var x = 0
-      while (x < w) {
-        val p = img.getRGB(x, y)
-        val i = (y * w + x) * 3
-        rgb(i) = ((p >> 16) & 0xff).toByte
-        rgb(i + 1) = ((p >> 8) & 0xff).toByte
-        rgb(i + 2) = (p & 0xff).toByte
-        x += 1
-      }
-      y += 1
+    var p = 0
+    while (p < packed.length) {
+      val v = packed(p)
+      val i = p * 3
+      rgb(i) = ((v >> 16) & 0xff).toByte
+      rgb(i + 1) = ((v >> 8) & 0xff).toByte
+      rgb(i + 2) = (v & 0xff).toByte
+      p += 1
     }
     PpmFrame(w, h, rgb, bytes.length)
   }

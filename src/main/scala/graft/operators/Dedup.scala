@@ -81,20 +81,30 @@ object Dedup {
     * the jaccard double is oracle-exact. */
   def d3JaccardPairs(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    jaccardCandidates(spark, dir, JaccardThreshold)
+      .select($"d1", $"d2", $"shared", $"n1", $"n2", $"jaccard")
+      .orderBy($"d1", $"d2")
+  }
+
+  /** The shared inverted-index candidate pipeline behind d3 and d9:
+    * df-capped shingle self-join → per-pair shared counts → Jaccard ≥
+    * `threshold`. One definition so the pair-generation shape (df cap,
+    * d1<d2 convention, jaccard formula) cannot drift between the exact
+    * query and the edit-distance verifier built on it. */
+  private def jaccardCandidates(spark: SparkSession, dir: String,
+                                threshold: Double): DataFrame = {
+    import spark.implicits._
     val rsh = rareShingles(spark, dir)
     val sizes = rsh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
-    val shared = rsh.as("a").join(rsh.as("b"),
+    rsh.as("a").join(rsh.as("b"),
         $"a.h" === $"b.h" && $"a.doc_id" < $"b.doc_id")
       .groupBy($"a.doc_id".as("d1"), $"b.doc_id".as("d2"))
       .agg(count(lit(1)).as("shared"))
-    shared
       .join(sizes.select($"doc_id".as("d1"), $"n".as("n1")), "d1")
       .join(sizes.select($"doc_id".as("d2"), $"n".as("n2")), "d2")
       .withColumn("jaccard",
         $"shared".cast(DoubleType) / ($"n1" + $"n2" - $"shared"))
-      .filter($"jaccard" >= JaccardThreshold)
-      .select($"d1", $"d2", $"shared", $"n1", $"n2", $"jaccard")
-      .orderBy($"d1", $"d2")
+      .filter($"jaccard" >= threshold)
   }
 
   /** Candidate Jaccard floor for d9's edit-distance verification — looser
@@ -121,16 +131,7 @@ object Dedup {
     * shape as the oracle, so the whole row is hash-exact. */
   def d9EditVerified(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val rsh = rareShingles(spark, dir)
-    val sizes = rsh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
-    val cand = rsh.as("a").join(rsh.as("b"),
-        $"a.h" === $"b.h" && $"a.doc_id" < $"b.doc_id")
-      .groupBy($"a.doc_id".as("d1"), $"b.doc_id".as("d2"))
-      .agg(count(lit(1)).as("shared"))
-      .join(sizes.select($"doc_id".as("d1"), $"n".as("n1")), "d1")
-      .join(sizes.select($"doc_id".as("d2"), $"n".as("n2")), "d2")
-      .filter($"shared".cast(DoubleType) / ($"n1" + $"n2" - $"shared") >=
-        EditCandJaccard)
+    val cand = jaccardCandidates(spark, dir, EditCandJaccard)
       .select($"d1", $"d2")
     val docs = Tables.load(spark, dir, "documents")
       .select($"doc_id", $"text", $"n_chars")

@@ -547,18 +547,21 @@ object Relational {
     * three hash joins on o_custkey, not a per-customer probe loop
     * (plan-asserted in PlanAuditSpec: no subquery node survives). */
   def q31ExistsSubquery(spark: SparkSession, dir: String): DataFrame = {
-    Tables.load(spark, dir, "customer").createOrReplaceTempView("customer")
-    Tables.load(spark, dir, "orders").createOrReplaceTempView("orders")
+    // namespaced view names: registry queries must not clobber (or leak
+    // into) session-global names like `customer` that a long-lived
+    // Statements server or another fixture dir may own
+    Tables.load(spark, dir, "customer").createOrReplaceTempView("q31_customer")
+    Tables.load(spark, dir, "orders").createOrReplaceTempView("q31_orders")
     spark.sql(
       """SELECT c_custkey, c_name,
-        |  (SELECT count(*) FROM orders o
+        |  (SELECT count(*) FROM q31_orders o
         |   WHERE o.o_custkey = c.c_custkey
         |     AND o.o_orderpriority = '1-URGENT') AS n_urgent
-        |FROM customer c
-        |WHERE EXISTS (SELECT 1 FROM orders o
+        |FROM q31_customer c
+        |WHERE EXISTS (SELECT 1 FROM q31_orders o
         |              WHERE o.o_custkey = c.c_custkey
         |                AND o.o_orderpriority = '1-URGENT')
-        |  AND NOT EXISTS (SELECT 1 FROM orders o2
+        |  AND NOT EXISTS (SELECT 1 FROM q31_orders o2
         |                  WHERE o2.o_custkey = c.c_custkey
         |                    AND o2.o_orderstatus = 'P')
         |ORDER BY c_custkey""".stripMargin)

@@ -537,6 +537,9 @@ object Similarity {
     import spark.implicits._
     val emb = normalizedEmbeddings(spark, dir)
     val dim = emb.select(size($"v")).first().getInt(0)
+    require(dim % PqM == 0,
+      s"embedding dim $dim not divisible into $PqM PQ subspaces — " +
+        "trailing dimensions would silently drop from codes and scoring")
     val d = dim / PqM
     val cb = fitPqCodebooks(emb, d)
     val codes = pqEncode(emb, cb, d)
@@ -621,7 +624,8 @@ object Similarity {
         element_at($"qv", $"p.j" + 1).as("qj"))
       .groupBy($"i", $"j")
       .agg(count(lit(1)).as("n"),
-        sum($"qi").as("si"), sum($"qj").as("sj"),
+        sum($"qi".cast("decimal(38,0)")).as("si"),
+        sum($"qj".cast("decimal(38,0)")).as("sj"),
         sum(($"qi" * $"qj").cast("decimal(38,0)")).as("sij"))
       .collect()
     // stage 2: driver-side covariance + Jacobi eigen-solve
@@ -630,8 +634,8 @@ object Similarity {
     moments.foreach { r =>
       val (i, j) = (r.getInt(0), r.getInt(1))
       val cnt = r.getLong(2).toDouble
-      val si = r.getLong(3).toDouble / PcaQ
-      val sj = r.getLong(4).toDouble / PcaQ
+      val si = r.getDecimal(3).doubleValue() / PcaQ
+      val sj = r.getDecimal(4).doubleValue() / PcaQ
       val sij = r.getDecimal(5).doubleValue() / (PcaQ * PcaQ)
       val c = sij / cnt - (si / cnt) * (sj / cnt)
       cov(i)(j) = c; cov(j)(i) = c

@@ -167,12 +167,10 @@ object TextAnalysis {
     import spark.implicits._
     val toks = Tables.load(spark, dir, "documents")
       .select($"doc_id", $"lang", explode(tokens($"text")).as("token"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy($"lang").orderBy($"cnt".desc, $"token".asc)
-    val vocab = toks.groupBy($"lang", $"token")
-      .agg(count(lit(1)).as("cnt"))
-      .withColumn("rk", row_number().over(w))
-      .filter($"rk" <= Pipeline.VocabK)
+    // the vocabulary IS p5's table (same ranking, same tie-break, by
+    // construction rather than by a duplicated window) — the audit
+    // cannot silently diverge from the vocab it audits against
+    val vocab = Pipeline.p5VocabTopK(spark, dir)
       .select($"lang", $"token", lit(true).as("in_vocab"))
     toks.join(broadcast(vocab), Seq("lang", "token"), "left")
       .groupBy($"doc_id")
