@@ -180,7 +180,39 @@ object TextAnalysis {
       .orderBy($"doc_id")
   }
 
+  /** T9 — corpus n-gram diversity audit: per source, how concentrated is
+    * the 3-gram vocabulary? `simpson` is the collision probability of two
+    * random distinct-per-doc gram draws (Simpson index — the exact-ratio
+    * stand-in for entropy, which log() would make oracle-unstable);
+    * `top_share` is the single most widespread gram's share. High values
+    * flag template-heavy / boilerplate sources a pipeline should
+    * downweight before training.
+    *
+    * Scale shape: ShingleHashes explode (8-byte keys, no strings) →
+    * two-phase count per (source, gram) → per-source aggregate whose
+    * shuffle carries one row per distinct gram — the same inverted-index
+    * volume d3 already bounds; numerator sums go through DECIMAL(38,0)
+    * (c·(c−1) summed over 10¹² grams overflows a long). Both doubles are
+    * single IEEE divisions of exact ints, same shape as the oracle. */
+  def t9NgramDiversity(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.load(spark, dir, "documents")
+      .select($"source", explode(shingleHashes($"text", 3)).as("h"))
+      .groupBy($"source", $"h").agg(count(lit(1)).as("c"))
+      .groupBy($"source")
+      .agg(sum($"c").as("n_total"),
+        count(lit(1)).as("n_distinct"),
+        sum(($"c" * ($"c" - 1)).cast("decimal(38,0)")).as("coll"),
+        max($"c").as("max_c"))
+      .select($"source", $"n_total", $"n_distinct",
+        ($"coll".cast(DoubleType) / ($"n_total" * ($"n_total" - 1)))
+          .as("simpson"),
+        ($"max_c".cast(DoubleType) / $"n_total").as("top_share"))
+      .orderBy($"source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t9_ngram_diversity" -> t9NgramDiversity _,
     "t8_oov_rate" -> t8OovRate _,
     "t5_token_regex" -> t5TokenRegex _,
     "t6_length_percentiles" -> t6LengthPercentiles _,
@@ -209,6 +241,22 @@ object TextAnalysis {
   }
 
   val oracleSql: Map[String, String] = Map(
+    "t9_ngram_diversity" ->
+      """WITH docs AS (SELECT doc_id, source, string_split(text,' ') AS w
+        |              FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, source,
+        |         unnest(list_transform(generate_series(1, len(w)-2),
+        |           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+        |       FROM docs),
+        |c AS (SELECT source, s, count(*) AS c FROM sh GROUP BY 1, 2)
+        |SELECT source,
+        |  CAST(sum(c) AS BIGINT) AS n_total,
+        |  CAST(count(*) AS BIGINT) AS n_distinct,
+        |  CAST(sum(c * (c - 1)) AS DOUBLE)
+        |    / (CAST(sum(c) AS BIGINT) * (CAST(sum(c) AS BIGINT) - 1))
+        |    AS simpson,
+        |  CAST(max(c) AS DOUBLE) / CAST(sum(c) AS BIGINT) AS top_share
+        |FROM c GROUP BY source ORDER BY source""".stripMargin,
     "t8_oov_rate" ->
       s"""WITH u AS (SELECT doc_id, lang, unnest(string_split(text,' ')) AS token
          |           FROM documents),

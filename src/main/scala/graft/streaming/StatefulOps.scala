@@ -17,6 +17,42 @@ object StatefulOps {
 
   case class KeyedCount(key: String, n: Long, lastValue: Double)
 
+  case class KeyTopK(key: String, ids: Seq[Long], scores: Seq[Double])
+
+  /** Streaming per-key top-k (the leaderboard op; streaming twin of the
+    * batch q7 rank window and the v5 mergeable aggregate): keyed state is
+    * the current k best (score, id) pairs — BOUNDED at k entries per key
+    * no matter how long the stream runs, which is what makes this safe at
+    * an unbounded 100 TB/day feed where a rank-window would need the full
+    * history. Emits the refreshed top-k for every key that changed in the
+    * batch (update mode). Ties break toward the lower id, so the emission
+    * is deterministic for any arrival order once the same set of events
+    * has been seen. */
+  def topKPerKey[T](ds: Dataset[T], keyFn: T => String,
+                    idFn: T => Long, scoreFn: T => Double,
+                    k: Int): Dataset[KeyTopK] = {
+    implicit val stateEnc: Encoder[KeyTopK] = Encoders.product[KeyTopK]
+    implicit val strEnc: Encoder[String] = Encoders.STRING
+    ds.groupByKey(keyFn)
+      .flatMapGroupsWithState[KeyTopK, KeyTopK](
+        OutputMode.Update, GroupStateTimeout.NoTimeout()) {
+        (key: String, rows: Iterator[T], state: GroupState[KeyTopK]) =>
+          val cur = state.getOption.getOrElse(KeyTopK(key, Nil, Nil))
+          val before = cur.scores.zip(cur.ids).toVector // (score, id)
+          var top = before
+          rows.foreach { r =>
+            top = (((scoreFn(r), idFn(r)) +: top)
+              .sortBy { case (s, id) => (-s, id) }
+              .take(k))
+          }
+          if (top != before) {
+            val next = KeyTopK(key, top.map(_._2), top.map(_._1))
+            state.update(next)
+            Iterator.single(next)
+          } else Iterator.empty
+      }
+  }
+
   /** Running count + last value per key, emitting an update per input
     * batch in which the key appeared. */
   def runningCounts[T](ds: Dataset[T], keyFn: T => String,

@@ -186,6 +186,47 @@ class StreamingEventsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming per-key top-k: bounded state converges to the batch answer " +
+    "regardless of arrival order") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val k = 3
+    val evs = Tables.load(s, SparkTestSession.sf0001, "events")
+      .as[Ev].collect().take(90).toSeq
+    // out-of-order feed across three micro-batches
+    val shuffled = evs.sortBy(e => e.event_id * 2654435761L % 97)
+    val mem = MemoryStream[Ev]
+    val top = StatefulOps.topKPerKey[Ev](
+      mem.toDS(), _.event_type, _.event_id, _.value, k)
+    val q = top.writeStream.outputMode("update")
+      .format("memory").queryName("topk_test").start()
+    try {
+      shuffled.grouped(30).foreach { b =>
+        mem.addData(b); q.processAllAvailable()
+      }
+      // the final emission per key: under insert-only updates the sorted-
+      // desc score sequence strictly grows in (length, lexicographic)
+      // order, so the max such emission IS the last one — no reliance on
+      // sink row order
+      implicit val seqOrd: Ordering[Seq[Double]] =
+        math.Ordering.Implicits.seqOrdering
+      val rows = s.table("topk_test")
+        .collect()
+        .map(r => (r.getString(0), r.getSeq[Long](1), r.getSeq[Double](2)))
+        .groupBy(_._1)
+        .map { case (key, es) =>
+          key -> es.maxBy(e => (e._3.length, e._3))._2
+        }
+      val expected = evs.groupBy(_.event_type).view.mapValues { es =>
+        es.map(e => (e.value, e.event_id))
+          .sortBy { case (v, id) => (-v, id) }.take(k).map(_._2).toSeq
+      }.toMap
+      assert(rows == expected,
+        s"streaming leaderboard must equal batch top-k: $rows vs $expected")
+    } finally q.stop()
+  }
+
   // the state backend that holds streaming aggregation state at 100 TB:
   // RocksDB keeps state off-heap/on-disk per executor instead of in the
   // JVM heap (bundled with Spark 4; no external service)
