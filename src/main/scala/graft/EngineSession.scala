@@ -4,13 +4,14 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.plans.{DotProduct, MinHashSig, SimHash64}
+import graft.plans.{DotProduct, MinHashSig, ShingleHashes, SimHash64}
 
 /** Registers graft's custom Catalyst expressions as SQL functions so they
   * are first-class from SQL text (the engine's statement facade accepts raw
   * SQL like the reference's endpoint did):
   *
-  *   SELECT dot_product(a.v, b.v), minhash_sig(shingles, 32), simhash64(toks)
+  *   SELECT dot_product(a.v, b.v), minhash_sig(shingles, 32),
+  *          simhash64(toks), shingle_hashes(text, 3)
   *
   * Injected via SparkSessionExtensions — usable with
   * `--conf spark.sql.extensions=graft.GraftExtensions` on a real cluster,
@@ -31,6 +32,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("simhash64"),
       new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
       (args: Seq[Expression]) => SimHash64(args(0))))
+    e.injectFunction((
+      new FunctionIdentifier("shingle_hashes"),
+      new ExpressionInfo(classOf[ShingleHashes].getName, "shingle_hashes"),
+      (args: Seq[Expression]) => ShingleHashes(args(0),
+        args(1).eval().asInstanceOf[Int])))
   }
 }
 
@@ -67,5 +73,8 @@ object EngineSession {
       args => MinHashSig(args(0), args(1).eval().asInstanceOf[Int]), "built-in")
     reg.createOrReplaceTempFunction("simhash64",
       args => SimHash64(args(0)), "built-in")
+    reg.createOrReplaceTempFunction("shingle_hashes",
+      args => ShingleHashes(args(0), args(1).eval().asInstanceOf[Int]),
+      "built-in")
   }
 }

@@ -20,6 +20,9 @@ class EngineSessionSpec extends AnyFunSuite {
         "SELECT minhash_sig(array('a b c','b c d'), 8) AS m")
         .head().getSeq[Long](0)
       assert(mh.length == 8 && mh.forall(_ >= 0))
+      val sh = spark.sql(
+        "SELECT shingle_hashes('a b c d', 3) AS h").head().getSeq[Long](0)
+      assert(sh.length == 2, "two 3-gram shingles of a 4-token doc")
     } finally ()
   }
 
