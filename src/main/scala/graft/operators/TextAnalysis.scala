@@ -205,7 +205,10 @@ object TextAnalysis {
         sum(($"c" * ($"c" - 1)).cast("decimal(38,0)")).as("coll"),
         max($"c").as("max_c"))
       .select($"source", $"n_total", $"n_distinct",
-        ($"coll".cast(DoubleType) / ($"n_total" * ($"n_total" - 1)))
+        // two sequential divisions, NOT one division by n·(n−1): the long
+        // product wraps silently at 10¹² grams/source; dividing twice is
+        // overflow-free and the oracle mirrors the exact same IEEE shape
+        ($"coll".cast(DoubleType) / $"n_total" / ($"n_total" - 1))
           .as("simpson"),
         ($"max_c".cast(DoubleType) / $"n_total").as("top_share"))
       .orderBy($"source")
@@ -253,7 +256,7 @@ object TextAnalysis {
         |  CAST(sum(c) AS BIGINT) AS n_total,
         |  CAST(count(*) AS BIGINT) AS n_distinct,
         |  CAST(sum(c * (c - 1)) AS DOUBLE)
-        |    / (CAST(sum(c) AS BIGINT) * (CAST(sum(c) AS BIGINT) - 1))
+        |    / CAST(sum(c) AS BIGINT) / (CAST(sum(c) AS BIGINT) - 1)
         |    AS simpson,
         |  CAST(max(c) AS DOUBLE) / CAST(sum(c) AS BIGINT) AS top_share
         |FROM c GROUP BY source ORDER BY source""".stripMargin,

@@ -41,7 +41,9 @@ object StatefulOps {
           val before = cur.scores.zip(cur.ids).toVector // (score, id)
           var top = before
           rows.foreach { r =>
-            top = (((scoreFn(r), idFn(r)) +: top)
+            // distinct: a replayed event (at-least-once delivery) must not
+            // occupy two leaderboard slots — the update is idempotent
+            top = (((scoreFn(r), idFn(r)) +: top).distinct
               .sortBy { case (s, id) => (-s, id) }
               .take(k))
           }
