@@ -36,6 +36,41 @@ object Profile {
     // warmup
     noop(Tables.load(spark, sfDir, "documents").groupBy($"lang").count())
 
+    // `d5probe [n]`: measure SimHash candidate-pair counts under the old
+    // single-byte-band scheme vs the band-pair scheme on n synthetic
+    // near-unique docs (uniform sigs = the random-collision regime the
+    // band-pair change targets; the fixture's dup families mask it).
+    if (args.headOption.contains("d5probe")) {
+      import graft.plans.VectorExpressions.simhash64
+      val n = args.lift(1).map(_.toInt).getOrElse(50000)
+      val docs = spark.range(n).select($"id".as("doc_id"),
+        concat_ws(" ", transform(sequence(lit(1), lit(50)),
+          i => concat(lit("w"),
+            pmod(xxhash64($"id" * 100 + i), lit(5000))))).as("text"))
+      val sigs = docs.select($"doc_id",
+        simhash64(split($"text", " ")).as("sig")).cache()
+      sigs.count()
+      def candidates(keys: Seq[(org.apache.spark.sql.Column, org.apache.spark.sql.Column)]): Long = {
+        val banded = sigs.select($"doc_id",
+          explode(array(keys.map { case (band, bucket) =>
+            struct(band.as("band"), bucket.as("bucket"))
+          }: _*)).as("bb"))
+          .select($"doc_id", $"bb.band", $"bb.bucket")
+        banded.as("a").join(banded.as("b"),
+          $"a.band" === $"b.band" && $"a.bucket" === $"b.bucket" &&
+            $"a.doc_id" < $"b.doc_id").count()
+      }
+      val single = candidates((0 until 8).map(b =>
+        (lit(b), shiftright($"sig", b * 8).bitwiseAND(lit(0xffL)))))
+      val pairs = candidates(for (i <- 0 until 8; j <- i + 1 until 8) yield
+        (lit(i * 8 + j), shiftright($"sig", i * 8).bitwiseAND(lit(0xffL))
+          .multiply(256).plus(shiftright($"sig", j * 8).bitwiseAND(lit(0xffL)))))
+      println(s"[probe] n=$n single_band_candidates=$single " +
+        s"band_pair_candidates=$pairs ratio=${single.toDouble / math.max(pairs, 1)}")
+      spark.stop()
+      return
+    }
+
     if (args.nonEmpty) {
       val registry = SparkEntry.queries
       args.foreach { q =>

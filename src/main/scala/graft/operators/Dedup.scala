@@ -215,12 +215,13 @@ object Dedup {
     * probabilistically (recall spec'd in DedupSpec). Verified by Hamming
     * distance ≤ SimHashMaxDist. Rows-only checked (engine-specific hashing).
     *
-    * Scale: single 8-bit bands saturate — 256 buckets/band means random
-    * collisions grow as N²/256 (measured 5.8× per 10× corpus step). 16-bit
-    * pair keys spread over 65536 buckets, cutting random candidate pairs
-    * ~70× (28/65536 vs 8/256 of all pairs) at the cost of a 28-row/doc
-    * explode of (2-byte key, 8-byte sig) — linear shuffle, not quadratic
-    * candidates, which is the trade you want at 100 TB. */
+    * Scale: random collisions are inherently quadratic under ANY banding —
+    * ≈ N²/2 × (keys/buckets) — so the lever is the coefficient: single
+    * 8-bit bands give 8/256 = 1/32, band pairs give 28/65536 ≈ 1/2341, a
+    * 73× smaller constant (MEASURED on 50k uniform-sig synthetic docs:
+    * 43.8M → 0.67M candidate pairs, 65×; `graft.Profile d5probe`). The
+    * same candidate budget is reached at √73 ≈ 8.5× more documents, paid
+    * with a 28-row/doc explode of (2-byte key, 8-byte id) — linear. */
   def d5SimHash(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val sigs = Tables.load(spark, dir, "documents")
