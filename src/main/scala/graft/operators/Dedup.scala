@@ -150,6 +150,28 @@ object Dedup {
       .orderBy($"d1", $"d2")
   }
 
+  /** D10 — cross-source duplication matrix: for every (source, source)
+    * pair, how many near-duplicate document pairs straddle it — the audit
+    * a pipeline runs before mixing corpora (a high off-diagonal cell
+    * means one source republishes another and mixture weights
+    * double-count it). Built on d3's bounded candidate set; sources
+    * attach via two joins on doc_id and the pair is normalized with
+    * least/greatest so (a,b) and (b,a) land in one cell. max_jaccard is
+    * an order-independent aggregate (no double summation), so the row is
+    * oracle-exact. */
+  def d10CrossSource(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val src = Tables.load(spark, dir, "documents").select($"doc_id", $"source")
+    jaccardCandidates(spark, dir, JaccardThreshold)
+      .select($"d1", $"d2", $"jaccard")
+      .join(src.select($"doc_id".as("d1"), $"source".as("s1")), "d1")
+      .join(src.select($"doc_id".as("d2"), $"source".as("s2")), "d2")
+      .groupBy(least($"s1", $"s2").as("source_a"),
+        greatest($"s1", $"s2").as("source_b"))
+      .agg(count(lit(1)).as("n_pairs"), max($"jaccard").as("max_jaccard"))
+      .orderBy($"source_a", $"source_b")
+  }
+
   /** MinHash signature table (k hashes), for tests and composition.
     * Shingle keys come from the one-pass ShingleHashes expression; the
     * long-input MinHashSig path then runs k affine transforms per shingle
@@ -395,6 +417,7 @@ object Dedup {
     "d4_minhash_lsh" -> ((s: SparkSession, d: String) => d4MinHashLsh(s, d, 32, 8)),
     "d5_simhash" -> d5SimHash _,
     "d9_edit_verified" -> d9EditVerified _,
+    "d10_cross_source" -> d10CrossSource _,
   )
 
   /** D4/D5 use engine-specific 64-bit hashing → no SQL oracle (driver
@@ -418,6 +441,20 @@ object Dedup {
         |  CAST(sum(CASE WHEN df.c >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS dup_fraction
         |FROM sh0 JOIN df USING (s)
         |GROUP BY sh0.doc_id ORDER BY doc_id""".stripMargin,
+    "d10_cross_source" ->
+      s"""WITH $d3Ctes,
+         |cand AS (SELECT d1, d2,
+         |           CAST(shared AS DOUBLE) / (x.n + y.n - shared) AS jaccard
+         |         FROM inter JOIN sz x ON d1 = x.doc_id
+         |                    JOIN sz y ON d2 = y.doc_id
+         |         WHERE CAST(shared AS DOUBLE) / (x.n + y.n - shared)
+         |           >= $JaccardThreshold)
+         |SELECT least(a.source, b.source) AS source_a,
+         |  greatest(a.source, b.source) AS source_b,
+         |  count(*) AS n_pairs, max(jaccard) AS max_jaccard
+         |FROM cand JOIN documents a ON d1 = a.doc_id
+         |          JOIN documents b ON d2 = b.doc_id
+         |GROUP BY 1, 2 ORDER BY source_a, source_b""".stripMargin,
     "d9_edit_verified" ->
       s"""WITH $d3Ctes,
          |cand AS (SELECT d1, d2 FROM inter

@@ -202,7 +202,10 @@ object TextAnalysis {
       .groupBy($"source")
       .agg(sum($"c").as("n_total"),
         count(lit(1)).as("n_distinct"),
-        sum(($"c" * ($"c" - 1)).cast("decimal(38,0)")).as("coll"),
+        // the cast must precede the multiply: c·(c−1) in LONG wraps once a
+        // single gram's df passes ~3e9 — decimal only protects what it
+        // actually computes
+        sum($"c".cast("decimal(38,0)") * ($"c" - 1)).as("coll"),
         max($"c").as("max_c"))
       .select($"source", $"n_total", $"n_distinct",
         // two sequential divisions, NOT one division by n·(n−1): the long

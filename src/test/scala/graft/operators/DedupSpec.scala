@@ -47,6 +47,17 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("d10: cross-source matrix conserves d3's pairs and is normalized") {
+    val cells = Dedup.d10CrossSource(spark, dir).collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getLong(2)))
+    // conservation: every d3 near-dup pair lands in exactly one cell
+    assert(cells.map(_._2).sum == exactPairs.size,
+      s"matrix total ${cells.map(_._2).sum} != d3 pairs ${exactPairs.size}")
+    // normalization: (a,b) with a <= b, no duplicate cells
+    cells.foreach { case ((a, b), _) => assert(a <= b, s"unnormalized $a,$b") }
+    assert(cells.map(_._1).distinct.length == cells.length)
+  }
+
   test("exact dedup keeps one survivor per distinct text") {
     val d1 = Dedup.d1ExactDedup(spark, dir)
     assert(d1.count() ==

@@ -194,6 +194,13 @@ class StreamingEventsSpec extends AnyFunSuite {
     val k = 3
     val evs = Tables.load(s, SparkTestSession.sf0001, "events")
       .as[Ev].collect().take(90).toSeq
+    // the last-emission selection below keys on (length, scores), which is
+    // only strictly monotone when no two events of a key tie on value —
+    // guard the assumption explicitly so a fixture change fails loudly
+    // here instead of flaking on sink row order
+    assert(evs.groupBy(e => (e.event_type, e.value)).forall(_._2.size == 1),
+      "fixture slice must have no (key, score) ties for this test's " +
+        "latest-emission selection to be well-defined")
     // out-of-order feed across three micro-batches
     val shuffled = evs.sortBy(e => e.event_id * 2654435761L % 97)
     val mem = MemoryStream[Ev]
