@@ -282,6 +282,26 @@ object Multimodal {
   /** Rows-only driver queries (binary payloads are not SQL-oracle
     * territory; MultimodalSpec covers decode fidelity + shape). */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m5_audio_spectrum" -> ((s: SparkSession, d: String) => {
+      import s.implicits._
+      // real frequency-domain analysis: decode the WAV, FFT the samples
+      // (pure-JVM radix-2, Dsp.scala), summarize the spectrum — narrow
+      // mapPartitions work, payload bytes never shuffle; the payload
+      // column is read only for audio rows (kind pushdown at the scan)
+      mediaParquet(s, d).as[MediaRecord]
+        .filter($"kind" === "audio")
+        .mapPartitions(_.map { m =>
+          val a = Codec.decodeWav(m.payload)
+          val sp = Dsp.spectrum(a.samples, a.sampleRate)
+          (m.media_id, a.samples.length, sp.nFft,
+            math.round(sp.centroidHz * 100) / 100.0,
+            sp.rolloffHz, sp.peakHz,
+            math.round(sp.rms * 100) / 100.0)
+        })
+        .toDF("media_id", "n_samples", "n_fft", "centroid_hz",
+          "rolloff_hz", "peak_hz", "rms")
+        .orderBy($"media_id")
+    }),
     "m1_media_features" -> ((s: SparkSession, d: String) => {
       import s.implicits._
       extractFeatures(mediaParquet(s, d).as[MediaRecord])

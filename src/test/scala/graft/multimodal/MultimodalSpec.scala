@@ -154,6 +154,52 @@ class MultimodalSpec extends AnyFunSuite {
     assert(mae < 48.0, s"jpeg roundtrip MAE $mae")
   }
 
+  test("fft: a pure sine peaks at its own frequency; Parseval holds") {
+    val rate = 8000
+    val n = 1024
+    val binHz = rate.toDouble / n
+    val f = 93 * binHz // exactly on bin 93 — no spectral leakage
+    val samples = Array.tabulate(n)(i =>
+      (math.sin(2 * math.Pi * f * i / rate) * 20000).toShort)
+    val sp = Dsp.spectrum(samples, rate, maxFft = n)
+    assert(sp.nFft == n)
+    assert(math.abs(sp.peakHz - f) < binHz / 2,
+      s"peak ${sp.peakHz} Hz != tone $f Hz")
+    // a pure tone's centroid sits at the tone (within leakage tolerance)
+    assert(math.abs(sp.centroidHz - f) < 2 * binHz,
+      s"centroid ${sp.centroidHz} vs $f")
+    // Parseval: sum |x|^2 == (1/N) sum |X|^2 for the raw FFT
+    val re = samples.map(_.toDouble); val im = new Array[Double](n)
+    val time = re.map(x => x * x).sum
+    Dsp.fft(re, im)
+    val freq = re.indices.map(i => re(i) * re(i) + im(i) * im(i)).sum / n
+    assert(math.abs(time - freq) / time < 1e-9,
+      s"Parseval violated: $time vs $freq")
+  }
+
+  test("m5 audio spectrum query runs the real FFT over decoded clips") {
+    val rows = Multimodal.queries("m5_audio_spectrum")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nFft, centroid, rolloff, peak) =
+        (r.getInt(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))
+      assert((nFft & (nFft - 1)) == 0 && nFft >= r.getInt(1).min(1024) / 2)
+      val nyquist = Multimodal.AudioRate / 2.0
+      assert(centroid > 0 && centroid < nyquist)
+      assert(peak >= 0 && peak < nyquist && rolloff <= nyquist)
+      assert(rolloff >= peak / 4, "rolloff sits in the energy mass")
+    }
+    // recompute one clip driver-side: the distributed result is exactly
+    // the local Dsp computation on the decoded samples
+    val rec = Multimodal.synthesize(1) // audio
+    val a = Codec.decodeWav(rec.payload)
+    val sp = Dsp.spectrum(a.samples, a.sampleRate)
+    val row = rows.find(_.getLong(0) == 1L).get
+    assert(row.getDouble(5) == sp.peakHz &&
+      row.getDouble(4) == sp.rolloffHz,
+      "distributed spectrum must equal the local recompute")
+  }
+
   test("catalog query prunes the payload column at the parquet scan") {
     val df = Multimodal.queries("m3_media_catalog")(spark, dir)
     val plan = df.queryExecution.explainString(
