@@ -150,6 +150,28 @@ object Dedup {
       .orderBy($"d1", $"d2")
   }
 
+  /** Near-containment threshold: fraction of the smaller document's
+    * shingles that must appear in the larger one. */
+  val ContainmentThreshold = 0.9
+
+  /** D11 — containment near-dup: pairs where the SMALLER document's
+    * shingle set is ≥ ContainmentThreshold inside the larger one —
+    * the asymmetric case symmetric Jaccard misses (a short doc quoted
+    * wholesale inside a long one has tiny Jaccard but containment ≈ 1).
+    * Same df-capped inverted-index candidates as d3 (a containment hit
+    * must share shingles, so the candidate set is identical); only the
+    * acceptance ratio differs: shared/min(n1,n2), one IEEE division of
+    * exact ints — oracle-exact. */
+  def d11Containment(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    jaccardCandidates(spark, dir, 0.0)
+      .withColumn("containment",
+        $"shared".cast(DoubleType) / least($"n1", $"n2"))
+      .filter($"containment" >= ContainmentThreshold)
+      .select($"d1", $"d2", $"shared", $"n1", $"n2", $"containment")
+      .orderBy($"d1", $"d2")
+  }
+
   /** D10 — cross-source duplication matrix: for every (source, source)
     * pair, how many near-duplicate document pairs straddle it — the audit
     * a pipeline runs before mixing corpora (a high off-diagonal cell
@@ -418,6 +440,7 @@ object Dedup {
     "d5_simhash" -> d5SimHash _,
     "d9_edit_verified" -> d9EditVerified _,
     "d10_cross_source" -> d10CrossSource _,
+    "d11_containment" -> d11Containment _,
   )
 
   /** D4/D5 use engine-specific 64-bit hashing → no SQL oracle (driver
@@ -441,6 +464,14 @@ object Dedup {
         |  CAST(sum(CASE WHEN df.c >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS dup_fraction
         |FROM sh0 JOIN df USING (s)
         |GROUP BY sh0.doc_id ORDER BY doc_id""".stripMargin,
+    "d11_containment" ->
+      s"""WITH $d3Ctes
+         |SELECT d1, d2, shared, x.n AS n1, y.n AS n2,
+         |  CAST(shared AS DOUBLE) / least(x.n, y.n) AS containment
+         |FROM inter JOIN sz x ON d1 = x.doc_id JOIN sz y ON d2 = y.doc_id
+         |WHERE CAST(shared AS DOUBLE) / least(x.n, y.n)
+         |  >= $ContainmentThreshold
+         |ORDER BY d1, d2""".stripMargin,
     "d10_cross_source" ->
       s"""WITH $d3Ctes,
          |cand AS (SELECT d1, d2,

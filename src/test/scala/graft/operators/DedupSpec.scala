@@ -58,6 +58,18 @@ class DedupSpec extends AnyFunSuite {
     assert(cells.map(_._1).distinct.length == cells.length)
   }
 
+  test("d11: containment covers every strong-jaccard pair (containment >= jaccard)") {
+    val strong = Dedup.d3JaccardPairs(spark, dir).collect()
+      .filter(_.getDouble(5) >= Dedup.ContainmentThreshold)
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cont = Dedup.d11Containment(spark, dir).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(5))).toMap
+    // containment = s/min(n1,n2) >= s/(n1+n2-s) = jaccard, so every pair
+    // at jaccard >= the containment threshold must appear
+    assert(strong.subsetOf(cont.keySet), s"missing ${strong.diff(cont.keySet)}")
+    cont.values.foreach(c => assert(c >= Dedup.ContainmentThreshold && c <= 1.0))
+  }
+
   test("exact dedup keeps one survivor per distinct text") {
     val d1 = Dedup.d1ExactDedup(spark, dir)
     assert(d1.count() ==
