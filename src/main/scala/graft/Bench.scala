@@ -46,7 +46,13 @@ object Bench {
     // makes each measurement cold w.r.t. operator caches (each run pays
     // its own caching cost — the honest per-operator number) while JIT
     // warmth still carries across, which min-of-2 is for.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // SPARK_GRAFT_ONLY=q20_json_extract,d6_dedup_clusters benches a subset
+    // (local A/B iteration); unset runs the full registry.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+    val results = selected.map { case (name, fn) =>
       val times = (1 to 2).map { _ =>
         spark.catalog.clearCache()
         // clearCache misses localCheckpoint blocks (freed only when their

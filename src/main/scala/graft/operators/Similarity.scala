@@ -609,19 +609,19 @@ object Similarity {
     import spark.implicits._
     val dim = Tables.load(spark, dir, "embeddings")
       .select(size($"embedding")).first().getInt(0)
-    // stage 1: upper-triangle product sums, quantized exact
-    val pairIdx = for (i <- 0 until dim; j <- i until dim) yield (i, j)
-    val pairsCol = array(pairIdx.map { case (i, j) =>
-      struct(lit(i).as("i"), lit(j).as("j"))
-    }: _*)
+    // stage 1: upper-triangle product sums, quantized exact. The index
+    // pairs come from two chained posexplodes of the quantized vector
+    // (narrow generators, stays in whole-stage codegen) — NOT a
+    // D(D+1)/2-element literal struct array, whose generated code blows
+    // past the JIT method limit at D=64 and drops the scan to
+    // interpreted mode.
     val q = Tables.load(spark, dir, "embeddings")
       .select(transform($"embedding".cast("array<double>"),
         x => round(x * PcaQ).cast("long")).as("qv"))
     val moments = q
-      .select(explode(pairsCol).as("p"), $"qv")
-      .select($"p.i".as("i"), $"p.j".as("j"),
-        element_at($"qv", $"p.i" + 1).as("qi"),
-        element_at($"qv", $"p.j" + 1).as("qj"))
+      .select(posexplode($"qv").as(Seq("i", "qi")), $"qv")
+      .select($"i", $"qi", posexplode($"qv").as(Seq("j", "qj")))
+      .filter($"j" >= $"i")
       .groupBy($"i", $"j")
       .agg(count(lit(1)).as("n"),
         sum($"qi".cast("decimal(38,0)")).as("si"),
