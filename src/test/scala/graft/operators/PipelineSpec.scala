@@ -275,7 +275,10 @@ class PipelineSpec extends AnyFunSuite {
     val chain = spark.range(255).selectExpr("id AS d1", "id + 1 AS d2")
     // plus a disjoint clique, so multiple components resolve in one run
     val clique = spark.range(4).selectExpr("id + 1000 AS d1", "1004 AS d2")
-    val (labelsDf, rounds) = Dedup.connectedComponents(chain.union(clique))
+    // driverEdgeLimit = 0 forces the distributed star rounds (the
+    // adaptive driver finish would otherwise absorb a 260-edge graph)
+    val (labelsDf, rounds) =
+      Dedup.connectedComponents(chain.union(clique), driverEdgeLimit = 0L)
     val labels = labelsDf.collect()
       .map(r => (r.getLong(0), r.getLong(1))).toMap
     assert(labels.size == 261)
@@ -283,6 +286,19 @@ class PipelineSpec extends AnyFunSuite {
     (1000L to 1004L).foreach(n => assert(labels(n) == 1000L, s"clique node $n"))
     assert(rounds <= 16, s"chain of diameter 255 took $rounds star passes " +
       "- expected O(log n)")
+  }
+
+  test("connected components: driver finish and star rounds label identically") {
+    // random sparse graph with chains, cliques, and singleton-free isolates
+    val edges = spark.range(400).selectExpr(
+      "xxhash64(id) % 120 AS d1", "xxhash64(id * 31 + 7) % 120 AS d2")
+    val viaDriver = Dedup.connectedComponents(edges)
+    val viaStars = Dedup.connectedComponents(edges, driverEdgeLimit = 0L)
+    assert(viaDriver._2 == 0, "expected the adaptive driver finish")
+    assert(viaStars._2 > 0, "expected distributed star passes")
+    val a = viaDriver._1.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val b = viaStars._1.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(a == b, s"driver vs distributed labels diverged: ${a.diff(b)} / ${b.diff(a)}")
   }
 
   test("p7: exactly StratumK docs per language, stable across runs") {

@@ -120,13 +120,27 @@ class PlanAuditSpec extends AnyFunSuite {
       s"chunk explode/digest must not shuffle:\n$plan")
   }
 
-  test("d8: span audit has no self-join — per-doc aggregation only") {
+  test("d8: span audit is join-free — window df + per-doc aggregation only") {
     // d3's pair generation is quadratic-prone and needs the df cap; d8 by
-    // construction is linear: the only joins allowed are the df-table
-    // re-attach (h) — never a doc×doc pair join
+    // construction is linear: span frequency is a count-over-window by h,
+    // so the plan must contain no join at all — never a doc×doc pair join
     val plan = formatted("d8_duplicate_spans")
-    assert("""(?m)^\(\d+\) \w*Join""".r.findAllIn(plan).size == 1,
-      s"d8 must have exactly the df re-attach join:\n$plan")
+    assert("""(?m)^\(\d+\) \w*Join""".r.findAllIn(plan).isEmpty,
+      s"d8 must be join-free:\n$plan")
+  }
+
+  test("d3: the shingle-index exchange is computed once and reused") {
+    // rareShingles appears three times in d3 (both self-join sides + the
+    // per-doc sizes); its scan→explode→exchange subplan is identical each
+    // time, so AQE must materialize that stage ONCE and reuse it — not
+    // re-explode the corpus three times. Stage reuse only shows in the
+    // post-execution adaptive plan, hence the action first.
+    val df = graft.SparkEntry.queries("d3_jaccard_pairs")(spark, dir)
+    df.collect() // a noop WRITE spawns its own QueryExecution — collect
+    val plan = df.queryExecution.executedPlan.toString // finalizes THIS one
+    assert(plan.contains("isFinalPlan=true"), s"plan did not finalize:\n$plan")
+    assert(plan.contains("ReusedExchange") || plan.contains("ReusedQueryStage"),
+      s"the shingle index must be computed once, not per consumer:\n$plan")
   }
 
   test("q29: explicit pivot values compile to one conditional aggregate, " +
