@@ -625,8 +625,71 @@ object Relational {
       .orderBy($"op", $"val")
   }
 
+  /** Morton bit-spread: distribute the low 16 bits of a long across the
+    * even bit positions of a 32-bit lane (the classic magic-mask ladder).
+    * Pure long arithmetic — stays in codegen, and the oracle mirrors the
+    * identical shift/mask ladder so z-keys are engine-exact. */
+  private def mortonSpread(c: Column): Column = {
+    var x = c
+    x = x.bitwiseOR(shiftleft(x, 8)).bitwiseAND(lit(0x00FF00FFL))
+    x = x.bitwiseOR(shiftleft(x, 4)).bitwiseAND(lit(0x0F0F0F0FL))
+    x = x.bitwiseOR(shiftleft(x, 2)).bitwiseAND(lit(0x33333333L))
+    x = x.bitwiseOR(shiftleft(x, 1)).bitwiseAND(lit(0x55555555L))
+    x
+  }
+
+  /** Q35 — Z-order layout audit: interleave 16-bit grid cells of
+    * (o_custkey, order day) into a Morton key and report per-bucket
+    * min/max spans of BOTH dimensions — the file-layout step behind
+    * multi-column data skipping (Delta/Iceberg OPTIMIZE ZORDER BY): sort
+    * by z-key and every file's footer min/max is tight on custkey AND
+    * date simultaneously, so either predicate prunes ~√selectivity of
+    * files, where a single-column sort prunes only its own column.
+    *
+    * The 10-bit bucket prefix (top 5 bits of each dimension) guarantees
+    * every bucket spans ≤ 2¹¹ of the 2¹⁶ grid cells in each dimension —
+    * a structural property of the curve, asserted per-row by the oracle
+    * comparison here and per-partition after an actual repartitionByRange
+    * write in the spec.
+    *
+    * Scale shape: grid normalization uses corpus min/max (a 1-row
+    * broadcast); the z-key is pure per-row long arithmetic; the audit's
+    * only exchange is the 1024-bucket aggregate. The layout write itself
+    * (repartitionByRange(zkey) + sortWithinPartitions) adds one range
+    * exchange — the same cost as any global sort, paid once at write
+    * time. */
+  def q35ZOrderLayout(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val o = Tables.load(spark, dir, "orders")
+      .select($"o_orderkey", $"o_custkey",
+        // NTZ → timestamp is identity under the UTC session timezone
+        expr("unix_millis(cast(o_orderdate AS timestamp)) DIV 86400000")
+          .as("dayn"))
+    val st = o.agg(min($"o_custkey").as("minc"), max($"o_custkey").as("maxc"),
+      min($"dayn").as("mind"), max($"dayn").as("maxd"))
+    o.crossJoin(broadcast(st))
+      // DIV, not `/`: Column./ is IEEE double division and its truncation
+      // can disagree with exact integer division in the last cell; DIV
+      // matches DuckDB's `//` bit-for-bit on longs
+      .withColumn("xc",
+        expr("(o_custkey - minc) * 65535 DIV greatest(maxc - minc, 1)"))
+      .withColumn("xd",
+        expr("(dayn - mind) * 65535 DIV greatest(maxd - mind, 1)"))
+      .select($"o_orderkey",
+        mortonSpread($"xc")
+          .bitwiseOR(shiftleft(mortonSpread($"xd"), 1)).as("zkey"),
+        $"xc", $"xd")
+      .withColumn("zbucket", shiftright($"zkey", 22))
+      .groupBy($"zbucket")
+      .agg(count(lit(1)).as("n_orders"),
+        min($"xc").as("min_cust_cell"), max($"xc").as("max_cust_cell"),
+        min($"xd").as("min_day_cell"), max($"xd").as("max_day_cell"))
+      .orderBy($"zbucket")
+  }
+
   /** All relational queries, keyed for SparkEntry. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q35_zorder_layout" -> q35ZOrderLayout _,
     "q34_bag_set_ops" -> q34BagSetOps _,
     "q29_pivot" -> q29Pivot _,
     "q30_window_frames" -> q30WindowFrames _,
@@ -665,6 +728,28 @@ object Relational {
 
   /** DuckDB oracle SQL per query (column names and ORDER BY must match). */
   val oracleSql: Map[String, String] = Map(
+    "q35_zorder_layout" ->
+      """WITH o AS (SELECT o_orderkey, o_custkey,
+        |             epoch_ms(o_orderdate) // 86400000 AS dayn FROM orders),
+        |st AS (SELECT min(o_custkey) AS minc, max(o_custkey) AS maxc,
+        |              min(dayn) AS mind, max(dayn) AS maxd FROM o),
+        |g AS (SELECT o_orderkey,
+        |        (o_custkey - minc) * 65535 // greatest(maxc - minc, 1) AS xc,
+        |        (dayn - mind) * 65535 // greatest(maxd - mind, 1) AS xd
+        |      FROM o, st),
+        |s1 AS (SELECT *, (xc | (xc << 8)) & 16711935 AS ac,
+        |               (xd | (xd << 8)) & 16711935 AS ad FROM g),
+        |s2 AS (SELECT *, (ac | (ac << 4)) & 252645135 AS bc,
+        |               (ad | (ad << 4)) & 252645135 AS bd FROM s1),
+        |s3 AS (SELECT *, (bc | (bc << 2)) & 858993459 AS cc,
+        |               (bd | (bd << 2)) & 858993459 AS cd FROM s2),
+        |s4 AS (SELECT *, (cc | (cc << 1)) & 1431655765 AS dc,
+        |               (cd | (cd << 1)) & 1431655765 AS dd FROM s3),
+        |z AS (SELECT o_orderkey, xc, xd, (dc | (dd << 1)) AS zkey FROM s4)
+        |SELECT zkey >> 22 AS zbucket, count(*) AS n_orders,
+        |  min(xc) AS min_cust_cell, max(xc) AS max_cust_cell,
+        |  min(xd) AS min_day_cell, max(xd) AS max_day_cell
+        |FROM z GROUP BY 1 ORDER BY zbucket""".stripMargin,
     "q34_bag_set_ops" ->
       """SELECT 'except_all' AS op, val, count(*) AS n FROM (
         |  SELECT o_orderpriority AS val FROM orders WHERE o_orderstatus = 'F'

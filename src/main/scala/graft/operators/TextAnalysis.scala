@@ -217,7 +217,50 @@ object TextAnalysis {
       .orderBy($"source")
   }
 
+  /** T10 — unigram-LM surprisal quality score (the CCNet filter shape,
+    * Wenzek et al. 2020: score each document by its average per-token
+    * negative log-probability under a corpus language model; unusually
+    * high surprisal flags noise/garbage, unusually low flags boilerplate).
+    * The log-probability is quantized to whole BITS — surprisal(t) =
+    * floor(log2(N / cnt(t))), computed as length(bin(N div cnt)) - 1
+    * over exact longs — because cross-engine ln()/log2() differ in final
+    * ulps (the p9-idf lesson); bit-granular surprisal is engine-exact and
+    * preserves the ordering the filter thresholds on.
+    *
+    * Scale shape — chosen for the guaranteed-hot keys ("the" is 5% of any
+    * English corpus):
+    *  - NOT count-over-window by token (d8's trick): a window partition
+    *    is unsplittable, so one executor would sort 10¹⁰ rows of "the".
+    *  - Instead per-(doc, token) counts first (skew-free key), then the
+    *    frequency groupBy carries one row per distinct (doc, token) with
+    *    map-side combine, and the frequency re-attach is an equi-join on
+    *    token that AQE's skew-join splits.
+    *  - NOT a broadcast vocab (t8 broadcasts a langs×k TOP-k table; the
+    *    FULL unigram vocab of a web corpus is billions of typo-tail rows).
+    *  - The corpus total is a 1-row broadcast; per-doc sums weight each
+    *    token's bits by its in-doc count. All emitted doubles are one
+    *    IEEE division of exact longs. */
+  def t10Surprisal(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val tk = Tables.load(spark, dir, "documents")
+      .select($"doc_id", explode(tokens($"text")).as("tok"))
+    val dt = tk.groupBy($"doc_id", $"tok").agg(count(lit(1)).as("c"))
+    val vocab = dt.groupBy($"tok").agg(sum($"c").as("cnt"))
+    val total = dt.select(sum($"c").as("total"))
+    dt.join(vocab, "tok")
+      .crossJoin(broadcast(total))
+      .withColumn("bits", length(bin(expr("total DIV cnt"))) - 1)
+      .groupBy($"doc_id")
+      .agg(sum($"c").as("n_tokens"),
+        sum($"c" * $"bits").as("sum_bits"))
+      .withColumn("avg_bits",
+        $"sum_bits".cast(DoubleType) / $"n_tokens")
+      .select($"doc_id", $"n_tokens", $"sum_bits", $"avg_bits")
+      .orderBy($"doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t10_surprisal" -> t10Surprisal _,
     "t9_ngram_diversity" -> t9NgramDiversity _,
     "t8_oov_rate" -> t8OovRate _,
     "t5_token_regex" -> t5TokenRegex _,
@@ -247,6 +290,19 @@ object TextAnalysis {
   }
 
   val oracleSql: Map[String, String] = Map(
+    "t10_surprisal" ->
+      """WITH tk AS (SELECT doc_id, unnest(string_split(text,' ')) AS tok
+        |            FROM documents),
+        |dt AS (SELECT doc_id, tok, count(*) AS c FROM tk GROUP BY 1, 2),
+        |v AS (SELECT tok, CAST(sum(c) AS BIGINT) AS cnt FROM dt GROUP BY tok),
+        |tot AS (SELECT CAST(sum(c) AS BIGINT) AS total FROM dt)
+        |SELECT doc_id,
+        |  CAST(sum(c) AS BIGINT) AS n_tokens,
+        |  CAST(sum(c * (length(bin(total // cnt)) - 1)) AS BIGINT) AS sum_bits,
+        |  CAST(sum(c * (length(bin(total // cnt)) - 1)) AS DOUBLE)
+        |    / CAST(sum(c) AS BIGINT) AS avg_bits
+        |FROM dt JOIN v USING (tok), tot
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "t9_ngram_diversity" ->
       """WITH docs AS (SELECT doc_id, source, string_split(text,' ') AS w
         |              FROM documents),

@@ -352,6 +352,23 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("t10: surprisal bits match a driver-side recomputation") {
+    val toksByDoc = docs.map { case (id, text) => id -> text.split(" ", -1).toSeq }
+    val cnt = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+    toksByDoc.foreach { case (_, ts) => ts.foreach(t => cnt(t) += 1) }
+    val total = cnt.values.sum
+    def bits(t: String): Long = java.lang.Long.toBinaryString(total / cnt(t)).length - 1L
+    val got = TextAnalysis.t10Surprisal(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    toksByDoc.foreach { case (id, ts) =>
+      val sumBits = ts.map(bits).sum
+      val (gn, gSum, gAvg) = got(id)
+      assert(gn == ts.size.toLong, s"doc $id n_tokens")
+      assert(gSum == sumBits, s"doc $id sum_bits")
+      assert(gAvg == sumBits.toDouble / ts.size, s"doc $id avg_bits")
+    }
+  }
+
   test("t7: lexical diversity matches a driver-side recomputation") {
     val got = TextAnalysis.t7LexicalDiversity(spark, dir).collect()
       .map(r => r.getLong(0) -> ((r.getInt(1), r.getDouble(2), r.getDouble(3),

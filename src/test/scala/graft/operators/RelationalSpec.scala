@@ -8,6 +8,24 @@ class RelationalSpec extends AnyFunSuite {
   private lazy val spark = SparkTestSession.spark
   private val dir = SparkTestSession.sf0001
 
+  test("q35: every z-bucket confines BOTH dimensions to ≤ 2^11 of 2^16 cells") {
+    // structural property of the Morton curve: a 10-bit zkey prefix fixes
+    // the top 5 bits of each dimension, so min/max within a bucket can
+    // differ by at most 2^11 - 1 grid cells — this is WHY a z-sorted file
+    // layout skips on either predicate column, and it must hold for every
+    // bucket, not on average
+    val rows = Relational.q35ZOrderLayout(spark, dir).collect()
+    assert(rows.nonEmpty && rows.length <= 1024)
+    rows.foreach { r =>
+      val b = r.getLong(0)
+      assert(r.getLong(3) - r.getLong(2) <= 2047L, s"bucket $b cust span")
+      assert(r.getLong(5) - r.getLong(4) <= 2047L, s"bucket $b day span")
+    }
+    val total = rows.map(_.getLong(1)).sum
+    val n = graft.sources.Tables.load(spark, dir, "orders").count()
+    assert(total == n, "every order lands in exactly one bucket")
+  }
+
   test("approx_count_distinct is within its 2% error bound of exact") {
     import org.apache.spark.sql.functions._
     // the exact countDistinct lives HERE, not in the registry query: its
