@@ -92,9 +92,35 @@ object Multimodal {
     case _ => // video: VideoFrames concatenated PPM frames
       val w = 16 + (id % 4).toInt * 4
       val h = 8 + (id % 4).toInt * 2
-      val payload = (0 until VideoFrames).toArray
-        .flatMap(f => Codec.encodePpm(w, h, imagePixels(id, w, h, f)))
+      // half the videos (id % 6 == 2) carry a REAL scene cut at the
+      // midpoint: later frames switch from the moving ramp to a static
+      // high-contrast checkerboard, so the adjacent-frame luminance diff
+      // jumps from the within-scene ≤60 to ≥93 of 255 (measured over the
+      // whole synth family) — ground truth for m6's boundary detection
+      val payload = (0 until VideoFrames).toArray.flatMap { f =>
+        val pixels =
+          if (id % 6 == 2 && f >= VideoFrames / 2) checkerPixels(w, h)
+          else imagePixels(id, w, h, f)
+        Codec.encodePpm(w, h, pixels)
+      }
       MediaRecord(id, "video", payload, "ppms", w, h, VideoFrames * 40L)
+  }
+
+  /** The post-cut scene: a static gray checkerboard (220/30). */
+  private def checkerPixels(w: Int, h: Int): Array[Byte] = {
+    val px = new Array[Byte](w * h * 3)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val v = (if ((x + y) % 2 == 0) 30 else 220).toByte
+        val i = (y * w + x) * 3
+        px(i) = v; px(i + 1) = v; px(i + 2) = v
+        x += 1
+      }
+      y += 1
+    }
+    px
   }
 
   private def imagePixels(id: Long, w: Int, h: Int, frame: Int): Array[Byte] = {
@@ -128,10 +154,11 @@ object Multimodal {
     * concurrent JVM that wins the race simply has its output adopted. */
   def mediaParquet(spark: SparkSession, dir: String): DataFrame = synchronized {
     val src = new java.io.File(dir, "documents.parquet")
-    // v2: synth version participates in the stamp — a synth-logic change
-    // (e.g. adding the jpeg/png formats) must invalidate older caches
+    // v4: synth version participates in the stamp — a synth-logic change
+    // (jpeg/png formats in v2, video scene cuts in v4) must invalidate
+    // older caches
     val stamp = new java.io.File(dir).getCanonicalPath +
-      "|" + src.lastModified + "|" + src.length + "|v2"
+      "|" + src.lastModified + "|" + src.length + "|v4"
     val key = java.security.MessageDigest.getInstance("MD5")
       .digest(stamp.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
     val out = new java.io.File(sys.props("java.io.tmpdir"), s"graft-media-$key")
@@ -279,9 +306,52 @@ object Multimodal {
     }
   }
 
+  /** Mean-|Δluminance| cut threshold (of 255) for m6: the fixture's
+    * within-scene diffs top out at ~60, cross-cut diffs start at ~93
+    * (measured over the whole synth family); real footage would tune
+    * this. */
+  val SceneCutLum = 76
+
   /** Rows-only driver queries (binary payloads are not SQL-oracle
     * territory; MultimodalSpec covers decode fidelity + shape). */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m6_scene_detect" -> ((s: SparkSession, d: String) => {
+      import s.implicits._
+      // scene-change detection on the decoded frames: per adjacent frame
+      // pair, the mean absolute luminance difference; a boundary is a pair
+      // whose diff clears SceneCutLum. The comparison is exact integer
+      // math (sum_|Δ| > threshold × n_px — no float threshold wobble);
+      // narrow mapPartitions, payload read only for video rows.
+      mediaParquet(s, d).as[MediaRecord]
+        .filter($"kind" === "video")
+        .mapPartitions(_.map { m =>
+          val frames = Codec.decodePpmSeq(m.payload).toArray
+          def lum(rgb: Array[Byte], i: Int): Int = {
+            val r = rgb(i) & 0xff; val g = rgb(i + 1) & 0xff
+            val b = rgb(i + 2) & 0xff
+            (r * 299 + g * 587 + b * 114) / 1000
+          }
+          var nCuts = 0; var cutAt = -1; var maxNum = 0L; var maxDen = 1L
+          var f = 1
+          while (f < frames.length) {
+            val (a, b) = (frames(f - 1), frames(f))
+            val npx = a.width * a.height
+            var sum = 0L; var i = 0
+            while (i < npx * 3) {
+              sum += math.abs(lum(a.rgb, i) - lum(b.rgb, i)); i += 3
+            }
+            if (sum * maxDen > maxNum * npx) { maxNum = sum; maxDen = npx }
+            if (sum > SceneCutLum.toLong * npx) {
+              nCuts += 1; if (cutAt < 0) cutAt = f
+            }
+            f += 1
+          }
+          (m.media_id, frames.length, nCuts, cutAt,
+            math.round(maxNum.toDouble / maxDen * 100) / 100.0)
+        })
+        .toDF("media_id", "n_frames", "n_cuts", "cut_at", "max_diff")
+        .orderBy($"media_id")
+    }),
     "m5_audio_spectrum" -> ((s: SparkSession, d: String) => {
       import s.implicits._
       // real frequency-domain analysis: decode the WAV, FFT the samples

@@ -716,7 +716,92 @@ object Similarity {
       .orderBy($"label", $"pos")
   }
 
+  /** MMR relevance weight λ: score = λ·rel − (1−λ)·max-sim-to-selected. */
+  val MmrLambda = 0.7
+  /** Candidate pool per query = MmrPool × K. */
+  val MmrPool = 3
+
+  /** V11 — MMR diversified re-rank (Carbonell & Goldstein, SIGIR'98):
+    * retrieval pipelines re-rank the raw ANN shortlist so the k results
+    * aren't k near-copies of each other — greedy selection maximizing
+    * λ·relevance − (1−λ)·max-cosine-to-already-selected.
+    *
+    * Scale shape: candidate generation is v1's broadcast-queries +
+    * per-query top-(MmrPool·K) window (one corpus pass); the greedy loop —
+    * inherently sequential, O((pool·k)²·dim) — runs inside mapGroups per
+    * query over its OWN ≤ pool·k candidate rows, so the sequential part
+    * touches a constant-sized group, never the corpus, and queries
+    * parallelize independently. Deterministic: candidates enter the loop
+    * sorted by (rk), ties break toward the lower rank. Rows-only for the
+    * driver (iterative greedy isn't portable SQL); SimilaritySpec pins a
+    * driver recompute and the diversity win over plain top-k. */
+  def v11MmrRerank(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.load(spark, dir, "embeddings")
+      .select($"vec_id", asDouble($"embedding").as("v"))
+      .withColumn("nrm", norm($"v"))
+    val queries = emb.filter($"vec_id" < QueryCount)
+      .select($"vec_id".as("query_id"), $"v".as("qv"), $"nrm".as("qn"))
+    val w = Window.partitionBy($"query_id")
+      .orderBy($"cos".desc, $"vec_id".asc)
+    val cands = emb
+      .join(broadcast(queries), $"vec_id" =!= $"query_id")
+      .select($"query_id", $"vec_id",
+        (dot($"qv", $"v") / ($"qn" * $"nrm")).as("cos"), $"v", $"nrm")
+      .withColumn("rk", row_number().over(w))
+      .filter($"rk" <= MmrPool * K)
+      .as[(Long, Long, Double, Seq[Double], Double, Int)]
+    cands.groupByKey(_._1)
+      .flatMapGroups { (qid, it) =>
+        val pool = it.toArray.sortBy(_._6) // by rk: deterministic order
+        mmrSelect(pool.map(c => (c._2, c._3, c._4.toArray, c._5)), K)
+          .zipWithIndex.map { case ((vecId, score), i) =>
+            (qid, i + 1, vecId,
+              math.round(score * 1e6) / 1e6)
+          }
+      }
+      .toDF("query_id", "rk", "vec_id", "mmr_score")
+      .orderBy($"query_id", $"rk")
+  }
+
+  /** The greedy MMR loop over one query's candidate pool
+    * (id, relevance, vector, norm) — also the spec's driver recompute. */
+  private[operators] def mmrSelect(pool: Array[(Long, Double, Array[Double], Double)],
+                                   k: Int): Seq[(Long, Double)] = {
+    val n = pool.length
+    val picked = Array.fill(n)(false)
+    val maxSim = Array.fill(n)(0.0) // max cos to the selected set so far
+    val out = Seq.newBuilder[(Long, Double)]
+    var round = 0
+    while (round < math.min(k, n)) {
+      var best = -1; var bestScore = Double.NegativeInfinity
+      var i = 0
+      while (i < n) {
+        if (!picked(i)) {
+          val s = MmrLambda * pool(i)._2 - (1 - MmrLambda) * maxSim(i)
+          if (s > bestScore) { bestScore = s; best = i } // first-wins tie
+        }
+        i += 1
+      }
+      picked(best) = true
+      out += ((pool(best)._1, bestScore))
+      val bv = pool(best)._3; val bn = pool(best)._4
+      var j = 0
+      while (j < n) {
+        if (!picked(j)) {
+          var d = 0.0; var t = 0
+          while (t < bv.length) { d += bv(t) * pool(j)._3(t); t += 1 }
+          maxSim(j) = math.max(maxSim(j), d / (bn * pool(j)._4))
+        }
+        j += 1
+      }
+      round += 1
+    }
+    out.result()
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "v11_mmr_rerank" -> v11MmrRerank _,
     "v1_ann_topk" -> v1AnnTopK _,
     "v6_label_centroids" -> v6LabelCentroids _,
     "v5_ann_topk_agg" -> v5AnnTopKAgg _,

@@ -200,6 +200,22 @@ class MultimodalSpec extends AnyFunSuite {
       "distributed spectrum must equal the local recompute")
   }
 
+  test("m6 scene detection recovers exactly the synthesized cuts") {
+    val rows = Multimodal.queries("m6_scene_detect")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (id, nCuts, cutAt) = (r.getLong(0), r.getInt(2), r.getInt(3))
+      if (id % 6 == 2) {
+        // synth plants ONE cut at the frame midpoint for these videos
+        assert(nCuts == 1, s"video $id: expected exactly one cut, got $nCuts")
+        assert(cutAt == Multimodal.VideoFrames / 2, s"video $id cut at $cutAt")
+      } else {
+        assert(nCuts == 0 && cutAt == -1,
+          s"video $id: false positive cut (max_diff ${r.getDouble(4)})")
+      }
+    }
+  }
+
   test("catalog query prunes the payload column at the parquet scan") {
     val df = Multimodal.queries("m3_media_catalog")(spark, dir)
     val plan = df.queryExecution.explainString(

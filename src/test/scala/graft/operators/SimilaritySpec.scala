@@ -22,6 +22,53 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("v11 mmr: distributed rerank equals the driver recompute; rank 1 " +
+      "is the exact top-1; selections are more diverse than plain top-k") {
+    val got = Similarity.v11MmrRerank(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    val topk = Similarity.v1AnnTopK(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    // driver recompute from raw embeddings
+    val emb = graft.sources.Tables.load(spark, dir, "embeddings")
+      .selectExpr("vec_id", "cast(embedding as array<double>) v").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val queries = emb.keys.filter(_ < Similarity.QueryCount)
+    var mmrDiv = 0.0; var topDiv = 0.0; var nPairs = 0
+    queries.foreach { q =>
+      val qv = emb(q)
+      val pool = emb.toSeq.filter(_._1 != q)
+        .map { case (id, v) => (id, cos(qv, v), v,
+          math.sqrt(v.map(x => x * x).sum)) }
+        .sortBy { case (id, c, _, _) => (-c, id) }
+        .take(Similarity.MmrPool * Similarity.K).toArray
+      // the pool's norms must be recomputed the way the operator does
+      val expected = Similarity.mmrSelect(
+        pool.map { case (id, c, v, n) => (id, c, v, n) }, Similarity.K)
+      val gotQ = got.filter(_._1 == q).sortBy(_._2)
+      assert(gotQ.map(_._3).toSeq == expected.map(_._1),
+        s"query $q: mmr selection diverged from driver recompute")
+      val topQ = topk.filter(_._1 == q).sortBy(_._2).map(_._3)
+      assert(gotQ.head._3 == topQ.head,
+        s"query $q: rank 1 must be the exact nearest neighbor")
+      def avgPairCos(ids: Seq[Long]): Double = {
+        val ps = for (i <- ids.indices; j <- i + 1 until ids.size)
+          yield cos(emb(ids(i)), emb(ids(j)))
+        ps.sum / ps.size
+      }
+      mmrDiv += avgPairCos(gotQ.map(_._3).toSeq)
+      topDiv += avgPairCos(topQ)
+      nPairs += 1
+    }
+    assert(mmrDiv / nPairs <= topDiv / nPairs + 1e-9,
+      s"mmr sets must average at least as diverse as plain top-k: " +
+        s"${mmrDiv / nPairs} vs ${topDiv / nPairs}")
+  }
+
   test("ivf top-k hits overlap brute-force top-k") {
     val exact = Similarity.v1AnnTopK(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(2))).toSet
