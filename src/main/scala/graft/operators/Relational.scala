@@ -687,8 +687,48 @@ object Relational {
       .orderBy($"zbucket")
   }
 
+  /** Q36 — time-series resample + forward fill: bucket each user's
+    * purchases into hours, materialize the FULL hourly calendar between
+    * their first and last purchase (sequence + explode), left-join the
+    * observations in, and carry the last observed hourly sum forward
+    * through the gaps (last IGNORE NULLS over an unbounded-preceding
+    * window) — the gap-filling resample every time-series feature
+    * pipeline needs and SQL lacks as a primitive.
+    *
+    * Scale shape: the hourly pre-aggregation shrinks events to one row
+    * per (user, active hour) BEFORE any calendar explode; the calendar
+    * is per-user-span-bounded (explode factor = timeline hours, not
+    * events); the join and the fill window both key on user_id — one
+    * co-partitioned exchange, per-user state bounded by the timeline.
+    * The emitted audit aggregates per user (1 row/user, not 1/hour).
+    * Carried sums are re-quantized to cent-longs before summing (a double
+    * sum over filled values would be reduction-order-dependent). */
+  def q36GapFill(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val hourly = Tables.load(spark, dir, "events")
+      .filter($"event_type" === "purchase")
+      .withColumn("hr", expr("unix_micros(ts) DIV 3600000000"))
+      .groupBy($"user_id", $"hr")
+      .agg(dsum($"value").as("v"))
+    val cal = hourly.groupBy($"user_id")
+      .agg(min($"hr").as("h0"), max($"hr").as("h1"))
+      .select($"user_id", explode(sequence($"h0", $"h1")).as("hr"))
+    val w = Window.partitionBy($"user_id").orderBy($"hr")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    cal.join(hourly, Seq("user_id", "hr"), "left")
+      .withColumn("filled", last($"v", ignoreNulls = true).over(w))
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_hours"),
+        count($"v").as("n_obs"),
+        (count(lit(1)) - count($"v")).as("n_gaps"),
+        (sum(when($"v".isNull, round($"filled" * 100).cast("long"))
+          .otherwise(0L)).cast(DoubleType) / 100).as("gap_carried"))
+      .orderBy($"user_id")
+  }
+
   /** All relational queries, keyed for SparkEntry. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q36_gap_fill" -> q36GapFill _,
     "q35_zorder_layout" -> q35ZOrderLayout _,
     "q34_bag_set_ops" -> q34BagSetOps _,
     "q29_pivot" -> q29Pivot _,
@@ -728,6 +768,23 @@ object Relational {
 
   /** DuckDB oracle SQL per query (column names and ORDER BY must match). */
   val oracleSql: Map[String, String] = Map(
+    "q36_gap_fill" ->
+      """WITH h AS (SELECT user_id, epoch_us(ts) // 3600000000 AS hr,
+        |             CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v
+        |           FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+        |s AS (SELECT user_id, min(hr) AS h0, max(hr) AS h1 FROM h GROUP BY 1),
+        |cal AS (SELECT user_id, unnest(generate_series(h0, h1)) AS hr FROM s),
+        |f AS (SELECT cal.user_id, cal.hr, h.v,
+        |        last_value(h.v IGNORE NULLS) OVER (
+        |          PARTITION BY cal.user_id ORDER BY cal.hr
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
+        |      FROM cal LEFT JOIN h ON cal.user_id = h.user_id AND cal.hr = h.hr)
+        |SELECT user_id, count(*) AS n_hours, count(v) AS n_obs,
+        |  count(*) - count(v) AS n_gaps,
+        |  CAST(sum(CASE WHEN v IS NULL
+        |    THEN CAST(round(filled * 100) AS BIGINT) ELSE 0 END) AS DOUBLE)
+        |    / 100 AS gap_carried
+        |FROM f GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q35_zorder_layout" ->
       """WITH o AS (SELECT o_orderkey, o_custkey,
         |             epoch_ms(o_orderdate) // 86400000 AS dayn FROM orders),
