@@ -72,15 +72,24 @@ object Multimodal {
     * imageio) is exercised by every media query, not just its own spec. */
   def synthesize(id: Long): MediaRecord = (id % 3) match {
     case 0 => // image: one frame, format ppm | jpeg | png by id
-      val w = 16 + (id % 8).toInt * 4
-      val h = 9 + (id % 8).toInt * 2
       val format = ((id / 3) % 3) match {
         case 0 => "ppm"
         case 1 => "jpeg"
         case _ => "png"
       }
-      MediaRecord(id, "image",
-        Codec.encodeImage(format, w, h, imagePixels(id, w, h, 0)),
+      // every fifth image is a PLANTED near-duplicate of the previous
+      // image id: same texture, +8 brightness, (almost always) a
+      // different encoding format from the rotation — ground truth for
+      // m7's perceptual-hash dedup. The texture range tops out at ~210
+      // so the shift never clamps (a clamp would flip gradient bits).
+      val dupOf = if ((id / 3) % 5 == 2 && id >= 3) Some(id - 3) else None
+      val src = dupOf.getOrElse(id)
+      val w = 16 + (src % 8).toInt * 4
+      val h = 9 + (src % 8).toInt * 2
+      val base = texturePixels(src, w, h)
+      val px = dupOf.fold(base)(_ =>
+        base.map(b => ((b & 0xff) + 8).toByte))
+      MediaRecord(id, "image", Codec.encodeImage(format, w, h, px),
         format, w, h, 0L)
     case 1 => // audio: mono PCM-16 WAV
       val n = 400 + (id % 100).toInt * 8
@@ -104,6 +113,42 @@ object Multimodal {
         Codec.encodePpm(w, h, pixels)
       }
       MediaRecord(id, "video", payload, "ppms", w, h, VideoFrames * 40L)
+  }
+
+  /** Image texture: the sum of two id-parameterized triangle waves —
+    * smooth (constant-slope segments, so perceptual gradient bits are
+    * stable under brightness shifts and codec loss, unlike per-pixel
+    * noise) yet diverse (four frequency parameters from a 29⁴ space, so
+    * distinct ids virtually never share a gradient field — and when two
+    * ids DO collide, their pixels really are near-identical, i.e. a true
+    * duplicate, not a hash artifact). Range [60, 210]: headroom for the
+    * dup plant's +8 shift. Videos keep the mod-256 ramp (`imagePixels`),
+    * whose constant gradient sign would be pathological for dHash but is
+    * exactly what m6's luminance-diff thresholds were measured on. */
+  private def texturePixels(id: Long, w: Int, h: Int): Array[Byte] = {
+    def tri(t: Long, p: Int): Int = {
+      val m = (((t % p) + p) % p).toInt
+      if (m < p / 2) m else p - m
+    }
+    val ax = 2 + (id * 7 % 29).toInt; val ay = 2 + (id * 13 % 29).toInt
+    val bx = 2 + (id * 19 % 29).toInt; val by = 2 + (id * 23 % 29).toInt
+    val ph = (id % 251).toInt
+    val px = new Array[Byte](w * h * 3)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val v = 60 + tri(x.toLong * ax + y.toLong * ay + ph, 120) +
+          tri(x.toLong * bx - y.toLong * by + 2L * ph, 120) / 2
+        val i = (y * w + x) * 3
+        px(i) = v.toByte // v ≤ 150, so +20/+40/+8-dup all stay below 255
+        px(i + 1) = (v + 20).toByte
+        px(i + 2) = (v + 40).toByte
+        x += 1
+      }
+      y += 1
+    }
+    px
   }
 
   /** The post-cut scene: a static gray checkerboard (220/30). */
@@ -154,11 +199,11 @@ object Multimodal {
     * concurrent JVM that wins the race simply has its output adopted. */
   def mediaParquet(spark: SparkSession, dir: String): DataFrame = synchronized {
     val src = new java.io.File(dir, "documents.parquet")
-    // v4: synth version participates in the stamp — a synth-logic change
-    // (jpeg/png formats in v2, video scene cuts in v4) must invalidate
-    // older caches
+    // v5: synth version participates in the stamp — a synth-logic change
+    // (jpeg/png formats in v2, video scene cuts in v4, image textures +
+    // planted near-dups in v5) must invalidate older caches
     val stamp = new java.io.File(dir).getCanonicalPath +
-      "|" + src.lastModified + "|" + src.length + "|v4"
+      "|" + src.lastModified + "|" + src.length + "|v5"
     val key = java.security.MessageDigest.getInstance("MD5")
       .digest(stamp.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
     val out = new java.io.File(sys.props("java.io.tmpdir"), s"graft-media-$key")
@@ -306,6 +351,54 @@ object Multimodal {
     }
   }
 
+  /** Max Hamming distance (of 64 dHash bits) for an m7 near-dup pair.
+    * At 6, detection sits fully inside the 8-band pigeonhole guarantee
+    * (≤ 7 dirty bits always leave a clean band), so recall is structural;
+    * the fixture's planted dups land at ≤ 6 (mostly 0–2, jpeg legs up to
+    * 6) while unrelated texture near-collisions start at 7. */
+  val PHashMaxDist = 6
+
+  /** Difference hash (dHash): area-resample the decoded image to a 9×8
+    * luminance grid (MEAN over each cell region, not a point sample —
+    * codec noise averages out over the ~tens of pixels per cell, where a
+    * point sample inherits it 1:1) and emit one bit per horizontal
+    * gradient sign — 64 bits, invariant to resolution and global
+    * brightness shifts. Shared by the m7 query and the spec's driver
+    * recompute. */
+  private[multimodal] def dHash(width: Int, height: Int,
+                                rgb: Array[Byte]): Long = {
+    val cell = new Array[Long](9 * 8)
+    val cnt = new Array[Long](9 * 8)
+    var y = 0
+    while (y < height) {
+      val gy = math.min(7, y * 8 / height)
+      var x = 0
+      while (x < width) {
+        val gx = math.min(8, x * 9 / width)
+        val i = (y * width + x) * 3
+        cell(gy * 9 + gx) += ((rgb(i) & 0xff) * 299 +
+          (rgb(i + 1) & 0xff) * 587 + (rgb(i + 2) & 0xff) * 114) / 1000
+        cnt(gy * 9 + gx) += 1
+        x += 1
+      }
+      y += 1
+    }
+    var bits = 0L
+    var gy = 0
+    while (gy < 8) {
+      var gx = 0
+      while (gx < 8) {
+        // compare mean luminances as exact cross-multiplied integers
+        val l = cell(gy * 9 + gx) * cnt(gy * 9 + gx + 1)
+        val r = cell(gy * 9 + gx + 1) * cnt(gy * 9 + gx)
+        if (r > l) bits |= 1L << (gy * 8 + gx)
+        gx += 1
+      }
+      gy += 1
+    }
+    bits
+  }
+
   /** Mean-|Δluminance| cut threshold (of 255) for m6: the fixture's
     * within-scene diffs top out at ~60, cross-cut diffs start at ~93
     * (measured over the whole synth family); real footage would tune
@@ -315,6 +408,36 @@ object Multimodal {
   /** Rows-only driver queries (binary payloads are not SQL-oracle
     * territory; MultimodalSpec covers decode fidelity + shape). */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m7_image_phash" -> ((s: SparkSession, d: String) => {
+      import s.implicits._
+      // perceptual-hash image dedup: decode → 64-bit dHash (narrow map
+      // work, payload read only for image rows), then d5's banding shape
+      // — 8 bands of 8 bits, candidates from band-bucket collisions
+      // (pigeonhole: any pair within Hamming ≤ 7 shares a clean band),
+      // verified by exact Hamming ≤ PHashMaxDist. The pixels never
+      // shuffle: only (id, 8-byte hash) leaves the decode stage.
+      val sigs = mediaParquet(s, d).as[MediaRecord]
+        .filter($"kind" === "image")
+        .mapPartitions(_.map { m =>
+          val f = Codec.decodeImage(m.format, m.payload)
+          (m.media_id, dHash(f.width, f.height, f.rgb))
+        })
+        .toDF("media_id", "sig")
+      val banded = sigs.select($"media_id", $"sig",
+        explode(array((0 until 8).map { b =>
+          struct(lit(b).as("band"),
+            shiftright($"sig", b * 8).bitwiseAND(lit(0xffL)).as("bucket"))
+        }: _*)).as("bb"))
+        .select($"media_id", $"sig", $"bb.band", $"bb.bucket")
+      banded.as("a").join(banded.as("b"),
+          $"a.band" === $"b.band" && $"a.bucket" === $"b.bucket" &&
+            $"a.media_id" < $"b.media_id")
+        .select($"a.media_id".as("id1"), $"b.media_id".as("id2"),
+          bit_count($"a.sig".bitwiseXOR($"b.sig")).as("hamming"))
+        .distinct()
+        .filter($"hamming" <= PHashMaxDist)
+        .orderBy($"id1", $"id2")
+    }),
     "m6_scene_detect" -> ((s: SparkSession, d: String) => {
       import s.implicits._
       // scene-change detection on the decoded frames: per adjacent frame

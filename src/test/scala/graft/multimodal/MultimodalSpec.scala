@@ -216,6 +216,49 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("m7 phash finds every planted brightness/format dup; extras are " +
+      "true pixel-level near-duplicates") {
+    val detected = Multimodal.queries("m7_image_phash")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val ids = Multimodal.mediaParquet(spark, dir)
+      .filter(org.apache.spark.sql.functions.col("kind") === "image")
+      .select("media_id").collect().map(_.getLong(0)).toSet
+    val planted = ids.filter(id => (id / 3) % 5 == 2 && ids.contains(id - 3))
+      .map(id => (id - 3, id))
+    val pairs = detected.map(d => (d._1, d._2)).toSet
+    info("planted hammings: " + detected.filter(d => planted.contains((d._1, d._2)))
+      .map(_._3).sorted.mkString(","))
+    info("extra hammings: " + detected.filterNot(d => planted.contains((d._1, d._2)))
+      .map(_._3).sorted.mkString(","))
+    planted.foreach { p =>
+      assert(pairs.contains(p), s"planted dup pair $p not detected")
+    }
+    // any extra detection must be a genuine pixel-level near-duplicate
+    // (texture-parameter collision), not a hash artifact: verify the two
+    // decoded 9x8 luminance grids agree closely
+    (pairs -- planted).foreach { case (a, b) =>
+      val fa = Codec.decodeImage(Multimodal.synthesize(a).format,
+        Multimodal.synthesize(a).payload)
+      val fb = Codec.decodeImage(Multimodal.synthesize(b).format,
+        Multimodal.synthesize(b).payload)
+      def grid(f: Codec.PpmFrame): Seq[Int] =
+        for (gy <- 0 until 8; gx <- 0 until 9) yield {
+          val i = ((gy * f.height / 8) * f.width + gx * f.width / 9) * 3
+          ((f.rgb(i) & 0xff) * 299 + (f.rgb(i + 1) & 0xff) * 587 +
+            (f.rgb(i + 2) & 0xff) * 114) / 1000
+        }
+      val (ga, gb) = (grid(fa), grid(fb))
+      val meanAbs = ga.zip(gb).map { case (x, y) => math.abs(x - y) }
+        .sum.toDouble / ga.size
+      assert(meanAbs <= 24.0,
+        s"pair ($a,$b) detected but grids differ (mean |d|=$meanAbs)")
+    }
+    // the planted pairs' hamming distances sit well inside the threshold
+    detected.filter(d => planted.contains((d._1, d._2))).foreach { d =>
+      assert(d._3 <= Multimodal.PHashMaxDist)
+    }
+  }
+
   test("catalog query prunes the payload column at the parquet scan") {
     val df = Multimodal.queries("m3_media_catalog")(spark, dir)
     val plan = df.queryExecution.explainString(
