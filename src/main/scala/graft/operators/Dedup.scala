@@ -428,20 +428,62 @@ object Dedup {
     * keep the BEST copy, not an arbitrary one. Window ranks run per
     * cluster (keyed, parallel); cluster tables are a tiny fraction of the
     * corpus by the time this runs. */
-  def d7CanonicalSelection(spark: SparkSession, dir: String): DataFrame = {
+  def d7CanonicalSelection(spark: SparkSession, dir: String): DataFrame =
+    canonicalSelection(d6DedupClusters(spark, dir),
+      TextAnalysis.t2QualityScore(spark, dir))
+      .orderBy(col("cluster_rep"))
+
+  /** The d7 keep rule over a precomputed cluster table — factored out so
+    * d12 can reuse ONE cluster computation for both the keep set and the
+    * report (the cluster table is a driver-local relation after the
+    * adaptive CC finish, so re-referencing it is free). */
+  private def canonicalSelection(clusters: DataFrame,
+                                 quality: DataFrame): DataFrame = {
+    val spark = clusters.sparkSession
     import spark.implicits._
-    val clusters = d6DedupClusters(spark, dir)
-    val quality = TextAnalysis.t2QualityScore(spark, dir)
-      .select($"doc_id", $"quality_score")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy($"cluster_rep")
       .orderBy($"quality_score".desc, $"doc_id".asc)
-    clusters.join(quality, "doc_id")
+    clusters.join(quality.select($"doc_id", $"quality_score"), "doc_id")
       .withColumn("rk", row_number().over(w))
       .filter($"rk" === 1)
       .select($"cluster_rep", $"doc_id".as("keep_id"),
         $"quality_score".as("keep_quality"), $"cluster_size")
-      .orderBy($"cluster_rep")
+  }
+
+  /** D12 — dedup report: the per-(source, lang) summary a corpus pipeline
+    * publishes after a dedup pass — how many documents, how many sit in
+    * near-dup clusters, how many clusters touch the group, and how many
+    * documents survive retention (non-clustered docs plus each cluster's
+    * d7 canonical keep). survivor_ratio is one IEEE division of exact
+    * counts.
+    *
+    * Scale shape: one d3+CC cluster computation feeds both the keep
+    * selection and the report (the label table is driver-local after the
+    * adaptive finish); the report itself is a broadcast-sized left join
+    * onto the corpus metadata — text never moves. count(DISTINCT
+    * cluster_rep) expands only the CLUSTERED rows (a small fraction of
+    * any real corpus by construction), unlike a corpus-wide exact
+    * distinct. */
+  def d12DedupReport(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val clusters = d6DedupClusters(spark, dir)
+    val keeps = canonicalSelection(clusters,
+        TextAnalysis.t2QualityScore(spark, dir))
+      .select($"keep_id".as("doc_id"), lit(1).as("kept"))
+    Tables.load(spark, dir, "documents")
+      .select($"doc_id", $"source", $"lang")
+      .join(clusters.select($"doc_id", $"cluster_rep"), Seq("doc_id"), "left")
+      .join(keeps, Seq("doc_id"), "left")
+      .groupBy($"source", $"lang")
+      .agg(count(lit(1)).as("n_docs"),
+        count($"cluster_rep").as("n_clustered"),
+        countDistinct($"cluster_rep").as("n_clusters"),
+        (count(lit(1)) - count($"cluster_rep") + count($"kept"))
+          .as("n_survivors"))
+      .withColumn("survivor_ratio",
+        $"n_survivors".cast(DoubleType) / $"n_docs")
+      .orderBy($"source", $"lang")
   }
 
   /** D8 — duplicated-span coverage (the audit behind substring-level
@@ -485,6 +527,7 @@ object Dedup {
     "d9_edit_verified" -> d9EditVerified _,
     "d10_cross_source" -> d10CrossSource _,
     "d11_containment" -> d11Containment _,
+    "d12_dedup_report" -> d12DedupReport _,
   )
 
   /** D4/D5 use engine-specific 64-bit hashing → no SQL oracle (driver
@@ -570,6 +613,24 @@ object Dedup {
          |SELECT cluster_rep, doc_id AS keep_id, quality_score AS keep_quality,
          |  CAST(cluster_size AS BIGINT) AS cluster_size
          |FROM sel WHERE rk = 1 ORDER BY cluster_rep""".stripMargin,
+    "d12_dedup_report" ->
+      s"""WITH RECURSIVE $d3Ctes, $ccCtes,
+         |q AS (${TextAnalysis.qualityCte}),
+         |sel AS (SELECT r.cluster_rep, r.doc_id, q.quality_score,
+         |          row_number() OVER (PARTITION BY r.cluster_rep
+         |            ORDER BY q.quality_score DESC, r.doc_id ASC) AS rk
+         |        FROM rep r JOIN q ON r.doc_id = q.doc_id),
+         |keeps AS (SELECT doc_id FROM sel WHERE rk = 1)
+         |SELECT d.source, d.lang,
+         |  count(*) AS n_docs,
+         |  count(r.cluster_rep) AS n_clustered,
+         |  count(DISTINCT r.cluster_rep) AS n_clusters,
+         |  count(*) - count(r.cluster_rep) + count(k.doc_id) AS n_survivors,
+         |  CAST(count(*) - count(r.cluster_rep) + count(k.doc_id) AS DOUBLE)
+         |    / count(*) AS survivor_ratio
+         |FROM documents d LEFT JOIN rep r ON d.doc_id = r.doc_id
+         |  LEFT JOIN keeps k ON d.doc_id = k.doc_id
+         |GROUP BY 1, 2 ORDER BY source, lang""".stripMargin,
   )
 
   /** Connected-component CTEs shared by the d6/d7 oracles (expects the d3
