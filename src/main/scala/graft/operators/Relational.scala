@@ -478,6 +478,28 @@ object Relational {
       .orderBy($"returnflag", $"linestatus")
   }
 
+  /** Q37 — GROUPING SETS (the general form behind q12's ROLLUP and q27's
+    * CUBE): exactly the requested aggregation levels — (status),
+    * (priority), and the grand total — in ONE pass (Catalyst plans an
+    * Expand over the three sets with a single two-phase aggregate, not
+    * three scans + union). Per-column grouping() flags disambiguate a
+    * NULL group key from a super-aggregate row engine-portably, where a
+    * combined grouping_id bit order would be an engine convention. */
+  def q37GroupingSets(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.load(spark, dir, "orders")
+      .groupingSets(
+        Seq(Seq($"o_orderstatus"), Seq($"o_orderpriority"), Seq()),
+        $"o_orderstatus", $"o_orderpriority")
+      .agg(grouping($"o_orderstatus").as("g_status"),
+        grouping($"o_orderpriority").as("g_priority"),
+        count(lit(1)).as("n"), dsum($"o_totalprice").as("sum_total"))
+      .select(coalesce($"o_orderstatus", lit("ALL")).as("status"),
+        coalesce($"o_orderpriority", lit("ALL")).as("priority"),
+        $"g_status", $"g_priority", $"n", $"sum_total")
+      .orderBy($"g_status", $"g_priority", $"status", $"priority")
+  }
+
   /** Q28 — UNPIVOT (wide → long): per-user event-type counts computed as
     * a wide conditional aggregate (q24's shape), then unpivoted to
     * (user_id, metric, n) rows via the `stack` generator — the transform
@@ -728,6 +750,7 @@ object Relational {
 
   /** All relational queries, keyed for SparkEntry. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q37_grouping_sets" -> q37GroupingSets _,
     "q36_gap_fill" -> q36GapFill _,
     "q35_zorder_layout" -> q35ZOrderLayout _,
     "q34_bag_set_ops" -> q34BagSetOps _,
@@ -768,6 +791,16 @@ object Relational {
 
   /** DuckDB oracle SQL per query (column names and ORDER BY must match). */
   val oracleSql: Map[String, String] = Map(
+    "q37_grouping_sets" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+        |  coalesce(o_orderpriority, 'ALL') AS priority,
+        |  CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+        |  CAST(GROUPING(o_orderpriority) AS INT) AS g_priority,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_total
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY g_status, g_priority, status, priority""".stripMargin,
     "q36_gap_fill" ->
       """WITH h AS (SELECT user_id, epoch_us(ts) // 3600000000 AS hr,
         |             CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v

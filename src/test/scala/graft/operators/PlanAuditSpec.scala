@@ -143,6 +143,16 @@ class PlanAuditSpec extends AnyFunSuite {
       s"the shingle index must be computed once, not per consumer:\n$plan")
   }
 
+  test("q37: grouping sets are ONE Expand pass over one scan, not " +
+      "unioned per-level scans") {
+    val plan = formatted("q37_grouping_sets")
+    assert(plan.contains("Expand"), s"expected an Expand node:\n$plan")
+    assert("""(?m)^\(\d+\) Scan parquet""".r.findAllIn(plan).size == 1,
+      s"grouping sets must read the table once:\n$plan")
+    assert("HashAggregate".r.findAllIn(plan).size >= 2,
+      s"aggregate must be two-phase:\n$plan")
+  }
+
   test("q29: explicit pivot values compile to one conditional aggregate, " +
       "no Expand") {
     val plan = formatted("q29_pivot")
