@@ -47,9 +47,13 @@ object Bench {
     // its own caching cost — the honest per-operator number) while JIT
     // warmth still carries across, which min-of-2 is for.
     // SPARK_GRAFT_ONLY=q20_json_extract,d6_dedup_clusters benches a subset
-    // (local A/B iteration); unset runs the full registry.
+    // (local A/B iteration); unset runs the full registry. Unknown names
+    // warn loudly — a typo would otherwise bench nothing and print a
+    // meaningless total=0.
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    only.foreach(_.diff(SparkEntry.queries.keySet).foreach(n =>
+      System.err.println(s"[bench] WARNING: unknown query '$n' in SPARK_GRAFT_ONLY")))
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
     val results = selected.map { case (name, fn) =>

@@ -56,14 +56,15 @@ object Dedup {
     * (a 64-bit collision within one corpus is ~N²/2⁶⁵ — d3 stays oracle
     * hash-exact).
     *
-    * The df cap is applied with a count-over-Window.partitionBy(h), not a
-    * groupBy(h)+join-back: either way the full (doc_id, h) table crosses
-    * one exchange hashed by h, but the window version skips the second
-    * (df-table) exchange and its join, and leaves the output hash-
-    * partitioned AND sorted by h — exactly what the downstream self-join's
-    * SMJ needs, so Catalyst reuses one exchange for both join sides with
-    * no re-sort (d3 sf0.1: 2.4 s → 1.9 s). The per-partition window sort
-    * is work the SMJ would otherwise do itself. */
+    * The df cap stays a groupBy(h) + join-back, NOT a count-over-window
+    * by h: a window partition is unsplittable, so one boilerplate shingle
+    * present in 10% of documents would sort 10¹¹ rows on a single task at
+    * the 100 TB design point. The groupBy df table map-side combines to
+    * one row per distinct shingle, and the re-attach equi-join's hot
+    * probe partitions are exactly what AQE's skew-join splits. (Measured
+    * r4: the window form is ~0.5 s faster at sf0.1 — and wrong at scale;
+    * the same reasoning is written at t10, which never considered the
+    * window for token counts.) */
   private def rareShingles(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     // NOT cached: ShingleHashes makes the explode nearly free, so the index
@@ -75,10 +76,11 @@ object Dedup {
     // cross-contamination mechanism).
     val sh = Tables.load(spark, dir, "documents")
       .select($"doc_id", explode(shingleHashes($"text", 3)).as("h"))
-    val w = org.apache.spark.sql.expressions.Window.partitionBy($"h")
-    sh.withColumn("df", count(lit(1)).over(w))
+    val rare = sh.groupBy($"h")
+      .agg(count(lit(1)).as("df"))
       .filter($"df" <= MaxShingleDf && $"df" >= 2)
-      .select($"doc_id", $"h")
+      .select($"h")
+    sh.join(rare, "h")
   }
 
   /** D3 — n-gram Jaccard near-dup pairs via inverted-index self-join:
@@ -312,19 +314,20 @@ object Dedup {
     * (the count job doubles as the checkpoint materialization) and, when
     * it fits under `driverEdgeLimit`, the components are closed with a
     * driver-side union-find instead of star rounds — the same runtime
-    * adaptivity as AQE's broadcast threshold, trading a bounded collect
-    * (≤ 16 B/edge, 64 MB at the default 4M) for the per-round job
-    * overhead that otherwise dominates small graphs. A near-dup pair
-    * graph is sparse by construction (pairs ≥ threshold), but nothing
-    * REQUIRES it to stay under the limit: above it, the distributed star
-    * passes run unchanged — that is the 100 TB path, and the spec pins
-    * its O(log n) chain bound by forcing `driverEdgeLimit = 0`.
+    * adaptivity as AQE's broadcast threshold. The budget is the TRANSIENT
+    * collect cost, which is Row objects, not packed longs: ~100 B/edge ≈
+    * 100 MB at the default 1M — sized to fit a stock 1 GB driver, not
+    * just this repo's test JVM. A near-dup pair graph is sparse by
+    * construction (pairs ≥ threshold), but nothing REQUIRES it to stay
+    * under the limit: above it, the distributed star passes run unchanged
+    * — that is the 100 TB path, and the spec pins its O(log n) chain
+    * bound by forcing `driverEdgeLimit = 0`.
     *
     * Returns (node → rep labels, number of star passes taken — 0 when the
     * driver finish ran). Input may carry any two numeric columns;
     * self-pairs are dropped. */
   def connectedComponents(pairs: DataFrame,
-                          driverEdgeLimit: Long = 4_000_000L): (DataFrame, Int) = {
+                          driverEdgeLimit: Long = 1_000_000L): (DataFrame, Int) = {
     val spark = pairs.sparkSession
     import spark.implicits._
     val cols = pairs.columns
@@ -344,16 +347,18 @@ object Dedup {
         while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
         r
       }
-      val nodes = scala.collection.mutable.SortedSet.empty[Long]
+      // LongMap keys, not a boxed sorted set: 8M boxed Longs in a
+      // red-black tree would multiply the collect's memory several-fold
+      val nodes = scala.collection.mutable.LongMap.empty[Unit]
       edges.collect().foreach { row =>
         val a = row.getLong(0); val b = row.getLong(1)
-        nodes += a; nodes += b
+        nodes(a) = (); nodes(b) = ()
         val (ra, rb) = (find(a), find(b))
         // union by min: the smaller root absorbs, so (inductively) every
         // root is its component's min — the star fixpoint's labeling
         if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
       }
-      val labels = nodes.toSeq.map(n => (n, find(n)))
+      val labels = nodes.keysIterator.map(n => (n, find(n))).toSeq
       return (spark.createDataFrame(labels).toDF("node", "rep"), 0)
     }
 
@@ -495,9 +500,11 @@ object Dedup {
     * though its *text spans* are not.
     *
     * Scale shape: identical to d3's index — the corpus is exploded to
-    * 8-byte shingle keys by the one-pass ShingleHashes expression and the
-    * span frequency comes from one count-over-window by h (a single
-    * exchange, join-free; the plan audit pins zero joins); no df cap is
+    * 8-byte shingle keys by the one-pass ShingleHashes expression, the
+    * span-frequency table is one map-side-combined groupBy(h), and the
+    * re-attach join moves only (doc_id, h) pairs with AQE-splittable hot
+    * keys (NOT a count-over-window, whose hot-shingle partition would be
+    * one unsplittable task at scale — see rareShingles); no df cap is
     * needed because nothing here is quadratic (no self-join — per-doc
     * aggregation only). dup_fraction is one IEEE division of two exact
     * counts, so the result is oracle-exact. */
@@ -505,8 +512,8 @@ object Dedup {
     import spark.implicits._
     val sh = Tables.load(spark, dir, "documents")
       .select($"doc_id", explode(shingleHashes($"text", 3)).as("h"))
-    val w = org.apache.spark.sql.expressions.Window.partitionBy($"h")
-    sh.withColumn("df", count(lit(1)).over(w))
+    val df = sh.groupBy($"h").agg(count(lit(1)).as("df"))
+    sh.join(df, "h")
       .groupBy($"doc_id")
       .agg(count(lit(1)).as("n_shingles"),
         sum(when($"df" >= 2, 1L).otherwise(0L)).as("n_dup_shingles"))

@@ -120,13 +120,15 @@ class PlanAuditSpec extends AnyFunSuite {
       s"chunk explode/digest must not shuffle:\n$plan")
   }
 
-  test("d8: span audit is join-free — window df + per-doc aggregation only") {
+  test("d8: span audit has no self-join — per-doc aggregation only") {
     // d3's pair generation is quadratic-prone and needs the df cap; d8 by
-    // construction is linear: span frequency is a count-over-window by h,
-    // so the plan must contain no join at all — never a doc×doc pair join
+    // construction is linear: the only join allowed is the df-table
+    // re-attach on h (AQE-skew-splittable — a count-over-window by h
+    // would pin each hot shingle to one unsplittable task at scale) —
+    // never a doc×doc pair join
     val plan = formatted("d8_duplicate_spans")
-    assert("""(?m)^\(\d+\) \w*Join""".r.findAllIn(plan).isEmpty,
-      s"d8 must be join-free:\n$plan")
+    assert("""(?m)^\(\d+\) \w*Join""".r.findAllIn(plan).size == 1,
+      s"d8 must have exactly the df re-attach join:\n$plan")
   }
 
   test("d3: the shingle-index exchange is computed once and reused") {
