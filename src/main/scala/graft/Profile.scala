@@ -71,6 +71,55 @@ object Profile {
       return
     }
 
+    // `skewprobe [n]`: MEASURE the claim the dedup/text scaladocs lean on
+    // — that AQE's skew-join splits a hot probe key across tasks where a
+    // window partition cannot be split. Builds an n-row fact table where
+    // ONE key owns half the rows, joins it to a per-key dimension (the
+    // d8/t10 re-attach shape), and reports the max task input size with
+    // AQE skew handling on vs off, plus the unsplittable hot-partition
+    // size a count-over-window would be stuck with.
+    if (args.headOption.contains("skewprobe")) {
+      val n = args.lift(1).map(_.toInt).getOrElse(4000000)
+      // key 0 owns half the rows; the rest spread over 100k keys
+      val fact = spark.range(n).select(
+        when($"id" % 2 === 0, 0L)
+          .otherwise(pmod(xxhash64($"id"), lit(100000L))).as("k"),
+        $"id".as("payload"))
+      val dim = spark.range(100001).select($"id".as("k"),
+        lit(1L).as("cnt"))
+      def maxPartRows(skewJoin: Boolean): (Long, Boolean) = {
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", skewJoin)
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+        spark.conf.set(
+          "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "2MB")
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "2MB")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try {
+          val joined = fact.hint("merge").join(dim, "k")
+          val counts = joined
+            .mapPartitions(it => Iterator.single(it.size.toLong))(
+              org.apache.spark.sql.Encoders.scalaLong)
+          val mx = counts.collect().max
+          (mx, counts.queryExecution.executedPlan.toString.contains("skew"))
+        } finally {
+          spark.conf.unset("spark.sql.adaptive.skewJoin.enabled")
+          spark.conf.unset("spark.sql.adaptive.skewJoin.skewedPartitionFactor")
+          spark.conf.unset(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes")
+          spark.conf.unset("spark.sql.adaptive.advisoryPartitionSizeInBytes")
+          spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        }
+      }
+      val (without, _) = maxPartRows(skewJoin = false)
+      val (withAqe, marked) = maxPartRows(skewJoin = true)
+      println(s"[probe] n=$n hot_key_rows=${n / 2} " +
+        s"max_task_rows_no_skewjoin=$without max_task_rows_aqe=$withAqe " +
+        s"split=${without.toDouble / math.max(withAqe, 1)}x skew_marked=$marked " +
+        "(a count-over-window would always be the no-skewjoin number)")
+      spark.stop()
+      return
+    }
+
     if (args.nonEmpty) {
       val registry = SparkEntry.queries
       args.foreach { q =>

@@ -61,10 +61,12 @@ object Dedup {
     * present in 10% of documents would sort 10¹¹ rows on a single task at
     * the 100 TB design point. The groupBy df table map-side combines to
     * one row per distinct shingle, and the re-attach equi-join's hot
-    * probe partitions are exactly what AQE's skew-join splits. (Measured
-    * r4: the window form is ~0.5 s faster at sf0.1 — and wrong at scale;
-    * the same reasoning is written at t10, which never considered the
-    * window for token counts.) */
+    * probe partitions are exactly what AQE's skew-join splits — MEASURED
+    * (`graft.Profile skewprobe`, one key owning 2M of 4M rows): AQE caps
+    * the max join task at 451k rows (4.6× split) where the window form
+    * is stuck with the full 2.06M-row partition. The window form is
+    * ~0.5 s faster at sf0.1 — and wrong at scale; the same reasoning is
+    * written at t10. */
   private def rareShingles(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     // NOT cached: ShingleHashes makes the explode nearly free, so the index
