@@ -800,7 +800,55 @@ object Similarity {
     out.result()
   }
 
+  /** Eval-set size for v12 (evals run on a sample by contract — the
+    * corpus side streams, the eval side broadcasts). */
+  val KnnEvalCount = 200
+
+  /** V12 — k-NN label-agreement eval: for a sampled eval set, does the
+    * majority label of each vector's k nearest neighbors (self excluded)
+    * match its own label? The standard "is this embedding space any
+    * good" audit a pipeline runs before trusting v4/v8's clustering.
+    *
+    * Scale shape: v5's physical pattern — eval set broadcast, corpus
+    * streams map-side cosine into the mergeable partial top-k aggregate
+    * (k rows per query cross the shuffle, no window over a per-query
+    * corpus-sized partition); neighbor labels re-attach to the
+    * queries×k shortlist by a bounded shuffled-hash join; the vote and
+    * accuracy aggregates run over queries×k rows. accuracy is one IEEE
+    * division of exact counts — oracle-exact. */
+  def v12KnnEval(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.load(spark, dir, "embeddings")
+      .select($"vec_id", $"label", asDouble($"embedding").as("v"))
+      .withColumn("nrm", norm($"v"))
+    val eval = emb.filter($"vec_id" < KnnEvalCount)
+      .select($"vec_id".as("query_id"), $"label".as("qlabel"),
+        $"v".as("qv"), $"nrm".as("qn"))
+    val top = emb.join(broadcast(eval), $"vec_id" =!= $"query_id")
+      .select($"query_id", $"qlabel", $"vec_id",
+        (dot($"qv", $"v") / ($"qn" * $"nrm")).as("cos"))
+      .groupBy($"query_id", $"qlabel")
+      .agg(graft.plans.TopKAggregate.topK($"cos", $"vec_id", K).as("top"))
+      .select($"query_id", $"qlabel", explode($"top").as("c"))
+      .select($"query_id", $"qlabel", $"c.id".as("vec_id"))
+      .hint("shuffle_hash")
+      .join(emb.select($"vec_id", $"label".as("n_label")), "vec_id")
+    val wv = Window.partitionBy($"query_id")
+      .orderBy($"cnt".desc, $"n_label".asc)
+    top.groupBy($"query_id", $"qlabel", $"n_label")
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("vr", row_number().over(wv))
+      .filter($"vr" === 1)
+      .groupBy($"qlabel".as("label"))
+      .agg(count(lit(1)).as("n_eval"),
+        sum(when($"n_label" === $"qlabel", 1L).otherwise(0L)).as("n_correct"))
+      .withColumn("accuracy",
+        $"n_correct".cast("double") / $"n_eval")
+      .orderBy($"label")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "v12_knn_eval" -> v12KnnEval _,
     "v11_mmr_rerank" -> v11MmrRerank _,
     "v1_ann_topk" -> v1AnnTopK _,
     "v6_label_centroids" -> v6LabelCentroids _,
@@ -828,6 +876,26 @@ object Similarity {
        |ORDER BY query_id, rk""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "v12_knn_eval" ->
+      s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+         |           FROM embeddings),
+         |q AS (SELECT vec_id AS query_id, label AS qlabel, v AS qv
+         |      FROM e WHERE vec_id < $KnnEvalCount),
+         |s AS (SELECT query_id, qlabel, e.label AS n_label,
+         |        row_number() OVER (PARTITION BY query_id
+         |          ORDER BY list_cosine_similarity(qv, v) DESC, vec_id ASC) AS rk
+         |      FROM e CROSS JOIN q WHERE vec_id != query_id),
+         |votes AS (SELECT query_id, qlabel, n_label, count(*) AS cnt
+         |          FROM s WHERE rk <= $K GROUP BY 1, 2, 3),
+         |pred AS (SELECT query_id, qlabel, n_label,
+         |           row_number() OVER (PARTITION BY query_id
+         |             ORDER BY cnt DESC, n_label ASC) AS vr FROM votes)
+         |SELECT qlabel AS label, count(*) AS n_eval,
+         |  CAST(sum(CASE WHEN n_label = qlabel THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_correct,
+         |  CAST(sum(CASE WHEN n_label = qlabel THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / count(*) AS accuracy
+         |FROM pred WHERE vr = 1 GROUP BY qlabel ORDER BY label""".stripMargin,
     "v1_ann_topk" -> annTopKOracle,
     "v5_ann_topk_agg" -> annTopKOracle,
     "v2_cosine_pairs" ->
