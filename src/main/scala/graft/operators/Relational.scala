@@ -589,6 +589,41 @@ object Relational {
         |ORDER BY c_custkey""".stripMargin)
   }
 
+  /** Q38 — null-aware NOT IN vs NOT EXISTS: SQL's classic three-valued-
+    * logic trap, demonstrated as data. A NOT IN whose subquery contains
+    * any NULL is UNKNOWN for every probe row (zero rows survive), while
+    * the NOT EXISTS twin of the same predicate keeps everything — the
+    * difference a migration from the reference's Flink SQL must preserve
+    * exactly. Physically this is its own operator class: Spark plans the
+    * nullable single-column NOT IN as a null-aware anti-join (a
+    * broadcast join with null-key tracking), NOT a plain LeftAnti —
+    * de-correlation alone cannot express the UNKNOWN semantics.
+    *
+    * Scale: all three variants aggregate to one row; the null-free
+    * NOT IN decays to an ordinary anti-join on the (broadcast-sized)
+    * filtered key set. */
+  def q38NotInNulls(spark: SparkSession, dir: String): DataFrame = {
+    Tables.load(spark, dir, "customer").createOrReplaceTempView("q38_customer")
+    Tables.load(spark, dir, "orders").createOrReplaceTempView("q38_orders")
+    spark.sql(
+      """SELECT 'not_in_null_free' AS variant, count(*) AS n
+        |FROM q38_customer
+        |WHERE c_custkey NOT IN (SELECT o_custkey FROM q38_orders
+        |                        WHERE o_orderstatus = 'F')
+        |UNION ALL
+        |SELECT 'not_in_nullable' AS variant, count(*) AS n
+        |FROM q38_customer
+        |WHERE c_custkey NOT IN (SELECT CASE WHEN o_orderstatus = 'F'
+        |                          THEN o_custkey END FROM q38_orders)
+        |UNION ALL
+        |SELECT 'not_exists_twin' AS variant, count(*) AS n
+        |FROM q38_customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM q38_orders o
+        |                  WHERE CASE WHEN o.o_orderstatus = 'F'
+        |                    THEN o.o_custkey END = c.c_custkey)
+        |ORDER BY variant""".stripMargin)
+  }
+
   /** Q32 — ordered string aggregation (LISTAGG/STRING_AGG): per nation,
     * the comma-joined names of its high-balance customers. Expressed as
     * `array_join(array_sort(collect_list(..)))` — the sort inside the
@@ -750,6 +785,7 @@ object Relational {
 
   /** All relational queries, keyed for SparkEntry. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q38_not_in_nulls" -> q38NotInNulls _,
     "q37_grouping_sets" -> q37GroupingSets _,
     "q36_gap_fill" -> q36GapFill _,
     "q35_zorder_layout" -> q35ZOrderLayout _,
@@ -791,6 +827,20 @@ object Relational {
 
   /** DuckDB oracle SQL per query (column names and ORDER BY must match). */
   val oracleSql: Map[String, String] = Map(
+    "q38_not_in_nulls" ->
+      """SELECT 'not_in_null_free' AS variant, count(*) AS n FROM customer
+        |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
+        |                        WHERE o_orderstatus = 'F')
+        |UNION ALL
+        |SELECT 'not_in_nullable' AS variant, count(*) AS n FROM customer
+        |WHERE c_custkey NOT IN (SELECT CASE WHEN o_orderstatus = 'F'
+        |                          THEN o_custkey END FROM orders)
+        |UNION ALL
+        |SELECT 'not_exists_twin' AS variant, count(*) AS n FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |                  WHERE CASE WHEN o.o_orderstatus = 'F'
+        |                    THEN o.o_custkey END = c.c_custkey)
+        |ORDER BY variant""".stripMargin,
     "q37_grouping_sets" ->
       """SELECT coalesce(o_orderstatus, 'ALL') AS status,
         |  coalesce(o_orderpriority, 'ALL') AS priority,

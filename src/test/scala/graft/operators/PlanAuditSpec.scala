@@ -155,6 +155,18 @@ class PlanAuditSpec extends AnyFunSuite {
       s"aggregate must be two-phase:\n$plan")
   }
 
+  test("q38: nullable NOT IN plans as a null-aware anti-join") {
+    // a plain LeftAnti cannot express three-valued NOT IN; Spark must
+    // pick the null-aware variant for the nullable single-column case.
+    // The flag is the trailing boolean of BroadcastHashJoin's simple
+    // string (formatted mode does not surface it).
+    val df = graft.SparkEntry.queries("q38_not_in_nulls")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert("""BroadcastHashJoin .*LeftAnti, BuildRight, .*true""".r
+      .findFirstIn(plan).isDefined,
+      s"expected a null-aware anti-join for the nullable NOT IN:\n$plan")
+  }
+
   test("q29: explicit pivot values compile to one conditional aggregate, " +
       "no Expand") {
     val plan = formatted("q29_pivot")
