@@ -36,13 +36,15 @@ case class MediaFrames(
   * mapInPandas shape: one JVM call per batch, not per row, so codec/model
   * init amortizes across the batch.
   *
-  * The decode is REAL: binary PPM (P6) images, PCM-16 WAV audio, and
-  * concatenated-PPM "video" by hand-rolled pure-JVM codecs, plus
-  * COMPRESSED images (JPEG/PNG) through the JDK's own `javax.imageio` —
-  * no external libraries. Only compressed video/audio (H264/MP3) remain
-  * environment-blocked; the operator contract (bytes in, pixels/samples
-  * out) is identical either way. Features, resize, and frame sampling all
-  * operate on the decoded representation.
+  * The decode is REAL in every modality, raw and compressed: binary PPM
+  * (P6) + JPEG/PNG images (JDK `javax.imageio`), PCM-16 WAV + IMA ADPCM
+  * audio (the standard 4-bit lossy codec, hand-rolled from the published
+  * tables, WAVE tag 0x11), concatenated-PPM + MJPEG-in-AVI video (real
+  * RIFF container, JPEG frames) — no external libraries. Only long-GOP /
+  * entropy-coded codecs (H264/MP3) remain environment-blocked; the
+  * operator contract (bytes in, pixels/samples out) is identical either
+  * way. Features, resize, and frame sampling all operate on the decoded
+  * representation.
   *
   * Scale: all stages are narrow (mapPartitions, no shuffle); payload bytes
   * stay on the executor that read them. At 100 TB the media table would be
@@ -67,9 +69,11 @@ object Multimodal {
       .map { case (id, _) => synthesize(id) }
   }
 
-  /** Deterministic media synth for one id (also used by specs). Images
-    * rotate through ppm / jpeg / png so the compressed-codec path (JDK
-    * imageio) is exercised by every media query, not just its own spec. */
+  /** Deterministic media synth for one id (also used by specs). Every
+    * modality rotates through a raw AND a compressed format — images
+    * ppm / jpeg / png, audio wav / adpcm, video ppm-seq / mjpeg-avi — so
+    * the real compressed-codec paths are exercised by every media query,
+    * not just their own specs. */
   def synthesize(id: Long): MediaRecord = (id % 3) match {
     case 0 => // image: one frame, format ppm | jpeg | png by id
       val format = ((id / 3) % 3) match {
@@ -91,28 +95,33 @@ object Multimodal {
         base.map(b => ((b & 0xff) + 8).toByte))
       MediaRecord(id, "image", Codec.encodeImage(format, w, h, px),
         format, w, h, 0L)
-    case 1 => // audio: mono PCM-16 WAV
+    case 1 => // audio: rotates raw PCM-16 WAV | IMA ADPCM (4-bit lossy)
       val n = 400 + (id % 100).toInt * 8
       val samples = Array.tabulate(n) { i =>
         ((((i * (1 + id % 17)) % 4096) - 2048) * 8).toShort
       }
-      MediaRecord(id, "audio", Codec.encodeWav(samples, AudioRate),
-        "wav", 0, 0, n * 1000L / AudioRate)
-    case _ => // video: VideoFrames concatenated PPM frames
+      val format = if ((id / 3) % 2 == 0) "wav" else "adpcm"
+      val payload =
+        if (format == "wav") Codec.encodeWav(samples, AudioRate)
+        else Codec.encodeAdpcmWav(samples, AudioRate)
+      MediaRecord(id, "audio", payload, format, 0, 0, n * 1000L / AudioRate)
+    case _ => // video: rotates concatenated-PPM | MJPEG-in-AVI container
       val w = 16 + (id % 4).toInt * 4
       val h = 8 + (id % 4).toInt * 2
-      // half the videos (id % 6 == 2) carry a REAL scene cut at the
-      // midpoint: later frames switch from the moving ramp to a static
-      // high-contrast checkerboard, so the adjacent-frame luminance diff
-      // jumps from the within-scene ≤60 to ≥93 of 255 (measured over the
-      // whole synth family) — ground truth for m6's boundary detection
-      val payload = (0 until VideoFrames).toArray.flatMap { f =>
-        val pixels =
-          if (id % 6 == 2 && f >= VideoFrames / 2) checkerPixels(w, h)
-          else imagePixels(id, w, h, f)
-        Codec.encodePpm(w, h, pixels)
+      // half the videos (id % 6 == 2, i.e. id/3 even) carry a REAL scene
+      // cut at the midpoint: later frames switch from the moving ramp to
+      // a static high-contrast checkerboard, so the adjacent-frame
+      // luminance diff jumps from the within-scene ≤60 to ≥93 of 255
+      // (measured over the whole synth family) — ground truth for m6's
+      // boundary detection. The format rotation keys off (id/3)/2 so the
+      // cut-carrying videos land in BOTH containers.
+      val format = if (((id / 3) / 2) % 2 == 0) "ppms" else "mjpeg"
+      val frames = (0 until VideoFrames).map { f =>
+        if (id % 6 == 2 && f >= VideoFrames / 2) checkerPixels(w, h)
+        else imagePixels(id, w, h, f)
       }
-      MediaRecord(id, "video", payload, "ppms", w, h, VideoFrames * 40L)
+      MediaRecord(id, "video", Codec.encodeVideo(format, w, h, frames),
+        format, w, h, VideoFrames * 40L)
   }
 
   /** Image texture: the sum of two id-parameterized triangle waves —
@@ -199,11 +208,12 @@ object Multimodal {
     * concurrent JVM that wins the race simply has its output adopted. */
   def mediaParquet(spark: SparkSession, dir: String): DataFrame = synchronized {
     val src = new java.io.File(dir, "documents.parquet")
-    // v5: synth version participates in the stamp — a synth-logic change
+    // v6: synth version participates in the stamp — a synth-logic change
     // (jpeg/png formats in v2, video scene cuts in v4, image textures +
-    // planted near-dups in v5) must invalidate older caches
+    // planted near-dups in v5, adpcm/mjpeg rotation in v6) must
+    // invalidate older caches
     val stamp = new java.io.File(dir).getCanonicalPath +
-      "|" + src.lastModified + "|" + src.length + "|v5"
+      "|" + src.lastModified + "|" + src.length + "|v6"
     val key = java.security.MessageDigest.getInstance("MD5")
       .digest(stamp.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
     val out = new java.io.File(sys.props("java.io.tmpdir"), s"graft-media-$key")
@@ -272,7 +282,7 @@ object Multimodal {
           math.sqrt(sq.toDouble / n).toFloat,
           peak.toFloat, zc.toFloat / n, sa.toFloat / n)
       case _ =>
-        val frames = Codec.decodePpmSeq(m.payload)
+        val frames = Codec.decodeVideo(m.format, m.payload)
         val perFrame = frames.map { f =>
           var sl = 0L; var i = 0
           val n = f.width * f.height
@@ -313,6 +323,10 @@ object Multimodal {
       it.map { m =>
         val frames: Array[Array[Byte]] = m.kind match {
           case "image" => Array(m.payload)
+          case "video" if m.format == "mjpeg" =>
+            // container-level extraction: each '00dc' chunk already IS a
+            // standalone JPEG — no pixel codec runs at all
+            Codec.aviJpegChunks(m.payload).take(n).toArray
           case "video" =>
             Codec.decodePpmSeq(m.payload).take(n)
               .map(f => Codec.encodePpm(f.width, f.height, f.rgb)).toArray
@@ -341,9 +355,9 @@ object Multimodal {
               Codec.resizeNearest(f.width, f.height, f.rgb, w, h)),
               width = w, height = h)
           case "video" =>
-            val frames = Codec.decodePpmSeq(m.payload)
-            m.copy(payload = frames.toArray.flatMap(f => Codec.encodePpm(w, h,
-              Codec.resizeNearest(f.width, f.height, f.rgb, w, h))),
+            val frames = Codec.decodeVideo(m.format, m.payload)
+            m.copy(payload = Codec.encodeVideo(m.format, w, h,
+              frames.map(f => Codec.resizeNearest(f.width, f.height, f.rgb, w, h))),
               width = w, height = h)
           case _ => m
         }
@@ -448,7 +462,7 @@ object Multimodal {
       mediaParquet(s, d).as[MediaRecord]
         .filter($"kind" === "video")
         .mapPartitions(_.map { m =>
-          val frames = Codec.decodePpmSeq(m.payload).toArray
+          val frames = Codec.decodeVideo(m.format, m.payload).toArray
           def lum(rgb: Array[Byte], i: Int): Int = {
             val r = rgb(i) & 0xff; val g = rgb(i + 1) & 0xff
             val b = rgb(i + 2) & 0xff
@@ -531,7 +545,7 @@ object Multimodal {
         .filter(col("kind").isin("image", "video")), 32, 18)
       resized.map { m =>
         val f = if (m.kind == "image") Codec.decodeImage(m.format, m.payload)
-          else Codec.decodePpm(m.payload)
+          else Codec.decodeVideo(m.format, m.payload).head
         (m.media_id, m.kind, f.width, f.height, m.payload.length)
       }.toDF("media_id", "kind", "decoded_w", "decoded_h", "n_bytes")
         .orderBy($"media_id")
