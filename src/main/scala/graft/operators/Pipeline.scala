@@ -594,7 +594,147 @@ object Pipeline {
       .orderBy($"doc_id")
   }
 
+  /** Ranked BPE merge candidates emitted by p16. */
+  val BpePairK = 40
+
+  /** P16 — tokenizer-training pair statistics: the ranked table of
+    * adjacent-character-pair frequencies over the word dictionary, i.e.
+    * exactly the statistic a byte-pair-encoding trainer (Sennrich et al.,
+    * ACL 2016) maximizes at its first merge step. Every BPE iteration
+    * recomputes this table over the current symbol dictionary; the
+    * distributed job is this table, and the iteration loop runs over the
+    * COLLECTED dictionary ([[bpeMerges]]) the way v4 runs Lloyd steps over
+    * collected centroids.
+    *
+    * Scale shape: the corpus collapses to the distinct-word dictionary
+    * first (groupBy(token) with map-side partial aggregation — Heaps' law
+    * makes the dictionary orders of magnitude smaller than the corpus);
+    * pair explosion then runs over dictionary rows only, and the ranking
+    * window runs over the aggregated pair table, which is bounded by the
+    * character-bigram alphabet (≤ |Σ|² rows), not by the corpus. */
+  def p16BpePairs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val dict = Tables.load(spark, dir, "documents")
+      .select(explode(tokens($"text")).as("token"))
+      .groupBy($"token").agg(count(lit(1)).as("cnt"))
+      .filter(length($"token") >= 2)
+    val pairs = dict
+      .select($"cnt", explode(expr(
+        "transform(sequence(1, length(token) - 1), i -> substring(token, i, 2))"))
+        .as("pair"))
+      .groupBy($"pair").agg(sum($"cnt").as("cnt"))
+    pairs
+      .withColumn("rk", row_number().over(
+        Window.orderBy($"cnt".desc, $"pair".asc)).cast("int"))
+      .filter($"rk" <= BpePairK)
+      .select($"rk", $"pair", $"cnt")
+      .orderBy($"rk")
+  }
+
+  /** Driver-side BPE merge loop over a collected (word, count) dictionary:
+    * returns the first `n` merges, each the (left, right) symbol pair with
+    * the highest weighted adjacent-pair count (ties broken lexically —
+    * deterministic, like every driver-side finish in this engine). The
+    * dictionary is the small side by Heaps' law; the per-iteration pair
+    * table is what p16 computes distributed. */
+  def bpeMerges(dict: Seq[(String, Long)], n: Int): Seq[(String, String)] = {
+    var words: Seq[(Vector[String], Long)] =
+      dict.map { case (w, c) => (w.map(_.toString).toVector, c) }
+    val merges = Seq.newBuilder[(String, String)]
+    var i = 0
+    while (i < n) {
+      val counts = collection.mutable.Map.empty[(String, String), Long]
+      words.foreach { case (syms, c) =>
+        var j = 0
+        while (j + 1 < syms.length) {
+          val k = (syms(j), syms(j + 1))
+          counts(k) = counts.getOrElse(k, 0L) + c
+          j += 1
+        }
+      }
+      if (counts.isEmpty) return merges.result()
+      val best = counts.toSeq.minBy { case ((a, b), c) => (-c, a, b) }._1
+      merges += best
+      val joined = best._1 + best._2
+      words = words.map { case (syms, c) =>
+        val out = Vector.newBuilder[String]
+        var j = 0
+        while (j < syms.length) {
+          if (j + 1 < syms.length && syms(j) == best._1 && syms(j + 1) == best._2) {
+            out += joined; j += 2
+          } else { out += syms(j); j += 1 }
+        }
+        (out.result(), c)
+      }
+      i += 1
+    }
+    merges.result()
+  }
+
+  /** DSIR feature-space size (hashed unigram buckets), weight quantization
+    * scale, target-domain source, and selection budget. */
+  val DsirBuckets = 256
+  val DsirScale = 1L << 20
+  val DsirTarget = "src0"
+  val DsirQuota = 200
+
+  /** Hashed-unigram bucket in [0, 256): two md5 hex digits via
+    * position-in-alphabet arithmetic — the same expression text runs on
+    * Spark and DuckDB, so buckets are engine-exact (the p2 md5-parity
+    * trick, extended from thresholds to numeric features). */
+  private def dsirBucketSql(tokenExpr: String): String =
+    s"(instr('0123456789abcdef', substring(md5($tokenExpr), 1, 1)) - 1) * 16" +
+      s" + (instr('0123456789abcdef', substring(md5($tokenExpr), 2, 1)) - 1)"
+
+  /** P17 — DSIR-style data selection (Xie et al., NeurIPS 2023): score
+    * every raw-corpus document by how much its hashed-unigram distribution
+    * looks like a target domain's, then keep the top-budget documents.
+    * The published method weights by the log-ratio of target/raw bucket
+    * probabilities and Gumbel-samples; this engine's determinism rules
+    * (see NOTES.md) replace both with exact integer forms: per-bucket
+    * weight ⌊(tgt+1)·2²⁰ / (raw+1)⌋ (add-one smoothing, integer division
+    * — monotone in the probability ratio), per-doc score the BIGINT sum of
+    * its tokens' weights, selection the top-[[DsirQuota]] by mean weight
+    * with an md5 tiebreak (unbiased, reproducible).
+    *
+    * Scale shape: bucketing is map-side codegen over the token explode;
+    * both bucket tables aggregate to ≤ 256 rows; the weight table joins
+    * back BROADCAST, so corpus tokens never shuffle for scoring; the
+    * per-doc sum is one groupBy(doc_id) with map-side combine; and the
+    * final selection is orderBy+limit — Spark's TakeOrdered, a
+    * per-partition partial top-k merged on the driver, never a global
+    * sort or single-partition window. */
+  def p17DsirSelect(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.load(spark, dir, "documents")
+    val toks = docs
+      .select($"doc_id", $"source", $"lang",
+        explode(tokens($"text")).as("token"))
+      .withColumn("bucket", expr(dsirBucketSql("token")))
+    val tgtCnt = toks.filter($"source" === DsirTarget)
+      .groupBy($"bucket").agg(count(lit(1)).as("tgt_c"))
+    val rawCnt = toks.filter($"source" =!= DsirTarget)
+      .groupBy($"bucket").agg(count(lit(1)).as("raw_c"))
+    // raw-side buckets cover every bucket a scored token can land in;
+    // target-side gaps smooth to 0 via the left join
+    val weights = rawCnt.join(tgtCnt, Seq("bucket"), "left")
+      .select($"bucket",
+        expr(s"((coalesce(tgt_c, 0) + 1) * $DsirScale) DIV (raw_c + 1)")
+          .as("wq"))
+    toks.filter($"source" =!= DsirTarget)
+      .join(broadcast(weights), "bucket")
+      .groupBy($"doc_id", $"source", $"lang")
+      .agg(count(lit(1)).as("n_tokens"), sum($"wq").as("score"))
+      .withColumn("avg_q", expr("score DIV n_tokens"))
+      .orderBy($"avg_q".desc, md5($"doc_id".cast("string")).asc)
+      .limit(DsirQuota)
+      .select($"doc_id", $"source", $"lang", $"n_tokens", $"score", $"avg_q")
+      .orderBy($"avg_q".desc, md5($"doc_id".cast("string")).asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p16_bpe_pairs" -> p16BpePairs _,
+    "p17_dsir_select" -> p17DsirSelect _,
     "p1_repetition" -> p1Repetition _,
     "p12_mixture_sample" -> p12MixtureSample _,
     "p13_quality_filter" -> p13QualityFilter _,
@@ -613,6 +753,42 @@ object Pipeline {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "p16_bpe_pairs" ->
+      s"""WITH w AS (SELECT tok AS token, count(*) AS cnt
+         |  FROM (SELECT unnest(string_split(text,' ')) AS tok FROM documents) u
+         |  GROUP BY 1),
+         |p AS (SELECT unnest(list_transform(generate_series(1, len(token) - 1),
+         |        i -> substr(token, i, 2))) AS pair, cnt
+         |      FROM w WHERE len(token) >= 2),
+         |a AS (SELECT pair, CAST(sum(cnt) AS BIGINT) AS cnt FROM p GROUP BY 1),
+         |r AS (SELECT pair, cnt, CAST(row_number() OVER (
+         |        ORDER BY cnt DESC, pair ASC) AS INT) AS rk FROM a)
+         |SELECT rk, pair, cnt FROM r WHERE rk <= $BpePairK
+         |ORDER BY rk""".stripMargin,
+    "p17_dsir_select" -> {
+      val b = dsirBucketSql("tok")
+      s"""WITH t AS (SELECT doc_id, source, lang,
+         |    unnest(string_split(text,' ')) AS tok FROM documents),
+         |tb AS (SELECT doc_id, source, lang, $b AS bucket FROM t),
+         |tgt AS (SELECT bucket, count(*) AS tgt_c FROM tb
+         |        WHERE source = '$DsirTarget' GROUP BY 1),
+         |raw AS (SELECT bucket, count(*) AS raw_c FROM tb
+         |        WHERE source <> '$DsirTarget' GROUP BY 1),
+         |wq AS (SELECT raw.bucket,
+         |         ((coalesce(tgt_c, 0) + 1) * $DsirScale) // (raw_c + 1) AS wq
+         |       FROM raw LEFT JOIN tgt ON raw.bucket = tgt.bucket),
+         |s AS (SELECT doc_id, source, lang,
+         |        CAST(count(*) AS BIGINT) AS n_tokens,
+         |        CAST(sum(wq) AS BIGINT) AS score
+         |      FROM tb JOIN wq ON tb.bucket = wq.bucket
+         |      WHERE source <> '$DsirTarget'
+         |      GROUP BY 1, 2, 3)
+         |SELECT doc_id, source, lang, n_tokens, score,
+         |  score // n_tokens AS avg_q
+         |FROM s
+         |ORDER BY avg_q DESC, md5(CAST(doc_id AS VARCHAR)) ASC
+         |LIMIT $DsirQuota""".stripMargin
+    },
     "p13_quality_filter" ->
       s"""WITH q AS (${TextAnalysis.qualityCte}),
          |t AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),

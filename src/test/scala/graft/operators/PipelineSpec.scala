@@ -495,4 +495,91 @@ class PipelineSpec extends AnyFunSuite {
     }
     assert(rows.count(_._5) > rows.length / 2, "filter dropped the majority")
   }
+
+  test("p16: distributed pair table agrees with the driver-side BPE trainer") {
+    val top = Pipeline.p16BpePairs(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    assert(top.length == Pipeline.BpePairK)
+    // driver recompute of the full weighted pair table from the corpus
+    val counts = collection.mutable.Map.empty[String, Long]
+    docs.foreach { case (_, text) =>
+      text.split(" ", -1).filter(_.length >= 2).foreach { w =>
+        (0 until w.length - 1).foreach { i =>
+          val p = w.substring(i, i + 2)
+          counts(p) = counts.getOrElse(p, 0L) + 1
+        }
+      }
+    }
+    val expected = counts.toSeq.sortBy { case (p, c) => (-c, p) }
+      .take(Pipeline.BpePairK)
+    assert(top.map(t => (t._2, t._3)).toSeq == expected)
+    // the BPE trainer's FIRST merge maximizes exactly this table
+    val dict = docs.flatMap(_._2.split(" ", -1)).filter(_.nonEmpty)
+      .groupBy(identity).map { case (w, g) => (w, g.length.toLong) }.toSeq
+    val merges = Pipeline.bpeMerges(dict, 3)
+    assert(merges.head._1 + merges.head._2 == top.head._2,
+      s"first BPE merge ${merges.head} != top pair ${top.head._2}")
+    // after a merge the pair is consumed: re-running the trainer's first
+    // step never returns an earlier merge again
+    assert(merges.distinct.length == merges.length)
+  }
+
+  test("p16: bpe merges fold symbols (classic low/lower/newest example)") {
+    // Sennrich et al.'s running example: 'es' dominates, then 'est'
+    val dict = Seq(("low", 5L), ("lower", 2L), ("newest", 6L), ("widest", 3L))
+    val merges = Pipeline.bpeMerges(dict, 2)
+    assert(merges.head == ("e", "s"), s"got ${merges.head}")
+    assert(merges(1) == ("es", "t"), s"got ${merges(1)}")
+  }
+
+  test("p17: dsir selection is the exact integer top-quota; weights broadcast") {
+    val sel = Pipeline.p17DsirSelect(spark, dir)
+    val rows = sel.collect().map(r =>
+      (r.getLong(0), r.getString(1), r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(rows.length == Pipeline.DsirQuota)
+    assert(rows.forall(_._2 != Pipeline.DsirTarget),
+      "target-domain docs must never select themselves")
+    // per-row integer invariants: avg_q = score DIV n_tokens
+    rows.foreach { case (id, _, n, score, avg) =>
+      assert(avg == score / n, s"doc $id: $avg != $score/$n")
+    }
+    // top-quota property: every selected avg_q >= every unselected one
+    // (driver recompute of the full score table via the same bucket math)
+    val minSel = rows.map(_._5).min
+    val bucket = (tok: String) => {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(tok.getBytes("UTF-8")).take(1).head & 0xff
+      h // first md5 byte IS the two-hex-digit bucket
+    }
+    val all = graft.sources.Tables.load(spark, dir, "documents")
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val tgtC = collection.mutable.Map.empty[Int, Long]
+    val rawC = collection.mutable.Map.empty[Int, Long]
+    all.foreach { case (_, src, text) =>
+      val m = if (src == Pipeline.DsirTarget) tgtC else rawC
+      text.split(" ", -1).foreach { t =>
+        val b = bucket(t); m(b) = m.getOrElse(b, 0L) + 1
+      }
+    }
+    val selectedIds = rows.map(_._1).toSet
+    val unselectedAvg = all.filter(d => d._2 != Pipeline.DsirTarget &&
+        !selectedIds.contains(d._1))
+      .map { case (_, _, text) =>
+        val toks = text.split(" ", -1)
+        val score = toks.map { t =>
+          val b = bucket(t)
+          (tgtC.getOrElse(b, 0L) + 1) * Pipeline.DsirScale / (rawC(b) + 1)
+        }.sum
+        score / toks.length
+      }
+    assert(unselectedAvg.forall(_ <= minSel),
+      s"an unselected doc beats the selected minimum $minSel")
+    // scale shape: weights reach the probe side as a BROADCAST join, and
+    // the selection is TakeOrdered — never a single-partition Window
+    val plan = sel.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(800))
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(800))
+    assert(!plan.contains("Window"), "global Window in the selection path")
+  }
 }
