@@ -59,6 +59,84 @@ object StatefulOps {
       }
   }
 
+  case class NearDupMatch(d1: Long, d2: Long, est_jaccard: Double)
+
+  /** Per-(band, bucket) keyed state for [[nearDupStream]] — positionally
+    * parallel id/signature sequences, bounded at `bucketCap` entries.
+    * (Public: the state encoder's generated code instantiates it.) */
+  case class Bucket(ids: Seq[Long], sigs: Seq[Seq[Long]])
+
+  /** Streaming MinHash-LSH near-duplicate detection — the NEAR-dup twin of
+    * the exact-fingerprint streaming dedup in Pipeline.prepStream. Each
+    * incoming document's k-minhash signature is banded exactly like batch
+    * d4 (8 bands × 4 rows, xxhash64 bucket per band); keyed state per
+    * (band, bucket) holds the signatures of the documents that landed
+    * there, so a new arrival is compared only against its own bucket's
+    * history — the banding bounds the comparison fan-out the same way it
+    * bounds d4's candidate join. A pair whose signature-estimated Jaccard
+    * clears `threshold` is emitted the moment its second member arrives.
+    *
+    * Scale: state is sharded by band key across executors (StateStore
+    * partitioning) and BOUNDED per bucket at `bucketCap` signatures —
+    * beyond the cap new docs still compare against the stored set but stop
+    * enlarging it (an overflowing bucket means the banding parameters are
+    * wrong for the corpus, the same failure mode batch LSH has). A pair
+    * colliding in several bands emits once per band; consumers dedupe on
+    * (d1, d2) — cheaper than cross-band coordination inside the state
+    * function. Exactly-replayed documents (at-least-once delivery) are
+    * recognized by id and skipped.
+    *
+    * With the full corpus streamed through, the deduped emission set
+    * equals batch d4's verified pair set (StreamingEventsSpec). */
+  def nearDupStream(docs: org.apache.spark.sql.DataFrame,
+                    k: Int = 32, bands: Int = 8,
+                    threshold: Double = graft.operators.Dedup.JaccardThreshold,
+                    bucketCap: Int = 64): Dataset[NearDupMatch] = {
+    import org.apache.spark.sql.functions._
+    import graft.functions.TextFunctions.{minHashSignature, shingleHashes}
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val rows = k / bands
+    val banded = docs
+      .select(col("doc_id"),
+        minHashSignature(shingleHashes(col("text"), 3), k).as("sig"))
+      .select($"doc_id", $"sig",
+        explode(array((0 until bands).map { b =>
+          concat(lit(s"$b:"),
+            xxhash64(slice($"sig", b * rows + 1, rows)).cast("string"))
+            .as("bkey")
+        }: _*)).as("bkey"))
+      .as[(Long, Seq[Long], String)]
+    implicit val stateEnc: Encoder[Bucket] = Encoders.product[Bucket]
+    banded.groupByKey(_._3)
+      .flatMapGroupsWithState[Bucket, NearDupMatch](
+        OutputMode.Update, GroupStateTimeout.NoTimeout()) {
+        (_: String, rows: Iterator[(Long, Seq[Long], String)],
+         state: GroupState[Bucket]) =>
+          val st = state.getOption.getOrElse(Bucket(Nil, Nil))
+          var ids = st.ids.toVector
+          var sgs = st.sigs.toVector
+          val out = Seq.newBuilder[NearDupMatch]
+          // doc_id order inside the batch: deterministic emissions for any
+          // arrival interleaving once the same set of docs has been seen
+          rows.toSeq.sortBy(_._1).foreach { case (id, sig, _) =>
+            if (!ids.contains(id)) {
+              ids.indices.foreach { i =>
+                val eq = sig.iterator.zip(sgs(i).iterator)
+                  .count { case (a, b) => a == b }
+                val est = eq.toDouble / k
+                if (est >= threshold)
+                  out += NearDupMatch(math.min(id, ids(i)),
+                    math.max(id, ids(i)), est)
+              }
+              if (ids.length < bucketCap) { ids :+= id; sgs :+= sig }
+            }
+          }
+          if (ids.length != st.ids.length) state.update(Bucket(ids, sgs))
+          out.result().iterator
+      }
+  }
+
   /** Running count + last value per key, emitting an update per input
     * batch in which the key appeared. */
   def runningCounts[T](ds: Dataset[T], keyFn: T => String,

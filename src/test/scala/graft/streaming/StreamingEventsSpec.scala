@@ -425,4 +425,36 @@ class StreamingEventsSpec extends AnyFunSuite {
       s.catalog.dropTempView("ss_interval_join")
     }
   }
+
+  test("streaming LSH near-dup detection converges to the batch d4 pair set") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val dir = SparkTestSession.sf0001
+
+    val docs = Tables.load(s, dir, "documents").as[Doc].collect().toSeq
+    // out-of-order feed: a dup pair's members arrive in different batches
+    // in both orders across the corpus
+    val shuffled = docs.sortBy(d => d.doc_id * 2654435761L % 101)
+    val mem = MemoryStream[Doc]
+    val matches = StatefulOps.nearDupStream(
+      mem.toDF().select($"doc_id", $"text"))
+    val q = matches.writeStream.outputMode("update")
+      .format("memory").queryName("neardup_test").start()
+    try {
+      shuffled.grouped(shuffled.size / 3 + 1).foreach { b =>
+        mem.addData(b); q.processAllAvailable()
+      }
+      // a pair colliding in several bands emits once per band — consumers
+      // dedupe on (d1, d2); the estimate is the same from every band
+      val streamed = s.table("neardup_test").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val batch = graft.operators.Dedup.queries("d4_minhash_lsh")(s, dir)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .toSet
+      assert(batch.nonEmpty, "fixture should contain near-dup pairs")
+      assert(streamed == batch,
+        s"streaming near-dup != batch d4 (${streamed.size} vs ${batch.size})")
+    } finally q.stop()
+  }
 }
