@@ -594,6 +594,29 @@ object Pipeline {
       .orderBy($"doc_id")
   }
 
+  /** P18 — heavy-hitter tokens via a mergeable Count-Min sketch
+    * (CmsTopKAggregate): the one-pass sketch answer to p5's exact
+    * vocabulary top-k for when the vocabulary itself is too large to
+    * groupBy (web-scale corpora have billions of distinct typo-tail
+    * tokens). Per partition the aggregate keeps a fixed 4×2048 counter
+    * matrix plus a bounded candidate set; only O(d·w + cap) bytes per
+    * partition cross the shuffle — the exact formulation exchanges the
+    * full (token, count) vocabulary. Estimates are one-sided (est ≥ true,
+    * est ≤ true + εN w.h.p.); PipelineSpec asserts the bound, top-k
+    * agreement with exact p5-style counts on the fixture, and
+    * repartition-invariance. Rows-only in the driver gate (sketch
+    * internals are engine-specific, like q23's HLL). */
+  def p18CmsTopK(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.load(spark, dir, "documents")
+      .select(explode(tokens($"text")).as("token"))
+      .agg(graft.plans.CmsTopKAggregate.cmsTopK($"token", VocabK).as("top"))
+      .select(posexplode($"top"))
+      .select(($"pos" + 1).cast("int").as("rk"),
+        $"col.token".as("token"), $"col.est".as("est"))
+      .orderBy($"rk")
+  }
+
   /** Ranked BPE merge candidates emitted by p16. */
   val BpePairK = 40
 
@@ -735,6 +758,7 @@ object Pipeline {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p16_bpe_pairs" -> p16BpePairs _,
     "p17_dsir_select" -> p17DsirSelect _,
+    "p18_cms_topk" -> p18CmsTopK _,
     "p1_repetition" -> p1Repetition _,
     "p12_mixture_sample" -> p12MixtureSample _,
     "p13_quality_filter" -> p13QualityFilter _,

@@ -259,7 +259,48 @@ object TextAnalysis {
       .orderBy($"doc_id")
   }
 
+  /** T11 — bigram-LM surprisal: t10's quality signal upgraded from a
+    * unigram to a conditional bigram model. Each token transition (v, w)
+    * scores ⌊log₂ 1/p̂(w|v)⌋ bits, with p̂(w|v) = c(v,w) / Σ_w' c(v,w')
+    * the corpus MLE — quantized to whole bits via the same ln()-free
+    * length(bin(ctx DIV c2))−1 form (exact integers both engines; see
+    * t10). High average transition surprisal flags incoherent word salad
+    * that unigram frequency can't see (every token common, transitions
+    * improbable) — and low flags boilerplate. A document's first token has
+    * no context and is deliberately out of scope (transitions only).
+    *
+    * Scale shape, exactly t10's: per-(doc, bigram) pre-aggregation first,
+    * so a document repeating one hot transition contributes ONE row to the
+    * count re-attach; both re-attach joins (bigram counts on the bigram,
+    * context totals on the context word) are AQE-skew-splittable
+    * equi-joins; the model tables never broadcast (a web-scale bigram
+    * vocabulary is billions of rows). */
+  def t11BigramSurprisal(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val bg = Tables.load(spark, dir, "documents")
+      .select($"doc_id", tokens($"text").as("w"))
+      .filter(size($"w") >= 2)
+      .select($"doc_id", explode(expr(
+        "transform(sequence(1, size(w) - 1), i -> " +
+          "concat(element_at(w, i), ' ', element_at(w, i + 1)))")).as("big"))
+    val db = bg.groupBy($"doc_id", $"big").agg(count(lit(1)).as("m"))
+    val cb = db.groupBy($"big").agg(sum($"m").as("c2"))
+    val ctx = cb.groupBy(split($"big", " ").getItem(0).as("prev"))
+      .agg(sum($"c2").as("ctx"))
+    db.join(cb, "big")
+      .withColumn("prev", split($"big", " ").getItem(0))
+      .join(ctx, "prev")
+      .withColumn("bits", length(bin(expr("ctx DIV c2"))) - 1)
+      .groupBy($"doc_id")
+      .agg(sum($"m").as("n_bigrams"),
+        sum($"m" * $"bits").as("sum_bits"))
+      .withColumn("avg_bits", $"sum_bits".cast(DoubleType) / $"n_bigrams")
+      .select($"doc_id", $"n_bigrams", $"sum_bits", $"avg_bits")
+      .orderBy($"doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t11_bigram_surprisal" -> t11BigramSurprisal _,
     "t10_surprisal" -> t10Surprisal _,
     "t9_ngram_diversity" -> t9NgramDiversity _,
     "t8_oov_rate" -> t8OovRate _,
@@ -290,6 +331,24 @@ object TextAnalysis {
   }
 
   val oracleSql: Map[String, String] = Map(
+    "t11_bigram_surprisal" ->
+      """WITH t AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+        |bg AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(w) - 1),
+        |         i -> w[i] || ' ' || w[i+1])) AS big
+        |       FROM t WHERE len(w) >= 2),
+        |db AS (SELECT doc_id, big, count(*) AS m FROM bg GROUP BY 1, 2),
+        |cb AS (SELECT big, CAST(sum(m) AS BIGINT) AS c2 FROM db GROUP BY 1),
+        |cx AS (SELECT split_part(big, ' ', 1) AS prev,
+        |         CAST(sum(c2) AS BIGINT) AS ctx FROM cb GROUP BY 1)
+        |SELECT doc_id,
+        |  CAST(sum(m) AS BIGINT) AS n_bigrams,
+        |  CAST(sum(m * (length(bin(ctx // c2)) - 1)) AS BIGINT) AS sum_bits,
+        |  CAST(sum(m * (length(bin(ctx // c2)) - 1)) AS DOUBLE)
+        |    / CAST(sum(m) AS BIGINT) AS avg_bits
+        |FROM db
+        |JOIN cb USING (big)
+        |JOIN cx ON split_part(big, ' ', 1) = cx.prev
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "t10_surprisal" ->
       """WITH tk AS (SELECT doc_id, unnest(string_split(text,' ')) AS tok
         |            FROM documents),

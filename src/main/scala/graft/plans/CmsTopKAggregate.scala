@@ -1,0 +1,179 @@
+package graft.plans
+
+import java.nio.ByteBuffer
+import java.nio.charset.StandardCharsets
+
+import scala.collection.mutable
+import scala.util.hashing.MurmurHash3
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Count-Min-sketch heavy hitters as a *mergeable* aggregate (Cormode &
+  * Muthukrishnan, J. Algorithms 2005) — the one-pass answer to "top tokens
+  * by frequency" when the vocabulary is too large to groupBy exactly.
+  *
+  * Each partition keeps a fixed d×w counter matrix plus a bounded
+  * candidate set (the CMS+heap construction): updating increments one
+  * counter per row and keeps the candidate set at the `cap` tokens with
+  * the highest sketch estimates; merging sums the counter matrices
+  * (order-independent) and re-ranks the UNION of candidate sets under the
+  * merged sketch. Only O(d·w + cap) bytes per group ever cross the
+  * shuffle — vs the exact p5 formulation's full (token, count) vocabulary.
+  * Estimates are one-sided: est ≥ true count always; est ≤ true + εN with
+  * high probability (ε ≈ e/w).
+  *
+  * Determinism: MurmurHash3 row hashes are fixed; counter sums are
+  * order-independent; the final top-k re-ranks the merged candidate UNION
+  * under the final merged counters with (est desc, token asc) ties — so
+  * the result is stable under any partitioning as long as `cap` is
+  * comfortably above k (candidate pruning inside a partition can only
+  * drop tokens whose partition-local estimate already trails `cap`
+  * better ones; with cap ≫ k a global top-k token survives in some
+  * partial). The companion spec asserts repartition-invariance and the
+  * one-sided error bound against the exact counts.
+  */
+case class CmsTopKAggregate(
+    tokenExpr: Expression,
+    k: Int,
+    depth: Int = 4,
+    width: Int = 2048,
+    cap: Int = 256,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[CmsTopKAggregate.Buffer] {
+
+  import CmsTopKAggregate.Buffer
+
+  require(cap >= k, s"candidate cap $cap must cover k=$k")
+
+  override def children: Seq[Expression] = Seq(tokenExpr)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("token", StringType, nullable = false),
+    StructField("est", LongType, nullable = false))), containsNull = false)
+  override def prettyName: String = "cms_top_k"
+
+  private def bucket(row: Int, token: String): Int = {
+    val h = MurmurHash3.stringHash(token, 0x9747b28c + row)
+    java.lang.Math.floorMod(h, width)
+  }
+
+  /** Sketch point query: min over rows (the CMS estimator). */
+  private def estimate(buf: Buffer, token: String): Long = {
+    var e = Long.MaxValue
+    var i = 0
+    while (i < depth) {
+      val c = buf.counters(i * width + bucket(i, token))
+      if (c < e) e = c
+      i += 1
+    }
+    e
+  }
+
+  override def createAggregationBuffer(): Buffer =
+    Buffer(new Array[Long](depth * width), mutable.HashSet.empty)
+
+  private def pruneTo(buf: Buffer, n: Int): Unit = {
+    if (buf.cand.size > n) {
+      val keep = buf.cand.toSeq
+        .map(t => (t, estimate(buf, t)))
+        .sortBy { case (t, e) => (-e, t) }
+        .take(n).map(_._1)
+      buf.cand.clear()
+      buf.cand ++= keep
+    }
+  }
+
+  override def update(buf: Buffer, input: InternalRow): Buffer = {
+    val v = tokenExpr.eval(input)
+    if (v != null) {
+      val token = v.asInstanceOf[UTF8String].toString
+      var i = 0
+      while (i < depth) {
+        buf.counters(i * width + bucket(i, token)) += 1
+        i += 1
+      }
+      if (!buf.cand.contains(token)) {
+        buf.cand += token
+        // prune lazily at 2×cap: amortizes the O(cap log cap) re-rank
+        // over cap insertions instead of paying it per new token
+        pruneTo(buf, if (buf.cand.size > 2 * cap) cap else buf.cand.size)
+      }
+    }
+    buf
+  }
+
+  override def merge(a: Buffer, b: Buffer): Buffer = {
+    var i = 0
+    while (i < a.counters.length) { a.counters(i) += b.counters(i); i += 1 }
+    a.cand ++= b.cand
+    pruneTo(a, cap)
+    a
+  }
+
+  override def eval(buf: Buffer): Any = {
+    val top = buf.cand.toSeq
+      .map(t => (t, estimate(buf, t)))
+      .sortBy { case (t, e) => (-e, t) }
+      .take(k)
+    new GenericArrayData(top.map { case (t, e) =>
+      InternalRow(UTF8String.fromString(t), e)
+    }.toArray[Any])
+  }
+
+  override def serialize(buf: Buffer): Array[Byte] = {
+    pruneTo(buf, cap)
+    val tokens = buf.cand.toSeq.map(_.getBytes(StandardCharsets.UTF_8))
+    val bb = ByteBuffer.allocate(
+      4 + buf.counters.length * 8 + 4 + tokens.map(4 + _.length).sum)
+    bb.putInt(buf.counters.length)
+    buf.counters.foreach(bb.putLong)
+    bb.putInt(tokens.size)
+    tokens.foreach { t => bb.putInt(t.length); bb.put(t) }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Buffer = {
+    val bb = ByteBuffer.wrap(bytes)
+    val counters = new Array[Long](bb.getInt)
+    var i = 0
+    while (i < counters.length) { counters(i) = bb.getLong; i += 1 }
+    val n = bb.getInt
+    val cand = mutable.HashSet.empty[String]
+    i = 0
+    while (i < n) {
+      val t = new Array[Byte](bb.getInt)
+      bb.get(t)
+      cand += new String(t, StandardCharsets.UTF_8)
+      i += 1
+    }
+    Buffer(counters, cand)
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): CmsTopKAggregate =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): CmsTopKAggregate =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): CmsTopKAggregate =
+    copy(tokenExpr = newChildren(0))
+}
+
+object CmsTopKAggregate {
+  /** Mutable aggregation state: the d×w counter matrix and the bounded
+    * heavy-hitter candidate set. */
+  case class Buffer(counters: Array[Long], cand: mutable.HashSet[String])
+
+  /** cms_top_k(token, k) → array<struct<token,est>> best-first. */
+  def cmsTopK(token: Column, k: Int): Column =
+    ColumnBridge.column(
+      CmsTopKAggregate(ColumnBridge.expression(token), k)
+        .toAggregateExpression())
+}

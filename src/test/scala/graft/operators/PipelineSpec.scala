@@ -532,6 +532,46 @@ class PipelineSpec extends AnyFunSuite {
     assert(merges(1) == ("es", "t"), s"got ${merges(1)}")
   }
 
+  test("p18: cms heavy hitters match exact counts, bound error, merge cleanly") {
+    val s = spark
+    import s.implicits._
+    val got = Pipeline.p18CmsTopK(s, dir).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    assert(got.length == Pipeline.VocabK)
+    // exact global counts for the bound + top-k comparison
+    val exact = docs.flatMap(_._2.split(" ", -1))
+      .groupBy(identity).map { case (t, g) => t -> g.length.toLong }
+    val n = exact.values.sum
+    val bound = 2 * n / 2048 // ≈ εN for the 4×2048 sketch, generous
+    got.foreach { case (_, tok, est) =>
+      val truth = exact(tok)
+      assert(est >= truth, s"CMS must never underestimate ($tok)")
+      assert(est - truth <= bound, s"$tok: est $est vs $truth (bound $bound)")
+    }
+    // on the fixture vocabulary the sketch top-k IS the exact top-k
+    val exactTop = exact.toSeq.sortBy { case (t, c) => (-c, t) }
+      .take(Pipeline.VocabK)
+    assert(got.map(_._2).toSeq == exactTop.map(_._1),
+      s"sketch top-k ${got.map(_._2).toSeq} != exact ${exactTop.map(_._1)}")
+    // mergeability: the result must not depend on how tokens partition
+    import org.apache.spark.sql.functions.{explode, posexplode, split}
+    val tokens7 = graft.sources.Tables.load(s, dir, "documents")
+      .select(explode(split($"text", " ")).as("token")).repartition(7)
+    val again = tokens7
+      .agg(graft.plans.CmsTopKAggregate.cmsTopK($"token", Pipeline.VocabK)
+        .as("top"))
+      .select(posexplode($"top")).select($"col.token", $"col.est")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(again == got.map(g => (g._2, g._3)).toSeq,
+      "sketch result changed under repartitioning")
+    // scale shape: a mergeable object aggregate (partial sketches combine
+    // map-side), not an exact expand-and-shuffle of the vocabulary
+    val plan = Pipeline.p18CmsTopK(s, dir).queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate"), plan.take(600))
+    assert(plan.contains("partial_cms_top_k"),
+      s"expected a partial (map-side) sketch stage:\n${plan.take(600)}")
+  }
+
   test("p17: dsir selection is the exact integer top-quota; weights broadcast") {
     val sel = Pipeline.p17DsirSelect(spark, dir)
     val rows = sel.collect().map(r =>
