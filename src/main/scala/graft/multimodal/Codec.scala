@@ -34,14 +34,14 @@ object Codec {
 
   // ---------------------------------------------------------- JPEG / PNG
 
-  /** Encode interleaved RGB bytes as JPEG or PNG via the JDK codec. */
-  def encodeImageIo(format: String, w: Int, h: Int, rgb: Array[Byte]): Array[Byte] = {
+  /** Interleaved RGB → BufferedImage by ONE bulk setRGB call — the
+    * per-pixel form routes through color-model conversion per call,
+    * ~10-50× slower on the executor encode hot path. */
+  private def rgbToImage(w: Int, h: Int,
+                         rgb: Array[Byte]): java.awt.image.BufferedImage = {
     require(rgb.length == w * h * 3, s"rgb length ${rgb.length} != ${w * h * 3}")
     val img = new java.awt.image.BufferedImage(
       w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
-    // bulk transfer: one setRGB call for the whole image — the per-pixel
-    // form routes through color-model conversion per call, ~10-50× slower
-    // on the executor decode hot path
     val packed = new Array[Int](w * h)
     var p = 0
     while (p < packed.length) {
@@ -51,8 +51,13 @@ object Codec {
       p += 1
     }
     img.setRGB(0, 0, w, h, packed, 0, w)
+    img
+  }
+
+  /** Encode interleaved RGB bytes as JPEG or PNG via the JDK codec. */
+  def encodeImageIo(format: String, w: Int, h: Int, rgb: Array[Byte]): Array[Byte] = {
     val bos = new java.io.ByteArrayOutputStream()
-    val ok = javax.imageio.ImageIO.write(img, format, bos)
+    val ok = javax.imageio.ImageIO.write(rgbToImage(w, h, rgb), format, bos)
     require(ok, s"no JDK image writer for format '$format'")
     bos.toByteArray
   }
@@ -82,18 +87,7 @@ object Codec {
     * quantization noise keeps scene-cut luminance margins intact while
     * still being genuinely lossy DCT compression. */
   def encodeJpeg(w: Int, h: Int, rgb: Array[Byte], quality: Float): Array[Byte] = {
-    require(rgb.length == w * h * 3, s"rgb length ${rgb.length} != ${w * h * 3}")
-    val img = new java.awt.image.BufferedImage(
-      w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
-    val packed = new Array[Int](w * h)
-    var p = 0
-    while (p < packed.length) {
-      val i = p * 3
-      packed(p) = ((rgb(i) & 0xff) << 16) |
-        ((rgb(i + 1) & 0xff) << 8) | (rgb(i + 2) & 0xff)
-      p += 1
-    }
-    img.setRGB(0, 0, w, h, packed, 0, w)
+    val img = rgbToImage(w, h, rgb)
     val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
     val params = writer.getDefaultWriteParam
     params.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
@@ -234,11 +228,6 @@ object Codec {
     if (format == "mjpeg") encodeAviMjpeg(w, h, frames)
     else frames.toArray.flatMap(f => encodePpm(w, h, f))
 
-  /** The standalone re-encode format for one frame pulled out of a video
-    * container (m2 frame sampling): MJPEG frames are themselves complete
-    * JPEGs. */
-  def frameFormat(videoFormat: String): String =
-    if (videoFormat == "mjpeg") "jpeg" else "ppm"
 
   /** Format-dispatched single-image encode. */
   def encodeImage(format: String, w: Int, h: Int, rgb: Array[Byte]): Array[Byte] =

@@ -544,8 +544,14 @@ object Multimodal {
       val resized = resize(mediaParquet(s, d).as[MediaRecord]
         .filter(col("kind").isin("image", "video")), 32, 18)
       resized.map { m =>
-        val f = if (m.kind == "image") Codec.decodeImage(m.format, m.payload)
-          else Codec.decodeVideo(m.format, m.payload).head
+        // videos: decode ONLY the first frame (dims are per-container
+        // constant) — a full decodeVideo would run all 4 frame decodes
+        // just to discard 3
+        val f =
+          if (m.kind == "image") Codec.decodeImage(m.format, m.payload)
+          else if (m.format == "mjpeg")
+            Codec.decodeImageIo(Codec.aviJpegChunks(m.payload).head)
+          else Codec.decodePpm(m.payload)
         (m.media_id, m.kind, f.width, f.height, m.payload.length)
       }.toDF("media_id", "kind", "decoded_w", "decoded_h", "n_bytes")
         .orderBy($"media_id")

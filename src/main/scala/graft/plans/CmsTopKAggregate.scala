@@ -30,14 +30,18 @@ import org.apache.spark.unsafe.types.UTF8String
   * high probability (ε ≈ e/w).
   *
   * Determinism: MurmurHash3 row hashes are fixed; counter sums are
-  * order-independent; the final top-k re-ranks the merged candidate UNION
-  * under the final merged counters with (est desc, token asc) ties — so
-  * the result is stable under any partitioning as long as `cap` is
-  * comfortably above k (candidate pruning inside a partition can only
-  * drop tokens whose partition-local estimate already trails `cap`
-  * better ones; with cap ≫ k a global top-k token survives in some
-  * partial). The companion spec asserts repartition-invariance and the
-  * one-sided error bound against the exact counts.
+  * order-independent; and merge() deliberately does NOT prune — it only
+  * unions candidate sets (commutative/associative), so the merged result
+  * never depends on Spark's merge order. Pruning happens at exactly two
+  * order-insensitive points: inside a partition against that partial's
+  * own counters (at serialize, bounding shuffle bytes at O(d·w + cap) per
+  * partial), and at eval against the FINAL counters. The union crossing
+  * eval is ≤ partials × cap — bounded by the partition count, not the
+  * vocabulary. A global top-k token can only be lost if it was pruned
+  * from EVERY partial, which cap ≫ k makes implausible (it would have to
+  * trail `cap` locally-heavier tokens in every partition it touches).
+  * The companion spec asserts repartition-invariance and the one-sided
+  * error bound against the exact counts.
   */
 case class CmsTopKAggregate(
     tokenExpr: Expression,
@@ -113,8 +117,10 @@ case class CmsTopKAggregate(
   override def merge(a: Buffer, b: Buffer): Buffer = {
     var i = 0
     while (i < a.counters.length) { a.counters(i) += b.counters(i); i += 1 }
+    // union WITHOUT pruning: pruning here would rank candidates under
+    // intermediate counter sums, making survivors depend on Spark's merge
+    // order; the union is commutative and bounded by partials × cap
     a.cand ++= b.cand
-    pruneTo(a, cap)
     a
   }
 

@@ -77,14 +77,16 @@ object StatefulOps {
     * clears `threshold` is emitted the moment its second member arrives.
     *
     * Scale: state is sharded by band key across executors (StateStore
-    * partitioning) and BOUNDED per bucket at `bucketCap` signatures —
-    * beyond the cap new docs still compare against the stored set but stop
-    * enlarging it (an overflowing bucket means the banding parameters are
+    * partitioning) and BOUNDED per bucket at `bucketCap` signatures with
+    * FIFO eviction — a saturated bucket compares each arrival against the
+    * `bucketCap` most recent residents (well-defined sliding-window
+    * semantics; an overflowing bucket means the banding parameters are
     * wrong for the corpus, the same failure mode batch LSH has). A pair
     * colliding in several bands emits once per band; consumers dedupe on
     * (d1, d2) — cheaper than cross-band coordination inside the state
     * function. Exactly-replayed documents (at-least-once delivery) are
-    * recognized by id and skipped.
+    * recognized by id and skipped while the original remains in the
+    * window.
     *
     * With the full corpus streamed through, the deduped emission set
     * equals batch d4's verified pair set (StreamingEventsSpec). */
@@ -119,6 +121,7 @@ object StatefulOps {
           val out = Seq.newBuilder[NearDupMatch]
           // doc_id order inside the batch: deterministic emissions for any
           // arrival interleaving once the same set of docs has been seen
+          var changed = false
           rows.toSeq.sortBy(_._1).foreach { case (id, sig, _) =>
             if (!ids.contains(id)) {
               ids.indices.foreach { i =>
@@ -129,10 +132,15 @@ object StatefulOps {
                   out += NearDupMatch(math.min(id, ids(i)),
                     math.max(id, ids(i)), est)
               }
-              if (ids.length < bucketCap) { ids :+= id; sgs :+= sig }
+              // always store; FIFO-evict the oldest beyond the cap, so a
+              // saturated bucket degrades to a recent-window comparison
+              // (never a doc that silently joins no window at all)
+              ids :+= id; sgs :+= sig
+              if (ids.length > bucketCap) { ids = ids.tail; sgs = sgs.tail }
+              changed = true
             }
           }
-          if (ids.length != st.ids.length) state.update(Bucket(ids, sgs))
+          if (changed) state.update(Bucket(ids, sgs))
           out.result().iterator
       }
   }
