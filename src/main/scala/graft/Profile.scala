@@ -120,6 +120,50 @@ object Profile {
       return
     }
 
+    // `d3alt`: compare the d3 candidate pipeline's pair generation — the
+    // current posting self-join (rsh ⋈ rsh on h) vs a posting-LIST form
+    // (groupBy(h) + collect_list + explode of the C(df,2) in-list pairs,
+    // df bounded by the cap). Same output; the question is shuffle count
+    // vs explode cost.
+    if (args.headOption.contains("d3alt")) {
+      import graft.operators.Dedup
+      val maxDf = 20 // mirrors Dedup.MaxShingleDf at measurement time
+      val sh = Tables.load(spark, sfDir, "documents")
+        .select($"doc_id", explode(shingleHashes($"text", 3)).as("h"))
+      def selfJoin(): org.apache.spark.sql.DataFrame = {
+        val rare = sh.groupBy($"h").agg(count(lit(1)).as("df"))
+          .filter($"df" <= maxDf && $"df" >= 2).select($"h")
+        val rsh = sh.join(rare, "h")
+        rsh.as("a").join(rsh.as("b"),
+            $"a.h" === $"b.h" && $"a.doc_id" < $"b.doc_id")
+          .groupBy($"a.doc_id".as("d1"), $"b.doc_id".as("d2"))
+          .agg(count(lit(1)).as("shared"))
+      }
+      def postingList(): org.apache.spark.sql.DataFrame = {
+        val lists = sh.groupBy($"h")
+          .agg(sort_array(collect_list($"doc_id")).as("ds"))
+          .filter(size($"ds").between(2, maxDf))
+        lists
+          .select(explode(expr(
+            """flatten(transform(ds, (x, i) ->
+              |  transform(slice(ds, i + 2, size(ds) - i - 1),
+              |            y -> struct(x AS d1, y AS d2))))""".stripMargin))
+            .as("p"))
+          .groupBy($"p.d1".as("d1"), $"p.d2".as("d2"))
+          .agg(count(lit(1)).as("shared"))
+      }
+      for (r <- 1 to 2) {
+        time(s"self-join pairs (run $r)")(noop(selfJoin()))
+        time(s"posting-list pairs (run $r)")(noop(postingList()))
+      }
+      val a = selfJoin().collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val b = postingList().collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      println(s"[probe] equal=${a == b} pairs=${a.size} (cap=$maxDf, " +
+        s"registry cap=${Dedup.MaxShingleDf})")
+      spark.stop()
+      return
+    }
+
     if (args.nonEmpty) {
       val registry = SparkEntry.queries
       args.foreach { q =>
