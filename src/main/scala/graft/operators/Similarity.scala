@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.functions.TextFunctions.tokens
 import graft.functions.VectorFunctions._
 import graft.sources.Tables
 
@@ -847,7 +848,39 @@ object Similarity {
       .orderBy($"label")
   }
 
+  /** Feature-hashing dimensionality for v13. */
+  val HashedDim = 32
+
+  /** V13 — hashed text embeddings (the "hashing trick", Weinberger et al.
+    * ICML 2009): each document's token-count vector is projected into
+    * [[HashedDim]] buckets with a ±1 sign per token — v[b] = Σ ξ(t)·c(t)
+    * over tokens hashing to b — giving model-free sparse-to-dense
+    * vectors that bridge the `documents` table into the v-family's
+    * vector operators without an external encoder. Bucket and sign come
+    * from md5 hex digits via position-in-alphabet arithmetic (the p17
+    * trick), so the embedding is integer-exact on both engines; emitted
+    * long-form (doc_id, dim, value) for the oracle.
+    *
+    * Scale: pure map-side token explode + one groupBy(doc_id, dim) with
+    * map-side combine — no joins, no model state, linear to 100 TB. */
+  def v13HashedEmbedding(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val toks = Tables.load(spark, dir, "documents")
+      .select($"doc_id", explode(tokens($"text")).as("token"))
+    toks
+      .withColumn("dim", expr(
+        "(instr('0123456789abcdef', substring(md5(token), 1, 1)) - 1) * 2" +
+          " + (instr('0123456789abcdef', substring(md5(token), 2, 1)) - 1) DIV 8"))
+      .withColumn("sgn", expr(
+        "CASE WHEN instr('0123456789abcdef', substring(md5(token), 3, 1)) > 8" +
+          " THEN 1 ELSE -1 END"))
+      .groupBy($"doc_id", $"dim")
+      .agg(sum($"sgn").as("value"))
+      .orderBy($"doc_id", $"dim")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "v13_hashed_embedding" -> v13HashedEmbedding _,
     "v12_knn_eval" -> v12KnnEval _,
     "v11_mmr_rerank" -> v11MmrRerank _,
     "v1_ann_topk" -> v1AnnTopK _,
@@ -876,6 +909,16 @@ object Similarity {
        |ORDER BY query_id, rk""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "v13_hashed_embedding" ->
+      """WITH tk AS (SELECT doc_id, unnest(string_split(text,' ')) AS token
+        |            FROM documents)
+        |SELECT doc_id,
+        |  CAST((instr('0123456789abcdef', substr(md5(token), 1, 1)) - 1) * 2
+        |    + (instr('0123456789abcdef', substr(md5(token), 2, 1)) - 1) // 8
+        |    AS INT) AS dim,
+        |  CAST(sum(CASE WHEN instr('0123456789abcdef', substr(md5(token), 3, 1)) > 8
+        |           THEN 1 ELSE -1 END) AS BIGINT) AS value
+        |FROM tk GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "v12_knn_eval" ->
       s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
          |           FROM embeddings),

@@ -426,6 +426,54 @@ class StreamingEventsSpec extends AnyFunSuite {
     }
   }
 
+  test("keyed state survives a stop/restart from the checkpoint") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+
+    val events = Tables.load(s, SparkTestSession.sf0001, "events")
+      .as[Ev].collect().toSeq.sortBy(_.event_id)
+    val (first, second) = events.splitAt(events.size / 2)
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-ckpt").toFile.getPath
+    // foreachBatch sink that tolerates batch REPLAY (idempotent by
+    // batchId) — the sink contract a recovering query actually requires
+    val seen = scala.collection.mutable.Map.empty[Long, Array[(String, Long)]]
+    def start(mem: MemoryStream[Ev]) =
+      StatefulOps.runningCounts[Ev](mem.toDS(), _.event_type, _.value)
+        .writeStream
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (df: org.apache.spark.sql.Dataset[StatefulOps.KeyedCount],
+                         batchId: Long) =>
+          seen(batchId) = df.collect().map(kc => kc.key -> kc.n)
+          ()
+        }
+        .start()
+
+    val mem = MemoryStream[Ev]
+    val q1 = start(mem)
+    try {
+      mem.addData(first)
+      q1.processAllAvailable()
+    } finally q1.stop()
+    // cold restart: a NEW query object recovers offsets + keyed state
+    // from the checkpoint directory, not from the old query instance
+    val q2 = start(mem)
+    try {
+      mem.addData(second)
+      q2.processAllAvailable()
+    } finally q2.stop()
+
+    // the last emission per key must reflect ALL events across both
+    // incarnations — i.e. the per-key counter state crossed the restart
+    val lastPerKey = seen.toSeq.sortBy(_._1).flatMap(_._2.toSeq)
+      .foldLeft(Map.empty[String, Long]) { case (m, (k, n)) => m + (k -> n) }
+    val expected = events.groupBy(_.event_type).view.mapValues(_.size.toLong).toMap
+    assert(lastPerKey == expected,
+      s"recovered counts $lastPerKey != uninterrupted $expected")
+  }
+
   test("streaming LSH near-dup detection converges to the batch d4 pair set") {
     val s = spark
     import s.implicits._
