@@ -602,6 +602,39 @@ object Relational {
     * Scale: all three variants aggregate to one row; the null-free
     * NOT IN decays to an ordinary anti-join on the (broadcast-sized)
     * filtered key set. */
+  /** Bin width (µs) for q39 — equal to the interval length, so every
+    * interval covers at most two bins. */
+  val RangeBinUs: Long = 30L * 60 * 1000000
+
+  /** Q39 — range join WITHOUT an equi-key, made scalable by binning: count
+    * all events (any user) inside each incident's [t0, t0+30min) window.
+    * The naive formulation is a nested-loop filter — O(|events|×|incidents|)
+    * and a BroadcastNestedLoopJoin in the plan, the join shape that
+    * cannot survive 100 TB. Binning restores hash-join physics (the
+    * Databricks/Delta "range join optimization" recipe): events carry
+    * their time bin (us DIV binWidth), each interval explodes into the
+    * ≤2 bins it covers, the join runs as an EQUI-join on the bin, and the
+    * range predicate verifies inside the join. A pair can only meet in
+    * the event's own bin, so no dedupe step exists. RelationalSpec
+    * asserts the plan has a hash/merge join and NO nested-loop join, and
+    * that the result equals the naive formulation. */
+  def q39RangeJoinBinned(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.load(spark, dir, "events")
+      .select($"event_id", unix_micros($"ts").as("us"))
+    val incidents = ev.filter($"event_id" % 50 === 0)
+      .select($"event_id".as("incident_id"), $"us".as("t0"),
+        ($"us" + RangeBinUs).as("t1"))
+      .withColumn("bin", explode(sequence(
+        expr(s"t0 DIV $RangeBinUs"), expr(s"(t1 - 1) DIV $RangeBinUs"))))
+    ev.withColumn("bin", expr(s"us DIV $RangeBinUs"))
+      .join(incidents,
+        Seq("bin")).where($"us" >= $"t0" && $"us" < $"t1")
+      .groupBy($"incident_id")
+      .agg(count(lit(1)).as("n_events"))
+      .orderBy($"incident_id")
+  }
+
   def q38NotInNulls(spark: SparkSession, dir: String): DataFrame = {
     Tables.load(spark, dir, "customer").createOrReplaceTempView("q38_customer")
     Tables.load(spark, dir, "orders").createOrReplaceTempView("q38_orders")
@@ -786,6 +819,7 @@ object Relational {
   /** All relational queries, keyed for SparkEntry. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q38_not_in_nulls" -> q38NotInNulls _,
+    "q39_range_join_binned" -> q39RangeJoinBinned _,
     "q37_grouping_sets" -> q37GroupingSets _,
     "q36_gap_fill" -> q36GapFill _,
     "q35_zorder_layout" -> q35ZOrderLayout _,
@@ -827,6 +861,13 @@ object Relational {
 
   /** DuckDB oracle SQL per query (column names and ORDER BY must match). */
   val oracleSql: Map[String, String] = Map(
+    "q39_range_join_binned" ->
+      """WITH e AS (SELECT event_id, epoch_us(ts) AS us FROM events),
+        |iv AS (SELECT event_id AS incident_id, us AS t0, us + 1800000000 AS t1
+        |       FROM e WHERE event_id % 50 = 0)
+        |SELECT incident_id, CAST(count(*) AS BIGINT) AS n_events
+        |FROM iv JOIN e ON e.us >= iv.t0 AND e.us < iv.t1
+        |GROUP BY incident_id ORDER BY incident_id""".stripMargin,
     "q38_not_in_nulls" ->
       """SELECT 'not_in_null_free' AS variant, count(*) AS n FROM customer
         |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders

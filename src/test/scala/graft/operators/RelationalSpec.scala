@@ -89,4 +89,38 @@ class RelationalSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     assert(salted == direct)
   }
+
+  test("q39: binned range join equals the naive form; plan has no nested loop") {
+    import org.apache.spark.sql.functions._
+    val binned = Relational.q39RangeJoinBinned(spark, dir)
+    val got = binned.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // naive ground truth: the pure range filter the binning replaces
+    val ev = graft.sources.Tables.load(spark, dir, "events")
+      .select(col("event_id"), unix_micros(col("ts")).as("us"))
+    val naive = ev.filter(col("event_id") % 50 === 0)
+      .select(col("event_id").as("incident_id"), col("us").as("t0"))
+      .join(ev, col("us") >= col("t0") &&
+        col("us") < col("t0") + Relational.RangeBinUs)
+      .groupBy("incident_id").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.nonEmpty && got == naive,
+      s"binned (${got.size}) != naive (${naive.size})")
+    // the whole point: binning turns the non-equi join into hash-join
+    // physics — no nested-loop/cartesian operator may appear
+    val plan = binned.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"nested-loop join survived binning:\n${plan.take(800)}")
+    assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"),
+      s"expected an equi-join on the bin:\n${plan.take(800)}")
+    // and the naive form really would be a nested loop — the contrast
+    val naivePlan = ev.filter(col("event_id") % 50 === 0)
+      .select(col("event_id").as("incident_id"), col("us").as("t0"))
+      .join(ev, col("us") >= col("t0") &&
+        col("us") < col("t0") + Relational.RangeBinUs)
+      .queryExecution.executedPlan.toString
+    assert(naivePlan.contains("BroadcastNestedLoopJoin") ||
+      naivePlan.contains("CartesianProduct"))
+  }
 }
