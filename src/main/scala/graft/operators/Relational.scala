@@ -748,7 +748,9 @@ object Relational {
     * (repartitionByRange(zkey) + sortWithinPartitions) adds one range
     * exchange — the same cost as any global sort, paid once at write
     * time. */
-  def q35ZOrderLayout(spark: SparkSession, dir: String): DataFrame = {
+  /** Orders with their Morton z-key and grid cells — shared by q35's
+    * audit and [[zOrderWrite]] so the key derivation cannot drift. */
+  private def zKeyedOrders(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val o = Tables.load(spark, dir, "orders")
       .select($"o_orderkey", $"o_custkey",
@@ -765,16 +767,45 @@ object Relational {
         expr("(o_custkey - minc) * 65535 DIV greatest(maxc - minc, 1)"))
       .withColumn("xd",
         expr("(dayn - mind) * 65535 DIV greatest(maxd - mind, 1)"))
-      .select($"o_orderkey",
+      .select($"o_orderkey", $"o_custkey", $"dayn",
         mortonSpread($"xc")
           .bitwiseOR(shiftleft(mortonSpread($"xd"), 1)).as("zkey"),
         $"xc", $"xd")
+  }
+
+  def q35ZOrderLayout(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    zKeyedOrders(spark, dir)
       .withColumn("zbucket", shiftright($"zkey", 22))
       .groupBy($"zbucket")
       .agg(count(lit(1)).as("n_orders"),
         min($"xc").as("min_cust_cell"), max($"xc").as("max_cust_cell"),
         min($"xd").as("min_day_cell"), max($"xd").as("max_day_cell"))
       .orderBy($"zbucket")
+  }
+
+  /** The actual OPTIMIZE ZORDER write q35 audits: range-partition the
+    * orders by z-key, sort within each partition, write one parquet file
+    * per range — every file's min/max is then tight on custkey AND order
+    * day SIMULTANEOUSLY, so a point predicate on EITHER column prunes
+    * most files from its footer stats alone. Library function like p11
+    * (it writes; returns per-file column spans for the caller to audit).
+    * RelationalSpec proves the skipping quantitatively against a
+    * randomly-partitioned write of the same rows. */
+  def zOrderWrite(spark: SparkSession, dir: String, out: String,
+                  nFiles: Int = 16): DataFrame = {
+    import spark.implicits._
+    zKeyedOrders(spark, dir)
+      .repartitionByRange(nFiles, $"zkey")
+      .sortWithinPartitions($"zkey")
+      .select($"o_orderkey", $"o_custkey", $"dayn", $"zkey")
+      .write.mode("overwrite").parquet(out)
+    // per-file spans, read back the way a footer-stats pruner sees them
+    spark.read.parquet(out)
+      .groupBy(input_file_name().as("file"))
+      .agg(count(lit(1)).as("n"),
+        min($"o_custkey").as("min_cust"), max($"o_custkey").as("max_cust"),
+        min($"dayn").as("min_day"), max($"dayn").as("max_day"))
   }
 
   /** Q36 — time-series resample + forward fill: bucket each user's

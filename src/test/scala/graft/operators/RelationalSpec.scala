@@ -26,6 +26,46 @@ class RelationalSpec extends AnyFunSuite {
     assert(total == n, "every order lands in exactly one bucket")
   }
 
+  test("zOrderWrite: z-clustered files skip on BOTH columns; random files don't") {
+    import org.apache.spark.sql.functions._
+    val zdir = java.nio.file.Files.createTempDirectory("graft-z").toFile.getPath
+    val spans = Relational.zOrderWrite(spark, dir, zdir, nFiles = 16)
+      .collect().map(r => (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(spans.length >= 8, s"expected ~16 files, got ${spans.length}")
+    // random-layout contrast: same rows, hash-partitioned
+    val rdir = java.nio.file.Files.createTempDirectory("graft-r").toFile.getPath
+    graft.sources.Tables.load(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"),
+        expr("unix_millis(cast(o_orderdate AS timestamp)) DIV 86400000").as("dayn"))
+      .repartition(16)
+      .write.mode("overwrite").parquet(rdir)
+    val rSpans = spark.read.parquet(rdir)
+      .groupBy(input_file_name())
+      .agg(min(col("o_custkey")), max(col("o_custkey")),
+        min(col("dayn")), max(col("dayn")))
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // probe several point predicates on EACH dimension: the fraction of
+    // files whose [min,max] admits the point (= files a footer-stats
+    // pruner must read) must be far smaller for the z layout
+    val probesC = spans.map(_._1).sorted.grouped(spans.length / 4 + 1).map(_.head).toSeq
+    val probesD = spans.map(_._3).sorted.grouped(spans.length / 4 + 1).map(_.head).toSeq
+    def hitFrac(sp: Array[(Long, Long, Long, Long)], c: Long, byDay: Boolean): Double =
+      sp.count(s => if (byDay) s._3 <= c && c <= s._4
+                    else s._1 <= c && c <= s._2).toDouble / sp.length
+    val zC = probesC.map(hitFrac(spans, _, byDay = false)).sum / probesC.size
+    val zD = probesD.map(hitFrac(spans, _, byDay = true)).sum / probesD.size
+    val rC = probesC.map(hitFrac(rSpans, _, byDay = false)).sum / probesC.size
+    val rD = probesD.map(hitFrac(rSpans, _, byDay = true)).sum / probesD.size
+    info(f"files read per point predicate: z cust=$zC%.2f day=$zD%.2f | " +
+      f"random cust=$rC%.2f day=$rD%.2f")
+    // with only ~30 rows per fixture file the random spans don't quite
+    // cover the full range — but they must still admit most probes
+    assert(rC > 0.6 && rD > 0.6,
+      "random layout should force reading most files (sanity check)")
+    assert(zC <= rC / 2 && zD <= rD / 2,
+      f"z layout must halve file reads on BOTH columns: $zC%.2f/$zD%.2f")
+  }
+
   test("approx_count_distinct is within its 2% error bound of exact") {
     import org.apache.spark.sql.functions._
     // the exact countDistinct lives HERE, not in the registry query: its
