@@ -755,7 +755,61 @@ object Pipeline {
       .orderBy($"avg_q".desc, md5($"doc_id".cast("string")).asc)
   }
 
+  /** P19 — model-free hashed linear quality classifier (the fastText-style
+    * filter every web-corpus pipeline trains: CCNet, GPT-3's WebText
+    * discriminator): learn per-bucket class-conditional weights from a
+    * labeled train split, score a held-out test split as the sum of its
+    * tokens' weights, and report the confusion matrix. Labels come from
+    * the source id (src0–src9 = "curated", src10+ = "crawl"), the split
+    * from doc_id parity; the published log-odds weight log((c⁺+1)/(c⁻+1))
+    * becomes the integer ⌊(c⁺+1)·2²⁰/(c⁻+1)⌋ (p17's rule — monotone in
+    * the odds, engine-exact where ln() is not), and the decision rule
+    * score ≥ thr·n_tokens compares the doc's mean weight to the global
+    * prior odds in pure integer arithmetic.
+    *
+    * Scale shape: feature extraction is map-side codegen over the token
+    * explode (p17's md5-digit buckets); both class tables aggregate to
+    * ≤ 256 rows; the weight table re-attaches BROADCAST so corpus tokens
+    * never shuffle to be scored; the prior threshold is one scalar
+    * crossJoin; per-doc scoring is one map-side-combined groupBy. */
+  def p19NbClassifier(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val toks = Tables.load(spark, dir, "documents")
+      .select($"doc_id",
+        expr("CAST(substring(source, 4, 8) AS INT) < 10").as("is_clean"),
+        explode(tokens($"text")).as("token"))
+      .withColumn("bucket", expr(dsirBucketSql("token")))
+    val train = toks.filter($"doc_id" % 2 === 0)
+    val cleanCnt = train.filter($"is_clean")
+      .groupBy($"bucket").agg(count(lit(1)).as("c_c"))
+    val noisyCnt = train.filter(!$"is_clean")
+      .groupBy($"bucket").agg(count(lit(1)).as("c_n"))
+    val weights = cleanCnt.join(noisyCnt, Seq("bucket"), "full")
+      .select($"bucket",
+        expr(s"((coalesce(c_c, 0) + 1) * $DsirScale)" +
+          " DIV (coalesce(c_n, 0) + 1)").as("wq"))
+    val thr = train
+      .agg(sum(when($"is_clean", 1L).otherwise(0L)).as("t_c"),
+        sum(when(!$"is_clean", 1L).otherwise(0L)).as("t_n"))
+      .select(expr(s"((t_c + $DsirBuckets) * $DsirScale)" +
+        s" DIV (t_n + $DsirBuckets)").as("thr"))
+    toks.filter($"doc_id" % 2 === 1)
+      .join(broadcast(weights), Seq("bucket"), "left")
+      .groupBy($"doc_id", $"is_clean")
+      .agg(count(lit(1)).as("n_tokens"),
+        // unseen-in-train buckets score neutral (odds 1 → weight 2²⁰)
+        sum(coalesce($"wq", lit(DsirScale))).as("score"))
+      .crossJoin(broadcast(thr))
+      .select($"is_clean", ($"score" >= $"thr" * $"n_tokens").as("pred"))
+      .groupBy($"is_clean", $"pred")
+      .agg(count(lit(1)).as("n_docs"))
+      .select($"is_clean".cast("int").as("actual_clean"),
+        $"pred".cast("int").as("pred_clean"), $"n_docs")
+      .orderBy($"actual_clean", $"pred_clean")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p19_nb_classifier" -> p19NbClassifier _,
     "p16_bpe_pairs" -> p16BpePairs _,
     "p17_dsir_select" -> p17DsirSelect _,
     "p18_cms_topk" -> p18CmsTopK _,
@@ -777,6 +831,36 @@ object Pipeline {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "p19_nb_classifier" -> {
+      val b = dsirBucketSql("tok")
+      s"""WITH t AS (SELECT doc_id,
+         |        CAST(substring(source, 4, 8) AS INT) < 10 AS is_clean,
+         |        unnest(string_split(text, ' ')) AS tok FROM documents),
+         |tb AS (SELECT doc_id, is_clean, $b AS bucket FROM t),
+         |tr AS (SELECT * FROM tb WHERE doc_id % 2 = 0),
+         |cc AS (SELECT bucket, count(*) AS c_c FROM tr
+         |       WHERE is_clean GROUP BY 1),
+         |cn AS (SELECT bucket, count(*) AS c_n FROM tr
+         |       WHERE NOT is_clean GROUP BY 1),
+         |w AS (SELECT coalesce(cc.bucket, cn.bucket) AS bucket,
+         |        ((coalesce(c_c, 0) + 1) * $DsirScale)
+         |          // (coalesce(c_n, 0) + 1) AS wq
+         |      FROM cc FULL JOIN cn ON cc.bucket = cn.bucket),
+         |th AS (SELECT
+         |        ((sum(CASE WHEN is_clean THEN 1 ELSE 0 END) + $DsirBuckets)
+         |           * $DsirScale)
+         |        // (sum(CASE WHEN NOT is_clean THEN 1 ELSE 0 END)
+         |           + $DsirBuckets) AS thr
+         |       FROM tr),
+         |s AS (SELECT doc_id, is_clean, count(*) AS n_tokens,
+         |        CAST(sum(coalesce(wq, $DsirScale)) AS BIGINT) AS score
+         |      FROM tb LEFT JOIN w ON tb.bucket = w.bucket
+         |      WHERE doc_id % 2 = 1 GROUP BY 1, 2)
+         |SELECT CAST(is_clean AS INT) AS actual_clean,
+         |  CAST(score >= thr * n_tokens AS INT) AS pred_clean,
+         |  CAST(count(*) AS BIGINT) AS n_docs
+         |FROM s CROSS JOIN th GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+    },
     "p16_bpe_pairs" ->
       s"""WITH w AS (SELECT tok AS token, count(*) AS cnt
          |  FROM (SELECT unnest(string_split(text,' ')) AS tok FROM documents) u

@@ -847,8 +847,39 @@ object Relational {
       .orderBy($"user_id")
   }
 
+  /** Q40 — SCD2 historization (change-data-capture → temporal table): per
+    * user, compress the event stream to state CHANGES (event_type ≠ its
+    * predecessor), then stitch each change into a [valid_from, valid_to)
+    * validity interval with lead(); the open interval is flagged
+    * is_current. The standard warehouse move for turning an append-only
+    * log into a point-in-time-queryable dimension (Kimball type-2), and
+    * the batch twin of what a streaming pipeline would maintain with
+    * keyed state.
+    *
+    * Scale shape: both windows and the change filter key on user_id —
+    * ONE co-partitioned exchange feeds lag, filter, and lead (Catalyst
+    * reuses the sort+partitioning; the filter between them is narrow);
+    * per-user state is the sort buffer, never global. Timestamps are
+    * emitted as epoch micros (the q21 rule: cross-engine timestamp
+    * hashing is avoided; integers compare exactly). */
+  def q40Scd2(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    Tables.load(spark, dir, "events")
+      .select($"user_id", $"event_id", $"ts", $"event_type")
+      .withColumn("prev", lag($"event_type", 1).over(w))
+      .filter($"prev".isNull || $"prev" =!= $"event_type")
+      .withColumn("valid_to_us", lead(unix_micros($"ts"), 1).over(w))
+      .select($"user_id", $"event_id".as("change_id"),
+        $"event_type".as("state"),
+        unix_micros($"ts").as("valid_from_us"), $"valid_to_us",
+        $"valid_to_us".isNull.cast("int").as("is_current"))
+      .orderBy($"user_id", $"valid_from_us", $"change_id")
+  }
+
   /** All relational queries, keyed for SparkEntry. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q40_scd2" -> q40Scd2 _,
     "q38_not_in_nulls" -> q38NotInNulls _,
     "q39_range_join_binned" -> q39RangeJoinBinned _,
     "q37_grouping_sets" -> q37GroupingSets _,
@@ -892,6 +923,20 @@ object Relational {
 
   /** DuckDB oracle SQL per query (column names and ORDER BY must match). */
   val oracleSql: Map[String, String] = Map(
+    "q40_scd2" ->
+      """WITH o AS (SELECT user_id, event_id, ts, event_type,
+        |        lag(event_type) OVER (PARTITION BY user_id
+        |          ORDER BY ts, event_id) AS prev
+        |      FROM events),
+        |ch AS (SELECT user_id, event_id, ts, event_type FROM o
+        |       WHERE prev IS NULL OR prev <> event_type)
+        |SELECT user_id, event_id AS change_id, event_type AS state,
+        |  epoch_us(ts) AS valid_from_us,
+        |  lead(epoch_us(ts)) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id) AS valid_to_us,
+        |  CAST(lead(epoch_us(ts)) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id) IS NULL AS INT) AS is_current
+        |FROM ch ORDER BY user_id, valid_from_us, change_id""".stripMargin,
     "q39_range_join_binned" ->
       """WITH e AS (SELECT event_id, epoch_us(ts) AS us FROM events),
         |iv AS (SELECT event_id AS incident_id, us AS t0, us + 1800000000 AS t1

@@ -879,7 +879,59 @@ object Similarity {
       .orderBy($"doc_id", $"dim")
   }
 
+  /** V14 — simplified silhouette (Hruschka et al. 2004): per-class mean of
+    * s(x) = (b − a) / max(a, b), where a = distance to the OWN class
+    * centroid and b = distance to the NEAREST other class centroid — the
+    * O(N·C) centroid form of the O(N²) silhouette, and the standard "are
+    * these labels actually separated in embedding space" audit a pipeline
+    * runs next to v12's k-NN agreement before trusting v4/v8's cells.
+    *
+    * Scale shape: centroids are exact quantized-integer means (v6's
+    * pattern) collapsed into ONE broadcast row; a and b are map-side HOF
+    * mins over that row through the codegen'd dot_product (v4's
+    * assignment shape — no join, no window, nothing N×C ever shuffles);
+    * the only exchanges are the C×dim centroid build and the final C-row
+    * groupBy. Engine exactness: d² = v·v − 2·v·c + c·c from
+    * left-to-right double dots (DuckDB's list_inner_product folds
+    * identically — verified bitwise), sqrt is correctly-rounded IEEE on
+    * both engines, and the per-class mean quantizes s to 1e-6 ints
+    * before summing (order-independent, the v6 rule). */
+  def v14Silhouette(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val raw = Tables.load(spark, dir, "embeddings")
+    val cents = raw
+      .select($"label", posexplode($"embedding"))
+      .select($"label", $"pos",
+        round($"col".cast("double") * 1000000).cast("long").as("q"))
+      .groupBy($"label", $"pos")
+      .agg(sum($"q").as("sq"), count(lit(1)).as("n"))
+      .select($"label", $"pos",
+        ($"sq".cast("double") / $"n" / 1000000).as("c"))
+      .groupBy($"label")
+      .agg(array_sort(collect_list(struct($"pos", $"c"))).as("pc"))
+      .select($"label".as("clabel"), transform($"pc", x => x("c")).as("cv"))
+      .withColumn("cc", dot($"cv", $"cv"))
+      .agg(collect_list(struct($"clabel", $"cv", $"cc")).as("cents"))
+    val d2 = (c: Column) => $"vv" - lit(2) * dot($"v", c("cv")) + c("cc")
+    raw.select($"vec_id", $"label", asDouble($"embedding").as("v"))
+      .crossJoin(broadcast(cents))
+      .withColumn("vv", dot($"v", $"v"))
+      .withColumn("a2", array_min(transform(
+        filter($"cents", c => c("clabel") === $"label"), d2)))
+      .withColumn("b2", array_min(transform(
+        filter($"cents", c => c("clabel") =!= $"label"), d2)))
+      .withColumn("sil",
+        (sqrt($"b2") - sqrt($"a2")) / greatest(sqrt($"a2"), sqrt($"b2")))
+      .groupBy($"label")
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(round($"sil" * 1000000).cast("long")).as("sum_q"))
+      .select($"label", $"n_vecs", $"sum_q",
+        round($"sum_q".cast("double") / $"n_vecs" / 1000000, 6).as("avg_sil"))
+      .orderBy($"label")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "v14_silhouette" -> v14Silhouette _,
     "v13_hashed_embedding" -> v13HashedEmbedding _,
     "v12_knn_eval" -> v12KnnEval _,
     "v11_mmr_rerank" -> v11MmrRerank _,
@@ -909,6 +961,35 @@ object Similarity {
        |ORDER BY query_id, rk""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "v14_silhouette" ->
+      """WITH u AS (SELECT label,
+        |        CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT) AS q, pos
+        |      FROM (SELECT label, unnest(embedding) AS x,
+        |              unnest(generate_series(0, len(embedding)-1)) AS pos
+        |            FROM embeddings)),
+        |cs AS (SELECT label, pos, CAST(sum(q) AS BIGINT) AS sq,
+        |         count(*) AS n FROM u GROUP BY 1, 2),
+        |c AS (SELECT label AS clabel,
+        |        list(CAST(sq AS DOUBLE) / n / 1000000 ORDER BY pos) AS cv
+        |      FROM cs GROUP BY 1),
+        |cw AS (SELECT clabel, cv, list_inner_product(cv, cv) AS cc FROM c),
+        |e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+        |      FROM embeddings),
+        |d AS (SELECT e.vec_id, e.label, cw.clabel,
+        |        list_inner_product(v, v) - 2 * list_inner_product(v, cv)
+        |          + cw.cc AS d2
+        |      FROM e CROSS JOIN cw),
+        |ab AS (SELECT vec_id, label,
+        |        min(CASE WHEN clabel = label THEN d2 END) AS a2,
+        |        min(CASE WHEN clabel <> label THEN d2 END) AS b2
+        |      FROM d GROUP BY 1, 2),
+        |s AS (SELECT label, CAST(round((sqrt(b2) - sqrt(a2))
+        |        / greatest(sqrt(a2), sqrt(b2)) * 1000000) AS BIGINT) AS sq
+        |      FROM ab)
+        |SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+        |  CAST(sum(sq) AS BIGINT) AS sum_q,
+        |  round(CAST(sum(sq) AS BIGINT) / count(*) / 1000000, 6) AS avg_sil
+        |FROM s GROUP BY label ORDER BY label""".stripMargin,
     "v13_hashed_embedding" ->
       """WITH tk AS (SELECT doc_id, unnest(string_split(text,' ')) AS token
         |            FROM documents)

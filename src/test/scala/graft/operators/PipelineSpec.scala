@@ -622,4 +622,24 @@ class PipelineSpec extends AnyFunSuite {
     assert(plan.contains("TakeOrderedAndProject"), plan.take(800))
     assert(!plan.contains("Window"), "global Window in the selection path")
   }
+
+  test("p19: confusion matrix covers the whole test split; weights broadcast") {
+    val df = Pipeline.p19NbClassifier(spark, dir)
+    val rows = df.collect()
+    // every (actual, pred) cell is a valid 0/1 pair, no duplicates
+    val cells = rows.map(r => (r.getInt(0), r.getInt(1)))
+    assert(cells.distinct.length == cells.length)
+    assert(cells.forall { case (a, p) =>
+      (a == 0 || a == 1) && (p == 0 || p == 1) })
+    // the matrix partitions the ODD-doc_id test split exactly
+    val testDocs = graft.sources.Tables.load(spark, dir, "documents")
+      .filter(org.apache.spark.sql.functions.col("doc_id") % 2 === 1)
+      .count()
+    assert(rows.map(_.getLong(2)).sum == testDocs,
+      s"confusion cells must sum to the $testDocs test docs")
+    // scale shape: the 256-row weight table reaches the scoring side as a
+    // broadcast join — corpus tokens never shuffle to be scored
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(800))
+  }
 }

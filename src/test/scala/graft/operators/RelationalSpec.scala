@@ -163,4 +163,27 @@ class RelationalSpec extends AnyFunSuite {
     assert(naivePlan.contains("BroadcastNestedLoopJoin") ||
       naivePlan.contains("CartesianProduct"))
   }
+
+  test("q40: SCD2 intervals tile each user's timeline with alternating states") {
+    val rows = Relational.q40Scd2(spark, SparkTestSession.sf0001).collect()
+      .map(r => (r.getLong(0), r.getString(2), r.getLong(3),
+        if (r.isNullAt(4)) None else Some(r.getLong(4)), r.getInt(5)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (user, ivs) =>
+      val sorted = ivs.sortBy(_._3)
+      // exactly one open (current) interval per user, and it is the last
+      assert(sorted.count(_._4.isEmpty) == 1, s"user $user open intervals")
+      assert(sorted.last._4.isEmpty && sorted.last._5 == 1)
+      sorted.init.foreach(iv => assert(iv._5 == 0))
+      // intervals tile: each valid_to is the next valid_from; no state
+      // repeats across a boundary (changes were compressed)
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a._4.contains(b._3),
+            s"user $user gap: ${a._4} -> ${b._3}")
+          assert(a._2 != b._2, s"user $user uncompressed state ${a._2}")
+        case _ =>
+      }
+    }
+  }
 }

@@ -258,6 +258,48 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("v14: simplified silhouette matches a driver-side recompute exactly") {
+    val emb = graft.sources.Tables.load(spark, dir, "embeddings")
+      .selectExpr("vec_id", "label", "CAST(embedding AS array<double>) AS v")
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Double](2).toArray))
+    val dim = emb.head._3.length
+    // exact quantized-integer centroids, the operator's own rule
+    val byLabel = emb.groupBy(_._2)
+    val cents = byLabel.view.mapValues { vs =>
+      val c = new Array[Double](dim)
+      for (p <- 0 until dim) {
+        val sq = vs.map(v => math.round(v._3(p) * 1e6)).sum
+        c(p) = sq.toDouble / vs.length / 1000000
+      }
+      c
+    }.toMap
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+    }
+    val sums = scala.collection.mutable.Map.empty[Int, (Long, Long)]
+    emb.foreach { case (_, label, v) =>
+      val vv = dot(v, v)
+      val d2 = cents.map { case (l, c) => l -> (vv - 2 * dot(v, c) + dot(c, c)) }
+      val a = math.sqrt(d2(label))
+      val b = math.sqrt(d2.filter(_._1 != label).values.min)
+      val sq = math.round((b - a) / math.max(a, b) * 1e6)
+      val (n, s) = sums.getOrElse(label, (0L, 0L))
+      sums(label) = (n + 1, s + sq)
+    }
+    val got = Similarity.v14Silhouette(spark, dir).collect()
+    assert(got.map(_.getInt(0)).toSet == sums.keySet)
+    got.foreach { r =>
+      val (n, s) = sums(r.getInt(0))
+      assert(r.getLong(1) == n, s"n_vecs for label ${r.getInt(0)}")
+      assert(r.getLong(2) == s,
+        s"sum_q for label ${r.getInt(0)}: got ${r.getLong(2)}, want $s")
+      // silhouette is bounded by construction
+      assert(r.getDouble(3) >= -1.0 && r.getDouble(3) <= 1.0)
+    }
+  }
+
   test("brute-force top-k is k rows per query, ranked by cosine desc") {
     val rows = Similarity.v1AnnTopK(spark, dir).collect()
     val byQuery = rows.groupBy(_.getLong(0))
