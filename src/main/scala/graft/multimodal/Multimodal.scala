@@ -96,9 +96,29 @@ object Multimodal {
       MediaRecord(id, "image", Codec.encodeImage(format, w, h, px),
         format, w, h, 0L)
     case 1 => // audio: rotates raw PCM-16 WAV | IMA ADPCM (4-bit lossy)
-      val n = 400 + (id % 100).toInt * 8
+      // every fifth audio clip is a PLANTED duplicate of the previous
+      // audio id: the same three-partial tone at 0.9× gain — ground truth
+      // for m8's fingerprint dedup. The wav/adpcm rotation keys off id/3
+      // parity, and id vs id−3 always flip it, so every planted pair is
+      // CROSS-FORMAT (lossless vs 4-bit lossy) by construction.
+      val dupOf = if ((id / 3) % 5 == 2 && id >= 3) Some(id - 3) else None
+      val src = dupOf.getOrElse(id)
+      val n = 400 + (src % 100).toInt * 8
+      // three sinusoid partials at integer cycles per 256-sample frame
+      // (frames tile the clip, so every frame carries the same spectrum);
+      // multiplicative-hash frequencies from disjoint low/mid/high thirds
+      // of the 127-bin band — distinct by construction within a clip, and
+      // unrelated clips collide on all three with p ≈ 1/62k. Amplitudes
+      // 6000/4000/2500 keep each partial far above the ADPCM noise floor
+      // (SNR ≥ 25 dB) and the sum within 16-bit range.
+      val f1 = 2 + ((src * 0x9E3779B97F4A7C15L >>> 40) % 39).toInt
+      val f2 = 41 + ((src * 0xC2B2AE3D27D4EB4FL >>> 40) % 40).toInt
+      val f3 = 81 + ((src * 0x165667B19E3779F9L >>> 40) % 40).toInt
+      val gain = if (dupOf.isDefined) 0.9 else 1.0
       val samples = Array.tabulate(n) { i =>
-        ((((i * (1 + id % 17)) % 4096) - 2048) * 8).toShort
+        val t = 2 * math.Pi * i / 256.0
+        ((math.sin(t * f1) * 6000 + math.sin(t * f2) * 4000 +
+          math.sin(t * f3) * 2500) * gain).toShort
       }
       val format = if ((id / 3) % 2 == 0) "wav" else "adpcm"
       val payload =
@@ -208,12 +228,12 @@ object Multimodal {
     * concurrent JVM that wins the race simply has its output adopted. */
   def mediaParquet(spark: SparkSession, dir: String): DataFrame = synchronized {
     val src = new java.io.File(dir, "documents.parquet")
-    // v6: synth version participates in the stamp — a synth-logic change
+    // v7: synth version participates in the stamp — a synth-logic change
     // (jpeg/png formats in v2, video scene cuts in v4, image textures +
-    // planted near-dups in v5, adpcm/mjpeg rotation in v6) must
-    // invalidate older caches
+    // planted near-dups in v5, adpcm/mjpeg rotation in v6, three-partial
+    // tones + planted audio dups in v7) must invalidate older caches
     val stamp = new java.io.File(dir).getCanonicalPath +
-      "|" + src.lastModified + "|" + src.length + "|v6"
+      "|" + src.lastModified + "|" + src.length + "|v7"
     val key = java.security.MessageDigest.getInstance("MD5")
       .digest(stamp.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
     val out = new java.io.File(sys.props("java.io.tmpdir"), s"graft-media-$key")
@@ -419,9 +439,100 @@ object Multimodal {
     * this. */
   val SceneCutLum = 76
 
+  /** m8 fingerprint frame size (samples), per-frame peak count, and the
+    * minimum normalized cross-correlation for a confirmed pair. */
+  val FpFrame = 256
+  val FpPeaks = 3
+  val FpMinCorr = 0.9
+
+  /** Constellation fingerprint (Wang, ISMIR 2003 — the Shazam landmark
+    * scheme, reduced to stationary clips): tile the clip into
+    * [[FpFrame]]-sample frames, FFT each (Dsp.scala), keep the
+    * [[FpPeaks]] strongest positive-frequency bins, and pack the sorted
+    * bin tuple into one long — the clip's distinct frame hashes. A full
+    * landmark scheme pairs peaks across anchor windows for time-shift
+    * robustness; the per-frame peak SET is the degenerate form for
+    * whole-clip dedup. Shared by the m8 query and the spec's driver
+    * recompute. */
+  private[multimodal] def audioFingerprint(samples: Array[Short]): Array[Long] = {
+    val out = scala.collection.mutable.LinkedHashSet.empty[Long]
+    var off = 0
+    while (off + FpFrame <= samples.length) {
+      val re = new Array[Double](FpFrame)
+      val im = new Array[Double](FpFrame)
+      var i = 0
+      while (i < FpFrame) { re(i) = samples(off + i).toDouble; i += 1 }
+      Dsp.fft(re, im)
+      // top-FpPeaks bins by magnitude over 1..half−1 (skip DC)
+      val mag = Array.tabulate(FpFrame / 2)(k =>
+        if (k == 0) -1.0 else re(k) * re(k) + im(k) * im(k))
+      val top = mag.zipWithIndex.sortBy { case (m, k) => (-m, k) }
+        .take(FpPeaks).map(_._2).sorted
+      out += top.foldLeft(0L)((acc, b) => acc * FpFrame + b)
+      off += FpFrame
+    }
+    out.toArray
+  }
+
+  /** Gain-invariant m8 verification: normalized cross-correlation at lag
+    * 0 over the overlapping prefix — 1.0 for a pure gain change, ≈ 0 for
+    * unrelated tone triples, and codec loss only dents it by the noise
+    * ratio. */
+  private[multimodal] def xcorr(a: Array[Short], b: Array[Short]): Double = {
+    val n = math.min(a.length, b.length)
+    var sab = 0.0; var saa = 0.0; var sbb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a(i).toDouble; val y = b(i).toDouble
+      sab += x * y; saa += x * x; sbb += y * y
+      i += 1
+    }
+    if (saa == 0 || sbb == 0) 0.0 else sab / math.sqrt(saa * sbb)
+  }
+
   /** Rows-only driver queries (binary payloads are not SQL-oracle
     * territory; MultimodalSpec covers decode fidelity + shape). */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m8_audio_fingerprint" -> ((s: SparkSession, d: String) => {
+      import s.implicits._
+      // audio dedup by spectral-peak constellation: decode → per-frame
+      // top-3 peak-bin hash (narrow map work; the d-family shape with an
+      // FFT as the hash function), clips sharing any frame hash become
+      // candidates via an equi-join on the 8-byte hash — payloads never
+      // ride the join — then gain-invariant normalized cross-correlation
+      // over the two decoded clips confirms (the planted 0.9×-gain
+      // wav↔adpcm dups score ≥ ~0.99; unrelated tone triples ≈ 0, so a
+      // 1-in-62k hash collision still cannot emit a false pair). Only
+      // (id, hash) shuffles for candidate generation; payloads re-attach
+      // by bounded shuffled-hash joins for exactly the candidate pairs.
+      val audio = mediaParquet(s, d).as[MediaRecord]
+        .filter($"kind" === "audio")
+      val hashes = audio.mapPartitions(_.flatMap { m =>
+        audioFingerprint(Codec.decodeWav(m.payload).samples)
+          .map(h => (m.media_id, h))
+      }).toDF("media_id", "h")
+      val cands = hashes.as("a").join(hashes.as("b"),
+          $"a.h" === $"b.h" && $"a.media_id" < $"b.media_id")
+        .groupBy($"a.media_id".as("id1"), $"b.media_id".as("id2"))
+        .agg(count(lit(1)).as("n_shared"))
+      val payloads = audio.select($"media_id", $"payload")
+      cands.hint("shuffle_hash")
+        .join(payloads.select($"media_id".as("id1"), $"payload".as("p1")),
+          "id1")
+        .hint("shuffle_hash")
+        .join(payloads.select($"media_id".as("id2"), $"payload".as("p2")),
+          "id2")
+        .select($"id1", $"id2", $"n_shared", $"p1", $"p2")
+        .as[(Long, Long, Long, Array[Byte], Array[Byte])]
+        .mapPartitions(_.map { case (id1, id2, ns, p1, p2) =>
+          val corr = xcorr(Codec.decodeWav(p1).samples,
+            Codec.decodeWav(p2).samples)
+          (id1, id2, ns, math.round(corr * 10000) / 10000.0)
+        })
+        .toDF("id1", "id2", "n_shared", "corr")
+        .filter($"corr" >= FpMinCorr)
+        .orderBy($"id1", $"id2")
+    }),
     "m7_image_phash" -> ((s: SparkSession, d: String) => {
       import s.implicits._
       // perceptual-hash image dedup: decode → 64-bit dHash (narrow map

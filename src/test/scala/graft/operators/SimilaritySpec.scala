@@ -258,6 +258,36 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("v15: IVF-PQ recalls the exact top-k through cells+codes; " +
+      "scoring never crossJoins the corpus") {
+    val exact = Similarity.v1AnnTopK(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    val df = Similarity.v15AnnIvfPq(spark, dir)
+    val got = df.collect()
+      .map(r => (r.getLong(0), r.getLong(2))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    assert(got.keySet == exact.keySet, "every query must produce results")
+    val recalls = exact.map { case (q, ids) =>
+      got(q).intersect(ids).size.toDouble / ids.size
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.6, s"mean recall $mean below 0.6 (cells+residual-PQ)")
+    // re-ranked rows carry EXACT cosines (v10's contract)
+    val exactScores = Similarity.v1AnnTopK(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    df.collect().foreach { r =>
+      exactScores.get((r.getLong(0), r.getLong(2))).foreach { s =>
+        assert(math.abs(r.getDouble(3) - s) < 1e-9)
+      }
+    }
+    // the scale property v10 lacks: candidate scoring is an equi-join on
+    // cent_id against the broadcast query model — no corpus crossJoin
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      s"corpus crossJoin in the scoring path:\n${plan.take(800)}")
+  }
+
   test("v14: simplified silhouette matches a driver-side recompute exactly") {
     val emb = graft.sources.Tables.load(spark, dir, "embeddings")
       .selectExpr("vec_id", "label", "CAST(embedding AS array<double>) AS v")

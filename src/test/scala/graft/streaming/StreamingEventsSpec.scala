@@ -234,6 +234,44 @@ class StreamingEventsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming SCD2 closes exactly the batch q40 intervals with O(1) state") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val evs = Tables.load(s, SparkTestSession.sf0001, "events")
+      .as[Ev].collect().sortBy(e => (e.ts.getTime, e.event_id)).take(300)
+    // global ts order implies per-key order — the CDC delivery contract
+    val feed = evs.map(e =>
+      (e.user_id, e.event_id, e.ts.getTime * 1000L, e.event_type))
+    val mem = MemoryStream[(Long, Long, Long, String)]
+    val closed = StatefulOps.scd2Stream(mem.toDS())
+    val q = closed.writeStream.outputMode("append")
+      .format("memory").queryName("scd2_test").start()
+    try {
+      feed.grouped(100).foreach { b => mem.addData(b.toSeq); q.processAllAvailable() }
+      val got = s.table("scd2_test").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+          r.getLong(3), r.getLong(4))).toSet
+      // batch expectation: q40's change-compression + lead() intervals
+      // over the same slice, CLOSED rows only (open intervals live in
+      // keyed state until their closing event arrives)
+      val expected = evs.groupBy(_.user_id).toSeq.flatMap { case (u, es) =>
+        val ch = es.sortBy(e => (e.ts.getTime, e.event_id))
+          .foldLeft(Vector.empty[Ev]) { (acc, e) =>
+            if (acc.nonEmpty && acc.last.event_type == e.event_type) acc
+            else acc :+ e
+          }
+        ch.sliding(2).collect { case Vector(a, b) =>
+          (u, a.event_id, a.event_type,
+            a.ts.getTime * 1000L, b.ts.getTime * 1000L)
+        }
+      }.toSet
+      assert(got == expected,
+        s"streaming SCD2 must equal batch closed intervals " +
+          s"(got ${got.size}, want ${expected.size})")
+    } finally q.stop()
+  }
+
   // the state backend that holds streaming aggregation state at 100 TB:
   // RocksDB keeps state off-heap/on-disk per executor instead of in the
   // JVM heap (bundled with Spark 4; no external service)
