@@ -108,17 +108,27 @@ object Multimodal {
       // (frames tile the clip, so every frame carries the same spectrum);
       // multiplicative-hash frequencies from disjoint low/mid/high thirds
       // of the 127-bin band — distinct by construction within a clip, and
-      // unrelated clips collide on all three with p ≈ 1/62k. Amplitudes
-      // 6000/4000/2500 keep each partial far above the ADPCM noise floor
-      // (SNR ≥ 25 dB) and the sum within 16-bit range.
+      // unrelated clips collide on all three with p ≈ 1/62k. Each partial
+      // also carries an id-derived PHASE: two clips that DO collide on
+      // the whole frequency triple still decorrelate (per-partial corr =
+      // cos Δφ; all three near 0 together with p ≈ 3e-3), so a hash
+      // collision cannot masquerade as a verified duplicate — residual
+      // false-pair probability ≈ 5e-8/pair, ≪ 1 even at 10⁶ clips.
+      // Amplitudes 6000/4000/2500 keep each partial far above the ADPCM
+      // noise floor (SNR ≥ 25 dB) and the sum within 16-bit range.
       val f1 = 2 + ((src * 0x9E3779B97F4A7C15L >>> 40) % 39).toInt
       val f2 = 41 + ((src * 0xC2B2AE3D27D4EB4FL >>> 40) % 40).toInt
       val f3 = 81 + ((src * 0x165667B19E3779F9L >>> 40) % 40).toInt
+      def phase(salt: Long): Double =
+        2 * math.Pi * ((src * salt >>> 48) & 0xff) / 256.0
+      val (p1, p2, p3) =
+        (phase(0xFF51AFD7ED558CCDL), phase(0xC4CEB9FE1A85EC53L),
+          phase(0x2545F4914F6CDD1DL))
       val gain = if (dupOf.isDefined) 0.9 else 1.0
       val samples = Array.tabulate(n) { i =>
         val t = 2 * math.Pi * i / 256.0
-        ((math.sin(t * f1) * 6000 + math.sin(t * f2) * 4000 +
-          math.sin(t * f3) * 2500) * gain).toShort
+        ((math.sin(t * f1 + p1) * 6000 + math.sin(t * f2 + p2) * 4000 +
+          math.sin(t * f3 + p3) * 2500) * gain).toShort
       }
       val format = if ((id / 3) % 2 == 0) "wav" else "adpcm"
       val payload =
@@ -228,12 +238,13 @@ object Multimodal {
     * concurrent JVM that wins the race simply has its output adopted. */
   def mediaParquet(spark: SparkSession, dir: String): DataFrame = synchronized {
     val src = new java.io.File(dir, "documents.parquet")
-    // v7: synth version participates in the stamp — a synth-logic change
+    // v8: synth version participates in the stamp — a synth-logic change
     // (jpeg/png formats in v2, video scene cuts in v4, image textures +
     // planted near-dups in v5, adpcm/mjpeg rotation in v6, three-partial
-    // tones + planted audio dups in v7) must invalidate older caches
+    // tones + planted audio dups in v7, id-derived partial phases in v8)
+    // must invalidate older caches
     val stamp = new java.io.File(dir).getCanonicalPath +
-      "|" + src.lastModified + "|" + src.length + "|v7"
+      "|" + src.lastModified + "|" + src.length + "|v8"
     val key = java.security.MessageDigest.getInstance("MD5")
       .digest(stamp.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
     val out = new java.io.File(sys.props("java.io.tmpdir"), s"graft-media-$key")
@@ -501,8 +512,9 @@ object Multimodal {
       // candidates via an equi-join on the 8-byte hash — payloads never
       // ride the join — then gain-invariant normalized cross-correlation
       // over the two decoded clips confirms (the planted 0.9×-gain
-      // wav↔adpcm dups score ≥ ~0.99; unrelated tone triples ≈ 0, so a
-      // 1-in-62k hash collision still cannot emit a false pair). Only
+      // wav↔adpcm dups score ≥ ~0.99; unrelated clips decorrelate even
+      // on a full frequency-triple hash collision, because every partial
+      // carries an id-derived phase — see the synth comment). Only
       // (id, hash) shuffles for candidate generation; payloads re-attach
       // by bounded shuffled-hash joins for exactly the candidate pairs.
       val audio = mediaParquet(s, d).as[MediaRecord]

@@ -761,18 +761,23 @@ object Pipeline {
     * labeled train split, score a held-out test split as the sum of its
     * tokens' weights, and report the confusion matrix. Labels come from
     * the source id (src0–src9 = "curated", src10+ = "crawl"), the split
-    * from doc_id parity; the published log-odds weight log((c⁺+1)/(c⁻+1))
-    * becomes the integer ⌊(c⁺+1)·2²⁰/(c⁻+1)⌋ (p17's rule — monotone in
-    * the odds, engine-exact where ln() is not), and the decision rule
-    * score ≥ thr·n_tokens compares the doc's mean weight to the global
-    * prior odds in pure integer arithmetic.
+    * from doc_id parity; each bucket's weight is the smoothed ODDS RATIO
+    * quantized to the integer ⌊(c⁺+1)·2²⁰/(c⁻+1)⌋ (p17's rule), and a
+    * doc is accepted when its MEAN token odds beat the global prior odds
+    * (score ≥ thr·n_tokens, pure integer arithmetic). Honest framing:
+    * this is an odds-SUM vote, not naive Bayes' log-odds sum — summing
+    * odds weighs extreme pro-tokens harder than the log-product would
+    * (an outlier odds-100 token outvotes an odds-0.01 token here, where
+    * NB would cancel them). The determinism rules forbid ln() in
+    * oracle-checked doubles, so the engine ships the additive-odds
+    * linear classifier; the train/score/confusion contract is identical.
     *
     * Scale shape: feature extraction is map-side codegen over the token
     * explode (p17's md5-digit buckets); both class tables aggregate to
     * ≤ 256 rows; the weight table re-attaches BROADCAST so corpus tokens
     * never shuffle to be scored; the prior threshold is one scalar
     * crossJoin; per-doc scoring is one map-side-combined groupBy. */
-  def p19NbClassifier(spark: SparkSession, dir: String): DataFrame = {
+  def p19QualityClassifier(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val toks = Tables.load(spark, dir, "documents")
       .select($"doc_id",
@@ -809,7 +814,7 @@ object Pipeline {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "p19_nb_classifier" -> p19NbClassifier _,
+    "p19_quality_classifier" -> p19QualityClassifier _,
     "p16_bpe_pairs" -> p16BpePairs _,
     "p17_dsir_select" -> p17DsirSelect _,
     "p18_cms_topk" -> p18CmsTopK _,
@@ -831,7 +836,7 @@ object Pipeline {
   )
 
   val oracleSql: Map[String, String] = Map(
-    "p19_nb_classifier" -> {
+    "p19_quality_classifier" -> {
       val b = dsirBucketSql("tok")
       s"""WITH t AS (SELECT doc_id,
          |        CAST(substring(source, 4, 8) AS INT) < 10 AS is_clean,

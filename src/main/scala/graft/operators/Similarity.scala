@@ -443,15 +443,19 @@ object Similarity {
   /** ADC shortlist size before the exact re-rank. */
   val PqShortlist = 50
 
-  /** Subvector view of the corpus: (vec_id, nrm, m, sv) — one row per
-    * subspace, built by an in-row slice explode (narrow, no shuffle). */
-  private def pqSubvectors(emb: DataFrame, d: Int): DataFrame = {
+  /** Subvector view of the corpus: (vec_id, nrm, [carry...], m, sv) — one
+    * row per subspace, built by an in-row slice explode (narrow, no
+    * shuffle). `carry` columns ride along unchanged (v15 threads cent_id
+    * through; v10 carries nothing). */
+  private def pqSubvectors(emb: DataFrame, d: Int,
+                           carry: Seq[String] = Nil): DataFrame = {
     import emb.sparkSession.implicits._
-    emb.select($"vec_id", $"nrm",
+    val keep = Seq($"vec_id", $"nrm") ++ carry.map(col)
+    emb.select(keep :+
       explode(array((0 until PqM).map { m =>
         struct(lit(m).as("m"), slice($"v", m * d + 1, d).as("sv"))
-      }: _*)).as("s"))
-      .select($"vec_id", $"nrm", $"s.m".as("m"), $"s.sv".as("sv"))
+      }: _*)).as("s"): _*)
+      .select(keep :+ $"s.m".as("m") :+ $"s.sv".as("sv"): _*)
   }
 
   /** The M×K×d codebook as a nested literal column (small by contract:
@@ -506,15 +510,18 @@ object Similarity {
     cur
   }
 
-  /** Corpus PQ codes: (vec_id, nrm, codes array<tinyint> of length M). */
+  /** Corpus PQ codes: (vec_id, nrm, [carry...], codes array<tinyint> of
+    * length M). `carry` columns are constant per vec_id and survive via
+    * first(). */
   private[operators] def pqEncode(emb: DataFrame, cb: Array[Array[Array[Double]]],
-                                  d: Int): DataFrame = {
+                                  d: Int, carry: Seq[String] = Nil): DataFrame = {
     import emb.sparkSession.implicits._
-    pqAssign(pqSubvectors(emb, d), cb)
+    val aggs = ("nrm" +: carry).map(n => first(col(n)).as(n)) :+
+      transform(array_sort(collect_list(struct($"m", $"code"))),
+        x => x("code").cast("byte")).as("codes")
+    pqAssign(pqSubvectors(emb, d, carry), cb)
       .groupBy($"vec_id")
-      .agg(first($"nrm").as("nrm"),
-        transform(array_sort(collect_list(struct($"m", $"code"))),
-          x => x("code").cast("byte")).as("codes"))
+      .agg(aggs.head, aggs.tail: _*)
   }
 
   /** V10 — product quantization ANN (Jégou et al., PAMI 2011): per-
@@ -624,22 +631,18 @@ object Similarity {
     // residual encoding: r = v − c(cell), map-side against the broadcast
     // C-row centroid table; nrm stays the ORIGINAL norm (cosine is over
     // the true vector, reconstructed additively in the score)
+    // cached for the fit phase ONLY (released before returning): the PQ
+    // codebook fit re-scans this (seeding + each Lloyd pass) and encoding
+    // scans it once more — without the cache each scan replays the IVF
+    // assignment crossJoin
     val resid = assigned.join(broadcast(cents), "cent_id")
       .select($"vec_id", $"nrm", $"cent_id",
         zip_with($"v", $"cv", (x, c) => x - c).as("v"))
+      .cache()
     val cb = fitPqCodebooks(resid.select($"vec_id", $"nrm", $"v"), d)
     // per-vector codes with cent_id carried through the subvector explode
     // (v10's pqEncode shape + the cell column — all narrow map work)
-    val sub = resid.select($"vec_id", $"nrm", $"cent_id",
-      explode(array((0 until PqM).map { m =>
-        struct(lit(m).as("m"), slice($"v", m * d + 1, d).as("sv"))
-      }: _*)).as("s"))
-      .select($"vec_id", $"nrm", $"cent_id", $"s.m".as("m"), $"s.sv".as("sv"))
-    val codes = pqAssign(sub, cb)
-      .groupBy($"vec_id")
-      .agg(first($"nrm").as("nrm"), first($"cent_id").as("cent_id"),
-        transform(array_sort(collect_list(struct($"m", $"code"))),
-          x => x("code").cast("byte")).as("codes"))
+    val codes = pqEncode(resid, cb, d, carry = Seq("cent_id"))
     // driver-side query model: per query, the nprobe nearest cells with
     // q·c precomputed, plus the M×K residual-codebook LUT
     val centRows = cents.collect()
@@ -660,13 +663,11 @@ object Similarity {
         centRows
           .map { case (cid, cv) =>
             val cn = math.sqrt(cv.map(x => x * x).sum)
-            (qdot(cv) / (qn * cn), cid)
+            val qc = qdot(cv)
+            (qc / (qn * cn), cid, qc)
           }
-          .sortBy { case (cos, cid) => (-cos, cid) }.take(nprobe)
-          .map { case (_, cid) =>
-            val qc = qdot(centRows.find(_._1 == cid).get._2)
-            (r.getLong(0), qn, cid, qc, lut)
-          }
+          .sortBy { case (cos, cid, _) => (-cos, cid) }.take(nprobe)
+          .map { case (_, cid, qc) => (r.getLong(0), qn, cid, qc, lut) }
       }
     val probes = spark.createDataFrame(probeRows)
       .toDF("query_id", "qn", "cent_id", "qc", "lut")
@@ -686,7 +687,7 @@ object Similarity {
       .select($"query_id", $"c.id".as("vec_id"))
     val qvec = emb.filter($"vec_id" < QueryCount)
       .select($"vec_id".as("query_id"), $"v".as("qv"), $"nrm".as("qn"))
-    shortlist
+    val out = shortlist
       .join(broadcast(qvec), "query_id")
       .hint("shuffle_hash")
       .join(emb.select($"vec_id", $"v", $"nrm"), "vec_id")
@@ -698,6 +699,15 @@ object Similarity {
       .select($"query_id", ($"pos" + 1).cast("int").as("rk"),
         $"col.id".as("vec_id"), round($"col.score", 6).as("cos_sim"))
       .orderBy($"query_id", $"rk")
+      // queries×k rows: materialize eagerly so the fit-scoped caches are
+      // RELEASED here — resid is corpus-sized and, because the IVF fit
+      // ends in a per-run localCheckpoint, its cached plan can never be
+      // reused by a later invocation; left cached it would only
+      // accumulate as dead weight until LRU eviction hits live caches
+      .localCheckpoint()
+    resid.unpersist()
+    cents.unpersist()
+    out
   }
 
   /** Number of principal components v9 projects onto. */

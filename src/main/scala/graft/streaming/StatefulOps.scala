@@ -75,8 +75,9 @@ object StatefulOps {
     * batch; ACROSS batches the feed must be per-key ordered — exactly the
     * delivery guarantee a key-partitioned CDC log (Kafka topic keyed by
     * row id, Debezium) provides. At-least-once redelivery of the event
-    * that opened the current interval is recognized by change_id and
-    * ignored. */
+    * that opened the current interval is absorbed by the unchanged-state
+    * branch (its state equals the open interval's, so it emits nothing
+    * and does not advance the interval). */
   def scd2Stream(events: Dataset[(Long, Long, Long, String)])
       : Dataset[Scd2Change] = {
     implicit val outEnc: Encoder[Scd2Change] = Encoders.product[Scd2Change]
@@ -92,7 +93,9 @@ object StatefulOps {
           var cur = state.getOption
           sorted.foreach { case (_, eid, ts, typ) =>
             cur match {
-              case Some(s) if s.state == typ => // no change (or redelivery)
+              // no change — also absorbs an at-least-once redelivery of
+              // the opening event (same state, emits nothing)
+              case Some(s) if s.state == typ =>
               case Some(s) =>
                 out += Scd2Change(user, s.change_id, s.state,
                   s.valid_from_us, ts)

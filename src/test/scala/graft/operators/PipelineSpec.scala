@@ -624,7 +624,7 @@ class PipelineSpec extends AnyFunSuite {
   }
 
   test("p19: confusion matrix covers the whole test split; weights broadcast") {
-    val df = Pipeline.p19NbClassifier(spark, dir)
+    val df = Pipeline.p19QualityClassifier(spark, dir)
     val rows = df.collect()
     // every (actual, pred) cell is a valid 0/1 pair, no duplicates
     val cells = rows.map(r => (r.getInt(0), r.getInt(1)))
