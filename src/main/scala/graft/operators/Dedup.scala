@@ -524,7 +524,39 @@ object Dedup {
       .orderBy($"doc_id")
   }
 
+  /** First-md5-hex-digit bound for d13's valid split: digits 0–3 of 16
+    * → ~25% of split UNITS land in valid. */
+  val SplitValidHexMax = "4"
+
+  /** D13 — dedup-aware leakage-free train/valid split: the split unit is
+    * the near-dup CLUSTER, not the document — every doc inherits its d6
+    * cluster representative's assignment (singletons are their own unit),
+    * so no near-duplicate pair can straddle the split. The ML-hygiene
+    * step that makes held-out loss mean something: with a naive per-doc
+    * split, ~every valid doc with a training-set near-dup is leaked
+    * (Lee et al. 2021 measure exactly this inflation). Assignment is
+    * p2's deterministic salted-md5 rule on the unit id — reproducible
+    * across runs and engines, no RNG.
+    *
+    * Scale shape: one d6 cluster computation (near-dup pairs → CC);
+    * corpus left-joins the (small by construction) cluster table on
+    * doc_id, then the split is a map-side hash — text never moves. */
+  def d13LeakageSplit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val clusters = d6DedupClusters(spark, dir)
+      .select($"doc_id", $"cluster_rep")
+    Tables.load(spark, dir, "documents")
+      .select($"doc_id")
+      .join(clusters, Seq("doc_id"), "left")
+      .select($"doc_id", coalesce($"cluster_rep", $"doc_id").as("split_unit"))
+      .withColumn("split", when(
+        substring(md5(concat(lit("split"), $"split_unit".cast("string"))),
+          1, 1) < SplitValidHexMax, "valid").otherwise("train"))
+      .orderBy($"doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d13_leakage_split" -> d13LeakageSplit _,
     "d1_dedup_exact" -> d1ExactDedup _,
     "d8_duplicate_spans" -> d8DuplicateSpans _,
     "d6_dedup_clusters" -> d6DedupClusters _,
@@ -622,6 +654,16 @@ object Dedup {
          |SELECT cluster_rep, doc_id AS keep_id, quality_score AS keep_quality,
          |  CAST(cluster_size AS BIGINT) AS cluster_size
          |FROM sel WHERE rk = 1 ORDER BY cluster_rep""".stripMargin,
+    "d13_leakage_split" ->
+      s"""WITH RECURSIVE $d3Ctes, $ccCtes
+         |SELECT d.doc_id,
+         |  coalesce(r.cluster_rep, d.doc_id) AS split_unit,
+         |  CASE WHEN substring(md5('split' ||
+         |      CAST(coalesce(r.cluster_rep, d.doc_id) AS VARCHAR)), 1, 1)
+         |      < '$SplitValidHexMax'
+         |    THEN 'valid' ELSE 'train' END AS split
+         |FROM documents d LEFT JOIN rep r ON d.doc_id = r.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
     "d12_dedup_report" ->
       s"""WITH RECURSIVE $d3Ctes, $ccCtes,
          |q AS (${TextAnalysis.qualityCte}),

@@ -877,8 +877,35 @@ object Relational {
       .orderBy($"user_id", $"valid_from_us", $"change_id")
   }
 
+  /** Q41 — time-RANGE window frame: per user, the trailing-hour running
+    * count and sum of purchase values at each purchase (RANGE BETWEEN
+    * 3600 PRECEDING AND CURRENT ROW over epoch seconds) — the VALUE-based
+    * frame q30's ROWS frames cannot express: "last hour" is a time span,
+    * not a row count, and peers at the same second share one frame by
+    * definition on both engines. Values are cent-quantized longs before
+    * the frame sum (the q36 rule — order-independent, engine-exact).
+    *
+    * Scale shape: one co-partitioned exchange on user_id feeds the sorted
+    * range frame; per-user state is the frame buffer, bounded by the
+    * densest hour, never the timeline. */
+  def q41RangeFrame(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"sec")
+      .rangeBetween(-3600, 0)
+    Tables.load(spark, dir, "events")
+      .filter($"event_type" === "purchase")
+      .select($"user_id", $"event_id",
+        expr("unix_micros(ts) DIV 1000000").as("sec"),
+        round($"value" * 100).cast("long").as("cents"))
+      .withColumn("n_hour", count(lit(1)).over(w))
+      .select($"user_id", $"event_id", $"sec", $"n_hour",
+        (sum($"cents").over(w).cast(DoubleType) / 100).as("hour_sum"))
+      .orderBy($"user_id", $"sec", $"event_id")
+  }
+
   /** All relational queries, keyed for SparkEntry. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q41_range_frame" -> q41RangeFrame _,
     "q40_scd2" -> q40Scd2 _,
     "q38_not_in_nulls" -> q38NotInNulls _,
     "q39_range_join_binned" -> q39RangeJoinBinned _,
@@ -923,6 +950,18 @@ object Relational {
 
   /** DuckDB oracle SQL per query (column names and ORDER BY must match). */
   val oracleSql: Map[String, String] = Map(
+    "q41_range_frame" ->
+      """WITH p AS (SELECT user_id, event_id,
+        |        epoch_us(ts) // 1000000 AS sec,
+        |        CAST(round(value * 100) AS BIGINT) AS cents
+        |      FROM events WHERE event_type = 'purchase')
+        |SELECT user_id, event_id, sec,
+        |  CAST(count(*) OVER w AS BIGINT) AS n_hour,
+        |  CAST(CAST(sum(cents) OVER w AS BIGINT) AS DOUBLE) / 100 AS hour_sum
+        |FROM p
+        |WINDOW w AS (PARTITION BY user_id ORDER BY sec
+        |  RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, sec, event_id""".stripMargin,
     "q40_scd2" ->
       """WITH o AS (SELECT user_id, event_id, ts, event_type,
         |        lag(event_type) OVER (PARTITION BY user_id

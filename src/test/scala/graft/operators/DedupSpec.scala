@@ -70,6 +70,28 @@ class DedupSpec extends AnyFunSuite {
     cont.values.foreach(c => assert(c >= Dedup.ContainmentThreshold && c <= 1.0))
   }
 
+  test("d13: no near-dup pair straddles the split; both splits populated") {
+    val split = Dedup.d13LeakageSplit(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    // the leakage-free property the operator exists for: every d3 pair's
+    // ends share a split unit, hence a split
+    Dedup.d3JaccardPairs(spark, dir).collect().foreach { r =>
+      val (a, b) = (r.getLong(0), r.getLong(1))
+      assert(split(a)._1 == split(b)._1,
+        s"pair ($a,$b) in different split units")
+      assert(split(a)._2 == split(b)._2, s"pair ($a,$b) straddles the split")
+    }
+    // every document is assigned, deterministically, to one of two splits
+    val docCount = graft.sources.Tables.load(spark, dir, "documents").count()
+    assert(split.size == docCount)
+    val valid = split.values.count(_._2 == "valid")
+    assert(valid > 0 && valid < split.size,
+      s"degenerate split: $valid valid of ${split.size}")
+    // ~25% of UNITS go to valid (first hex digit < '4'); loose bounds
+    val rate = valid.toDouble / split.size
+    assert(rate > 0.1 && rate < 0.45, s"valid rate $rate far from 25%")
+  }
+
   test("exact dedup keeps one survivor per distinct text") {
     val d1 = Dedup.d1ExactDedup(spark, dir)
     assert(d1.count() ==

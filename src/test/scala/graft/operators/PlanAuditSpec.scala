@@ -217,4 +217,28 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"),
       s"vocab must broadcast to the token stream:\n$plan")
   }
+
+  test("q40/q41: one co-partitioned exchange feeds each windowed timeline") {
+    // both window phases key on user_id: lag→filter→lead (q40) and the
+    // range frame (q41) must reuse ONE hash exchange — a second exchange
+    // would mean the sort/partitioning was thrown away mid-plan
+    Seq("q40_scd2", "q41_range_frame").foreach { name =>
+      val df = graft.SparkEntry.queries(name)(spark, dir)
+      val plan = df.queryExecution.executedPlan.toString
+      val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+      assert(exchanges == 1,
+        s"$name: expected exactly one keyed exchange, got $exchanges:\n" +
+          plan.take(800))
+    }
+  }
+
+  test("v14: the N×C distance expansion never shuffles — centroids ride " +
+      "one broadcast row") {
+    val df = graft.SparkEntry.queries("v14_silhouette")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"centroid row must attach via broadcast:\n${plan.take(800)}")
+    assert(!plan.contains("CartesianProduct"),
+      s"corpus-side cartesian in the distance pass:\n${plan.take(800)}")
+  }
 }

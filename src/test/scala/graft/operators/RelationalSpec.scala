@@ -164,6 +164,31 @@ class RelationalSpec extends AnyFunSuite {
       naivePlan.contains("CartesianProduct"))
   }
 
+  test("q41: trailing-hour range frame matches a driver-side recompute") {
+    import org.apache.spark.sql.functions._
+    val purchases = graft.sources.Tables
+      .load(spark, SparkTestSession.sf0001, "events")
+      .filter(col("event_type") === "purchase")
+      .selectExpr("user_id", "event_id", "unix_micros(ts) DIV 1000000 AS sec",
+        "CAST(round(value * 100) AS BIGINT) AS cents")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val byUser = purchases.groupBy(_._1)
+    val got = Relational.q41RangeFrame(spark, SparkTestSession.sf0001)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(3), r.getDouble(4))))
+      .toMap
+    assert(got.size == purchases.length)
+    purchases.foreach { case (u, eid, sec, _) =>
+      val frame = byUser(u).filter(p => p._3 >= sec - 3600 && p._3 <= sec)
+      val (n, s) = got((u, eid))
+      assert(n == frame.length, s"user $u event $eid n_hour")
+      assert(s == frame.map(_._4).sum.toDouble / 100,
+        s"user $u event $eid hour_sum")
+    }
+  }
+
   test("q40: SCD2 intervals tile each user's timeline with alternating states") {
     val rows = Relational.q40Scd2(spark, SparkTestSession.sf0001).collect()
       .map(r => (r.getLong(0), r.getString(2), r.getLong(3),
