@@ -136,42 +136,62 @@ object Multimodal {
         else Codec.encodeAdpcmWav(samples, AudioRate)
       MediaRecord(id, "audio", payload, format, 0, 0, n * 1000L / AudioRate)
     case _ => // video: rotates concatenated-PPM | MJPEG-in-AVI container
-      val w = 16 + (id % 4).toInt * 4
-      val h = 8 + (id % 4).toInt * 2
-      // half the videos (id % 6 == 2, i.e. id/3 even) carry a REAL scene
-      // cut at the midpoint: later frames switch from the moving ramp to
-      // a static high-contrast checkerboard, so the adjacent-frame
-      // luminance diff jumps from the within-scene ≤60 to ≥93 of 255
-      // (measured over the whole synth family) — ground truth for m6's
-      // boundary detection. The format rotation keys off (id/3)/2 so the
-      // cut-carrying videos land in BOTH containers.
-      val format = if (((id / 3) / 2) % 2 == 0) "ppms" else "mjpeg"
+      // every fifth video is a PLANTED duplicate of the previous video
+      // id: the SAME frames transcoded into the OTHER container
+      // (lossless ppms ↔ lossy mjpeg — the real-world "same video,
+      // different encode" dup) — ground truth for m9's perceptual video
+      // dedup. Geometry, frames, and the scene-cut rule all follow the
+      // SOURCE id (m6's spec resolves expectations via videoDupSource).
+      val dupOf = videoDupSource(id)
+      val src = dupOf.getOrElse(id)
+      val w = 16 + (src % 4).toInt * 4
+      val h = 8 + (src % 4).toInt * 2
+      // half the source videos (src % 6 == 2) carry a REAL scene cut at
+      // the midpoint: later frames switch from the drifting texture to a
+      // static uniform flash (within-scene per-pixel drift ≤ ~10 of 255
+      // vs cross-cut ≈ 120) — ground truth for m6's boundary
+      // detection. The format rotation keys off (src/3)/2 so cut
+      // carriers land in BOTH containers.
       val frames = (0 until VideoFrames).map { f =>
-        if (id % 6 == 2 && f >= VideoFrames / 2) checkerPixels(w, h)
-        else imagePixels(id, w, h, f)
+        if (src % 6 == 2 && f >= VideoFrames / 2) flashPixels(w, h)
+        else texturePixels(src, w, h, f)
       }
+      val baseFormat = if (((src / 3) / 2) % 2 == 0) "ppms" else "mjpeg"
+      val format = dupOf.fold(baseFormat)(_ =>
+        if (baseFormat == "ppms") "mjpeg" else "ppms")
       MediaRecord(id, "video", Codec.encodeVideo(format, w, h, frames),
         format, w, h, VideoFrames * 40L)
   }
 
-  /** Image texture: the sum of two id-parameterized triangle waves —
+  /** Planted-duplicate source for video ids: every fifth video re-encodes
+    * the previous video id's frames in the other container. Shared by the
+    * synth, the m6 spec (cut expectations follow the source), and the m9
+    * spec (ground truth). */
+  private[multimodal] def videoDupSource(id: Long): Option[Long] =
+    if (id % 3 == 2 && (id / 3) % 5 == 2 && id >= 3) Some(id - 3) else None
+
+  /** Image/video texture: the sum of two id-parameterized triangle waves —
     * smooth (constant-slope segments, so perceptual gradient bits are
     * stable under brightness shifts and codec loss, unlike per-pixel
     * noise) yet diverse (four frequency parameters from a 29⁴ space, so
     * distinct ids virtually never share a gradient field — and when two
     * ids DO collide, their pixels really are near-identical, i.e. a true
     * duplicate, not a hash artifact). Range [60, 210]: headroom for the
-    * dup plant's +8 shift. Videos keep the mod-256 ramp (`imagePixels`),
-    * whose constant gradient sign would be pathological for dHash but is
-    * exactly what m6's luminance-diff thresholds were measured on. */
-  private def texturePixels(id: Long, w: Int, h: Int): Array[Byte] = {
+    * dup plant's +8 shift. Video frames use the same texture with a
+    * per-frame PHASE DRIFT (smooth motion: per-pixel |Δ| ≤ ~10 between
+    * adjacent frames, far under m6's cut threshold, while the id-keyed
+    * gradient field keeps unrelated videos dHash-distinct for m9 — the
+    * old mod-256 ramp had id-independent gradients, so every video
+    * looked perceptually identical to every other). */
+  private def texturePixels(id: Long, w: Int, h: Int,
+                            frame: Int = 0): Array[Byte] = {
     def tri(t: Long, p: Int): Int = {
       val m = (((t % p) + p) % p).toInt
       if (m < p / 2) m else p - m
     }
     val ax = 2 + (id * 7 % 29).toInt; val ay = 2 + (id * 13 % 29).toInt
     val bx = 2 + (id * 19 % 29).toInt; val by = 2 + (id * 23 % 29).toInt
-    val ph = (id % 251).toInt
+    val ph = (id % 251).toInt + frame * 7
     val px = new Array[Byte](w * h * 3)
     var y = 0
     while (y < h) {
@@ -190,39 +210,16 @@ object Multimodal {
     px
   }
 
-  /** The post-cut scene: a static gray checkerboard (220/30). */
-  private def checkerPixels(w: Int, h: Int): Array[Byte] = {
-    val px = new Array[Byte](w * h * 3)
-    var y = 0
-    while (y < h) {
-      var x = 0
-      while (x < w) {
-        val v = (if ((x + y) % 2 == 0) 30 else 220).toByte
-        val i = (y * w + x) * 3
-        px(i) = v; px(i + 1) = v; px(i + 2) = v
-        x += 1
-      }
-      y += 1
-    }
-    px
-  }
-
-  private def imagePixels(id: Long, w: Int, h: Int, frame: Int): Array[Byte] = {
-    val px = new Array[Byte](w * h * 3)
-    var y = 0
-    while (y < h) {
-      var x = 0
-      while (x < w) {
-        val i = (y * w + x) * 3
-        px(i) = ((x * 7 + y * 13 + id + frame * 11) % 256).toByte
-        px(i + 1) = ((x * 3 + y * 5 + id * 2 + frame * 17) % 256).toByte
-        px(i + 2) = ((x + y + id * 3 + frame * 29) % 256).toByte
-        x += 1
-      }
-      y += 1
-    }
-    px
-  }
+  /** The post-cut scene: a static uniform bright flash (245). Constant
+    * frames are the dHash-stable high-contrast scene: the luminance jump
+    * vs the [80,170] texture is ~120 of 255 (m6's cut signal, well over
+    * the threshold), while every dHash cell mean is EQUAL, so the hash is
+    * exactly 0 under any codec — JPEG encodes a constant frame without
+    * ringing (a checkerboard here put every dHash gradient on a
+    * knife-edge and the mjpeg leg's hash bits flipped arbitrarily,
+    * breaking m9's transcode-dup recall for cut carriers). */
+  private def flashPixels(w: Int, h: Int): Array[Byte] =
+    Array.fill(w * h * 3)(245.toByte)
 
   /** The media table materialized as parquet — payloads live in their own
     * column chunk, so metadata-only queries prune them at the SCAN (the
@@ -238,13 +235,15 @@ object Multimodal {
     * concurrent JVM that wins the race simply has its output adopted. */
   def mediaParquet(spark: SparkSession, dir: String): DataFrame = synchronized {
     val src = new java.io.File(dir, "documents.parquet")
-    // v8: synth version participates in the stamp — a synth-logic change
+    // v9: synth version participates in the stamp — a synth-logic change
     // (jpeg/png formats in v2, video scene cuts in v4, image textures +
     // planted near-dups in v5, adpcm/mjpeg rotation in v6, three-partial
-    // tones + planted audio dups in v7, id-derived partial phases in v8)
+    // tones + planted audio dups in v7, id-derived partial phases in v8,
+    // drifting-texture video frames + planted transcode dups in v9,
+    // flash post-cut scene in v10)
     // must invalidate older caches
     val stamp = new java.io.File(dir).getCanonicalPath +
-      "|" + src.lastModified + "|" + src.length + "|v8"
+      "|" + src.lastModified + "|" + src.length + "|v10"
     val key = java.security.MessageDigest.getInstance("MD5")
       .digest(stamp.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
     val out = new java.io.File(sys.props("java.io.tmpdir"), s"graft-media-$key")
@@ -504,6 +503,51 @@ object Multimodal {
   /** Rows-only driver queries (binary payloads are not SQL-oracle
     * territory; MultimodalSpec covers decode fidelity + shape). */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m9_video_phash" -> ((s: SparkSession, d: String) => {
+      import s.implicits._
+      // perceptual video dedup: per-frame dHash over the REAL decoded
+      // frames → clip signature of VideoFrames longs (narrow map work),
+      // candidates from m7's band shape applied per (frame_idx, band) —
+      // a transcoded dup collides on nearly every band, unrelated
+      // textures differ — verified by TOTAL signature Hamming ≤
+      // VideoFrames·PHashMaxDist. Signatures ride the band join: only
+      // (id, VideoFrames×8 bytes) ever shuffles, pixels never leave the
+      // decode stage.
+      val sigs = mediaParquet(s, d).as[MediaRecord]
+        .filter($"kind" === "video")
+        .mapPartitions(_.map { m =>
+          val fs = Codec.decodeVideo(m.format, m.payload)
+          (m.media_id, fs.map(f => dHash(f.width, f.height, f.rgb)).toArray)
+        })
+        .toDF("media_id", "sig")
+      val banded = sigs.select($"media_id", $"sig",
+          posexplode($"sig").as(Seq("fidx", "fh")))
+        // degenerate frames (constant luminance → dHash exactly 0: fades,
+        // black/white flashes, test cards) carry no discriminative signal
+        // and CONCENTRATE: every such frame in the corpus lands in one
+        // bucket, turning the band join quadratic (the d3 stop-shingle
+        // problem in hash space — half this fixture's videos share the
+        // flash scene). They are dropped as CANDIDATE KEYS only; the full
+        // signature still verifies, so degenerate frames count toward
+        // the Hamming budget
+        .filter($"fh" =!= 0L)
+        .select($"media_id", $"sig", $"fidx",
+          explode(array((0 until 8).map { b =>
+            struct(lit(b).as("band"),
+              shiftright($"fh", b * 8).bitwiseAND(lit(0xffL)).as("bucket"))
+          }: _*)).as("bb"))
+        .select($"media_id", $"sig", $"fidx", $"bb.band", $"bb.bucket")
+      banded.as("a").join(banded.as("b"),
+          $"a.fidx" === $"b.fidx" && $"a.band" === $"b.band" &&
+            $"a.bucket" === $"b.bucket" && $"a.media_id" < $"b.media_id")
+        .select($"a.media_id".as("id1"), $"b.media_id".as("id2"),
+          aggregate(zip_with($"a.sig", $"b.sig",
+              (x, y) => bit_count(x.bitwiseXOR(y))),
+            lit(0), (acc, x) => acc + x).as("hamming"))
+        .distinct()
+        .filter($"hamming" <= VideoFrames * PHashMaxDist)
+        .orderBy($"id1", $"id2")
+    }),
     "m8_audio_fingerprint" -> ((s: SparkSession, d: String) => {
       import s.implicits._
       // audio dedup by spectral-peak constellation: decode → per-frame

@@ -283,7 +283,10 @@ class MultimodalSpec extends AnyFunSuite {
     assert(rows.nonEmpty)
     rows.foreach { r =>
       val (id, nCuts, cutAt) = (r.getLong(0), r.getInt(2), r.getInt(3))
-      if (id % 6 == 2) {
+      // a planted transcode dup carries its SOURCE's frames, so the cut
+      // expectation follows the source id
+      val eff = Multimodal.videoDupSource(id).getOrElse(id)
+      if (eff % 6 == 2) {
         // synth plants ONE cut at the frame midpoint for these videos
         assert(nCuts == 1, s"video $id: expected exactly one cut, got $nCuts")
         assert(cutAt == Multimodal.VideoFrames / 2, s"video $id cut at $cutAt")
@@ -292,6 +295,55 @@ class MultimodalSpec extends AnyFunSuite {
           s"video $id: false positive cut (max_diff ${r.getDouble(4)})")
       }
     }
+  }
+
+  test("m9 video phash finds every planted transcode dup and matches a " +
+      "driver recompute") {
+    val rows = Multimodal.queries("m9_video_phash")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val pairs = rows.map(r => (r._1, r._2)).toSet
+    val vids = Multimodal.mediaParquet(spark, dir)
+      .filter(org.apache.spark.sql.functions.col("kind") === "video")
+      .select("media_id", "format", "payload").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getAs[Array[Byte]](2)))
+      .sortBy(_._1)
+    val ids = vids.map(_._1).toSet
+    val planted = ids.filter(id =>
+        Multimodal.videoDupSource(id).exists(ids.contains))
+      .map(id => (id - 3, id))
+    assert(planted.nonEmpty)
+    planted.foreach { p =>
+      assert(pairs.contains(p), s"planted video dup pair $p not detected")
+    }
+    // planted pairs are cross-container (the transcode dup contract)
+    val fmt = vids.map(v => v._1 -> v._2).toMap
+    planted.foreach { case (a, b) =>
+      assert(fmt(a) != fmt(b), s"pair ($a,$b) not cross-container")
+    }
+    // exactness of the implementation: the distributed result equals a
+    // full driver recompute of per-frame dHash signatures + threshold
+    val sigs = vids.map { case (id, f, payload) =>
+      id -> Codec.decodeVideo(f, payload)
+        .map(fr => Multimodal.dHash(fr.width, fr.height, fr.rgb)).toArray
+    }
+    // candidate rule mirror: a pair is considered only if some
+    // NON-DEGENERATE (hash ≠ 0) frame pair shares an 8-bit band — the
+    // operator drops constant frames as candidate keys (stop-key rule)
+    def bandCollides(a: Long, b: Long): Boolean =
+      a != 0L && b != 0L &&
+        (0 until 8).exists(k => ((a >>> (k * 8)) & 0xff) ==
+          ((b >>> (k * 8)) & 0xff))
+    val expected = (for {
+      (i, si) <- sigs; (j, sj) <- sigs
+      if i < j && si.length == sj.length
+      if si.zip(sj).exists { case (a, b) => bandCollides(a, b) }
+      ham = si.zip(sj).map { case (a, b) =>
+        java.lang.Long.bitCount(a ^ b) }.sum
+      if ham <= Multimodal.VideoFrames * Multimodal.PHashMaxDist
+    } yield (i, j)).toSet
+    assert(pairs == expected,
+      s"distributed != driver recompute: ${pairs -- expected} / " +
+        s"${expected -- pairs}")
   }
 
   test("m8 audio fingerprint detects exactly the planted cross-format dups") {
