@@ -555,7 +555,62 @@ object Dedup {
       .orderBy($"doc_id")
   }
 
+  /** D14 — duplicated-span REMOVAL (the transform behind Lee et al. 2021
+    * substring dedup, where d8 is the audit): every token position
+    * covered by a 3-gram span that occurs in ≥ 2 distinct documents is
+    * cut; the document keeps the remaining tokens in order. Output is
+    * digest-only (p6/p10 rule): token counts + md5 of the cleaned text —
+    * at scale the cleaned corpus is written to shards, never returned.
+    *
+    * Scale shape: the gram table is one narrow in-row explode (start
+    * positions via a sequence HOF); span frequency is a map-side-combined
+    * groupBy; the dup-span re-attach is an AQE-skew-splittable equi-join;
+    * covered positions explode ≤ 3 rows per dup span and collapse by
+    * (doc, pos); the cleaned text is a per-doc sorted-struct rebuild —
+    * everything keyed, nothing quadratic, no df cap needed (no
+    * self-join). Grams join on md5 keys here because md5 is engine-exact
+    * (the oracle demands it); the production key would be d3's 8-byte
+    * ShingleHashes — identical shape, see d8. */
+  def d14SpanRemoval(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.load(spark, dir, "documents")
+      .select($"doc_id", tokens($"text").as("w"))
+    // docs shorter than one 3-gram emit no spans (sequence(1, n) with
+    // n < 1 would generate DESCENDING starts — filter, don't clamp)
+    val grams = docs.filter(size($"w") >= 3)
+      .select($"doc_id",
+        explode(expr(
+          "transform(sequence(1, size(w) - 2), " +
+            "i -> struct(i AS start, md5(concat_ws(' ', slice(w, i, 3))) AS g))"))
+          .as("s"))
+      .select($"doc_id", $"s.start", $"s.g")
+    val dupGrams = grams.select($"doc_id", $"g").distinct()
+      .groupBy($"g").agg(count(lit(1)).as("n_docs"))
+      .filter($"n_docs" >= 2)
+      .select($"g")
+    val covered = grams.join(dupGrams, "g")
+      .select($"doc_id", explode(sequence($"start", $"start" + 2)).as("pos"))
+      .distinct()
+    val toks = docs.select($"doc_id", posexplode($"w").as(Seq("pos0", "tok")))
+      .select($"doc_id", ($"pos0" + 1).as("pos"), $"tok")
+    toks.join(covered, Seq("doc_id", "pos"), "left_anti")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_kept"),
+        md5(concat_ws(" ", expr("transform(array_sort(" +
+          "collect_list(struct(pos, tok))), x -> x.tok)")))
+          .as("cleaned_digest"))
+      .join(docs.select($"doc_id", size($"w").as("n_tokens")), Seq("doc_id"),
+        "right")
+      .select($"doc_id", $"n_tokens",
+        coalesce($"n_kept", lit(0L)).as("n_kept"),
+        ($"n_tokens" - coalesce($"n_kept", lit(0L))).as("n_removed"),
+        // a fully-cut document cleans to the empty string
+        coalesce($"cleaned_digest", md5(lit(""))).as("cleaned_digest"))
+      .orderBy($"doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d14_span_removal" -> d14SpanRemoval _,
     "d13_leakage_split" -> d13LeakageSplit _,
     "d1_dedup_exact" -> d1ExactDedup _,
     "d8_duplicate_spans" -> d8DuplicateSpans _,
@@ -654,6 +709,33 @@ object Dedup {
          |SELECT cluster_rep, doc_id AS keep_id, quality_score AS keep_quality,
          |  CAST(cluster_size AS BIGINT) AS cluster_size
          |FROM sel WHERE rk = 1 ORDER BY cluster_rep""".stripMargin,
+    "d14_span_removal" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |g AS (SELECT doc_id,
+        |        unnest(generate_series(1, len(w) - 2)) AS start,
+        |        unnest(list_transform(generate_series(1, len(w) - 2),
+        |          i -> md5(w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS g
+        |      FROM t WHERE len(w) >= 3),
+        |dup AS (SELECT g FROM (SELECT DISTINCT doc_id, g FROM g)
+        |        GROUP BY g HAVING count(*) >= 2),
+        |cov AS (SELECT DISTINCT doc_id, pos FROM (
+        |          SELECT doc_id,
+        |            unnest(generate_series(start, start + 2)) AS pos
+        |          FROM g JOIN dup USING (g))),
+        |tok AS (SELECT doc_id, unnest(w) AS tok,
+        |          unnest(generate_series(1, len(w))) AS pos FROM t),
+        |kept AS (SELECT tok.doc_id, tok.pos, tok.tok
+        |         FROM tok LEFT JOIN cov
+        |           ON tok.doc_id = cov.doc_id AND tok.pos = cov.pos
+        |         WHERE cov.pos IS NULL),
+        |agg AS (SELECT doc_id, count(*) AS n_kept,
+        |          md5(string_agg(tok, ' ' ORDER BY pos)) AS cleaned_digest
+        |        FROM kept GROUP BY doc_id)
+        |SELECT t.doc_id, CAST(len(w) AS INT) AS n_tokens,
+        |  CAST(coalesce(n_kept, 0) AS BIGINT) AS n_kept,
+        |  CAST(len(w) - coalesce(n_kept, 0) AS BIGINT) AS n_removed,
+        |  coalesce(cleaned_digest, md5('')) AS cleaned_digest
+        |FROM t LEFT JOIN agg USING (doc_id) ORDER BY t.doc_id""".stripMargin,
     "d13_leakage_split" ->
       s"""WITH RECURSIVE $d3Ctes, $ccCtes
          |SELECT d.doc_id,

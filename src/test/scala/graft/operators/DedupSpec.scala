@@ -92,6 +92,44 @@ class DedupSpec extends AnyFunSuite {
     assert(rate > 0.1 && rate < 0.45, s"valid rate $rate far from 25%")
   }
 
+  test("d14: span removal equals a driver recompute over every document") {
+    val all = graft.sources.Tables.load(spark, dir, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    def gramsOf(text: String): Seq[(Int, String)] = {
+      val w = text.split(" ", -1)
+      if (w.length < 3) Seq.empty
+      else (0 to w.length - 3).map(i => (i + 1, w.slice(i, i + 3).mkString(" ")))
+    }
+    val docFreq = all.flatMap { case (id, t) =>
+      gramsOf(t).map(_._2).distinct.map(g => (g, id))
+    }.groupBy(_._1).view.mapValues(_.length).toMap
+    def md5hex(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val expected = all.map { case (id, t) =>
+      val w = t.split(" ", -1)
+      val covered = gramsOf(t).filter(g => docFreq(g._2) >= 2)
+        .flatMap(g => g._1 to g._1 + 2).toSet
+      val kept = w.zipWithIndex.collect {
+        case (tok, i) if !covered.contains(i + 1) => tok
+      }
+      id -> ((w.length, kept.length, md5hex(kept.mkString(" "))))
+    }.toMap
+    val got = Dedup.d14SpanRemoval(spark, dir).collect()
+    assert(got.length == all.length)
+    got.foreach { r =>
+      val (n, k, dig) = expected(r.getLong(0))
+      assert(r.getInt(1) == n, s"doc ${r.getLong(0)} n_tokens")
+      assert(r.getLong(2) == k, s"doc ${r.getLong(0)} n_kept")
+      assert(r.getLong(3) == n - k, s"doc ${r.getLong(0)} n_removed")
+      assert(r.getString(4) == dig, s"doc ${r.getLong(0)} cleaned_digest")
+    }
+    // the operator does real work on this fixture: some spans are cut,
+    // and no document loses everything unless fully duplicated
+    assert(got.map(_.getLong(3)).sum > 0, "no spans removed — dead fixture")
+  }
+
   test("exact dedup keeps one survivor per distinct text") {
     val d1 = Dedup.d1ExactDedup(spark, dir)
     assert(d1.count() ==
