@@ -235,7 +235,7 @@ object Multimodal {
     * concurrent JVM that wins the race simply has its output adopted. */
   def mediaParquet(spark: SparkSession, dir: String): DataFrame = synchronized {
     val src = new java.io.File(dir, "documents.parquet")
-    // v9: synth version participates in the stamp — a synth-logic change
+    // v10: synth version participates in the stamp — a synth-logic change
     // (jpeg/png formats in v2, video scene cuts in v4, image textures +
     // planted near-dups in v5, adpcm/mjpeg rotation in v6, three-partial
     // tones + planted audio dups in v7, id-derived partial phases in v8,
@@ -443,10 +443,11 @@ object Multimodal {
     bits
   }
 
-  /** Mean-|Δluminance| cut threshold (of 255) for m6: the fixture's
-    * within-scene diffs top out at ~60, cross-cut diffs start at ~93
-    * (measured over the whole synth family); real footage would tune
-    * this. */
+  /** Mean-|Δluminance| cut threshold (of 255) for m6: with the v9
+    * drifting-texture synth, within-scene diffs top out at ~14 (phase
+    * drift of 7 per triangle wave) and texture→flash cross-cut diffs sit
+    * around ~120 — the threshold rests mid-corridor; real footage would
+    * tune this. */
   val SceneCutLum = 76
 
   /** m8 fingerprint frame size (samples), per-frame peak count, and the
@@ -500,6 +501,18 @@ object Multimodal {
     if (saa == 0 || sbb == 0) 0.0 else sab / math.sqrt(saa * sbb)
   }
 
+  /** The 8×8-bit band decomposition of a 64-bit perceptual hash as an
+    * exploded struct(band, bucket) column — the ONE banding rule m7 and
+    * m9 share: both pigeonhole recall arguments depend on 8-bit bands
+    * pairing with the ≤-7-dirty-bits-per-hash bound, so a band-width
+    * change must hit both or their guarantees silently diverge. */
+  private def bandBuckets(hash: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column =
+    explode(array((0 until 8).map { b =>
+      struct(lit(b).as("band"),
+        shiftright(hash, b * 8).bitwiseAND(lit(0xffL)).as("bucket"))
+    }: _*))
+
   /** Rows-only driver queries (binary payloads are not SQL-oracle
     * territory; MultimodalSpec covers decode fidelity + shape). */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -529,13 +542,15 @@ object Multimodal {
         // problem in hash space — half this fixture's videos share the
         // flash scene). They are dropped as CANDIDATE KEYS only; the full
         // signature still verifies, so degenerate frames count toward
-        // the Hamming budget
+        // the Hamming budget. Recall consequence: the m7 pigeonhole now
+        // applies per NON-degenerate frame — a pair is guaranteed found
+        // iff some non-degenerate frame has ≤ 7 dirty bits (true for
+        // transcode dups, whose per-frame JPEG damage is ≤ ~6 — the m7
+        // bound); a pair whose entire Hamming budget concentrates on its
+        // texture frames while only degenerate frames match exactly is
+        // NOT guaranteed — the price of the stop-key rule
         .filter($"fh" =!= 0L)
-        .select($"media_id", $"sig", $"fidx",
-          explode(array((0 until 8).map { b =>
-            struct(lit(b).as("band"),
-              shiftright($"fh", b * 8).bitwiseAND(lit(0xffL)).as("bucket"))
-          }: _*)).as("bb"))
+        .select($"media_id", $"sig", $"fidx", bandBuckets($"fh").as("bb"))
         .select($"media_id", $"sig", $"fidx", $"bb.band", $"bb.bucket")
       banded.as("a").join(banded.as("b"),
           $"a.fidx" === $"b.fidx" && $"a.band" === $"b.band" &&
@@ -605,10 +620,7 @@ object Multimodal {
         })
         .toDF("media_id", "sig")
       val banded = sigs.select($"media_id", $"sig",
-        explode(array((0 until 8).map { b =>
-          struct(lit(b).as("band"),
-            shiftright($"sig", b * 8).bitwiseAND(lit(0xffL)).as("bucket"))
-        }: _*)).as("bb"))
+          bandBuckets($"sig").as("bb"))
         .select($"media_id", $"sig", $"bb.band", $"bb.bucket")
       banded.as("a").join(banded.as("b"),
           $"a.band" === $"b.band" && $"a.bucket" === $"b.bucket" &&
