@@ -813,7 +813,45 @@ object Pipeline {
       .orderBy($"actual_clean", $"pred_clean")
   }
 
+  /** P20 — deterministic training-order interleave: assign every document
+    * a reproducible global training position such that consecutive
+    * positions rotate across (lang, source) strata — the data-ordering
+    * step after mixing (p12): reading shards in position order never
+    * feeds the model a long run of one source/language (a source-sorted
+    * corpus is an accidental curriculum). Within each stratum documents
+    * are ranked by salted md5 (reproducible, unbiased); the global
+    * position is pure integer arithmetic — (rank−1)·S + stratum_index —
+    * which round-robins the S strata. Unequal strata leave gaps in the
+    * position sequence once short strata exhaust; position is an ORDER
+    * key for the shard writer, so gaps are harmless.
+    *
+    * Scale shape: the within-stratum rank window is keyed by (lang,
+    * source) — parallel across strata; the stratum index comes from the
+    * strata table (S rows — its single-partition window is bounded, the
+    * p3 offsets pattern) joined back BROADCAST; no global window over
+    * the corpus, ever. */
+  def p20Interleave(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.load(spark, dir, "documents")
+      .select($"doc_id", $"lang", $"source")
+    val strata = docs.select($"lang", $"source").distinct()
+    val idx = strata
+      .withColumn("stratum_idx",
+        row_number().over(Window.orderBy($"lang", $"source")) - 1)
+    val nStrata = idx.count()
+    val w = Window.partitionBy($"lang", $"source")
+      .orderBy(md5(concat(lit("ord"), $"doc_id".cast("string"))), $"doc_id")
+    docs
+      .withColumn("stratum_rank", row_number().over(w))
+      .join(broadcast(idx), Seq("lang", "source"))
+      .select($"doc_id", $"lang", $"source", $"stratum_rank",
+        (($"stratum_rank" - 1).cast("long") * nStrata + $"stratum_idx")
+          .as("position"))
+      .orderBy($"position")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p20_interleave" -> p20Interleave _,
     "p19_quality_classifier" -> p19QualityClassifier _,
     "p16_bpe_pairs" -> p16BpePairs _,
     "p17_dsir_select" -> p17DsirSelect _,
@@ -836,6 +874,24 @@ object Pipeline {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "p20_interleave" ->
+      """WITH s AS (SELECT DISTINCT lang, source FROM documents),
+        |idx AS (SELECT lang, source,
+        |          CAST(row_number() OVER (ORDER BY lang, source) - 1 AS INT)
+        |            AS stratum_idx
+        |        FROM s),
+        |n AS (SELECT count(*) AS n_strata FROM s),
+        |r AS (SELECT doc_id, lang, source,
+        |        CAST(row_number() OVER (PARTITION BY lang, source
+        |          ORDER BY md5('ord' || CAST(doc_id AS VARCHAR)), doc_id)
+        |          AS INT) AS stratum_rank
+        |      FROM documents)
+        |SELECT r.doc_id, r.lang, r.source, r.stratum_rank,
+        |  CAST((r.stratum_rank - 1) * n_strata + stratum_idx AS BIGINT)
+        |    AS position
+        |FROM r JOIN idx ON r.lang = idx.lang AND r.source = idx.source
+        |  CROSS JOIN n
+        |ORDER BY position""".stripMargin,
     "p19_quality_classifier" -> {
       val b = dsirBucketSql("tok")
       s"""WITH t AS (SELECT doc_id,

@@ -623,6 +623,31 @@ class PipelineSpec extends AnyFunSuite {
     assert(!plan.contains("Window"), "global Window in the selection path")
   }
 
+  test("p20: interleave rotates strata every round and is reproducible") {
+    val rows = Pipeline.p20Interleave(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getInt(3), r.getLong(4)))
+    val strata = rows.map(r => (r._2, r._3)).distinct
+    val s = strata.length
+    // positions are unique, and every full round (while all strata still
+    // have documents) contains each stratum exactly once
+    assert(rows.map(_._5).distinct.length == rows.length)
+    val minStratum = rows.groupBy(r => (r._2, r._3)).values.map(_.length).min
+    (0 until minStratum).foreach { round =>
+      val block = rows.filter(r => r._5 >= round.toLong * s &&
+        r._5 < (round + 1).toLong * s)
+      assert(block.length == s, s"round $round short: ${block.length}")
+      assert(block.map(r => (r._2, r._3)).distinct.length == s,
+        s"round $round repeats a stratum")
+    }
+    // no stratum ever appears twice before every other has appeared once
+    // within a round — and the ordering is run-to-run reproducible
+    val again = Pipeline.p20Interleave(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(4)))
+    assert(again.toSeq == rows.map(r => (r._1, r._5)).toSeq,
+      "interleave must be deterministic")
+  }
+
   test("p19: confusion matrix covers the whole test split; weights broadcast") {
     val df = Pipeline.p19QualityClassifier(spark, dir)
     val rows = df.collect()
