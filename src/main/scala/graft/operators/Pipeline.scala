@@ -779,25 +779,8 @@ object Pipeline {
     * crossJoin; per-doc scoring is one map-side-combined groupBy. */
   def p19QualityClassifier(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val toks = Tables.load(spark, dir, "documents")
-      .select($"doc_id",
-        expr("CAST(substring(source, 4, 8) AS INT) < 10").as("is_clean"),
-        explode(tokens($"text")).as("token"))
-      .withColumn("bucket", expr(dsirBucketSql("token")))
-    val train = toks.filter($"doc_id" % 2 === 0)
-    val cleanCnt = train.filter($"is_clean")
-      .groupBy($"bucket").agg(count(lit(1)).as("c_c"))
-    val noisyCnt = train.filter(!$"is_clean")
-      .groupBy($"bucket").agg(count(lit(1)).as("c_n"))
-    val weights = cleanCnt.join(noisyCnt, Seq("bucket"), "full")
-      .select($"bucket",
-        expr(s"((coalesce(c_c, 0) + 1) * $DsirScale)" +
-          " DIV (coalesce(c_n, 0) + 1)").as("wq"))
-    val thr = train
-      .agg(sum(when($"is_clean", 1L).otherwise(0L)).as("t_c"),
-        sum(when(!$"is_clean", 1L).otherwise(0L)).as("t_n"))
-      .select(expr(s"((t_c + $DsirBuckets) * $DsirScale)" +
-        s" DIV (t_n + $DsirBuckets)").as("thr"))
+    val toks = classifierTokens(spark, dir)
+    val (weights, thr) = classifierModel(spark, dir)
     toks.filter($"doc_id" % 2 === 1)
       .join(broadcast(weights), Seq("bucket"), "left")
       .groupBy($"doc_id", $"is_clean")
@@ -811,6 +794,61 @@ object Pipeline {
       .select($"is_clean".cast("int").as("actual_clean"),
         $"pred".cast("int").as("pred_clean"), $"n_docs")
       .orderBy($"actual_clean", $"pred_clean")
+  }
+
+  /** The bucketed token stream p19 trains and scores over. */
+  private def classifierTokens(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.load(spark, dir, "documents")
+      .select($"doc_id",
+        expr("CAST(substring(source, 4, 8) AS INT) < 10").as("is_clean"),
+        explode(tokens($"text")).as("token"))
+      .withColumn("bucket", expr(dsirBucketSql("token")))
+  }
+
+  /** p19's fitted model: the ≤256-row bucket weight table and the prior
+    * threshold — factored out so the streaming scorer consumes the SAME
+    * training artifact the batch confusion matrix is computed from. */
+  private[graft] def classifierModel(spark: SparkSession,
+                                     dir: String): (DataFrame, DataFrame) = {
+    import spark.implicits._
+    val train = classifierTokens(spark, dir).filter($"doc_id" % 2 === 0)
+    val cleanCnt = train.filter($"is_clean")
+      .groupBy($"bucket").agg(count(lit(1)).as("c_c"))
+    val noisyCnt = train.filter(!$"is_clean")
+      .groupBy($"bucket").agg(count(lit(1)).as("c_n"))
+    val weights = cleanCnt.join(noisyCnt, Seq("bucket"), "full")
+      .select($"bucket",
+        expr(s"((coalesce(c_c, 0) + 1) * $DsirScale)" +
+          " DIV (coalesce(c_n, 0) + 1)").as("wq"))
+    val thr = train
+      .agg(sum(when($"is_clean", 1L).otherwise(0L)).as("t_c"),
+        sum(when(!$"is_clean", 1L).otherwise(0L)).as("t_n"))
+      .select(expr(s"((t_c + $DsirBuckets) * $DsirScale)" +
+        s" DIV (t_n + $DsirBuckets)").as("thr"))
+    (weights, thr)
+  }
+
+  /** Streaming twin of p19's scorer — ingest-time quality filtering, the
+    * production deployment of a trained corpus classifier: documents
+    * arrive as a stream, tokens bucket map-side, the (static, ≤256-row)
+    * weight table attaches via a stream-static BROADCAST join, and the
+    * per-doc verdict aggregates in update mode keyed by doc_id. The
+    * threshold is a literal (driver-collected once from the fitted
+    * model); state per doc is one (count, sum) pair. Collapses to the
+    * batch p19 decision for every doc — spec-asserted. */
+  def classifierStream(stream: DataFrame, weights: DataFrame,
+                       thr: Long): DataFrame = {
+    import stream.sparkSession.implicits._
+    stream
+      .select($"doc_id", explode(tokens($"text")).as("token"))
+      .withColumn("bucket", expr(dsirBucketSql("token")))
+      .join(broadcast(weights), Seq("bucket"), "left")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(coalesce($"wq", lit(DsirScale))).as("score"))
+      .select($"doc_id", $"n_tokens",
+        ($"score" >= lit(thr) * $"n_tokens").as("pred_clean"))
   }
 
   /** P20 — deterministic training-order interleave: assign every document

@@ -234,6 +234,41 @@ class StreamingEventsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming classifier scoring collapses to the batch decisions") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val dir = SparkTestSession.sf0001
+    val (weights, thrDf) = graft.operators.Pipeline.classifierModel(s, dir)
+    val thr = thrDf.head.getLong(0)
+    val testDocs = Tables.load(s, dir, "documents")
+      .filter($"doc_id" % 2 === 1).as[Doc].collect().toSeq
+    val mem = MemoryStream[Doc]
+    val scored = graft.operators.Pipeline.classifierStream(
+      mem.toDS().toDF(), weights, thr)
+    val q = scored.writeStream.outputMode("update")
+      .format("memory").queryName("cls_test").start()
+    try {
+      testDocs.grouped(120).foreach { b =>
+        mem.addData(b); q.processAllAvailable()
+      }
+      val got = s.table("cls_test").collect()
+        .map(r => (r.getLong(0), (r.getLong(1), r.getBoolean(2))))
+        .groupBy(_._1)
+        .map { case (id, es) => id -> es.maxBy(_._2._1)._2._2 }
+      // the same scorer over the same split as one batch — identical
+      // weights, identical threshold, so decisions must match exactly
+      val batch = graft.operators.Pipeline.classifierStream(
+          Tables.load(s, dir, "documents").filter($"doc_id" % 2 === 1),
+          weights, thr).collect()
+        .map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+      assert(got == batch,
+        s"stream decisions diverge from batch for ${
+          got.keySet.filter(k => got(k) != batch(k))}")
+      assert(got.size == testDocs.size, "every fed doc must be scored")
+    } finally q.stop()
+  }
+
   test("streaming SCD2 closes exactly the batch q40 intervals with O(1) state") {
     val s = spark
     import s.implicits._
