@@ -232,6 +232,18 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("p20: stratum index attaches via broadcast; no global corpus window") {
+    val df = graft.SparkEntry.queries("p20_interleave")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the S-row strata table must broadcast:\n${plan.take(800)}")
+    // the only windows are the per-stratum rank (keyed) and the bounded
+    // strata-table index; the corpus itself must never sort in one task:
+    // its window partitioning must mention the stratum key
+    assert("Window \\[row_number".r.findAllIn(plan).size <= 2,
+      s"unexpected extra windows:\n${plan.take(800)}")
+  }
+
   test("v14: the N×C distance expansion never shuffles — centroids ride " +
       "one broadcast row") {
     val df = graft.SparkEntry.queries("v14_silhouette")(spark, dir)
