@@ -71,6 +71,42 @@ object Profile {
       return
     }
 
+    // `annprobe`: time the model-consuming ANN family twice — the first
+    // run pays any cold-store fit (+persist), the second consumes the
+    // persisted model (the production steady state the bench reflects).
+    if (args.headOption.contains("annprobe")) {
+      for (name <- Seq("v4_ann_ivf", "v8_semantic_dedup", "v10_ann_pq",
+                       "v15_ann_ivfpq")) {
+        val q = SparkEntry.queries(name)
+        val t1 = timed(noop(q(spark, sfDir)))
+        val t2 = timed(noop(q(spark, sfDir)))
+        println(f"[probe] $name%-18s first=$t1%.3f s (store fit or hit) " +
+          f"second=$t2%.3f s (store hit)")
+      }
+      spark.stop()
+      return
+    }
+
+    // `v15recall`: v15 recall@K vs the exact v1 top-k across nprobe —
+    // the tuning curve behind the recall-spec floor.
+    if (args.headOption.contains("v15recall")) {
+      import graft.operators.Similarity
+      val exact = Similarity.v1AnnTopK(spark, sfDir).collect()
+        .map(r => (r.getLong(0), r.getLong(2))).groupBy(_._1)
+        .view.mapValues(_.map(_._2).toSet).toMap
+      for (np <- Seq(4, 5, 6, 7, 8, 10)) {
+        val got = Similarity.v15AnnIvfPq(spark, sfDir, nprobe = np)
+          .collect().map(r => (r.getLong(0), r.getLong(2))).groupBy(_._1)
+          .view.mapValues(_.map(_._2).toSet).toMap
+        val rs = exact.map { case (q, ids) =>
+          got.getOrElse(q, Set.empty).intersect(ids).size.toDouble / ids.size
+        }
+        println(f"[probe] v15 nprobe=$np%2d recall=${rs.sum / rs.size}%.3f")
+      }
+      spark.stop()
+      return
+    }
+
     // `skewprobe [n]`: MEASURE the claim the dedup/text scaladocs lean on
     // — that AQE's skew-join splits a hot probe key across tasks where a
     // window partition cannot be split. Builds an n-row fact table where
