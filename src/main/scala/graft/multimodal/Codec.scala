@@ -490,6 +490,12 @@ object Codec {
                                 factSamples: Int): Array[Short] = {
     require(blockAlign > 4 && samplesPerBlock == (blockAlign - 4) * 2 + 1,
       s"unsupported ADPCM block layout ($blockAlign/$samplesPerBlock)")
+    // fail fast like the other unsupported shapes: a trailing partial
+    // block (external encoders may emit one) would otherwise be silently
+    // discarded by the len/blockAlign floor
+    require(len % blockAlign == 0,
+      s"ADPCM data chunk length $len is not a whole number of " +
+        s"$blockAlign-byte blocks (trailing partial block unsupported)")
     val nBlocks = len / blockAlign
     val total =
       if (factSamples > 0) factSamples else nBlocks * samplesPerBlock

@@ -351,7 +351,7 @@ object Relational {
   def q21Sessionize(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val w = Window.partitionBy($"user_id").orderBy($"ts".asc, $"event_id".asc)
-    val gapUs = 30L * 60 * 1000000
+    val gapUs = SessionGapUs
     Tables.load(spark, dir, "events")
       .withColumn("prev_us", lag(unix_micros($"ts"), 1).over(w))
       .withColumn("new_sess",
@@ -605,6 +605,10 @@ object Relational {
   /** Bin width (µs) for q39 — equal to the interval length, so every
     * interval covers at most two bins. */
   val RangeBinUs: Long = 30L * 60 * 1000000
+
+  /** Q21's session gap — shared with its oracle SQL so query and oracle
+    * can never desynchronize on the constant. */
+  val SessionGapUs: Long = 30L * 60 * 1000000
 
   /** Q39 — range join WITHOUT an equi-key, made scalable by binning: count
     * all events (any user) inside each incident's [t0, t0+30min) window.
@@ -977,8 +981,8 @@ object Relational {
         |    ORDER BY ts, event_id) IS NULL AS INT) AS is_current
         |FROM ch ORDER BY user_id, valid_from_us, change_id""".stripMargin,
     "q39_range_join_binned" ->
-      """WITH e AS (SELECT event_id, epoch_us(ts) AS us FROM events),
-        |iv AS (SELECT event_id AS incident_id, us AS t0, us + 1800000000 AS t1
+      s"""WITH e AS (SELECT event_id, epoch_us(ts) AS us FROM events),
+        |iv AS (SELECT event_id AS incident_id, us AS t0, us + $RangeBinUs AS t1
         |       FROM e WHERE event_id % 50 = 0)
         |SELECT incident_id, CAST(count(*) AS BIGINT) AS n_events
         |FROM iv JOIN e ON e.us >= iv.t0 AND e.us < iv.t1
@@ -1263,14 +1267,14 @@ object Relational {
         |  AND CAST(json_extract_string(props, '$.k') AS INT) >= 50
         |ORDER BY event_id""".stripMargin,
     "q21_sessionize" ->
-      """WITH t AS (
+      s"""WITH t AS (
         |  SELECT user_id, event_id, epoch_us(ts) AS us,
         |    lag(epoch_us(ts), 1) OVER (PARTITION BY user_id
         |      ORDER BY ts ASC, event_id ASC) AS prev_us
         |  FROM events),
         |s AS (
         |  SELECT user_id, event_id, us,
-        |    CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000
+        |    CASE WHEN prev_us IS NULL OR us - prev_us > $SessionGapUs
         |         THEN 1 ELSE 0 END AS new_sess
         |  FROM t),
         |g AS (

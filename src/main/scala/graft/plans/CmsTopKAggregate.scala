@@ -40,8 +40,12 @@ import org.apache.spark.unsafe.types.UTF8String
   * vocabulary. A global top-k token can only be lost if it was pruned
   * from EVERY partial, which cap ≫ k makes implausible (it would have to
   * trail `cap` locally-heavier tokens in every partition it touches).
-  * The companion spec asserts repartition-invariance and the one-sided
-  * error bound against the exact counts.
+  * That guarantee is PROBABILISTIC, not structural: serialize-time
+  * pruning ranks against partition-local counters, so under adversarial
+  * skew a global top-k token concentrated in no partition's local top
+  * `cap` is silently lost. The `cap >= 8*k` floor below keeps the loss
+  * probability negligible for Zipf-like corpora; the companion spec's
+  * repartition-invariance check is evidence over the fixture, not proof.
   */
 case class CmsTopKAggregate(
     tokenExpr: Expression,
@@ -55,7 +59,10 @@ case class CmsTopKAggregate(
 
   import CmsTopKAggregate.Buffer
 
-  require(cap >= k, s"candidate cap $cap must cover k=$k")
+  require(cap >= 8 * k,
+    s"candidate cap $cap must be >= 8*k=${8 * k}: serialize-time pruning is " +
+      "partition-local, and a thin cap makes losing a global top-k token " +
+      "under skew plausible rather than negligible")
 
   override def children: Seq[Expression] = Seq(tokenExpr)
   override def nullable: Boolean = false

@@ -77,7 +77,11 @@ object StatefulOps {
     * row id, Debezium) provides. At-least-once redelivery of the event
     * that opened the current interval is absorbed by the unchanged-state
     * branch (its state equals the open interval's, so it emits nothing
-    * and does not advance the interval). */
+    * and does not advance the interval). A state-CHANGING event whose ts
+    * predates the open interval's start is a broken ordering contract;
+    * rather than emit an inverted [valid_from, valid_to) interval, it is
+    * DROPPED (guard below) — the observable symptom of upstream disorder
+    * is a missing interval, never a corrupt one. */
   def scd2Stream(events: Dataset[(Long, Long, Long, String)])
       : Dataset[Scd2Change] = {
     implicit val outEnc: Encoder[Scd2Change] = Encoders.product[Scd2Change]
@@ -96,6 +100,9 @@ object StatefulOps {
               // no change — also absorbs an at-least-once redelivery of
               // the opening event (same state, emits nothing)
               case Some(s) if s.state == typ =>
+              // ordering-contract violation: closing at ts < valid_from
+              // would invert the interval — drop instead (scaladoc)
+              case Some(s) if ts < s.valid_from_us =>
               case Some(s) =>
                 out += Scd2Change(user, s.change_id, s.state,
                   s.valid_from_us, ts)
@@ -131,7 +138,11 @@ object StatefulOps {
     * FIFO eviction — a saturated bucket compares each arrival against the
     * `bucketCap` most recent residents (well-defined sliding-window
     * semantics; an overflowing bucket means the banding parameters are
-    * wrong for the corpus, the same failure mode batch LSH has). A pair
+    * wrong for the corpus, the same failure mode batch LSH has). Recall
+    * loss from saturation is OBSERVABLE, not silent: every eviction bumps
+    * `overflowAcc` (a caller-supplied accumulator, visible in the Spark
+    * UI when named) — a non-zero count is the retune-the-banding signal.
+    * A pair
     * colliding in several bands emits once per band; consumers dedupe on
     * (d1, d2) — cheaper than cross-band coordination inside the state
     * function. Exactly-replayed documents (at-least-once delivery) are
@@ -143,7 +154,9 @@ object StatefulOps {
   def nearDupStream(docs: org.apache.spark.sql.DataFrame,
                     k: Int = 32, bands: Int = 8,
                     threshold: Double = graft.operators.Dedup.JaccardThreshold,
-                    bucketCap: Int = 64): Dataset[NearDupMatch] = {
+                    bucketCap: Int = 64,
+                    overflowAcc: Option[org.apache.spark.util.LongAccumulator] =
+                      None): Dataset[NearDupMatch] = {
     import org.apache.spark.sql.functions._
     import graft.functions.TextFunctions.{minHashSignature, shingleHashes}
     val spark = docs.sparkSession
@@ -186,7 +199,10 @@ object StatefulOps {
               // saturated bucket degrades to a recent-window comparison
               // (never a doc that silently joins no window at all)
               ids :+= id; sgs :+= sig
-              if (ids.length > bucketCap) { ids = ids.tail; sgs = sgs.tail }
+              if (ids.length > bucketCap) {
+                ids = ids.tail; sgs = sgs.tail
+                overflowAcc.foreach(_.add(1L))
+              }
               changed = true
             }
           }

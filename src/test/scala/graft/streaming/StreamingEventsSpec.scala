@@ -307,6 +307,34 @@ class StreamingEventsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming SCD2 drops ordering-contract violations instead of " +
+    "emitting inverted intervals") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val mem = MemoryStream[(Long, Long, Long, String)]
+    val q = StatefulOps.scd2Stream(mem.toDS()).writeStream
+      .outputMode("append").format("memory").queryName("scd2_ooo").start()
+    try {
+      mem.addData(Seq((1L, 1L, 100L, "a"), (1L, 2L, 200L, "b")))
+      q.processAllAvailable()
+      // eid=3 arrives late: ts 150 predates the open interval's start 200.
+      // Closing with it would emit the inverted [200, 150); the guard
+      // drops it instead, so eid=4 closes b at its true end.
+      mem.addData(Seq((1L, 3L, 150L, "c")))
+      q.processAllAvailable()
+      mem.addData(Seq((1L, 4L, 300L, "a")))
+      q.processAllAvailable()
+      val got = s.table("scd2_ooo").collect()
+        .map(r => (r.getLong(1), r.getString(2), r.getLong(3), r.getLong(4)))
+        .toSet
+      assert(got == Set((1L, "a", 100L, 200L), (2L, "b", 200L, 300L)),
+        s"out-of-order close must be dropped, got $got")
+      assert(got.forall { case (_, _, f, t) => f < t },
+        "no inverted intervals may ever be emitted")
+    } finally q.stop()
+  }
+
   // the state backend that holds streaming aggregation state at 100 TB:
   // RocksDB keeps state off-heap/on-disk per executor instead of in the
   // JVM heap (bundled with Spark 4; no external service)
@@ -577,5 +605,38 @@ class StreamingEventsSpec extends AnyFunSuite {
       assert(streamed == batch,
         s"streaming near-dup != batch d4 (${streamed.size} vs ${batch.size})")
     } finally q.stop()
+  }
+
+  test("nearDupStream bucket saturation is observable via the overflow " +
+    "accumulator") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val dir = SparkTestSession.sf0001
+    val docs = Tables.load(s, dir, "documents").as[Doc].collect().toSeq
+
+    // ample cap: no eviction may occur, and the counter must say so
+    val cleanAcc = s.sparkContext.longAccumulator("neardup.overflow.clean")
+    val mem1 = MemoryStream[Doc]
+    val q1 = StatefulOps.nearDupStream(
+        mem1.toDF().select($"doc_id", $"text"), overflowAcc = Some(cleanAcc))
+      .writeStream.outputMode("update")
+      .format("memory").queryName("neardup_ovf_clean").start()
+    try { mem1.addData(docs); q1.processAllAvailable() } finally q1.stop()
+    assert(cleanAcc.value == 0L,
+      s"default cap must absorb the fixture without eviction (${cleanAcc.value})")
+
+    // bucketCap=1 forces every second resident of any shared bucket out —
+    // recall degradation the accumulator must surface as a non-zero count
+    val tightAcc = s.sparkContext.longAccumulator("neardup.overflow.tight")
+    val mem2 = MemoryStream[Doc]
+    val q2 = StatefulOps.nearDupStream(
+        mem2.toDF().select($"doc_id", $"text"),
+        bucketCap = 1, overflowAcc = Some(tightAcc))
+      .writeStream.outputMode("update")
+      .format("memory").queryName("neardup_ovf_tight").start()
+    try { mem2.addData(docs); q2.processAllAvailable() } finally q2.stop()
+    assert(tightAcc.value > 0L,
+      "a saturating cap must be visible in the overflow accumulator")
   }
 }
