@@ -44,14 +44,21 @@ final class Statement private[api] (
   }
 
   /** Result pages as a raw-record iterator: streaming statements read the
-    * live changelog cursor; batch statements produce one page of `+I` rows
-    * (a bounded query's entire changelog is its result set).
+    * live changelog cursor; batch statements produce `+I` rows (a bounded
+    * query's entire changelog is its result set).
     *
     * The streaming iterator never exhausts (the query is continuous), so
     * consumers must pass a bounded `limit` to `Changelog.consume`. Each
     * empty poll sleeps `heartbeatMs` before yielding its heartbeat —
     * the in-process stand-in for the reference's per-page HTTP round trip,
-    * without which a drained cursor busy-spins. */
+    * without which a drained cursor busy-spins.
+    *
+    * The batch path serves `toLocalIterator()` — one partition on the
+    * driver at a time, fetched as the consumer pages — never `collect()`:
+    * a batch statement over a 100 TB table must not materialize its whole
+    * result driver-side just because the client reads page 1. Failures
+    * surface lazily (on the `hasNext`/`next` that hits the bad partition)
+    * and flip the statement to Failed, same as the eager path did. */
   def results(heartbeatMs: Long = 10L): Iterator[Option[RawRecord]] =
     streamHandle match {
       case Some(h) => new Iterator[Option[RawRecord]] {
@@ -64,12 +71,19 @@ final class Statement private[api] (
             None
         }
       }
-      case None =>
-        val rows =
-          try df.collect()
+      case None => new Iterator[Option[RawRecord]] {
+        private val rows =
+          try df.toLocalIterator()
           catch { case e: Throwable => failure = Some(e); throw e }
-        rows.iterator.map(r =>
-          Some(RawRecord(Some(Op.Insert.code), r.toSeq.toVector)))
+        override def hasNext: Boolean =
+          try rows.hasNext
+          catch { case e: Throwable => failure = Some(e); throw e }
+        override def next(): Option[RawRecord] = {
+          val r = try rows.next()
+                  catch { case e: Throwable => failure = Some(e); throw e }
+          Some(RawRecord(Some(Op.Insert.code), r.toSeq.toVector))
+        }
+      }
     }
 
   def stop(): Unit = streamHandle.foreach(_.stop())

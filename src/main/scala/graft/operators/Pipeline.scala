@@ -888,7 +888,45 @@ object Pipeline {
       .orderBy($"position")
   }
 
+  /** P21 — one-pass column profiling (the stats-collection operator every
+    * ingestion pipeline runs before anything else: null rates, cardinality,
+    * value footprint per column). Emits one row per column of `documents`:
+    * row count, non-null count, exact distinct count, and the total/mean
+    * length of the canonical string rendering.
+    *
+    * Scale shape: ONE scan of the table computes all 5 columns × 4
+    * metrics in a single Aggregate — the multi-distinct is Catalyst's
+    * Expand (factor = #distinct-columns + 1), the standard space-time
+    * trade for exact multi-column NDV; everything else rides the same
+    * partial/final aggregation. The wide 1-row result is unpivoted with
+    * stack() AFTER aggregation — driver-side width, zero extra passes.
+    * At 100 TB you'd swap exact NDV for HLL sketches (q23's machinery)
+    * per-column; the plan shape is otherwise unchanged. Mean length is a
+    * ratio of exact ints (engine-exact, the NOTES determinism rule). */
+  def p21Profile(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cols = Seq("doc_id", "text", "lang", "source", "n_chars")
+    val aggs = cols.flatMap { c =>
+      Seq(count(lit(1)).as(s"${c}__rows"),
+        count(col(c)).as(s"${c}__nonnull"),
+        countDistinct(col(c)).as(s"${c}__distinct"),
+        sum(length(col(c).cast("string")).cast("long")).as(s"${c}__len"))
+    }
+    val stackArgs = cols
+      .map(c => s"'$c', ${c}__rows, ${c}__nonnull, ${c}__distinct, ${c}__len")
+      .mkString(", ")
+    Tables.load(spark, dir, "documents")
+      .agg(aggs.head, aggs.tail: _*)
+      .selectExpr(s"stack(${cols.size}, $stackArgs) AS " +
+        "(col_name, n_rows, n_nonnull, n_distinct, total_len)")
+      .select($"col_name", $"n_rows", $"n_nonnull", $"n_distinct",
+        $"total_len",
+        ($"total_len".cast(DoubleType) / $"n_nonnull").as("mean_len"))
+      .orderBy($"col_name")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p21_profile" -> p21Profile _,
     "p20_interleave" -> p20Interleave _,
     "p19_quality_classifier" -> p19QualityClassifier _,
     "p16_bpe_pairs" -> p16BpePairs _,
@@ -912,6 +950,16 @@ object Pipeline {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "p21_profile" -> Seq("doc_id", "text", "lang", "source", "n_chars")
+      .map(c =>
+        s"""SELECT '$c' AS col_name, CAST(count(*) AS BIGINT) AS n_rows,
+           |  CAST(count($c) AS BIGINT) AS n_nonnull,
+           |  CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+           |  CAST(sum(length(CAST($c AS VARCHAR))) AS BIGINT) AS total_len,
+           |  CAST(CAST(sum(length(CAST($c AS VARCHAR))) AS BIGINT) AS DOUBLE)
+           |    / count($c) AS mean_len
+           |FROM documents""".stripMargin)
+      .mkString("", "\nUNION ALL\n", "\nORDER BY col_name"),
     "p20_interleave" ->
       """WITH s AS (SELECT DISTINCT lang, source FROM documents),
         |idx AS (SELECT lang, source,

@@ -907,8 +907,61 @@ object Relational {
       .orderBy($"user_id", $"sec", $"event_id")
   }
 
+  /** Q42 — CDC MERGE (upsert-apply): fold a change feed into a keyed
+    * snapshot in one pass — the operation every incremental warehouse
+    * load runs (MERGE INTO in Delta/Iceberg terms; the reference's Flink
+    * runtime maintains the same thing continuously as an updating
+    * materialization, see SURVEY §2A S10). The change feed is `events`
+    * keyed by user_id — the LATEST change per key wins (ts, event_id
+    * tiebreak); the snapshot is `customer` restricted to c_custkey % 3
+    * <> 0 so all three merge arms are exercised on every fixture scale:
+    * matched+update (latest change is a normal event), matched+delete
+    * (latest change is an 'error'), and not-matched+insert (a change key
+    * outside the snapshot). A not-matched 'error' is a no-op, and an
+    * untouched snapshot row passes through — the full MERGE matrix.
+    *
+    * Scale shape: the latest-per-key reduction is a max_by aggregate
+    * (partial map-side, ONE shuffle on user_id — not a rank window, which
+    * would sort every key's full history); the merge itself is a single
+    * full-outer sort-merge join on the same key — co-partitioned with the
+    * reduction, AQE-skew-splittable, no broadcast assumption on either
+    * side (at 100 TB both snapshot and feed are large). Money stays in
+    * cent-longs until emission (the q36 rule). */
+  def q42MergeUpsert(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val latest = Tables.load(spark, dir, "events")
+      .select($"user_id",
+        struct(unix_micros($"ts").as("us"), $"event_id".as("eid"),
+          $"event_type".as("typ"),
+          round($"value" * 100).cast("long").as("cents")).as("ch"))
+      .groupBy($"user_id")
+      .agg(max($"ch").as("ch")) // struct max = (us, eid) lexicographic
+      .select($"user_id", $"ch".getField("typ").as("ev_type"),
+        $"ch".getField("cents").as("ev_cents"))
+    val target = Tables.load(spark, dir, "customer")
+      .filter($"c_custkey" % 3 =!= 0)
+      .select($"c_custkey", $"c_name", $"c_mktsegment",
+        round($"c_acctbal" * 100).cast("long").as("cents"))
+    target.join(latest, $"c_custkey" === $"user_id", "full_outer")
+      .filter(coalesce($"ev_type", lit("")) =!= "error")
+      .select(
+        coalesce($"c_custkey", $"user_id").as("merge_key"),
+        when($"c_custkey".isNull,
+          concat(lit("cdc-"), $"user_id".cast("string")))
+          .otherwise($"c_name").as("c_name"),
+        when($"c_custkey".isNull, lit("NEW"))
+          .otherwise($"c_mktsegment").as("c_mktsegment"),
+        (coalesce($"ev_cents", $"cents").cast(DoubleType) / 100)
+          .as("acctbal"),
+        when($"c_custkey".isNull, lit("inserted"))
+          .when($"ev_type".isNull, lit("kept"))
+          .otherwise(lit("updated")).as("action"))
+      .orderBy($"merge_key")
+  }
+
   /** All relational queries, keyed for SparkEntry. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q42_merge_upsert" -> q42MergeUpsert _,
     "q41_range_frame" -> q41RangeFrame _,
     "q40_scd2" -> q40Scd2 _,
     "q38_not_in_nulls" -> q38NotInNulls _,
@@ -954,6 +1007,29 @@ object Relational {
 
   /** DuckDB oracle SQL per query (column names and ORDER BY must match). */
   val oracleSql: Map[String, String] = Map(
+    "q42_merge_upsert" ->
+      """WITH latest AS (
+        |  SELECT user_id, event_type AS ev_type,
+        |         CAST(round(value * 100) AS BIGINT) AS ev_cents
+        |  FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+        |          ORDER BY ts DESC, event_id DESC) AS rn FROM events) t
+        |  WHERE rn = 1),
+        |tgt AS (SELECT c_custkey, c_name, c_mktsegment,
+        |          CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+        |        FROM customer WHERE c_custkey % 3 <> 0)
+        |SELECT COALESCE(t.c_custkey, l.user_id) AS merge_key,
+        |  CASE WHEN t.c_custkey IS NULL
+        |       THEN 'cdc-' || CAST(l.user_id AS VARCHAR)
+        |       ELSE t.c_name END AS c_name,
+        |  CASE WHEN t.c_custkey IS NULL THEN 'NEW'
+        |       ELSE t.c_mktsegment END AS c_mktsegment,
+        |  CAST(COALESCE(l.ev_cents, t.cents) AS DOUBLE) / 100 AS acctbal,
+        |  CASE WHEN t.c_custkey IS NULL THEN 'inserted'
+        |       WHEN l.user_id IS NULL THEN 'kept'
+        |       ELSE 'updated' END AS action
+        |FROM tgt t FULL OUTER JOIN latest l ON t.c_custkey = l.user_id
+        |WHERE COALESCE(l.ev_type, '') <> 'error'
+        |ORDER BY merge_key""".stripMargin,
     "q41_range_frame" ->
       """WITH p AS (SELECT user_id, event_id,
         |        epoch_us(ts) // 1000000 AS sec,

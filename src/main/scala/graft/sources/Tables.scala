@@ -32,16 +32,31 @@ object Tables {
       if (name == "events") loadEvents(spark, dir)
       else spark.read.parquet(s"$dir/$name.parquet"))
 
-  /** events.parquet stores `ts` as parquet TIMESTAMP(NANOS), which Spark's
-    * vectorized reader rejects outright. Read nanos as raw INT64
-    * (`spark.sql.legacy.parquet.nanosAsLong`) and truncate to microseconds —
-    * the same truncation DuckDB applies — so `ts` is a first-class
-    * TimestampType downstream (watermarks, date functions). */
+  /** events.parquet has shipped `ts` in two physical shapes across fixture
+    * generations: parquet TIMESTAMP(NANOS) (which Spark's vectorized reader
+    * rejects — read nanos as raw INT64 via
+    * `spark.sql.legacy.parquet.nanosAsLong` and truncate to micros, the
+    * same truncation DuckDB applies) and plain TIMESTAMP(MICROS) without
+    * UTC adjustment (which Spark reads as TIMESTAMP_NTZ). Normalize BOTH to
+    * session-zone TimestampType so downstream code (watermarks, unix_micros,
+    * range frames) sees one type; the NTZ→LTZ cast is numerically identity
+    * because every session in this engine pins spark.sql.session.timeZone
+    * to UTC — the same convention DuckDB's epoch_us applies to naive
+    * timestamps, which is what keeps the oracle comparable. */
   private def loadEvents(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = spark.read.parquet(s"$dir/events.parquet")
-    raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    raw.schema("ts").dataType match {
+      case LongType => // TIMESTAMP(NANOS) read as raw nanos
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => // TIMESTAMP(MICROS), isAdjustedToUTC=false
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+      case TimestampType => raw
+      case other =>
+        throw new IllegalStateException(s"unexpected events.ts type: $other")
+    }
   }
 
   /** Register every fixture table as a temp view named after the table. */

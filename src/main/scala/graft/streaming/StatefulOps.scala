@@ -211,6 +211,100 @@ object StatefulOps {
       }
   }
 
+  /** One side's change to a continuously-maintained join: an upsert
+    * (`delete=false`, the row (id → value) is now live on `side`) or a
+    * delete (`delete=true`, id leaves). `left` tags which input the change
+    * belongs to once the two feeds are unioned onto one keyed stream. */
+  case class JoinEvent(key: Long, left: Boolean, id: Long, value: String,
+                       delete: Boolean)
+
+  /** An emitted delta of the maintained join view: `op` uses the
+    * changelog codes (0 = +I, 3 = -D, matching [[graft.changelog.Op]]). */
+  case class JoinDelta(op: Int, key: Long, left_id: Long, left_value: String,
+                       right_id: Long, right_value: String)
+
+  /** Per-join-key live rows of both inputs — exactly the state Flink's
+    * streaming two-input join keeps (ids and current values; nothing of
+    * the history). Parallel seqs, not Maps: Spark's product encoder
+    * round-trips them cheaply and live-row counts per key are join-state
+    * sized, not corpus sized. */
+  case class JoinState(lid: Seq[Long], lval: Seq[String],
+                       rid: Seq[Long], rval: Seq[String])
+
+  /** Continuously-maintained INNER equi-join over two changelog (upsert/
+    * delete) feeds — the reference's Flink runtime maintains exactly this
+    * for a two-table continuous `JOIN` statement (SURVEY §2A S10/S14 is
+    * the single-input aggregate case; this is the two-input operator), and
+    * it is the one streaming shape Structured Streaming's built-in
+    * stream-stream join does NOT express: built-in joins are append-only
+    * with watermark-bounded state, while a changelog join must RETRACT
+    * previously-emitted matches when either side updates or deletes.
+    *
+    * Both feeds arrive unioned and tagged ([[JoinEvent]]); state is keyed
+    * by the equi-join key. Every arriving change emits the exact join
+    * deltas: an upsert of a row that had an old value first retracts
+    * (`-D`) its old matches, then inserts (`+I`) matches with the current
+    * opposite side; a delete retracts its live matches. Collapsing the
+    * emitted deltas (+I adds a joined row, -D removes it) at ANY prefix of
+    * the stream yields precisely `left ⋈ right` of the rows live at that
+    * prefix — the incremental-view-maintenance invariant, property-tested
+    * against random interleavings in StreamingEventsSpec.
+    *
+    * Scale shape: state lives in the executor StateStore sharded by join
+    * key (same layout as a streaming aggregate — nothing driver-side);
+    * per-key state is the live rows of that key only, the irreducible
+    * cost of the operator (Flink keeps the same). Emission per change is
+    * |opposite side of this key| — the true output delta, not a rescan.
+    * Events within one micro-batch fold in arrival order via the sorted
+    * `seq` tiebreak below. */
+  def changelogJoinStream(events: Dataset[(Long, JoinEvent)])
+      : Dataset[JoinDelta] = {
+    implicit val stateEnc: Encoder[JoinState] = Encoders.product[JoinState]
+    implicit val outEnc: Encoder[JoinDelta] = Encoders.product[JoinDelta]
+    implicit val keyEnc: Encoder[Long] = Encoders.scalaLong
+    events.groupByKey(_._2.key)
+      .flatMapGroupsWithState[JoinState, JoinDelta](
+        OutputMode.Update, GroupStateTimeout.NoTimeout()) {
+        (key: Long, rows: Iterator[(Long, JoinEvent)],
+         state: GroupState[JoinState]) =>
+          var s = state.getOption.getOrElse(JoinState(Nil, Nil, Nil, Nil))
+          val out = Seq.newBuilder[JoinDelta]
+          // micro-batch iterator order is not a delivery contract; the
+          // caller-supplied seq number makes the fold deterministic
+          rows.toSeq.sortBy(_._1).foreach { case (_, e) =>
+            val (ids, vals, oIds, oVals) =
+              if (e.left) (s.lid, s.lval, s.rid, s.rval)
+              else (s.rid, s.rval, s.lid, s.lval)
+            val at = ids.indexOf(e.id)
+            // retract the old value's matches (update or delete)
+            if (at >= 0) {
+              val old = vals(at)
+              oIds.zip(oVals).foreach { case (oi, ov) =>
+                out += (if (e.left) JoinDelta(3, key, e.id, old, oi, ov)
+                        else JoinDelta(3, key, oi, ov, e.id, old))
+              }
+            }
+            val (keepIds, keepVals) =
+              if (at >= 0) (ids.patch(at, Nil, 1), vals.patch(at, Nil, 1))
+              else (ids, vals)
+            val (nextIds, nextVals) =
+              if (e.delete) (keepIds, keepVals)
+              else {
+                oIds.zip(oVals).foreach { case (oi, ov) =>
+                  out += (if (e.left) JoinDelta(0, key, e.id, e.value, oi, ov)
+                          else JoinDelta(0, key, oi, ov, e.id, e.value))
+                }
+                (keepIds :+ e.id, keepVals :+ e.value)
+              }
+            s = if (e.left) s.copy(lid = nextIds, lval = nextVals)
+                else s.copy(rid = nextIds, rval = nextVals)
+          }
+          if (s.lid.isEmpty && s.rid.isEmpty) state.remove()
+          else state.update(s)
+          out.result().iterator
+      }
+  }
+
   /** Running count + last value per key, emitting an update per input
     * batch in which the key appeared. */
   def runningCounts[T](ds: Dataset[T], keyFn: T => String,

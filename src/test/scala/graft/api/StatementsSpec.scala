@@ -201,6 +201,26 @@ class StatementsSpec extends AnyFunSuite {
     assert(stmts.get(again.name).contains(again))
   }
 
+  test("batch results page partition-at-a-time, never a full collect") {
+    val stmts = new Statements(spark)
+    // every evaluated row bumps the accumulator; an eager collect() would
+    // evaluate all 160 rows before serving page 1
+    val acc = spark.sparkContext.longAccumulator("rows-evaluated")
+    spark.udf.register("touch_acc", (x: Long) => { acc.add(1L); x })
+    val stmt = stmts.create(
+      "SELECT touch_acc(id) AS id FROM range(0, 160, 1, 16)")
+    val it = stmt.results()
+    val first = it.next()
+    assert(first.exists(_.row == Vector(0L)))
+    assert(acc.value < 160L,
+      s"consuming row 1 evaluated ${acc.value}/160 rows — batch results " +
+        "must stream via toLocalIterator, not collect()")
+    // draining the iterator still yields the complete, ordered result
+    val rest = it.flatten.map(_.row.head.asInstanceOf[Long]).toVector
+    assert(first.get.row.head.asInstanceOf[Long] +: rest == (0L until 160L))
+    assert(acc.value >= 160L)
+  }
+
   test("a failing batch statement reaches the failed phase") {
     Tables.registerAll(spark, SparkTestSession.sf0001)
     val stmts = new Statements(spark)

@@ -648,6 +648,37 @@ class PipelineSpec extends AnyFunSuite {
       "interleave must be deterministic")
   }
 
+  test("p21: one-pass profile matches per-column recomputes; single scan") {
+    val df = Pipeline.p21Profile(spark, dir)
+    val rows = df.collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5))).toMap
+    val docs = graft.sources.Tables.load(spark, dir, "documents")
+    val n = docs.count()
+    assert(rows.keySet ==
+      Set("doc_id", "text", "lang", "source", "n_chars"))
+    rows.foreach { case (c, (nRows, nn, nd, len, mean)) =>
+      assert(nRows == n, s"$c row count")
+      assert(nn == n, s"$c has no nulls in the fixture")
+      assert(nd <= nn && nd > 0, s"$c distinct bounds")
+      assert(math.abs(mean - len.toDouble / nn) < 1e-9, s"$c mean_len")
+    }
+    // independent recomputes for the interesting columns
+    assert(rows("doc_id")._3 == n, "doc_id is a key: distinct == rows")
+    val textLen = docs.selectExpr("CAST(sum(length(text)) AS BIGINT)")
+      .head().getLong(0)
+    assert(rows("text")._4 == textLen)
+    val langs = docs.select("lang").distinct().count()
+    assert(rows("lang")._3 == langs)
+    // scale shape: all 20 metrics ride ONE scan of the parquet (the
+    // multi-distinct Expand rewrites to a single-pass aggregate tree);
+    // count scans on the pre-AQE physical plan (the executed plan's
+    // toString repeats the tree in its Initial Plan section)
+    val plan = df.queryExecution.sparkPlan.toString
+    val scans = "Scan parquet".r.findAllIn(plan).length
+    assert(scans == 1, s"profile must be one pass, saw $scans:\n${plan.take(800)}")
+  }
+
   test("p19: confusion matrix covers the whole test split; weights broadcast") {
     val df = Pipeline.p19QualityClassifier(spark, dir)
     val rows = df.collect()

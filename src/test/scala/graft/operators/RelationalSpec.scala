@@ -189,6 +189,47 @@ class RelationalSpec extends AnyFunSuite {
     }
   }
 
+  test("q42: merge applies the full MERGE matrix against a driver recompute") {
+    val dir = SparkTestSession.sf0001
+    val got = Relational.q42MergeUpsert(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getDouble(3), r.getString(4)))
+    // driver-side recompute from the raw fixtures
+    val events = graft.sources.Tables.load(spark, dir, "events")
+      .selectExpr("user_id", "unix_micros(ts) AS us", "event_id",
+        "event_type", "CAST(round(value * 100) AS BIGINT) AS cents")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3),
+        r.getLong(4)))
+    val latest = events.groupBy(_._1).view
+      .mapValues(_.maxBy(e => (e._2, e._3))).toMap
+    val target = graft.sources.Tables.load(spark, dir, "customer")
+      .selectExpr("c_custkey", "c_name", "c_mktsegment",
+        "CAST(round(c_acctbal * 100) AS BIGINT) AS cents")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .filter(_._1 % 3 != 0)
+    val tgtKeys = target.map(_._1).toSet
+    val expected = (target.flatMap { case (k, name, seg, cents) =>
+      latest.get(k) match {
+        case Some((_, _, _, "error", _)) => None // matched delete
+        case Some((_, _, _, _, ev)) =>
+          Some((k, name, seg, ev.toDouble / 100, "updated"))
+        case None => Some((k, name, seg, cents.toDouble / 100, "kept"))
+      }
+    } ++ latest.collect {
+      case (k, (_, _, _, typ, ev)) if !tgtKeys.contains(k) && typ != "error" =>
+        (k, s"cdc-$k", "NEW", ev.toDouble / 100, "inserted")
+    }).sortBy(_._1)
+    assert(got.toSeq == expected.toSeq)
+    // every merge arm must actually fire on the fixture
+    val arms = got.map(_._5).toSet
+    assert(arms == Set("kept", "updated", "inserted"),
+      s"fixture must exercise all arms, saw $arms")
+    assert(tgtKeys.exists(k => latest.get(k).exists(_._4 == "error")),
+      "fixture must exercise the matched-delete arm")
+  }
+
   test("q40: SCD2 intervals tile each user's timeline with alternating states") {
     val rows = Relational.q40Scd2(spark, SparkTestSession.sf0001).collect()
       .map(r => (r.getLong(0), r.getString(2), r.getLong(3),

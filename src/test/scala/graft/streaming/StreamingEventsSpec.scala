@@ -607,6 +607,65 @@ class StreamingEventsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("changelog join: collapsed deltas equal the live-rows join at every " +
+    "micro-batch prefix") {
+    import StatefulOps.{JoinDelta, JoinEvent}
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+
+    // seeded random interleaving of upserts/updates/deletes on both sides
+    val rnd = new scala.util.Random(42)
+    val evs = (0 until 150).map { i =>
+      val key = rnd.nextInt(5).toLong
+      val left = rnd.nextBoolean()
+      val id = (if (left) 100 else 200) + rnd.nextInt(4).toLong
+      JoinEvent(key, left, id, s"v${rnd.nextInt(1000)}", rnd.nextInt(4) == 0)
+    }
+    // driver-side reference: independent fold with plain maps
+    def liveJoin(prefix: Seq[JoinEvent])
+        : Set[(Long, Long, String, Long, String)] = {
+      val l = scala.collection.mutable.Map.empty[(Long, Long), String]
+      val r = scala.collection.mutable.Map.empty[(Long, Long), String]
+      prefix.foreach { e =>
+        val m = if (e.left) l else r
+        if (e.delete) m.remove((e.key, e.id))
+        else m((e.key, e.id)) = e.value
+      }
+      (for (((lk, li), lv) <- l; ((rk, ri), rv) <- r if lk == rk)
+        yield (lk, li, lv, ri, rv)).toSet
+    }
+
+    val mem = MemoryStream[(Long, JoinEvent)]
+    val q = StatefulOps.changelogJoinStream(mem.toDS())
+      .writeStream.outputMode("update")
+      .format("memory").queryName("cl_join_test").start()
+    try {
+      val batches = evs.zipWithIndex.map { case (e, i) => (i.toLong, e) }
+        .grouped(50).toSeq
+      var prefix = Vector.empty[JoinEvent]
+      batches.foreach { b =>
+        mem.addData(b); q.processAllAvailable()
+        prefix ++= b.map(_._2)
+        // collapse ALL deltas emitted so far: +I adds a joined row, -D
+        // removes it — counts must be exactly {0, 1} and the 1s must be
+        // the join of the rows live at this prefix
+        val counts = s.table("cl_join_test").as[JoinDelta].collect()
+          .groupBy(d => (d.key, d.left_id, d.left_value, d.right_id,
+            d.right_value))
+          .view.mapValues(_.map(d => if (d.op == 0) 1 else -1).sum).toMap
+        assert(counts.values.forall(c => c == 0 || c == 1),
+          s"collapse must never go negative or double-insert: $counts")
+        val collapsed = counts.filter(_._2 == 1).keySet
+        assert(collapsed == liveJoin(prefix),
+          s"maintained view diverged at prefix ${prefix.size}: " +
+            s"$collapsed vs ${liveJoin(prefix)}")
+      }
+      assert(s.table("cl_join_test").count() > 0,
+        "fixture interleaving must exercise actual join emissions")
+    } finally q.stop()
+  }
+
   test("nearDupStream bucket saturation is observable via the overflow " +
     "accumulator") {
     val s = spark
