@@ -462,6 +462,45 @@ object Similarity {
       .orderBy($"vec_id")
   }
 
+  /** V16 — semantic (embedding-level) benchmark contamination: flag every
+    * corpus vector whose cosine to ANY benchmark vector reaches
+    * [[CosineThreshold]] — the embedding-space analogue of p4's n-gram
+    * decontamination (a paraphrased benchmark item shares no 8-gram but
+    * sits next to its source in embedding space). The benchmark set is
+    * `vec_id % 25 == 0` (held-out eval items by convention); the corpus is
+    * everything else.
+    *
+    * Scale shape: the bipartite candidate generation routes through the
+    * persisted IVF model ([[ivfCentroids]] — fit once, applied here):
+    * corpus vectors keep their single home cell, benchmark probes fan out
+    * to `nprobe` cells and BROADCAST (the benchmark is the small side by
+    * definition — thousands of rows vs a 100 TB corpus); candidates are
+    * verified by exact cosine in the same stage, and the per-corpus-vector
+    * best match is one partial-aggregating max_by — so flagged pairs are
+    * never false positives (one-sided error: cell routing can only MISS a
+    * cross-cell pair; the miss rate is the spec'd recall floor vs the
+    * brute-force sweep, monotone in nprobe like v4). */
+  def v16SemanticContamination(spark: SparkSession, dir: String,
+                               nprobe: Int = 2): DataFrame = {
+    import spark.implicits._
+    val emb = normalizedEmbeddings(spark, dir)
+    val cents = centArray(ivfCentroids(spark, dir, 1)).cache()
+    val corpus = ivfAssign(emb.filter($"vec_id" % 25 =!= 0), cents, 1)
+    val bench = ivfAssign(emb.filter($"vec_id" % 25 === 0), cents, nprobe)
+      .select($"vec_id".as("bench_id"), $"v".as("bv"), $"nrm".as("bn"),
+        $"cent_id")
+    corpus.join(broadcast(bench), Seq("cent_id"))
+      .select($"vec_id",
+        struct((dot($"v", $"bv") / ($"nrm" * $"bn")).as("cos"),
+          (-$"bench_id").as("nk"), $"bench_id").as("m"))
+      .groupBy($"vec_id")
+      .agg(max($"m").as("m")) // best match; ties → lowest bench_id
+      .filter($"m".getField("cos") >= CosineThreshold)
+      .select($"vec_id", $"m".getField("bench_id").as("bench_id"),
+        round($"m".getField("cos"), 6).as("cos_sim"))
+      .orderBy($"vec_id")
+  }
+
   /** V6 — per-label embedding centroids (class prototypes): mean vector per
     * label, one output row per (label, dimension). Floats are quantized to
     * round(x·10⁶) BIGINTs before summing, so the aggregation is
@@ -1112,6 +1151,8 @@ object Similarity {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "v16_semantic_contamination" ->
+      ((s: SparkSession, d: String) => v16SemanticContamination(s, d)),
     "v15_ann_ivfpq" -> ((s: SparkSession, d: String) => v15AnnIvfPq(s, d)),
     "v14_silhouette" -> v14Silhouette _,
     "v13_hashed_embedding" -> v13HashedEmbedding _,

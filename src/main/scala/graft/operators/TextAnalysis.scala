@@ -299,7 +299,50 @@ object TextAnalysis {
       .orderBy($"doc_id")
   }
 
+  /** T12 — vocabulary-growth (Heaps-law) audit: cumulative token count,
+    * cumulative distinct-vocabulary size, and their ratio at doubling
+    * checkpoints of the corpus (docs with doc_id < 2^k). The curve is the
+    * standard corpus-health diagnostic — a vocabulary that stops growing
+    * signals heavy duplication, one that grows linearly signals noise —
+    * and "how much NEW vocabulary does each doubling add" is a question
+    * a naive implementation answers with a sequential scan.
+    *
+    * Scale shape: first-occurrence is min(doc_id) per token — ONE keyed
+    * shuffle over the (doc, token) pre-aggregate (the t10 rule: hot
+    * tokens never pin a partition because the per-doc pre-agg bounds each
+    * token's rows by the doc count, and min() combines map-side).
+    * Checkpoint attribution is pure integer bit arithmetic (next power of
+    * two) inside codegen; the cumulative window then runs over the TINY
+    * per-checkpoint table (log₂ N rows — the p3 offsets pattern), never
+    * the corpus. */
+  def t12VocabGrowth(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    // next power of two above x: the checkpoint at which a first
+    // occurrence (or a doc's tokens) becomes visible
+    def cpOf(col: String): org.apache.spark.sql.Column =
+      when(expr(col) === 0, 1L)
+        .otherwise(expr(s"shiftleft(CAST(1 AS BIGINT), length(bin($col)))"))
+    val dt = Tables.load(spark, dir, "documents")
+      .select($"doc_id", explode(tokens($"text")).as("tok"))
+      .groupBy($"doc_id", $"tok").agg(count(lit(1)).as("m"))
+    val vocabPer = dt.groupBy($"tok").agg(min($"doc_id").as("f"))
+      .groupBy(cpOf("f").as("checkpoint")).agg(count(lit(1)).as("nv"))
+    val tokensPer = dt
+      .groupBy(cpOf("doc_id").as("checkpoint")).agg(sum($"m").as("nt"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy($"checkpoint")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    vocabPer.join(tokensPer, Seq("checkpoint"), "full_outer")
+      .select($"checkpoint", coalesce($"nv", lit(0L)).as("nv"),
+        coalesce($"nt", lit(0L)).as("nt"))
+      .select($"checkpoint",
+        sum($"nt").over(w).as("n_tokens"),
+        sum($"nv").over(w).as("n_vocab"))
+      .withColumn("ttr", $"n_vocab".cast(DoubleType) / $"n_tokens")
+      .orderBy($"checkpoint")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t12_vocab_growth" -> t12VocabGrowth _,
     "t11_bigram_surprisal" -> t11BigramSurprisal _,
     "t10_surprisal" -> t10Surprisal _,
     "t9_ngram_diversity" -> t9NgramDiversity _,
@@ -331,6 +374,33 @@ object TextAnalysis {
   }
 
   val oracleSql: Map[String, String] = Map(
+    "t12_vocab_growth" ->
+      """WITH tk AS (SELECT doc_id, unnest(string_split(text,' ')) AS tok
+        |            FROM documents),
+        |dt AS (SELECT doc_id, tok, count(*) AS m FROM tk GROUP BY 1, 2),
+        |fs AS (SELECT tok, min(doc_id) AS f FROM dt GROUP BY tok),
+        |vc AS (SELECT CASE WHEN f = 0 THEN 1
+        |                ELSE CAST(1 AS BIGINT) << length(bin(f)) END
+        |           AS checkpoint,
+        |         count(*) AS nv
+        |       FROM fs GROUP BY 1),
+        |tc AS (SELECT CASE WHEN doc_id = 0 THEN 1
+        |                ELSE CAST(1 AS BIGINT) << length(bin(doc_id)) END
+        |           AS checkpoint,
+        |         CAST(sum(m) AS BIGINT) AS nt
+        |       FROM dt GROUP BY 1),
+        |j AS (SELECT COALESCE(vc.checkpoint, tc.checkpoint) AS checkpoint,
+        |        COALESCE(nv, 0) AS nv, COALESCE(nt, 0) AS nt
+        |      FROM vc FULL OUTER JOIN tc ON vc.checkpoint = tc.checkpoint)
+        |SELECT checkpoint,
+        |  CAST(sum(nt) OVER w AS BIGINT) AS n_tokens,
+        |  CAST(sum(nv) OVER w AS BIGINT) AS n_vocab,
+        |  CAST(CAST(sum(nv) OVER w AS BIGINT) AS DOUBLE)
+        |    / CAST(sum(nt) OVER w AS BIGINT) AS ttr
+        |FROM j
+        |WINDOW w AS (ORDER BY checkpoint
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |ORDER BY checkpoint""".stripMargin,
     "t11_bigram_surprisal" ->
       """WITH t AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
         |bg AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(w) - 1),

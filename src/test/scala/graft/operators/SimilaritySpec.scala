@@ -95,6 +95,55 @@ class SimilaritySpec extends AnyFunSuite {
     assert(curve(2) >= 0.5, s"nprobe=4 recall ${curve(2)} too low ($curve)")
   }
 
+  test("v16: flagged contamination is one-sided-exact with bounded misses, " +
+    "monotone in nprobe") {
+    // driver-side brute force over the same bipartite split
+    val vecs = graft.sources.Tables.load(spark, dir, "embeddings")
+      .selectExpr("vec_id", "CAST(embedding AS ARRAY<DOUBLE>) AS v")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+      d / math.sqrt(na * nb)
+    }
+    val (bench, corpus) = vecs.partition(_._1 % 25 == 0)
+    val bruteBest = corpus.map { case (id, v) =>
+      id -> bench.map { case (bid, bv) => (cos(v, bv), bid) }.max
+    }
+    val bruteFlagged = bruteBest.filter(_._2._1 >= Similarity.CosineThreshold)
+    assert(bruteFlagged.nonEmpty, "fixture must contain contamination")
+
+    val got = Similarity.v16SemanticContamination(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    // one-sided: every flagged pair is a true >= tau pair at its exact
+    // cosine (candidates are verified exactly — routing can only miss)
+    got.foreach { case (id, bid, c) =>
+      val exact = cos(vecs(id), vecs(bid))
+      assert(exact >= Similarity.CosineThreshold, s"false positive $id->$bid")
+      assert(math.abs(c - exact) < 1e-5, s"reported cos drifts: $c vs $exact")
+      assert(c <= bruteBest(id)._1 + 1e-5, "reported best above true best")
+    }
+    // exhaustive probing (nprobe >= cell count) visits every cell, so the
+    // IVF route must reproduce the brute-force sweep EXACTLY — the
+    // structural guarantee that the only error source is unprobed cells
+    val exhaustive = Similarity
+      .v16SemanticContamination(spark, dir, nprobe = 16).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(exhaustive.keySet == bruteFlagged.keySet,
+      s"exhaustive probe must equal brute force: " +
+        s"${exhaustive.keySet} vs ${bruteFlagged.keySet}")
+    exhaustive.foreach { case (id, bid) =>
+      assert(bid == bruteFlagged(id)._2, s"argmax bench mismatch for $id")
+    }
+    // default probing is monotone: fewer probes only ever lose candidates
+    // (the fixture's 3 truth pairs all sit within 0.04 of τ — too few and
+    // too borderline for a meaningful statistical recall floor, hence the
+    // exhaustive-equality check above carries the fidelity guarantee)
+    assert(got.map(_._1).toSet.subsetOf(exhaustive.keySet),
+      "flagged set must be monotone in nprobe")
+    assert(got.nonEmpty, "default nprobe must flag at least one pair")
+  }
+
   test("ivf cells are balanced after k-means|| seeding") {
     val sizes = Similarity.ivfCellAssignment(spark, dir)
       .groupBy("cent_id").count().collect().map(_.getLong(1))
