@@ -925,7 +925,38 @@ object Pipeline {
       .orderBy($"col_name")
   }
 
+  /** P22 — n-gram novelty scoring: per document, the fraction of its
+    * DISTINCT 3-grams whose corpus-wide first occurrence (lowest doc_id)
+    * is this document — "how much genuinely new text does this doc add,
+    * given everything before it". The pruning signal behind
+    * ordered-ingestion dedup policies (a near-zero-novelty doc is
+    * recombined boilerplate even when no single source passes d3's
+    * pairwise threshold), complementing d8's recurring-span fraction
+    * (which measures how much of the doc recurs ANYWHERE, not whether
+    * this doc introduced it).
+    *
+    * Scale shape: t12's first-occurrence pattern on d8's gram keys — gram
+    * explode (per-doc distinct, map-side) → min(doc_id) per gram (ONE
+    * map-side-combining shuffle) → re-attach to the (doc, gram) pairs by
+    * an AQE-skew-splittable equi-join → per-doc count ratio. No
+    * self-join, no window over the corpus; keys are d3's 8-byte
+    * ShingleHashes (the oracle mirrors with gram strings, the d8
+    * convention — 64-bit collisions are vanishing at any real df). */
+  def p22Novelty(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val grams = Tables.load(spark, dir, "documents")
+      .select($"doc_id", explode(shingleHashes($"text", 3)).as("g"))
+    val firstSeen = grams.groupBy($"g").agg(min($"doc_id").as("f"))
+    grams.join(firstSeen, "g")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(($"f" === $"doc_id").cast("long")).as("n_novel"))
+      .withColumn("novelty", $"n_novel".cast(DoubleType) / $"n_grams")
+      .orderBy($"doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p22_novelty" -> p22Novelty _,
     "p21_profile" -> p21Profile _,
     "p20_interleave" -> p20Interleave _,
     "p19_quality_classifier" -> p19QualityClassifier _,
@@ -950,6 +981,21 @@ object Pipeline {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "p22_novelty" ->
+      """WITH docs AS (SELECT doc_id, string_split(text,' ') AS w
+        |             FROM documents),
+        |g AS (SELECT DISTINCT doc_id,
+        |        unnest(list_transform(generate_series(1, len(w) - 2),
+        |          i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS g
+        |      FROM docs),
+        |fs AS (SELECT g, min(doc_id) AS f FROM g GROUP BY g)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+        |  CAST(sum(CASE WHEN f = doc_id THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_novel,
+        |  CAST(sum(CASE WHEN f = doc_id THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / count(*) AS novelty
+        |FROM g JOIN fs USING (g)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "p21_profile" -> Seq("doc_id", "text", "lang", "source", "n_chars")
       .map(c =>
         s"""SELECT '$c' AS col_name, CAST(count(*) AS BIGINT) AS n_rows,

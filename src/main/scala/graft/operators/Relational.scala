@@ -959,8 +959,55 @@ object Relational {
       .orderBy($"merge_key")
   }
 
+  /** Q43 — snapshot DIFF → changelog: given two keyed snapshots of a
+    * table, emit the exact change set between them in the engine's
+    * changelog vocabulary — `+I` for new keys, `-D` for vanished keys, an
+    * adjacent `-U`/`+U` pair (old values, new values) for changed rows,
+    * nothing for identical rows. The inverse of q42's merge-apply (which
+    * folds a changelog INTO a snapshot), and the batch form of what the
+    * streaming changelog sink synthesizes per micro-batch: together they
+    * round-trip snapshot ↔ changelog in both directions. Diffed here:
+    * q42's target snapshot vs q42's merged output, so the emitted ops
+    * mirror the merge's update/delete/insert arms by construction (a
+    * spec cross-checks exactly that).
+    *
+    * Scale shape: ONE co-partitioned full-outer sort-merge join on the
+    * key; the op fan-out is a per-row array explode (≤2 structs) inside
+    * the same stage — no second pass, no union of per-op scans (a
+    * 4-branch UNION would scan both snapshots four times). */
+  def q43SnapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val before = Tables.load(spark, dir, "customer")
+      .filter($"c_custkey" % 3 =!= 0)
+      .select($"c_custkey".as("merge_key"), lit(1).as("in_a"),
+        $"c_name".as("a_name"), $"c_mktsegment".as("a_seg"),
+        (round($"c_acctbal" * 100).cast("long").cast(DoubleType) / 100)
+          .as("a_bal"))
+    val after = q42MergeUpsert(spark, dir)
+      .select($"merge_key", lit(1).as("in_b"), $"c_name".as("b_name"),
+        $"c_mktsegment".as("b_seg"), $"acctbal".as("b_bal"))
+    def rec(op: String, n: Column, s: Column, bal: Column): Column =
+      struct(lit(op).as("op"), n.as("c_name"), s.as("c_mktsegment"),
+        bal.as("acctbal"))
+    val emptyT = "array<struct<op:string,c_name:string," +
+      "c_mktsegment:string,acctbal:double>>"
+    before.join(after, Seq("merge_key"), "full_outer")
+      .select($"merge_key", explode(
+        when($"in_a".isNull, array(rec("+I", $"b_name", $"b_seg", $"b_bal")))
+          .when($"in_b".isNull, array(rec("-D", $"a_name", $"a_seg", $"a_bal")))
+          .when($"a_name" =!= $"b_name" || $"a_seg" =!= $"b_seg" ||
+            $"a_bal" =!= $"b_bal",
+            array(rec("-U", $"a_name", $"a_seg", $"a_bal"),
+              rec("+U", $"b_name", $"b_seg", $"b_bal")))
+          .otherwise(lit(null).cast(emptyT))).as("r")) // null array → no rows
+      .select($"merge_key", $"r.op".as("op"), $"r.c_name",
+        $"r.c_mktsegment", $"r.acctbal")
+      .orderBy($"merge_key", $"op")
+  }
+
   /** All relational queries, keyed for SparkEntry. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q43_snapshot_diff" -> q43SnapshotDiff _,
     "q42_merge_upsert" -> q42MergeUpsert _,
     "q41_range_frame" -> q41RangeFrame _,
     "q40_scd2" -> q40Scd2 _,
@@ -1005,31 +1052,61 @@ object Relational {
     "q28_unpivot" -> q28Unpivot _,
   )
 
+  /** Shared oracle CTEs for the q42/q43 pair: `m` is the merged snapshot
+    * (q42's answer, unordered); q43 diffs q42's target against it. */
+  private val mergeCtes: String =
+    """WITH latest AS (
+      |  SELECT user_id, event_type AS ev_type,
+      |         CAST(round(value * 100) AS BIGINT) AS ev_cents
+      |  FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+      |          ORDER BY ts DESC, event_id DESC) AS rn FROM events) t
+      |  WHERE rn = 1),
+      |tgt AS (SELECT c_custkey, c_name, c_mktsegment,
+      |          CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+      |        FROM customer WHERE c_custkey % 3 <> 0),
+      |m AS (
+      |  SELECT COALESCE(t.c_custkey, l.user_id) AS merge_key,
+      |    CASE WHEN t.c_custkey IS NULL
+      |         THEN 'cdc-' || CAST(l.user_id AS VARCHAR)
+      |         ELSE t.c_name END AS c_name,
+      |    CASE WHEN t.c_custkey IS NULL THEN 'NEW'
+      |         ELSE t.c_mktsegment END AS c_mktsegment,
+      |    CAST(COALESCE(l.ev_cents, t.cents) AS DOUBLE) / 100 AS acctbal,
+      |    CASE WHEN t.c_custkey IS NULL THEN 'inserted'
+      |         WHEN l.user_id IS NULL THEN 'kept'
+      |         ELSE 'updated' END AS action
+      |  FROM tgt t FULL OUTER JOIN latest l ON t.c_custkey = l.user_id
+      |  WHERE COALESCE(l.ev_type, '') <> 'error')""".stripMargin
+
   /** DuckDB oracle SQL per query (column names and ORDER BY must match). */
   val oracleSql: Map[String, String] = Map(
     "q42_merge_upsert" ->
-      """WITH latest AS (
-        |  SELECT user_id, event_type AS ev_type,
-        |         CAST(round(value * 100) AS BIGINT) AS ev_cents
-        |  FROM (SELECT *, row_number() OVER (PARTITION BY user_id
-        |          ORDER BY ts DESC, event_id DESC) AS rn FROM events) t
-        |  WHERE rn = 1),
-        |tgt AS (SELECT c_custkey, c_name, c_mktsegment,
-        |          CAST(round(c_acctbal * 100) AS BIGINT) AS cents
-        |        FROM customer WHERE c_custkey % 3 <> 0)
-        |SELECT COALESCE(t.c_custkey, l.user_id) AS merge_key,
-        |  CASE WHEN t.c_custkey IS NULL
-        |       THEN 'cdc-' || CAST(l.user_id AS VARCHAR)
-        |       ELSE t.c_name END AS c_name,
-        |  CASE WHEN t.c_custkey IS NULL THEN 'NEW'
-        |       ELSE t.c_mktsegment END AS c_mktsegment,
-        |  CAST(COALESCE(l.ev_cents, t.cents) AS DOUBLE) / 100 AS acctbal,
-        |  CASE WHEN t.c_custkey IS NULL THEN 'inserted'
-        |       WHEN l.user_id IS NULL THEN 'kept'
-        |       ELSE 'updated' END AS action
-        |FROM tgt t FULL OUTER JOIN latest l ON t.c_custkey = l.user_id
-        |WHERE COALESCE(l.ev_type, '') <> 'error'
-        |ORDER BY merge_key""".stripMargin,
+      s"""$mergeCtes
+        |SELECT merge_key, c_name, c_mktsegment, acctbal, action
+        |FROM m ORDER BY merge_key""".stripMargin,
+    "q43_snapshot_diff" ->
+      s"""$mergeCtes,
+        |a AS (SELECT c_custkey AS merge_key, c_name, c_mktsegment,
+        |        CAST(cents AS DOUBLE) / 100 AS acctbal
+        |      FROM tgt)
+        |SELECT m.merge_key, '+I' AS op, m.c_name, m.c_mktsegment, m.acctbal
+        |FROM m LEFT JOIN a ON m.merge_key = a.merge_key
+        |WHERE a.merge_key IS NULL
+        |UNION ALL
+        |SELECT a.merge_key, '-D' AS op, a.c_name, a.c_mktsegment, a.acctbal
+        |FROM a LEFT JOIN m ON a.merge_key = m.merge_key
+        |WHERE m.merge_key IS NULL
+        |UNION ALL
+        |SELECT a.merge_key, '-U' AS op, a.c_name, a.c_mktsegment, a.acctbal
+        |FROM a JOIN m ON a.merge_key = m.merge_key
+        |WHERE a.c_name <> m.c_name OR a.c_mktsegment <> m.c_mktsegment
+        |   OR a.acctbal <> m.acctbal
+        |UNION ALL
+        |SELECT m.merge_key, '+U' AS op, m.c_name, m.c_mktsegment, m.acctbal
+        |FROM a JOIN m ON a.merge_key = m.merge_key
+        |WHERE a.c_name <> m.c_name OR a.c_mktsegment <> m.c_mktsegment
+        |   OR a.acctbal <> m.acctbal
+        |ORDER BY merge_key, op""".stripMargin,
     "q41_range_frame" ->
       """WITH p AS (SELECT user_id, event_id,
         |        epoch_us(ts) // 1000000 AS sec,

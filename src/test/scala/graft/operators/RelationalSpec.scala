@@ -230,6 +230,40 @@ class RelationalSpec extends AnyFunSuite {
       "fixture must exercise the matched-delete arm")
   }
 
+  test("q43: snapshot diff emits exactly the merge's effective changes") {
+    val dir = SparkTestSession.sf0001
+    val diff = Relational.q43SnapshotDiff(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getDouble(4)))
+    val merged = Relational.q42MergeUpsert(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getDouble(3), r.getString(4)))
+    val before = graft.sources.Tables.load(spark, dir, "customer")
+      .selectExpr("c_custkey",
+        "CAST(CAST(round(c_acctbal * 100) AS BIGINT) AS DOUBLE)/100 AS bal")
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+      .filter(_._1 % 3 != 0).toMap
+    // +I keys are exactly the merge's inserts
+    assert(diff.filter(_._2 == "+I").map(_._1).toSet ==
+      merged.filter(_._3 == "inserted").map(_._1).toSet)
+    // -D keys are exactly the target keys the merge dropped
+    assert(diff.filter(_._2 == "-D").map(_._1).toSet ==
+      before.keySet.diff(merged.map(_._1).toSet))
+    // -U/+U come in pairs carrying old then new values; their keys are
+    // the updates whose balance actually changed
+    val retracts = diff.filter(_._2 == "-U").map(d => d._1 -> d._5).toMap
+    val upserts = diff.filter(_._2 == "+U").map(d => d._1 -> d._5).toMap
+    assert(retracts.keySet == upserts.keySet)
+    val changedUpdates = merged
+      .filter(m => m._3 == "updated" && before(m._1) != m._2)
+      .map(m => m._1 -> m._2).toMap
+    assert(upserts == changedUpdates)
+    retracts.foreach { case (k, bal) => assert(bal == before(k)) }
+    // identical rows emit nothing: kept keys never appear in the diff
+    val keptKeys = merged.filter(_._3 == "kept").map(_._1).toSet
+    assert(diff.map(_._1).toSet.intersect(keptKeys).isEmpty)
+    assert(diff.nonEmpty)
+  }
+
   test("q40: SCD2 intervals tile each user's timeline with alternating states") {
     val rows = Relational.q40Scd2(spark, SparkTestSession.sf0001).collect()
       .map(r => (r.getLong(0), r.getString(2), r.getLong(3),
