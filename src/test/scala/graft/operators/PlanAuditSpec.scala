@@ -244,6 +244,46 @@ class PlanAuditSpec extends AnyFunSuite {
       s"unexpected extra windows:\n${plan.take(800)}")
   }
 
+  test("q42/q43: the merge matrix runs on co-partitioned sort-merge " +
+      "full-outer joins — no broadcast assumption on either side") {
+    for (name <- Seq("q42_merge_upsert", "q43_snapshot_diff")) {
+      val plan = formatted(name)
+      // at 100 TB both the snapshot and the change feed are large: the
+      // merge join must be a key-partitioned SMJ, never a broadcast
+      assert(plan.contains("SortMergeJoin") && plan.contains("FullOuter"),
+        s"$name: expected full-outer sort-merge join:\n${plan.take(1200)}")
+      assert(!plan.contains("CartesianProduct") &&
+        !plan.contains("BroadcastNestedLoopJoin"),
+        s"$name: unbounded join shape:\n${plan.take(1200)}")
+      // latest-per-key is an aggregate (struct-max compiles to a partial+
+      // final SortAggregate pair — max over a struct is not hash-able),
+      // not a rank window over every key's full history
+      assert("(Hash|Sort|ObjectHash)Aggregate".r.findAllIn(plan).size >= 2,
+        s"$name: latest-change reduction must partial-aggregate:\n" +
+          plan.take(1200))
+      assert(!plan.contains("Window"),
+        s"$name: no window over the change feed:\n${plan.take(1200)}")
+    }
+  }
+
+  test("p22: novelty re-attach is an equi-join on the gram key — no " +
+      "self-join of documents, no corpus window") {
+    val plan = formatted("p22_novelty")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"unbounded join in the novelty pass:\n${plan.take(1200)}")
+    assert(!plan.contains("Window"),
+      s"first-occurrence must be min-aggregation, not a window:\n" +
+        plan.take(1200))
+    // the re-attach is an equi-join on the 8-byte gram key; the
+    // first-seen side arrives pre-aggregated (one row per gram, never
+    // the raw gram stream joined against itself). Two corpus scans are
+    // the deliberate p4/d8 trade — each side's projection pushes to its
+    // own scan, which beats caching the full gram explode at scale.
+    assert(plan.contains("partial_min") || plan.contains("min(doc_id"),
+      s"first-seen side must aggregate before the join:\n${plan.take(1200)}")
+  }
+
   test("v14: the N×C distance expansion never shuffles — centroids ride " +
       "one broadcast row") {
     val df = graft.SparkEntry.queries("v14_silhouette")(spark, dir)
