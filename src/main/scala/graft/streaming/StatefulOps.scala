@@ -231,14 +231,15 @@ object StatefulOps {
   case class JoinState(lid: Seq[Long], lval: Seq[String],
                        rid: Seq[Long], rval: Seq[String])
 
-  /** Continuously-maintained INNER equi-join over two changelog (upsert/
-    * delete) feeds — the reference's Flink runtime maintains exactly this
-    * for a two-table continuous `JOIN` statement (SURVEY §2A S10/S14 is
-    * the single-input aggregate case; this is the two-input operator), and
-    * it is the one streaming shape Structured Streaming's built-in
-    * stream-stream join does NOT express: built-in joins are append-only
-    * with watermark-bounded state, while a changelog join must RETRACT
-    * previously-emitted matches when either side updates or deletes.
+  /** Continuously-maintained equi-join (INNER or LEFT OUTER) over two
+    * changelog (upsert/delete) feeds — the reference's Flink runtime
+    * maintains exactly this for a two-table continuous `JOIN` statement
+    * (SURVEY §2A S10/S14 is the single-input aggregate case; this is the
+    * two-input operator), and it is the one streaming shape Structured
+    * Streaming's built-in stream-stream join does NOT express: built-in
+    * joins are append-only with watermark-bounded state, while a changelog
+    * join must RETRACT previously-emitted matches when either side updates
+    * or deletes.
     *
     * Both feeds arrive unioned and tagged ([[JoinEvent]]); state is keyed
     * by the equi-join key. Every arriving change emits the exact join
@@ -250,6 +251,15 @@ object StatefulOps {
     * prefix — the incremental-view-maintenance invariant, property-tested
     * against random interleavings in StreamingEventsSpec.
     *
+    * `leftOuter = true` adds Flink's null-padding retraction dance: a left
+    * row with NO right matches is emitted as (l, -1, null); when the
+    * key's FIRST right row arrives, every live left row's null-padded
+    * emission is retracted before its real matches insert, and when the
+    * key's LAST right row leaves, the null-padded rows come back. The
+    * collapse invariant then holds against the null-padded left outer
+    * join — the transition both append-only joins and naive
+    * delta-propagation get wrong.
+    *
     * Scale shape: state lives in the executor StateStore sharded by join
     * key (same layout as a streaming aggregate — nothing driver-side);
     * per-key state is the live rows of that key only, the irreducible
@@ -257,8 +267,8 @@ object StatefulOps {
     * |opposite side of this key| — the true output delta, not a rescan.
     * Events within one micro-batch fold in arrival order via the sorted
     * `seq` tiebreak below. */
-  def changelogJoinStream(events: Dataset[(Long, JoinEvent)])
-      : Dataset[JoinDelta] = {
+  def changelogJoinStream(events: Dataset[(Long, JoinEvent)],
+                          leftOuter: Boolean = false): Dataset[JoinDelta] = {
     implicit val stateEnc: Encoder[JoinState] = Encoders.product[JoinState]
     implicit val outEnc: Encoder[JoinDelta] = Encoders.product[JoinDelta]
     implicit val keyEnc: Encoder[Long] = Encoders.scalaLong
@@ -283,7 +293,16 @@ object StatefulOps {
                 out += (if (e.left) JoinDelta(3, key, e.id, old, oi, ov)
                         else JoinDelta(3, key, oi, ov, e.id, old))
               }
+              // outer: a left row with no matches was live as (old, null)
+              if (leftOuter && e.left && s.rid.isEmpty)
+                out += JoinDelta(3, key, e.id, old, -1L, null)
             }
+            // outer: the key's FIRST right row retracts every null-padded
+            // left emission; it must happen before the inserts below
+            if (leftOuter && !e.left && !e.delete && at < 0 && s.rid.isEmpty)
+              s.lid.zip(s.lval).foreach { case (li, lv) =>
+                out += JoinDelta(3, key, li, lv, -1L, null)
+              }
             val (keepIds, keepVals) =
               if (at >= 0) (ids.patch(at, Nil, 1), vals.patch(at, Nil, 1))
               else (ids, vals)
@@ -294,10 +313,20 @@ object StatefulOps {
                   out += (if (e.left) JoinDelta(0, key, e.id, e.value, oi, ov)
                           else JoinDelta(0, key, oi, ov, e.id, e.value))
                 }
+                // outer: a left upsert into a right-empty key is live as
+                // (new, null); same for a left update (old retracted above)
+                if (leftOuter && e.left && s.rid.isEmpty)
+                  out += JoinDelta(0, key, e.id, e.value, -1L, null)
                 (keepIds :+ e.id, keepVals :+ e.value)
               }
             s = if (e.left) s.copy(lid = nextIds, lval = nextVals)
                 else s.copy(rid = nextIds, rval = nextVals)
+            // outer: the key's LAST right row leaving re-pads every live
+            // left row with null
+            if (leftOuter && !e.left && e.delete && at >= 0 && s.rid.isEmpty)
+              s.lid.zip(s.lval).foreach { case (li, lv) =>
+                out += JoinDelta(0, key, li, lv, -1L, null)
+              }
           }
           if (s.lid.isEmpty && s.rid.isEmpty) state.remove()
           else state.update(s)

@@ -666,6 +666,69 @@ class StreamingEventsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("left-outer changelog join: null padding appears and retracts " +
+    "exactly at right-side 0/1 transitions, at every prefix") {
+    import StatefulOps.{JoinDelta, JoinEvent}
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+
+    // a different seed than the inner test, and a delete-heavier mix so
+    // right sides repeatedly empty out (the transition under test)
+    val rnd = new scala.util.Random(7)
+    val evs = (0 until 180).map { i =>
+      val key = rnd.nextInt(4).toLong
+      val left = rnd.nextBoolean()
+      val id = (if (left) 100 else 200) + rnd.nextInt(3).toLong
+      JoinEvent(key, left, id, s"v${rnd.nextInt(1000)}", rnd.nextInt(3) == 0)
+    }
+    def liveOuterJoin(prefix: Seq[JoinEvent])
+        : Set[(Long, Long, String, Long, String)] = {
+      val l = scala.collection.mutable.Map.empty[(Long, Long), String]
+      val r = scala.collection.mutable.Map.empty[(Long, Long), String]
+      prefix.foreach { e =>
+        val m = if (e.left) l else r
+        if (e.delete) m.remove((e.key, e.id))
+        else m((e.key, e.id)) = e.value
+      }
+      l.flatMap { case ((lk, li), lv) =>
+        val matches = r.collect {
+          case ((rk, ri), rv) if rk == lk => (lk, li, lv, ri, rv) }
+        if (matches.isEmpty) Seq((lk, li, lv, -1L, null: String))
+        else matches
+      }.toSet
+    }
+
+    val mem = MemoryStream[(Long, JoinEvent)]
+    val q = StatefulOps.changelogJoinStream(mem.toDS(), leftOuter = true)
+      .writeStream.outputMode("update")
+      .format("memory").queryName("cl_ljoin_test").start()
+    try {
+      val batches = evs.zipWithIndex.map { case (e, i) => (i.toLong, e) }
+        .grouped(45).toSeq
+      var prefix = Vector.empty[JoinEvent]
+      batches.foreach { b =>
+        mem.addData(b); q.processAllAvailable()
+        prefix ++= b.map(_._2)
+        val counts = s.table("cl_ljoin_test").as[JoinDelta].collect()
+          .groupBy(d => (d.key, d.left_id, d.left_value, d.right_id,
+            d.right_value))
+          .view.mapValues(_.map(d => if (d.op == 0) 1 else -1).sum).toMap
+        assert(counts.values.forall(c => c == 0 || c == 1),
+          s"collapse must never go negative or double-insert: " +
+            counts.filter(kv => kv._2 != 0 && kv._2 != 1))
+        val collapsed = counts.filter(_._2 == 1).keySet
+        assert(collapsed == liveOuterJoin(prefix),
+          s"outer view diverged at prefix ${prefix.size}")
+      }
+      // the interleaving must actually exercise the padded state
+      val all = s.table("cl_ljoin_test").as[JoinDelta].collect()
+      assert(all.exists(d => d.op == 0 && d.right_id == -1L) &&
+        all.exists(d => d.op == 3 && d.right_id == -1L),
+        "fixture must emit and retract null-padded rows")
+    } finally q.stop()
+  }
+
   test("nearDupStream bucket saturation is observable via the overflow " +
     "accumulator") {
     val s = spark
