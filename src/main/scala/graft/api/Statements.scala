@@ -134,9 +134,11 @@ final class Statements(spark: SparkSession, prefix: String = "stmt-",
   }
 
   /** A memo hit is only served while the statement is still usable: a
-    * Failed statement (batch collect() threw, or the streaming query
-    * died), or a streaming statement that was stopped, would otherwise be
-    * returned permanently broken for its SQL with no way to re-run it. */
+    * Failed statement (a batch result iterator hit a failing partition —
+    * possibly long after create(), since the batch path pages lazily — or
+    * the streaming query died), or a streaming statement that was
+    * stopped, would otherwise be returned permanently broken for its SQL
+    * with no way to re-run it. */
   private def live(s: Statement): Boolean =
     s.phase != Phase.Failed &&
       !(s.isStreaming && !s.handle.exists(_.query.isActive))

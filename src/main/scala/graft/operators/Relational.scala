@@ -935,7 +935,11 @@ object Relational {
           $"event_type".as("typ"),
           round($"value" * 100).cast("long").as("cents")).as("ch"))
       .groupBy($"user_id")
-      .agg(max($"ch").as("ch")) // struct max = (us, eid) lexicographic
+      // struct max = (us, eid, typ, cents) lexicographic — the trailing
+      // fields only matter if a fixture ever duplicated (ts, event_id)
+      // within a user; the oracle's row_number mirrors all four so a
+      // pathological fixture fails deterministically, never flakily
+      .agg(max($"ch").as("ch"))
       .select($"user_id", $"ch".getField("typ").as("ev_type"),
         $"ch".getField("cents").as("ev_cents"))
     val target = Tables.load(spark, dir, "customer")
@@ -1002,7 +1006,11 @@ object Relational {
           .otherwise(lit(null).cast(emptyT))).as("r")) // null array → no rows
       .select($"merge_key", $"r.op".as("op"), $"r.c_name",
         $"r.c_mktsegment", $"r.acctbal")
-      .orderBy($"merge_key", $"op")
+      // changelog adjacency convention (SURVEY L10): within a changed key
+      // the retraction precedes the upsert — -U carries old values, then
+      // +U the new ones; a replaying consumer must never see them inverted
+      .orderBy($"merge_key",
+        when($"op" === "-U", 1).when($"op" === "+U", 2).otherwise(0))
   }
 
   /** All relational queries, keyed for SparkEntry. */
@@ -1059,7 +1067,9 @@ object Relational {
       |  SELECT user_id, event_type AS ev_type,
       |         CAST(round(value * 100) AS BIGINT) AS ev_cents
       |  FROM (SELECT *, row_number() OVER (PARTITION BY user_id
-      |          ORDER BY ts DESC, event_id DESC) AS rn FROM events) t
+      |          ORDER BY ts DESC, event_id DESC, event_type DESC,
+      |            CAST(round(value * 100) AS BIGINT) DESC) AS rn
+      |        FROM events) t
       |  WHERE rn = 1),
       |tgt AS (SELECT c_custkey, c_name, c_mktsegment,
       |          CAST(round(c_acctbal * 100) AS BIGINT) AS cents
@@ -1089,6 +1099,7 @@ object Relational {
         |a AS (SELECT c_custkey AS merge_key, c_name, c_mktsegment,
         |        CAST(cents AS DOUBLE) / 100 AS acctbal
         |      FROM tgt)
+        |SELECT * FROM (
         |SELECT m.merge_key, '+I' AS op, m.c_name, m.c_mktsegment, m.acctbal
         |FROM m LEFT JOIN a ON m.merge_key = a.merge_key
         |WHERE a.merge_key IS NULL
@@ -1106,7 +1117,8 @@ object Relational {
         |FROM a JOIN m ON a.merge_key = m.merge_key
         |WHERE a.c_name <> m.c_name OR a.c_mktsegment <> m.c_mktsegment
         |   OR a.acctbal <> m.acctbal
-        |ORDER BY merge_key, op""".stripMargin,
+        |) u ORDER BY merge_key,
+        |  CASE op WHEN '-U' THEN 1 WHEN '+U' THEN 2 ELSE 0 END""".stripMargin,
     "q41_range_frame" ->
       """WITH p AS (SELECT user_id, event_id,
         |        epoch_us(ts) // 1000000 AS sec,

@@ -483,7 +483,11 @@ object Similarity {
   def v16SemanticContamination(spark: SparkSession, dir: String,
                                nprobe: Int = 2): DataFrame = {
     import spark.implicits._
-    val emb = normalizedEmbeddings(spark, dir)
+    // zero-norm embeddings are excluded up front: their cosine is 0/0 =
+    // NaN, and Spark's NaN-sorts-greatest semantics would let a NaN both
+    // win the struct max AND pass `>= threshold` — a false positive that
+    // silently voids the one-sided-error contract below
+    val emb = normalizedEmbeddings(spark, dir).filter($"nrm" > 0)
     val cents = centArray(ivfCentroids(spark, dir, 1)).cache()
     val corpus = ivfAssign(emb.filter($"vec_id" % 25 =!= 0), cents, 1)
     val bench = ivfAssign(emb.filter($"vec_id" % 25 === 0), cents, nprobe)

@@ -107,8 +107,10 @@ class SimilaritySpec extends AnyFunSuite {
       d / math.sqrt(na * nb)
     }
     val (bench, corpus) = vecs.partition(_._1 % 25 == 0)
+    // mirror the operator's tie-break: highest cosine, then LOWEST bench id
     val bruteBest = corpus.map { case (id, v) =>
-      id -> bench.map { case (bid, bv) => (cos(v, bv), bid) }.max
+      id -> bench.map { case (bid, bv) => (cos(v, bv), bid) }
+        .maxBy { case (c, bid) => (c, -bid) }
     }
     val bruteFlagged = bruteBest.filter(_._2._1 >= Similarity.CosineThreshold)
     assert(bruteFlagged.nonEmpty, "fixture must contain contamination")
@@ -125,9 +127,12 @@ class SimilaritySpec extends AnyFunSuite {
     }
     // exhaustive probing (nprobe >= cell count) visits every cell, so the
     // IVF route must reproduce the brute-force sweep EXACTLY — the
-    // structural guarantee that the only error source is unprobed cells
+    // structural guarantee that the only error source is unprobed cells;
+    // the probe count derives from the model geometry so a larger
+    // regenerated fixture cannot silently make this non-exhaustive
+    val nCells = vecs.size / Similarity.IvfVectorsPerCell + 1
     val exhaustive = Similarity
-      .v16SemanticContamination(spark, dir, nprobe = 16).collect()
+      .v16SemanticContamination(spark, dir, nprobe = nCells).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toMap
     assert(exhaustive.keySet == bruteFlagged.keySet,
       s"exhaustive probe must equal brute force: " +
