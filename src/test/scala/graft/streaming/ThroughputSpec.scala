@@ -47,4 +47,37 @@ class ThroughputSpec extends AnyFunSuite {
       assert(perBatch < 5.0, f"micro-batch latency $perBatch%.3f s unreasonable")
     } finally handle.stop()
   }
+
+  test("changelog join sustains well over the 20 changes/s baseline") {
+    import StatefulOps.JoinEvent
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    // 10 batches × 1000 changes over 100 keys × ~10 live rows/side —
+    // realistic continuous-join state (every change emits ~10 deltas)
+    val rnd = new scala.util.Random(11)
+    val batches = (0 until 10).map { b =>
+      (0 until 1000).map { i =>
+        val key = rnd.nextInt(100).toLong
+        val left = rnd.nextBoolean()
+        val id = (if (left) 1000 else 2000) + rnd.nextInt(10).toLong
+        ((b * 1000 + i).toLong,
+          JoinEvent(key, left, id, s"v$i", rnd.nextInt(5) == 0))
+      }
+    }
+    val mem = MemoryStream[(Long, JoinEvent)]
+    val q = StatefulOps.changelogJoinStream(mem.toDS())
+      .writeStream.outputMode("update")
+      .format("noop").start()
+    try {
+      mem.addData(batches.head.take(10)); q.processAllAvailable() // warmup
+      val t0 = System.nanoTime()
+      batches.foreach { b => mem.addData(b); q.processAllAvailable() }
+      val secs = (System.nanoTime() - t0) / 1e9
+      val rate = 10000 / secs
+      info(f"sustained $rate%.0f changes/s through the maintained join")
+      assert(rate >= 20 * 10,
+        f"join rate $rate%.0f changes/s below 10x the baseline")
+    } finally q.stop()
+  }
 }
