@@ -1013,8 +1013,52 @@ object Relational {
         when($"op" === "-U", 1).when($"op" === "+U", 2).otherwise(0))
   }
 
+  /** Q44 — incremental aggregate maintenance (IVM for GROUP BY): update a
+    * materialized per-segment aggregate by applying q43's changelog as
+    * signed group deltas — +I/+U add (+1 row, +cents), -D/-U subtract —
+    * instead of re-aggregating the snapshot. The batch identity behind
+    * every incrementally-maintained dashboard (and what the streaming
+    * ChangelogStream sink maintains continuously): base agg ⊕ Δ(changelog)
+    * ≡ agg(base ⊕ changelog). A -U/+U pair that moves a row ACROSS groups
+    * (segment change) splits into a −delta in the old group and a +delta
+    * in the new one; groups born in the changelog (the 'NEW' inserts)
+    * appear via the full-outer delta join; groups whose count reaches
+    * zero drop out. The ORACLE aggregates the merged snapshot directly,
+    * so the hash match PROVES the maintenance identity, not just the
+    * arithmetic.
+    *
+    * Scale shape: the delta side aggregates the CHANGELOG (small by
+    * definition — that is the point of IVM), the base side aggregates
+    * once; both partial map-side; one full-outer join on the group key
+    * (segments here — broadcast-eligible under AQE, but not assumed).
+    * Money stays in cent-longs until emission (q36 rule). */
+  def q44IncrementalAgg(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val baseAgg = Tables.load(spark, dir, "customer")
+      .filter($"c_custkey" % 3 =!= 0)
+      .groupBy($"c_mktsegment")
+      .agg(count(lit(1)).as("n0"),
+        sum(round($"c_acctbal" * 100).cast("long")).as("c0"))
+    val deltas = q43SnapshotDiff(spark, dir)
+      .select($"c_mktsegment",
+        when($"op".isin("+I", "+U"), 1L).otherwise(-1L).as("sgn"),
+        round($"acctbal" * 100).cast("long").as("cents"))
+      .groupBy($"c_mktsegment")
+      .agg(sum($"sgn").as("dn"), sum($"sgn" * $"cents").as("dc"))
+    baseAgg.join(deltas, Seq("c_mktsegment"), "full_outer")
+      .select($"c_mktsegment",
+        (coalesce($"n0", lit(0L)) + coalesce($"dn", lit(0L)))
+          .as("n_customers"),
+        (coalesce($"c0", lit(0L)) + coalesce($"dc", lit(0L))).as("cents"))
+      .filter($"n_customers" > 0)
+      .select($"c_mktsegment", $"n_customers",
+        ($"cents".cast(DoubleType) / 100).as("total_acctbal"))
+      .orderBy($"c_mktsegment")
+  }
+
   /** All relational queries, keyed for SparkEntry. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q44_incremental_agg" -> q44IncrementalAgg _,
     "q43_snapshot_diff" -> q43SnapshotDiff _,
     "q42_merge_upsert" -> q42MergeUpsert _,
     "q41_range_frame" -> q41RangeFrame _,
@@ -1090,6 +1134,15 @@ object Relational {
 
   /** DuckDB oracle SQL per query (column names and ORDER BY must match). */
   val oracleSql: Map[String, String] = Map(
+    // the DIRECT re-aggregation of the merged snapshot — hash-matching it
+    // proves the incremental-maintenance identity, not just the numbers
+    "q44_incremental_agg" ->
+      s"""$mergeCtes
+        |SELECT c_mktsegment,
+        |  CAST(count(*) AS BIGINT) AS n_customers,
+        |  CAST(CAST(sum(CAST(round(acctbal * 100) AS BIGINT)) AS BIGINT)
+        |    AS DOUBLE) / 100 AS total_acctbal
+        |FROM m GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     "q42_merge_upsert" ->
       s"""$mergeCtes
         |SELECT merge_key, c_name, c_mktsegment, acctbal, action
