@@ -258,7 +258,9 @@ object StatefulOps {
     * key's LAST right row leaves, the null-padded rows come back. The
     * collapse invariant then holds against the null-padded left outer
     * join — the transition both append-only joins and naive
-    * delta-propagation get wrong.
+    * delta-propagation get wrong. `rightOuter = true` is the exact
+    * mirror ((-1, null, r) pads tracking the LEFT side's 0/1
+    * transitions); both together are FULL OUTER.
     *
     * Scale shape: state lives in the executor StateStore sharded by join
     * key (same layout as a streaming aggregate — nothing driver-side);
@@ -268,7 +270,8 @@ object StatefulOps {
     * Events within one micro-batch fold in arrival order via the sorted
     * `seq` tiebreak below. */
   def changelogJoinStream(events: Dataset[(Long, JoinEvent)],
-                          leftOuter: Boolean = false): Dataset[JoinDelta] = {
+                          leftOuter: Boolean = false,
+                          rightOuter: Boolean = false): Dataset[JoinDelta] = {
     implicit val stateEnc: Encoder[JoinState] = Encoders.product[JoinState]
     implicit val outEnc: Encoder[JoinDelta] = Encoders.product[JoinDelta]
     implicit val keyEnc: Encoder[Long] = Encoders.scalaLong
@@ -279,12 +282,20 @@ object StatefulOps {
          state: GroupState[JoinState]) =>
           var s = state.getOption.getOrElse(JoinState(Nil, Nil, Nil, Nil))
           val out = Seq.newBuilder[JoinDelta]
+          // the null-padded emission for an unmatched row of either side
+          def pad(op: Int, left: Boolean, id: Long, v: String): JoinDelta =
+            if (left) JoinDelta(op, key, id, v, -1L, null)
+            else JoinDelta(op, key, -1L, null, id, v)
           // micro-batch iterator order is not a delivery contract; the
           // caller-supplied seq number makes the fold deterministic
           rows.toSeq.sortBy(_._1).foreach { case (_, e) =>
             val (ids, vals, oIds, oVals) =
               if (e.left) (s.lid, s.lval, s.rid, s.rval)
               else (s.rid, s.rval, s.lid, s.lval)
+            // does this event's OWN side pad when the opposite is empty?
+            val padOwn = if (e.left) leftOuter else rightOuter
+            // do the OPPOSITE side's pads track THIS side's 0/1 counts?
+            val padOpp = if (e.left) rightOuter else leftOuter
             val at = ids.indexOf(e.id)
             // retract the old value's matches (update or delete)
             if (at >= 0) {
@@ -293,15 +304,15 @@ object StatefulOps {
                 out += (if (e.left) JoinDelta(3, key, e.id, old, oi, ov)
                         else JoinDelta(3, key, oi, ov, e.id, old))
               }
-              // outer: a left row with no matches was live as (old, null)
-              if (leftOuter && e.left && s.rid.isEmpty)
-                out += JoinDelta(3, key, e.id, old, -1L, null)
+              // outer: an unmatched row of this side was live null-padded
+              if (padOwn && oIds.isEmpty)
+                out += pad(3, e.left, e.id, old)
             }
-            // outer: the key's FIRST right row retracts every null-padded
-            // left emission; it must happen before the inserts below
-            if (leftOuter && !e.left && !e.delete && at < 0 && s.rid.isEmpty)
-              s.lid.zip(s.lval).foreach { case (li, lv) =>
-                out += JoinDelta(3, key, li, lv, -1L, null)
+            // outer: this side's FIRST row retracts the opposite side's
+            // null pads; it must happen before the inserts below
+            if (padOpp && !e.delete && at < 0 && ids.isEmpty)
+              oIds.zip(oVals).foreach { case (oi, ov) =>
+                out += pad(3, !e.left, oi, ov)
               }
             val (keepIds, keepVals) =
               if (at >= 0) (ids.patch(at, Nil, 1), vals.patch(at, Nil, 1))
@@ -313,19 +324,19 @@ object StatefulOps {
                   out += (if (e.left) JoinDelta(0, key, e.id, e.value, oi, ov)
                           else JoinDelta(0, key, oi, ov, e.id, e.value))
                 }
-                // outer: a left upsert into a right-empty key is live as
-                // (new, null); same for a left update (old retracted above)
-                if (leftOuter && e.left && s.rid.isEmpty)
-                  out += JoinDelta(0, key, e.id, e.value, -1L, null)
+                // outer: an upsert into an opposite-empty key is live as
+                // a null pad (an update's old pad was retracted above)
+                if (padOwn && oIds.isEmpty)
+                  out += pad(0, e.left, e.id, e.value)
                 (keepIds :+ e.id, keepVals :+ e.value)
               }
             s = if (e.left) s.copy(lid = nextIds, lval = nextVals)
                 else s.copy(rid = nextIds, rval = nextVals)
-            // outer: the key's LAST right row leaving re-pads every live
-            // left row with null
-            if (leftOuter && !e.left && e.delete && at >= 0 && s.rid.isEmpty)
-              s.lid.zip(s.lval).foreach { case (li, lv) =>
-                out += JoinDelta(0, key, li, lv, -1L, null)
+            // outer: this side's LAST row leaving re-pads every live
+            // opposite row with null
+            if (padOpp && e.delete && at >= 0 && nextIds.isEmpty)
+              oIds.zip(oVals).foreach { case (oi, ov) =>
+                out += pad(0, !e.left, oi, ov)
               }
           }
           if (s.lid.isEmpty && s.rid.isEmpty) state.remove()

@@ -729,6 +729,67 @@ class StreamingEventsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("full-outer changelog join: both sides' null pads track the " +
+    "opposite side's 0/1 transitions, at every prefix") {
+    import StatefulOps.{JoinDelta, JoinEvent}
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+
+    val rnd = new scala.util.Random(19)
+    val evs = (0 until 180).map { i =>
+      val key = rnd.nextInt(4).toLong
+      val left = rnd.nextBoolean()
+      val id = (if (left) 100 else 200) + rnd.nextInt(3).toLong
+      JoinEvent(key, left, id, s"v${rnd.nextInt(1000)}", rnd.nextInt(3) == 0)
+    }
+    def liveFullJoin(prefix: Seq[JoinEvent])
+        : Set[(Long, Long, String, Long, String)] = {
+      val l = scala.collection.mutable.Map.empty[(Long, Long), String]
+      val r = scala.collection.mutable.Map.empty[(Long, Long), String]
+      prefix.foreach { e =>
+        val m = if (e.left) l else r
+        if (e.delete) m.remove((e.key, e.id))
+        else m((e.key, e.id)) = e.value
+      }
+      val matched = for (((lk, li), lv) <- l.toSeq; ((rk, ri), rv) <- r.toSeq
+                         if lk == rk) yield (lk, li, lv, ri, rv)
+      val lPads = l.collect { case ((lk, li), lv)
+        if !r.keys.exists(_._1 == lk) => (lk, li, lv, -1L, null: String) }
+      val rPads = r.collect { case ((rk, ri), rv)
+        if !l.keys.exists(_._1 == rk) => (rk, -1L, null: String, ri, rv) }
+      (matched ++ lPads ++ rPads).toSet
+    }
+
+    val mem = MemoryStream[(Long, JoinEvent)]
+    val q = StatefulOps.changelogJoinStream(mem.toDS(),
+        leftOuter = true, rightOuter = true)
+      .writeStream.outputMode("update")
+      .format("memory").queryName("cl_fjoin_test").start()
+    try {
+      val batches = evs.zipWithIndex.map { case (e, i) => (i.toLong, e) }
+        .grouped(45).toSeq
+      var prefix = Vector.empty[JoinEvent]
+      batches.foreach { b =>
+        mem.addData(b); q.processAllAvailable()
+        prefix ++= b.map(_._2)
+        val counts = s.table("cl_fjoin_test").as[JoinDelta].collect()
+          .groupBy(d => (d.key, d.left_id, d.left_value, d.right_id,
+            d.right_value))
+          .view.mapValues(_.map(d => if (d.op == 0) 1 else -1).sum).toMap
+        assert(counts.values.forall(c => c == 0 || c == 1),
+          s"collapse must never go negative or double-insert: " +
+            counts.filter(kv => kv._2 != 0 && kv._2 != 1))
+        assert(counts.filter(_._2 == 1).keySet == liveFullJoin(prefix),
+          s"full-outer view diverged at prefix ${prefix.size}")
+      }
+      val all = s.table("cl_fjoin_test").as[JoinDelta].collect()
+      assert(all.exists(d => d.right_id == -1L) &&
+        all.exists(d => d.left_id == -1L),
+        "fixture must exercise pads on BOTH sides")
+    } finally q.stop()
+  }
+
   test("nearDupStream bucket saturation is observable via the overflow " +
     "accumulator") {
     val s = spark
