@@ -412,21 +412,41 @@ object Dedup {
     (labels, rounds)
   }
 
+  /** The fitted near-dup cluster table (doc_id → cluster_rep,
+    * cluster_size; only docs that appear in the pair graph), persisted
+    * through ModelStore — the d-family's fit/apply split, the same
+    * production shape the ANN family adopted in round 5: clusters are a
+    * corpus-snapshot artifact consumed by four queries (d6/d7/d12/d13);
+    * re-deriving the pair graph + connected components per query re-scans
+    * the corpus for an output that never changes between snapshots. The
+    * model name embeds every fit parameter (shingle width, df cap,
+    * Jaccard threshold) so a recipe change invalidates the store; the
+    * adaptive driver/distributed CC finish does not appear in the name
+    * because both paths produce identical labels (spec'd equivalence). */
+  private[operators] def clusterModel(spark: SparkSession,
+                                      dir: String): DataFrame =
+    graft.sources.ModelStore.table(spark, dir, "documents.parquet",
+        s"dedup-clusters-n3-df$MaxShingleDf-j$JaccardThreshold") {
+      import spark.implicits._
+      val pairs = d3JaccardPairs(spark, dir).select($"d1", $"d2")
+      val (labels, _) = connectedComponents(pairs)
+      val sizes = labels.groupBy($"rep").agg(count(lit(1)).as("cluster_size"))
+      labels.join(sizes, "rep")
+        .select($"node".as("doc_id"), $"rep".as("cluster_rep"),
+          $"cluster_size")
+    }
+
   /** D6 — dedup cluster formation: connected components over the D3
     * near-dup pair graph, so every document maps to one canonical
     * representative (the min doc_id in its component) — the step a real
     * dedup pipeline runs after pair generation, since near-duplicate is
     * not transitive but retention decisions must be. Componentry runs on
     * [[connectedComponents]] (large-star/small-star, O(log n) rounds);
-    * the adversarial-chain bound is spec-tested in PipelineSpec. */
+    * the adversarial-chain bound is spec-tested in PipelineSpec. Serves
+    * the persisted [[clusterModel]] (fit once per corpus snapshot). */
   def d6DedupClusters(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val pairs = d3JaccardPairs(spark, dir).select($"d1", $"d2")
-    val (labels, _) = connectedComponents(pairs)
-    val sizes = labels.groupBy($"rep").agg(count(lit(1)).as("cluster_size"))
-    labels.join(sizes, "rep")
-      .select($"node".as("doc_id"), $"rep".as("cluster_rep"), $"cluster_size")
-      .orderBy($"doc_id")
+    clusterModel(spark, dir).orderBy($"doc_id")
   }
 
   /** D7 — canonical selection: within each near-dup cluster (d6), keep the
@@ -436,7 +456,7 @@ object Dedup {
     * cluster (keyed, parallel); cluster tables are a tiny fraction of the
     * corpus by the time this runs. */
   def d7CanonicalSelection(spark: SparkSession, dir: String): DataFrame =
-    canonicalSelection(d6DedupClusters(spark, dir),
+    canonicalSelection(clusterModel(spark, dir),
       TextAnalysis.t2QualityScore(spark, dir))
       .orderBy(col("cluster_rep"))
 
@@ -474,7 +494,7 @@ object Dedup {
     * distinct. */
   def d12DedupReport(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val clusters = d6DedupClusters(spark, dir)
+    val clusters = clusterModel(spark, dir)
     val keeps = canonicalSelection(clusters,
         TextAnalysis.t2QualityScore(spark, dir))
       .select($"keep_id".as("doc_id"), lit(1).as("kept"))
@@ -543,7 +563,7 @@ object Dedup {
     * doc_id, then the split is a map-side hash — text never moves. */
   def d13LeakageSplit(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val clusters = d6DedupClusters(spark, dir)
+    val clusters = clusterModel(spark, dir)
       .select($"doc_id", $"cluster_rep")
     Tables.load(spark, dir, "documents")
       .select($"doc_id")
