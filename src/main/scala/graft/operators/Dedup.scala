@@ -19,6 +19,11 @@ import graft.sources.Tables
   */
 object Dedup {
 
+  /** Shingle width for the n-gram machinery (d3/d4/d8/d9 and the
+    * persisted cluster model's name — ONE constant so changing the width
+    * structurally invalidates the store instead of serving stale
+    * clusters). */
+  val ShingleN = 3
   /** Max document frequency for a shingle to participate in the inverted
     * index — drops quadratic-blowup "stop shingles" (same cap in oracle). */
   val MaxShingleDf = 50
@@ -77,7 +82,7 @@ object Dedup {
     // (round-2 verdict: unreleased operator caches were also the bench
     // cross-contamination mechanism).
     val sh = Tables.load(spark, dir, "documents")
-      .select($"doc_id", explode(shingleHashes($"text", 3)).as("h"))
+      .select($"doc_id", explode(shingleHashes($"text", ShingleN)).as("h"))
     val rare = sh.groupBy($"h")
       .agg(count(lit(1)).as("df"))
       .filter($"df" <= MaxShingleDf && $"df" >= 2)
@@ -213,7 +218,7 @@ object Dedup {
     import spark.implicits._
     Tables.load(spark, dir, "documents")
       .select($"doc_id",
-        minHashSignature(shingleHashes($"text", 3), k).as("sig"))
+        minHashSignature(shingleHashes($"text", ShingleN), k).as("sig"))
   }
 
   /** D4 — MinHash + LSH banding near-dup: k=32 minhashes, 8 bands × 4 rows;
@@ -426,7 +431,7 @@ object Dedup {
   private[operators] def clusterModel(spark: SparkSession,
                                       dir: String): DataFrame =
     graft.sources.ModelStore.table(spark, dir, "documents.parquet",
-        s"dedup-clusters-n3-df$MaxShingleDf-j$JaccardThreshold") {
+        s"dedup-clusters-n$ShingleN-df$MaxShingleDf-j$JaccardThreshold") {
       import spark.implicits._
       val pairs = d3JaccardPairs(spark, dir).select($"d1", $"d2")
       val (labels, _) = connectedComponents(pairs)
@@ -533,7 +538,7 @@ object Dedup {
   def d8DuplicateSpans(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val sh = Tables.load(spark, dir, "documents")
-      .select($"doc_id", explode(shingleHashes($"text", 3)).as("h"))
+      .select($"doc_id", explode(shingleHashes($"text", ShingleN)).as("h"))
     val df = sh.groupBy($"h").agg(count(lit(1)).as("df"))
     sh.join(df, "h")
       .groupBy($"doc_id")

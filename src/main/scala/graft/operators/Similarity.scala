@@ -838,7 +838,7 @@ object Similarity {
       .select(size($"embedding")).first().getInt(0)
     // stage 1: upper-triangle product sums, quantized exact — a NARROW
     // mapPartitions pass with a hand-rolled multiply-add loop into local
-    // Long arrays, flushed into BigInt every 4096 rows. This replaced a
+    // Long arrays, flushed into BigInt every 256 rows. This replaced a
     // chained-posexplode → groupBy(i,j) decimal aggregation that
     // materialized N·D(D+1)/2 rows (104M at sf0.1, ~3.5 s) through the
     // hash aggregate; the loop does the same 104M multiply-adds in ~0.3 s

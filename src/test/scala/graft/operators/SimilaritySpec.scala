@@ -106,7 +106,11 @@ class SimilaritySpec extends AnyFunSuite {
       for (i <- a.indices) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
       d / math.sqrt(na * nb)
     }
-    val (bench, corpus) = vecs.partition(_._1 % 25 == 0)
+    // mirror the operator's zero-norm exclusion (NaN-cosine guard): a
+    // zero vector must not poison the brute-force maxBy either
+    val (bench, corpus) = vecs
+      .filter { case (_, v) => v.exists(_ != 0.0) }
+      .partition(_._1 % 25 == 0)
     // mirror the operator's tie-break: highest cosine, then LOWEST bench id
     val bruteBest = corpus.map { case (id, v) =>
       id -> bench.map { case (bid, bv) => (cos(v, bv), bid) }

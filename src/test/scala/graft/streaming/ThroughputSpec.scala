@@ -70,7 +70,11 @@ class ThroughputSpec extends AnyFunSuite {
       .writeStream.outputMode("update")
       .format("noop").start()
     try {
-      mem.addData(batches.head.take(10)); q.processAllAvailable() // warmup
+      // warmup on keys disjoint from the workload (999+), so the timed
+      // region replays nothing and measures exactly the 10k changes
+      val warm = (0 until 10).map(i =>
+        (-10L + i, JoinEvent(999L + i, left = true, 1L, "w", delete = false)))
+      mem.addData(warm); q.processAllAvailable()
       val t0 = System.nanoTime()
       batches.foreach { b => mem.addData(b); q.processAllAvailable() }
       val secs = (System.nanoTime() - t0) / 1e9
