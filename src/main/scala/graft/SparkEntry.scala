@@ -21,7 +21,8 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Relational.oracleSql ++ TextAnalysis.oracleSql ++ Dedup.oracleSql ++
-      Similarity.oracleSql ++ DemoQueries.oracleSql ++ Pipeline.oracleSql
+      Similarity.oracleSql ++ DemoQueries.oracleSql ++ Pipeline.oracleSql ++
+      Multimodal.oracleSql
 
   /** Locale-safe JSON double (Bench + Scaling artifacts must parse on
     * comma-decimal locales too). */

@@ -75,6 +75,11 @@ object TextFunctions {
   def shingleHashes(text: Column, n: Int): Column =
     graft.plans.VectorExpressions.shingleHashes(text, n)
 
+  /** Positional variant: element j is the key of the shingle STARTING at
+    * token j (no per-document distinct) — the span-dedup keying (d14). */
+  def shingleHashesPos(text: Column, n: Int): Column =
+    graft.plans.VectorExpressions.shingleHashesPos(text, n)
+
   /** MinHash signature: for each of k seeded hash functions, the min over
     * the shingle set of (a_i * h(s) + b_i) mod p. Native one-pass
     * expression (graft.plans.MinHashSig): the HOF formulation re-traversed

@@ -736,4 +736,45 @@ object Multimodal {
         .orderBy($"media_id")
     }),
   )
+
+  /** Oracles for the metadata-only m-queries. m3 never decodes — every
+    * output column is a pure function of `doc_id` (the synth rules in
+    * `synthesize`), so DuckDB can re-derive kind/format/width/duration
+    * from the `documents` table alone and check the catalog exactly.
+    * The decode-dependent queries (m1/m2/m4–m9) stay rows-only: their
+    * values depend on encoded payload bytes (JPEG entropy coding, ADPCM
+    * state machines) that SQL cannot reproduce; their fidelity specs
+    * compare against driver-side recomputes instead. */
+  def oracleSql: Map[String, String] = Map(
+    "m3_media_catalog" ->
+      """WITH m AS (
+        |  SELECT doc_id AS id,
+        |         CASE WHEN (doc_id // 3) % 5 = 2 AND doc_id >= 3
+        |              THEN doc_id - 3 ELSE doc_id END AS src,
+        |         ((doc_id // 3) % 5 = 2 AND doc_id >= 3) AS is_dup
+        |  FROM documents
+        |), meta AS (
+        |  SELECT
+        |    CASE id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+        |         ELSE 'video' END AS kind,
+        |    CASE
+        |      WHEN id % 3 = 0 THEN CASE (id // 3) % 3 WHEN 0 THEN 'ppm'
+        |           WHEN 1 THEN 'jpeg' ELSE 'png' END
+        |      WHEN id % 3 = 1 THEN CASE WHEN (id // 3) % 2 = 0
+        |           THEN 'wav' ELSE 'adpcm' END
+        |      ELSE CASE WHEN ((src // 3) // 2) % 2 = 0
+        |           THEN (CASE WHEN is_dup THEN 'mjpeg' ELSE 'ppms' END)
+        |           ELSE (CASE WHEN is_dup THEN 'ppms' ELSE 'mjpeg' END) END
+        |    END AS format,
+        |    CASE id % 3 WHEN 0 THEN 16 + (src % 8) * 4 WHEN 1 THEN 0
+        |         ELSE 16 + (src % 4) * 4 END AS width,
+        |    CASE id % 3 WHEN 0 THEN 0 WHEN 1 THEN 50 + (src % 100)
+        |         ELSE 160 END AS duration_ms
+        |  FROM m
+        |)
+        |SELECT kind, format, count(*) AS n,
+        |       CAST(sum(duration_ms) AS BIGINT) AS total_ms,
+        |       CAST(max(width) AS INT) AS max_w
+        |FROM meta GROUP BY kind, format ORDER BY kind, format""".stripMargin,
+  )
 }

@@ -594,27 +594,42 @@ object Dedup {
     * (doc, pos); the cleaned text is a per-doc sorted-struct rebuild —
     * everything keyed, nothing quadratic, no df cap needed (no
     * self-join). Grams join on md5 keys here because md5 is engine-exact
-    * (the oracle demands it); the production key would be d3's 8-byte
-    * ShingleHashes — identical shape, see d8. */
-  def d14SpanRemoval(spark: SparkSession, dir: String): DataFrame = {
+    * (the oracle demands it); the production key is d3's 8-byte
+    * ShingleHashes in positional mode (`productionKeys = true`) — same
+    * plan, a LongType join key instead of a 32-char string, proven
+    * result-identical by DedupSpec's key-equivalence case. */
+  def d14SpanRemoval(spark: SparkSession, dir: String): DataFrame =
+    d14SpanRemoval(spark, dir, productionKeys = false)
+
+  private[operators] def d14SpanRemoval(spark: SparkSession, dir: String,
+                                        productionKeys: Boolean): DataFrame = {
     import spark.implicits._
     val docs = Tables.load(spark, dir, "documents")
       .select($"doc_id", tokens($"text").as("w"))
     // docs shorter than one 3-gram emit no spans (sequence(1, n) with
     // n < 1 would generate DESCENDING starts — filter, don't clamp)
-    val grams = docs.filter(size($"w") >= 3)
-      .select($"doc_id",
-        explode(expr(
-          "transform(sequence(1, size(w) - 2), " +
-            "i -> struct(i AS start, md5(concat_ws(' ', slice(w, i, 3))) AS g))"))
-          .as("s"))
-      .select($"doc_id", $"s.start", $"s.g")
+    val grams =
+      if (productionKeys)
+        // one native pass over the raw bytes, no gram strings ever built;
+        // posexplode is 0-based, the md5 path's `start` is 1-based
+        Tables.load(spark, dir, "documents")
+          .select($"doc_id",
+            posexplode(shingleHashesPos($"text", ShingleN)).as(Seq("p0", "g")))
+          .select($"doc_id", ($"p0" + 1).as("start"), $"g")
+      else docs.filter(size($"w") >= ShingleN)
+        .select($"doc_id",
+          explode(expr(
+            "transform(sequence(1, size(w) - 2), " +
+              "i -> struct(i AS start, md5(concat_ws(' ', slice(w, i, 3))) AS g))"))
+            .as("s"))
+        .select($"doc_id", $"s.start", $"s.g")
     val dupGrams = grams.select($"doc_id", $"g").distinct()
       .groupBy($"g").agg(count(lit(1)).as("n_docs"))
       .filter($"n_docs" >= 2)
       .select($"g")
     val covered = grams.join(dupGrams, "g")
-      .select($"doc_id", explode(sequence($"start", $"start" + 2)).as("pos"))
+      .select($"doc_id",
+        explode(sequence($"start", $"start" + (ShingleN - 1))).as("pos"))
       .distinct()
     val toks = docs.select($"doc_id", posexplode($"w").as(Seq("pos0", "tok")))
       .select($"doc_id", ($"pos0" + 1).as("pos"), $"tok")

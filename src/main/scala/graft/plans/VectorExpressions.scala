@@ -73,8 +73,14 @@ case class DotProduct(left: Expression, right: Expression)
   *
   * Tokenization matches `split(text, " ")`/DuckDB `string_split(text,' ')`
   * exactly: every single space is a boundary; consecutive spaces yield
-  * empty tokens; fewer than n tokens yields an empty array. */
-case class ShingleHashes(child: Expression, n: Int)
+  * empty tokens; fewer than n tokens yields an empty array.
+  *
+  * `positional = true` keeps one hash per START POSITION (no sort, no
+  * distinct): element j is the key of the shingle starting at token j —
+  * the span-dedup shape (d14), where position identity matters and the
+  * per-document set semantics would destroy it. */
+case class ShingleHashes(child: Expression, n: Int,
+                         positional: Boolean = false)
     extends UnaryExpression with CodegenFallback {
 
   require(n >= 1, "shingle width must be >= 1")
@@ -132,6 +138,7 @@ case class ShingleHashes(child: Expression, n: Int)
       out(j) = h
       j += 1
     }
+    if (positional) return new GenericArrayData(out)
     // per-document DISTINCT: sort + in-place unique (order is irrelevant
     // downstream — the array is exploded into groupBy/join keys)
     java.util.Arrays.sort(out)
@@ -252,6 +259,8 @@ object VectorExpressions {
     column(MinHashSig(expression(shingles), k))
   def shingleHashes(text: Column, n: Int): Column =
     column(ShingleHashes(expression(text), n))
+  def shingleHashesPos(text: Column, n: Int): Column =
+    column(ShingleHashes(expression(text), n, positional = true))
   def simhash64(toks: Column): Column =
     column(SimHash64(expression(toks)))
 }

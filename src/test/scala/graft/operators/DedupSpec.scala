@@ -130,6 +130,20 @@ class DedupSpec extends AnyFunSuite {
     assert(got.map(_.getLong(3)).sum > 0, "no spans removed — dead fixture")
   }
 
+  test("d14: production ShingleHashes keys give identical results to md5 keys") {
+    // the registry path keys grams by md5 strings (oracle-exact); the
+    // production path keys by positional 8-byte ShingleHashes. Same
+    // covered positions => same kept-token sets => identical rows,
+    // including each document's cleaned-text digest.
+    val md5Rows = Dedup.d14SpanRemoval(spark, dir, productionKeys = false)
+      .collect().map(_.toSeq)
+    val prodRows = Dedup.d14SpanRemoval(spark, dir, productionKeys = true)
+      .collect().map(_.toSeq)
+    assert(md5Rows.nonEmpty)
+    assert(md5Rows.sameElements(prodRows) || md5Rows.toSeq == prodRows.toSeq,
+      s"production-key d14 diverged from md5-key d14")
+  }
+
   test("exact dedup keeps one survivor per distinct text") {
     val d1 = Dedup.d1ExactDedup(spark, dir)
     assert(d1.count() ==
