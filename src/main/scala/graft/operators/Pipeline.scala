@@ -538,23 +538,84 @@ object Pipeline {
     * and the oracle agree bit-for-bit. */
   def p12MixtureSample(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val W = MixtureWeights.map(_._2).sum
-    val wdf = MixtureWeights.toDF("lang", "w")
     val docs = Tables.load(spark, dir, "documents")
       .select($"doc_id", $"lang", $"source")
-    val counts = docs.groupBy($"lang").agg(count(lit(1)).as("cnt"))
-    val feasible = counts.join(broadcast(wdf), "lang")
-      .agg(min(expr(s"(cnt * $W) DIV w")).as("tot"))
-    val quotas = counts.join(broadcast(wdf), "lang")
-      .crossJoin(broadcast(feasible))
-      .select($"lang", expr(s"(tot * w) DIV $W").as("quota"))
     val rkWin = Window.partitionBy($"lang")
       .orderBy(md5(concat(lit("mix"), $"doc_id".cast("string"))), $"doc_id")
-    docs.join(broadcast(quotas), "lang")
+    docs.join(broadcast(mixtureQuotas(spark, dir)), "lang")
       .withColumn("rk", row_number().over(rkWin))
       .filter($"rk" <= $"quota")
       .select($"doc_id", $"lang", $"source", $"rk", $"quota")
       .orderBy($"doc_id")
+  }
+
+  /** p12's fitted quota table (lang → quota): the ≤n_langs-row model the
+    * batch resample and the streaming admitter both consume — one tiny
+    * groupBy(lang) aggregate joined to the literal weight table. */
+  private[graft] def mixtureQuotas(spark: SparkSession,
+                                   dir: String): DataFrame = {
+    import spark.implicits._
+    val W = MixtureWeights.map(_._2).sum
+    val wdf = MixtureWeights.toDF("lang", "w")
+    val counts = Tables.load(spark, dir, "documents")
+      .groupBy($"lang").agg(count(lit(1)).as("cnt"))
+    val feasible = counts.join(broadcast(wdf), "lang")
+      .agg(min(expr(s"(cnt * $W) DIV w")).as("tot"))
+    counts.join(broadcast(wdf), "lang")
+      .crossJoin(broadcast(feasible))
+      .select($"lang", expr(s"(tot * w) DIV $W").as("quota"))
+  }
+
+  case class MixDelta(lang: String, doc_id: Long, op: Int)
+  case class MixState(rks: Seq[String], ids: Seq[Long])
+
+  /** Streaming twin of p12's resampler — ingest-time mixture admission:
+    * documents arrive as a stream and each language stratum maintains its
+    * quota-best admitted set by the SAME salted-md5 rank the batch
+    * resample uses. A newly arrived doc that out-ranks an admitted one
+    * EVICTS it, so the output is a changelog (`op` +1 admit / −1 evict —
+    * the reference's +I/−D shape): downstream sinks fold it and, once the
+    * same documents have been seen, hold exactly the batch p12 keep set
+    * regardless of arrival order — spec-asserted.
+    *
+    * Scale shape: keyed state is BOUNDED at quota (md5, id) pairs per
+    * language no matter how long the stream runs; each micro-batch folds
+    * in one dedup+sort+truncate per touched stratum (topKPerKey's
+    * amortization). The quota table is the fitted p12 model, collected
+    * once (≤ n_langs rows) like p19's threshold. */
+  def mixtureStream(stream: DataFrame,
+                    quotas: Map[String, Long]): org.apache.spark.sql.Dataset[MixDelta] = {
+    import stream.sparkSession.implicits._
+    stream
+      .select($"lang", $"doc_id",
+        md5(concat(lit("mix"), $"doc_id".cast("string"))).as("rk"))
+      .as[(String, Long, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[MixState, MixDelta](
+        org.apache.spark.sql.streaming.OutputMode.Update,
+        org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout()) {
+        (lang, rows, state) =>
+          val quota = quotas.getOrElse(lang, 0L).toInt
+          if (quota <= 0) Iterator.empty
+          else {
+            val cur = state.getOption
+              .map(s => s.rks.zip(s.ids).toVector).getOrElse(Vector.empty)
+            // distinct: at-least-once redelivery must not occupy two slots
+            val merged = (cur ++ rows.map(r => (r._3, r._2))).distinct
+              .sorted.take(quota)
+            if (merged == cur) Iterator.empty
+            else {
+              val curSet = cur.toSet
+              val nextSet = merged.toSet
+              state.update(MixState(merged.map(_._1), merged.map(_._2)))
+              (merged.filterNot(curSet).map { case (_, id) =>
+                MixDelta(lang, id, 1)
+              } ++ cur.filterNot(nextSet).map { case (_, id) =>
+                MixDelta(lang, id, -1)
+              }).iterator
+            }
+          }
+      }
   }
 
   /** P13 thresholds: minimum tokens, minimum composite quality (t2's
@@ -729,23 +790,12 @@ object Pipeline {
     * sort or single-partition window. */
   def p17DsirSelect(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val docs = Tables.load(spark, dir, "documents")
-    val toks = docs
+    Tables.load(spark, dir, "documents")
       .select($"doc_id", $"source", $"lang",
         explode(tokens($"text")).as("token"))
       .withColumn("bucket", expr(dsirBucketSql("token")))
-    val tgtCnt = toks.filter($"source" === DsirTarget)
-      .groupBy($"bucket").agg(count(lit(1)).as("tgt_c"))
-    val rawCnt = toks.filter($"source" =!= DsirTarget)
-      .groupBy($"bucket").agg(count(lit(1)).as("raw_c"))
-    // raw-side buckets cover every bucket a scored token can land in;
-    // target-side gaps smooth to 0 via the left join
-    val weights = rawCnt.join(tgtCnt, Seq("bucket"), "left")
-      .select($"bucket",
-        expr(s"((coalesce(tgt_c, 0) + 1) * $DsirScale) DIV (raw_c + 1)")
-          .as("wq"))
-    toks.filter($"source" =!= DsirTarget)
-      .join(broadcast(weights), "bucket")
+      .filter($"source" =!= DsirTarget)
+      .join(broadcast(dsirModel(spark, dir)), "bucket")
       .groupBy($"doc_id", $"source", $"lang")
       .agg(count(lit(1)).as("n_tokens"), sum($"wq").as("score"))
       .withColumn("avg_q", expr("score DIV n_tokens"))
@@ -753,6 +803,67 @@ object Pipeline {
       .limit(DsirQuota)
       .select($"doc_id", $"source", $"lang", $"n_tokens", $"score", $"avg_q")
       .orderBy($"avg_q".desc, md5($"doc_id".cast("string")).asc)
+  }
+
+  /** p17's fitted importance model: the ≤[[DsirBuckets]]-row bucket
+    * weight table — shared by the batch selector and the streaming
+    * scorer (the p19 `classifierModel` pattern). */
+  private[graft] def dsirModel(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val toks = Tables.load(spark, dir, "documents")
+      .select($"source", explode(tokens($"text")).as("token"))
+      .withColumn("bucket", expr(dsirBucketSql("token")))
+    val tgtCnt = toks.filter($"source" === DsirTarget)
+      .groupBy($"bucket").agg(count(lit(1)).as("tgt_c"))
+    val rawCnt = toks.filter($"source" =!= DsirTarget)
+      .groupBy($"bucket").agg(count(lit(1)).as("raw_c"))
+    // raw-side buckets cover every bucket a scored token can land in;
+    // target-side gaps smooth to 0 via the left join
+    rawCnt.join(tgtCnt, Seq("bucket"), "left")
+      .select($"bucket",
+        expr(s"((coalesce(tgt_c, 0) + 1) * $DsirScale) DIV (raw_c + 1)")
+          .as("wq"))
+  }
+
+  /** The selection boundary p17's top-quota cut implies: the worst
+    * selected document's (avg_q, md5 tiebreak) — a two-field scalar
+    * model, collected once like p19's threshold, that turns the batch
+    * top-k into a pointwise admission rule a stream can apply. */
+  private[graft] def dsirBoundary(spark: SparkSession,
+                                  dir: String): (Long, String) = {
+    val last = p17DsirSelect(spark, dir)
+      .select(col("avg_q"), md5(col("doc_id").cast("string")).as("tb"))
+      .orderBy(col("avg_q").asc, col("tb").desc)
+      .limit(1).head()
+    (last.getLong(0), last.getString(1))
+  }
+
+  /** Streaming twin of p17's scorer — ingest-time DSIR selection, the
+    * production deployment of a fitted importance model: documents
+    * arrive as a stream, tokens bucket map-side, the (static, ≤256-row)
+    * weight table attaches via a stream-static BROADCAST join, per-doc
+    * (count, sum) aggregates in update mode, and the fitted boundary
+    * decides admission pointwise — `selected` is true exactly when the
+    * doc would have made the batch top-quota cut (avg_q above the
+    * boundary, or at it and winning the md5 tiebreak). Unseen-in-fit
+    * buckets score neutral (odds 1 → 2²⁰), the p19 smoothing rule.
+    * Collapses to the batch p17 selection — spec-asserted. */
+  def dsirStream(stream: DataFrame, weights: DataFrame,
+                 boundAvg: Long, boundMd5: String): DataFrame = {
+    import stream.sparkSession.implicits._
+    stream
+      .filter($"source" =!= DsirTarget)
+      .select($"doc_id", explode(tokens($"text")).as("token"))
+      .withColumn("bucket", expr(dsirBucketSql("token")))
+      .join(broadcast(weights), Seq("bucket"), "left")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(coalesce($"wq", lit(DsirScale))).as("score"))
+      .withColumn("avg_q", expr("score DIV n_tokens"))
+      .withColumn("tb", md5($"doc_id".cast("string")))
+      .select($"doc_id", $"n_tokens", $"score", $"avg_q",
+        ($"avg_q" > boundAvg ||
+          ($"avg_q" === boundAvg && $"tb" <= boundMd5)).as("selected"))
   }
 
   /** P19 — model-free hashed linear quality classifier (the fastText-style

@@ -822,4 +822,84 @@ class StreamingEventsSpec extends AnyFunSuite {
     assert(tightAcc.value > 0L,
       "a saturating cap must be visible in the overflow accumulator")
   }
+
+  test("streaming mixture admission converges to the batch p12 keep set") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val dir = SparkTestSession.sf0001
+    val quotas = graft.operators.Pipeline.mixtureQuotas(s, dir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val docs = Tables.load(s, dir, "documents").as[Doc].collect().toSeq
+    // adversarial arrival order: descending salted rank, so early batches
+    // fill every stratum with its WORST candidates and later arrivals
+    // must keep evicting them — the changelog path is fully exercised
+    def rk(id: Long): String = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"mix$id".getBytes("UTF-8"))
+      d.map("%02x".format(_)).mkString
+    }
+    val feed = docs.sortBy(d => rk(d.doc_id)).reverse
+    val mem = MemoryStream[Doc]
+    val deltas = graft.operators.Pipeline.mixtureStream(mem.toDF(), quotas)
+    val q = deltas.writeStream.outputMode("update")
+      .format("memory").queryName("mix_test").start()
+    try {
+      feed.grouped(150).foreach { b => mem.addData(b); q.processAllAvailable() }
+      val rows = s.table("mix_test").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getInt(2)))
+      // an id is admitted at most once and evicted at most once (the
+      // admitted set only ever improves), so the net op decides.
+      // (.iterator: a Map.collect returning pairs would REBUILD a map
+      // keyed by lang and silently collapse to one doc per language)
+      val admitted = rows.groupBy(r => (r._1, r._2)).iterator.collect {
+        case (key, es) if es.map(_._3).sum == 1 => key
+      }.toSet
+      val batch = graft.operators.Pipeline.p12MixtureSample(s, dir).collect()
+        .map(r => (r.getString(1), r.getLong(0))).toSet
+      assert(admitted == batch,
+        s"stream fold diverges from batch keep set: extra=${
+          admitted -- batch} missing=${batch -- admitted}")
+      assert(rows.exists(_._3 == -1),
+        "no evictions — the adversarial feed order exercised nothing")
+    } finally q.stop()
+  }
+
+  test("streaming DSIR scoring selects exactly the batch p17 documents") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val dir = SparkTestSession.sf0001
+    val weights = graft.operators.Pipeline.dsirModel(s, dir)
+    val (bAvg, bMd5) = graft.operators.Pipeline.dsirBoundary(s, dir)
+    val docs = Tables.load(s, dir, "documents").as[Doc].collect().toSeq
+    val mem = MemoryStream[Doc]
+    val scored = graft.operators.Pipeline.dsirStream(
+      mem.toDF(), weights, bAvg, bMd5)
+    val q = scored.writeStream.outputMode("update")
+      .format("memory").queryName("dsir_test").start()
+    try {
+      docs.grouped(150).foreach { b => mem.addData(b); q.processAllAvailable() }
+      val got = s.table("dsir_test").collect()
+        .map(r => (r.getLong(0),
+          (r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4))))
+        .groupBy(_._1)
+        .map { case (id, es) => id -> es.maxBy(_._2._1)._2 }
+      val batch = graft.operators.Pipeline.p17DsirSelect(s, dir).collect()
+        .map(r => (r.getLong(0),
+          (r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+      val selected = got.collect { case (id, (_, _, _, true)) => id }.toSet
+      assert(selected == batch.keySet,
+        s"stream admission diverges from batch selection: extra=${
+          selected -- batch.keySet} missing=${batch.keySet -- selected}")
+      // scores themselves must be identical, not just the verdicts
+      batch.foreach { case (id, (n, sc, aq)) =>
+        val (gn, gsc, gaq, _) = got(id)
+        assert(gn == n && gsc == sc && gaq == aq,
+          s"doc $id scored ($gn,$gsc,$gaq) vs batch ($n,$sc,$aq)")
+      }
+      assert(got.size == docs.count(_.source != "src0"),
+        "every raw-source doc must be scored; target docs must not be")
+    } finally q.stop()
+  }
 }
