@@ -19,14 +19,18 @@ import org.apache.spark.sql.SparkSession
   */
 object Scaling {
   def main(args: Array[String]): Unit = {
-    val dirs = sys.env.getOrElse("SPARK_GRAFT_SCALING_DIRS",
-      "/root/testdata/sf0.001,/root/testdata/sf0.01,/root/testdata/sf0.1")
+    // default ladder: the three fixture rungs, plus SynthScale's
+    // replicated sf0.3 as a 4th rung when it has been generated
+    // (`runMain graft.SynthScale`) — the largest step then becomes
+    // 0.1→0.3 and the flag threshold adjusts via the measured ratio
+    val synth = "/tmp/graft-sf0.3"
+    val defaultDirs = "/root/testdata/sf0.001,/root/testdata/sf0.01," +
+      "/root/testdata/sf0.1" +
+      (if (Files.exists(Paths.get(synth, "lineitem.parquet"))) s",$synth"
+       else "")
+    val dirs = sys.env.getOrElse("SPARK_GRAFT_SCALING_DIRS", defaultDirs)
       .split(",").toSeq
     val out = sys.env.getOrElse("SPARK_GRAFT_SCALING_OUT", "SCALING.json")
-    // time ratio allowed across one 10× data step before a query is
-    // flagged: exactly-linear is 10×; fixed per-query overheads push real
-    // ratios far BELOW 10, so crossing it means superlinear work
-    val dataRatio = sys.env.getOrElse("SPARK_GRAFT_SCALING_DATA_RATIO", "10.0").toDouble
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -37,6 +41,19 @@ object Scaling {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+
+    // time ratio allowed across the LAST (largest) data step before a
+    // query is flagged: exactly-linear matches the step's data growth;
+    // fixed per-query overheads push real ratios well below it, so
+    // crossing it means superlinear work. Measured from the corpus
+    // itself (lineitem row counts of the last two rungs) so a non-10×
+    // synthesized rung gets the right threshold; env overrides.
+    val dataRatio = sys.env.get("SPARK_GRAFT_SCALING_DATA_RATIO")
+      .map(_.toDouble).getOrElse {
+        val Seq(prev, last) = dirs.takeRight(2).map(d =>
+          spark.read.parquet(s"$d/lineitem.parquet").count().toDouble)
+        math.max(1.0, last / prev)
+      }
 
     {
       import org.apache.spark.sql.functions._
