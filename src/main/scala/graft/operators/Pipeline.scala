@@ -1066,7 +1066,239 @@ object Pipeline {
       .orderBy($"doc_id")
   }
 
+  /** Accuracy knob for p23: guaranteed relative rank error ≤ 1/accuracy
+    * (the GK/KLL contract behind Spark's approx_percentile). */
+  val ApproxPercentileAccuracy = 1000
+
+  /** P23 — mergeable approximate percentiles (Greenwald–Khanna via
+    * Spark's `approx_percentile`): the one-pass sketch answer to t6's
+    * exact `percentile` for when per-group value sets no longer fit a
+    * sort — exact percentile materializes and sorts every value per
+    * group at eval (fine at fixture scale, impossible per-group at
+    * 100 TB), while the GK sketch keeps O((1/ε)·log(εN)) tuples per
+    * group, merges associatively across partitions (partial aggregation
+    * stays map-side), and guarantees every answer's RANK is within εN of
+    * the target. Same output shape as t6 for side-by-side comparison;
+    * the companion spec asserts the rank-error contract against the
+    * exact answer per language.
+    *
+    * No SQL oracle by design: DuckDB's approx_quantile is t-digest —
+    * a different sketch with different (unbounded-rank) guarantees; the
+    * fidelity check is the rank-error spec, the one-sided-error pattern
+    * of p14/p18/q23. */
+  def p23ApproxPercentiles(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.load(spark, dir, "documents")
+      .select($"lang", size(tokens($"text")).as("n_tokens"))
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs"),
+        expr(s"approx_percentile(n_tokens, array(0.25, 0.5, 0.75), " +
+          s"$ApproxPercentileAccuracy)").as("q"),
+        max($"n_tokens").as("max_tokens"))
+      .select($"lang", $"n_docs",
+        element_at($"q", 1).as("p25"),
+        element_at($"q", 2).as("p50"),
+        element_at($"q", 3).as("p75"),
+        $"max_tokens")
+      .orderBy($"lang")
+  }
+
+  /** P24 — corpus drift audit: total-variation distance between every
+    * source's hashed-token distribution and the reference source's
+    * ([[DsirTarget]]) — the monitoring statistic a continuously-ingesting
+    * pipeline tracks to catch upstream distribution shift (a crawler
+    * change, a new spam wave, an encoding regression) before it poisons
+    * training mixes. KL — the textbook choice — needs ln(), which the
+    * engine's determinism rules forbid in oracle-checked doubles; TVD is
+    * the exact-arithmetic alternative: ½·Σ_b |p_b − q_b| over the 256
+    * md5 buckets reduces to the INTEGER numerator
+    * Σ_b |o_b·N_ref − r_b·N_src| over the common denominator
+    * 2·N_src·N_ref, emitted as ONE IEEE division of exact ints (engine
+    * bit-exact, in [0,1]).
+    *
+    * Scale shape: one map-side-combined groupBy(source, bucket) (output
+    * ≤ sources×256 rows), the ≤256-row reference distribution re-attaches
+    * via a broadcast full-outer-by-coalesce join, per-source fold is a
+    * tiny aggregate. The corpus is touched ONCE, map-side. */
+  def p24DriftAudit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val counts = Tables.load(spark, dir, "documents")
+      .select($"source", explode(tokens($"text")).as("token"))
+      .withColumn("bucket", expr(dsirBucketSql("token")))
+      .groupBy($"source", $"bucket").agg(count(lit(1)).as("o"))
+    val ref = counts.filter($"source" === DsirTarget)
+      .select($"bucket", $"o".as("r"))
+    val refTot = ref.agg(sum($"r").as("n_ref"))
+    val srcTot = counts.filter($"source" =!= DsirTarget)
+      .groupBy($"source").agg(sum($"o").as("n_src"))
+    // per (source, bucket): |o·N_ref − r·N_src| for the buckets the
+    // source emits (left join — a ref-silent bucket contributes o·N_ref);
+    // buckets ONLY the reference emits contribute r·N_src each, folded
+    // in closed form as N_src·(N_ref − Σ_covered r) so they never need
+    // rows of their own
+    counts.filter($"source" =!= DsirTarget)
+      .join(broadcast(ref), Seq("bucket"), "left")
+      .join(broadcast(srcTot), "source")
+      .crossJoin(broadcast(refTot))
+      .groupBy($"source", $"n_src", $"n_ref")
+      .agg(sum(abs($"o" * $"n_ref" - coalesce($"r", lit(0L)) * $"n_src"))
+          .as("covered_num"),
+        sum(coalesce($"r", lit(0L))).as("covered_r"))
+      .select($"source", $"n_src", $"n_ref",
+        ($"covered_num" + $"n_src" * ($"n_ref" - $"covered_r"))
+          .as("l1_num"))
+      .withColumn("tvd", $"l1_num".cast(DoubleType) /
+        ($"n_src" * $"n_ref" * 2).cast(DoubleType))
+      .orderBy($"source")
+  }
+
+  /** Merge-list length for p25's applied tokenizer. */
+  val BpeMergeN = 30
+
+  /** p25's fitted tokenizer: the first [[BpeMergeN]] merges learned by
+    * [[bpeMerges]] over the word dictionary, PERSISTED through the model
+    * store (rank, left, right) — the fit/apply split for tokenizers: a
+    * tokenizer is trained once per corpus snapshot and applied by every
+    * downstream job; the merge list is the whole model. */
+  private[graft] def bpeMergeModel(spark: SparkSession,
+                                   dir: String): Seq[(String, String)] = {
+    import spark.implicits._
+    graft.sources.ModelStore.table(spark, dir, "documents.parquet",
+        s"bpe-merges-n$BpeMergeN") {
+      val dict = Tables.load(spark, dir, "documents")
+        .select(explode(tokens($"text")).as("token"))
+        .groupBy($"token").agg(count(lit(1)).as("cnt"))
+        .as[(String, Long)].collect().toSeq
+      bpeMerges(dict, BpeMergeN).zipWithIndex
+        .map { case ((a, b), r) => (r, a, b) }
+        .toDF("rk", "left", "right")
+    }.collect().sortBy(_.getInt(0))
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+  }
+
+  /** Apply a learned merge list to one word (BPE inference): replay the
+    * merges in training order, each replacing its pair occurrences
+    * left-to-right — exactly the trainer's own replacement rule
+    * ([[bpeMerges]]), so encode(train corpus) reproduces the trainer's
+    * final symbolization. Returns the symbol count. */
+  private[graft] def bpeEncodeLen(word: String,
+                                  merges: Seq[(String, String)]): Int = {
+    var syms: Vector[String] = word.map(_.toString).toVector
+    merges.foreach { case (a, b) =>
+      if (syms.length >= 2) {
+        val out = Vector.newBuilder[String]
+        var j = 0
+        while (j < syms.length) {
+          if (j + 1 < syms.length && syms(j) == a && syms(j + 1) == b) {
+            out += (a + b); j += 2
+          } else { out += syms(j); j += 1 }
+        }
+        syms = out.result()
+      }
+    }
+    syms.length
+  }
+
+  /** P25 — tokenizer APPLICATION at corpus scale: encode every document
+    * under the fitted BPE merge list and report per-doc token economics
+    * (words, chars, BPE tokens, chars-per-token compression) — the stage
+    * that turns "token budget" from a whitespace approximation (t1/p3)
+    * into real tokenizer counts, which is what training-cost accounting
+    * and sequence packing actually bill against.
+    *
+    * Scale shape: the corpus collapses to per-(doc, word) counts
+    * (map-side combine), the encoder runs ONCE PER DISTINCT WORD over
+    * the Heaps-law dictionary (mapPartitions with the broadcast merge
+    * list — never per occurrence), and word costs re-attach by an
+    * AQE-broadcastable equi-join keyed on the word. The iterative merge
+    * replay is genuinely imperative per-word work — the documented
+    * mapPartitions exception, bounded by word length.
+    *
+    * Rows-only: the merge replay is not SQL-expressible; the companion
+    * spec replays the encoder on the driver and matches every row. */
+  def p25BpeEncode(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(bpeMergeModel(spark, dir))
+    val perDoc = Tables.load(spark, dir, "documents")
+      .select($"doc_id", explode(tokens($"text")).as("token"))
+      .groupBy($"doc_id", $"token").agg(count(lit(1)).as("n"))
+    val dict = perDoc.select($"token").distinct()
+      .as[String].mapPartitions { it =>
+        val m = bc.value
+        it.map(w => (w, bpeEncodeLen(w, m)))
+      }.toDF("token", "n_syms")
+    perDoc.join(dict, "token")
+      .groupBy($"doc_id")
+      .agg(sum($"n").as("n_words"),
+        sum($"n" * length($"token")).as("n_chars"),
+        sum($"n" * $"n_syms").as("n_bpe_tokens"))
+      .withColumn("chars_per_token",
+        $"n_chars".cast(DoubleType) / $"n_bpe_tokens".cast(DoubleType))
+      .orderBy($"doc_id")
+  }
+
+  /** p24's reference model for the streaming monitor: the full
+    * [[DsirBuckets]]-long histogram of the reference source, collected
+    * once (≤256 rows — the p19 threshold pattern). */
+  private[graft] def refDistribution(spark: SparkSession,
+                                     dir: String): (Array[Long], Long) = {
+    import spark.implicits._
+    val arr = new Array[Long](DsirBuckets)
+    Tables.load(spark, dir, "documents")
+      .filter($"source" === DsirTarget)
+      .select(explode(tokens($"text")).as("token"))
+      .withColumn("bucket", expr(dsirBucketSql("token")))
+      .groupBy($"bucket").agg(count(lit(1)).as("c"))
+      .collect().foreach(r => arr(r.getInt(0)) = r.getLong(1))
+    (arr, arr.sum)
+  }
+
+  case class DriftState(counts: Seq[Long])
+  case class DriftRow(source: String, n_src: Long, l1_num: Long, tvd: Double)
+
+  /** Streaming twin of p24 — the drift MONITOR deployment: documents
+    * stream in, tokens bucket map-side, and per-source keyed state holds
+    * the running 256-bucket histogram (state bounded at [[DsirBuckets]]
+    * longs per source forever); every micro-batch re-emits each touched
+    * source's cumulative TVD against the fitted reference histogram —
+    * the live dashboard number an ingest pipeline alarms on. Once the
+    * same documents have been seen, the emission equals the batch p24
+    * row exactly (same integer numerator, same single IEEE division) —
+    * spec-asserted. */
+  def driftStream(stream: DataFrame, ref: Array[Long],
+                  nRef: Long): org.apache.spark.sql.Dataset[DriftRow] = {
+    import stream.sparkSession.implicits._
+    stream
+      .filter($"source" =!= DsirTarget)
+      .select($"source", explode(tokens($"text")).as("token"))
+      .withColumn("bucket", expr(dsirBucketSql("token")))
+      .select($"source", $"bucket").as[(String, Int)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[DriftState, DriftRow](
+        org.apache.spark.sql.streaming.OutputMode.Update,
+        org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout()) {
+        (src, rows, state) =>
+          val counts = state.getOption.map(_.counts.toArray)
+            .getOrElse(new Array[Long](DsirBuckets))
+          rows.foreach { case (_, b) => counts(b) += 1 }
+          state.update(DriftState(counts.toIndexedSeq))
+          val nSrc = counts.sum
+          var l1 = 0L
+          var b = 0
+          while (b < DsirBuckets) {
+            l1 += math.abs(counts(b) * nRef - ref(b) * nSrc); b += 1
+          }
+          // same shape as the batch tvd: exact-int numerator over the
+          // exact-int denominator, ONE IEEE division
+          Iterator.single(
+            DriftRow(src, nSrc, l1, l1.toDouble / (nSrc * nRef * 2L).toDouble))
+      }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p25_bpe_encode" -> p25BpeEncode _,
+    "p24_drift_audit" -> p24DriftAudit _,
+    "p23_approx_percentiles" -> p23ApproxPercentiles _,
     "p22_novelty" -> p22Novelty _,
     "p21_profile" -> p21Profile _,
     "p20_interleave" -> p20Interleave _,
@@ -1092,6 +1324,28 @@ object Pipeline {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "p24_drift_audit" -> {
+      val b = dsirBucketSql("tok")
+      s"""WITH t AS (SELECT source,
+         |    unnest(string_split(text,' ')) AS tok FROM documents),
+         |c AS (SELECT source, $b AS bucket, count(*) AS o FROM t
+         |      GROUP BY 1, 2),
+         |ref AS (SELECT bucket, o AS r FROM c WHERE source = '$DsirTarget'),
+         |nref AS (SELECT CAST(sum(r) AS BIGINT) AS n_ref FROM ref),
+         |nsrc AS (SELECT source, CAST(sum(o) AS BIGINT) AS n_src FROM c
+         |         WHERE source <> '$DsirTarget' GROUP BY 1),
+         |j AS (SELECT c.source, n_src, n_ref,
+         |        abs(c.o * n_ref - coalesce(ref.r, 0) * n_src) AS term,
+         |        coalesce(ref.r, 0) AS rc
+         |      FROM c JOIN nsrc USING (source) CROSS JOIN nref
+         |      LEFT JOIN ref USING (bucket)
+         |      WHERE c.source <> '$DsirTarget')
+         |SELECT source, n_src, n_ref,
+         |  CAST(sum(term) + n_src * (n_ref - sum(rc)) AS BIGINT) AS l1_num,
+         |  CAST(CAST(sum(term) + n_src * (n_ref - sum(rc)) AS BIGINT)
+         |       AS DOUBLE) / CAST(2 * n_src * n_ref AS DOUBLE) AS tvd
+         |FROM j GROUP BY source, n_src, n_ref ORDER BY source""".stripMargin
+    },
     "p22_novelty" ->
       """WITH docs AS (SELECT doc_id, string_split(text,' ') AS w
         |             FROM documents),

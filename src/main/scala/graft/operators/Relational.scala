@@ -1056,8 +1056,41 @@ object Relational {
       .orderBy($"c_mktsegment")
   }
 
+  /** Q45 — recursive CTE (WITH RECURSIVE, new in Spark 4): per-node
+    * depth over the implicit binary tree parent(k) = k DIV 2 rooted at
+    * c_custkey 1, rolled up to (depth, count, balance) — the iterative
+    * closure the reference's SQL surface cannot express at all and
+    * DuckDB runs natively (the same construct d6's oracle uses for
+    * cluster closure; here the ENGINE side is recursive too). Depth is
+    * logarithmic in the key space (≈17 at sf0.1), so the recursion is
+    * bounded by construction — each iteration is one broadcast-joined
+    * step of the frontier, Catalyst's UnionLoop.
+    *
+    * Scale note: a recursive CTE's work is (iterations × per-step join);
+    * this shape keys the step on the parent equi-join, so each pass
+    * shuffles only the frontier, never re-scans the accumulated result.
+    * Money sums in cents (q36 rule). */
+  def q45RecursiveDepth(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.load(spark, dir, "customer")
+      .createOrReplaceTempView("customer_q45")
+    spark.sql(s"""
+      WITH RECURSIVE h (c_custkey, depth) AS (
+        SELECT c_custkey, 0 FROM customer_q45 WHERE c_custkey = 1
+        UNION ALL
+        SELECT c.c_custkey, h.depth + 1
+        FROM customer_q45 c JOIN h ON c.c_custkey DIV 2 = h.c_custkey
+      )
+      SELECT h.depth, count(*) AS n_nodes,
+             CAST(sum(CAST(round(c.c_acctbal * 100) AS BIGINT)) AS DOUBLE)
+               / 100 AS total_acctbal
+      FROM h JOIN customer_q45 c ON h.c_custkey = c.c_custkey
+      GROUP BY h.depth ORDER BY h.depth""")
+  }
+
   /** All relational queries, keyed for SparkEntry. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q45_recursive_depth" -> q45RecursiveDepth _,
     "q44_incremental_agg" -> q44IncrementalAgg _,
     "q43_snapshot_diff" -> q43SnapshotDiff _,
     "q42_merge_upsert" -> q42MergeUpsert _,
@@ -1134,6 +1167,18 @@ object Relational {
 
   /** DuckDB oracle SQL per query (column names and ORDER BY must match). */
   val oracleSql: Map[String, String] = Map(
+    "q45_recursive_depth" ->
+      """WITH RECURSIVE h (c_custkey, depth) AS (
+        |  SELECT c_custkey, 0 FROM customer WHERE c_custkey = 1
+        |  UNION ALL
+        |  SELECT c.c_custkey, h.depth + 1
+        |  FROM customer c JOIN h ON c.c_custkey // 2 = h.c_custkey
+        |)
+        |SELECT h.depth, count(*) AS n_nodes,
+        |  CAST(CAST(sum(CAST(round(c.c_acctbal * 100) AS BIGINT)) AS BIGINT)
+        |    AS DOUBLE) / 100 AS total_acctbal
+        |FROM h JOIN customer c ON h.c_custkey = c.c_custkey
+        |GROUP BY h.depth ORDER BY h.depth""".stripMargin,
     // the DIRECT re-aggregation of the merged snapshot — hash-matching it
     // proves the incremental-maintenance identity, not just the numbers
     "q44_incremental_agg" ->

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
 
 import graft.functions.TextFunctions.tokens
 import graft.functions.VectorFunctions._
@@ -503,6 +504,60 @@ object Similarity {
       .select($"vec_id", $"m".getField("bench_id").as("bench_id"),
         round($"m".getField("cos"), 6).as("cos_sim"))
       .orderBy($"vec_id")
+  }
+
+  /** Modulus selecting v17's "newly arrived" slice: vec_id % 10 == 7. */
+  val DeltaMod = 7
+
+  /** The IVF model fitted on v17's BASE slice only (the corpus snapshot
+    * the index was built from) — persisted through [[ModelStore]] like
+    * [[ivfCentroids]]; the delta must never leak into the fit. */
+  private[operators] def baseIvfCentroids(spark: SparkSession,
+                                          dir: String): DataFrame =
+    ModelStore.table(spark, dir, "embeddings.parquet",
+        s"ivf-base-ex$DeltaMod-i1-p$IvfVectorsPerCell") {
+      fitIvfCentroids(
+        normalizedEmbeddings(spark, dir)
+          .filter(col("vec_id") % 10 =!= DeltaMod),
+        kmeansIters = 1)
+    }
+
+  /** V17 — incremental index maintenance: route a DELTA of newly arrived
+    * vectors into a PERSISTED IVF index without re-fitting — the
+    * operation a continuously-ingesting vector store runs on every batch
+    * (re-clustering 100 TB per arrival batch is not an option; indexes
+    * re-fit on a schedule, deltas route through the live model between
+    * fits). The base/delta split is by vec_id modulus ([[DeltaMod]]);
+    * the centroid model is fitted on the BASE slice only and loaded from
+    * the store, so applying the delta is pure map-side assignment.
+    * Output is the per-cell growth audit — base/delta/total occupancy
+    * and the delta fraction — exactly the statistic that decides WHEN
+    * the scheduled re-fit is due (a cell absorbing a disproportionate
+    * delta share signals distribution drift; compare p24's corpus-level
+    * view).
+    *
+    * Scale shape: assignment is the map-side HOF-vs-one-broadcast-row
+    * pattern (no join, no shuffle of vectors); the only aggregation is
+    * groupBy(cent_id) over (vec_id, cent_id) pairs — C-row output.
+    * Rows-only for the driver (k-means centroids are engine-specific);
+    * SimilaritySpec asserts nearest-centroid correctness vs a driver
+    * recompute, count conservation, and the no-refit store contract. */
+  def v17IndexDelta(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = normalizedEmbeddings(spark, dir)
+    val cents = centArray(baseIvfCentroids(spark, dir)).cache()
+    val base = ivfAssign(emb.filter($"vec_id" % 10 =!= DeltaMod), cents, 1)
+      .groupBy($"cent_id").agg(count(lit(1)).as("n_base"))
+    val delta = ivfAssign(emb.filter($"vec_id" % 10 === DeltaMod), cents, 1)
+      .groupBy($"cent_id").agg(count(lit(1)).as("n_delta"))
+    base.join(delta, Seq("cent_id"), "full")
+      .select($"cent_id",
+        coalesce($"n_base", lit(0L)).as("n_base"),
+        coalesce($"n_delta", lit(0L)).as("n_delta"))
+      .withColumn("n_total", $"n_base" + $"n_delta")
+      .withColumn("delta_frac",
+        $"n_delta".cast(DoubleType) / $"n_total".cast(DoubleType))
+      .orderBy($"cent_id")
   }
 
   /** V6 — per-label embedding centroids (class prototypes): mean vector per
@@ -1197,6 +1252,7 @@ object Similarity {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "v17_index_delta" -> v17IndexDelta _,
     "v16_semantic_contamination" ->
       ((s: SparkSession, d: String) => v16SemanticContamination(s, d)),
     "v15_ann_ivfpq" -> ((s: SparkSession, d: String) => v15AnnIvfPq(s, d)),

@@ -698,4 +698,56 @@ class PipelineSpec extends AnyFunSuite {
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), plan.take(800))
   }
+
+  test("p25: distributed BPE encode equals a driver replay of the fitted merges") {
+    val merges = Pipeline.bpeMergeModel(spark, dir)
+    assert(merges.length == Pipeline.BpeMergeN, "fit produced a full merge list")
+    val expected = docs.map { case (id, text) =>
+      val words = text.split(" ", -1)
+      id -> ((words.length.toLong,
+        words.map(_.length.toLong).sum,
+        words.map(w => Pipeline.bpeEncodeLen(w, merges).toLong).sum))
+    }.toMap
+    val got = Pipeline.p25BpeEncode(spark, dir).collect()
+    assert(got.length == expected.size, "one row per document")
+    got.foreach { r =>
+      val (nw, nc, nb) = expected(r.getLong(0))
+      assert(r.getLong(1) == nw, s"doc ${r.getLong(0)} n_words")
+      assert(r.getLong(2) == nc, s"doc ${r.getLong(0)} n_chars")
+      assert(r.getLong(3) == nb, s"doc ${r.getLong(0)} n_bpe_tokens")
+      assert(r.getDouble(4) == nc.toDouble / nb.toDouble)
+    }
+    // the tokenizer does real work: merges compress the corpus
+    val (tc, tb) = (expected.values.map(_._2).sum, expected.values.map(_._3).sum)
+    assert(tb < tc, s"BPE tokens $tb should undercut chars $tc")
+  }
+
+  test("p23: approx percentiles honor the GK rank-error contract vs exact") {
+    val lens = graft.sources.Tables.load(spark, dir, "documents")
+      .select("lang", "text").collect()
+      .map(r => (r.getString(0), r.getString(1).split(" ", -1).length))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    val rows = Pipeline.p23ApproxPercentiles(spark, dir).collect()
+    assert(rows.map(_.getString(0)).toSet == lens.keySet)
+    val eps = 1.0 / Pipeline.ApproxPercentileAccuracy
+    rows.foreach { r =>
+      val xs = lens(r.getString(0))
+      val n = xs.size
+      assert(r.getLong(1) == n)
+      assert(r.getInt(5) == xs.max, "max is exact, not sketched")
+      Seq(0.25 -> r.getInt(2), 0.5 -> r.getInt(3), 0.75 -> r.getInt(4))
+        .foreach { case (q, v) =>
+          // GK contract: the returned value's rank interval [lo, hi]
+          // (ranks it could occupy among ties) intersects [⌈(q−ε)N⌉,
+          // ⌈(q+ε)N⌉]; ±1 absorbs the rank-convention fencepost
+          val lo = xs.count(_ < v) + 1
+          val hi = xs.count(_ <= v)
+          assert(hi >= (q - eps) * n - 1 && lo <= (q + eps) * n + 1,
+            s"lang ${r.getString(0)} q=$q: value $v ranks [$lo,$hi] of " +
+              s"$n, outside ±${eps * n}")
+          // the sketch must also return an actual data value
+          assert(xs.contains(v), s"$v not a corpus value")
+        }
+    }
+  }
 }

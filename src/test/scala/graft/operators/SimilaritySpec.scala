@@ -445,4 +445,46 @@ class SimilaritySpec extends AnyFunSuite {
       assert(sims.zip(sims.tail).forall { case (a, b) => a >= b })
     }
   }
+
+  test("v17: delta routes to the true nearest base centroid, counts " +
+      "conserve, and the base model is never re-fit") {
+    import org.apache.spark.sql.functions.col
+    val rows = Similarity.v17IndexDelta(spark, dir).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    val emb = graft.sources.Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    val (delta, base) = emb.partition(_._1 % 10 == Similarity.DeltaMod)
+    // count conservation: every vector of each slice lands in exactly
+    // one cell
+    assert(rows.values.map(_._1).sum == base.length, "base occupancy")
+    assert(rows.values.map(_._2).sum == delta.length, "delta occupancy")
+    rows.values.foreach { case (b, d, t, f) =>
+      assert(t == b + d)
+      assert(f == d.toDouble / t)
+    }
+    // delta assignment correctness: distributed routing == driver
+    // argmax-cosine against the persisted base centroids (ties → lowest
+    // cent_id, the operator's rule)
+    val cents = Similarity.baseIvfCentroids(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) { s += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+      s / math.sqrt(na * nb)
+    }
+    val expectedDelta = delta.map { case (_, v) =>
+      cents.map { case (cid, cv) => (cos(v, cv), -cid) }.max._2 * -1
+    }.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val gotDelta = rows.collect { case (cid, (_, d, _, _)) if d > 0 => cid -> d }
+    assert(gotDelta.toMap == expectedDelta,
+      s"delta routing diverges from driver argmax: $gotDelta vs $expectedDelta")
+    // no-refit contract: the model store must HIT under v17's base name
+    graft.sources.ModelStore.table(spark, dir, "embeddings.parquet",
+      s"ivf-base-ex${Similarity.DeltaMod}-i1-p${Similarity.IvfVectorsPerCell}") {
+      fail("base IVF model store missed — v17 re-fit on apply")
+    }
+    ()
+  }
 }

@@ -865,6 +865,36 @@ class StreamingEventsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming drift monitor converges to the batch p24 TVD per source") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val dir = SparkTestSession.sf0001
+    val (ref, nRef) = graft.operators.Pipeline.refDistribution(s, dir)
+    val docs = Tables.load(s, dir, "documents").as[Doc].collect().toSeq
+    val mem = MemoryStream[Doc]
+    val drift = graft.operators.Pipeline.driftStream(mem.toDF(), ref, nRef)
+    val q = drift.writeStream.outputMode("update")
+      .format("memory").queryName("drift_test").start()
+    try {
+      docs.grouped(150).foreach { b => mem.addData(b); q.processAllAvailable() }
+      val got = s.table("drift_test").collect()
+        .map(r => (r.getString(0), (r.getLong(1), r.getLong(2), r.getDouble(3))))
+        .groupBy(_._1)
+        .map { case (src, es) => src -> es.maxBy(_._2._1)._2 }
+      val batch = graft.operators.Pipeline.p24DriftAudit(s, dir).collect()
+        .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(3), r.getDouble(4))))
+        .toMap
+      assert(got.keySet == batch.keySet,
+        s"sources diverge: ${got.keySet} vs ${batch.keySet}")
+      batch.foreach { case (src, (n, l1, tvd)) =>
+        val (gn, gl1, gtvd) = got(src)
+        assert(gn == n && gl1 == l1 && gtvd == tvd,
+          s"source $src drift ($gn,$gl1,$gtvd) != batch ($n,$l1,$tvd)")
+      }
+    } finally q.stop()
+  }
+
   test("streaming DSIR scoring selects exactly the batch p17 documents") {
     val s = spark
     import s.implicits._
