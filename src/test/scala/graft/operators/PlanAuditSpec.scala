@@ -293,4 +293,46 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"),
       s"corpus-side cartesian in the distance pass:\n${plan.take(800)}")
   }
+
+  test("p24: the reference distribution attaches via broadcast — corpus " +
+      "tokens shuffle once, for their own counts") {
+    val df = graft.SparkEntry.queries("p24_drift_audit")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") ||
+      plan.contains("BroadcastNestedLoopJoin"),
+      s"ref histogram must broadcast:\n${plan.take(800)}")
+    assert(!plan.contains("CartesianProduct"), plan.take(800))
+  }
+
+  test("p23: the percentile sketch aggregates in two phases (partial " +
+      "map-side), like every mergeable sketch here") {
+    val df = graft.SparkEntry.queries("p23_approx_percentiles")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("partial_approx_percentile") ||
+      "ObjectHashAggregate.*approx_percentile".r.findFirstIn(plan).isDefined,
+      s"sketch must partial-aggregate before the exchange:\n${plan.take(1200)}")
+  }
+
+  test("v17: delta assignment is map-side against one broadcast centroid " +
+      "row — no join, no shuffle of vectors") {
+    val df = graft.SparkEntry.queries("v17_index_delta")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"centroids must ride one broadcast row:\n${plan.take(800)}")
+    assert(!plan.contains("CartesianProduct"), plan.take(800))
+    // the only shuffle join allowed is the final full-outer on cent_id —
+    // the C-row audit merge, never the vectors
+    val smj = "SortMergeJoin \\[([a-z_]+)#".r.findAllMatchIn(plan)
+      .map(_.group(1)).toSet
+    assert(smj.subsetOf(Set("cent_id")),
+      s"shuffle join on non-audit keys $smj:\n${plan.take(800)}")
+  }
+
+  test("q45: the recursive step joins the frontier, not a cartesian") {
+    val df = graft.SparkEntry.queries("q45_recursive_depth")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("UnionLoop"),
+      s"recursive CTE must compile to UnionLoop:\n${plan.take(800)}")
+    assert(!plan.contains("CartesianProduct"), plan.take(800))
+  }
 }
