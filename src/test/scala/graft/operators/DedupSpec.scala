@@ -130,6 +130,23 @@ class DedupSpec extends AnyFunSuite {
     assert(got.map(_.getLong(3)).sum > 0, "no spans removed — dead fixture")
   }
 
+  test("pair index: the persisted store equals a fresh pairwise pass, " +
+      "row-for-row") {
+    val stored = Dedup.pairIndexModel(spark, dir).collect()
+      .map(_.toSeq).sortBy(_.toString)
+    val fresh = Dedup.computePairCandidates(spark, dir).collect()
+      .map(_.toSeq).sortBy(_.toString)
+    assert(stored.nonEmpty, "pair index must contain candidates")
+    assert(stored.toSeq == fresh.toSeq,
+      "persisted pair index diverged from a fresh compute")
+    // and a second lookup must HIT the store (fit/apply contract)
+    graft.sources.ModelStore.table(spark, dir, "documents.parquet",
+      s"d3-pair-index-n${Dedup.ShingleN}-df${Dedup.MaxShingleDf}") {
+      fail("pair-index store missed on re-invocation")
+    }
+    ()
+  }
+
   test("d14: production ShingleHashes keys give identical results to md5 keys") {
     // the registry path keys grams by md5 strings (oracle-exact); the
     // production path keys by positional 8-byte ShingleHashes. Same

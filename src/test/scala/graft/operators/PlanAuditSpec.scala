@@ -131,18 +131,28 @@ class PlanAuditSpec extends AnyFunSuite {
       s"d8 must have exactly the df re-attach join:\n$plan")
   }
 
-  test("d3: the shingle-index exchange is computed once and reused") {
-    // rareShingles appears three times in d3 (both self-join sides + the
-    // per-doc sizes); its scan→explode→exchange subplan is identical each
-    // time, so AQE must materialize that stage ONCE and reuse it — not
+  test("d3: the pairwise BUILD reuses the shingle-index exchange; the " +
+      "registry query reads the persisted pair index") {
+    // the build path (store miss) runs the inverted-index self-join:
+    // rareShingles appears three times (both join sides + per-doc
+    // sizes); its scan→explode→exchange subplan is identical each time,
+    // so AQE must materialize that stage ONCE and reuse it — not
     // re-explode the corpus three times. Stage reuse only shows in the
     // post-execution adaptive plan, hence the action first.
-    val df = graft.SparkEntry.queries("d3_jaccard_pairs")(spark, dir)
-    df.collect() // a noop WRITE spawns its own QueryExecution — collect
-    val plan = df.queryExecution.executedPlan.toString // finalizes THIS one
-    assert(plan.contains("isFinalPlan=true"), s"plan did not finalize:\n$plan")
-    assert(plan.contains("ReusedExchange") || plan.contains("ReusedQueryStage"),
-      s"the shingle index must be computed once, not per consumer:\n$plan")
+    val build = Dedup.computePairCandidates(spark, dir)
+    build.collect()
+    val bplan = build.queryExecution.executedPlan.toString
+    assert(bplan.contains("isFinalPlan=true"), s"plan did not finalize:\n$bplan")
+    assert(bplan.contains("ReusedExchange") || bplan.contains("ReusedQueryStage"),
+      s"the shingle index must be computed once, not per consumer:\n$bplan")
+    // the registry query itself consumes the persisted index: a parquet
+    // scan, no shingle explode, no self-join
+    val served = graft.SparkEntry.queries("d3_jaccard_pairs")(spark, dir)
+    val splan = served.queryExecution.executedPlan.toString
+    assert(splan.contains("Scan parquet"),
+      s"d3 must serve from the persisted pair index:\n${splan.take(800)}")
+    assert(!splan.contains("shingle_hashes"),
+      s"no shingle recompute on the serve path:\n${splan.take(800)}")
   }
 
   test("q37: grouping sets are ONE Expand pass over one scan, not " +
