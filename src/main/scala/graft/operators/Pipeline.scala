@@ -1295,7 +1295,83 @@ object Pipeline {
       }
   }
 
+  /** p26 keeps 1/[[TempTargetDen]] of the corpus, split by tempered weight. */
+  val TempTargetDen = 2
+
+  /** P26 — temperature-scaled source mixture (α = 0.5): per-source keep
+    * quotas proportional to √count instead of count — the standard
+    * "temperature" rebalance (multilingual LM training, Conneau et al.
+    * 2020 §3; α→1 is proportional, α→0 uniform) that upsamples scarce
+    * sources relative to dominant ones. Where p12 takes its mixture as a
+    * GIVEN weight table, p26 FITS the weights from the corpus itself.
+    * Weights are fixed-point: wt = ⌊√count·10⁶⌋ (sqrt is IEEE
+    * correctly-rounded in both engines, one multiply, floor — engine-
+    * exact); quotas are integer DIV; membership is the p2/p12 salted-md5
+    * rank, so the whole operator is deterministic and oracle-exact.
+    *
+    * Scale shape: weights/quotas derive from one tiny groupBy(source)
+    * aggregate (two broadcast scalars for the totals); the only
+    * corpus-scale work is the per-stratum rank window — p7's documented
+    * keyed-and-parallel shape. */
+  def p26TemperatureMixture(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.load(spark, dir, "documents")
+      .select($"doc_id", $"source")
+    val weights = docs.groupBy($"source").agg(count(lit(1)).as("cnt"))
+      .select($"source", floor(sqrt($"cnt") * lit(1e6)).as("wt"))
+    val tot = weights.agg(sum($"wt").as("wsum"))
+    val target = docs.agg(expr(s"count(1) DIV $TempTargetDen").as("t"))
+    val quotas = weights.crossJoin(broadcast(tot))
+      .crossJoin(broadcast(target))
+      .select($"source", expr("(t * wt) DIV wsum").as("quota"))
+    val rkWin = Window.partitionBy($"source")
+      .orderBy(md5(concat(lit("temp"), $"doc_id".cast("string"))), $"doc_id")
+    docs.join(broadcast(quotas), "source")
+      .withColumn("rk", row_number().over(rkWin))
+      .filter($"rk" <= $"quota")
+      .select($"doc_id", $"source", $"rk", $"quota")
+      .orderBy($"doc_id")
+  }
+
+  /** P27 — quality-threshold sweep: for each threshold i/10 (i = 0…9)
+    * over t2's composite quality score, how many documents and characters
+    * survive — the docs-vs-quality tradeoff curve a pipeline reads BEFORE
+    * committing to a filter threshold (p13 applies one point of this
+    * curve; p27 shows the whole curve so the point is chosen with eyes
+    * open).
+    *
+    * Scale shape: ONE corpus pass buckets each doc by ⌊score·10⌋ into ten
+    * cells (map-side combinable groupBy); the survivor counts then come
+    * from a suffix-sum window over the TEN-row bucket table — the
+    * threshold sweep never rescans the corpus per threshold (the naive
+    * form is 10 filtered passes). Score comparison is bucket arithmetic
+    * on the engine-exact t2 score, so both engines cut identically. */
+  def p27ThresholdSweep(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val sc = TextAnalysis.t2QualityScore(spark, dir)
+      .select($"doc_id", $"quality_score")
+    val docs = Tables.load(spark, dir, "documents")
+      .select($"doc_id", $"n_chars")
+    val bucketed = sc.join(docs, "doc_id")
+      .select(least(floor($"quality_score" * 10).cast("int"), lit(9)).as("bk"),
+        $"n_chars")
+      .groupBy($"bk")
+      .agg(count(lit(1)).as("nd"), sum($"n_chars").as("nc"))
+    val w = Window.orderBy($"thr_idx".asc)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    spark.range(0, 10).select($"id".cast("int").as("thr_idx"))
+      .join(bucketed, $"thr_idx" === $"bk", "left")
+      .select($"thr_idx",
+        coalesce($"nd", lit(0L)).as("nd"), coalesce($"nc", lit(0L)).as("nc"))
+      .select($"thr_idx",
+        sum($"nd").over(w).as("n_docs_ge"),
+        sum($"nc").over(w).as("n_chars_ge"))
+      .orderBy($"thr_idx")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p27_threshold_sweep" -> p27ThresholdSweep _,
+    "p26_temperature_mixture" -> p26TemperatureMixture _,
     "p25_bpe_encode" -> p25BpeEncode _,
     "p24_drift_audit" -> p24DriftAudit _,
     "p23_approx_percentiles" -> p23ApproxPercentiles _,
@@ -1324,6 +1400,41 @@ object Pipeline {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "p26_temperature_mixture" ->
+      s"""WITH c AS (SELECT source, count(*) AS cnt FROM documents
+         |           GROUP BY source),
+         |w AS (SELECT source, CAST(floor(sqrt(cnt) * 1000000.0) AS BIGINT)
+         |          AS wt FROM c),
+         |tot AS (SELECT CAST(sum(wt) AS BIGINT) AS wsum,
+         |          (SELECT count(*) // $TempTargetDen FROM documents) AS t
+         |        FROM w),
+         |q AS (SELECT source, (t * wt) // wsum AS quota FROM w, tot),
+         |r AS (SELECT doc_id, source,
+         |        row_number() OVER (PARTITION BY source
+         |          ORDER BY md5('temp' || CAST(doc_id AS VARCHAR)), doc_id)
+         |          AS rk
+         |      FROM documents)
+         |SELECT r.doc_id, r.source, CAST(r.rk AS INT) AS rk,
+         |  CAST(q.quota AS BIGINT) AS quota
+         |FROM r JOIN q ON r.source = q.source WHERE r.rk <= q.quota
+         |ORDER BY doc_id""".stripMargin,
+    "p27_threshold_sweep" ->
+      s"""WITH q AS (${TextAnalysis.qualityCte}),
+         |b AS (SELECT least(CAST(floor(q.quality_score * 10) AS INT), 9)
+         |          AS bk, d.n_chars
+         |      FROM q JOIN documents d USING (doc_id)),
+         |g AS (SELECT bk, count(*) AS nd,
+         |        CAST(sum(n_chars) AS BIGINT) AS nc FROM b GROUP BY bk),
+         |grid AS (SELECT CAST(unnest(generate_series(0, 9)) AS INT)
+         |             AS thr_idx),
+         |j AS (SELECT thr_idx, coalesce(nd, 0) AS nd, coalesce(nc, 0) AS nc
+         |      FROM grid LEFT JOIN g ON thr_idx = g.bk)
+         |SELECT thr_idx,
+         |  CAST(sum(nd) OVER w AS BIGINT) AS n_docs_ge,
+         |  CAST(sum(nc) OVER w AS BIGINT) AS n_chars_ge
+         |FROM j WINDOW w AS (ORDER BY thr_idx
+         |  ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+         |ORDER BY thr_idx""".stripMargin,
     "p24_drift_audit" -> {
       val b = dsirBucketSql("tok")
       s"""WITH t AS (SELECT source,

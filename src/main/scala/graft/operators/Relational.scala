@@ -868,6 +868,15 @@ object Relational {
     * hashing is avoided; integers compare exactly). */
   def q40Scd2(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    scd2Intervals(spark, dir)
+      .orderBy($"user_id", $"valid_from_us", $"change_id")
+  }
+
+  /** The unordered SCD2 interval table q40 emits and q46 probes — one
+    * co-partitioned exchange on user_id feeds lag, the change filter, and
+    * lead (Catalyst reuses the sort+partitioning). */
+  private def scd2Intervals(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
     val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
     Tables.load(spark, dir, "events")
       .select($"user_id", $"event_id", $"ts", $"event_type")
@@ -878,7 +887,43 @@ object Relational {
         $"event_type".as("state"),
         unix_micros($"ts").as("valid_from_us"), $"valid_to_us",
         $"valid_to_us".isNull.cast("int").as("is_current"))
-      .orderBy($"user_id", $"valid_from_us", $"change_id")
+  }
+
+  /** Number of equally spaced probe instants q46 evaluates. */
+  val AsOfProbeCount = 7
+
+  /** Q46 — temporal point-in-time (AS OF) lookup over the SCD2 dimension:
+    * for each of [[AsOfProbeCount]] probe instants spanning the event
+    * range, return every user's state valid AT that instant — Flink SQL's
+    * `FOR SYSTEM_TIME AS OF` temporal join, the query shape the
+    * reference's platform answers against a versioned dimension and the
+    * operation q40's intervals exist to serve. A user whose first change
+    * is after the probe has no row (the entity did not exist yet), and
+    * the open interval matches every probe ≥ its valid_from — both
+    * standard temporal-table semantics.
+    *
+    * Scale shape: the probe grid is derived from ONE tiny bounds
+    * aggregate (2 longs) and stays ≤ [[AsOfProbeCount]] rows, so the
+    * interval table streams through a broadcast nested-loop against a
+    * 7-row build side — linear in intervals, no interval self-join, no
+    * per-probe rescan. Probe times are integer microsecond arithmetic
+    * (lo + k·span DIV 8), engine-exact. */
+  def q46AsOfState(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val bounds = Tables.load(spark, dir, "events")
+      .agg(min(unix_micros($"ts")).as("lo"), max(unix_micros($"ts")).as("hi"))
+    val probes = bounds
+      .select(explode(sequence(lit(1), lit(AsOfProbeCount))).as("probe_idx"),
+        $"lo", $"hi")
+      .select($"probe_idx",
+        expr(s"lo + ((hi - lo) * probe_idx) DIV ${AsOfProbeCount + 1}")
+          .as("t_us"))
+    scd2Intervals(spark, dir)
+      .join(broadcast(probes),
+        $"t_us" >= $"valid_from_us" &&
+          ($"valid_to_us".isNull || $"t_us" < $"valid_to_us"))
+      .select($"probe_idx", $"t_us", $"user_id", $"state", $"valid_from_us")
+      .orderBy($"probe_idx", $"user_id")
   }
 
   /** Q41 — time-RANGE window frame: per user, the trailing-hour running
@@ -1090,6 +1135,7 @@ object Relational {
 
   /** All relational queries, keyed for SparkEntry. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q46_asof_state" -> q46AsOfState _,
     "q45_recursive_depth" -> q45RecursiveDepth _,
     "q44_incremental_agg" -> q44IncrementalAgg _,
     "q43_snapshot_diff" -> q43SnapshotDiff _,
@@ -1167,6 +1213,29 @@ object Relational {
 
   /** DuckDB oracle SQL per query (column names and ORDER BY must match). */
   val oracleSql: Map[String, String] = Map(
+    "q46_asof_state" ->
+      s"""WITH o AS (SELECT user_id, event_id, ts, event_type,
+        |        lag(event_type) OVER (PARTITION BY user_id
+        |          ORDER BY ts, event_id) AS prev
+        |      FROM events),
+        |ch AS (SELECT user_id, event_id, ts, event_type FROM o
+        |       WHERE prev IS NULL OR prev <> event_type),
+        |iv AS (SELECT user_id, event_type AS state,
+        |         epoch_us(ts) AS valid_from_us,
+        |         lead(epoch_us(ts)) OVER (PARTITION BY user_id
+        |           ORDER BY ts, event_id) AS valid_to_us
+        |       FROM ch),
+        |b AS (SELECT min(epoch_us(ts)) AS lo, max(epoch_us(ts)) AS hi
+        |      FROM events),
+        |pr AS (SELECT CAST(unnest(generate_series(1, $AsOfProbeCount))
+        |           AS INT) AS probe_idx, lo, hi FROM b),
+        |p AS (SELECT probe_idx,
+        |        lo + ((hi - lo) * probe_idx) // ${AsOfProbeCount + 1} AS t_us
+        |      FROM pr)
+        |SELECT p.probe_idx, p.t_us, iv.user_id, iv.state, iv.valid_from_us
+        |FROM p JOIN iv ON p.t_us >= iv.valid_from_us
+        |  AND (iv.valid_to_us IS NULL OR p.t_us < iv.valid_to_us)
+        |ORDER BY probe_idx, user_id""".stripMargin,
     "q45_recursive_depth" ->
       """WITH RECURSIVE h (c_custkey, depth) AS (
         |  SELECT c_custkey, 0 FROM customer WHERE c_custkey = 1

@@ -1251,7 +1251,78 @@ object Similarity {
       .orderBy($"label")
   }
 
+  /** Hamming shortlist size for v18's exact re-rank. */
+  val BinaryShortlist = 100
+
+  /** The sign-bit binary code table (vec_id, code): bit i of `code` is
+    * set iff embedding[i] > 0 — one 8-byte long per 64-dim vector, a 32×
+    * compression over float32 (the layout binary/1-bit quantization
+    * serves at retrieval scale). 64 static conditional terms OR-fold
+    * inside whole-stage codegen (the v3 hyperplane pattern; here the
+    * "planes" are the axes). */
+  private[operators] def binaryCodes(spark: SparkSession,
+                                     dir: String): DataFrame = {
+    import spark.implicits._
+    val code = (0 until 64).map { i =>
+      when(element_at($"v", i + 1) > 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce((a: Column, b: Column) => a.bitwiseOR(b))
+    Tables.load(spark, dir, "embeddings")
+      .select($"vec_id", asDouble($"embedding").as("v"))
+      .select($"vec_id", code.as("code"))
+  }
+
+  /** V18 — binary (sign-bit) quantized ANN: score the corpus by Hamming
+    * distance between 64-bit sign codes (`bit_count(xor)` — one popcount
+    * per candidate over an 8-byte code), take a [[BinaryShortlist]]-sized
+    * shortlist per query via the mergeable top-k aggregate, then re-rank
+    * the shortlist by exact cosine. Binary codes are the cheapest
+    * quantization tier (32× smaller than float32, vs v7's 8×) and the
+    * Hamming scan is pure integer ALU work — the coarse-filter layer a
+    * retrieval stack puts IN FRONT of v7/v10-grade scoring at 100 TB.
+    *
+    * Scale shape: stage 1 moves only k (score, id) pairs per query across
+    * the shuffle (v5's TopKAggregate property) over a corpus scan that
+    * reads 8 bytes/vector; stage 2 re-attaches exact vectors for
+    * queries×shortlist rows only (equi-join on vec_id — bounded, never
+    * corpus-wide). Shortlist membership depends on Hamming ties broken by
+    * vec_id (deterministic both stages) but not expressible in portable
+    * SQL → rows-only; recall vs exact v1 and a driver recompute of the
+    * codes are asserted in SimilaritySpec. */
+  def v18AnnBinary(spark: SparkSession, dir: String,
+                   shortlistK: Int = BinaryShortlist): DataFrame = {
+    import spark.implicits._
+    val codes = binaryCodes(spark, dir)
+    val qCodes = codes.filter($"vec_id" < QueryCount)
+      .select($"vec_id".as("query_id"), $"code".as("qcode"))
+    val shortlist = codes
+      .join(broadcast(qCodes), $"vec_id" =!= $"query_id")
+      .select($"query_id", $"vec_id",
+        (lit(64) - bit_count($"code".bitwiseXOR($"qcode")))
+          .cast(DoubleType).as("ham_score"))
+      .groupBy($"query_id")
+      .agg(graft.plans.TopKAggregate
+        .topK($"ham_score", $"vec_id", shortlistK).as("top"))
+      .select($"query_id", explode($"top.id").as("vec_id"))
+    val emb = Tables.load(spark, dir, "embeddings")
+      .select($"vec_id", asDouble($"embedding").as("v"))
+      .withColumn("nrm", norm($"v"))
+    val queries = emb.filter($"vec_id" < QueryCount)
+      .select($"vec_id".as("query_id"), $"v".as("qv"), $"nrm".as("qn"))
+    val w = Window.partitionBy($"query_id")
+      .orderBy($"cos".desc, $"vec_id".asc)
+    shortlist
+      .join(emb, "vec_id")
+      .join(broadcast(queries), "query_id")
+      .select($"query_id", $"vec_id",
+        (dot($"qv", $"v") / ($"qn" * $"nrm")).as("cos"))
+      .withColumn("rk", row_number().over(w))
+      .filter($"rk" <= K)
+      .select($"query_id", $"rk", $"vec_id", round($"cos", 6).as("cos_sim"))
+      .orderBy($"query_id", $"rk")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "v18_ann_binary" -> ((s: SparkSession, d: String) => v18AnnBinary(s, d)),
     "v17_index_delta" -> v17IndexDelta _,
     "v16_semantic_contamination" ->
       ((s: SparkSession, d: String) => v16SemanticContamination(s, d)),

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DoubleType
 
@@ -341,7 +342,42 @@ object TextAnalysis {
       .orderBy($"checkpoint")
   }
 
+  /** t13 reports ranks up to this cap (and never materializes more). */
+  val ZipfMaxRank = 4096
+
+  /** T13 — Zipf (rank-frequency) audit: the corpus frequency table probed
+    * at power-of-two ranks — rank 1, 2, 4, … up to [[ZipfMaxRank]] — with
+    * the rank·frequency product alongside. Under Zipf's law the product
+    * is near-constant; a product that COLLAPSES at high ranks signals a
+    * truncated tail (template/boilerplate corpora), one that climbs
+    * signals a fat tail (OCR noise, typo inflation) — the corpus-health
+    * twin of t12's vocabulary-growth curve, read along the other axis.
+    * Checkpoint form keeps every emitted value an exact integer (no
+    * log-log slope fit — ln() is oracle-unstable, the t10 rule).
+    *
+    * Scale shape: the token count is one keyed groupBy with map-side
+    * combine; ranking then runs through TakeOrderedAndProject with
+    * k = [[ZipfMaxRank]] (each partition ships at most k (freq, tok)
+    * pairs — the corpus-scale vocabulary never feeds a global sort), and
+    * the row_number window orders the ≤k-row survivor set on one task —
+    * bounded by the cap, not the vocabulary. Ties break on token text,
+    * total order both engines. */
+  def t13ZipfCheckpoints(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.orderBy($"freq".desc, $"tok".asc)
+    Tables.load(spark, dir, "documents")
+      .select(explode(tokens($"text")).as("tok"))
+      .groupBy($"tok").agg(count(lit(1)).as("freq"))
+      .orderBy($"freq".desc, $"tok".asc).limit(ZipfMaxRank)
+      .withColumn("rk", row_number().over(w))
+      .filter(expr("(rk & (rk - 1)) = 0"))
+      .select($"rk", $"tok", $"freq",
+        ($"rk".cast("long") * $"freq").as("zipf_product"))
+      .orderBy($"rk")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t13_zipf_checkpoints" -> t13ZipfCheckpoints _,
     "t12_vocab_growth" -> t12VocabGrowth _,
     "t11_bigram_surprisal" -> t11BigramSurprisal _,
     "t10_surprisal" -> t10Surprisal _,
@@ -374,6 +410,17 @@ object TextAnalysis {
   }
 
   val oracleSql: Map[String, String] = Map(
+    "t13_zipf_checkpoints" ->
+      s"""WITH tk AS (SELECT unnest(string_split(text,' ')) AS tok
+        |            FROM documents),
+        |f AS (SELECT tok, count(*) AS freq FROM tk GROUP BY tok),
+        |r AS (SELECT tok, freq,
+        |        row_number() OVER (ORDER BY freq DESC, tok ASC) AS rk
+        |      FROM f)
+        |SELECT CAST(rk AS INT) AS rk, tok, CAST(freq AS BIGINT) AS freq,
+        |  CAST(rk * freq AS BIGINT) AS zipf_product
+        |FROM r WHERE rk <= $ZipfMaxRank AND (rk & (rk - 1)) = 0
+        |ORDER BY rk""".stripMargin,
     "t12_vocab_growth" ->
       """WITH tk AS (SELECT doc_id, unnest(string_split(text,' ')) AS tok
         |            FROM documents),

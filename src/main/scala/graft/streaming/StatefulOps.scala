@@ -116,6 +116,67 @@ object StatefulOps {
       }
   }
 
+  case class SessionRow(user_id: Long, sess_id: Long, n_events: Long,
+                        duration_us: Long)
+  case class SessionOpen(sess_id: Long, start_us: Long, last_us: Long,
+                         n: Long)
+
+  /** Streaming gap-based sessionization — the streaming twin of batch q21
+    * (Relational.q21Sessionize): each key's OPEN session is the only
+    * keyed state — (ordinal, start, last-seen, count), O(1) per key no
+    * matter how long the stream runs — and a session is emitted the
+    * moment an event arrives more than `gapUs` after its last event
+    * (which also opens the next session). Closed sessions are immutable
+    * facts → append-mode sink; the batch window formulation re-sorts each
+    * user's FULL history per run, the keyed state folds each event once.
+    *
+    * This is the flatMapGroupsWithState form of what session_window +
+    * watermark gives declaratively (StreamingEventsSpec covers that
+    * path); the explicit form exists because it emits q21's exact row
+    * shape — per-user session ORDINALS, which session_window does not
+    * carry — so stream == batch is assertable row-for-row.
+    *
+    * Ordering contract (scd2Stream's): in-batch folds in (ts, event_id)
+    * order; across batches the feed must be per-key ordered. A
+    * redelivered or late event with ts ≤ last_us inside the gap is
+    * absorbed (count does not advance for ts == last_us redeliveries
+    * only if ids repeat — counts are per event; ts < start_us is the
+    * broken-contract case and is DROPPED like scd2Stream's guard). */
+  def sessionStream(events: Dataset[(Long, Long, Long)],
+                    gapUs: Long = graft.operators.Relational.SessionGapUs)
+      : Dataset[SessionRow] = {
+    implicit val outEnc: Encoder[SessionRow] = Encoders.product[SessionRow]
+    implicit val stEnc: Encoder[SessionOpen] = Encoders.product[SessionOpen]
+    implicit val keyEnc: Encoder[Long] = Encoders.scalaLong
+    events.groupByKey(_._1)
+      .flatMapGroupsWithState[SessionOpen, SessionRow](
+        OutputMode.Append, GroupStateTimeout.NoTimeout()) {
+        (user: Long, rows: Iterator[(Long, Long, Long)],
+         state: GroupState[SessionOpen]) =>
+          val sorted = rows.toVector.sortBy { case (_, eid, ts) => (ts, eid) }
+          val out = Vector.newBuilder[SessionRow]
+          var cur = state.getOption
+          sorted.foreach { case (_, _, ts) =>
+            cur match {
+              case Some(sess) if ts < sess.start_us =>
+                // ordering-contract violation (scd2Stream rule): folding
+                // it in would corrupt the open session's start — drop
+              case Some(sess) if ts - sess.last_us > gapUs =>
+                out += SessionRow(user, sess.sess_id, sess.n,
+                  sess.last_us - sess.start_us)
+                cur = Some(SessionOpen(sess.sess_id + 1, ts, ts, 1L))
+              case Some(sess) =>
+                cur = Some(sess.copy(last_us = math.max(sess.last_us, ts),
+                  n = sess.n + 1))
+              case None =>
+                cur = Some(SessionOpen(1L, ts, ts, 1L))
+            }
+          }
+          cur.foreach(state.update)
+          out.result().iterator
+      }
+  }
+
   case class NearDupMatch(d1: Long, d2: Long, est_jaccard: Double)
 
   /** Per-(band, bucket) keyed state for [[nearDupStream]] — positionally

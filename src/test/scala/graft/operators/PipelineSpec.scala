@@ -750,4 +750,89 @@ class PipelineSpec extends AnyFunSuite {
         }
     }
   }
+
+  test("t13: zipf checkpoints sit at power-of-two ranks with " +
+      "non-increasing frequency and exact products") {
+    val rows = TextAnalysis.t13ZipfCheckpoints(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    // ranks are exactly the powers of two up to the last one emitted
+    val rks = rows.map(_._1).toSeq
+    assert(rks == rks.sorted && rks.forall(r => (r & (r - 1)) == 0))
+    assert(rks.head == 1)
+    rks.sliding(2).foreach {
+      case Seq(a, b) => assert(b == a * 2, s"checkpoint gap $a -> $b")
+      case _ =>
+    }
+    // frequency non-increasing along rank; products are exact rank*freq
+    rows.sliding(2).foreach {
+      case Array(a, b) => assert(b._3 <= a._3)
+      case _ =>
+    }
+    rows.foreach { case (rk, _, f, p) => assert(p == rk.toLong * f) }
+    // rank-1 token recomputed driver-side: the global mode of the corpus
+    val top = graft.sources.Tables.load(spark, dir, "documents")
+      .selectExpr("explode(split(text, ' ')) tok").collect()
+      .map(_.getString(0)).groupBy(identity).view.mapValues(_.length)
+      .toSeq.map { case (t, c) => (-c, t) }.min._2
+    assert(rows.head._2 == top, s"rank-1 ${rows.head._2} vs corpus mode $top")
+  }
+
+  test("p26: temperature quotas upweight scarce sources; keeps are " +
+      "exactly min(quota, count) per source") {
+    val docs = graft.sources.Tables.load(spark, dir, "documents")
+      .selectExpr("doc_id", "source").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val counts = docs.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val rows = Pipeline.p26TemperatureMixture(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    // fitted quota math recomputed driver-side: wt = floor(sqrt(cnt)*1e6)
+    val wts = counts.map { case (s, c) =>
+      s -> math.floor(math.sqrt(c.toDouble) * 1e6).toLong }
+    val wsum = wts.values.sum
+    val target = docs.length.toLong / Pipeline.TempTargetDen
+    val quotas = wts.map { case (s, w) => s -> (target * w) / wsum }
+    rows.foreach { case (_, s, rk, q) =>
+      assert(q == quotas(s), s"source $s quota $q vs expected ${quotas(s)}")
+      assert(rk >= 1 && rk <= q)
+    }
+    val keptPer = rows.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    quotas.foreach { case (s, q) =>
+      val expectKept = math.min(q, counts(s))
+      assert(keptPer.getOrElse(s, 0L) == expectKept,
+        s"source $s kept ${keptPer.getOrElse(s, 0L)} vs $expectKept")
+    }
+    // α=0.5 tempering: kept FRACTION of a scarcer source must be ≥ that
+    // of any more abundant one (√ flattens, never inverts)
+    val fracs = counts.toSeq.sortBy(_._2).map { case (s, c) =>
+      keptPer.getOrElse(s, 0L).toDouble / c }
+    fracs.sliding(2).foreach {
+      case Seq(scarce, abundant) =>
+        assert(scarce >= abundant - 1e-9,
+          s"tempering inverted: $fracs for ${counts.toSeq.sortBy(_._2)}")
+      case _ =>
+    }
+  }
+
+  test("p27: threshold sweep is a monotone survival curve anchored at " +
+      "the corpus totals") {
+    val rows = Pipeline.p27ThresholdSweep(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    assert(rows.map(_._1).toSeq == (0 until 10))
+    val (nd0, nc0) = (rows.head._2, rows.head._3)
+    val docs = graft.sources.Tables.load(spark, dir, "documents")
+      .selectExpr("count(1)", "sum(n_chars)").collect().head
+    assert(nd0 == docs.getLong(0) && nc0 == docs.getLong(1),
+      "threshold 0 must keep the whole corpus")
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(b._2 <= a._2 && b._3 <= a._3,
+          s"survival curve not monotone at ${b._1}")
+      case _ =>
+    }
+    // the sweep must actually discriminate on this corpus: some
+    // threshold drops documents
+    assert(rows.last._2 < rows.head._2)
+  }
 }

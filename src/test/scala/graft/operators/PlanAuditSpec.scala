@@ -345,4 +345,36 @@ class PlanAuditSpec extends AnyFunSuite {
       s"recursive CTE must compile to UnionLoop:\n${plan.take(800)}")
     assert(!plan.contains("CartesianProduct"), plan.take(800))
   }
+
+  test("q46: intervals stream once past a broadcast probe grid — no " +
+    "interval self-join, no per-probe rescan") {
+    val plan = formatted("q46_asof_state")
+    // the range predicate against the ≤7-row probe side compiles to a
+    // broadcast nested loop — the linear shape; a CartesianProduct or a
+    // second events Window pass would be the scale bugs
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"expected broadcast NLJ against the probe grid:\n${plan.take(1200)}")
+    assert(!plan.contains("CartesianProduct"), plan.take(1200))
+  }
+
+  test("t13: vocabulary ranking is TakeOrdered partial top-k, not a " +
+    "global sort of the vocabulary") {
+    val plan = formatted("t13_zipf_checkpoints")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"expected TakeOrderedAndProject at k=ZipfMaxRank:\n${plan.take(1200)}")
+  }
+
+  test("p26: fitted quota table attaches to the corpus via broadcast") {
+    val plan = formatted("p26_temperature_mixture")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"quota table must broadcast:\n${plan.take(1200)}")
+  }
+
+  test("v18: Hamming shortlist is a partial top-k over broadcast query " +
+    "codes; no cartesian anywhere") {
+    val plan = formatted("v18_ann_binary")
+    assert(plan.contains("partial_top_k"),
+      s"expected mergeable top-k partials:\n${plan.take(1200)}")
+    assert(!plan.contains("CartesianProduct"), plan.take(1200))
+  }
 }

@@ -286,4 +286,33 @@ class RelationalSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("q46: AS OF lookup returns exactly the interval covering each probe") {
+    val dir = SparkTestSession.sf0001
+    val got = Relational.q46AsOfState(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getString(3),
+        r.getLong(4)))
+    assert(got.nonEmpty)
+    // at most one state per (probe, user) — the defining temporal-table
+    // property (intervals tile, so coverage implies uniqueness)
+    val dupes = got.groupBy(t => (t._1, t._3)).filter(_._2.length > 1)
+    assert(dupes.isEmpty, s"ambiguous AS OF rows: ${dupes.keys}")
+    // driver recompute from the q40 intervals: for each probe instant,
+    // the covering interval per user (none if the user starts later)
+    val ivs = Relational.q40Scd2(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(2), r.getLong(3),
+        if (r.isNullAt(4)) Long.MaxValue else r.getLong(4)))
+    val probeTimes = got.map(t => (t._1, t._2)).distinct.toMap
+    // probes where no user matched would be missing from probeTimes; the
+    // grid is dense inside [min,max] so every probe index must appear
+    assert(probeTimes.keySet == (1 to Relational.AsOfProbeCount).toSet)
+    val expected = (for {
+      (pIdx, t) <- probeTimes.toSeq
+      (user, state, from, _) <- ivs
+        .filter(iv => t >= iv._3 && t < iv._4)
+        .groupBy(_._1).values.map(_.head) // tiling => unique
+    } yield (pIdx, t, user, state, from)).toSet
+    assert(got.toSet == expected,
+      "AS OF result diverges from the driver interval scan")
+  }
 }

@@ -932,4 +932,42 @@ class StreamingEventsSpec extends AnyFunSuite {
         "every raw-source doc must be scored; target docs must not be")
     } finally q.stop()
   }
+
+  test("streaming sessionization closes exactly the batch q21 sessions " +
+    "with O(1) state") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val dir = SparkTestSession.sf0001
+    // true-microsecond feed (getTime*1000 would truncate sub-ms and
+    // diverge from batch q21's unix_micros math)
+    val feed = Tables.load(s, dir, "events")
+      .selectExpr("user_id", "event_id", "unix_micros(ts) AS ts_us")
+      .as[(Long, Long, Long)].collect()
+      .sortBy(e => (e._3, e._2)) // global ts order ⇒ per-key order
+    val mem = MemoryStream[(Long, Long, Long)]
+    val q = StatefulOps.sessionStream(mem.toDS()).writeStream
+      .outputMode("append").format("memory").queryName("sess_test").start()
+    try {
+      feed.grouped(feed.length / 3 + 1).foreach { b =>
+        mem.addData(b.toSeq); q.processAllAvailable()
+      }
+      val got = s.table("sess_test").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      // batch q21 over the same fixture; each user's LAST session is
+      // still open in keyed state, so drop it from the expectation
+      val batch = graft.operators.Relational
+        .q21Sessionize(s, dir).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      val expected = batch.groupBy(_._1).values
+        .flatMap(ss => ss.sortBy(_._2).init).toSet
+      assert(got == expected,
+        s"streaming sessions diverge from batch q21 closed sessions " +
+          s"(got ${got.size}, want ${expected.size})")
+      // the open tails exist: every user's max batch session is absent
+      assert(batch.groupBy(_._1).values
+        .forall(ss => !got.contains(ss.maxBy(_._2))))
+    } finally q.stop()
+  }
 }
