@@ -680,7 +680,103 @@ object Dedup {
       .orderBy($"doc_id")
   }
 
+  /** The delta slice for d15: doc_id % 10 == IncrMod arrives "after" the
+    * base snapshot (v17's DeltaMod convention on the vector side). */
+  val IncrMod = 7
+
+  /** The d15 base posting index: (shingle hash → base doc) for every
+    * base-slice shingle whose BASE document frequency is ≤
+    * [[MaxShingleDf]] — hot-in-base shingles are the increment's
+    * stop-shingles. Unlike d3's rare filter there is NO df ≥ 2 floor: a
+    * base-df-1 shingle can't pair in a self-join, but it is exactly what
+    * an arriving duplicate of that one base doc shares. Persisted via
+    * ModelStore: the index IS the incremental contract — a delta batch
+    * must admit against the snapshot WITHOUT re-scanning the 100 TB
+    * base, so the posting index (≈16 bytes × base shingles, partitioned
+    * by hash in production) is the artifact you keep, the dedup
+    * counterpart of v17's IVF centroid store. */
+  /** The base-hot stop-shingle set (base df > cap), persisted beside the
+    * posting index: the delta batch needs it to trim its OWN shingle
+    * sets, and must get it from the snapshot artifact — not by
+    * re-scanning the base. */
+  private[operators] def baseHotModel(spark: SparkSession,
+                                      dir: String): DataFrame =
+    graft.sources.ModelStore.table(spark, dir, "documents.parquet",
+      s"d15-base-hot-n$ShingleN-df$MaxShingleDf-m$IncrMod") {
+      import spark.implicits._
+      Tables.load(spark, dir, "documents")
+        .filter($"doc_id" % 10 =!= IncrMod)
+        .select(explode(shingleHashes($"text", ShingleN)).as("h"))
+        .groupBy($"h").agg(count(lit(1)).as("df"))
+        .filter($"df" > MaxShingleDf).select($"h")
+    }
+
+  private[operators] def baseIndexModel(spark: SparkSession,
+                                        dir: String): DataFrame =
+    graft.sources.ModelStore.table(spark, dir, "documents.parquet",
+      s"d15-base-index-n$ShingleN-df$MaxShingleDf-m$IncrMod") {
+      import spark.implicits._
+      Tables.load(spark, dir, "documents")
+        .filter($"doc_id" % 10 =!= IncrMod)
+        .select($"doc_id", explode(shingleHashes($"text", ShingleN)).as("h"))
+        .join(baseHotModel(spark, dir), Seq("h"), "left_anti")
+    }
+
+  /** D15 — incremental near-dup admission: score each DELTA document
+    * (doc_id % 10 == [[IncrMod]], the batch arriving after the snapshot)
+    * against the persisted base posting index and admit it iff no base
+    * document clears [[JaccardThreshold]] — the ingest-time decision
+    * d3/d6 make in batch, restated as "delta vs snapshot" so the
+    * pairwise pass touches ONLY delta×matching-postings work. Jaccard is
+    * measured over the index universe (base-hot shingles excluded on
+    * both sides — the stop-shingle rule applied consistently), so every
+    * count is exact and the one-division double is oracle-exact.
+    *
+    * Scale shape: the delta batch's shingles equi-join the index on the
+    * 8-byte hash; the df cap bounds fan-out at [[MaxShingleDf]] postings
+    * per shingle, so candidates are O(delta shingles × cap) — linear in
+    * the BATCH, independent of corpus size. The per-delta-doc best-match
+    * window partitions by delta doc (bounded per batch). No base
+    * self-join anywhere. */
+  def d15IncrementalDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val idx = baseIndexModel(spark, dir)
+    val baseSizes = idx.groupBy($"doc_id").agg(count(lit(1)).as("n2"))
+    val dsh = Tables.load(spark, dir, "documents")
+      .filter($"doc_id" % 10 === IncrMod)
+      .select($"doc_id", explode(shingleHashes($"text", ShingleN)).as("h"))
+      .join(baseHotModel(spark, dir), Seq("h"), "left_anti")
+    val deltaSizes = dsh.groupBy($"doc_id").agg(count(lit(1)).as("n1"))
+    val pairs = dsh.as("d")
+      .join(idx.as("b"), $"d.h" === $"b.h")
+      .groupBy($"d.doc_id".as("d1"), $"b.doc_id".as("d2"))
+      .agg(count(lit(1)).as("shared"))
+      .join(deltaSizes.select($"doc_id".as("d1"), $"n1"), "d1")
+      .join(baseSizes.select($"doc_id".as("d2"), $"n2"), "d2")
+      .withColumn("j",
+        $"shared".cast(DoubleType) / ($"n1" + $"n2" - $"shared"))
+      .filter($"j" >= JaccardThreshold)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"d1").orderBy($"j".desc, $"d2".asc)
+    val best = pairs
+      .withColumn("rk", row_number().over(w))
+      .withColumn("nm", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"d1")))
+      .filter($"rk" === 1)
+      .select($"d1", $"nm", $"d2".as("best_base"), $"j".as("best_jaccard"))
+    Tables.load(spark, dir, "documents")
+      .filter($"doc_id" % 10 === IncrMod)
+      .select($"doc_id")
+      .join(best, $"doc_id" === $"d1", "left_outer")
+      .select($"doc_id",
+        coalesce($"nm", lit(0L)).as("n_matches"),
+        $"best_base", $"best_jaccard",
+        $"best_base".isNull.as("admit"))
+      .orderBy($"doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d15_incremental_dedup" -> d15IncrementalDedup _,
     "d14_span_removal" -> d14SpanRemoval _,
     "d13_leakage_split" -> d13LeakageSplit _,
     "d1_dedup_exact" -> d1ExactDedup _,
@@ -700,6 +796,44 @@ object Dedup {
   /** D4/D5 use engine-specific 64-bit hashing → no SQL oracle (driver
     * records rows-only); their fidelity is covered by DedupSpec. */
   val oracleSql: Map[String, String] = Map(
+    "d15_incremental_dedup" ->
+      s"""WITH docs AS (SELECT doc_id, string_split(text,' ') AS w
+         |              FROM documents),
+         |sh0 AS (SELECT DISTINCT doc_id,
+         |          unnest(list_transform(generate_series(1, len(w)-2),
+         |            i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+         |        FROM docs),
+         |bsh AS (SELECT doc_id, s FROM sh0 WHERE doc_id % 10 != $IncrMod),
+         |hot AS (SELECT s FROM bsh GROUP BY s
+         |        HAVING count(*) > $MaxShingleDf),
+         |bidx AS (SELECT doc_id, s FROM bsh
+         |         WHERE s NOT IN (SELECT s FROM hot)),
+         |dsh AS (SELECT doc_id, s FROM sh0 WHERE doc_id % 10 = $IncrMod
+         |        AND s NOT IN (SELECT s FROM hot)),
+         |bn AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n
+         |       FROM bidx GROUP BY 1),
+         |dn AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n
+         |       FROM dsh GROUP BY 1),
+         |inter AS (SELECT d.doc_id AS d1, b.doc_id AS d2,
+         |            CAST(count(*) AS BIGINT) AS shared
+         |          FROM dsh d JOIN bidx b ON d.s = b.s GROUP BY 1, 2),
+         |p AS (SELECT d1, d2,
+         |        CAST(shared AS DOUBLE) / (dn.n + bn.n - shared) AS j
+         |      FROM inter JOIN dn ON d1 = dn.doc_id
+         |                 JOIN bn ON d2 = bn.doc_id
+         |      WHERE CAST(shared AS DOUBLE) / (dn.n + bn.n - shared)
+         |        >= $JaccardThreshold),
+         |r AS (SELECT d1, d2, j,
+         |        row_number() OVER (PARTITION BY d1
+         |          ORDER BY j DESC, d2 ASC) AS rk,
+         |        CAST(count(*) OVER (PARTITION BY d1) AS BIGINT) AS nm
+         |      FROM p)
+         |SELECT dd.doc_id, COALESCE(r.nm, 0) AS n_matches,
+         |  r.d2 AS best_base, r.j AS best_jaccard,
+         |  r.d1 IS NULL AS admit
+         |FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = $IncrMod) dd
+         |LEFT JOIN (SELECT * FROM r WHERE rk = 1) r ON dd.doc_id = r.d1
+         |ORDER BY dd.doc_id""".stripMargin,
     "d1_dedup_exact" ->
       """SELECT md5(text) AS text_key, min(doc_id) AS keep_id,
         |  count(*) AS n_copies

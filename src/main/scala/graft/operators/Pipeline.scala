@@ -84,15 +84,33 @@ object Pipeline {
     * and needs no shuffle (contrast `sample()`, which is seed- and
     * partitioning-dependent). The hex-prefix comparison makes the rate
     * exactly thresh/256 in expectation with zero engine-specific RNG. */
+  /** The p2 salted-bucket admission predicate over (doc_id, lang) — ONE
+    * definition so the standalone sampler and composed pipelines (p29)
+    * cannot drift; [[sampleCaseSql]] is its oracle-side twin. */
+  private def samplePredicate: Column = {
+    val bucket =
+      substring(md5(concat(lit("smpl"), col("doc_id").cast("string"))), 1, 2)
+    val thresh =
+      SampleThresholds.foldRight(lit(SampleDefaultThreshold): Column) {
+        case ((lang, t), els) => when(col("lang") === lang, lit(t)).otherwise(els)
+      }
+    bucket < thresh
+  }
+
+  /** DuckDB form of [[samplePredicate]]'s threshold fold. */
+  private def sampleCaseSql: String = {
+    val cases = SampleThresholds
+      .map { case (l, t) => s"WHEN lang = '$l' THEN '$t'" }
+      .mkString(" ")
+    s"substr(md5('smpl' || CAST(doc_id AS VARCHAR)), 1, 2) " +
+      s"< (CASE $cases ELSE '$SampleDefaultThreshold' END)"
+  }
+
   def p2StratifiedSample(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val bucket = substring(md5(concat(lit("smpl"), $"doc_id".cast("string"))), 1, 2)
-    val thresh = SampleThresholds.foldRight(lit(SampleDefaultThreshold): Column) {
-      case ((lang, t), els) => when($"lang" === lang, lit(t)).otherwise(els)
-    }
     Tables.load(spark, dir, "documents")
       .select($"doc_id", $"lang", $"source")
-      .filter(bucket < thresh)
+      .filter(samplePredicate)
       .orderBy($"doc_id")
   }
 
@@ -133,8 +151,17 @@ object Pipeline {
     * rows at any corpus size. */
   private def tokenPrefixSums(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val docs = Tables.load(spark, dir, "documents")
-      .select($"doc_id", size(tokens($"text")).as("n_tokens"))
+    prefixSums(spark, Tables.load(spark, dir, "documents")
+      .select($"doc_id", size(tokens($"text")).as("n_tokens")))
+  }
+
+  /** The two-phase distributed prefix sum over an arbitrary
+    * (doc_id, n_tokens, carry…) relation — p3/p15's scale shape factored
+    * out so composed pipelines (p29) can pack a FILTERED survivor set:
+    * per-block window + tiny broadcast block-offset table; the corpus
+    * never enters a global sort. Extra columns pass through untouched. */
+  private def prefixSums(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
     // max over an empty table is null → getLong would NPE; 0L keeps the
     // empty-corpus result empty with blockWidth 1
     val maxId = Option(docs.agg(max($"doc_id")).head.get(0))
@@ -153,9 +180,9 @@ object Pipeline {
       .select($"block",
         coalesce(sum($"block_total").over(wBlocks), lit(0L)).as("block_off"))
     base.join(broadcast(offsets), "block")
-      .select($"doc_id", $"n_tokens",
-        ($"block_off" + coalesce(sum($"n_tokens").over(wIn), lit(0L)))
-          .as("cum_before"))
+      .select(docs.columns.map(col) :+
+        (($"block_off" + coalesce(sum($"n_tokens").over(wIn), lit(0L)))
+          .as("cum_before")): _*)
   }
 
   /** Tokens per packed training sequence (p15). */
@@ -1369,7 +1396,105 @@ object Pipeline {
       .orderBy($"thr_idx")
   }
 
+  /** Salt for p28's partial-epoch admission ranking. */
+  val EpochSalt = "epoch"
+
+  /** P28 — token-budget epoch planning: given a total training-token
+    * budget (one corpus-worth, redistributed) and temperature-scaled
+    * per-source targets (α=0.5 over TOKEN counts — p26's tempering along
+    * the other axis), emit the per-source schedule a data loader
+    * executes: how many FULL passes over the source (epochs — scarce
+    * upweighted sources repeat, the Doremi/Pile practice), plus the
+    * salted-md5-ranked partial pass that spends the remainder. Every
+    * number is exact integer math: targets are fixed-point integer
+    * quotas, epochs/remainders are integer div/mod, and the partial
+    * admission takes docs in hash rank order while tokens-before <
+    * remainder (the doc crossing the boundary is admitted — "fill until
+    * spent" loader semantics).
+    *
+    * Scale shape: per-source totals are one map-side-combinable groupBy;
+    * the schedule table is ≤|sources| rows (broadcast back); the partial
+    * admission needs a per-source hash-rank prefix sum — a window per
+    * source here (the p26 precedent; block-split prefix sums à la
+    * tokenPrefixSums if one source dominates a 100 TB corpus); only
+    * per-source COUNTS leave that pass, never per-doc rows. */
+  def p28EpochPlan(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val d = Tables.load(spark, dir, "documents")
+      .select($"doc_id", $"source",
+        size(tokens($"text")).cast("long").as("nt"))
+    val s = d.groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"), sum($"nt").as("toks"))
+    val w = s.withColumn("wt", floor(sqrt($"toks") * lit(1e6)))
+    val tot = w.agg(sum($"wt").as("wsum"), sum($"toks").as("b"))
+    // b·wt ≈ b^1.5·10⁶ clears the BIGINT ceiling near 4·10⁸ corpus
+    // tokens — far below the design point — so the product runs on the
+    // 38-digit decimal lattice (t14's remedy, applied rather than
+    // deferred); the quotient is ≤ b and lands back in BIGINT exactly
+    val tg = w.crossJoin(broadcast(tot))
+      .select($"source", $"n_docs", $"toks",
+        expr("CAST((CAST(b AS DECIMAL(38,0)) * wt) DIV wsum AS BIGINT)")
+          .as("target"))
+    val rkW = Window.partitionBy($"source")
+      .orderBy(md5(concat(lit(EpochSalt), $"doc_id".cast("string"))),
+        $"doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val p = d.withColumn("cumb", coalesce(sum($"nt").over(rkW), lit(0L)))
+      .join(broadcast(tg.select($"source", $"toks".as("stoks"), $"target")),
+        "source")
+      .filter($"cumb" < $"target" % $"stoks")
+      .groupBy($"source")
+      .agg(count(lit(1)).as("partial_docs"), sum($"nt").as("partial_tokens"))
+    tg.join(p, Seq("source"), "left_outer")
+      .select($"source", $"n_docs", $"toks".as("tokens_total"),
+        $"target".as("target_tokens"),
+        expr("target DIV toks").as("full_epochs"),
+        ($"target" % $"toks").as("rem_tokens"),
+        coalesce($"partial_docs", lit(0L)).as("partial_docs"),
+        coalesce($"partial_tokens", lit(0L)).as("partial_tokens"))
+      .orderBy($"source")
+  }
+
+  /** P29 — the composed end-to-end prep pipeline in ONE Catalyst plan:
+    * quality filter (p13's keep rule) → exact dedup on survivors (d1's
+    * min-doc_id-per-md5 rule, applied AFTER filtering — the real
+    * pipeline order, since dedup over junk wastes the expensive stage) →
+    * stratified sample (p2's salted-md5 predicate) → sequence packing
+    * (p15's assignment arithmetic over the FINAL survivor set). The
+    * point is composition: the stages chain as DataFrames inside one
+    * optimized DAG — no materialization barriers, filters fused, ONE
+    * final sort (plan-asserted) — which is how a production run invokes
+    * this engine: operators as library calls composed per-corpus, not
+    * per-operator jobs glued by disk.
+    *
+    * Scale: every stage keeps its own audited shape (map filters, keyed
+    * dedup groupBy, pushdown-able sample predicate, two-phase pack
+    * prefix sum); composing them adds no new shuffle beyond the stages'
+    * own. */
+  def p29FullPrep(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val kept = p13QualityFilter(spark, dir)
+      .filter($"keep")
+      .select($"doc_id", $"n_tokens".cast("long").as("n_tokens"))
+    val docs = Tables.load(spark, dir, "documents")
+      .select($"doc_id", $"lang", md5($"text").as("tk"))
+    val joined = docs.join(kept, "doc_id")
+    val firstPerText = joined.groupBy($"tk").agg(min($"doc_id").as("keep_id"))
+    val deduped = joined
+      .join(firstPerText, joined("doc_id") === firstPerText("keep_id"))
+      .select($"doc_id", $"lang", $"n_tokens")
+    val sampled = deduped.filter(samplePredicate)
+    prefixSums(spark, sampled.select($"doc_id", $"n_tokens", $"lang"))
+      .select($"doc_id", $"lang", $"n_tokens",
+        expr(s"cum_before DIV $SeqLen").as("seq_start"),
+        expr(s"cum_before % $SeqLen").as("seq_offset"),
+        expr(s"(cum_before + n_tokens - 1) DIV $SeqLen").as("seq_end"))
+      .orderBy($"doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p29_full_prep" -> p29FullPrep _,
+    "p28_epoch_plan" -> p28EpochPlan _,
     "p27_threshold_sweep" -> p27ThresholdSweep _,
     "p26_temperature_mixture" -> p26TemperatureMixture _,
     "p25_bpe_encode" -> p25BpeEncode _,
@@ -1400,6 +1525,67 @@ object Pipeline {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "p29_full_prep" ->
+      s"""WITH q AS (${TextAnalysis.qualityCte}),
+         |t AS (SELECT doc_id, lang, md5(text) AS tk,
+         |        string_split(text, ' ') AS w FROM documents),
+         |r AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens,
+         |        CASE WHEN len(w) >= 2 THEN
+         |          1.0 - CAST(len(list_distinct(list_transform(
+         |            generate_series(1, len(w)-1),
+         |            i -> w[i] || ' ' || w[i+1]))) AS DOUBLE) / (len(w) - 1)
+         |        ELSE 0.0 END AS dbf
+         |      FROM t),
+         |kd AS (SELECT t.doc_id, t.lang, t.tk, r.n_tokens
+         |       FROM t JOIN r USING (doc_id) JOIN q USING (doc_id)
+         |       WHERE r.n_tokens >= $FilterMinTokens
+         |         AND q.quality_score >= $FilterMinQuality
+         |         AND r.dbf <= $FilterMaxDupBigram),
+         |dd AS (SELECT kd.doc_id, kd.lang, kd.n_tokens
+         |       FROM kd JOIN (SELECT tk, min(doc_id) AS kid FROM kd
+         |                     GROUP BY tk) m
+         |         ON kd.doc_id = m.kid),
+         |s AS (SELECT * FROM dd WHERE $sampleCaseSql),
+         |p AS (SELECT doc_id, lang, n_tokens,
+         |        CAST(COALESCE(sum(n_tokens) OVER (ORDER BY doc_id
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |          AS BIGINT) AS cumb
+         |      FROM s)
+         |SELECT doc_id, lang, n_tokens,
+         |  cumb // $SeqLen AS seq_start, cumb % $SeqLen AS seq_offset,
+         |  (cumb + n_tokens - 1) // $SeqLen AS seq_end
+         |FROM p ORDER BY doc_id""".stripMargin,
+    "p28_epoch_plan" ->
+      s"""WITH d AS (SELECT doc_id, source,
+         |             CAST(len(string_split(text, ' ')) AS BIGINT) AS nt
+         |           FROM documents),
+         |s AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |        CAST(sum(nt) AS BIGINT) AS toks FROM d GROUP BY 1),
+         |w AS (SELECT source, n_docs, toks,
+         |        CAST(floor(sqrt(toks) * 1000000.0) AS BIGINT) AS wt FROM s),
+         |tot AS (SELECT CAST(sum(wt) AS BIGINT) AS wsum,
+         |          CAST(sum(toks) AS BIGINT) AS b FROM w),
+         |tg AS (SELECT source, n_docs, toks,
+         |         CAST((CAST(b AS HUGEINT) * wt) // wsum AS BIGINT) AS target
+         |       FROM w, tot),
+         |r AS (SELECT doc_id, source, nt,
+         |        CAST(COALESCE(sum(nt) OVER (PARTITION BY source
+         |          ORDER BY md5('$EpochSalt' || CAST(doc_id AS VARCHAR)),
+         |                   doc_id
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |          AS BIGINT) AS cumb
+         |      FROM d),
+         |p AS (SELECT r.source, CAST(count(*) AS BIGINT) AS partial_docs,
+         |        CAST(sum(r.nt) AS BIGINT) AS partial_tokens
+         |      FROM r JOIN tg ON r.source = tg.source
+         |      WHERE r.cumb < tg.target % tg.toks GROUP BY 1)
+         |SELECT tg.source, tg.n_docs, tg.toks AS tokens_total,
+         |  tg.target AS target_tokens, tg.target // tg.toks AS full_epochs,
+         |  tg.target % tg.toks AS rem_tokens,
+         |  COALESCE(p.partial_docs, 0) AS partial_docs,
+         |  COALESCE(p.partial_tokens, 0) AS partial_tokens
+         |FROM tg LEFT JOIN p ON tg.source = p.source
+         |ORDER BY tg.source""".stripMargin,
     "p26_temperature_mixture" ->
       s"""WITH c AS (SELECT source, count(*) AS cnt FROM documents
          |           GROUP BY source),
@@ -1615,15 +1801,10 @@ object Pipeline {
         |      i -> w[i] || ' ' || w[i+1]))) AS DOUBLE) / (len(w) - 1)
         |  ELSE 0.0 END AS dup_bigram_frac
         |FROM t JOIN m USING (doc_id) ORDER BY doc_id""".stripMargin,
-    "p2_stratified_sample" -> {
-      val cases = SampleThresholds
-        .map { case (l, t) => s"WHEN lang = '$l' THEN '$t'" }
-        .mkString(" ")
+    "p2_stratified_sample" ->
       s"""SELECT doc_id, lang, source FROM documents
-         |WHERE substr(md5('smpl' || CAST(doc_id AS VARCHAR)), 1, 2)
-         |  < (CASE $cases ELSE '$SampleDefaultThreshold' END)
-         |ORDER BY doc_id""".stripMargin
-    },
+         |WHERE $sampleCaseSql
+         |ORDER BY doc_id""".stripMargin,
     "p15_sequence_pack" ->
       s"""WITH t AS (SELECT doc_id,
          |  CAST(len(string_split(text,' ')) AS INT) AS n_tokens FROM documents),

@@ -1133,8 +1133,32 @@ object Relational {
       GROUP BY h.depth ORDER BY h.depth""")
   }
 
+  /** Q47 — correlated LATERAL join (SQL:1999 lateral derived table,
+    * Spark 4's DecorrelateInnerQuery surface): for every nation, the
+    * top-2 customers by account balance, written as the per-row
+    * dependent subquery a SQL user writes — not a hand-rolled window.
+    * The POINT is the decorrelation: Catalyst rewrites the correlated
+    * LIMIT subquery into one windowed rank over a single customer scan
+    * (asserted in PlanAuditSpec), so the naive "re-execute the subquery
+    * per outer row" semantics costs one shuffle at any scale — the
+    * lateral surface with the q7 plan. Ties break on c_custkey; doubles
+    * pass through unmodified (raw parquet values, engine-exact). */
+  def q47LateralTopk(spark: SparkSession, dir: String): DataFrame = {
+    Tables.load(spark, dir, "nation").createOrReplaceTempView("nation_q47")
+    Tables.load(spark, dir, "customer")
+      .createOrReplaceTempView("customer_q47")
+    spark.sql("""
+      SELECT n.n_name, t.c_custkey, t.c_acctbal
+      FROM nation_q47 n,
+      LATERAL (SELECT c_custkey, c_acctbal FROM customer_q47 c
+               WHERE c.c_nationkey = n.n_nationkey
+               ORDER BY c_acctbal DESC, c_custkey LIMIT 2) t
+      ORDER BY n.n_name, t.c_custkey""")
+  }
+
   /** All relational queries, keyed for SparkEntry. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q47_lateral_topk" -> q47LateralTopk _,
     "q46_asof_state" -> q46AsOfState _,
     "q45_recursive_depth" -> q45RecursiveDepth _,
     "q44_incremental_agg" -> q44IncrementalAgg _,
@@ -1213,6 +1237,13 @@ object Relational {
 
   /** DuckDB oracle SQL per query (column names and ORDER BY must match). */
   val oracleSql: Map[String, String] = Map(
+    "q47_lateral_topk" ->
+      """SELECT n.n_name, t.c_custkey, t.c_acctbal
+        |FROM nation n,
+        |LATERAL (SELECT c_custkey, c_acctbal FROM customer c
+        |         WHERE c.c_nationkey = n.n_nationkey
+        |         ORDER BY c_acctbal DESC, c_custkey LIMIT 2) t
+        |ORDER BY n.n_name, t.c_custkey""".stripMargin,
     "q46_asof_state" ->
       s"""WITH o AS (SELECT user_id, event_id, ts, event_type,
         |        lag(event_type) OVER (PARTITION BY user_id

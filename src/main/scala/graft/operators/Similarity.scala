@@ -1321,7 +1321,84 @@ object Similarity {
       .orderBy($"query_id", $"rk")
   }
 
+  /** Prefix widths v19 evaluates (the full dim last — it is the truth). */
+  val MatryoshkaWidths: Seq[Int] = Seq(8, 16, 32, 64)
+
+  /** V19 — matryoshka (truncated-dimension) retrieval evaluation: exact
+    * top-K search run at nested PREFIX widths of the embedding
+    * (8/16/32/64 dims) and scored as top-K overlap against the full-dim
+    * truth. Matryoshka representation learning (Kusupati et al. 2022)
+    * trains embeddings so prefixes are usable at a fraction of the
+    * cost — this operator measures what a given corpus actually loses
+    * per width, the number that decides whether the 100 TB index stores
+    * 64 floats or 16. Output is one row per (width, query): the overlap
+    * count is exact integer set arithmetic, oracle-checkable; the
+    * width=64 rows are the truth's self-overlap (= K) by construction.
+    *
+    * Scale shape: the probe set is [[QueryCount]] queries broadcast
+    * against one corpus scan (v1's evaluation contract — run on a query
+    * SAMPLE, never corpus×corpus); widths multiply that scan by the
+    * 4-row width table, still one shuffle of per-(width,query) top-k
+    * windows. Prefix cosines slice inside codegen — no re-materialized
+    * prefix tables. */
+  def v19MatryoshkaEval(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.load(spark, dir, "embeddings")
+      .select($"vec_id", asDouble($"embedding").as("v"))
+    val queries = emb.filter($"vec_id" < QueryCount)
+      .select($"vec_id".as("query_id"), $"v".as("qv"))
+    val widths = MatryoshkaWidths.toDF("width")
+    val w = Window.partitionBy($"width", $"query_id")
+      .orderBy($"cos".desc, $"vec_id".asc)
+    val ranked = emb
+      .join(broadcast(queries), $"vec_id" =!= $"query_id")
+      .crossJoin(broadcast(widths))
+      .select($"width", $"query_id", $"vec_id",
+        cosine(slice($"qv", lit(1), $"width"), slice($"v", lit(1), $"width"))
+          .as("cos"))
+      .withColumn("rk", row_number().over(w))
+      .filter($"rk" <= K)
+      .select($"width", $"query_id", $"vec_id")
+    val truth = ranked.filter($"width" === MatryoshkaWidths.last)
+      .select($"query_id", $"vec_id")
+    ranked.join(truth, Seq("query_id", "vec_id"), "left_semi")
+      .groupBy($"width", $"query_id")
+      .agg(count(lit(1)).as("overlap"))
+      .orderBy($"width", $"query_id")
+  }
+
+  /** V20 — filtered ANN (label-constrained top-K): each query retrieves
+    * its top-K among corpus vectors sharing the query's label — the
+    * metadata-predicate search every production vector store serves
+    * (tenant/language/source-constrained retrieval), where the naive
+    * plan scores the whole corpus and filters LAST. Here the label
+    * constraint IS the join key: the broadcast equi-join on label hands
+    * each corpus row only the queries it can serve, so filtering happens
+    * BEFORE any distance math (a |label|-fold work cut) and the plan is
+    * a BroadcastHashJoin, not the v1 nested-loop (plan-asserted — the
+    * composition of predicate pushdown with vector scoring). Exact
+    * within the filtered universe → oracle-checkable. */
+  def v20AnnFiltered(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.load(spark, dir, "embeddings")
+      .select($"vec_id", $"label", asDouble($"embedding").as("v"))
+    val queries = emb.filter($"vec_id" < QueryCount)
+      .select($"vec_id".as("query_id"), $"label", $"v".as("qv"))
+    val w = Window.partitionBy($"query_id")
+      .orderBy($"cos".desc, $"vec_id".asc)
+    emb.join(broadcast(queries), "label")
+      .filter($"vec_id" =!= $"query_id")
+      .select($"query_id", $"label", $"vec_id", cosine($"qv", $"v").as("cos"))
+      .withColumn("rk", row_number().over(w))
+      .filter($"rk" <= K)
+      .select($"query_id", $"label", $"rk", $"vec_id",
+        round($"cos", 6).as("cos_sim"))
+      .orderBy($"query_id", $"rk")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "v20_ann_filtered" -> v20AnnFiltered _,
+    "v19_matryoshka_eval" -> v19MatryoshkaEval _,
     "v18_ann_binary" -> ((s: SparkSession, d: String) => v18AnnBinary(s, d)),
     "v17_index_delta" -> v17IndexDelta _,
     "v16_semantic_contamination" ->
@@ -1357,6 +1434,39 @@ object Similarity {
        |ORDER BY query_id, rk""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "v20_ann_filtered" ->
+      s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+         |           FROM embeddings),
+         |q AS (SELECT vec_id AS query_id, label, v AS qv FROM e
+         |      WHERE vec_id < $QueryCount),
+         |s AS (SELECT query_id, q.label, vec_id,
+         |        list_cosine_similarity(qv, v) AS cos,
+         |        row_number() OVER (PARTITION BY query_id
+         |          ORDER BY list_cosine_similarity(qv, v) DESC, vec_id ASC)
+         |          AS rk
+         |      FROM e JOIN q ON e.label = q.label
+         |      WHERE vec_id != query_id)
+         |SELECT query_id, label, rk, vec_id, round(cos, 6) AS cos_sim
+         |FROM s WHERE rk <= $K
+         |ORDER BY query_id, rk""".stripMargin,
+    "v19_matryoshka_eval" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+         |           FROM embeddings),
+         |q AS (SELECT vec_id AS query_id, v AS qv FROM e
+         |      WHERE vec_id < $QueryCount),
+         |w AS (SELECT unnest([${MatryoshkaWidths.mkString(", ")}]) AS width),
+         |s AS (SELECT width, query_id, vec_id,
+         |        row_number() OVER (PARTITION BY width, query_id
+         |          ORDER BY list_cosine_similarity(list_slice(qv, 1, width),
+         |                     list_slice(v, 1, width)) DESC,
+         |                   vec_id ASC) AS rk
+         |      FROM e CROSS JOIN q CROSS JOIN w WHERE vec_id != query_id),
+         |t AS (SELECT width, query_id, vec_id FROM s WHERE rk <= $K),
+         |tr AS (SELECT query_id, vec_id FROM t
+         |       WHERE width = ${MatryoshkaWidths.last})
+         |SELECT width, query_id, CAST(count(*) AS BIGINT) AS overlap
+         |FROM t JOIN tr USING (query_id, vec_id)
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "v14_silhouette" ->
       """WITH u AS (SELECT label,
         |        CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT) AS q, pos

@@ -376,7 +376,60 @@ object TextAnalysis {
       .orderBy($"rk")
   }
 
+  /** t14 keeps bigrams seen at least this often (noise floor). */
+  val PmiMinCount = 5
+  /** t14 reports the top-k collocations (and never sorts more). */
+  val PmiTopK = 200
+  /** Fixed-point scale for the t14 PMI ratio. */
+  val PmiScale = 1000000L
+
+  /** T14 — PMI collocation mining: bigrams ranked by pointwise mutual
+    * information, the standard signal for multi-word expressions
+    * ("new york") vs chance co-occurrence ("of the"). PMI is
+    * log(P(xy)/(P(x)P(y))); since log is monotone, ranking by the RATIO
+    * is ranking by PMI, and the ratio is exact integer math:
+    * pmi_fp = (c_xy · T · 10⁶) div (c_x · c_y) — a fixed-point integer
+    * both engines compute identically (the t10 rule: no ln()).
+    * Bigrams below [[PmiMinCount]] are dropped (the classic PMI
+    * rare-pair pathology: a hapax pair maximizes the ratio).
+    *
+    * Scale shape: unigram and bigram counts are keyed groupBys with
+    * map-side combine (hot tokens partial-aggregate before the
+    * shuffle); the unigram re-attach joins on token keys and stays a
+    * shuffle join (vocabulary is unbounded at corpus scale — never
+    * broadcast, t11's call) with AQE skew-splitting on hot heads like
+    * "the"; the final ranking is TakeOrderedAndProject at
+    * [[PmiTopK]] — each partition ships ≤k rows, the bigram table
+    * never feeds a global sort. At 100 TB the c_xy·T·10⁶ numerator
+    * approaches the BIGINT ceiling (T ≈ 10¹³ tokens would overflow at
+    * c_xy ≈ 10⁵ — widen the product to DECIMAL(38,0) there; at fixture
+    * scale BIGINT is exact and oracle-checkable). */
+  def t14PmiCollocations(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val tk = Tables.load(spark, dir, "documents")
+      .select($"doc_id", tokens($"text").as("w"))
+    val uni = tk.select(explode($"w").as("tok"))
+      .groupBy($"tok").agg(count(lit(1)).as("c1"))
+    val tot = uni.agg(sum($"c1").as("t"))
+    val cb = tk.filter(size($"w") >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(w) - 1), i -> " +
+          "concat(element_at(w, i), ' ', element_at(w, i + 1)))")).as("big"))
+      .groupBy($"big").agg(count(lit(1)).as("c2"))
+      .filter($"c2" >= PmiMinCount)
+    cb.withColumn("x", split($"big", " ").getItem(0))
+      .withColumn("y", split($"big", " ").getItem(1))
+      .join(uni.select($"tok".as("x"), $"c1".as("cx")).hint("shuffle_hash"), "x")
+      .join(uni.select($"tok".as("y"), $"c1".as("cy")).hint("shuffle_hash"), "y")
+      .crossJoin(broadcast(tot))
+      .withColumn("pmi_fp", expr(s"(c2 * t * $PmiScale) DIV (cx * cy)"))
+      .select($"big", $"c2".as("pair_count"), $"cx", $"cy", $"pmi_fp")
+      .orderBy($"pmi_fp".desc, $"big".asc)
+      .limit(PmiTopK)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t14_pmi_collocations" -> t14PmiCollocations _,
     "t13_zipf_checkpoints" -> t13ZipfCheckpoints _,
     "t12_vocab_growth" -> t12VocabGrowth _,
     "t11_bigram_surprisal" -> t11BigramSurprisal _,
@@ -448,6 +501,21 @@ object TextAnalysis {
         |WINDOW w AS (ORDER BY checkpoint
         |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         |ORDER BY checkpoint""".stripMargin,
+    "t14_pmi_collocations" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+         |u AS (SELECT unnest(w) AS tok FROM t),
+         |uni AS (SELECT tok, CAST(count(*) AS BIGINT) AS c1 FROM u GROUP BY 1),
+         |tot AS (SELECT CAST(sum(c1) AS BIGINT) AS t FROM uni),
+         |bg AS (SELECT unnest(list_transform(generate_series(1, len(w) - 1),
+         |         i -> w[i] || ' ' || w[i+1])) AS big
+         |       FROM t WHERE len(w) >= 2),
+         |cb AS (SELECT big, CAST(count(*) AS BIGINT) AS c2 FROM bg
+         |       GROUP BY 1 HAVING count(*) >= $PmiMinCount)
+         |SELECT big, c2 AS pair_count, x.c1 AS cx, y.c1 AS cy,
+         |  (c2 * t * $PmiScale) // (x.c1 * y.c1) AS pmi_fp
+         |FROM cb JOIN uni x ON split_part(big, ' ', 1) = x.tok
+         |        JOIN uni y ON split_part(big, ' ', 2) = y.tok, tot
+         |ORDER BY pmi_fp DESC, big ASC LIMIT $PmiTopK""".stripMargin,
     "t11_bigram_surprisal" ->
       """WITH t AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
         |bg AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(w) - 1),

@@ -116,6 +116,47 @@ object StatefulOps {
       }
   }
 
+  case class PackAssign(shard: Int, doc_id: Long, n_tokens: Long,
+                        seq_start: Long, seq_offset: Long, seq_end: Long)
+
+  /** Streaming sequence packing — the ingest-time twin of batch p15
+    * (Pipeline.p15SequencePack): documents are concatenated into
+    * fixed-`seqLen`-token training sequences as they arrive, each doc
+    * assigned the sequence ids and offset it lands in. Keyed per SHARD
+    * (a shard = one independent pack stream = one output file family —
+    * the production layout, since a single global pack order would
+    * serialize the whole feed through one writer); per-shard keyed state
+    * is ONE long (the cumulative token count), O(1) forever. Assignments
+    * are immutable once emitted → append mode.
+    *
+    * Ordering contract (scd2Stream's): in-batch, docs fold in doc_id
+    * order; across batches delivery must be per-shard ordered. The
+    * assignment arithmetic is exactly p15's: seq_start = cum DIV L,
+    * offset = cum MOD L, seq_end = (cum + n − 1) DIV L — so a
+    * single-shard stream folds to batch p15 row-for-row
+    * (StreamingEventsSpec). */
+  def packStream(docs: Dataset[(Int, Long, Long)], seqLen: Long)
+      : Dataset[PackAssign] = {
+    implicit val outEnc: Encoder[PackAssign] = Encoders.product[PackAssign]
+    implicit val stEnc: Encoder[Long] = Encoders.scalaLong
+    implicit val keyEnc: Encoder[Int] = Encoders.scalaInt
+    docs.groupByKey(_._1)
+      .flatMapGroupsWithState[Long, PackAssign](
+        OutputMode.Append, GroupStateTimeout.NoTimeout()) {
+        (shard: Int, rows: Iterator[(Int, Long, Long)],
+         state: GroupState[Long]) =>
+          var cum = state.getOption.getOrElse(0L)
+          val out = rows.toVector.sortBy(_._2).map { case (_, id, nt) =>
+            val a = PackAssign(shard, id, nt,
+              cum / seqLen, cum % seqLen, (cum + nt - 1) / seqLen)
+            cum += nt
+            a
+          }
+          state.update(cum)
+          out.iterator
+      }
+  }
+
   case class SessionRow(user_id: Long, sess_id: Long, n_events: Long,
                         duration_us: Long)
   case class SessionOpen(sess_id: Long, start_us: Long, last_us: Long,

@@ -161,6 +161,52 @@ class DedupSpec extends AnyFunSuite {
       s"production-key d14 diverged from md5-key d14")
   }
 
+  test("d15: incremental admission matches a driver recompute against " +
+      "the base slice; every delta doc gets exactly one verdict") {
+    val texts = graft.sources.Tables.load(spark, dir, "documents")
+      .selectExpr("doc_id", "split(text, ' ') w").collect()
+      .map(r => (r.getLong(0), r.getSeq[String](1).toArray))
+    def shingles(w: Array[String]): Set[String] =
+      if (w.length < Dedup.ShingleN) Set.empty
+      else w.sliding(Dedup.ShingleN).map(_.mkString(" ")).toSet
+    val (delta, base) = texts.partition(_._1 % 10 == Dedup.IncrMod)
+    val baseSh = base.map { case (id, w) => (id, shingles(w)) }
+    val hot = baseSh.flatMap(_._2).groupBy(identity).view
+      .mapValues(_.length).filter(_._2 > Dedup.MaxShingleDf).keySet
+    val bidx = baseSh.map { case (id, s) => (id, s.diff(hot)) }
+    val expect = delta.map { case (id, w) =>
+      val ds = shingles(w).diff(hot)
+      val matches = bidx.flatMap { case (bid, bs) =>
+        val shared = ds.intersect(bs).size
+        if (shared == 0) None
+        else {
+          val j = shared.toDouble / (ds.size + bs.size - shared)
+          if (j >= Dedup.JaccardThreshold) Some((bid, j)) else None
+        }
+      }
+      if (matches.isEmpty) (id, 0L, None: Option[Long], None: Option[Double])
+      else {
+        val best = matches.minBy { case (bid, j) => (-j, bid) }
+        (id, matches.length.toLong, Some(best._1), Some(best._2))
+      }
+    }.sortBy(_._1).toSeq
+    val got = Dedup.d15IncrementalDedup(spark, dir).collect()
+      .map { r =>
+        (r.getLong(0), r.getLong(1),
+          if (r.isNullAt(2)) None else Some(r.getLong(2)),
+          if (r.isNullAt(3)) None else Some(r.getDouble(3)))
+      }.toSeq
+    assert(got == expect, s"d15 mismatch: got ${got.filterNot(expect.contains).take(3)} " +
+      s"want ${expect.filterNot(got.contains).take(3)}")
+    // a verdict for every delta doc, and admit ⇔ no match
+    assert(got.map(_._1) == delta.map(_._1).sorted.toSeq)
+    val admits = Dedup.d15IncrementalDedup(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(4)).toMap
+    got.foreach { case (id, nm, _, _) =>
+      assert(admits(id) == (nm == 0L), s"admit verdict for $id")
+    }
+  }
+
   test("exact dedup keeps one survivor per distinct text") {
     val d1 = Dedup.d1ExactDedup(spark, dir)
     assert(d1.count() ==

@@ -778,6 +778,111 @@ class PipelineSpec extends AnyFunSuite {
     assert(rows.head._2 == top, s"rank-1 ${rows.head._2} vs corpus mode $top")
   }
 
+  test("p29: the composed pipeline equals its stages composed driver-side") {
+    val s = spark
+    import s.implicits._
+    val kept = Pipeline.p13QualityFilter(spark, dir).collect()
+      .filter(_.getAs[Boolean]("keep"))
+      .map(r => r.getLong(0) -> r.getInt(1).toLong).toMap
+    val texts = graft.sources.Tables.load(spark, dir, "documents")
+      .selectExpr("doc_id", "lang", "md5(text) tk").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val dedupKeep = texts.filter(t => kept.contains(t._1))
+      .groupBy(_._3).values.map(_.map(_._1).min).toSet
+    val sampled = Pipeline.p2StratifiedSample(spark, dir).collect()
+      .map(_.getLong(0)).toSet
+    val survivors = texts
+      .filter(t => kept.contains(t._1) && dedupKeep(t._1) && sampled(t._1))
+      .sortBy(_._1)
+    var cum = 0L
+    val expect = survivors.map { case (id, lang, _) =>
+      val nt = kept(id)
+      val row = (id, lang, nt, cum / Pipeline.SeqLen,
+        cum % Pipeline.SeqLen, (cum + nt - 1) / Pipeline.SeqLen)
+      cum += nt
+      row
+    }.toSeq
+    val got = Pipeline.p29FullPrep(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    assert(got == expect, s"p29 composition diverges: got ${got.take(2)} " +
+      s"want ${expect.take(2)}")
+    assert(got.nonEmpty, "pipeline should keep survivors on the fixture")
+  }
+
+  test("p28: epoch plan identities hold and the partial admission " +
+      "matches a driver recompute of the hash-ranked prefix walk") {
+    val docs = graft.sources.Tables.load(spark, dir, "documents")
+      .selectExpr("doc_id", "source",
+        "CAST(size(split(text, ' ')) AS LONG) nt").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val bySrc = docs.groupBy(_._2)
+    val toks = bySrc.view.mapValues(_.map(_._3).sum).toMap
+    val wt = toks.view.mapValues(t => math.floor(math.sqrt(t) * 1e6).toLong)
+      .toMap
+    val wsum = wt.values.sum
+    val b = toks.values.sum
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h(id: Long): String = md.synchronized {
+      md.reset()
+      md.digest(s"${Pipeline.EpochSalt}$id".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    }
+    val rows = Pipeline.p28EpochPlan(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)))
+    assert(rows.map(_._1).toSet == bySrc.keySet)
+    rows.foreach { case (src, nDocs, tokensTotal, target, epochs, rem,
+        pDocs, pToks) =>
+      assert(nDocs == bySrc(src).length && tokensTotal == toks(src))
+      assert(target == b * wt(src) / wsum, s"$src target")
+      // the div/mod identity: full passes plus the remainder spend target
+      assert(epochs * tokensTotal + rem == target, s"$src identity")
+      // driver walk: admit docs in (md5, doc_id) order while spent < rem
+      val ordered = bySrc(src).sortBy { case (id, _, _) => (h(id), id) }
+      var spent = 0L; var n = 0L
+      ordered.foreach { case (_, _, nt) =>
+        if (spent < rem) { spent += nt; n += 1 }
+      }
+      assert(pDocs == n && pToks == spent, s"$src partial: got " +
+        s"($pDocs,$pToks) want ($n,$spent)")
+      // fill-until-spent semantics: dropping the boundary doc re-opens
+      // the budget; the admitted set is minimal
+      assert(rem == 0 || spent >= rem)
+    }
+  }
+
+  test("t14: PMI collocations match a full driver recompute of the " +
+      "fixed-point ratio ranking") {
+    val texts = graft.sources.Tables.load(spark, dir, "documents")
+      .selectExpr("split(text, ' ') w").collect()
+      .map(_.getSeq[String](0).toArray)
+    val uni = scala.collection.mutable.Map.empty[String, Long]
+    val big = scala.collection.mutable.Map.empty[String, Long]
+    texts.foreach { w =>
+      w.foreach(t => uni(t) = uni.getOrElse(t, 0L) + 1)
+      w.sliding(2).filter(_.length == 2).foreach { p =>
+        val k = p(0) + " " + p(1); big(k) = big.getOrElse(k, 0L) + 1
+      }
+    }
+    val t = uni.values.sum
+    val expect = big.toSeq
+      .filter(_._2 >= TextAnalysis.PmiMinCount)
+      .map { case (b, c2) =>
+        val Array(x, y) = b.split(" ", 2)
+        (b, c2, uni(x), uni(y), c2 * t * TextAnalysis.PmiScale / (uni(x) * uni(y)))
+      }
+      .sortBy { case (b, _, _, _, s) => (-s, b) }
+      .take(TextAnalysis.PmiTopK)
+    val got = TextAnalysis.t14PmiCollocations(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(got == expect, s"t14 mismatch: got ${got.take(3)}… vs " +
+      s"expected ${expect.take(3)}…")
+    // the noise floor held (the hapax-pair pathology is excluded)
+    assert(got.forall(_._2 >= TextAnalysis.PmiMinCount))
+  }
+
   test("p26: temperature quotas upweight scarce sources; keeps are " +
       "exactly min(quota, count) per source") {
     val docs = graft.sources.Tables.load(spark, dir, "documents")

@@ -364,6 +364,47 @@ class PlanAuditSpec extends AnyFunSuite {
       s"expected TakeOrderedAndProject at k=ZipfMaxRank:\n${plan.take(1200)}")
   }
 
+  test("p29: the composed pipeline fuses into one DAG — exactly one " +
+    "global sort (the final ORDER BY), intermediate stage sorts eliminated") {
+    val plan = formatted("p29_full_prep")
+    val globalSorts = "rangepartitioning".r.findAllIn(plan).length
+    assert(globalSorts == 1,
+      s"expected ONE range exchange (stage orderBys must fuse away), " +
+        s"got $globalSorts:\n${plan.take(1500)}")
+  }
+
+  test("v20: the label constraint is the join key — a broadcast " +
+    "equi-join feeds the distance math, not a filtered nested loop") {
+    val plan = formatted("v20_ann_filtered")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"label-filtered ANN must equi-join on label:\n${plan.take(1200)}")
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"the filter must not degrade to a scored-then-filtered cross:\n${
+        plan.take(1200)}")
+  }
+
+  test("q47: the correlated LATERAL LIMIT subquery decorrelates to one " +
+    "windowed rank — no per-outer-row re-execution, no cartesian") {
+    val plan = formatted("q47_lateral_topk")
+    assert(plan.contains("Window"),
+      s"expected DecorrelateInnerQuery to rewrite the lateral into a " +
+        s"window rank:\n${plan.take(1500)}")
+    assert(!plan.contains("CartesianProduct"), plan.take(1500))
+  }
+
+  test("t14: collocation ranking is TakeOrdered partial top-k and the " +
+    "unigram re-attach is a shuffle join, never a vocabulary broadcast") {
+    val plan = formatted("t14_pmi_collocations")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"expected TakeOrderedAndProject at k=PmiTopK:\n${plan.take(1200)}")
+    // the only broadcast allowed is the 1-row total; the unigram table
+    // joins on token keys (unbounded vocabulary at corpus scale) — the
+    // shuffle_hash hint pins that against small fixture size estimates
+    assert(plan.contains("ShuffledHashJoin"),
+      s"unigram counts must re-attach via a shuffle join:\n${plan.take(1200)}")
+  }
+
   test("p26: fitted quota table attaches to the corpus via broadcast") {
     val plan = formatted("p26_temperature_mixture")
     assert(plan.contains("BroadcastHashJoin"),

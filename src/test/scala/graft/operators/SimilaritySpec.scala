@@ -488,6 +488,39 @@ class SimilaritySpec extends AnyFunSuite {
     ()
   }
 
+  test("v19: matryoshka overlaps match a full driver recompute; the " +
+      "full-width rows are the truth's self-overlap") {
+    val vecs = graft.sources.Tables.load(spark, dir, "embeddings")
+      .selectExpr("vec_id", "CAST(embedding AS array<double>) v").collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    def cos(a: Array[Double], b: Array[Double], w: Int): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < w) { d += a(i) * b(i); na += a(i) * a(i)
+        nb += b(i) * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val qs = vecs.filter(_._1 < Similarity.QueryCount)
+    def topk(q: (Long, Array[Double]), w: Int): Set[Long] =
+      vecs.filter(_._1 != q._1)
+        .map { case (id, v) => (id, cos(q._2, v, w)) }
+        .sortBy { case (id, c) => (-c, id) }
+        .take(Similarity.K).map(_._1).toSet
+    val expect = (for {
+      w <- Similarity.MatryoshkaWidths
+      q <- qs
+      ov = (topk(q, w) & topk(q, Similarity.MatryoshkaWidths.last)).size
+      if ov > 0
+    } yield ((w, q._1), ov.toLong)).toMap
+    val got = Similarity.v19MatryoshkaEval(spark, dir).collect()
+      .map(r => ((r.getInt(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(got == expect,
+      s"v19 mismatch: ${got.toSet.diff(expect.toSet).take(3)} vs " +
+        s"${expect.toSet.diff(got.toSet).take(3)}")
+    // the truth evaluates itself perfectly — every full-width row is K
+    val full = got.filter(_._1._1 == Similarity.MatryoshkaWidths.last)
+    assert(full.size == qs.length && full.values.forall(_ == Similarity.K))
+  }
+
   test("v18: sign codes match a driver recompute; exhaustive shortlist " +
       "IS exact v1; truncated shortlist keeps recall") {
     // (1) the distributed 64-bit sign packing == a driver-side recompute

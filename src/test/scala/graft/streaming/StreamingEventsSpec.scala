@@ -970,4 +970,56 @@ class StreamingEventsSpec extends AnyFunSuite {
         .forall(ss => !got.contains(ss.maxBy(_._2))))
     } finally q.stop()
   }
+
+  test("streaming sequence packing folds to batch p15 on one shard and " +
+    "to independent per-shard walks on many") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val dir = SparkTestSession.sf0001
+    val seqLen = graft.operators.Pipeline.SeqLen.toLong
+    val docs = Tables.load(s, dir, "documents")
+      .selectExpr("doc_id", "CAST(size(split(text, ' ')) AS LONG) nt")
+      .as[(Long, Long)].collect().sortBy(_._1)
+    // single shard, doc_id order: the global pack == batch p15
+    val mem = MemoryStream[(Int, Long, Long)]
+    val q = StatefulOps.packStream(mem.toDS(), seqLen).writeStream
+      .outputMode("append").format("memory").queryName("pack_test").start()
+    try {
+      docs.map { case (id, nt) => (0, id, nt) }
+        .grouped(docs.length / 3 + 1)
+        .foreach { b => mem.addData(b.toSeq); q.processAllAvailable() }
+      val got = s.table("pack_test").collect()
+        .map(r => r.getLong(1) -> ((r.getLong(3), r.getLong(4), r.getLong(5))))
+        .toMap
+      val batch = graft.operators.Pipeline.p15SequencePack(s, dir).collect()
+        .map(r => r.getLong(0) -> ((r.getLong(3), r.getLong(5), r.getLong(4))))
+        .toMap
+      assert(got == batch, s"single-shard stream pack diverges from batch " +
+        s"p15 (got ${got.size} rows, want ${batch.size})")
+    } finally q.stop()
+    // three shards: each folds its own walk, states never interleave
+    val mem2 = MemoryStream[(Int, Long, Long)]
+    val q2 = StatefulOps.packStream(mem2.toDS(), seqLen).writeStream
+      .outputMode("append").format("memory").queryName("pack_test2").start()
+    try {
+      docs.map { case (id, nt) => ((id % 3).toInt, id, nt) }
+        .grouped(docs.length / 3 + 1)
+        .foreach { b => mem2.addData(b.toSeq); q2.processAllAvailable() }
+      val got = s.table("pack_test2").collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getLong(3), r.getLong(4),
+          r.getLong(5))).toSet
+      val expect = docs.groupBy { case (id, _) => (id % 3).toInt }
+        .iterator.flatMap { case (shard, ds) =>
+          var cum = 0L
+          ds.sortBy(_._1).map { case (id, nt) =>
+            val row = (shard, id, cum / seqLen, cum % seqLen,
+              (cum + nt - 1) / seqLen)
+            cum += nt
+            row
+          }
+        }.toSet
+      assert(got == expect, "per-shard walks diverge from driver recompute")
+    } finally q2.stop()
+  }
 }
