@@ -23,6 +23,23 @@ class ScalingArtifactSpec extends AnyFunSuite {
     assert(flagged.isEmpty, s"superlinear queries flagged: $flagged")
   }
 
+  test("SCALING.json's expected-superlinear exemption is pinned to the " +
+    "documented quadratic baseline only") {
+    assume(Files.exists(path), "SCALING.json not generated in this checkout")
+    val json = Files.readString(path)
+    """"expected_superlinear"\s*:\s*\[([^\]]*)\]""".r
+      .findFirstMatchIn(json).foreach { m =>
+        val names = m.group(1).split(",").map(_.trim.stripPrefix("\"")
+          .stripSuffix("\"")).filter(_.nonEmpty).toSet
+        // only the exact all-pairs baseline may ever sit here: it is
+        // N²/2 by definition (it exists to verify the approximate
+        // paths); anything else appearing means a real operator went
+        // quadratic and was exempted instead of fixed
+        assert(names.subsetOf(Set("v2_cosine_pairs")),
+          s"unexpected exemptions: $names")
+      }
+  }
+
   test("SCALING.json records no failed query at any scale rung") {
     assume(Files.exists(path), "SCALING.json not generated in this checkout")
     val json = Files.readString(path)
