@@ -971,6 +971,49 @@ class StreamingEventsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming incremental dedup admits exactly the batch d15 " +
+    "verdicts against the persisted snapshot index") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val dir = SparkTestSession.sf0001
+    val delta = Tables.load(s, dir, "documents")
+      .filter(col("doc_id") % 10 === graft.operators.Dedup.IncrMod)
+      .select("doc_id", "text").as[(Long, String)].collect().sortBy(_._1)
+    val mem = MemoryStream[(Long, String)]
+    val verdicts = graft.operators.Dedup.incrementalDedupStream(
+      s, dir, mem.toDF().toDF("doc_id", "text"))
+    val q = verdicts.writeStream.outputMode("append")
+      .format("memory").queryName("incr_test").start()
+    try {
+      // 3 batches, plus a full REDELIVERY of batch 1 (absorbed by the
+      // seen-marker — no duplicate verdicts may appear)
+      val batches = delta.grouped(delta.length / 3 + 1).toSeq
+      (batches :+ batches.head).foreach { b =>
+        mem.addData(b.toSeq); q.processAllAvailable()
+      }
+      val got = s.table("incr_test").collect()
+        .map { r =>
+          (r.getLong(0), r.getLong(1),
+            if (r.isNullAt(2)) None else Some(r.getLong(2)),
+            if (r.isNullAt(3)) None else Some(r.getDouble(3)),
+            r.getBoolean(4))
+        }.toSeq
+      assert(got.map(_._1).length == got.map(_._1).distinct.length,
+        "redelivered batch must not produce duplicate verdicts")
+      val batch = graft.operators.Dedup.d15IncrementalDedup(s, dir).collect()
+        .map { r =>
+          (r.getLong(0), r.getLong(1),
+            if (r.isNullAt(2)) None else Some(r.getLong(2)),
+            if (r.isNullAt(3)) None else Some(r.getDouble(3)),
+            r.getBoolean(4))
+        }.toSeq
+      assert(got.sortBy(_._1) == batch.sortBy(_._1),
+        s"stream verdicts diverge from batch d15 (got ${got.size}, " +
+          s"want ${batch.size})")
+    } finally q.stop()
+  }
+
   test("streaming sequence packing folds to batch p15 on one shard and " +
     "to independent per-shard walks on many") {
     val s = spark
