@@ -23,11 +23,15 @@ object Scaling {
     // replicated sf0.3 as a 4th rung when it has been generated
     // (`runMain graft.SynthScale`) — the largest step then becomes
     // 0.1→0.3 and the flag threshold adjusts via the measured ratio
-    val synth = "/tmp/graft-sf0.3"
-    val defaultDirs = "/root/testdata/sf0.001,/root/testdata/sf0.01," +
-      "/root/testdata/sf0.1" +
-      (if (Files.exists(Paths.get(synth, "lineitem.parquet"))) s",$synth"
-       else "")
+    // synthesized rungs are appended in size order as they exist:
+    // sf0.3 (3 copies of sf0.1) and sf1 (10 copies) — the largest
+    // present becomes the flag step, with its threshold measured from
+    // lineitem counts as always
+    val synths = Seq("/tmp/graft-sf0.3", "/tmp/graft-sf1")
+      .filter(d => Files.exists(Paths.get(d, "lineitem.parquet")))
+    val fixtures = "/root/testdata/sf0.001,/root/testdata/sf0.01," +
+      "/root/testdata/sf0.1"
+    val defaultDirs = (fixtures +: synths).mkString(",")
     val dirs = sys.env.getOrElse("SPARK_GRAFT_SCALING_DIRS", defaultDirs)
       .split(",").toSeq
     val out = sys.env.getOrElse("SPARK_GRAFT_SCALING_OUT", "SCALING.json")
