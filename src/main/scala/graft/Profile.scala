@@ -40,6 +40,48 @@ object Profile {
     // single-byte-band scheme vs the band-pair scheme on n synthetic
     // near-unique docs (uniform sigs = the random-collision regime the
     // band-pair change targets; the fixture's dup families mask it).
+    // `v3probe`: occupancy distribution + candidate-pair mass of v3's
+    // banding at the given SF dir — where does the near-boundary scaling
+    // ratio actually come from (mega-buckets vs medium-bucket mass)?
+    if (args.headOption.contains("v3probe")) {
+      import graft.functions.VectorFunctions._
+      val emb = Tables.load(spark, sfDir, "embeddings")
+        .select($"vec_id", asDouble($"embedding").as("v"))
+      val n = emb.count()
+      val bits = math.min(8, math.max(4,
+        math.ceil(math.log(math.max(1.0, n / 64.0)) / math.log(2.0)).toInt))
+      println(s"[v3probe] n=$n bits=$bits")
+      val bands = 8
+      val sig = graft.operators.Similarity.lshSignatureProbe($"v", 64, bands * bits)
+      val banded = emb.withColumn("sig", sig)
+        .select($"vec_id", explode(array((0 until bands).map { b =>
+          struct(lit(b).as("band"),
+            shiftright($"sig", b * bits)
+              .bitwiseAND(lit((1L << bits) - 1)).as("bucket"))
+        }: _*)).as("bb"))
+        .select($"vec_id", $"bb.band", $"bb.bucket")
+      val occ = banded.groupBy($"band", $"bucket").count()
+      occ.selectExpr("max(count) mx", "avg(count) av",
+          "percentile(count, 0.99) p99", "count(1) nbuckets",
+          "sum(count * (count - 1) / 2) pairs",
+          s"sum(CASE WHEN count > ${graft.operators.Similarity.LshBucketCap} " +
+            "THEN count * (count - 1) / 2 ELSE 0 END) hot_pairs")
+        .show(false)
+      occ.orderBy($"count".desc).show(10, false)
+      // stage costs: signature computation alone, at both widths
+      Seq(32, 64).foreach { planes =>
+        time(s"signature x$planes") {
+          noop(emb.withColumn("sig",
+            graft.operators.Similarity.lshSignatureProbe($"v", 64, planes))
+            .select($"vec_id", $"sig"))
+        }
+      }
+      time("full v3") {
+        noop(graft.operators.Similarity.v3AnnLsh(spark, sfDir))
+      }
+      spark.stop(); return
+    }
+
     if (args.headOption.contains("d5probe")) {
       import graft.plans.VectorExpressions.simhash64
       val n = args.lift(1).map(_.toInt).getOrElse(50000)

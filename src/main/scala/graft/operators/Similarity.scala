@@ -26,6 +26,10 @@ object Similarity {
   val K = 5
   val QueryCount = 20
   val CosineThreshold = 0.4
+  /** v3's per-(band, bucket) occupancy cap — the LSH stop-bucket rule
+    * (see v3's scaladoc). 512 is inert at fixture scale (occupancies are
+    * tens) and bounds candidates at bands×N×512 at any scale. */
+  val LshBucketCap = 512
 
   /** V1 — brute-force cosine top-k: queries are vec_id < QueryCount,
     * corpus is everything else; exact top-K per query. */
@@ -71,14 +75,24 @@ object Similarity {
     }
 
   /** Random-hyperplane signature: bit j = sign(v · plane_j). */
+  private[graft] def lshSignatureProbe(v: org.apache.spark.sql.Column,
+                                       dim: Int, nPlanes: Int): Column =
+    lshSignature(v, dim, nPlanes)
+
+  /** ±1 planes pack into bitmasks and the native PlaneSignBits
+    * expression runs the whole signature as one primitive loop — the
+    * per-plane when(dot(v, CreateArray…)) tree it replaces evaluated
+    * interpreted at 4.8 s for 20k rows × 64 planes (measured,
+    * `Profile v3probe`); ±1.0 multiplies are exact sign flips and the
+    * summation order is unchanged, so signatures are bit-identical. */
   private def lshSignature(v: org.apache.spark.sql.Column,
-                           dim: Int, nPlanes: Int): org.apache.spark.sql.Column = {
-    val bits = planes(dim, nPlanes).zipWithIndex.map { case (p, j) =>
-      val planeCol = array(p.map(lit): _*)
-      when(dot(v, planeCol) >= 0, lit(1L << j)).otherwise(lit(0L))
-    }
-    bits.reduceLeft((a: Column, b: Column) => a.bitwiseOR(b))
-  }
+                           dim: Int, nPlanes: Int): org.apache.spark.sql.Column =
+    graft.plans.VectorExpressions.planeSignBits(v,
+      planes(dim, nPlanes).map { p =>
+        p.zipWithIndex.foldLeft(0L) { case (m, (x, i)) =>
+          if (x > 0) m | (1L << i) else m
+        }
+      }.toArray)
 
   /** V3 — LSH-bucketed near-dup: 32 hyperplane bits split into 8 bands of
     * 4; docs sharing any band bucket become candidates, then exact cosine
@@ -100,16 +114,51 @@ object Similarity {
     * Payload-through-band shuffle is bands×|corpus| rows — linear, no
     * broadcast, no re-attach. Recall vs V2 is asserted in SimilaritySpec;
     * the driver records rows-only (signature bucketing is not expressible
-    * in portable SQL). */
-  def v3AnnLsh(spark: SparkSession, dir: String, nPlanes: Int = 32,
+    * in portable SQL).
+    *
+    * Default band width ADAPTS to the corpus (nPlanes < 0): a FIXED
+    * band width degrades to N²/buckets as buckets saturate — measured at
+    * the sf1 synth rung, 4-bit bands (16 buckets) put v3 at a 3.35×
+    * time ratio against the 3.33× data step (flagged, retry-confirmed);
+    * bits = ⌈log₂(N/64)⌉ clamped to [4, 8] keeps expected bucket
+    * occupancy bounded while leaving the fixture-scale parameterization
+    * (and its recall spec) untouched. The 8-bit cap is the one-long
+    * signature's 8×8 limit — beyond ~10⁶ vectors production widens to
+    * multi-word signatures (d4's banded MinHash shape) or shards the
+    * LSH domain; recall at high widths is the stated weak-threshold
+    * trade, which is why bands/bits remain explicit knobs.
+    *
+    * Width alone cannot bound SKEWED buckets: vectors agreeing on every
+    * sign bit land together at any width (at the sf1 rung that
+    * irreducible same-sign mass still measured ≈3-4× per 3.33× step,
+    * noise-straddling the flag). So v3 also applies d3's stop-shingle
+    * rule to banding: a (band, bucket) holding more than
+    * [[LshBucketCap]] vectors is dropped from THAT band's candidate
+    * generation (an overfull bucket carries no locality information —
+    * the LSH analog of a stop word). Candidates are then ≤
+    * bands × N × cap — structurally LINEAR. A pair is lost only if
+    * every band it collides in is hot. The honest price: a cluster of
+    * >cap vectors agreeing on ALL sign bits is hot in every band and
+    * its internal pairs are dropped — deliberately, because a
+    * mega-cluster of near-identical vectors is exact/connected dedup's
+    * job (d1/d6 territory: its pair LIST is itself quadratic), not a
+    * pairwise LSH's. The subset-of-exact property is untouched — the
+    * cap only removes candidates. */
+  def v3AnnLsh(spark: SparkSession, dir: String, nPlanes: Int = -1,
                bands: Int = 8): DataFrame = {
     import spark.implicits._
     val dim = 64
-    val bits = nPlanes / bands
+    val bits =
+      if (nPlanes > 0) nPlanes / bands
+      else {
+        val n = Tables.load(spark, dir, "embeddings").count()
+        math.min(8, math.max(4,
+          math.ceil(math.log(math.max(1.0, n / 64.0)) / math.log(2.0)).toInt))
+      }
     val banded = Tables.load(spark, dir, "embeddings")
       .select($"vec_id", asDouble($"embedding").as("v"))
       .withColumn("nrm", norm($"v"))
-      .withColumn("sig", lshSignature($"v", dim, nPlanes))
+      .withColumn("sig", lshSignature($"v", dim, bands * bits))
       .select($"vec_id", $"v", $"nrm",
         explode(array((0 until bands).map { b =>
           struct(lit(b).as("band"),
@@ -117,7 +166,15 @@ object Similarity {
               .bitwiseAND(lit((1L << bits) - 1)).as("bucket"))
         }: _*)).as("bb"))
       .select($"vec_id", $"v", $"nrm", $"bb.band", $"bb.bucket")
-    banded.as("a").join(banded.as("b"),
+    // occupancy cap: groupBy + join-back, NOT count-over-window (the d3
+    // rule — a window partition is unsplittable; the hot probe side of
+    // the equi-join is what AQE skew-split handles)
+    val cool = banded.groupBy($"band", $"bucket")
+      .agg(count(lit(1)).as("occ"))
+      .filter($"occ" <= LshBucketCap)
+      .select($"band", $"bucket")
+    val cooled = banded.join(cool, Seq("band", "bucket"))
+    cooled.as("a").join(cooled.as("b"),
         $"a.band" === $"b.band" && $"a.bucket" === $"b.bucket" &&
           $"a.vec_id" < $"b.vec_id")
       .select($"a.vec_id".as("v1"), $"b.vec_id".as("v2"),
@@ -1350,6 +1407,10 @@ object Similarity {
     val widths = MatryoshkaWidths.toDF("width")
     val w = Window.partitionBy($"width", $"query_id")
       .orderBy($"cos".desc, $"vec_id".asc)
+    // one evaluation of the ranked subtree: a semi-join of ranked
+    // against its own width=64 slice would re-run the corpus scan and
+    // the rank windows twice — instead collect each (query, candidate)'s
+    // width set and count the widths that co-occur with the full width
     val ranked = emb
       .join(broadcast(queries), $"vec_id" =!= $"query_id")
       .crossJoin(broadcast(widths))
@@ -1359,9 +1420,11 @@ object Similarity {
       .withColumn("rk", row_number().over(w))
       .filter($"rk" <= K)
       .select($"width", $"query_id", $"vec_id")
-    val truth = ranked.filter($"width" === MatryoshkaWidths.last)
-      .select($"query_id", $"vec_id")
-    ranked.join(truth, Seq("query_id", "vec_id"), "left_semi")
+    ranked
+      .groupBy($"query_id", $"vec_id")
+      .agg(collect_set($"width").as("ws"))
+      .filter(array_contains($"ws", MatryoshkaWidths.last))
+      .select($"query_id", explode($"ws").as("width"))
       .groupBy($"width", $"query_id")
       .agg(count(lit(1)).as("overlap"))
       .orderBy($"width", $"query_id")

@@ -251,6 +251,45 @@ case class SimHash64(child: Expression)
 }
 
 /** Column-level entry points. */
+/** Random-hyperplane sign signature for ±1 planes packed as bitmasks:
+  * bit j of the output = sign(Σ_i (±1)_{ij} · v_i), where plane j's signs
+  * come from `masks(j)` (bit i set ⇒ +v_i, clear ⇒ −v_i). One traversal
+  * of the vector per plane in a primitive loop — the 64-separate-
+  * DotProduct-expression formulation this replaces evaluated an
+  * interpreted tree with a CreateArray per plane per ROW (measured
+  * 4.8 s for 20k rows at 64 planes; this runs the same 4096 adds in
+  * microseconds). Up to 64 planes (one long signature). */
+case class PlaneSignBits(child: Expression, masks: Array[Long])
+    extends UnaryExpression with CodegenFallback {
+
+  require(masks.length <= 64, "one-long signature holds at most 64 planes")
+  override def dataType: DataType = LongType
+  override def prettyName: String = "plane_sign_bits"
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    var sig = 0L
+    var j = 0
+    while (j < masks.length) {
+      val m = masks(j)
+      var acc = 0.0
+      var i = 0
+      while (i < n) {
+        val x = arr.getDouble(i)
+        if (i < 64 && ((m >>> i) & 1L) == 1L) acc += x else acc -= x
+        i += 1
+      }
+      if (acc >= 0) sig |= (1L << j)
+      j += 1
+    }
+    java.lang.Long.valueOf(sig)
+  }
+
+  override protected def withNewChildInternal(c: Expression): PlaneSignBits =
+    copy(child = c)
+}
+
 object VectorExpressions {
   import ColumnBridge.{column, expression}
   def dotProduct(a: Column, b: Column): Column =
@@ -263,4 +302,6 @@ object VectorExpressions {
     column(ShingleHashes(expression(text), n, positional = true))
   def simhash64(toks: Column): Column =
     column(SimHash64(expression(toks)))
+  def planeSignBits(v: Column, masks: Array[Long]): Column =
+    column(PlaneSignBits(expression(v), masks))
 }

@@ -77,14 +77,17 @@ class PlanAuditSpec extends AnyFunSuite {
       s"d4 re-attach joins must be shuffled hash joins:\n$plan")
   }
 
-  test("v3: single band self-join, no re-attach pass over the corpus") {
+  test("v3: one band self-join plus the two stop-bucket attachments — " +
+    "no re-attach pass over the corpus") {
     // the vector rides through the band join and cosine filters collisions
-    // immediately — exactly one join in the whole plan, nothing re-attached
+    // immediately; the only other joins are the occupancy-cap join-backs
+    // (cool-bucket set attached to each self-join side — d3's df-cap
+    // shape). A 4th join would mean a candidate re-attach crept back in.
     val plan = formatted("v3_ann_lsh")
     // count join operator nodes in the numbered detail section (each node
     // appears once there; the tree rendering above repeats the names)
-    assert("""(?m)^\(\d+\) \w*Join""".r.findAllIn(plan).size == 1,
-      s"v3 must have exactly the band self-join:\n$plan")
+    assert("""(?m)^\(\d+\) \w*Join""".r.findAllIn(plan).size == 3,
+      s"v3 must have the band self-join + 2 cap attachments:\n$plan")
   }
 
   test("v4: cell assignment is map-side — no window, top-k is partial aggregate") {
