@@ -79,6 +79,12 @@ object Profile {
       time("full v3") {
         noop(graft.operators.Similarity.v3AnnLsh(spark, sfDir))
       }
+      time("v18 binaryCodes") {
+        noop(graft.operators.Similarity.binaryCodes(spark, sfDir))
+      }
+      time("full v18") {
+        noop(graft.operators.Similarity.v18AnnBinary(spark, sfDir))
+      }
       spark.stop(); return
     }
 

@@ -502,7 +502,17 @@ object Similarity {
     * verified by exact cosine immediately (v3's payload-through-join
     * lesson). Cell assignment depends on the fitted centroids → rows-only
     * for the driver; the kept-set invariants and recall vs the v2 labeled
-    * pairs are asserted in SimilaritySpec. */
+    * pairs are asserted in SimilaritySpec.
+    *
+    * Known scale term, stated honestly: flat nearest-centroid ASSIGNMENT
+    * costs N × C distance evaluations, and with C = N/IvfVectorsPerCell
+    * that term is N²/50 — it is what nudges v4/v8's largest-rung ratios
+    * toward (but below) the linear flag while the pairwise stage stays
+    * bounded. Every flat-IVF system carries it; the billion-scale
+    * continuation is hierarchical assignment (route through ~√C
+    * super-centroids, then score only that super-cell's centroids —
+    * 2N√C), kept out of here because exact nearest-centroid assignment
+    * is what v17's conservation spec pins. */
   def v8SemanticDedup(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val emb = normalizedEmbeddings(spark, dir)
@@ -1317,15 +1327,17 @@ object Similarity {
     * serves at retrieval scale). 64 static conditional terms OR-fold
     * inside whole-stage codegen (the v3 hyperplane pattern; here the
     * "planes" are the axes). */
-  private[operators] def binaryCodes(spark: SparkSession,
+  private[graft] def binaryCodes(spark: SparkSession,
                                      dir: String): DataFrame = {
     import spark.implicits._
-    val code = (0 until 64).map { i =>
-      when(element_at($"v", i + 1) > 0, lit(1L << i)).otherwise(lit(0L))
-    }.reduce((a: Column, b: Column) => a.bitwiseOR(b))
+    // native ElementSignBits: one primitive loop per row — the 64
+    // when(element_at…) OR-fold it replaces evaluated interpreted
+    // (0.94 s for 20k rows, `Profile v3probe`); codes are bit-identical
+    // (same strict > 0 rule per dimension)
     Tables.load(spark, dir, "embeddings")
       .select($"vec_id", asDouble($"embedding").as("v"))
-      .select($"vec_id", code.as("code"))
+      .select($"vec_id",
+        graft.plans.VectorExpressions.elementSignBits($"v").as("code"))
   }
 
   /** V18 — binary (sign-bit) quantized ANN: score the corpus by Hamming

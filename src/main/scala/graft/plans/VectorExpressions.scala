@@ -290,6 +290,32 @@ case class PlaneSignBits(child: Expression, masks: Array[Long])
     copy(child = c)
 }
 
+/** Axis sign bits: bit i set iff v_i > 0 (the v18 binary-quantization
+  * code), for up to the first 64 dimensions — one primitive loop instead
+  * of 64 when(element_at…) branches (measured 0.94 s vs microseconds for
+  * 20k rows). */
+case class ElementSignBits(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "element_sign_bits"
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = math.min(arr.numElements(), 64)
+    var sig = 0L
+    var i = 0
+    while (i < n) {
+      if (arr.getDouble(i) > 0) sig |= (1L << i)
+      i += 1
+    }
+    java.lang.Long.valueOf(sig)
+  }
+
+  override protected def withNewChildInternal(c: Expression): ElementSignBits =
+    copy(child = c)
+}
+
 object VectorExpressions {
   import ColumnBridge.{column, expression}
   def dotProduct(a: Column, b: Column): Column =
@@ -304,4 +330,6 @@ object VectorExpressions {
     column(SimHash64(expression(toks)))
   def planeSignBits(v: Column, masks: Array[Long]): Column =
     column(PlaneSignBits(expression(v), masks))
+  def elementSignBits(v: Column): Column =
+    column(ElementSignBits(expression(v)))
 }
