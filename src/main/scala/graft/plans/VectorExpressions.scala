@@ -39,13 +39,21 @@ case class DotProduct(left: Expression, right: Expression)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
+      // freshName, not fixed locals: two DotProducts in one generated
+      // function (e.g. a collapsed norm+dot projection) otherwise emit
+      // "Redefinition of local variable" and the WHOLE stage silently
+      // falls back to interpreted execution — Spark logs the compile
+      // error at WARN and keeps going, so the only symptom is speed
+      val n = ctx.freshName("dpN")
+      val acc = ctx.freshName("dpAcc")
+      val i = ctx.freshName("dpI")
       s"""
-         |int n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double acc = 0.0;
-         |for (int i = 0; i < n; i++) {
-         |  acc += $a.getDouble(i) * $b.getDouble(i);
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += $a.getDouble($i) * $b.getDouble($i);
          |}
-         |${ev.value} = acc;
+         |${ev.value} = $acc;
        """.stripMargin
     })
 
