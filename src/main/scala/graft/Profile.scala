@@ -48,8 +48,7 @@ object Profile {
       val emb = Tables.load(spark, sfDir, "embeddings")
         .select($"vec_id", asDouble($"embedding").as("v"))
       val n = emb.count()
-      val bits = math.min(8, math.max(4,
-        math.ceil(math.log(math.max(1.0, n / 64.0)) / math.log(2.0)).toInt))
+      val bits = graft.operators.Similarity.adaptiveLshBits(n)
       println(s"[v3probe] n=$n bits=$bits")
       val bands = 8
       val sig = graft.operators.Similarity.lshSignatureProbe($"v", 64, bands * bits)

@@ -799,11 +799,17 @@ object Dedup {
     * the query never quiesces.)
     * Stream == batch d15 row-for-row (StreamingEventsSpec). */
   def incrementalDedupStream(spark: SparkSession, dir: String,
-                             docs: DataFrame): DataFrame = {
+                             docs: DataFrame,
+                             hotOverride: Option[DataFrame] = None,
+                             postingsOverride: Option[DataFrame] = None)
+      : DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
-    val hot = baseHotModel(spark, dir)
-    val postings = baseIndexModel(spark, dir)
+    // the snapshot artifacts are INPUTS: default to this repo's
+    // ModelStore copies, but a caller holding its own index location
+    // (or a spec driving an adversarial hot set) supplies its own
+    val hot = hotOverride.getOrElse(baseHotModel(spark, dir))
+    val postings = postingsOverride.getOrElse(baseIndexModel(spark, dir))
     val baseSizes = postings.groupBy($"doc_id")
       .agg(count(lit(1)).cast("long").as("n2"))
       .select($"doc_id".as("base_id"), $"n2")
@@ -814,7 +820,16 @@ object Dedup {
       // null-h row through to its (vacuously admitting) verdict — the
       // batch path emits a row for every delta doc, so must the stream
       .select($"doc_id", explode_outer(shingleHashes($"text", ShingleN)).as("h"))
-      .join(hot, Seq("h"), "left_anti")
+      // hot shingles NULL OUT rather than anti-join away: an anti join
+      // would drop an all-hot-shingle doc's every row, so its key never
+      // reaches the group function and no verdict is emitted — the batch
+      // path's trailing left_outer admits such a doc. A nulled h keeps
+      // the row, contributes nothing to n1, and matches no posting in
+      // the equi-join (null never equi-matches) — exactly the batch
+      // semantics of an excluded shingle.
+      .join(hot.withColumn("is_hot", lit(true)), Seq("h"), "left_outer")
+      .select($"doc_id",
+        when($"is_hot", lit(null).cast("long")).otherwise($"h").as("h"))
       .join(idx, Seq("h"), "left_outer")
       .select($"doc_id", $"h", $"base_id", $"n2")
       .as[(Long, Option[Long], Option[Long], Option[Long])]

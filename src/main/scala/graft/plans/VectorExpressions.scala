@@ -276,7 +276,10 @@ case class PlaneSignBits(child: Expression, masks: Array[Long])
 
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
-    val n = arr.numElements()
+    // cap at 64: the dot(v, plane) formulation this replaces summed over
+    // min(|v|, |plane|) elements (planes are 64-long), so dimensions past
+    // 63 must be IGNORED, not subtracted
+    val n = math.min(arr.numElements(), 64)
     var sig = 0L
     var j = 0
     while (j < masks.length) {
@@ -285,7 +288,7 @@ case class PlaneSignBits(child: Expression, masks: Array[Long])
       var i = 0
       while (i < n) {
         val x = arr.getDouble(i)
-        if (i < 64 && ((m >>> i) & 1L) == 1L) acc += x else acc -= x
+        if (((m >>> i) & 1L) == 1L) acc += x else acc -= x
         i += 1
       }
       if (acc >= 0) sig |= (1L << j)

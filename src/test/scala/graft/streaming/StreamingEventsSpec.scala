@@ -1012,6 +1012,30 @@ class StreamingEventsSpec extends AnyFunSuite {
         s"stream verdicts diverge from batch d15 (got ${got.size}, " +
           s"want ${batch.size})")
     } finally q.stop()
+    // adversarial case: a doc whose EVERY shingle is in the hot set must
+    // still get its (vacuously admitting) verdict — an anti-join
+    // formulation drops all its rows, so its key never reaches the group
+    // function and the stream goes silent (the review bug). The fixture
+    // has no base-hot shingle at this SF, so the hot set is INJECTED:
+    // exactly this doc's own shingle hashes.
+    val hotDoc = (900000001L, "alpha beta gamma delta")
+    val hotSet = s.createDataFrame(Seq(Tuple1(hotDoc._2)))
+      .toDF("text")
+      .select(explode(graft.plans.VectorExpressions.shingleHashes(
+        col("text"), graft.operators.Dedup.ShingleN)).as("h"))
+    val mem3 = MemoryStream[(Long, String)]
+    val q3 = graft.operators.Dedup.incrementalDedupStream(
+      s, dir, mem3.toDF().toDF("doc_id", "text"),
+      hotOverride = Some(hotSet)).writeStream
+      .outputMode("append").format("memory").queryName("incr_hot").start()
+    try {
+      mem3.addData(hotDoc); q3.processAllAvailable()
+      val tail = s.table("incr_hot").collect()
+      assert(tail.length == 1 && tail.head.getLong(0) == hotDoc._1 &&
+        tail.head.getLong(1) == 0L && tail.head.getBoolean(4),
+        s"an all-hot-shingle doc must emit exactly one admitting " +
+          s"verdict, got ${tail.mkString(";")}")
+    } finally q3.stop()
   }
 
   test("streaming sequence packing folds to batch p15 on one shard and " +
