@@ -104,7 +104,24 @@ object Bench {
     val failed = results.collect { case (k, None) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.flatMap(_._2).sum
-    println(s"""{"metric":"total","value":${jd(total)},"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+    val full =
+      s"""{"metric":"total","value":${jd(total)},"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}"""
+    // The driver keeps only the last ~2 KB of stdout, and the full
+    // per-query dict (~4.5 KB at 137 queries) decapitates past that —
+    // r5's BENCH artifact had `parsed: null` and a mid-word tail for
+    // exactly this reason. So: (1) persist the full artifact to
+    // bench.json in-repo, (2) print it FIRST (complete in any log that
+    // keeps more than the tail), (3) end with a compact summary line —
+    // total, failure list, the 10 slowest queries, and a pointer to the
+    // full file — that always fits the tail window and parses.
+    java.nio.file.Files.write(java.nio.file.Paths.get("bench.json"),
+      (full + "\n").getBytes("UTF-8"))
+    println(full)
+    val slowest = results.collect { case (k, Some(v)) => (k, v) }
+      .sortBy(-_._2).take(10)
+      .map { case (k, v) => "\"" + k + "\":" + jd(v) }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${jd(total)},"unit":"sec","n":${results.size},"failed":$failed,"slowest":$slowest,"queries_file":"bench.json","sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -118,8 +118,29 @@ object Scaling {
     // over the last two rungs, and only a surviving ratio flags. The
     // retried list stays in the artifact so the first-pass inflation is
     // visible, not papered over.
+    // Queries whose DOCUMENTED complexity is superlinear: v2 is the exact
+    // all-pairs cosine baseline (N²/2 by definition — it exists to verify
+    // d4/v3/v8's approximate paths) and v21 is its blocked scale tier —
+    // same exact pair set, the quadratic confined to primitive-loop FLOPs
+    // and prunable by tile geometry only on clustered corpora (this
+    // fixture's bulk is measured-isotropic, so its exponent stays 2; see
+    // v21's scaladoc). The DECLARATION is published unconditionally —
+    // r5's artifact intersected it with the flagged set and the honest
+    // "v2 is quadratic" record vanished whenever fixed overheads kept its
+    // measured ratio under the flag line. ScalingArtifactSpec pins this
+    // set so it cannot silently grow.
+    val expectedSuperlinear = Set("v2_cosine_pairs", "v21_cosine_pairs_blocked")
+    // Retry WELL below the flag line: a published ratio in the
+    // suspicious band (>2.5 at a 3.33× step) must carry isolated-session
+    // evidence even when it does not flag — r5 shipped m9 at 3.01 with
+    // `retried` empty while NOTES.md knew the isolated number was 1.14.
+    // Declared-superlinear queries skip the retry (their ratio is the
+    // documented complexity, not an artifact to launder).
+    val retryThreshold = math.min(
+      sys.env.get("SPARK_GRAFT_SCALING_RETRY_RATIO").map(_.toDouble)
+        .getOrElse(2.5), dataRatio)
     val firstFlag = rows.collect {
-      case (n, _, Some(r)) if r > dataRatio => n
+      case (n, _, Some(r)) if r > retryThreshold && !expectedSuperlinear(n) => n
     }
     val retried: Map[String, (Double, Double)] =
       if (firstFlag.isEmpty) Map.empty
@@ -142,15 +163,6 @@ object Scaling {
           if (a > 0 && !b.isNaN) b / a else Double.NaN
         }.orElse(r0)
     }.toMap
-    // Queries whose DOCUMENTED complexity is superlinear: v2 is the
-    // exact all-pairs cosine baseline (N²/2 by definition — it exists to
-    // verify d4/v3/v8's approximate paths, whose own ratios must stay
-    // linear). Its ratio legitimately crosses the data ratio once fixed
-    // overheads stop hiding the quadratic term (measured 3.19 isolated
-    // at the 3× rung), so it reports under `expected_superlinear` — the
-    // accidental-regression list stays strict and empty, and
-    // ScalingArtifactSpec pins this set so it cannot silently grow.
-    val expectedSuperlinear = Set("v2_cosine_pairs")
     // a retry that cannot RUN is a failure, not a ratio — it must land in
     // `failed` (loud), never be absorbed by the expected-superlinear
     // exemption
@@ -162,7 +174,6 @@ object Scaling {
         finalRatio(n).exists(_ > dataRatio) => n
     }
     val superlinear = allFlagged.filterNot(expectedSuperlinear)
-    val expectedFlagged = allFlagged.filter(expectedSuperlinear)
     // a query that cannot produce a ratio (failed at any rung) must be
     // LOUD, not silently absent from the superlinear list — failing at the
     // largest scale factor is the worst possible scale verdict
@@ -190,7 +201,9 @@ object Scaling {
     val fj = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val rj = retried.keys.toSeq.sorted
       .map("\"" + _ + "\"").mkString("[", ",", "]")
-    val ej = expectedFlagged.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // the declared set, published UNCONDITIONALLY (see its definition)
+    val ej = expectedSuperlinear.toSeq.sorted
+      .map("\"" + _ + "\"").mkString("[", ",", "]")
     val json =
       s"""{"dirs":$dj,"data_ratio_per_step":${jd(dataRatio)},"queries":$qjson,"superlinear":$sj,"expected_superlinear":$ej,"failed":$fj,"retried":$rj}"""
     Files.writeString(Paths.get(out), json)

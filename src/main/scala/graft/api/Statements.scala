@@ -133,6 +133,83 @@ final class Statements(spark: SparkSession, prefix: String = "stmt-",
     }.getOrElse(Nil)
   }
 
+  /** Column contract for one side of a continuous JOIN statement: a
+    * STREAMING temp view carrying one side's changelog feed — `seq` (the
+    * caller's per-feed monotone sequence, making in-batch fold order
+    * deterministic), the equi-join `key`, the row identity `id`, its
+    * current `value`, and the upsert/delete flag. The reference's Flink
+    * service accepts a two-table continuous JOIN statement over exactly
+    * such keyed changelogs; this is the engine's wire shape for it. */
+  private val FeedCols = Seq("seq", "key", "id", "value", "delete")
+
+  private def changelogFeed(name: String): Option[DataFrame] =
+    try {
+      val t = spark.table(name)
+      if (t.isStreaming && FeedCols.forall(t.schema.fieldNames.contains))
+        Some(t)
+      else None
+    } catch { case _: Exception => None }
+
+  /** Recognize `SELECT * FROM l [AS a] <type> JOIN r [AS b] ON <key equality>`
+    * over two registered changelog feeds, and run it through the exact
+    * retraction IVM join ([[graft.streaming.StatefulOps.changelogJoinStream]])
+    * instead of Structured Streaming's append-only stream-stream join —
+    * the one continuous-statement shape the reference's platform accepts
+    * that the default `spark.sql` route cannot express (an append join
+    * never retracts on upsert/delete). Parsing is Catalyst's own
+    * (`sessionState.sqlParser`), not regex; any SQL that does not match
+    * this shape (or whose relations are not changelog feeds) falls
+    * through to the default route untouched. */
+  private def tryJoinStatement(sql: String, name: String): Option[Statement] = {
+    import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedRelation}
+    import org.apache.spark.sql.catalyst.expressions.EqualTo
+    import org.apache.spark.sql.catalyst.plans.logical.{Join, LogicalPlan, SubqueryAlias}
+    import org.apache.spark.sql.catalyst.plans.{FullOuter, Inner, LeftOuter, RightOuter}
+    import graft.streaming.StatefulOps
+    def relName(p: LogicalPlan): Option[String] = p match {
+      case u: UnresolvedRelation => Some(u.multipartIdentifier.last)
+      case SubqueryAlias(_, c) => relName(c)
+      case _ => None
+    }
+    val parsed =
+      try spark.sessionState.sqlParser.parsePlan(sql)
+      catch { case _: Exception => return None }
+    parsed.collectFirst { case j: Join => j }.flatMap { j =>
+      val outer = j.joinType match {
+        case Inner => Some((false, false))
+        case LeftOuter => Some((true, false))
+        case RightOuter => Some((false, true))
+        case FullOuter => Some((true, true))
+        case _ => None
+      }
+      val keyEquality = j.condition.exists {
+        case EqualTo(a: UnresolvedAttribute, b: UnresolvedAttribute) =>
+          a.nameParts.last == "key" && b.nameParts.last == "key"
+        case _ => false
+      }
+      for {
+        (lo, ro) <- outer if keyEquality
+        ln <- relName(j.left); rn <- relName(j.right)
+        lt <- changelogFeed(ln); rt <- changelogFeed(rn)
+      } yield {
+        import spark.implicits._
+        def feed(t: DataFrame, isLeft: Boolean) = t
+          .select("seq", "key", "id", "value", "delete")
+          .as[(Long, Long, Long, String, Boolean)]
+          .map { case (seq, k, id, v, del) =>
+            (seq, StatefulOps.JoinEvent(k, isLeft, id, v, del))
+          }
+        val deltas = StatefulOps
+          .changelogJoinStream(feed(lt, true).union(feed(rt, false)), lo, ro)
+          .toDF()
+        val handle = ChangelogStream.deltaPassthrough(deltas, name)
+        // the statement's advertised schema is the maintained view's
+        // columns (op travels as the record op, not a column)
+        new Statement(name, sql, deltas.drop("op"), Some(handle))
+      }
+    }
+  }
+
   /** A memo hit is only served while the statement is still usable: a
     * Failed statement (a batch result iterator hit a failing partition —
     * possibly long after create(), since the batch path pages lazily — or
@@ -160,14 +237,16 @@ final class Statements(spark: SparkSession, prefix: String = "stmt-",
         // index, or failed statements pile up for the facade's lifetime
         byQuery.get(cacheKey).foreach(dead => byName.remove(dead.name))
         val name = prefix + randomId()
-        val df = spark.sql(sql)
-        val handle =
-          if (df.isStreaming) {
-            val keys = if (keyCols.nonEmpty) keyCols else derivedKeys(df)
-            if (keys.nonEmpty) Some(ChangelogStream.updating(df, name, keys))
-            else Some(ChangelogStream.appending(df, name))
-          } else None
-        val stmt = new Statement(name, sql, df, handle)
+        val stmt = tryJoinStatement(sql, name).getOrElse {
+          val df = spark.sql(sql)
+          val handle =
+            if (df.isStreaming) {
+              val keys = if (keyCols.nonEmpty) keyCols else derivedKeys(df)
+              if (keys.nonEmpty) Some(ChangelogStream.updating(df, name, keys))
+              else Some(ChangelogStream.appending(df, name))
+            } else None
+          new Statement(name, sql, df, handle)
+        }
         byName.put(name, stmt)
         byQuery.put(cacheKey, stmt)
         stmt

@@ -698,10 +698,31 @@ object Multimodal {
     }),
     "m2_frame_sample" -> ((s: SparkSession, d: String) => {
       import s.implicits._
+      // frame sampling + decoded-geometry evidence: every sampled frame
+      // must DECODE (each is a standalone PPM/JPEG/PNG or WAV chunk —
+      // sniffed from its own magic bytes), and the decoded units (pixels
+      // for visual frames, samples for audio chunks) plus the chunk
+      // arithmetic are pure functions of the synth metadata — the m3
+      // pattern — so the row is ORACLE-EXACT while the sampling and the
+      // round-trip decode still run distributed. Encoded frame BYTES
+      // (JPEG/PNG entropy coding, not SQL-derivable — what kept this row
+      // rows-only through r5) stay spec-checked against planted ground
+      // truth in MultimodalSpec.
       sampleFrames(mediaParquet(s, d).as[MediaRecord])
-        .select($"media_id", $"kind", $"n_frames",
-          aggregate(transform($"frames", f => length(f)),
-            lit(0), (acc, v) => acc + v).as("total_frame_bytes"))
+        .map { fr =>
+          val units: Long = fr.kind match {
+            case "audio" => fr.frames.iterator
+              .map(b => Codec.decodeWav(b).samples.length.toLong).sum
+            case _ => fr.frames.iterator.map { b =>
+              val f = if (b.length >= 2 && b(0) == 'P'.toByte &&
+                  b(1) == '6'.toByte) Codec.decodePpm(b)
+                else Codec.decodeImageIo(b)
+              f.width.toLong * f.height
+            }.sum
+          }
+          (fr.media_id, fr.kind, fr.n_frames, units)
+        }
+        .toDF("media_id", "kind", "n_frames", "decoded_units")
         .orderBy($"media_id")
     }),
     "m3_media_catalog" -> ((s: SparkSession, d: String) => {
@@ -717,35 +738,86 @@ object Multimodal {
     }),
     "m4_resize_decode" -> ((s: SparkSession, d: String) => {
       import s.implicits._
-      // distributed resize, then decode the resized payloads back to
-      // prove they are valid media (dims read from the bytes, not the
-      // metadata)
+      // distributed resize, then decode the resized payloads back IN
+      // FULL to prove they are valid media: dims and frame count are
+      // read from the re-encoded bytes, never the metadata — and both
+      // are pure functions of the synth rules (the resize target and
+      // the container's frame count), so the row is ORACLE-EXACT (the
+      // r5 row carried the re-encoded byte length, whose JPEG/PNG
+      // entropy coding is not SQL-derivable; payload validity is now
+      // proven more strongly — every frame decodes, not just the first)
       val resized = resize(mediaParquet(s, d).as[MediaRecord]
         .filter(col("kind").isin("image", "video")), 32, 18)
       resized.map { m =>
-        // videos: decode ONLY the first frame (dims are per-container
-        // constant) — a full decodeVideo would run all 4 frame decodes
-        // just to discard 3
-        val f =
-          if (m.kind == "image") Codec.decodeImage(m.format, m.payload)
-          else if (m.format == "mjpeg")
-            Codec.decodeImageIo(Codec.aviJpegChunks(m.payload).head)
-          else Codec.decodePpm(m.payload)
-        (m.media_id, m.kind, f.width, f.height, m.payload.length)
-      }.toDF("media_id", "kind", "decoded_w", "decoded_h", "n_bytes")
+        val (w, h, nf) =
+          if (m.kind == "image") {
+            val f = Codec.decodeImage(m.format, m.payload)
+            (f.width, f.height, 1)
+          } else {
+            val fs = Codec.decodeVideo(m.format, m.payload)
+            (fs.head.width, fs.head.height, fs.length)
+          }
+        (m.media_id, m.kind, m.format, w, h, nf)
+      }.toDF("media_id", "kind", "format", "decoded_w", "decoded_h",
+          "n_frames")
         .orderBy($"media_id")
     }),
   )
 
-  /** Oracles for the metadata-only m-queries. m3 never decodes — every
-    * output column is a pure function of `doc_id` (the synth rules in
-    * `synthesize`), so DuckDB can re-derive kind/format/width/duration
-    * from the `documents` table alone and check the catalog exactly.
-    * The decode-dependent queries (m1/m2/m4–m9) stay rows-only: their
-    * values depend on encoded payload bytes (JPEG entropy coding, ADPCM
-    * state machines) that SQL cannot reproduce; their fidelity specs
-    * compare against driver-side recomputes instead. */
+  /** Oracles for the metadata-derivable m-queries. m3 never decodes;
+    * m2/m4 DO decode distributed (every sampled frame / resized payload
+    * must round-trip through a real codec) but emit decoded GEOMETRY —
+    * frame counts, pixel/sample totals, resize-target dims — and every
+    * one of those is a pure function of `doc_id` (the synth rules in
+    * `synthesize`), so DuckDB re-derives them from `documents` alone and
+    * the driver checks the rows exactly. The remaining decode queries
+    * (m1/m5–m9) stay rows-only: their values depend on encoded payload
+    * BYTES (JPEG entropy coding, ADPCM state machines, FFT bins) that
+    * SQL cannot reproduce; their fidelity specs compare against
+    * driver-side recomputes instead. */
   def oracleSql: Map[String, String] = Map(
+    "m2_frame_sample" ->
+      """WITH m AS (
+        |  SELECT doc_id AS id,
+        |         CASE WHEN (doc_id // 3) % 5 = 2 AND doc_id >= 3
+        |              THEN doc_id - 3 ELSE doc_id END AS src
+        |  FROM documents
+        |), a AS (
+        |  SELECT id, src, 400 + (src % 100) * 8 AS asamp,
+        |         (400 + (src % 100) * 8 + 3) // 4 AS aper
+        |  FROM m
+        |)
+        |SELECT id AS media_id,
+        |  CASE id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+        |       ELSE 'video' END AS kind,
+        |  CAST(CASE id % 3 WHEN 0 THEN 1
+        |       WHEN 1 THEN (asamp + aper - 1) // aper
+        |       ELSE 4 END AS INT) AS n_frames,
+        |  CAST(CASE id % 3
+        |       WHEN 0 THEN (16 + (src % 8) * 4) * (9 + (src % 8) * 2)
+        |       WHEN 1 THEN asamp
+        |       ELSE 4 * (16 + (src % 4) * 4) * (8 + (src % 4) * 2)
+        |       END AS BIGINT) AS decoded_units
+        |FROM a ORDER BY media_id""".stripMargin,
+    "m4_resize_decode" ->
+      """WITH m AS (
+        |  SELECT doc_id AS id,
+        |         CASE WHEN (doc_id // 3) % 5 = 2 AND doc_id >= 3
+        |              THEN doc_id - 3 ELSE doc_id END AS src,
+        |         ((doc_id // 3) % 5 = 2 AND doc_id >= 3) AS is_dup
+        |  FROM documents WHERE doc_id % 3 != 1
+        |)
+        |SELECT id AS media_id,
+        |  CASE id % 3 WHEN 0 THEN 'image' ELSE 'video' END AS kind,
+        |  CASE WHEN id % 3 = 0 THEN CASE (id // 3) % 3 WHEN 0 THEN 'ppm'
+        |            WHEN 1 THEN 'jpeg' ELSE 'png' END
+        |       ELSE CASE WHEN ((src // 3) // 2) % 2 = 0
+        |            THEN (CASE WHEN is_dup THEN 'mjpeg' ELSE 'ppms' END)
+        |            ELSE (CASE WHEN is_dup THEN 'ppms' ELSE 'mjpeg' END) END
+        |  END AS format,
+        |  CAST(32 AS INT) AS decoded_w, CAST(18 AS INT) AS decoded_h,
+        |  CAST(CASE id % 3 WHEN 0 THEN 1 ELSE 4 END AS INT) AS n_frames
+        |FROM m ORDER BY media_id""".stripMargin,
     "m3_media_catalog" ->
       """WITH m AS (
         |  SELECT doc_id AS id,

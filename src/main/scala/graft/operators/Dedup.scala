@@ -845,9 +845,17 @@ object Dedup {
             state.update(true)
             val rs = rows.toVector
             val n1 = rs.iterator.flatMap(_._2).toSet.size
+            // distinct (h, base) pairs, not row counts: the cross-batch
+            // seen-marker cannot absorb the SAME doc delivered twice
+            // inside ONE micro-batch — rows double, and a row-count
+            // `shared` would double against a set-valued n1 (jaccard > 1
+            // / negative denominator). ShingleHashes is per-doc distinct,
+            // so distinct here is idempotent in the clean case and makes
+            // in-batch duplication as harmless as cross-batch redelivery.
             val matches = rs.iterator
-              .collect { case (_, _, Some(b), Some(n2)) => (b, n2) }
-              .toVector.groupBy(identity).toVector
+              .collect { case (_, Some(h), Some(b), Some(n2)) => (h, b, n2) }
+              .toVector.distinct
+              .groupBy { case (_, b, n2) => (b, n2) }.toVector
               .map { case ((b, n2), g) =>
                 (b, g.size.toDouble / (n1 + n2 - g.size)) }
               .filter(_._2 >= JaccardThreshold)

@@ -851,6 +851,40 @@ object Relational {
       .orderBy($"user_id")
   }
 
+  /** Q48 — SPARSE gap-fill: q36's scale tier, identical per-user answer,
+    * no calendar. The dense path's explode factor is (active-hour span ×
+    * users) — the suite's largest absolute cost at the sf1 rung (10.6 s)
+    * and unbounded in the time dimension: a year-long 100 TB event table
+    * pays 8 760 calendar rows per user however sparse its activity. But
+    * everything q36 reports is a function of OBSERVED rows only: the
+    * forward-filled value through a gap is constant (the last
+    * observation), so each observed hour contributes
+    * (next_hr − hr − 1) × round(v·100) carried cents via one lead()
+    * over the same (user_id, hr) sort — rows = observed hours, the
+    * calendar never materializes, and the integers (hence the emitted
+    * doubles) are identical to the dense path's, so one oracle covers
+    * both. q36 stays as the dense, oracle-friendly form (and the shape a
+    * user needs when the filled SERIES itself is the output). */
+  def q48GapFillSparse(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val hourly = Tables.load(spark, dir, "events")
+      .filter($"event_type" === "purchase")
+      .withColumn("hr", expr("unix_micros(ts) DIV 3600000000"))
+      .groupBy($"user_id", $"hr")
+      .agg(dsum($"value").as("v"))
+    val w = Window.partitionBy($"user_id").orderBy($"hr")
+    hourly
+      .withColumn("gap",
+        coalesce(lead($"hr", 1).over(w) - $"hr" - 1, lit(0L)))
+      .groupBy($"user_id")
+      .agg((max($"hr") - min($"hr") + 1).as("n_hours"),
+        count(lit(1)).as("n_obs"),
+        (max($"hr") - min($"hr") + 1 - count(lit(1))).as("n_gaps"),
+        (sum($"gap" * round($"v" * 100).cast("long")).cast(DoubleType) / 100)
+          .as("gap_carried"))
+      .orderBy($"user_id")
+  }
+
   /** Q40 — SCD2 historization (change-data-capture → temporal table): per
     * user, compress the event stream to state CHANGES (event_type ≠ its
     * predecessor), then stitch each change into a [valid_from, valid_to)
@@ -1170,6 +1204,7 @@ object Relational {
     "q39_range_join_binned" -> q39RangeJoinBinned _,
     "q37_grouping_sets" -> q37GroupingSets _,
     "q36_gap_fill" -> q36GapFill _,
+    "q48_gap_fill_sparse" -> q48GapFillSparse _,
     "q35_zorder_layout" -> q35ZOrderLayout _,
     "q34_bag_set_ops" -> q34BagSetOps _,
     "q29_pivot" -> q29Pivot _,
@@ -1206,6 +1241,27 @@ object Relational {
     "q27_cube" -> q27Cube _,
     "q28_unpivot" -> q28Unpivot _,
   )
+
+  /** Shared by q36 (dense calendar) and q48 (sparse lead-based): both
+    * emit the identical per-user gap-fill aggregate, so one oracle —
+    * written in the dense form, the oracle-friendly one — covers both. */
+  private val gapFillOracle: String =
+    """WITH h AS (SELECT user_id, epoch_us(ts) // 3600000000 AS hr,
+      |             CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v
+      |           FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+      |s AS (SELECT user_id, min(hr) AS h0, max(hr) AS h1 FROM h GROUP BY 1),
+      |cal AS (SELECT user_id, unnest(generate_series(h0, h1)) AS hr FROM s),
+      |f AS (SELECT cal.user_id, cal.hr, h.v,
+      |        last_value(h.v IGNORE NULLS) OVER (
+      |          PARTITION BY cal.user_id ORDER BY cal.hr
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
+      |      FROM cal LEFT JOIN h ON cal.user_id = h.user_id AND cal.hr = h.hr)
+      |SELECT user_id, count(*) AS n_hours, count(v) AS n_obs,
+      |  count(*) - count(v) AS n_gaps,
+      |  CAST(sum(CASE WHEN v IS NULL
+      |    THEN CAST(round(filled * 100) AS BIGINT) ELSE 0 END) AS DOUBLE)
+      |    / 100 AS gap_carried
+      |FROM f GROUP BY user_id ORDER BY user_id""".stripMargin
 
   /** Shared oracle CTEs for the q42/q43 pair: `m` is the merged snapshot
     * (q42's answer, unordered); q43 diffs q42's target against it. */
@@ -1374,23 +1430,9 @@ object Relational {
         |FROM orders
         |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
         |ORDER BY g_status, g_priority, status, priority""".stripMargin,
-    "q36_gap_fill" ->
-      """WITH h AS (SELECT user_id, epoch_us(ts) // 3600000000 AS hr,
-        |             CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v
-        |           FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
-        |s AS (SELECT user_id, min(hr) AS h0, max(hr) AS h1 FROM h GROUP BY 1),
-        |cal AS (SELECT user_id, unnest(generate_series(h0, h1)) AS hr FROM s),
-        |f AS (SELECT cal.user_id, cal.hr, h.v,
-        |        last_value(h.v IGNORE NULLS) OVER (
-        |          PARTITION BY cal.user_id ORDER BY cal.hr
-        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
-        |      FROM cal LEFT JOIN h ON cal.user_id = h.user_id AND cal.hr = h.hr)
-        |SELECT user_id, count(*) AS n_hours, count(v) AS n_obs,
-        |  count(*) - count(v) AS n_gaps,
-        |  CAST(sum(CASE WHEN v IS NULL
-        |    THEN CAST(round(filled * 100) AS BIGINT) ELSE 0 END) AS DOUBLE)
-        |    / 100 AS gap_carried
-        |FROM f GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q36_gap_fill" -> gapFillOracle,
+    // q48 computes the identical per-user answer without the calendar
+    "q48_gap_fill_sparse" -> gapFillOracle,
     "q35_zorder_layout" ->
       """WITH o AS (SELECT o_orderkey, o_custkey,
         |             epoch_ms(o_orderdate) // 86400000 AS dayn FROM orders),

@@ -67,6 +67,132 @@ object Similarity {
       .orderBy($"v1", $"v2")
   }
 
+  /** Members-per-tile target for [[v21CosinePairsBlocked]]: ~500 keeps a
+    * gathered tile row ≈300 KB and a tile-pair task at ≈500²·64 fused
+    * multiply-adds — small enough to broadcast-shuffle freely, big enough
+    * that the primitive loop dominates task overhead. */
+  val ExactPairTileTarget = 500
+
+  /** The blocked exact join's moving parts, exposed for the spec:
+    * (members+angles, surviving tile pairs, gathered tiles). See
+    * [[v21CosinePairsBlocked]] for the algorithm and exactness argument. */
+  private[operators] def v21Internals(spark: SparkSession, dir: String,
+                                      tau: Double, tileTarget: Int)
+      : (DataFrame, DataFrame, DataFrame) = {
+    import spark.implicits._
+    val emb = normalizedEmbeddings(spark, dir)
+    val cents = ModelStore.table(spark, dir, "embeddings.parquet",
+        s"tiles-i1-t$tileTarget") {
+      fitIvfCentroids(emb, kmeansIters = 1, perCell = tileTarget)
+    }
+    val cmeta = cents.select($"cent_id", $"cv", norm($"cv").as("cn"))
+    // angular distance of each member to its tile center; a zero-norm
+    // vector has no angle — π (the metric's diameter) keeps the tile
+    // bound valid instead of letting a NaN radius drop the tile silently
+    def angle(c: Column): Column =
+      when(isnan(c) || c.isNull, lit(math.Pi))
+        .otherwise(acos(greatest(lit(-1.0), least(lit(1.0), c))))
+    val withAngle = ivfAssign(emb, centArray(cents), 1)
+      .join(broadcast(cmeta), Seq("cent_id"))
+      .withColumn("ra", angle(dot($"v", $"cv") / ($"nrm" * $"cn")))
+      .select($"cent_id", $"vec_id", $"v", $"nrm", $"ra")
+    val radii = withAngle.groupBy($"cent_id").agg(max($"ra").as("r"))
+    val tm = cmeta.join(radii, Seq("cent_id"))
+    // triangle-inequality pruning on the ANGULAR metric θ = acos(cos):
+    // a∈tile i, b∈tile j with cos(a,b) ≥ τ ⟹
+    //   θ(cᵢ,cⱼ) ≤ θ(cᵢ,a) + θ(a,b) + θ(b,cⱼ) ≤ rᵢ + θτ + rⱼ,
+    // so dropping tile pairs beyond that bound loses NOTHING — the
+    // pruning is exact at every scale, and its power is exactly the
+    // data's clustering (isotropic corpora prune ~0, clustered corpora
+    // prune ~all; see the spec's planted-cluster case). k = N/tileTarget
+    // rows per side: the k×k filter runs as a broadcast join here; at
+    // k beyond ~10⁵ production prunes hierarchically (tiles of tiles).
+    val thetaTau = math.acos(math.max(-1.0, math.min(1.0, tau)))
+    val tilePairs = tm.as("x").join(broadcast(tm.as("y")),
+        $"x.cent_id" <= $"y.cent_id")
+      .filter(angle(dot($"x.cv", $"y.cv") / ($"x.cn" * $"y.cn")) <=
+        $"x.r" + $"y.r" + lit(thetaTau + 1e-9))
+      .select($"x.cent_id".as("ci"), $"y.cent_id".as("cj"))
+    val tiles = withAngle
+      .select($"cent_id", struct($"vec_id", $"v", $"nrm").as("m"))
+      .groupBy($"cent_id")
+      // array_sort on struct is lexicographic — vec_id leads, so members
+      // arrive in id order and the same-tile loop can do j > i only
+      .agg(array_sort(collect_list($"m")).as("ms"))
+    (withAngle, tilePairs, tiles)
+  }
+
+  /** V21 — BLOCKED exact thresholded pairs: v2's scale tier, same pair
+    * set, same oracle. Exact ≥τ cosine pairs on THIS corpus are
+    * intrinsically Θ(N²): the bulk is isotropic (measured pairwise-cos
+    * σ = 0.1275 ≈ 1/√64 at sf0.01; the 59 pairs ≥ 0.4 there are within
+    * noise of the 98 a pure Gaussian tail predicts), so at τ = 0.4 the
+    * answer itself is a constant fraction of all pairs and no algorithm
+    * — LSH (ρ = ln p₁/ln p₂ ≈ 0.62 at this threshold), metric pruning,
+    * or otherwise — beats quadratic without dropping true pairs. What a
+    * scale tier CAN do, and this one does, is confine the quadratic to
+    * raw fused multiply-adds and make everything the CLUSTER does linear:
+    *
+    *  - members shuffle as N/tileTarget gathered tile rows, replicated
+    *    only per surviving tile pair — never a per-pair row stream
+    *    (v2 pushes all N²/2 pairs through the join as rows);
+    *  - per tile pair, one primitive double loop scores the tile block
+    *    and emits ONLY survivors — no Catalyst row machinery per pair;
+    *  - tile pairs whose center distance exceeds rᵢ + rⱼ + θτ are
+    *    dropped LOSSLESSLY (angular triangle inequality — see
+    *    [[v21Internals]]), so on real clustered corpora (the 100 TB
+    *    case: near-dup embeddings at τ ≥ 0.8) the pair count collapses
+    *    and the whole query goes near-linear; on this isotropic fixture
+    *    it prunes nothing, by measurement and by design honesty.
+    *
+    * Both v2 and v21 are declared expected_superlinear in SCALING.json —
+    * v21's claim is the constant (and the clustered-case asymptote), not
+    * the fixture exponent. Oracle: identical to v2 (same DuckDB pair
+    * set); the spec also equates v21 to v2 at a forced multi-tile
+    * parameterization so cross-tile and pruning paths are exercised at
+    * fixture scale. */
+  def v21CosinePairsBlocked(spark: SparkSession, dir: String,
+                            tau: Double = CosineThreshold,
+                            tileTarget: Int = ExactPairTileTarget): DataFrame = {
+    import spark.implicits._
+    val (_, tilePairs, tiles) = v21Internals(spark, dir, tau, tileTarget)
+    val paired = tilePairs
+      .join(tiles.select($"cent_id".as("ci"), $"ms".as("ma")), Seq("ci"))
+      .join(tiles.select($"cent_id".as("cj"), $"ms".as("mb")), Seq("cj"))
+      .select($"ci", $"cj", $"ma", $"mb")
+      .as[(Long, Long, Seq[(Long, Seq[Double], Double)],
+           Seq[(Long, Seq[Double], Double)])]
+    paired.flatMap { case (ci, cj, ma, mb) =>
+      val a = ma.iterator.map { case (id, v, n) => (id, v.toArray, n) }.toArray
+      val b = if (ci == cj) a
+        else mb.iterator.map { case (id, v, n) => (id, v.toArray, n) }.toArray
+      val res = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+      var i = 0
+      while (i < a.length) {
+        val (ia, va, na) = a(i)
+        var j = if (ci == cj) i + 1 else 0
+        while (j < b.length) {
+          val (ib, vb, nb) = b(j)
+          var d = 0.0
+          var t = 0
+          val len = math.min(va.length, vb.length)
+          while (t < len) { d += va(t) * vb(t); t += 1 }
+          // ascending-index summation — the exact order DotProduct uses,
+          // so the doubles (and the ≥τ decisions) are bit-identical to v2
+          val c = d / (na * nb)
+          if (c >= tau) {
+            if (ia < ib) res += ((ia, ib, c)) else res += ((ib, ia, c))
+          }
+          j += 1
+        }
+        i += 1
+      }
+      res
+    }.toDF("v1", "v2", "cos")
+      .select($"v1", $"v2", round($"cos", 6).as("cos_sim"))
+      .orderBy($"v1", $"v2")
+  }
+
   /** Deterministic ±1 random hyperplanes (seeded per plane). */
   private def planes(dim: Int, nPlanes: Int): Seq[Seq[Double]] =
     (0 until nPlanes).map { j =>
@@ -86,13 +212,19 @@ object Similarity {
     * `Profile v3probe`); ±1.0 multiplies are exact sign flips and the
     * summation order is unchanged, so signatures are bit-identical. */
   private def lshSignature(v: org.apache.spark.sql.Column,
-                           dim: Int, nPlanes: Int): org.apache.spark.sql.Column =
+                           dim: Int, nPlanes: Int): org.apache.spark.sql.Column = {
+    // hard cap, loudly: `1L << i` wraps mod 64 and PlaneSignBits ignores
+    // dims ≥ 64, so a wider caller would get silently corrupted masks and
+    // truncated sums rather than the dot-product semantics it expects
+    require(dim <= 64,
+      s"lshSignature packs one plane per long: dim $dim exceeds 64")
     graft.plans.VectorExpressions.planeSignBits(v,
       planes(dim, nPlanes).map { p =>
         p.zipWithIndex.foldLeft(0L) { case (m, (x, i)) =>
           if (x > 0) m | (1L << i) else m
         }
-      }.toArray)
+      }.toIndexedSeq)
+  }
 
   /** V3 — LSH-bucketed near-dup: 32 hyperplane bits split into 8 bands of
     * 4; docs sharing any band bucket become candidates, then exact cosine
@@ -121,8 +253,11 @@ object Similarity {
     * the sf1 synth rung, 4-bit bands (16 buckets) put v3 at a 3.35×
     * time ratio against the 3.33× data step (flagged, retry-confirmed);
     * bits = ⌈log₂(N/64)⌉ clamped to [4, 8] keeps expected bucket
-    * occupancy bounded while leaving the fixture-scale parameterization
-    * (and its recall spec) untouched. The 8-bit cap is the one-long
+    * occupancy bounded. The adaptive width applies at EVERY scale,
+    * fixture runs included: the sf0.001 spec fixture (~2k vectors) now
+    * measures 5-bit bands and sf0.1 measures 8-bit — the recall spec
+    * passes against the adaptive configuration, not the old fixed
+    * 4-bit one. The 8-bit cap is the one-long
     * signature's 8×8 limit — beyond ~10⁶ vectors production widens to
     * multi-word signatures (d4's banded MinHash shape) or shards the
     * LSH domain; recall at high widths is the stated weak-threshold
@@ -144,11 +279,27 @@ object Similarity {
     * job (d1/d6 territory: its pair LIST is itself quadratic), not a
     * pairwise LSH's. The subset-of-exact property is untouched — the
     * cap only removes candidates. */
-  /** Corpus-size memo for the adaptive band width: a fixture dir is
-    * immutable within a session, so the count job runs once per dir
-    * instead of inside every timed v3 invocation. */
+  /** Corpus-size memo for the adaptive band width: the count job runs
+    * once per dir instead of inside every timed v3 invocation. Keyed on
+    * (canonical path, content stamp) — synthesized rung dirs under /tmp
+    * are regenerable mid-session, and a stale count would silently pick
+    * the wrong band width, so a rebuilt fixture invalidates the memo. */
   private val corpusCounts =
-    new scala.collection.concurrent.TrieMap[String, Long]
+    new scala.collection.concurrent.TrieMap[(String, Long), Long]
+
+  /** Cheap content stamp for a table under `dir`: fold (name, length,
+    * mtime) over every file below the table path. Recursive walk of the
+    * parquet dir only — never reads data. */
+  private[graft] def tableStamp(dir: String, table: String): Long = {
+    def walk(f: java.io.File): Long =
+      if (f.isDirectory) f.listFiles().foldLeft(f.lastModified()) {
+        (acc, c) => acc * 1000003L + walk(c)
+      }
+      else f.getName.hashCode.toLong * 31L + f.length() * 1000003L +
+        f.lastModified()
+    val root = new java.io.File(dir, s"$table.parquet")
+    if (root.exists()) walk(root) else 0L
+  }
 
   /** The adaptive band width from the corpus count — ONE definition,
     * shared with `Profile v3probe` so the diagnostic measures the same
@@ -164,7 +315,8 @@ object Similarity {
     val bits =
       if (nPlanes > 0) nPlanes / bands
       else adaptiveLshBits(corpusCounts.getOrElseUpdate(
-        new java.io.File(dir).getCanonicalPath,
+        (new java.io.File(dir).getCanonicalPath,
+          tableStamp(dir, "embeddings")),
         Tables.load(spark, dir, "embeddings").count()))
     val banded = Tables.load(spark, dir, "embeddings")
       .select($"vec_id", asDouble($"embedding").as("v"))
@@ -322,9 +474,10 @@ object Similarity {
     * per-(cell, dim) mean, which partial-aggregates map-side so the
     * recenter shuffle is O(C×dim), not O(N×dim)). One Lloyd pass suffices
     * after k-means|| seeding — that trade is the algorithm's point. */
-  private[operators] def fitIvfCentroids(emb: DataFrame, kmeansIters: Int): DataFrame = {
+  private[operators] def fitIvfCentroids(emb: DataFrame, kmeansIters: Int,
+                                         perCell: Int = IvfVectorsPerCell): DataFrame = {
     import emb.sparkSession.implicits._
-    val k = math.max(1L, emb.count() / IvfVectorsPerCell)
+    val k = math.max(1L, emb.count() / perCell)
     var centroids = seedCentroids(emb, k.toInt)
     for (_ <- 1 to kmeansIters) {
       centroids = ivfAssign(emb, centArray(centroids), 1)
@@ -452,10 +605,11 @@ object Similarity {
     * EXACT integer dot products over the quantized values with one final
     * double division, so results are deterministic. Same physical shape
     * as v5 (queries broadcast, corpus streams, mergeable top-k — only k
-    * pairs per query cross the shuffle). Quantized scores reorder
-    * near-ties vs exact cosine → rows-only for the driver; recall@k vs
-    * exact v1 plus the tinyint schema claim are asserted in
-    * SimilaritySpec. */
+    * pairs per query cross the shuffle). Oracle-exact: the quantization
+    * rule, the integer dots, and the one-division score are all plain
+    * arithmetic DuckDB reproduces bit-for-bit (same IEEE op shapes), so
+    * the driver checks the full ranking; recall@k vs exact v1 plus the
+    * tinyint schema claim are asserted in SimilaritySpec. */
   def v7AnnQuantized(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val qemb = quantizedEmbeddings(spark, dir)
@@ -1364,10 +1518,12 @@ object Similarity {
     * the shuffle (v5's TopKAggregate property) over a corpus scan that
     * reads 8 bytes/vector; stage 2 re-attaches exact vectors for
     * queries×shortlist rows only (equi-join on vec_id — bounded, never
-    * corpus-wide). Shortlist membership depends on Hamming ties broken by
-    * vec_id (deterministic both stages) but not expressible in portable
-    * SQL → rows-only; recall vs exact v1 and a driver recompute of the
-    * codes are asserted in SimilaritySpec. */
+    * corpus-wide). Oracle-exact: the sign rule, the Hamming ranking
+    * (ties broken by vec_id, deterministic both stages), and the exact
+    * re-rank are all SQL-reproducible — DuckDB counts differing sign
+    * bits per pair directly, so the driver checks the full two-stage
+    * pipeline; recall vs exact v1 and a driver recompute of the codes
+    * are asserted in SimilaritySpec. */
   def v18AnnBinary(spark: SparkSession, dir: String,
                    shortlistK: Int = BinaryShortlist): DataFrame = {
     import spark.implicits._
@@ -1411,9 +1567,12 @@ object Similarity {
     * trains embeddings so prefixes are usable at a fraction of the
     * cost — this operator measures what a given corpus actually loses
     * per width, the number that decides whether the 100 TB index stores
-    * 64 floats or 16. Output is one row per (width, query): the overlap
-    * count is exact integer set arithmetic, oracle-checkable; the
-    * width=64 rows are the truth's self-overlap (= K) by construction.
+    * 64 floats or 16. Output is one row per (width, query) with a
+    * NONZERO overlap — a (width, query) pair whose truncated top-K
+    * shares nothing with the truth emits no row (the oracle SQL and the
+    * spec agree on the omission); the overlap count is exact integer
+    * set arithmetic, oracle-checkable, and the width=64 rows are the
+    * truth's self-overlap (= K) by construction.
     *
     * Scale shape: the probe set is [[QueryCount]] queries broadcast
     * against one corpus scan (v1's evaluation contract — run on a query
@@ -1498,6 +1657,8 @@ object Similarity {
     "v6_label_centroids" -> v6LabelCentroids _,
     "v5_ann_topk_agg" -> v5AnnTopKAgg _,
     "v2_cosine_pairs" -> v2CosinePairs _,
+    "v21_cosine_pairs_blocked" ->
+      ((s: SparkSession, d: String) => v21CosinePairsBlocked(s, d)),
     "v3_ann_lsh" -> ((s: SparkSession, d: String) => v3AnnLsh(s, d)),
     "v4_ann_ivf" -> ((s: SparkSession, d: String) => v4AnnIvf(s, d)),
     "v7_ann_quantized" -> v7AnnQuantized _,
@@ -1505,6 +1666,16 @@ object Similarity {
     "v9_pca_project" -> v9PcaProject _,
     "v10_ann_pq" -> v10AnnPq _,
   )
+
+  /** Shared by v2 and v21: the brute force and its blocked scale tier
+    * compute the identical exact pair set, so one oracle covers both. */
+  private val cosinePairsOracle =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+       |SELECT a.vec_id AS v1, b.vec_id AS v2,
+       |  round(list_cosine_similarity(a.v, b.v), 6) AS cos_sim
+       |FROM e a JOIN e b ON a.vec_id < b.vec_id
+       |WHERE list_cosine_similarity(a.v, b.v) >= $CosineThreshold
+       |ORDER BY v1, v2""".stripMargin
 
   /** Shared by v1 and v5: both compute exact top-k, by different physical
     * strategies (window vs mergeable aggregate), so one oracle covers both. */
@@ -1520,6 +1691,51 @@ object Similarity {
        |ORDER BY query_id, rk""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "v18_ann_binary" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < $QueryCount),
+         |h AS (SELECT query_id, vec_id,
+         |        64 - len(list_filter(range(1, 65),
+         |              i -> (v[i] > 0) != (qv[i] > 0))) AS ham
+         |      FROM e CROSS JOIN q WHERE vec_id != query_id),
+         |sl AS (SELECT query_id, vec_id FROM (
+         |         SELECT query_id, vec_id,
+         |           row_number() OVER (PARTITION BY query_id
+         |             ORDER BY ham DESC, vec_id ASC) AS hr FROM h)
+         |       WHERE hr <= $BinaryShortlist),
+         |r AS (SELECT sl.query_id, sl.vec_id,
+         |        list_cosine_similarity(q.qv, e.v) AS cos,
+         |        row_number() OVER (PARTITION BY sl.query_id
+         |          ORDER BY list_cosine_similarity(q.qv, e.v) DESC,
+         |                   sl.vec_id ASC) AS rk
+         |      FROM sl JOIN e ON sl.vec_id = e.vec_id
+         |              JOIN q ON sl.query_id = q.query_id)
+         |SELECT query_id, rk, vec_id, round(cos, 6) AS cos_sim
+         |FROM r WHERE rk <= $K
+         |ORDER BY query_id, rk""".stripMargin,
+    "v7_ann_quantized" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |s AS (SELECT vec_id,
+         |        list_transform(v, x -> CAST(round(x * 127 / m) AS BIGINT)) AS qv
+         |      FROM (SELECT vec_id, v,
+         |              list_max(list_transform(v, x -> abs(x))) AS m FROM e)),
+         |n AS (SELECT vec_id, qv,
+         |        sqrt(CAST(list_sum(list_transform(qv, x -> x * x)) AS DOUBLE))
+         |          AS qn
+         |      FROM s),
+         |q AS (SELECT vec_id AS query_id, qv AS qq, qn AS qqn FROM n
+         |      WHERE vec_id < $QueryCount),
+         |d AS (SELECT query_id, vec_id,
+         |        CAST(list_sum(list_transform(list_zip(qq, qv),
+         |              t -> t[1] * t[2])) AS DOUBLE) / (qqn * qn) AS qcos,
+         |        row_number() OVER (PARTITION BY query_id
+         |          ORDER BY CAST(list_sum(list_transform(list_zip(qq, qv),
+         |              t -> t[1] * t[2])) AS DOUBLE) / (qqn * qn) DESC,
+         |            vec_id ASC) AS rk
+         |      FROM n CROSS JOIN q WHERE vec_id != query_id)
+         |SELECT query_id, rk, vec_id, round(qcos, 6) AS qcos_sim
+         |FROM d WHERE rk <= $K
+         |ORDER BY query_id, rk""".stripMargin,
     "v20_ann_filtered" ->
       s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
          |           FROM embeddings),
@@ -1614,13 +1830,9 @@ object Similarity {
          |FROM pred WHERE vr = 1 GROUP BY qlabel ORDER BY label""".stripMargin,
     "v1_ann_topk" -> annTopKOracle,
     "v5_ann_topk_agg" -> annTopKOracle,
-    "v2_cosine_pairs" ->
-      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
-         |SELECT a.vec_id AS v1, b.vec_id AS v2,
-         |  round(list_cosine_similarity(a.v, b.v), 6) AS cos_sim
-         |FROM e a JOIN e b ON a.vec_id < b.vec_id
-         |WHERE list_cosine_similarity(a.v, b.v) >= $CosineThreshold
-         |ORDER BY v1, v2""".stripMargin,
+    "v2_cosine_pairs" -> cosinePairsOracle,
+    // v21 is v2's blocked scale tier: SAME exact pair set, same oracle
+    "v21_cosine_pairs_blocked" -> cosinePairsOracle,
     "v6_label_centroids" ->
       """WITH u AS (SELECT label, unnest(embedding) AS x,
         |             unnest(generate_series(0, len(embedding)-1)) AS pos

@@ -267,7 +267,7 @@ case class SimHash64(child: Expression)
   * interpreted tree with a CreateArray per plane per ROW (measured
   * 4.8 s for 20k rows at 64 planes; this runs the same 4096 adds in
   * microseconds). Up to 64 planes (one long signature). */
-case class PlaneSignBits(child: Expression, masks: Array[Long])
+case class PlaneSignBits(child: Expression, masks: IndexedSeq[Long])
     extends UnaryExpression with CodegenFallback {
 
   require(masks.length <= 64, "one-long signature holds at most 64 planes")
@@ -339,7 +339,7 @@ object VectorExpressions {
     column(ShingleHashes(expression(text), n, positional = true))
   def simhash64(toks: Column): Column =
     column(SimHash64(expression(toks)))
-  def planeSignBits(v: Column, masks: Array[Long]): Column =
+  def planeSignBits(v: Column, masks: IndexedSeq[Long]): Column =
     column(PlaneSignBits(expression(v), masks))
   def elementSignBits(v: Column): Column =
     column(ElementSignBits(expression(v)))

@@ -266,6 +266,32 @@ object ChangelogStream {
     new Handle(() => query, schema, log)
   }
 
+  /** Start a query whose rows ALREADY ARE exact changelog deltas — the
+    * IVM join ([[StatefulOps.changelogJoinStream]]) emits its own
+    * retractions, so no synthesizer state sits between the operator and
+    * the wire: each row's `opCol` (changelog code) becomes the record op
+    * and the remaining columns the record values, in schema order. */
+  def deltaPassthrough(df: DataFrame, queryName: String, opCol: String = "op",
+                       trigger: Trigger = Trigger.ProcessingTime(0),
+                       maxBufferedRecords: Int = DefaultMaxBufferedRecords): Handle = {
+    val opIdx = df.schema.fieldIndex(opCol)
+    val schema = df.schema.fieldNames.toSeq.patch(opIdx, Nil, 1)
+    val log = new RecordLog(maxBufferedRecords)
+    val query = df.writeStream
+      .outputMode("update")
+      .queryName(queryName)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        log.append(batch.collect().toSeq.map { r =>
+          val vs = r.toSeq.toVector
+          RawRecord(Some(vs(opIdx).asInstanceOf[Int]), vs.patch(opIdx, Nil, 1))
+        })
+        ()
+      }
+      .start()
+    new Handle(() => query, schema, log)
+  }
+
   /** Start an append-only query (no aggregation): rows pass through as
     * `+I`, matching the reference's append wire form. The buffer cap
     * matters most here — an unbounded append stream would otherwise

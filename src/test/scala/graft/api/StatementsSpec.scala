@@ -236,4 +236,78 @@ class StatementsSpec extends AnyFunSuite {
     assert(stmts.waitForStatus(stmt, Set(Phase.Completed)).isEmpty,
       "waitForStatus returns None on failed")
   }
+
+  test("continuous two-table JOIN statement: create → running → changelog " +
+    "pages whose collapse equals the live-rows join after EVERY page") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    // feed rows: (seq, key, id, value, delete)
+    val lmem = MemoryStream[(Long, Long, Long, String, Boolean)]
+    val rmem = MemoryStream[(Long, Long, Long, String, Boolean)]
+    type Feed = (Long, Long, Long, String, Boolean)
+    lmem.toDF().toDF("seq", "key", "id", "value", "delete")
+      .createOrReplaceTempView("l_feed")
+    rmem.toDF().toDF("seq", "key", "id", "value", "delete")
+      .createOrReplaceTempView("r_feed")
+    val stmts = new Statements(s)
+    val stmt = stmts.create(
+      "SELECT * FROM l_feed AS a JOIN r_feed AS b ON a.key = b.key")
+    try {
+      assert(stmt.isStreaming, "a continuous join must be a streaming statement")
+      assert(stmt.columns ==
+        Seq("key", "left_id", "left_value", "right_id", "right_value"))
+      assert(stmts.waitForStatus(stmt, Set(Phase.Running)).isDefined)
+      // the handle cursor exhausts when caught up (stmt.results() is the
+      // infinite heartbeat iterator — bounded consumers only)
+      val cl = stmt.handle.get.changelog()
+      // driver-side reference fold of the live rows
+      val l = scala.collection.mutable.Map.empty[(Long, Long), String]
+      val r = scala.collection.mutable.Map.empty[(Long, Long), String]
+      def apply(side: scala.collection.mutable.Map[(Long, Long), String],
+                f: Feed): Unit =
+        if (f._5) { side.remove((f._2, f._3)); () }
+        else side((f._2, f._3)) = f._4
+      def page(lb: Seq[Feed], rb: Seq[Feed]): Unit = {
+        if (lb.nonEmpty) lmem.addData(lb)
+        if (rb.nonEmpty) rmem.addData(rb)
+        stmt.handle.get.processAllAvailable()
+        lb.foreach(apply(l, _)); rb.foreach(apply(r, _))
+        while (cl.consume(1).nonEmpty) ()
+        val expected = (for (((lk, li), lv) <- l.toSeq;
+                             ((rk, ri), rv) <- r.toSeq if lk == rk)
+          yield Vector[Any](lk, li, lv, ri, rv)).toSet
+        val got = cl.collapse().rows.toSet
+        assert(got == expected,
+          s"collapse diverged from the batch join: $got vs $expected")
+      }
+      // page 1: initial matches on key 1; key 2 left-only (inner: absent)
+      page(Seq((0L, 1L, 100L, "a1", false), (1L, 2L, 101L, "b1", false)),
+           Seq((0L, 1L, 200L, "x1", false)))
+      // page 2: left UPDATE retracts old match and re-inserts; right side
+      // of key 1 deletes (match leaves); key 2 gains its right row
+      page(Seq((2L, 1L, 100L, "a2", false)),
+           Seq((1L, 2L, 201L, "y1", false), (2L, 1L, 200L, "x1", true)))
+      // page 3: everything left deletes — the view empties
+      page(Seq((3L, 1L, 100L, "a2", true), (4L, 2L, 101L, "b1", true)), Nil)
+      // a fresh cursor replays the whole wire: retractions must cancel
+      val cl2 = stmt.handle.get.changelog()
+      while (cl2.consume(1).nonEmpty) ()
+      assert(cl2.collapse().rows.isEmpty, "emptied view must collapse to 0 rows")
+    } finally stmt.stop()
+    // join-type plumbing: LEFT JOIN pads the unmatched left row with null
+    val stmt2 = stmts.create(
+      "SELECT * FROM l_feed AS a LEFT JOIN r_feed AS b ON a.key = b.key")
+    try {
+      assert(stmts.waitForStatus(stmt2, Set(Phase.Running)).isDefined)
+      lmem.addData((5L, 7L, 102L, "solo", false))
+      stmt2.handle.get.processAllAvailable()
+      val cl3 = stmt2.handle.get.changelog()
+      while (cl3.consume(1).nonEmpty) ()
+      assert(cl3.collapse().rows.exists(r =>
+        r(0) == 7L && r(2) == "solo" && r(3) == -1L && r(4) == null),
+        "LEFT JOIN statement must null-pad the unmatched left row")
+    } finally stmt2.stop()
+  }
 }

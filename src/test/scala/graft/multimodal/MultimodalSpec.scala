@@ -457,8 +457,11 @@ class MultimodalSpec extends AnyFunSuite {
     val rows = Multimodal.queries("m4_resize_decode")(spark, dir).collect()
     assert(rows.nonEmpty)
     rows.foreach { r =>
-      assert(r.getInt(2) == 32 && r.getInt(3) == 18,
+      assert(r.getInt(3) == 32 && r.getInt(4) == 18,
         s"media ${r.getLong(0)}: decoded dims must be the resize target")
+      assert(r.getInt(5) == (if (r.getString(1) == "image") 1
+        else Multimodal.VideoFrames),
+        s"media ${r.getLong(0)}: every container frame must decode")
     }
   }
 }

@@ -315,4 +315,24 @@ class RelationalSpec extends AnyFunSuite {
     assert(got.toSet == expected,
       "AS OF result diverges from the driver interval scan")
   }
+
+  test("q48 sparse gap-fill equals dense q36 row-for-row, and its plan " +
+      "never materializes the calendar") {
+    val dense = Relational.q36GapFill(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).toSeq
+    val sparse = Relational.q48GapFillSparse(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).toSeq
+    assert(sparse == dense,
+      s"sparse gap-fill diverges (${sparse.size} vs ${dense.size} rows)")
+    // at least one user must actually have gaps or the equality is vacuous
+    assert(dense.exists(_._4 > 0), "fixture has no gap to carry through")
+    // the scale claim IS the absent calendar: no sequence/explode anywhere
+    val plan = Relational.q48GapFillSparse(spark, dir)
+      .queryExecution.optimizedPlan.toString
+    assert(!plan.toLowerCase.contains("explode") &&
+      !plan.toLowerCase.contains("sequence"),
+      s"sparse path materialized a calendar:\n$plan")
+  }
 }

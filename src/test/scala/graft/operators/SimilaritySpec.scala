@@ -566,4 +566,61 @@ class SimilaritySpec extends AnyFunSuite {
     assert(curve.head >= 0.35, s"recall ${curve.head} at shortlist 15 " +
       "is indistinguishable from random")
   }
+
+  test("v21: blocked exact pairs equal v2 bit-for-bit, at the default AND " +
+      "at a forced multi-tile parameterization") {
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val exact = rows(Similarity.v2CosinePairs(spark, dir))
+    assert(exact.nonEmpty, "fixture must have ≥τ pairs or this proves nothing")
+    assert(rows(Similarity.v21CosinePairsBlocked(spark, dir)) == exact,
+      "v21 default diverges from v2")
+    // tileTarget 50 → ~10 tiles on 500 vectors: cross-tile scoring and the
+    // triangle-inequality pruning BOTH run, and losslessness must hold on
+    // this isotropic fixture (where pruning power is ~zero — the honest
+    // hard case: any over-pruning drops a true pair and fails here)
+    assert(rows(Similarity.v21CosinePairsBlocked(spark, dir,
+      tileTarget = 50)) == exact, "multi-tile v21 diverges from v2")
+  }
+
+  test("v21: on a planted-cluster corpus the tile-pair pruning fires and " +
+      "the result still equals brute force") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-v21").toFile
+    try {
+      // 4 tight clusters around orthogonal axes: cross-cluster angle 90°,
+      // within-cluster radius ~6° — cross-cluster tile pairs violate
+      // r_i + r_j + θτ (≈ 66° + small) and MUST be pruned
+      val rng = new scala.util.Random(7)
+      val dim = 64
+      val vecs = for (c <- 0 until 4; i <- 0 until 200) yield {
+        val v = Array.fill(dim)(rng.nextGaussian().toFloat * 0.02f)
+        v(c) = 1.0f
+        ((c * 200 + i).toLong, v.toSeq)
+      }
+      spark.createDataFrame(vecs).toDF("vec_id", "embedding")
+        .coalesce(1).write.parquet(s"$tmp/embeddings.parquet")
+      val cdir = tmp.getPath
+      val (_, tilePairs, _) =
+        Similarity.v21Internals(spark, cdir, Similarity.CosineThreshold, 100)
+      val k = tilePairs.select("ci").union(tilePairs.select("cj"))
+        .distinct().count()
+      val kept = tilePairs.count()
+      assert(kept < k * (k + 1) / 2,
+        s"pruning never fired: $kept of ${k * (k + 1) / 2} tile pairs kept")
+      val got = Similarity.v21CosinePairsBlocked(spark, cdir, tileTarget = 100)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+      val brute = Similarity.v2CosinePairs(spark, cdir)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+      assert(got == brute,
+        s"pruned v21 diverges from brute force (${got.size} vs ${brute.size})")
+      // sanity: the clustered corpus actually has plenty of true pairs
+      assert(brute.size > 1000, s"degenerate fixture: ${brute.size} pairs")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(tmp)
+    }
+  }
 }

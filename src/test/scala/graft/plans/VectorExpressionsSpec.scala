@@ -50,9 +50,14 @@ class VectorExpressionsSpec extends AnyFunSuite {
       ArrayType(DoubleType))
     // plane 0: all +1 → sum 0.75 ≥ 0 → bit set
     // plane 1: mask 0b0010 (+v1, others −) → -1.5-0.5-2.0+0.25 < 0 → clear
-    val masks = Array(0xfL, 0x2L)
+    val masks = IndexedSeq(0xfL, 0x2L)
     val sig = PlaneSignBits(arr, masks).eval(null).asInstanceOf[Long]
     assert(sig == 1L, s"sig $sig")
+    // masks are a value-equal Seq (not an Array): two semantically
+    // identical expressions must compare equal or Catalyst
+    // canonicalization / CSE can never unify them
+    assert(PlaneSignBits(arr, IndexedSeq(0xfL, 0x2L)) ==
+      PlaneSignBits(arr, Vector(0xfL, 0x2L)))
     val esig = ElementSignBits(arr).eval(null).asInstanceOf[Long]
     // bits where v_i > 0: dims 0 and 2
     assert(esig == ((1L << 0) | (1L << 2)), s"esig $esig")

@@ -790,6 +790,92 @@ class StreamingEventsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("full-outer changelog join PROPERTY: delete-heavy interleavings " +
+    "where both sides repeatedly empty, WITH mid-stream redelivery, " +
+    "at every prefix, over multiple seeds") {
+    import StatefulOps.{JoinDelta, JoinEvent}
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    def liveFullJoin(prefix: Seq[JoinEvent])
+        : Set[(Long, Long, String, Long, String)] = {
+      val l = scala.collection.mutable.Map.empty[(Long, Long), String]
+      val r = scala.collection.mutable.Map.empty[(Long, Long), String]
+      prefix.foreach { e =>
+        val m = if (e.left) l else r
+        if (e.delete) m.remove((e.key, e.id))
+        else m((e.key, e.id)) = e.value
+      }
+      val matched = for (((lk, li), lv) <- l.toSeq; ((rk, ri), rv) <- r.toSeq
+                         if lk == rk) yield (lk, li, lv, ri, rv)
+      val lPads = l.collect { case ((lk, li), lv)
+        if !r.keys.exists(_._1 == lk) => (lk, li, lv, -1L, null: String) }
+      val rPads = r.collect { case ((rk, ri), rv)
+        if !l.keys.exists(_._1 == rk) => (rk, -1L, null: String, ri, rv) }
+      (matched ++ lPads ++ rPads).toSet
+    }
+    // harder than the left-outer suite on every axis: delete probability
+    // 1/2 (sides empty and refill constantly), only 2 ids per side × 3
+    // keys (maximum transition churn), and one random earlier batch
+    // REDELIVERED whole mid-stream. Redelivery is legal input — the
+    // operator's semantics are a value fold (a re-applied upsert
+    // retracts-then-reinserts, a re-applied delete no-ops), so the
+    // reference fold simply re-applies the same events and the collapse
+    // equality must STILL hold at every prefix.
+    Seq(3, 23, 71).foreach { seed =>
+      val rnd = new scala.util.Random(seed)
+      val evs = (0 until 160).map { _ =>
+        val left = rnd.nextBoolean()
+        JoinEvent(rnd.nextInt(3).toLong, left,
+          (if (left) 100 else 200) + rnd.nextInt(2).toLong,
+          s"v${rnd.nextInt(100)}", rnd.nextBoolean())
+      }
+      val qn = s"cl_fjoin_prop_$seed"
+      val mem = MemoryStream[(Long, JoinEvent)]
+      val q = StatefulOps.changelogJoinStream(mem.toDS(),
+          leftOuter = true, rightOuter = true)
+        .writeStream.outputMode("update")
+        .format("memory").queryName(qn).start()
+      try {
+        val base = evs.zipWithIndex.map { case (e, i) => (i.toLong, e) }
+          .grouped(40).toSeq
+        val redelivered = base(rnd.nextInt(base.size - 1))
+        val batches = base.patch(base.size - 1, Seq(redelivered), 0)
+        var prefix = Vector.empty[JoinEvent]
+        var emptiedBoth = 0
+        batches.foreach { b =>
+          mem.addData(b); q.processAllAvailable()
+          prefix ++= b.map(_._2)
+          val counts = s.table(qn).as[JoinDelta].collect()
+            .groupBy(d => (d.key, d.left_id, d.left_value, d.right_id,
+              d.right_value))
+            .view.mapValues(_.map(d => if (d.op == 0) 1 else -1).sum).toMap
+          assert(counts.values.forall(c => c == 0 || c == 1),
+            s"seed $seed: collapse went negative/double: " +
+              counts.filter(kv => kv._2 != 0 && kv._2 != 1))
+          assert(counts.filter(_._2 == 1).keySet == liveFullJoin(prefix),
+            s"seed $seed: full-outer view diverged at prefix ${prefix.size}")
+          // count prefixes where some key has BOTH sides empty after
+          // having been populated — the transition family under test
+          val l = scala.collection.mutable.Map.empty[(Long, Long), String]
+          val r = scala.collection.mutable.Map.empty[(Long, Long), String]
+          val touched = scala.collection.mutable.Set.empty[Long]
+          prefix.foreach { e =>
+            val m = if (e.left) l else r
+            touched += e.key
+            if (e.delete) m.remove((e.key, e.id))
+            else m((e.key, e.id)) = e.value
+          }
+          emptiedBoth += touched.count(k =>
+            !l.keys.exists(_._1 == k) && !r.keys.exists(_._1 == k))
+        }
+        assert(emptiedBoth > 0,
+          s"seed $seed: interleaving never emptied both sides of a " +
+            "touched key — the fixture is not adversarial enough")
+      } finally q.stop()
+    }
+  }
+
   test("nearDupStream bucket saturation is observable via the overflow " +
     "accumulator") {
     val s = spark
@@ -986,12 +1072,16 @@ class StreamingEventsSpec extends AnyFunSuite {
     val q = verdicts.writeStream.outputMode("append")
       .format("memory").queryName("incr_test").start()
     try {
-      // 3 batches, plus a full REDELIVERY of batch 1 (absorbed by the
-      // seen-marker — no duplicate verdicts may appear)
+      // 3 batches — batch 1 delivered with every doc DUPLICATED INSIDE
+      // the batch (in-batch at-least-once duplication the cross-batch
+      // seen-marker cannot absorb: matches must come from distinct
+      // (h, base) pairs or `shared` doubles against the set-valued n1
+      // and jaccard silently inflates) — plus a full cross-batch
+      // REDELIVERY of batch 1 (absorbed by the seen-marker — no
+      // duplicate verdicts may appear)
       val batches = delta.grouped(delta.length / 3 + 1).toSeq
-      (batches :+ batches.head).foreach { b =>
-        mem.addData(b.toSeq); q.processAllAvailable()
-      }
+      ((batches.head ++ batches.head) +: batches.tail :+ batches.head)
+        .foreach { b => mem.addData(b.toSeq); q.processAllAvailable() }
       val got = s.table("incr_test").collect()
         .map { r =>
           (r.getLong(0), r.getLong(1),
