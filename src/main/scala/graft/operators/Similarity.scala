@@ -245,8 +245,11 @@ object Similarity {
     * plus two corpus-wide joins cost more than the cosines they saved.
     * Payload-through-band shuffle is bands×|corpus| rows — linear, no
     * broadcast, no re-attach. Recall vs V2 is asserted in SimilaritySpec;
-    * the driver records rows-only (signature bucketing is not expressible
-    * in portable SQL).
+    * ORACLE-EXACT since r6: the seeded ±1 planes are deterministic, so
+    * the oracle SQL embeds them as sign-string literals and DuckDB
+    * replays the whole pipeline — signature bits (same ascending ±add
+    * fold, exact sign agreement), adaptive band width from its own
+    * count(*), banding, the occupancy cap, and the exact-cosine verify.
     *
     * Default band width ADAPTS to the corpus (nPlanes < 0): a FIXED
     * band width degrades to N²/buckets as buckets saturate — measured at
@@ -1286,9 +1289,12 @@ object Similarity {
     * query over its OWN ≤ pool·k candidate rows, so the sequential part
     * touches a constant-sized group, never the corpus, and queries
     * parallelize independently. Deterministic: candidates enter the loop
-    * sorted by (rk), ties break toward the lower rank. Rows-only for the
-    * driver (iterative greedy isn't portable SQL); SimilaritySpec pins a
-    * driver recompute and the diversity win over plain top-k. */
+    * sorted by (rk), ties break toward the lower rank. ORACLE-EXACT
+    * since r6: K is a compile-time constant, so [[v11Oracle]] unrolls
+    * the greedy rounds into K chained CTEs (iterative greedy is only
+    * non-portable when the depth is data-dependent); SimilaritySpec
+    * additionally pins a driver recompute and the diversity win over
+    * plain top-k. */
   def v11MmrRerank(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val emb = Tables.load(spark, dir, "embeddings")
@@ -1690,7 +1696,102 @@ object Similarity {
        |FROM s WHERE rk <= $K
        |ORDER BY query_id, rk""".stripMargin
 
+  /** v3's oracle replays the full LSH pipeline in DuckDB. The seeded ±1
+    * hyperplanes are deterministic, so they embed as 64-char sign-string
+    * literals; the signature bit is the sign of the same ascending
+    * ±element fold PlaneSignBits runs (float32-derived doubles — the
+    * partial sums agree exactly); the adaptive band width re-derives
+    * from count(*) with the same clamp; banding, the ≤[[LshBucketCap]]
+    * occupancy rule, and the exact-cosine verification are plain SQL. */
+  private val v3Oracle: String = {
+    val masks = planes(64, 64)
+      .map(p => p.map(x => if (x > 0) "+" else "-").mkString)
+      .zipWithIndex
+      .map { case (m, j) => s"($j, '$m')" }
+      .mkString(", ")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |meta AS (SELECT least(8, greatest(4,
+       |           CAST(ceil(log2(greatest(1.0, count(*) / 64.0))) AS INT)))
+       |           AS bits FROM e),
+       |p AS (SELECT * FROM (VALUES $masks) AS t(j, m)),
+       |sigbit AS (
+       |  SELECT e.vec_id, p.j,
+       |    (list_sum(list_transform(range(1, 65),
+       |       i -> CASE WHEN substring(p.m, i, 1) = '+'
+       |            THEN e.v[i] ELSE -e.v[i] END)) >= 0) AS bit
+       |  FROM e CROSS JOIN p
+       |  WHERE p.j < 8 * (SELECT bits FROM meta)),
+       |bb AS (
+       |  SELECT vec_id, j // (SELECT bits FROM meta) AS band,
+       |    sum(CASE WHEN bit
+       |        THEN 1 << (j % (SELECT bits FROM meta)) ELSE 0 END) AS bucket
+       |  FROM sigbit GROUP BY 1, 2),
+       |cool AS (SELECT band, bucket FROM bb GROUP BY band, bucket
+       |         HAVING count(*) <= $LshBucketCap),
+       |cooled AS (SELECT bb.* FROM bb JOIN cool USING (band, bucket)),
+       |pairs AS (SELECT DISTINCT a.vec_id AS v1, b.vec_id AS v2
+       |          FROM cooled a JOIN cooled b
+       |            ON a.band = b.band AND a.bucket = b.bucket
+       |           AND a.vec_id < b.vec_id)
+       |SELECT v1, v2,
+       |  round(list_cosine_similarity(ea.v, eb.v), 6) AS cos_sim
+       |FROM pairs JOIN e ea ON pairs.v1 = ea.vec_id
+       |           JOIN e eb ON pairs.v2 = eb.vec_id
+       |WHERE list_cosine_similarity(ea.v, eb.v) >= $CosineThreshold
+       |ORDER BY v1, v2""".stripMargin
+  }
+
+  /** v11's oracle UNROLLS the greedy MMR loop: K is a compile-time
+    * constant, so the K selection rounds become K chained CTE pairs
+    * (pick round r = argmax of λ·rel − (1−λ)·maxsim, ties toward the
+    * lower original rank — mmrSelect's first-wins rule; state round r =
+    * survivors with maxsim folded against the new pick). Iterative
+    * greedy "isn't portable SQL" only when the depth is data-dependent;
+    * here it is K, and the SQL is generated by the same loop bound. */
+  private val v11Oracle: String = {
+    val lam = MmrLambda
+    val oneMinus = 1 - MmrLambda // interpolate the exact double the loop uses
+    val rounds = (1 to K).map { r =>
+      s""",
+         |p$r AS (SELECT query_id, vec_id, score FROM (
+         |  SELECT query_id, vec_id, $lam * rel - $oneMinus * maxsim AS score,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY $lam * rel - $oneMinus * maxsim DESC, rk ASC) AS rn
+         |  FROM s${r - 1}) WHERE rn = 1),
+         |s$r AS (SELECT s.query_id, s.vec_id, s.rel, s.rk,
+         |    greatest(s.maxsim, coalesce(pc.sim, s.maxsim)) AS maxsim
+         |  FROM s${r - 1} s
+         |  JOIN p$r p ON s.query_id = p.query_id AND s.vec_id != p.vec_id
+         |  LEFT JOIN pc ON pc.query_id = s.query_id AND pc.ca = s.vec_id
+         |              AND pc.cb = p.vec_id)""".stripMargin
+    }.mkString
+    val picks = (1 to K)
+      .map(r => s"SELECT query_id, $r AS rk, vec_id, score FROM p$r")
+      .mkString("\n", "\nUNION ALL\n", "\n")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < $QueryCount),
+       |pool AS (SELECT query_id, vec_id, cos AS rel, rn AS rk FROM (
+       |  SELECT query_id, vec_id, list_cosine_similarity(qv, v) AS cos,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY list_cosine_similarity(qv, v) DESC, vec_id ASC) AS rn
+       |  FROM e CROSS JOIN q WHERE vec_id != query_id)
+       | WHERE rn <= ${MmrPool * K}),
+       |pc AS (SELECT a.query_id, a.vec_id AS ca, b.vec_id AS cb,
+       |         list_cosine_similarity(ea.v, eb.v) AS sim
+       |       FROM pool a JOIN pool b
+       |         ON a.query_id = b.query_id AND a.vec_id != b.vec_id
+       |       JOIN e ea ON a.vec_id = ea.vec_id
+       |       JOIN e eb ON b.vec_id = eb.vec_id),
+       |s0 AS (SELECT query_id, vec_id, rel, rk, 0.0 AS maxsim FROM pool)$rounds
+       |SELECT query_id, rk, vec_id,
+       |  CAST(floor(score * 1000000 + 0.5) AS BIGINT) / 1000000.0 AS mmr_score
+       |FROM ($picks)
+       |ORDER BY query_id, rk""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "v3_ann_lsh" -> v3Oracle,
+    "v11_mmr_rerank" -> v11Oracle,
     "v18_ann_binary" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < $QueryCount),

@@ -855,17 +855,20 @@ class StreamingEventsSpec extends AnyFunSuite {
               counts.filter(kv => kv._2 != 0 && kv._2 != 1))
           assert(counts.filter(_._2 == 1).keySet == liveFullJoin(prefix),
             s"seed $seed: full-outer view diverged at prefix ${prefix.size}")
-          // count prefixes where some key has BOTH sides empty after
-          // having been populated — the transition family under test
-          val l = scala.collection.mutable.Map.empty[(Long, Long), String]
-          val r = scala.collection.mutable.Map.empty[(Long, Long), String]
-          val touched = scala.collection.mutable.Set.empty[Long]
-          prefix.foreach { e =>
-            val m = if (e.left) l else r
-            touched += e.key
-            if (e.delete) m.remove((e.key, e.id))
-            else m((e.key, e.id)) = e.value
-          }
+        }
+        // non-vacuousness: replay the full event stream ONE EVENT at a
+        // time and count states where a previously-populated key has BOTH
+        // sides empty — the transition family under test (checked
+        // per-event, not per-batch: a key can empty and refill inside
+        // one micro-batch and a boundary-only guard misses it)
+        val l = scala.collection.mutable.Map.empty[(Long, Long), String]
+        val r = scala.collection.mutable.Map.empty[(Long, Long), String]
+        val touched = scala.collection.mutable.Set.empty[Long]
+        prefix.foreach { e =>
+          val m = if (e.left) l else r
+          touched += e.key
+          if (e.delete) m.remove((e.key, e.id))
+          else m((e.key, e.id)) = e.value
           emptiedBoth += touched.count(k =>
             !l.keys.exists(_._1 == k) && !r.keys.exists(_._1 == k))
         }
