@@ -117,8 +117,18 @@ object Similarity {
       .select($"cent_id", struct($"vec_id", $"v", $"nrm").as("m"))
       .groupBy($"cent_id")
       // array_sort on struct is lexicographic — vec_id leads, so members
-      // arrive in id order and the same-tile loop can do j > i only
+      // arrive in id order and the same-tile loop can do j > i only.
+      // The gathered tile then splits into THREE PRIMITIVE arrays (ids,
+      // flattened vectors, norms): the tuple/Seq encoder deserialized
+      // ~64 boxed elements per member per tile pair and measured ~40×
+      // the loop's own FLOP cost at the sf1 rung (11.9 s vs v2's 9.7 —
+      // the blocked path lost to the thing it replaced); primitive
+      // arrays copy straight out of UnsafeArrayData.
       .agg(array_sort(collect_list($"m")).as("ms"))
+      .select($"cent_id",
+        transform($"ms", m => m("vec_id")).as("ids"),
+        flatten(transform($"ms", m => m("v"))).as("flat"),
+        transform($"ms", m => m("nrm")).as("nrms"))
     (withAngle, tilePairs, tiles)
   }
 
@@ -157,30 +167,35 @@ object Similarity {
     import spark.implicits._
     val (_, tilePairs, tiles) = v21Internals(spark, dir, tau, tileTarget)
     val paired = tilePairs
-      .join(tiles.select($"cent_id".as("ci"), $"ms".as("ma")), Seq("ci"))
-      .join(tiles.select($"cent_id".as("cj"), $"ms".as("mb")), Seq("cj"))
-      .select($"ci", $"cj", $"ma", $"mb")
-      .as[(Long, Long, Seq[(Long, Seq[Double], Double)],
-           Seq[(Long, Seq[Double], Double)])]
-    paired.flatMap { case (ci, cj, ma, mb) =>
-      val a = ma.iterator.map { case (id, v, n) => (id, v.toArray, n) }.toArray
-      val b = if (ci == cj) a
-        else mb.iterator.map { case (id, v, n) => (id, v.toArray, n) }.toArray
+      .join(tiles.select($"cent_id".as("ci"), $"ids".as("aid"),
+        $"flat".as("af"), $"nrms".as("an")), Seq("ci"))
+      .join(tiles.select($"cent_id".as("cj"), $"ids".as("bid"),
+        $"flat".as("bf"), $"nrms".as("bn")), Seq("cj"))
+      .select($"ci", $"cj", $"aid", $"af", $"an", $"bid", $"bf", $"bn")
+      .as[(Long, Long, Array[Long], Array[Double], Array[Double],
+           Array[Long], Array[Double], Array[Double])]
+    paired.flatMap { case (ci, cj, aid, af, an, bid0, bf0, bn0) =>
+      val same = ci == cj
+      val (bid, bf, bn) = if (same) (aid, af, an) else (bid0, bf0, bn0)
+      val na = aid.length
+      val nb = bid.length
+      val dim = if (na > 0) af.length / na else 0
       val res = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
       var i = 0
-      while (i < a.length) {
-        val (ia, va, na) = a(i)
-        var j = if (ci == cj) i + 1 else 0
-        while (j < b.length) {
-          val (ib, vb, nb) = b(j)
+      while (i < na) {
+        val ia = aid(i)
+        val ai = i * dim
+        var j = if (same) i + 1 else 0
+        while (j < nb) {
+          val bj = j * dim
           var d = 0.0
           var t = 0
-          val len = math.min(va.length, vb.length)
-          while (t < len) { d += va(t) * vb(t); t += 1 }
+          while (t < dim) { d += af(ai + t) * bf(bj + t); t += 1 }
           // ascending-index summation — the exact order DotProduct uses,
           // so the doubles (and the ≥τ decisions) are bit-identical to v2
-          val c = d / (na * nb)
+          val c = d / (an(i) * bn(j))
           if (c >= tau) {
+            val ib = bid(j)
             if (ia < ib) res += ((ia, ib, c)) else res += ((ib, ia, c))
           }
           j += 1
