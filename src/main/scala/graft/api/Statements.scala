@@ -161,9 +161,9 @@ final class Statements(spark: SparkSession, prefix: String = "stmt-",
     * this shape (or whose relations are not changelog feeds) falls
     * through to the default route untouched. */
   private def tryJoinStatement(sql: String, name: String): Option[Statement] = {
-    import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedRelation}
+    import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedRelation, UnresolvedStar}
     import org.apache.spark.sql.catalyst.expressions.EqualTo
-    import org.apache.spark.sql.catalyst.plans.logical.{Join, LogicalPlan, SubqueryAlias}
+    import org.apache.spark.sql.catalyst.plans.logical.{Join, LogicalPlan, Project, SubqueryAlias}
     import org.apache.spark.sql.catalyst.plans.{FullOuter, Inner, LeftOuter, RightOuter}
     import graft.streaming.StatefulOps
     def relName(p: LogicalPlan): Option[String] = p match {
@@ -174,7 +174,16 @@ final class Statements(spark: SparkSession, prefix: String = "stmt-",
     val parsed =
       try spark.sessionState.sqlParser.parsePlan(sql)
       catch { case _: Exception => return None }
-    parsed.collectFirst { case j: Join => j }.flatMap { j =>
+    // ONLY the exact `SELECT * FROM l JOIN r ON …` shape routes here: the
+    // statement serves the full maintained-view columns, so a narrowing
+    // projection must NOT silently get the wide view — any other shape
+    // falls through to the default route and keeps Spark's own semantics
+    val topJoin = parsed match {
+      case Project(Seq(UnresolvedStar(None)), j: Join) => Some(j)
+      case j: Join => Some(j)
+      case _ => None
+    }
+    topJoin.flatMap { j =>
       val outer = j.joinType match {
         case Inner => Some((false, false))
         case LeftOuter => Some((true, false))

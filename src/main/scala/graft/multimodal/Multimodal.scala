@@ -501,17 +501,28 @@ object Multimodal {
     if (saa == 0 || sbb == 0) 0.0 else sab / math.sqrt(saa * sbb)
   }
 
-  /** The 8×8-bit band decomposition of a 64-bit perceptual hash as an
+  /** The band-PAIR decomposition of a 64-bit perceptual hash as an
     * exploded struct(band, bucket) column — the ONE banding rule m7 and
-    * m9 share: both pigeonhole recall arguments depend on 8-bit bands
-    * pairing with the ≤-7-dirty-bits-per-hash bound, so a band-width
-    * change must hit both or their guarantees silently diverge. */
+    * m9 share (a change must hit both or their guarantees silently
+    * diverge). Keys are the C(8,2)=28 ordered pairs of 8-bit bands with
+    * a 16-bit concatenated bucket. Pigeonhole: Hamming ≤ [[PHashMaxDist]]
+    * = 6 dirty bits dirty at most 6 of the 8 bands, leaving ≥ 2 clean
+    * bands — so some band-PAIR is clean and the true pair collides;
+    * the guarantee is exactly the single-band one at the SAME distance
+    * bound (6 = 8−2). What changes is saturation: single 8-bit bands
+    * have 256 buckets, so occupancy — and the quadratic collision term
+    * Σ occ² — grows as N/256 (measured: m9's isolated sf1 ratio crept
+    * to ~3.3 as texture buckets reached ~260 videos each); 16-bit
+    * buckets defer that to N/65536, 256× further out, for 3.5× more
+    * exploded key rows — linear cost buying off a quadratic one. */
   private def bandBuckets(hash: org.apache.spark.sql.Column)
       : org.apache.spark.sql.Column =
-    explode(array((0 until 8).map { b =>
-      struct(lit(b).as("band"),
-        shiftright(hash, b * 8).bitwiseAND(lit(0xffL)).as("bucket"))
-    }: _*))
+    explode(array((for {
+      b1 <- 0 until 8
+      b2 <- b1 + 1 until 8
+    } yield struct(lit(b1 * 8 + b2).as("band"),
+      (shiftright(hash, b1 * 8).bitwiseAND(lit(0xffL)) * 256 +
+        shiftright(hash, b2 * 8).bitwiseAND(lit(0xffL))).as("bucket"))): _*))
 
   /** Rows-only driver queries (binary payloads are not SQL-oracle
     * territory; MultimodalSpec covers decode fidelity + shape). */
@@ -544,7 +555,7 @@ object Multimodal {
         // signature still verifies, so degenerate frames count toward
         // the Hamming budget. Recall consequence: the m7 pigeonhole now
         // applies per NON-degenerate frame — a pair is guaranteed found
-        // iff some non-degenerate frame has ≤ 7 dirty bits (true for
+        // iff some non-degenerate frame has ≤ 6 dirty bits (true for
         // transcode dups, whose per-frame JPEG damage is ≤ ~6 — the m7
         // bound); a pair whose entire Hamming budget concentrates on its
         // texture frames while only degenerate frames match exactly is
@@ -607,11 +618,12 @@ object Multimodal {
     "m7_image_phash" -> ((s: SparkSession, d: String) => {
       import s.implicits._
       // perceptual-hash image dedup: decode → 64-bit dHash (narrow map
-      // work, payload read only for image rows), then d5's banding shape
-      // — 8 bands of 8 bits, candidates from band-bucket collisions
-      // (pigeonhole: any pair within Hamming ≤ 7 shares a clean band),
-      // verified by exact Hamming ≤ PHashMaxDist. The pixels never
-      // shuffle: only (id, 8-byte hash) leaves the decode stage.
+      // work, payload read only for image rows), then candidates from
+      // band-PAIR bucket collisions (see bandBuckets: Hamming ≤ 6 leaves
+      // ≥ 2 of 8 bands clean, so a clean 16-bit band-pair exists —
+      // the same guarantee as single bands at this distance, saturating
+      // 256× later), verified by exact Hamming ≤ PHashMaxDist. The
+      // pixels never shuffle: only (id, 8-byte hash) leaves the decode.
       val sigs = mediaParquet(s, d).as[MediaRecord]
         .filter($"kind" === "image")
         .mapPartitions(_.map { m =>

@@ -327,12 +327,15 @@ class MultimodalSpec extends AnyFunSuite {
         .map(fr => Multimodal.dHash(fr.width, fr.height, fr.rgb)).toArray
     }
     // candidate rule mirror: a pair is considered only if some
-    // NON-DEGENERATE (hash ≠ 0) frame pair shares an 8-bit band — the
-    // operator drops constant frames as candidate keys (stop-key rule)
+    // NON-DEGENERATE (hash ≠ 0) frame pair shares a clean band PAIR —
+    // i.e. ≥ 2 of the 8 bands match (bandBuckets keys on 16-bit band
+    // pairs; Hamming ≤ 6 always leaves ≥ 2 clean bands, so the planted
+    // guarantee is unchanged) — and the operator drops constant frames
+    // as candidate keys (stop-key rule)
     def bandCollides(a: Long, b: Long): Boolean =
       a != 0L && b != 0L &&
-        (0 until 8).exists(k => ((a >>> (k * 8)) & 0xff) ==
-          ((b >>> (k * 8)) & 0xff))
+        (0 until 8).count(k => ((a >>> (k * 8)) & 0xff) ==
+          ((b >>> (k * 8)) & 0xff)) >= 2
     val expected = (for {
       (i, si) <- sigs; (j, sj) <- sigs
       if i < j && si.length == sj.length
