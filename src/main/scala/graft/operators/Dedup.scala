@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DoubleType
 
@@ -253,9 +253,11 @@ object Dedup {
     * with the signature-estimated Jaccard (fraction of equal minhashes).
     * Scale: the only shuffle is groupBy (band, bandHash) — signature
     * generation is per-row codegen; candidate verification touches only
-    * colliding pairs. Hash values are engine-specific (xxhash64), so this
-    * query is rows-only checked by the driver and recall-tested in
-    * DedupSpec against D3's exact pairs. */
+    * colliding pairs. Hash values are engine-specific (one-pass
+    * ShingleHashes + xxhash64 band buckets), which keeps this the 100 TB
+    * default; the REGISTRY row is [[d4MinHashLshMd5]], the md5-family
+    * twin whose identical algorithm is oracle-replayable. Recall vs d3's
+    * exact pairs is spec-tested for both hash families. */
   def d4MinHashLsh(spark: SparkSession, dir: String,
                    k: Int = 32, bands: Int = 8): DataFrame = {
     import spark.implicits._
@@ -300,7 +302,9 @@ object Dedup {
     * clean, so every pair within Hamming distance 6 shares some clean band
     * pair (guaranteed); distances 7..SimHashMaxDist are found
     * probabilistically (recall spec'd in DedupSpec). Verified by Hamming
-    * distance ≤ SimHashMaxDist. Rows-only checked (engine-specific hashing).
+    * distance ≤ SimHashMaxDist. Engine-specific hashing (one-pass
+    * SimHash64) keeps this the 100 TB default; the REGISTRY row is
+    * [[d5SimHashMd5]], the md5-family twin replayed exactly by DuckDB.
     *
     * Scale: random collisions are inherently quadratic under ANY banding —
     * ≈ N²/2 × (keys/buckets) — so the lever is the coefficient: single
@@ -328,6 +332,189 @@ object Dedup {
       .distinct()
       .filter($"dist" <= SimHashMaxDist)
       .orderBy($"d1", $"d2")
+  }
+
+  /** DuckDB expression text: the numeric value of `n` hex digits of
+    * `md5(col)` starting at 1-based `start`, as a Horner fold over
+    * position-in-alphabet arithmetic (the p2/p17 md5-parity trick —
+    * DuckDB has no conv(); Spark's `conv(substring(md5(x),start,n),16,10)`
+    * produces the identical integer). */
+  private def duckMd5Long(col: String, start: Int, n: Int): String =
+    (start until start + n)
+      .map(i => s"(instr('0123456789abcdef', substring(md5($col), $i, 1)) - 1)")
+      .reduce((acc, d) => s"($acc * 16 + $d)")
+
+  import graft.plans.MinHashSig.{P => MinHashP, a => minhashA, b => minhashB}
+
+  /** D4 registry path — MinHash + LSH banding with an md5-derived base
+    * hash: h(s) = the first 8 hex digits of md5(shingle) as an integer.
+    * Identical algorithm to [[d4MinHashLsh]] (k=32 affine minima, 8 bands
+    * of 4 rows, band-collision candidates, signature-estimated Jaccard
+    * verify) but every number is replayable in ANSI SQL, so the query is
+    * ORACLE-EXACT: DuckDB recomputes base hashes (md5 parity), the affine
+    * transforms (constants from [[graft.plans.MinHashSig]], products
+    * < 2^62 — exact in BIGINT), the band joins (on the 4 raw minima, no
+    * bucket hashing), and the estimate (exact-int count / 32).
+    *
+    * The xxhash-family twin stays the 100 TB default — md5 costs ~5-10×
+    * per shingle at the scan (d14's documented tradeoff, same reason) —
+    * but the shapes are identical: signatures are one groupBy-free
+    * expression per row, the only shuffles are the band self-join on
+    * ≤32-byte keys and the two signature re-attach joins, hinted
+    * shuffle_hash (candidates ≪ corpus; never a corpus broadcast). */
+  def d4MinHashLshMd5(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val k = 32; val bands = 8; val rows = k / bands
+    val sigs = Tables.load(spark, dir, "documents")
+      .select($"doc_id", tokens($"text").as("w"))
+      .filter(size($"w") >= ShingleN)
+      .select($"doc_id", minHashSignature(expr(
+        s"transform(sequence(1, size(w) - ${ShingleN - 1}), i -> " +
+          s"CAST(conv(substring(md5(concat_ws(' ', slice(w, i, $ShingleN))" +
+          s"), 1, 8), 16, 10) AS BIGINT))"), k).as("sig"))
+      .cache()
+    val banded = sigs.select($"doc_id",
+        explode(array((0 until bands).map { b =>
+          struct(lit(b).as("band"),
+            $"sig"(b * rows).as("k0"), $"sig"(b * rows + 1).as("k1"),
+            $"sig"(b * rows + 2).as("k2"), $"sig"(b * rows + 3).as("k3"))
+        }: _*)).as("bb"))
+      .select($"doc_id", $"bb.band", $"bb.k0", $"bb.k1", $"bb.k2", $"bb.k3")
+    val cand = banded.as("a").join(banded.as("b"),
+        $"a.band" === $"b.band" && $"a.k0" === $"b.k0" &&
+          $"a.k1" === $"b.k1" && $"a.k2" === $"b.k2" &&
+          $"a.k3" === $"b.k3" && $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("d1"), $"b.doc_id".as("d2"))
+      .distinct()
+      .hint("shuffle_hash")
+      .join(sigs.select($"doc_id".as("d1"), $"sig".as("sig1")), "d1")
+      .hint("shuffle_hash")
+      .join(sigs.select($"doc_id".as("d2"), $"sig".as("sig2")), "d2")
+    cand
+      .withColumn("est_jaccard",
+        size(filter(zip_with($"sig1", $"sig2", (x, y) => x === y),
+          eq => eq)).cast(DoubleType) / k)
+      .filter($"est_jaccard" >= JaccardThreshold)
+      .select($"d1", $"d2", $"est_jaccard")
+      .orderBy($"d1", $"d2")
+  }
+
+  /** DuckDB oracle for [[d4MinHashLshMd5]] — generated, with the affine
+    * constants embedded as literals. */
+  private[operators] def d4Md5OracleSql: String = {
+    val k = 32; val bands = 8; val rows = k / bands
+    val mins = (0 until k).map(i =>
+      s"min((${minhashA(i)} * h + ${minhashB(i)}) % $MinHashP) AS m$i")
+      .mkString(",\n|  ")
+    val bandArms = (0 until bands).map { b =>
+      val ks = (0 until rows).map(r => s"m${b * rows + r} AS k$r").mkString(", ")
+      s"SELECT doc_id, $b AS band, $ks FROM sig"
+    }.mkString("\n|  UNION ALL ")
+    val eq = (0 until k).map(i =>
+      s"(CASE WHEN x.m$i = y.m$i THEN 1 ELSE 0 END)").mkString(" + ")
+    s"""WITH docs AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+       |shl AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(w) - ${ShingleN - 1}),
+       |          i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+       |        FROM docs WHERE len(w) >= $ShingleN),
+       |mh AS (SELECT doc_id, ${duckMd5Long("s", 1, 8)} % $MinHashP AS h FROM shl),
+       |sig AS (SELECT doc_id,
+       |  $mins
+       |  FROM mh GROUP BY doc_id),
+       |banded AS (
+       |  $bandArms),
+       |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+       |         FROM banded a JOIN banded b
+       |           ON a.band = b.band AND a.k0 = b.k0 AND a.k1 = b.k1
+       |          AND a.k2 = b.k2 AND a.k3 = b.k3 AND a.doc_id < b.doc_id),
+       |est AS (SELECT d1, d2, $eq AS neq
+       |        FROM cand JOIN sig x ON d1 = x.doc_id JOIN sig y ON d2 = y.doc_id)
+       |SELECT d1, d2, CAST(neq AS DOUBLE) / $k AS est_jaccard
+       |FROM est WHERE CAST(neq AS DOUBLE) / $k >= $JaccardThreshold
+       |ORDER BY d1, d2""".stripMargin
+  }
+
+  /** D5 registry path — SimHash over md5-derived 64-bit token hashes
+    * (hi/lo = hex digits 1-8 / 9-16 of md5(token), each < 2^32 so every
+    * shift is on a non-negative value and arithmetic matches DuckDB's
+    * logical `//`). Same algorithm as [[d5SimHash]]: per-bit ±1 votes
+    * over token occurrences, majority sign per bit (tie → 0), band-PAIR
+    * candidates (C(8,2)=28 16-bit keys), Hamming ≤ [[SimHashMaxDist]]
+    * verify — but ORACLE-EXACT: DuckDB replays votes as 64 SUM columns,
+    * packs the signature halves, re-derives the 28 band keys by integer
+    * div/mod, and verifies with bit_count(xor()).
+    *
+    * Shape at scale: the vote aggregate is ONE map-side-combined groupBy
+    * (64 integer sums — no row explosion; the engine-hash twin fuses it
+    * into a single expression, which stays the 100 TB default for the
+    * ~8× md5 cost at the scan); banding explodes 28 fixed rows/doc of
+    * (2-byte key, 8-byte id); collisions are the same 73×-reduced
+    * coefficient the band-pair design bought (see [[d5SimHash]]). */
+  def d5SimHashMd5(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val hashed = Tables.load(spark, dir, "documents")
+      .select($"doc_id", explode(tokens($"text")).as("tok"))
+      .select($"doc_id",
+        expr("CAST(conv(substring(md5(tok), 1, 8), 16, 10) AS BIGINT)").as("thi"),
+        expr("CAST(conv(substring(md5(tok), 9, 8), 16, 10) AS BIGINT)").as("tlo"))
+    def votes(c: Column, pre: String) = (0 until 32).map(b =>
+      sum(shiftright(c, b).bitwiseAND(lit(1L)) * lit(2L) - lit(1L)).as(s"$pre$b"))
+    val aggs = votes($"thi", "vh") ++ votes($"tlo", "vl")
+    val voted = hashed.groupBy($"doc_id").agg(aggs.head, aggs.tail: _*)
+    def pack(pre: String) = (0 until 32).map(b =>
+      when(col(s"$pre$b") > 0, lit(1L << b)).otherwise(lit(0L))).reduce(_ + _)
+    val sigs = voted.select($"doc_id", pack("vh").as("hi"), pack("vl").as("lo"))
+      .cache()
+    def byte(j: Int): Column =
+      if (j < 4) shiftright($"lo", 8 * j).bitwiseAND(lit(0xffL))
+      else shiftright($"hi", 8 * (j - 4)).bitwiseAND(lit(0xffL))
+    val pairKeys = for (i <- 0 until 8; j <- i + 1 until 8) yield
+      struct(lit(i * 8 + j).as("band"),
+        (byte(i) * 256 + byte(j)).as("bucket"))
+    val banded = sigs.select($"doc_id", $"hi", $"lo",
+        explode(array(pairKeys: _*)).as("bb"))
+      .select($"doc_id", $"hi", $"lo", $"bb.band", $"bb.bucket")
+    banded.as("a").join(banded.as("b"),
+        $"a.band" === $"b.band" && $"a.bucket" === $"b.bucket" &&
+          $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("d1"), $"b.doc_id".as("d2"),
+        (bit_count($"a.hi".bitwiseXOR($"b.hi")) +
+          bit_count($"a.lo".bitwiseXOR($"b.lo"))).as("dist"))
+      .distinct()
+      .filter($"dist" <= SimHashMaxDist)
+      .orderBy($"d1", $"d2")
+  }
+
+  /** DuckDB oracle for [[d5SimHashMd5]] — generated 64-sum vote replay. */
+  private[operators] def d5Md5OracleSql: String = {
+    def votes(src: String, pre: String) = (0 until 32).map(b =>
+      s"SUM(2 * (($src // ${1L << b}) % 2) - 1) AS $pre$b").mkString(",\n|  ")
+    def pack(pre: String) = (0 until 32).map(b =>
+      s"(CASE WHEN $pre$b > 0 THEN ${1L << b} ELSE 0 END)").mkString(" + ")
+    val byteExpr = (0 until 8).map { j =>
+      if (j < 4) s"(lo // ${1L << (8 * j)}) % 256 AS b$j"
+      else s"(hi // ${1L << (8 * (j - 4))}) % 256 AS b$j"
+    }.mkString(", ")
+    val bandArms = (for (i <- 0 until 8; j <- i + 1 until 8) yield
+      s"SELECT doc_id, hi, lo, ${i * 8 + j} AS band, b$i * 256 + b$j AS bucket FROM byt")
+      .mkString("\n|  UNION ALL ")
+    s"""WITH docs AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+       |tok AS (SELECT doc_id, unnest(w) AS tok FROM docs),
+       |th AS (SELECT doc_id, ${duckMd5Long("tok", 1, 8)} AS thi,
+       |         ${duckMd5Long("tok", 9, 8)} AS tlo FROM tok),
+       |voted AS (SELECT doc_id,
+       |  ${votes("thi", "vh")},
+       |  ${votes("tlo", "vl")}
+       |  FROM th GROUP BY doc_id),
+       |sig AS (SELECT doc_id, ${pack("vh")} AS hi, ${pack("vl")} AS lo FROM voted),
+       |byt AS (SELECT doc_id, hi, lo, $byteExpr FROM sig),
+       |banded AS (
+       |  $bandArms),
+       |pairs AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2,
+       |    CAST(bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) AS INT) AS dist
+       |  FROM banded a JOIN banded b
+       |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id)
+       |SELECT d1, d2, dist FROM pairs WHERE dist <= $SimHashMaxDist
+       |ORDER BY d1, d2""".stripMargin
   }
 
   /** Distributed connected components over an undirected pair graph via
@@ -880,17 +1067,22 @@ object Dedup {
     "d7_canonical_selection" -> d7CanonicalSelection _,
     "d2_dedup_fingerprint" -> d2FingerprintDedup _,
     "d3_jaccard_pairs" -> d3JaccardPairs _,
-    "d4_minhash_lsh" -> ((s: SparkSession, d: String) => d4MinHashLsh(s, d, 32, 8)),
-    "d5_simhash" -> d5SimHash _,
+    "d4_minhash_lsh" -> d4MinHashLshMd5 _,
+    "d5_simhash" -> d5SimHashMd5 _,
     "d9_edit_verified" -> d9EditVerified _,
     "d10_cross_source" -> d10CrossSource _,
     "d11_containment" -> d11Containment _,
     "d12_dedup_report" -> d12DedupReport _,
   )
 
-  /** D4/D5 use engine-specific 64-bit hashing → no SQL oracle (driver
-    * records rows-only); their fidelity is covered by DedupSpec. */
+  /** The registry rows for d4/d5 run the md5 hash family, so the whole
+    * sketch — minhash affine minima, simhash votes, banding, verify — is
+    * replayed in ANSI SQL (generated: [[d4Md5OracleSql]] /
+    * [[d5Md5OracleSql]]); the engine-hash twins keep their recall specs
+    * in DedupSpec as the 100 TB default. */
   val oracleSql: Map[String, String] = Map(
+    "d4_minhash_lsh" -> d4Md5OracleSql,
+    "d5_simhash" -> d5Md5OracleSql,
     "d15_incremental_dedup" ->
       s"""WITH docs AS (SELECT doc_id, string_split(text,' ') AS w
          |              FROM documents),

@@ -175,11 +175,9 @@ case class MinHashSig(child: Expression, k: Int)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "minhash_sig"
 
-  private val P = 2147483647L // 2^31-1
-  private val as: Array[Long] =
-    Array.tabulate(k)(i => 1103515245L * (i + 1) % P)
-  private val bs: Array[Long] =
-    Array.tabulate(k)(i => 12345L * (i + 7) % P)
+  private val P = MinHashSig.P
+  private val as: Array[Long] = Array.tabulate(k)(MinHashSig.a)
+  private val bs: Array[Long] = Array.tabulate(k)(MinHashSig.b)
 
   private lazy val longInput: Boolean = child.dataType match {
     case ArrayType(LongType, _) => true
@@ -213,6 +211,15 @@ case class MinHashSig(child: Expression, k: Int)
 
   override protected def withNewChildInternal(c: Expression): MinHashSig =
     copy(child = c)
+}
+
+/** The affine-family constants are the oracle contract: d4's DuckDB SQL
+  * embeds them as literals, so they live here as the single source both
+  * the expression and the SQL generator read. */
+object MinHashSig {
+  val P = 2147483647L // 2^31-1
+  def a(i: Int): Long = 1103515245L * (i + 1) % P
+  def b(i: Int): Long = 12345L * (i + 7) % P
 }
 
 /** One-pass 64-bit SimHash over an array<string> token list: per-bit

@@ -33,6 +33,23 @@ class DedupSpec extends AnyFunSuite {
     assert(recall >= 0.8, s"recall $recall; exact=$exactPairs sim=$sim")
   }
 
+  // the md5-family registry twins (oracle-replayable hashing) run the same
+  // algorithm with a different random hash family — the recall contract
+  // must hold for them identically
+  test("md5-family minhash-lsh (registry path) recall >= 0.9 vs exact pairs") {
+    val lsh = Dedup.d4MinHashLshMd5(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = exactPairs.count(lsh.contains).toDouble / exactPairs.size
+    assert(recall >= 0.9, s"recall $recall; exact=$exactPairs lsh=$lsh")
+  }
+
+  test("md5-family simhash (registry path) recall >= 0.8 vs exact pairs") {
+    val sim = Dedup.d5SimHashMd5(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = exactPairs.count(sim.contains).toDouble / exactPairs.size
+    assert(recall >= 0.8, s"recall $recall; exact=$exactPairs sim=$sim")
+  }
+
   test("d9: edit-verified pairs cover the exact-jaccard pairs with tight distances") {
     val d9 = Dedup.d9EditVerified(spark, dir).collect()
       .map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2), r.getDouble(5)))
