@@ -1662,7 +1662,42 @@ object Similarity {
       .orderBy($"query_id", $"rk")
   }
 
+  /** V22 — cosine RANGE search (radius query): for each query vector,
+    * EVERY corpus vector with cosine ≥ [[CosineThreshold]] — the
+    * fixed-radius complement of v1's top-k (top-k answers "the k
+    * closest"; range answers "everything semantically closer than τ",
+    * the retrieval shape behind dedup audits, recall sweeps, and
+    * near-duplicate candidate pulls around a probe document).
+    *
+    * Scale shape: identical to v1 — the ≤[[QueryCount]]-row query side
+    * broadcasts against ONE corpus scan (BroadcastNestedLoopJoin on the
+    * ≠ predicate; never corpus×corpus), the cosine evaluates in codegen
+    * (native DotProduct), and unlike top-k there is no window at all:
+    * the threshold filter is map-side, so the only exchange is the final
+    * presentation sort. Output size is the true answer set (Θ(matches)),
+    * which at 100 TB is the point — a range query's cost is its answer,
+    * not the corpus. Oracle-exact: one IEEE cosine per pair, same
+    * shape both engines, round(·,6) only at presentation. */
+  /** v22's radius: looser than [[CosineThreshold]] — a range query's
+    * answer set should be the semantic neighborhood, not just the
+    * near-dup tail. */
+  val RangeTau = 0.3
+
+  def v22RangeSearch(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.load(spark, dir, "embeddings")
+      .select($"vec_id", asDouble($"embedding").as("v"))
+    val queries = emb.filter($"vec_id" < QueryCount)
+      .select($"vec_id".as("query_id"), $"v".as("qv"))
+    emb.join(broadcast(queries), $"vec_id" =!= $"query_id")
+      .select($"query_id", $"vec_id", cosine($"qv", $"v").as("cos"))
+      .filter($"cos" >= RangeTau)
+      .select($"query_id", $"vec_id", round($"cos", 6).as("cos_sim"))
+      .orderBy($"query_id", $"vec_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "v22_range_search" -> v22RangeSearch _,
     "v20_ann_filtered" -> v20AnnFiltered _,
     "v19_matryoshka_eval" -> v19MatryoshkaEval _,
     "v18_ann_binary" -> ((s: SparkSession, d: String) => v18AnnBinary(s, d)),
@@ -1946,6 +1981,15 @@ object Similarity {
          |FROM pred WHERE vr = 1 GROUP BY qlabel ORDER BY label""".stripMargin,
     "v1_ann_topk" -> annTopKOracle,
     "v5_ann_topk_agg" -> annTopKOracle,
+    "v22_range_search" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < $QueryCount)
+         |SELECT query_id, vec_id,
+         |  round(list_cosine_similarity(qv, v), 6) AS cos_sim
+         |FROM e CROSS JOIN q
+         |WHERE vec_id != query_id
+         |  AND list_cosine_similarity(qv, v) >= $RangeTau
+         |ORDER BY query_id, vec_id""".stripMargin,
     "v2_cosine_pairs" -> cosinePairsOracle,
     // v21 is v2's blocked scale tier: SAME exact pair set, same oracle
     "v21_cosine_pairs_blocked" -> cosinePairsOracle,

@@ -65,6 +65,17 @@ class PlanAuditSpec extends AnyFunSuite {
       plan.contains("BroadcastHashJoin"), s"queries must broadcast:\n$plan")
   }
 
+  test("v22: range search broadcasts the query side and has no window " +
+    "(the threshold filter is map-side)") {
+    val plan = formatted("v22_range_search")
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastHashJoin"), s"queries must broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"corpus x corpus is never acceptable:\n${plan.take(1200)}")
+    assert(!plan.contains("Window"),
+      s"a range query needs no ranking window:\n${plan.take(1200)}")
+  }
+
   test("d4: signature re-attach joins are shuffle joins, never a corpus broadcast") {
     // the two verification joins carry the full signature corpus — the
     // shuffle_hash hint pins them to shuffled hash joins (candidate list
