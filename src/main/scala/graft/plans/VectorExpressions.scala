@@ -222,6 +222,131 @@ object MinHashSig {
   def b(i: Int): Long = 12345L * (i + 7) % P
 }
 
+/** Shared md5 plumbing for the oracle-replayable hash family: a reused
+  * per-thread digest and the token-boundary walk (split-on-0x20 semantics,
+  * empty tokens preserved — identical to `split(text, " ")`). */
+private[plans] object Md5Hashing {
+  private val md = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+  def digest(bytes: Array[Byte], off: Int, len: Int): Array[Byte] = {
+    val d = md.get(); d.reset(); d.update(bytes, off, len); d.digest()
+  }
+  /** Token start offsets plus a sentinel end: starts(t)..starts(t+1)-2 is
+    * token t's byte span (the -1 skips the separating space). */
+  def tokenStarts(bytes: Array[Byte]): Array[Int] = {
+    var spaces = 0
+    var i = 0
+    while (i < bytes.length) { if (bytes(i) == 0x20) spaces += 1; i += 1 }
+    val starts = new Array[Int](spaces + 2)
+    var t = 1
+    i = 0
+    while (i < bytes.length) {
+      if (bytes(i) == 0x20) { starts(t) = i + 1; t += 1 }
+      i += 1
+    }
+    starts(t) = bytes.length + 1
+    starts
+  }
+  /** Big-endian unsigned int from digest bytes [off, off+4) — the value of
+    * hex digits [2·off+1, 2·off+8] of the md5 hex string, the same number
+    * `conv(substring(md5(x), 2·off+1, 8), 16, 10)` yields. */
+  def head32(d: Array[Byte], off: Int): Long =
+    ((d(off) & 0xffL) << 24) | ((d(off + 1) & 0xffL) << 16) |
+      ((d(off + 2) & 0xffL) << 8) | (d(off + 3) & 0xffL)
+}
+
+/** One-pass md5 shingle hashes: element j is the value of the FIRST 8 HEX
+  * DIGITS of md5 over the raw byte span of the n-token shingle starting at
+  * token j — bit-identical to
+  * `conv(substring(md5(concat_ws(' ', slice(split(text,' '), j+1, n))), 1, 8), 16, 10)`
+  * (a shingle's concat_ws-joined text IS the raw byte span between its
+  * first token's start and last token's end, empty tokens included), but
+  * one native pass instead of an interpreted HOF lambda + md5 + conv per
+  * element — the d4-md5 registry path's answer to the v3 lesson
+  * (interpreted per-element trees were that query's real scale cost).
+  * Returns an EMPTY array when the document has fewer than n tokens. */
+case class Md5SpanHashes(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  require(n >= 1, "shingle width must be >= 1")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "md5_span_hashes"
+
+  override def nullSafeEval(input: Any): Any = {
+    val bytes = input.asInstanceOf[UTF8String].getBytes
+    val starts = Md5Hashing.tokenStarts(bytes)
+    val nt = starts.length - 1
+    if (nt < n) return new GenericArrayData(Array.empty[Long])
+    val m = nt - n + 1
+    val out = new Array[Long](m)
+    var j = 0
+    while (j < m) {
+      val from = starts(j)
+      val until = starts(j + n) - 1 // end of token j+n-1
+      val d = Md5Hashing.digest(bytes, from, until - from)
+      out(j) = Md5Hashing.head32(d, 0)
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Md5SpanHashes =
+    copy(child = c)
+}
+
+/** One-pass md5 SimHash: per token, hi/lo are the values of hex digits
+  * 1-8 / 9-16 of md5(token); each of the 64 bits collects a ±1 vote per
+  * token occurrence; the returned struct packs the majority signs
+  * (tie → 0) of the hi and lo halves. Bit-identical to the SQL
+  * formulation (explode tokens → conv(substring(md5)) → 64 SUM votes →
+  * CASE pack) the d5 oracle replays, but with NO explode and NO
+  * aggregation — the signature never touches a shuffle. */
+case class Md5SimHashPair(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = org.apache.spark.sql.types.StructType(
+    Seq(org.apache.spark.sql.types.StructField("hi", LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("lo", LongType, nullable = false)))
+  override def prettyName: String = "md5_simhash_pair"
+
+  override def nullSafeEval(input: Any): Any = {
+    val bytes = input.asInstanceOf[UTF8String].getBytes
+    val starts = Md5Hashing.tokenStarts(bytes)
+    val nt = starts.length - 1
+    val votes = new Array[Int](64)
+    var t = 0
+    while (t < nt) {
+      val from = starts(t)
+      val until = starts(t + 1) - 1
+      val d = Md5Hashing.digest(bytes, from, until - from)
+      val hi = Md5Hashing.head32(d, 0)
+      val lo = Md5Hashing.head32(d, 4)
+      var b = 0
+      while (b < 32) {
+        if (((hi >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        if (((lo >>> b) & 1L) == 1L) votes(32 + b) += 1 else votes(32 + b) -= 1
+        b += 1
+      }
+      t += 1
+    }
+    var hiSig = 0L
+    var loSig = 0L
+    var b = 0
+    while (b < 32) {
+      if (votes(b) > 0) hiSig |= (1L << b)
+      if (votes(32 + b) > 0) loSig |= (1L << b)
+      b += 1
+    }
+    org.apache.spark.sql.catalyst.InternalRow(hiSig, loSig)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Md5SimHashPair =
+    copy(child = c)
+}
+
 /** One-pass 64-bit SimHash over an array<string> token list: per-bit
   * majority vote of token hashes in a single traversal (the HOF version
   * re-aggregates the token array 64 times). Token hash = two rounds of
@@ -346,6 +471,10 @@ object VectorExpressions {
     column(ShingleHashes(expression(text), n, positional = true))
   def simhash64(toks: Column): Column =
     column(SimHash64(expression(toks)))
+  def md5SpanHashes(text: Column, n: Int): Column =
+    column(Md5SpanHashes(expression(text), n))
+  def md5SimHashPair(text: Column): Column =
+    column(Md5SimHashPair(expression(text)))
   def planeSignBits(v: Column, masks: IndexedSeq[Long]): Column =
     column(PlaneSignBits(expression(v), masks))
   def elementSignBits(v: Column): Column =

@@ -62,4 +62,58 @@ class VectorExpressionsSpec extends AnyFunSuite {
     // bits where v_i > 0: dims 0 and 2
     assert(esig == ((1L << 0) | (1L << 2)), s"esig $esig")
   }
+
+  test("Md5SpanHashes equals the conv(substring(md5(concat_ws))) HOF " +
+      "formulation on real fixture documents") {
+    import org.apache.spark.sql.functions.{col, expr}
+    val docs = graft.sources.Tables
+      .load(spark, graft.SparkTestSession.sf0001, "documents")
+      .limit(200)
+    val both = docs.select(
+      graft.plans.VectorExpressions.md5SpanHashes(col("text"), 3).as("fast"),
+      expr("CASE WHEN size(split(text, ' ')) >= 3 THEN " +
+        "transform(sequence(1, size(split(text, ' ')) - 2), i -> " +
+        "CAST(conv(substring(md5(concat_ws(' ', slice(split(text, ' '), i, 3)" +
+        ")), 1, 8), 16, 10) AS BIGINT)) ELSE array() END").as("slow"))
+      .collect()
+    // empty docs and whitespace runs included — the span walk must agree
+    // with split()'s empty-token semantics everywhere
+    assert(both.nonEmpty)
+    both.foreach { r =>
+      assert(r.getSeq[Long](0) == r.getSeq[Long](1),
+        s"fast=${r.getSeq[Long](0).take(5)} slow=${r.getSeq[Long](1).take(5)}")
+    }
+  }
+
+  test("Md5SimHashPair equals the exploded 64-sum SQL vote formulation " +
+      "on real fixture documents") {
+    import org.apache.spark.sql.functions.{col, explode, shiftright, sum, when, lit}
+    import spark.implicits._
+    val docs = graft.sources.Tables
+      .load(spark, graft.SparkTestSession.sf0001, "documents")
+      .limit(200)
+    val fast = docs.select(col("doc_id"),
+        graft.plans.VectorExpressions.md5SimHashPair(col("text")).as("s"))
+      .select(col("doc_id"), col("s.hi"), col("s.lo"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val hashed = docs
+      .select(col("doc_id"),
+        explode(org.apache.spark.sql.functions.split(col("text"), " ")).as("tok"))
+      .selectExpr("doc_id",
+        "CAST(conv(substring(md5(tok), 1, 8), 16, 10) AS BIGINT) AS thi",
+        "CAST(conv(substring(md5(tok), 9, 8), 16, 10) AS BIGINT) AS tlo")
+    def votes(c: String, pre: String) = (0 until 32).map(b =>
+      sum(shiftright(col(c), b).bitwiseAND(lit(1L)) * lit(2L) - lit(1L))
+        .as(s"$pre$b"))
+    val aggs = votes("thi", "vh") ++ votes("tlo", "vl")
+    val voted = hashed.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+    def pack(pre: String) = (0 until 32).map(b =>
+      when(col(s"$pre$b") > 0, lit(1L << b)).otherwise(lit(0L))).reduce(_ + _)
+    val slow = voted.select(col("doc_id"), pack("vh").as("hi"), pack("vl").as("lo"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(fast.keySet == slow.keySet)
+    fast.foreach { case (id, sig) =>
+      assert(sig == slow(id), s"doc $id: native $sig != sql ${slow(id)}")
+    }
+  }
 }
