@@ -16,6 +16,8 @@ case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
 case class Doc(doc_id: Long, text: String, lang: String, source: String,
                n_chars: Long)
 
+case class QVec(query_id: Long, v: Seq[Double])
+
 /** Streaming semantics over the events fixture: the watermarked tumbling-
   * window aggregate (streaming twin of Relational.q18) must collapse to the
   * batch answer after incremental micro-batches — the reference's
@@ -910,6 +912,38 @@ class StreamingEventsSpec extends AnyFunSuite {
     try { mem2.addData(docs); q2.processAllAvailable() } finally q2.stop()
     assert(tightAcc.value > 0L,
       "a saturating cap must be visible in the overflow accumulator")
+  }
+
+  test("streaming ANN answers equal batch v4 through the shared persisted " +
+    "IVF model") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val dir = SparkTestSession.sf0001
+    val batch = graft.operators.Similarity.v4AnnIvf(s, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    assert(batch.nonEmpty)
+    val feed = Tables.load(s, dir, "embeddings")
+      .filter($"vec_id" < graft.operators.Similarity.QueryCount)
+      .select($"vec_id", $"embedding".cast("array<double>"))
+      .collect()
+      .map(r => QVec(r.getLong(0), r.getSeq[Double](1)))
+      .toSeq
+    val mem = MemoryStream[QVec]
+    val out = graft.operators.Similarity.annStream(mem.toDF(), dir)
+    val q = out.writeStream.outputMode("update")
+      .format("memory").queryName("ann_stream_test").start()
+    try {
+      // queries arrive across several micro-batches; each emits its final
+      // top-k in its arrival batch (no later batch adds candidates)
+      feed.grouped(7).foreach { b => mem.addData(b); q.processAllAvailable() }
+      val got = s.table("ann_stream_test").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+        .toSet
+      assert(got == batch,
+        s"stream != batch: extra=${got -- batch} missing=${batch -- got}")
+    } finally q.stop()
   }
 
   test("streaming mixture admission converges to the batch p12 keep set") {
