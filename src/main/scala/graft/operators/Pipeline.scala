@@ -610,6 +610,39 @@ object Pipeline {
     * in one dedup+sort+truncate per touched stratum (topKPerKey's
     * amortization). The quota table is the fitted p12 model, collected
     * once (≤ n_langs rows) like p19's threshold. */
+  /** Streaming reservoir sample: a uniform k-subset of an unbounded
+    * document stream in O(k) state, DETERMINISTIC — the reservoir is not
+    * "k random survivors" but THE k smallest salted-md5 priorities seen
+    * so far, so any arrival order, any batching, and a full driver
+    * recompute all agree exactly (p2's salted-rank trick as a streaming
+    * fold). Priority is the value of the first 12 md5 hex digits (< 2⁴⁸,
+    * exactly representable in a double); the fold is the mergeable
+    * [[graft.plans.TopKAggregate]] in DISTINCT mode, so a re-delivered
+    * document re-inserts its identical (priority, id) pair as a no-op —
+    * at-least-once tolerant without a seen-marker bit per doc.
+    *
+    * Emits one row per update: (n_seen, reservoir array sorted by
+    * priority). n_seen counts DELIVERED rows — it identifies the latest
+    * update (max n_seen); under re-delivery it counts deliveries while
+    * the reservoir itself stays exact. Weighted sampling
+    * (Efraimidis–Spirakis u^{1/w}) is
+    * the same fold with priority/w-scaled keys; the uniform form keeps
+    * the arithmetic exact. */
+  def reservoirStream(stream: DataFrame, k: Int): DataFrame = {
+    import stream.sparkSession.implicits._
+    stream
+      .select($"doc_id",
+        // negated: TopK keeps LARGEST scores; the reservoir keeps the
+        // smallest priorities
+        (-expr("CAST(conv(substring(md5(concat('res', CAST(doc_id AS STRING))" +
+          "), 1, 12), 16, 10) AS DOUBLE)")).as("pri"))
+      .groupBy()
+      .agg(count(lit(1)).as("n_seen"),
+        graft.plans.TopKAggregate.topKDistinct($"pri", $"doc_id", k).as("res"))
+      .select($"n_seen",
+        expr("transform(res, x -> x.id)").as("reservoir"))
+  }
+
   def mixtureStream(stream: DataFrame,
                     quotas: Map[String, Long]): org.apache.spark.sql.Dataset[MixDelta] = {
     import stream.sparkSession.implicits._

@@ -946,6 +946,46 @@ class StreamingEventsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming reservoir sample equals the driver's k-smallest-priority " +
+    "set at every prefix, with a redelivered batch absorbed") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val dir = SparkTestSession.sf0001
+    val docs = Tables.load(s, dir, "documents").as[Doc].collect().toSeq
+    val k = 25
+    def pri(id: Long): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"res$id".getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.take(6).map("%02x".format(_)).mkString, 16)
+    }
+    val mem = MemoryStream[Doc]
+    val out = graft.operators.Pipeline.reservoirStream(mem.toDF(), k)
+    val q = out.writeStream.outputMode("update")
+      .format("memory").queryName("reservoir_test").start()
+    try {
+      val batches = docs.grouped(150).toSeq
+      var delivered = 0L
+      var seen = Seq.empty[Doc]
+      batches.zipWithIndex.foreach { case (b, i) =>
+        mem.addData(b); q.processAllAvailable()
+        delivered += b.size; seen ++= b
+        if (i == 1) { // redeliver a whole batch mid-stream
+          mem.addData(batches(0)); q.processAllAvailable()
+          delivered += batches(0).size
+        }
+        val expect = seen.map(d => (pri(d.doc_id), d.doc_id)).sorted.take(k)
+          .map(_._2)
+        val rows = s.table("reservoir_test").collect()
+          .map(r => r.getLong(0) -> r.getSeq[Long](1))
+        val latest = rows.maxBy(_._1)
+        assert(latest._1 == delivered, s"n_seen ${latest._1} != $delivered")
+        assert(latest._2 == expect,
+          s"prefix $i: reservoir ${latest._2} != driver $expect")
+      }
+    } finally q.stop()
+  }
+
   test("streaming mixture admission converges to the batch p12 keep set") {
     val s = spark
     import s.implicits._
