@@ -114,8 +114,11 @@ object Bench {
     // keeps more than the tail), (3) end with a compact summary line —
     // total, failure list, the 10 slowest queries, and a pointer to the
     // full file — that always fits the tail window and parses.
-    java.nio.file.Files.write(java.nio.file.Paths.get("bench.json"),
-      (full + "\n").getBytes("UTF-8"))
+    // a SPARK_GRAFT_ONLY subset run is local A/B iteration, not the
+    // artifact — it must never clobber the full-registry bench.json
+    if (only.isEmpty)
+      java.nio.file.Files.write(java.nio.file.Paths.get("bench.json"),
+        (full + "\n").getBytes("UTF-8"))
     println(full)
     val slowest = results.collect { case (k, Some(v)) => (k, v) }
       .sortBy(-_._2).take(10)

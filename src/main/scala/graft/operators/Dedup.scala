@@ -514,6 +514,54 @@ object Dedup {
        |ORDER BY d1, d2""".stripMargin
   }
 
+  /** D16 — longest duplicated token run per near-dup pair: for every d3
+    * pair, the length (in tokens) of the longest VERBATIM shared substring
+    * — the audit that separates template overlap (many short runs) from
+    * wholesale copying (one long run), the span-level granularity of
+    * Lee et al. 2021 applied to pairs instead of d8/d14's corpus-wide
+    * position sets.
+    *
+    * Method: shared positional 3-grams of a pair are dots in its match
+    * matrix; a verbatim run is a maximal diagonal of consecutive dots
+    * (same p1 − p2), found with the gaps-and-islands trick — group by
+    * (diagonal, p1 − row_number) and count. Longest run of g grams =
+    * g + n − 1 tokens.
+    *
+    * Scale shape: everything is bounded by the CANDIDATE pairs (the
+    * persisted d3 pair index), never the corpus — the gram explode
+    * touches only documents that appear in some pair (the semi-join
+    * prunes the scan), shared-dot discovery is an equi-join on 8-byte
+    * positional ShingleHashes keys (gram strings never shuffle; the
+    * oracle joins on gram text — 64-bit keys preserve its equality
+    * relation whp, d3's dictionary-encoding argument), and the island
+    * window partitions by (pair, diagonal) — worst case one pair's dot
+    * set, never a global sort. */
+  def d16LongestDupSpan(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val pairs = jaccardCandidates(spark, dir, JaccardThreshold)
+      .select($"d1", $"d2")
+    val needed = pairs.select($"d1".as("doc_id"))
+      .union(pairs.select($"d2".as("doc_id"))).distinct()
+    val grams = Tables.load(spark, dir, "documents")
+      .join(needed, "doc_id")
+      .select($"doc_id",
+        posexplode(shingleHashesPos($"text", ShingleN)).as(Seq("p0", "g")))
+      .select($"doc_id", ($"p0" + 1).as("p"), $"g")
+    val shared = pairs
+      .join(grams.select($"doc_id".as("d1"), $"p".as("p1"), $"g"), "d1")
+      .join(grams.select($"doc_id".as("d2"), $"p".as("p2"), $"g"), Seq("d2", "g"))
+      .select($"d1", $"d2", $"p1", $"p2")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"d1", $"d2", $"diag").orderBy($"p1")
+    shared.withColumn("diag", $"p1" - $"p2")
+      .withColumn("grp", $"p1" - row_number().over(w))
+      .groupBy($"d1", $"d2", $"diag", $"grp")
+      .agg(count(lit(1)).as("run"))
+      .groupBy($"d1", $"d2")
+      .agg((max($"run") + (ShingleN - 1)).as("longest_tokens"))
+      .orderBy($"d1", $"d2")
+  }
+
   /** Distributed connected components over an undirected pair graph via
     * alternating large-star / small-star contractions (the MapReduce CC
     * algorithm of Kiveris et al., "Connected Components in MapReduce and
@@ -1066,6 +1114,7 @@ object Dedup {
     "d3_jaccard_pairs" -> d3JaccardPairs _,
     "d4_minhash_lsh" -> d4MinHashLshMd5 _,
     "d5_simhash" -> d5SimHashMd5 _,
+    "d16_longest_dup_span" -> d16LongestDupSpan _,
     "d9_edit_verified" -> d9EditVerified _,
     "d10_cross_source" -> d10CrossSource _,
     "d11_containment" -> d11Containment _,
@@ -1080,6 +1129,32 @@ object Dedup {
   val oracleSql: Map[String, String] = Map(
     "d4_minhash_lsh" -> d4Md5OracleSql,
     "d5_simhash" -> d5Md5OracleSql,
+    // d16 joins shared grams on TEXT in the oracle (the engine's 8-byte
+    // positional keys preserve gram-text equality whp — d3's argument)
+    "d16_longest_dup_span" ->
+      s"""WITH $d3Ctes,
+         |pairs AS (SELECT d1, d2 FROM inter
+         |          JOIN sz x ON d1 = x.doc_id JOIN sz y ON d2 = y.doc_id
+         |          WHERE CAST(shared AS DOUBLE) / (x.n + y.n - shared)
+         |            >= $JaccardThreshold),
+         |need AS (SELECT d1 AS doc_id FROM pairs
+         |         UNION SELECT d2 AS doc_id FROM pairs),
+         |pg AS (SELECT doc_id,
+         |         unnest(generate_series(1, len(w) - ${ShingleN - 1})) AS p,
+         |         unnest(list_transform(generate_series(1, len(w) - ${ShingleN - 1}),
+         |           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS g
+         |       FROM docs JOIN need USING (doc_id) WHERE len(w) >= $ShingleN),
+         |shr AS (SELECT d1, d2, a.p AS p1, b.p AS p2
+         |        FROM pairs JOIN pg a ON d1 = a.doc_id
+         |        JOIN pg b ON d2 = b.doc_id AND a.g = b.g),
+         |isl AS (SELECT d1, d2, p1 - p2 AS diag,
+         |          p1 - row_number() OVER (PARTITION BY d1, d2, p1 - p2
+         |            ORDER BY p1) AS grp
+         |        FROM shr),
+         |runs AS (SELECT d1, d2, count(*) AS run FROM isl
+         |         GROUP BY d1, d2, diag, grp)
+         |SELECT d1, d2, max(run) + ${ShingleN - 1} AS longest_tokens
+         |FROM runs GROUP BY d1, d2 ORDER BY d1, d2""".stripMargin,
     "d15_incremental_dedup" ->
       s"""WITH docs AS (SELECT doc_id, string_split(text,' ') AS w
          |              FROM documents),

@@ -50,6 +50,39 @@ class DedupSpec extends AnyFunSuite {
     assert(recall >= 0.8, s"recall $recall; exact=$exactPairs sim=$sim")
   }
 
+  test("d16: longest dup span equals a driver longest-common-substring DP " +
+    "for every d3 pair") {
+    val spans = Dedup.d16LongestDupSpan(spark, dir).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(spans.keySet == exactPairs,
+      s"span rows must be exactly the d3 pairs: ${spans.keySet} vs $exactPairs")
+    val toks = graft.sources.Tables
+      .load(spark, graft.SparkTestSession.sf0001, "documents")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[String]("text").split(" ", -1)).toMap
+    def lcs(a: Array[String], b: Array[String]): Int = {
+      var best = 0
+      val prev = new Array[Int](b.length + 1)
+      val cur = new Array[Int](b.length + 1)
+      for (i <- 1 to a.length) {
+        for (j <- 1 to b.length) {
+          cur(j) = if (a(i - 1) == b(j - 1)) prev(j - 1) + 1 else 0
+          if (cur(j) > best) best = cur(j)
+        }
+        Array.copy(cur, 0, prev, 0, cur.length)
+      }
+      best
+    }
+    exactPairs.foreach { case (d1, d2) =>
+      val dp = lcs(toks(d1), toks(d2))
+      // runs shorter than one 3-gram are invisible to the gram matrix,
+      // but a jaccard-0.8 pair always shares a 3-gram, so dp >= 3 here
+      assert(dp >= 3, s"pair ($d1,$d2) shares no 3-gram?")
+      assert(spans((d1, d2)) == dp,
+        s"pair ($d1,$d2): operator ${spans((d1, d2))} != DP $dp")
+    }
+  }
+
   test("d9: edit-verified pairs cover the exact-jaccard pairs with tight distances") {
     val d9 = Dedup.d9EditVerified(spark, dir).collect()
       .map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2), r.getDouble(5)))
