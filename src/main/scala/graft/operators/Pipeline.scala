@@ -643,6 +643,33 @@ object Pipeline {
         expr("transform(res, x -> x.id)").as("reservoir"))
   }
 
+  /** Weighted streaming reservoir (Efraimidis–Spirakis A-ES, 2006):
+    * inclusion probability ∝ weight, via key = u^(1/w) with u a
+    * deterministic salted-md5 uniform in (0, 1] — the reservoir is THE k
+    * largest keys seen, so any batching/arrival order and a driver
+    * recompute agree exactly (u and the pow evaluate identically in one
+    * JVM; this contract is spec-level, not a cross-engine oracle — pow is
+    * not correctly-rounded across engines, which is why the UNIFORM
+    * reservoir is the oracle-friendly form). Weight here is the
+    * document's size — sampling documents ∝ tokens is how a token-budget
+    * holdout draw stays unbiased per TOKEN, not per document. Same O(k)
+    * distinct-mode fold as [[reservoirStream]]; zero-weight docs get key
+    * 0 (u < 1 ⇒ u^∞ = 0) and are never drawn. */
+  def weightedReservoirStream(stream: DataFrame, k: Int): DataFrame = {
+    import stream.sparkSession.implicits._
+    val u = (expr("CAST(conv(substring(md5(concat('wres', " +
+      "CAST(doc_id AS STRING))), 1, 12), 16, 10) AS DOUBLE)") + lit(1.0)) /
+      lit(math.pow(2, 48))
+    stream
+      .select($"doc_id",
+        pow(u, lit(1.0) / $"n_chars".cast("double")).as("key"))
+      .groupBy()
+      .agg(count(lit(1)).as("n_seen"),
+        graft.plans.TopKAggregate.topKDistinct($"key", $"doc_id", k).as("res"))
+      .select($"n_seen",
+        expr("transform(res, x -> x.id)").as("reservoir"))
+  }
+
   def mixtureStream(stream: DataFrame,
                     quotas: Map[String, Long]): org.apache.spark.sql.Dataset[MixDelta] = {
     import stream.sparkSession.implicits._

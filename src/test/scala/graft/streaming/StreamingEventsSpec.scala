@@ -986,6 +986,46 @@ class StreamingEventsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("weighted streaming reservoir equals the driver's k-largest-key " +
+    "A-ES draw, redelivery absorbed") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val dir = SparkTestSession.sf0001
+    val docs = Tables.load(s, dir, "documents").as[Doc].collect().toSeq
+    val k = 25
+    def key(d: Doc): Double = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"wres${d.doc_id}".getBytes("UTF-8"))
+      val v = java.lang.Long.parseLong(
+        md.take(6).map("%02x".format(_)).mkString, 16)
+      math.pow((v + 1.0) / math.pow(2, 48), 1.0 / d.n_chars.toDouble)
+    }
+    // driver A-ES: k LARGEST keys, ties toward smaller id (TopK's better())
+    val expect = docs.map(d => (key(d), d.doc_id))
+      .sortBy { case (kk, id) => (-kk, id) }.take(k).map(_._2)
+    val mem = MemoryStream[Doc]
+    val out = graft.operators.Pipeline.weightedReservoirStream(mem.toDF(), k)
+    val q = out.writeStream.outputMode("update")
+      .format("memory").queryName("wres_test").start()
+    try {
+      val batches = docs.grouped(200).toSeq
+      batches.foreach { b => mem.addData(b); q.processAllAvailable() }
+      mem.addData(batches.last); q.processAllAvailable() // redeliver
+      val latest = s.table("wres_test").collect()
+        .map(r => r.getLong(0) -> r.getSeq[Long](1)).maxBy(_._1)
+      assert(latest._2 == expect,
+        s"weighted reservoir ${latest._2} != driver $expect")
+      // weighting sanity: the draw must skew toward heavier docs
+      val drawn = latest._2.toSet
+      val meanDrawn = docs.filter(d => drawn(d.doc_id)).map(_.n_chars).sum
+        .toDouble / k
+      val meanAll = docs.map(_.n_chars).sum.toDouble / docs.size
+      assert(meanDrawn > meanAll,
+        s"size-weighted draw should skew heavy: $meanDrawn <= $meanAll")
+    } finally q.stop()
+  }
+
   test("streaming mixture admission converges to the batch p12 keep set") {
     val s = spark
     import s.implicits._
