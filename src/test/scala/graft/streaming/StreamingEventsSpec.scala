@@ -600,7 +600,10 @@ class StreamingEventsSpec extends AnyFunSuite {
       // dedupe on (d1, d2); the estimate is the same from every band
       val streamed = s.table("neardup_test").collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
-      val batch = graft.operators.Dedup.queries("d4_minhash_lsh")(s, dir)
+      // nearDupStream mirrors the ENGINE-hash twin (one-pass ShingleHashes
+      // + xxhash64 buckets, the 100 TB default); the registry row is the
+      // md5 family, a different random hash family with different pairs
+      val batch = graft.operators.Dedup.d4MinHashLsh(s, dir)
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
         .toSet
       assert(batch.nonEmpty, "fixture should contain near-dup pairs")
