@@ -318,4 +318,57 @@ class StatementsSpec extends AnyFunSuite {
       s"projected join must honor its projection, got ${stmt3.columns}")
     finally stmt3.stop()
   }
+
+  test("continuous JOIN statement property: random interleavings over " +
+    "several seeds collapse to the live-rows join after every page") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    type Feed = (Long, Long, Long, String, Boolean)
+    for (seed <- Seq(7, 19, 23)) {
+      val rnd = new scala.util.Random(seed)
+      val lmem = MemoryStream[(Long, Long, Long, String, Boolean)]
+      val rmem = MemoryStream[(Long, Long, Long, String, Boolean)]
+      lmem.toDF().toDF("seq", "key", "id", "value", "delete")
+        .createOrReplaceTempView(s"lp_feed$seed")
+      rmem.toDF().toDF("seq", "key", "id", "value", "delete")
+        .createOrReplaceTempView(s"rp_feed$seed")
+      val stmts = new Statements(s)
+      val stmt = stmts.create(
+        s"SELECT * FROM lp_feed$seed AS a JOIN rp_feed$seed AS b " +
+          "ON a.key = b.key")
+      try {
+        assert(stmts.waitForStatus(stmt, Set(Phase.Running)).isDefined)
+        val cl = stmt.handle.get.changelog()
+        val l = scala.collection.mutable.Map.empty[(Long, Long), String]
+        val r = scala.collection.mutable.Map.empty[(Long, Long), String]
+        var seq = 0L
+        // 6 pages × up to 8 events/side, delete-heavy (p=1/3), 3 keys ×
+        // 2 ids/side so rows collide, retract, and re-match repeatedly
+        for (pg <- 0 until 6) {
+          def events(): Seq[Feed] = (0 until rnd.nextInt(8)).map { _ =>
+            seq += 1
+            (seq, rnd.nextInt(3).toLong, 100L + rnd.nextInt(2),
+              s"v$seq", rnd.nextInt(3) == 0)
+          }
+          val (lb, rb) = (events(), events())
+          if (lb.nonEmpty) lmem.addData(lb)
+          if (rb.nonEmpty) rmem.addData(rb)
+          stmt.handle.get.processAllAvailable()
+          def apply(m: scala.collection.mutable.Map[(Long, Long), String],
+                    f: Feed): Unit =
+            if (f._5) { m.remove((f._2, f._3)); () } else m((f._2, f._3)) = f._4
+          lb.foreach(apply(l, _)); rb.foreach(apply(r, _))
+          while (cl.consume(1).nonEmpty) ()
+          val expected = (for (((lk, li), lv) <- l.toSeq;
+                               ((rk, ri), rv) <- r.toSeq if lk == rk)
+            yield Vector[Any](lk, li, lv, ri, rv)).toSet
+          val got = cl.collapse().rows.toSet
+          assert(got == expected,
+            s"seed $seed page $pg: facade collapse $got != reference $expected")
+        }
+      } finally stmt.stop()
+    }
+  }
 }

@@ -946,6 +946,13 @@ class StreamingEventsSpec extends AnyFunSuite {
         .toSet
       assert(got == batch,
         s"stream != batch: extra=${got -- batch} missing=${batch -- got}")
+      // the stream-static join must be STATELESS — the only stateful
+      // operator is the top-k aggregate (state = k pairs per query);
+      // a second state store would mean the join is buffering the corpus
+      val stateOps = q.lastProgress.stateOperators
+      assert(stateOps.length == 1,
+        s"expected exactly one stateful operator (the top-k aggregate), " +
+          s"got ${stateOps.length}: ${stateOps.map(_.operatorName).mkString(",")}")
     } finally q.stop()
   }
 
