@@ -124,7 +124,10 @@ object Bench {
       .sortBy(-_._2).take(10)
       .map { case (k, v) => "\"" + k + "\":" + jd(v) }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${jd(total)},"unit":"sec","n":${results.size},"failed":$failed,"slowest":$slowest,"queries_file":"bench.json","sf":"$sfDir"}""")
+    // subset runs never write bench.json — pointing at it would attribute
+    // a previous full run's numbers to this subset
+    val qf = if (only.isEmpty) "\"bench.json\"" else "null"
+    println(s"""{"metric":"total","value":${jd(total)},"unit":"sec","n":${results.size},"failed":$failed,"slowest":$slowest,"queries_file":$qf,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

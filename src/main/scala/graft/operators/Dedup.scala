@@ -269,22 +269,32 @@ object Dedup {
             xxhash64(slice($"sig", b * rows + 1, rows)).as("bucket"))
         }: _*)).as("bb"))
       .select($"doc_id", $"bb.band", $"bb.bucket")
-    // dedupe candidates on id pairs only (8-byte keys through distinct(),
-    // not 32-long signature arrays); signatures re-attached by shuffle
-    // equi-join on doc_id. The candidate list is hinted as the
-    // shuffle-hash build side (candidates ≪ corpus after banding; SHJ
-    // skips sorting the signature table twice) — never a broadcast: a
-    // full-corpus broadcast cannot survive 100 TB.
     val cand = banded.as("a").join(banded.as("b"),
         $"a.band" === $"b.band" && $"a.bucket" === $"b.bucket" &&
           $"a.doc_id" < $"b.doc_id")
       .select($"a.doc_id".as("d1"), $"b.doc_id".as("d2"))
+    minhashVerify(sigs, cand, k)
+  }
+
+  /** Shared verification tail of both d4 hash-family twins: dedupe
+    * candidates on id pairs only (8-byte keys through distinct(), not
+    * 32-long signature arrays); signatures re-attach by shuffle equi-join
+    * on doc_id — the candidate list is hinted as the shuffle-hash build
+    * side (candidates ≪ corpus after banding; SHJ skips sorting the
+    * signature table twice), never a broadcast (a full-corpus broadcast
+    * cannot survive 100 TB); accept by the signature-estimated Jaccard
+    * (equal-minhash fraction — one exact-int count / k, IEEE-identical in
+    * the oracle). ONE definition so the twins — and the plan audits that
+    * run under the registry name — cannot drift. */
+  private def minhashVerify(sigs: DataFrame, cand: DataFrame,
+                            k: Int): DataFrame = {
+    import sigs.sparkSession.implicits._
+    cand
       .distinct()
       .hint("shuffle_hash")
       .join(sigs.select($"doc_id".as("d1"), $"sig".as("sig1")), "d1")
       .hint("shuffle_hash")
       .join(sigs.select($"doc_id".as("d2"), $"sig".as("sig2")), "d2")
-    cand
       .withColumn("est_jaccard",
         size(filter(zip_with($"sig1", $"sig2", (x, y) => x === y),
           eq => eq)).cast(DoubleType) / k)
@@ -386,18 +396,7 @@ object Dedup {
           $"a.k1" === $"b.k1" && $"a.k2" === $"b.k2" &&
           $"a.k3" === $"b.k3" && $"a.doc_id" < $"b.doc_id")
       .select($"a.doc_id".as("d1"), $"b.doc_id".as("d2"))
-      .distinct()
-      .hint("shuffle_hash")
-      .join(sigs.select($"doc_id".as("d1"), $"sig".as("sig1")), "d1")
-      .hint("shuffle_hash")
-      .join(sigs.select($"doc_id".as("d2"), $"sig".as("sig2")), "d2")
-    cand
-      .withColumn("est_jaccard",
-        size(filter(zip_with($"sig1", $"sig2", (x, y) => x === y),
-          eq => eq)).cast(DoubleType) / k)
-      .filter($"est_jaccard" >= JaccardThreshold)
-      .select($"d1", $"d2", $"est_jaccard")
-      .orderBy($"d1", $"d2")
+    minhashVerify(sigs, cand, k)
   }
 
   /** DuckDB oracle for [[d4MinHashLshMd5]] — generated, with the affine

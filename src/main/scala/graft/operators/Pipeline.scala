@@ -596,20 +596,6 @@ object Pipeline {
   case class MixDelta(lang: String, doc_id: Long, op: Int)
   case class MixState(rks: Seq[String], ids: Seq[Long])
 
-  /** Streaming twin of p12's resampler — ingest-time mixture admission:
-    * documents arrive as a stream and each language stratum maintains its
-    * quota-best admitted set by the SAME salted-md5 rank the batch
-    * resample uses. A newly arrived doc that out-ranks an admitted one
-    * EVICTS it, so the output is a changelog (`op` +1 admit / −1 evict —
-    * the reference's +I/−D shape): downstream sinks fold it and, once the
-    * same documents have been seen, hold exactly the batch p12 keep set
-    * regardless of arrival order — spec-asserted.
-    *
-    * Scale shape: keyed state is BOUNDED at quota (md5, id) pairs per
-    * language no matter how long the stream runs; each micro-batch folds
-    * in one dedup+sort+truncate per touched stratum (topKPerKey's
-    * amortization). The quota table is the fitted p12 model, collected
-    * once (≤ n_langs rows) like p19's threshold. */
   /** Streaming reservoir sample: a uniform k-subset of an unbounded
     * document stream in O(k) state, DETERMINISTIC — the reservoir is not
     * "k random survivors" but THE k smallest salted-md5 priorities seen
@@ -653,14 +639,20 @@ object Pipeline {
     * reservoir is the oracle-friendly form). Weight here is the
     * document's size — sampling documents ∝ tokens is how a token-budget
     * holdout draw stays unbiased per TOKEN, not per document. Same O(k)
-    * distinct-mode fold as [[reservoirStream]]; zero-weight docs get key
-    * 0 (u < 1 ⇒ u^∞ = 0) and are never drawn. */
+    * distinct-mode fold as [[reservoirStream]]. Zero-weight docs are
+    * FILTERED at the source (weight 0 means "never draw"; letting them
+    * reach the fold would let key 0 occupy reservoir slots while fewer
+    * than k rows have been seen). u maps the 48 md5 bits to (0, 1)
+    * EXCLUSIVE — (v + 0.5) / 2⁴⁸, exact in a double — because u = 1.0
+    * with a fractional exponent is the NaN trap (pow(1, ∞)) and u = 0
+    * would tie every zero-key doc. */
   def weightedReservoirStream(stream: DataFrame, k: Int): DataFrame = {
     import stream.sparkSession.implicits._
     val u = (expr("CAST(conv(substring(md5(concat('wres', " +
-      "CAST(doc_id AS STRING))), 1, 12), 16, 10) AS DOUBLE)") + lit(1.0)) /
+      "CAST(doc_id AS STRING))), 1, 12), 16, 10) AS DOUBLE)") + lit(0.5)) /
       lit(math.pow(2, 48))
     stream
+      .filter($"n_chars" > 0)
       .select($"doc_id",
         pow(u, lit(1.0) / $"n_chars".cast("double")).as("key"))
       .groupBy()
@@ -670,6 +662,20 @@ object Pipeline {
         expr("transform(res, x -> x.id)").as("reservoir"))
   }
 
+  /** Streaming twin of p12's resampler — ingest-time mixture admission:
+    * documents arrive as a stream and each language stratum maintains its
+    * quota-best admitted set by the SAME salted-md5 rank the batch
+    * resample uses. A newly arrived doc that out-ranks an admitted one
+    * EVICTS it, so the output is a changelog (`op` +1 admit / −1 evict —
+    * the reference's +I/−D shape): downstream sinks fold it and, once the
+    * same documents have been seen, hold exactly the batch p12 keep set
+    * regardless of arrival order — spec-asserted.
+    *
+    * Scale shape: keyed state is BOUNDED at quota (md5, id) pairs per
+    * language no matter how long the stream runs; each micro-batch folds
+    * in one dedup+sort+truncate per touched stratum (topKPerKey's
+    * amortization). The quota table is the fitted p12 model, collected
+    * once (≤ n_langs rows) like p19's threshold. */
   def mixtureStream(stream: DataFrame,
                     quotas: Map[String, Long]): org.apache.spark.sql.Dataset[MixDelta] = {
     import stream.sparkSession.implicits._

@@ -1662,6 +1662,11 @@ object Similarity {
       .orderBy($"query_id", $"rk")
   }
 
+  /** v22's radius: looser than [[CosineThreshold]] — a range query's
+    * answer set should be the semantic neighborhood, not just the
+    * near-dup tail. */
+  val RangeTau = 0.3
+
   /** V22 — cosine RANGE search (radius query): for each query vector,
     * EVERY corpus vector with cosine ≥ [[CosineThreshold]] — the
     * fixed-radius complement of v1's top-k (top-k answers "the k
@@ -1678,11 +1683,6 @@ object Similarity {
     * which at 100 TB is the point — a range query's cost is its answer,
     * not the corpus. Oracle-exact: one IEEE cosine per pair, same
     * shape both engines, round(·,6) only at presentation. */
-  /** v22's radius: looser than [[CosineThreshold]] — a range query's
-    * answer set should be the semantic neighborhood, not just the
-    * near-dup tail. */
-  val RangeTau = 0.3
-
   def v22RangeSearch(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val emb = Tables.load(spark, dir, "embeddings")
@@ -1714,20 +1714,29 @@ object Similarity {
     * which a stateless retrieval answer does not warrant.
     *
     * Input schema: (query_id: long, v: array<double>). Output per update:
-    * (query_id, rk, vec_id, cos_sim) — v4's row shape. */
-  def annStream(queries: DataFrame, dir: String, nprobe: Int = 2): DataFrame = {
+    * (query_id, rk, vec_id, cos_sim) — v4's row shape. `excludeSelf`
+    * (default true) matches v4's CORPUS-DRAWN query convention (a query
+    * must not retrieve itself); pass false for an EXTERNAL query stream,
+    * whose ids are unrelated to corpus ids — the default would silently
+    * drop the corpus vector that happens to share the id. */
+  def annStream(queries: DataFrame, dir: String, nprobe: Int = 2,
+                excludeSelf: Boolean = true): DataFrame = {
     val spark = queries.sparkSession
     import spark.implicits._
     val cents = centArray(ivfCentroids(spark, dir, 1)).cache()
+    // cached: a stream-static join re-executes the static plan every
+    // micro-batch — without this, each trigger re-runs the whole corpus
+    // cell assignment
     val corpus = ivfAssign(normalizedEmbeddings(spark, dir), cents, 1)
       .select($"vec_id", $"v", $"nrm", $"cent_id")
+      .cache()
     val q = ivfAssign(
         queries.select($"query_id".as("vec_id"), $"v")
           .withColumn("nrm", norm($"v")), cents, nprobe)
       .select($"vec_id".as("query_id"), $"v".as("qv"), $"nrm".as("qn"),
         $"cent_id")
     q.join(corpus, Seq("cent_id"))
-      .filter($"vec_id" =!= $"query_id")
+      .filter(if (excludeSelf) $"vec_id" =!= $"query_id" else lit(true))
       .select($"query_id",
         (dot($"qv", $"v") / ($"qn" * $"nrm")).as("cos"), $"vec_id")
       .groupBy($"query_id")

@@ -233,20 +233,33 @@ private[plans] object Md5Hashing {
   def digest(bytes: Array[Byte], off: Int, len: Int): Array[Byte] = {
     val d = md.get(); d.reset(); d.update(bytes, off, len); d.digest()
   }
-  /** Token start offsets plus a sentinel end: starts(t)..starts(t+1)-2 is
-    * token t's byte span (the -1 skips the separating space). */
-  def tokenStarts(bytes: Array[Byte]): Array[Int] = {
+  /** Heap-backed UTF8Strings expose their backing array directly (the
+    * ShingleHashes zero-copy discipline — no per-row document copy on
+    * the hot scan); off-heap strings copy once per row. Returns
+    * (bytes, offset-of-string-start, length). */
+  def materialize(s: UTF8String): (Array[Byte], Int, Int) = {
+    val len = s.numBytes()
+    s.getBaseObject match {
+      case a: Array[Byte] =>
+        (a, (s.getBaseOffset - Platform.BYTE_ARRAY_OFFSET).toInt, len)
+      case _ => (s.getBytes, 0, len)
+    }
+  }
+  /** Token start offsets (relative to the string start) plus a sentinel
+    * end: starts(t)..starts(t+1)-2 is token t's byte span (the -1 skips
+    * the separating space). */
+  def tokenStarts(bytes: Array[Byte], off: Int, len: Int): Array[Int] = {
     var spaces = 0
     var i = 0
-    while (i < bytes.length) { if (bytes(i) == 0x20) spaces += 1; i += 1 }
+    while (i < len) { if (bytes(off + i) == 0x20) spaces += 1; i += 1 }
     val starts = new Array[Int](spaces + 2)
     var t = 1
     i = 0
-    while (i < bytes.length) {
-      if (bytes(i) == 0x20) { starts(t) = i + 1; t += 1 }
+    while (i < len) {
+      if (bytes(off + i) == 0x20) { starts(t) = i + 1; t += 1 }
       i += 1
     }
-    starts(t) = bytes.length + 1
+    starts(t) = len + 1
     starts
   }
   /** Big-endian unsigned int from digest bytes [off, off+4) — the value of
@@ -276,8 +289,9 @@ case class Md5SpanHashes(child: Expression, n: Int)
   override def prettyName: String = "md5_span_hashes"
 
   override def nullSafeEval(input: Any): Any = {
-    val bytes = input.asInstanceOf[UTF8String].getBytes
-    val starts = Md5Hashing.tokenStarts(bytes)
+    val (bytes, off, len) =
+      Md5Hashing.materialize(input.asInstanceOf[UTF8String])
+    val starts = Md5Hashing.tokenStarts(bytes, off, len)
     val nt = starts.length - 1
     if (nt < n) return new GenericArrayData(Array.empty[Long])
     val m = nt - n + 1
@@ -286,7 +300,7 @@ case class Md5SpanHashes(child: Expression, n: Int)
     while (j < m) {
       val from = starts(j)
       val until = starts(j + n) - 1 // end of token j+n-1
-      val d = Md5Hashing.digest(bytes, from, until - from)
+      val d = Md5Hashing.digest(bytes, off + from, until - from)
       out(j) = Md5Hashing.head32(d, 0)
       j += 1
     }
@@ -313,15 +327,16 @@ case class Md5SimHashPair(child: Expression)
   override def prettyName: String = "md5_simhash_pair"
 
   override def nullSafeEval(input: Any): Any = {
-    val bytes = input.asInstanceOf[UTF8String].getBytes
-    val starts = Md5Hashing.tokenStarts(bytes)
+    val (bytes, off, len) =
+      Md5Hashing.materialize(input.asInstanceOf[UTF8String])
+    val starts = Md5Hashing.tokenStarts(bytes, off, len)
     val nt = starts.length - 1
     val votes = new Array[Int](64)
     var t = 0
     while (t < nt) {
       val from = starts(t)
       val until = starts(t + 1) - 1
-      val d = Md5Hashing.digest(bytes, from, until - from)
+      val d = Md5Hashing.digest(bytes, off + from, until - from)
       val hi = Md5Hashing.head32(d, 0)
       val lo = Md5Hashing.head32(d, 4)
       var b = 0

@@ -1009,10 +1009,11 @@ class StreamingEventsSpec extends AnyFunSuite {
         .digest(s"wres${d.doc_id}".getBytes("UTF-8"))
       val v = java.lang.Long.parseLong(
         md.take(6).map("%02x".format(_)).mkString, 16)
-      math.pow((v + 1.0) / math.pow(2, 48), 1.0 / d.n_chars.toDouble)
+      math.pow((v + 0.5) / math.pow(2, 48), 1.0 / d.n_chars.toDouble)
     }
-    // driver A-ES: k LARGEST keys, ties toward smaller id (TopK's better())
-    val expect = docs.map(d => (key(d), d.doc_id))
+    // driver A-ES: k LARGEST keys among POSITIVE-weight docs, ties toward
+    // smaller id (TopK's better())
+    val expect = docs.filter(_.n_chars > 0).map(d => (key(d), d.doc_id))
       .sortBy { case (kk, id) => (-kk, id) }.take(k).map(_._2)
     val mem = MemoryStream[Doc]
     val out = graft.operators.Pipeline.weightedReservoirStream(mem.toDF(), k)
