@@ -306,15 +306,60 @@ object Dedup {
   /** Max Hamming distance (of 64) for SimHash near-dups. */
   val SimHashMaxDist = 10
 
+  /** Document-count threshold where SimHash banding switches from
+    * C(8,2)=28 16-bit band-PAIR keys to C(8,3)=56 24-bit band-TRIPLE
+    * keys. Random collisions are quadratic under ANY banding
+    * (≈ N²/2 · keys/buckets) so the lever is the coefficient: pairs give
+    * 28/2¹⁶ ≈ 4.3·10⁻⁴, triples 56/2²⁴ ≈ 3.3·10⁻⁶ — 128× smaller,
+    * reaching the same candidate budget at ~11× more documents (the v3
+    * adaptive-width lesson applied to the signature side; at the sf1
+    * rung pairs generated ~5·10⁷ candidate rows and dominated the
+    * query). The price is pigeonhole strength: ≥3 clean bands need ≤5
+    * dirty bits (pairs guarantee ≤6); distances 6..[[SimHashMaxDist]]
+    * become probabilistic. The oracle replays the SAME switch from its
+    * own count(*), so the registry row stays oracle-exact at every
+    * scale; DedupSpec pins the triple guarantee structurally. */
+  val SimHashTripleCutoff = 200000L
+
+  /** Corpus-count memo (the v3 pattern: keyed on path + content stamp so
+    * a regenerated synth rung can't serve a stale arity). */
+  private val docCounts =
+    new scala.collection.concurrent.TrieMap[(String, Long), Long]
+  private[operators] def docCount(spark: SparkSession, dir: String): Long =
+    docCounts.getOrElseUpdate(
+      (new java.io.File(dir).getCanonicalPath,
+        Similarity.tableStamp(dir, "documents")),
+      Tables.load(spark, dir, "documents").count())
+
+  private[operators] def simHashArity(n: Long): Int =
+    if (n >= SimHashTripleCutoff) 3 else 2
+
+  /** Band index sets (with stable band ids) for a given arity — ONE
+    * definition consumed by both hash-family twins AND the oracle
+    * generator, so banding cannot drift. */
+  private[operators] def simHashBands(arity: Int): Seq[(Int, Seq[Int])] = {
+    val combos: Seq[Seq[Int]] =
+      if (arity == 2)
+        for (i <- 0 until 8; j <- i + 1 until 8) yield Seq(i, j)
+      else
+        for (i <- 0 until 8; j <- i + 1 until 8; l <- j + 1 until 8)
+          yield Seq(i, j, l)
+    combos.zipWithIndex.map { case (c, idx) => (idx, c) }
+  }
+
   /** D5 — SimHash near-dup: 64-bit signature per doc, candidates via
-    * band-PAIR collisions — all C(8,2)=28 ordered pairs of the eight 8-bit
-    * bands form 16-bit keys. Pigeonhole: ≤6 dirty bits leave ≥2 of 8 bands
-    * clean, so every pair within Hamming distance 6 shares some clean band
-    * pair (guaranteed); distances 7..SimHashMaxDist are found
+    * band-set collisions with ADAPTIVE arity ([[simHashArity]]): under
+    * [[SimHashTripleCutoff]] documents, all C(8,2)=28 pairs of the eight
+    * 8-bit bands form 16-bit keys (pigeonhole: ≤6 dirty bits leave ≥2
+    * clean bands, so Hamming ≤ 6 is GUARANTEED found); at or above the
+    * cutoff, C(8,3)=56 band triples form 24-bit keys (guarantee ≤ 5;
+    * 128× smaller random-collision coefficient — see the cutoff's doc).
+    * Distances above the guarantee up to SimHashMaxDist are found
     * probabilistically (recall spec'd in DedupSpec). Verified by Hamming
     * distance ≤ SimHashMaxDist. Engine-specific hashing (one-pass
     * SimHash64) keeps this the 100 TB default; the REGISTRY row is
-    * [[d5SimHashMd5]], the md5-family twin replayed exactly by DuckDB.
+    * [[d5SimHashMd5]], the md5-family twin replayed exactly by DuckDB
+    * (including the arity switch, from DuckDB's own count(*)).
     *
     * Scale: random collisions are inherently quadratic under ANY banding —
     * ≈ N²/2 × (keys/buckets) — so the lever is the coefficient: single
@@ -327,12 +372,15 @@ object Dedup {
     import spark.implicits._
     val sigs = Tables.load(spark, dir, "documents")
       .select($"doc_id", simHash(tokens($"text")).as("sig")).cache()
-    val pairKeys = for (i <- 0 until 8; j <- i + 1 until 8) yield
-      struct(lit(i * 8 + j).as("band"),
-        shiftright($"sig", i * 8).bitwiseAND(lit(0xffL)).multiply(256)
-          .plus(shiftright($"sig", j * 8).bitwiseAND(lit(0xffL))).as("bucket"))
+    def byte(j: Int): Column =
+      shiftright($"sig", j * 8).bitwiseAND(lit(0xffL))
+    val bandKeys = simHashBands(simHashArity(docCount(spark, dir)))
+      .map { case (bid, idxs) =>
+        struct(lit(bid).as("band"),
+          idxs.map(byte).reduceLeft((a, b) => a * 256 + b).as("bucket"))
+      }
     val banded = sigs.select($"doc_id", $"sig",
-      explode(array(pairKeys: _*)).as("bb"))
+      explode(array(bandKeys: _*)).as("bb"))
       .select($"doc_id", $"sig", $"bb.band", $"bb.bucket")
     banded.as("a").join(banded.as("b"),
         $"a.band" === $"b.band" && $"a.bucket" === $"b.bucket" &&
@@ -449,7 +497,11 @@ object Dedup {
     * ~8× md5 cost at the scan); banding explodes 28 fixed rows/doc of
     * (2-byte key, 8-byte id); collisions are the same 73×-reduced
     * coefficient the band-pair design bought (see [[d5SimHash]]). */
-  def d5SimHashMd5(spark: SparkSession, dir: String): DataFrame = {
+  def d5SimHashMd5(spark: SparkSession, dir: String): DataFrame =
+    d5SimHashMd5(spark, dir, forcedArity = None)
+
+  private[operators] def d5SimHashMd5(spark: SparkSession, dir: String,
+                                      forcedArity: Option[Int]): DataFrame = {
     import spark.implicits._
     // Md5SimHashPair votes all 64 bits in one native pass per document —
     // no token explode, no 64-sum aggregation, no shuffle for signatures
@@ -463,11 +515,13 @@ object Dedup {
     def byte(j: Int): Column =
       if (j < 4) shiftright($"lo", 8 * j).bitwiseAND(lit(0xffL))
       else shiftright($"hi", 8 * (j - 4)).bitwiseAND(lit(0xffL))
-    val pairKeys = for (i <- 0 until 8; j <- i + 1 until 8) yield
-      struct(lit(i * 8 + j).as("band"),
-        (byte(i) * 256 + byte(j)).as("bucket"))
+    val arity = forcedArity.getOrElse(simHashArity(docCount(spark, dir)))
+    val bandKeys = simHashBands(arity).map { case (bid, idxs) =>
+      struct(lit(bid).as("band"),
+        idxs.map(byte).reduceLeft((a, b) => a * 256 + b).as("bucket"))
+    }
     val banded = sigs.select($"doc_id", $"hi", $"lo",
-        explode(array(pairKeys: _*)).as("bb"))
+        explode(array(bandKeys: _*)).as("bb"))
       .select($"doc_id", $"hi", $"lo", $"bb.band", $"bb.bucket")
     banded.as("a").join(banded.as("b"),
         $"a.band" === $"b.band" && $"a.bucket" === $"b.bucket" &&
@@ -480,8 +534,14 @@ object Dedup {
       .orderBy($"d1", $"d2")
   }
 
-  /** DuckDB oracle for [[d5SimHashMd5]] — generated 64-sum vote replay. */
-  private[operators] def d5Md5OracleSql: String = {
+  /** DuckDB oracle for [[d5SimHashMd5]] — generated 64-sum vote replay.
+    * The cutoff parameterization exists so the TRIPLE arms can be
+    * cross-engine-checked at fixture scale (cutoff 1 forces them); the
+    * registry entry always uses [[SimHashTripleCutoff]]. */
+  private[operators] def d5Md5OracleSql: String =
+    d5Md5OracleSql(SimHashTripleCutoff)
+
+  private[operators] def d5Md5OracleSql(cutoff: Long): String = {
     def votes(src: String, pre: String) = (0 until 32).map(b =>
       s"SUM(2 * (($src // ${1L << b}) % 2) - 1) AS $pre$b").mkString(",\n|  ")
     def pack(pre: String) = (0 until 32).map(b =>
@@ -490,10 +550,20 @@ object Dedup {
       if (j < 4) s"(lo // ${1L << (8 * j)}) % 256 AS b$j"
       else s"(hi // ${1L << (8 * (j - 4))}) % 256 AS b$j"
     }.mkString(", ")
-    val bandArms = (for (i <- 0 until 8; j <- i + 1 until 8) yield
-      s"SELECT doc_id, hi, lo, ${i * 8 + j} AS band, b$i * 256 + b$j AS bucket FROM byt")
-      .mkString("\n|  UNION ALL ")
-    s"""WITH docs AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+    // the arity switch replays from DuckDB's own count(*) — only one
+    // guard set is live per run, so band-id overlap across sets is moot
+    def arms(arity: Int, guard: String) = simHashBands(arity)
+      .map { case (bid, idxs) =>
+        val bucket = idxs.map(i => s"b$i")
+          .reduceLeft((a, b) => s"($a * 256 + $b)")
+        s"SELECT doc_id, hi, lo, $bid AS band, $bucket AS bucket FROM byt WHERE $guard"
+      }.mkString("\n|  UNION ALL ")
+    val bandArms =
+      arms(2, s"(SELECT n FROM cnt) < $cutoff") +
+        "\n|  UNION ALL " +
+        arms(3, s"(SELECT n FROM cnt) >= $cutoff")
+    s"""WITH cnt AS (SELECT count(*) AS n FROM documents),
+       |docs AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
        |tok AS (SELECT doc_id, unnest(w) AS tok FROM docs),
        |th AS (SELECT doc_id, ${duckMd5Long("tok", 1, 8)} AS thi,
        |         ${duckMd5Long("tok", 9, 8)} AS tlo FROM tok),

@@ -50,6 +50,37 @@ class DedupSpec extends AnyFunSuite {
     assert(recall >= 0.8, s"recall $recall; exact=$exactPairs sim=$sim")
   }
 
+  test("d5 adaptive banding: forced triples are a subset of pairs and " +
+    "complete for their pigeonhole guarantees") {
+    import org.apache.spark.sql.functions.col
+    def run(arity: Int): Set[(Long, Long)] =
+      Dedup.d5SimHashMd5(spark, dir, forcedArity = Some(arity)).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pairB = run(2)
+    val tripB = run(3)
+    // a triple collision implies each of its pair sub-collisions
+    assert(tripB.subsetOf(pairB),
+      s"triple candidates must be a subset: extra ${tripB -- pairB}")
+    // driver signature recompute → all-pairs Hamming; pigeonhole says
+    // dist <= 6 MUST collide in some band pair, dist <= 5 in some triple
+    val sigs = graft.sources.Tables
+      .load(spark, graft.SparkTestSession.sf0001, "documents")
+      .select(col("doc_id"),
+        graft.plans.VectorExpressions.md5SimHashPair(col("text")).as("s"))
+      .select(col("doc_id"), col("s.hi"), col("s.lo"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val byDist = for {
+      (i1, h1, l1) <- sigs; (i2, h2, l2) <- sigs if i1 < i2
+      d = java.lang.Long.bitCount(h1 ^ h2) + java.lang.Long.bitCount(l1 ^ l2)
+      if d <= Dedup.SimHashMaxDist
+    } yield ((i1, i2), d)
+    val le5 = byDist.collect { case (p, d) if d <= 5 => p }.toSet
+    val le6 = byDist.collect { case (p, d) if d <= 6 => p }.toSet
+    assert(le6.nonEmpty, "fixture should contain close signature pairs")
+    assert(le5.subsetOf(tripB), s"triple guarantee broken: ${le5 -- tripB}")
+    assert(le6.subsetOf(pairB), s"pair guarantee broken: ${le6 -- pairB}")
+  }
+
   test("d16: longest dup span equals a driver longest-common-substring DP " +
     "for every d3 pair") {
     val spans = Dedup.d16LongestDupSpan(spark, dir).collect()
