@@ -164,7 +164,7 @@ object Pipeline {
     import spark.implicits._
     // max over an empty table is null → getLong would NPE; 0L keeps the
     // empty-corpus result empty with blockWidth 1
-    val maxId = Option(docs.agg(max($"doc_id")).head.get(0))
+    val maxId = Option(docs.agg(max($"doc_id")).head().get(0))
       .map(_.asInstanceOf[Long]).getOrElse(0L)
     val blockWidth = maxId / ShardMaxBlocks + 1
     val base = docs
@@ -180,7 +180,7 @@ object Pipeline {
       .select($"block",
         coalesce(sum($"block_total").over(wBlocks), lit(0L)).as("block_off"))
     base.join(broadcast(offsets), "block")
-      .select(docs.columns.map(col) :+
+      .select(docs.columns.toIndexedSeq.map(col) :+
         (($"block_off" + coalesce(sum($"n_tokens").over(wIn), lit(0L)))
           .as("cum_before")): _*)
   }

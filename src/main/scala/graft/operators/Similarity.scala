@@ -439,7 +439,7 @@ object Similarity {
       // a borderline candidate): quantize, sum integers, rescale — the
       // v6 pattern
       val tot = math.max(
-        d2.agg(sum(round($"d2" * 1e6).cast("long"))).head.getLong(0) / 1e6,
+        d2.agg(sum(round($"d2" * 1e6).cast("long"))).head().getLong(0) / 1e6,
         1e-12)
       val u = pmod(xxhash64(lit(s"seed$r"), $"vec_id"), lit(1L << 24))
         .cast("double") / (1L << 24).toDouble
@@ -846,7 +846,8 @@ object Similarity {
   /** The M×K×d codebook as a nested literal column (small by contract:
     * 8×16×8 doubles — it rides the task binary like any broadcast). */
   private def pqCodebookLit(cb: Array[Array[Array[Double]]]): Column =
-    array(cb.map(mArr => array(mArr.map(kArr => lit(kArr)): _*)): _*)
+    array(cb.toIndexedSeq.map(mArr =>
+      array(mArr.toIndexedSeq.map(kArr => lit(kArr)): _*)): _*)
 
   /** Map-side PQ assignment: per (m, sv) row, argmin-L2² over the m-th
     * codebook via HOFs against the literal — no join, no shuffle.

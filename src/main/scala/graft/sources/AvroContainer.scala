@@ -86,7 +86,7 @@ object AvroContainer {
       .mapPartitions { it =>
         it.map { case (key, _) =>
           val rec = key.datum()
-          Row.fromSeq(fieldNames.map(n => fromAvro(rec.get(n))))
+          Row.fromSeq(fieldNames.toIndexedSeq.map(n => fromAvro(rec.get(n))))
         }
       }
     spark.createDataFrame(rdd, struct)
