@@ -757,7 +757,11 @@ object Similarity {
     // silently voids the one-sided-error contract below
     val emb = normalizedEmbeddings(spark, dir).filter($"nrm" > 0)
     val cents = centArray(ivfCentroids(spark, dir, 1)).cache()
-    val corpus = ivfAssign(emb.filter($"vec_id" % 25 =!= 0), cents, 1)
+    // cell assignment is per-vector independent, so the corpus slice's
+    // cells are exactly the persisted full-corpus artifact filtered to
+    // the slice — no fresh N·C pass (only the small bench side scores)
+    val corpus = emb.filter($"vec_id" % 25 =!= 0)
+      .join(ivfCellAssignment(spark, dir), "vec_id")
     val bench = ivfAssign(emb.filter($"vec_id" % 25 === 0), cents, nprobe)
       .select($"vec_id".as("bench_id"), $"v".as("bv"), $"nrm".as("bn"),
         $"cent_id")
