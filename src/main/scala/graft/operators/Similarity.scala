@@ -606,11 +606,18 @@ object Similarity {
                                            kmeansIters: Int = 1): DataFrame =
     ModelStore.table(spark, dir, "embeddings.parquet",
         s"ivf-assign-i$kmeansIters-p$IvfVectorsPerCell") {
-      import spark.implicits._
-      ivfAssign(normalizedEmbeddings(spark, dir),
-          centArray(ivfCentroids(spark, dir, kmeansIters)), 1)
-        .select($"vec_id", $"cent_id")
+      freshCellAssignment(spark, dir, kmeansIters)
     }
+
+  /** The store's build path — also the fresh side of the
+    * store-equivalence spec. */
+  private[operators] def freshCellAssignment(spark: SparkSession, dir: String,
+                                             kmeansIters: Int = 1): DataFrame = {
+    import spark.implicits._
+    ivfAssign(normalizedEmbeddings(spark, dir),
+        centArray(ivfCentroids(spark, dir, kmeansIters)), 1)
+      .select($"vec_id", $"cent_id")
+  }
 
   /** V5 — brute-force top-k via the mergeable TopKAggregate: identical
     * results to V1, but the shuffle carries only k (score,id) pairs per

@@ -433,6 +433,18 @@ class SimilaritySpec extends AnyFunSuite {
     assert(Similarity.v10AnnPq(spark, dir).collect().toSeq == v10a)
     val v15a = Similarity.v15AnnIvfPq(spark, dir).collect().toSeq
     assert(Similarity.v15AnnIvfPq(spark, dir).collect().toSeq == v15a)
+    // the CELL ASSIGNMENT artifact (the N·C pass made a snapshot-build
+    // cost): a second lookup must HIT the store, and the stored rows
+    // must equal a fresh nearest-centroid pass vector-for-vector
+    val storedAssign = graft.sources.ModelStore.table(spark, dir,
+      "embeddings.parquet",
+      s"ivf-assign-i1-p${Similarity.IvfVectorsPerCell}") {
+      fail("IVF assignment store missed on re-invocation — corpus re-scored")
+    }.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val freshAssign = Similarity.freshCellAssignment(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(storedAssign == freshAssign,
+      "persisted cell assignment differs from a fresh nearest-centroid pass")
   }
 
   test("brute-force top-k is k rows per query, ranked by cosine desc") {
