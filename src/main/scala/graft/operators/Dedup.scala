@@ -321,15 +321,8 @@ object Dedup {
     * scale; DedupSpec pins the triple guarantee structurally. */
   val SimHashTripleCutoff = 200000L
 
-  /** Corpus-count memo (the v3 pattern: keyed on path + content stamp so
-    * a regenerated synth rung can't serve a stale arity). */
-  private val docCounts =
-    new scala.collection.concurrent.TrieMap[(String, Long), Long]
   private[operators] def docCount(spark: SparkSession, dir: String): Long =
-    docCounts.getOrElseUpdate(
-      (new java.io.File(dir).getCanonicalPath,
-        Similarity.tableStamp(dir, "documents")),
-      Tables.load(spark, dir, "documents").count())
+    Tables.countMemo(spark, dir, "documents")
 
   private[operators] def simHashArity(n: Long): Int =
     if (n >= SimHashTripleCutoff) 3 else 2
@@ -338,6 +331,7 @@ object Dedup {
     * definition consumed by both hash-family twins AND the oracle
     * generator, so banding cannot drift. */
   private[operators] def simHashBands(arity: Int): Seq[(Int, Seq[Int])] = {
+    require(arity == 2 || arity == 3, s"unsupported band arity $arity")
     val combos: Seq[Seq[Int]] =
       if (arity == 2)
         for (i <- 0 until 8; j <- i + 1 until 8) yield Seq(i, j)
@@ -485,18 +479,20 @@ object Dedup {
     * (hi/lo = hex digits 1-8 / 9-16 of md5(token), each < 2^32 so every
     * shift is on a non-negative value and arithmetic matches DuckDB's
     * logical `//`). Same algorithm as [[d5SimHash]]: per-bit ±1 votes
-    * over token occurrences, majority sign per bit (tie → 0), band-PAIR
-    * candidates (C(8,2)=28 16-bit keys), Hamming ≤ [[SimHashMaxDist]]
-    * verify — but ORACLE-EXACT: DuckDB replays votes as 64 SUM columns,
-    * packs the signature halves, re-derives the 28 band keys by integer
-    * div/mod, and verifies with bit_count(xor()).
+    * over token occurrences, majority sign per bit (tie → 0),
+    * ADAPTIVE-arity band candidates ([[simHashArity]]: C(8,2)=28 16-bit
+    * pair keys under [[SimHashTripleCutoff]] docs, C(8,3)=56 24-bit
+    * triple keys at or above), Hamming ≤ [[SimHashMaxDist]] verify —
+    * but ORACLE-EXACT: DuckDB replays votes as 64 SUM columns, packs the
+    * signature halves, re-derives the band keys (BOTH arity sets,
+    * guarded by its own count(*)) with integer div/mod, and verifies
+    * with bit_count(xor()).
     *
-    * Shape at scale: the vote aggregate is ONE map-side-combined groupBy
-    * (64 integer sums — no row explosion; the engine-hash twin fuses it
-    * into a single expression, which stays the 100 TB default for the
-    * ~8× md5 cost at the scan); banding explodes 28 fixed rows/doc of
-    * (2-byte key, 8-byte id); collisions are the same 73×-reduced
-    * coefficient the band-pair design bought (see [[d5SimHash]]). */
+    * Shape at scale: the signature is one native expression per row
+    * (no explode, no aggregation — see the body comment); banding
+    * explodes 28 or 56 fixed rows/doc of (≤3-byte key, 8-byte id);
+    * random collisions carry the arity-dependent coefficient documented
+    * at [[SimHashTripleCutoff]]. */
   def d5SimHashMd5(spark: SparkSession, dir: String): DataFrame =
     d5SimHashMd5(spark, dir, forcedArity = None)
 

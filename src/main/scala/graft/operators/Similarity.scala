@@ -297,27 +297,10 @@ object Similarity {
     * job (d1/d6 territory: its pair LIST is itself quadratic), not a
     * pairwise LSH's. The subset-of-exact property is untouched — the
     * cap only removes candidates. */
-  /** Corpus-size memo for the adaptive band width: the count job runs
-    * once per dir instead of inside every timed v3 invocation. Keyed on
-    * (canonical path, content stamp) — synthesized rung dirs under /tmp
-    * are regenerable mid-session, and a stale count would silently pick
-    * the wrong band width, so a rebuilt fixture invalidates the memo. */
-  private val corpusCounts =
-    new scala.collection.concurrent.TrieMap[(String, Long), Long]
-
-  /** Cheap content stamp for a table under `dir`: fold (name, length,
-    * mtime) over every file below the table path. Recursive walk of the
-    * parquet dir only — never reads data. */
-  private[graft] def tableStamp(dir: String, table: String): Long = {
-    def walk(f: java.io.File): Long =
-      if (f.isDirectory) f.listFiles().foldLeft(f.lastModified()) {
-        (acc, c) => acc * 1000003L + walk(c)
-      }
-      else f.getName.hashCode.toLong * 31L + f.length() * 1000003L +
-        f.lastModified()
-    val root = new java.io.File(dir, s"$table.parquet")
-    if (root.exists()) walk(root) else 0L
-  }
+  /** Content stamp — forwarded to the shared [[Tables.tableStamp]]
+    * (kept here because existing callers address it by this name). */
+  private[graft] def tableStamp(dir: String, table: String): Long =
+    Tables.tableStamp(dir, table)
 
   /** The adaptive band width from the corpus count — ONE definition,
     * shared with `Profile v3probe` so the diagnostic measures the same
@@ -332,10 +315,7 @@ object Similarity {
     val dim = 64
     val bits =
       if (nPlanes > 0) nPlanes / bands
-      else adaptiveLshBits(corpusCounts.getOrElseUpdate(
-        (new java.io.File(dir).getCanonicalPath,
-          tableStamp(dir, "embeddings")),
-        Tables.load(spark, dir, "embeddings").count()))
+      else adaptiveLshBits(Tables.countMemo(spark, dir, "embeddings"))
     val banded = Tables.load(spark, dir, "embeddings")
       .select($"vec_id", asDouble($"embedding").as("v"))
       .withColumn("nrm", norm($"v"))
@@ -713,13 +693,16 @@ object Similarity {
     *
     * Known scale term, stated honestly: flat nearest-centroid ASSIGNMENT
     * costs N × C distance evaluations, and with C = N/IvfVectorsPerCell
-    * that term is N²/50 — it is what nudges v4/v8's largest-rung ratios
-    * toward (but below) the linear flag while the pairwise stage stays
-    * bounded. Every flat-IVF system carries it; the billion-scale
-    * continuation is hierarchical assignment (route through ~√C
-    * super-centroids, then score only that super-cell's centroids —
-    * 2N√C), kept out of here because exact nearest-centroid assignment
-    * is what v17's conservation spec pins. */
+    * that term is N²/50. Since the assignment became a persisted
+    * ModelStore artifact ([[ivfCellAssignment]]) it is a SNAPSHOT-BUILD
+    * cost — paid once when the model is (re)fit, never per invocation
+    * (queries equi-join the stored 12-byte rows; the cost surfaces only
+    * in a cold run's first_pass numbers). Every flat-IVF system carries
+    * the build term; the billion-scale continuation is hierarchical
+    * assignment at build time (route through ~√C super-centroids, then
+    * score only that super-cell's centroids — 2N√C), kept out of here
+    * because exact nearest-centroid assignment is what v17's
+    * conservation spec pins. */
   def v8SemanticDedup(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val emb = normalizedEmbeddings(spark, dir)

@@ -71,7 +71,8 @@ object AvroContainer {
     * closures — and is re-parsed once per partition. */
   def read(spark: SparkSession, path: String, schemaJson: String): DataFrame = {
     val struct = structFor(new Schema.Parser().parse(schemaJson))
-    val fieldNames = struct.fields.map(_.name)
+    // one immutable copy, hoisted out of the per-record decode loop
+    val fieldNames = struct.fields.map(_.name).toIndexedSeq
     val conf = new org.apache.hadoop.conf.Configuration(
       spark.sparkContext.hadoopConfiguration)
     // reader schema: lets a narrower schema project/evolve over the file's
@@ -86,7 +87,7 @@ object AvroContainer {
       .mapPartitions { it =>
         it.map { case (key, _) =>
           val rec = key.datum()
-          Row.fromSeq(fieldNames.toIndexedSeq.map(n => fromAvro(rec.get(n))))
+          Row.fromSeq(fieldNames.map(n => fromAvro(rec.get(n))))
         }
       }
     spark.createDataFrame(rdd, struct)

@@ -62,4 +62,35 @@ object Tables {
   /** Register every fixture table as a temp view named after the table. */
   def registerAll(spark: SparkSession, dir: String): Unit =
     all.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+
+  /** Cheap content stamp for a table under `dir`: fold (name, length,
+    * mtime) over every file below the table path — a recursive walk of
+    * the parquet dir only, never the data. Keys every cache that must
+    * not survive a regenerated fixture (the synth rungs under /tmp are
+    * rebuilt mid-session). */
+  private[graft] def tableStamp(dir: String, table: String): Long = {
+    def walk(f: java.io.File): Long =
+      if (f.isDirectory) f.listFiles().foldLeft(f.lastModified()) {
+        (acc, c) => acc * 1000003L + walk(c)
+      }
+      else f.getName.hashCode.toLong * 31L + f.length() * 1000003L +
+        f.lastModified()
+    val root = new java.io.File(dir, s"$table.parquet")
+    if (root.exists()) walk(root) else 0L
+  }
+
+  private val countMemoMap =
+    new scala.collection.concurrent.TrieMap[(String, String, Long), Long]
+
+  /** Row-count memo keyed on (canonical path, table, content stamp) —
+    * ONE definition for every adaptive mechanism that sizes itself from
+    * a corpus count (v3's band width, d5's band arity), so their
+    * staleness semantics cannot diverge. The count job runs once per
+    * (dir, table) per content generation instead of inside every timed
+    * invocation. */
+  private[graft] def countMemo(spark: SparkSession, dir: String,
+                               table: String): Long =
+    countMemoMap.getOrElseUpdate(
+      (new java.io.File(dir).getCanonicalPath, table, tableStamp(dir, table)),
+      load(spark, dir, table).count())
 }

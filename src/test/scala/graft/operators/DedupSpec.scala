@@ -63,8 +63,11 @@ class DedupSpec extends AnyFunSuite {
       s"triple candidates must be a subset: extra ${tripB -- pairB}")
     // driver signature recompute → all-pairs Hamming; pigeonhole says
     // dist <= 6 MUST collide in some band pair, dist <= 5 in some triple
+    // load signatures from the SAME dir the banded runs use — a literal
+    // fixture reference here could silently void the subset assertions
+    // if `dir` ever points elsewhere
     val sigs = graft.sources.Tables
-      .load(spark, graft.SparkTestSession.sf0001, "documents")
+      .load(spark, dir, "documents")
       .select(col("doc_id"),
         graft.plans.VectorExpressions.md5SimHashPair(col("text")).as("s"))
       .select(col("doc_id"), col("s.hi"), col("s.lo"))
