@@ -596,6 +596,27 @@ object Pipeline {
   case class MixDelta(lang: String, doc_id: Long, op: Int)
   case class MixState(rks: Seq[String], ids: Seq[Long])
 
+  /** Streaming sketch maintenance — the ingest-time twin of the engine's
+    * mergeable sketches (q23's HLL++ distinct counting, p18's CMS heavy
+    * hitters): per SOURCE, a live approximate distinct-token count and
+    * the CMS top-k tokens, folded in update mode. Both sketches are
+    * ORDER-INDEPENDENT merges (HLL registers take maxes, CMS counters
+    * take sums), so once the same documents have been delivered — in any
+    * batching, any order — the stream state equals the batch aggregate
+    * EXACTLY (the same property that already makes their batch answers
+    * stable under Spark's arbitrary partition merges); the spec asserts
+    * bit-equality, not an error band. State per source is the fixed
+    * sketch size — the 100 TB dashboard shape: cardinality and
+    * heavy-hitter monitors that never hold the vocabulary. */
+  def vocabSketchStream(stream: DataFrame, k: Int = VocabK): DataFrame = {
+    import stream.sparkSession.implicits._
+    stream
+      .select($"source", explode(tokens($"text")).as("token"))
+      .groupBy($"source")
+      .agg(approx_count_distinct($"token", 0.02).as("approx_vocab"),
+        graft.plans.CmsTopKAggregate.cmsTopK($"token", k).as("top"))
+  }
+
   /** Streaming reservoir sample: a uniform k-subset of an unbounded
     * document stream in O(k) state, DETERMINISTIC — the reservoir is not
     * "k random survivors" but THE k smallest salted-md5 priorities seen

@@ -1037,6 +1037,44 @@ class StreamingEventsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming sketch maintenance equals the batch sketches exactly " +
+    "(order-independent merges)") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val dir = SparkTestSession.sf0001
+    val docs = Tables.load(s, dir, "documents").as[Doc].collect().toSeq
+    def canon(df: org.apache.spark.sql.DataFrame): Map[String, (Long, Seq[(String, Long)])] =
+      df.collect().map { r =>
+        r.getString(0) -> ((r.getLong(1),
+          r.getSeq[org.apache.spark.sql.Row](2)
+            .map(x => (x.getString(0), x.getLong(1)))))
+      }.toMap
+    val batch = canon(graft.operators.Pipeline.vocabSketchStream(
+      Tables.load(s, dir, "documents")))
+    val mem = MemoryStream[Doc]
+    val out = graft.operators.Pipeline.vocabSketchStream(mem.toDF())
+    val q = out.writeStream.outputMode("update")
+      .format("memory").queryName("sketch_test").start()
+    try {
+      // adversarial order: reversed, uneven batches
+      docs.reverse.grouped(170).foreach { b =>
+        mem.addData(b); q.processAllAvailable()
+      }
+      // last update per source is the converged sketch
+      val rows = s.table("sketch_test").collect()
+      val latest = rows.zipWithIndex.groupBy(_._1.getString(0))
+        .map { case (src, es) =>
+          val r = es.maxBy(_._2)._1
+          src -> ((r.getLong(1),
+            r.getSeq[org.apache.spark.sql.Row](2)
+              .map(x => (x.getString(0), x.getLong(1)))))
+        }
+      assert(latest == batch,
+        s"stream sketches diverge from batch: $latest vs $batch")
+    } finally q.stop()
+  }
+
   test("streaming mixture admission converges to the batch p12 keep set") {
     val s = spark
     import s.implicits._
