@@ -613,7 +613,10 @@ object Pipeline {
     stream
       .select($"source", explode(tokens($"text")).as("token"))
       .groupBy($"source")
-      .agg(approx_count_distinct($"token", 0.02).as("approx_vocab"),
+      // n_tokens_seen is monotone across updates — consumers identify a
+      // source's LATEST state by max(n_tokens_seen), not sink row order
+      .agg(count(lit(1)).as("n_tokens_seen"),
+        approx_count_distinct($"token", 0.02).as("approx_vocab"),
         graft.plans.CmsTopKAggregate.cmsTopK($"token", k).as("top"))
   }
 

@@ -1044,14 +1044,13 @@ class StreamingEventsSpec extends AnyFunSuite {
     implicit val ctx = s.sqlContext
     val dir = SparkTestSession.sf0001
     val docs = Tables.load(s, dir, "documents").as[Doc].collect().toSeq
-    def canon(df: org.apache.spark.sql.DataFrame): Map[String, (Long, Seq[(String, Long)])] =
-      df.collect().map { r =>
-        r.getString(0) -> ((r.getLong(1),
-          r.getSeq[org.apache.spark.sql.Row](2)
-            .map(x => (x.getString(0), x.getLong(1)))))
-      }.toMap
-    val batch = canon(graft.operators.Pipeline.vocabSketchStream(
-      Tables.load(s, dir, "documents")))
+    def row(r: org.apache.spark.sql.Row) =
+      (r.getLong(1), r.getLong(2),
+        r.getSeq[org.apache.spark.sql.Row](3)
+          .map(x => (x.getString(0), x.getLong(1))))
+    val batch = graft.operators.Pipeline.vocabSketchStream(
+        Tables.load(s, dir, "documents"))
+      .collect().map(r => r.getString(0) -> row(r)).toMap
     val mem = MemoryStream[Doc]
     val out = graft.operators.Pipeline.vocabSketchStream(mem.toDF())
     val q = out.writeStream.outputMode("update")
@@ -1061,15 +1060,11 @@ class StreamingEventsSpec extends AnyFunSuite {
       docs.reverse.grouped(170).foreach { b =>
         mem.addData(b); q.processAllAvailable()
       }
-      // last update per source is the converged sketch
-      val rows = s.table("sketch_test").collect()
-      val latest = rows.zipWithIndex.groupBy(_._1.getString(0))
-        .map { case (src, es) =>
-          val r = es.maxBy(_._2)._1
-          src -> ((r.getLong(1),
-            r.getSeq[org.apache.spark.sql.Row](2)
-              .map(x => (x.getString(0), x.getLong(1)))))
-        }
+      // a source's LATEST state carries max n_tokens_seen (monotone by
+      // construction — never rely on sink row order)
+      val latest = s.table("sketch_test").collect()
+        .groupBy(_.getString(0))
+        .map { case (src, rs) => src -> row(rs.maxBy(_.getLong(1))) }
       assert(latest == batch,
         s"stream sketches diverge from batch: $latest vs $batch")
     } finally q.stop()
