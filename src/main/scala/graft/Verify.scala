@@ -6,6 +6,10 @@ import java.nio.file.{Files, Paths}
 object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
+    // Oracle SQL for the persisted-model queries (v4/v8/v10/v15/v16/v17)
+    // embeds the ModelStore artifact paths, which are a function of the
+    // fixture dir — pin it for SparkEntry.oracleSql's evaluation below.
+    sys.props("graft.oracle.sfdir") = sfDir
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

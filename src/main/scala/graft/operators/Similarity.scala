@@ -532,8 +532,11 @@ object Similarity {
     * only k (score, id) pairs per query cross the shuffle.
     * The centroid model comes from the persisted [[ivfCentroids]] store —
     * fit once per corpus snapshot, consumed here (the fit/apply split).
-    * Rows-only for the driver; cell balance + recall-vs-nprobe curve +
-    * store-apply ≡ fresh-fit-apply equality in SimilaritySpec. */
+    * ORACLE-EXACT: DuckDB consumes the same persisted centroid +
+    * assignment parquet ([[modelGlob]]) and replays probing, scoring,
+    * and ranking bit-for-bit — only the k-means fit itself is taken as
+    * given. Cell balance + recall-vs-nprobe curve + store-apply ≡
+    * fresh-fit-apply equality in SimilaritySpec. */
   def v4AnnIvf(spark: SparkSession, dir: String, nprobe: Int = 2,
                kmeansIters: Int = 1): DataFrame = {
     import spark.implicits._
@@ -687,8 +690,9 @@ object Similarity {
     * maintain), never the all-pairs N². The self-join keys on cent_id
     * (co-partitioned shuffle); vectors ride the join; candidates are
     * verified by exact cosine immediately (v3's payload-through-join
-    * lesson). Cell assignment depends on the fitted centroids → rows-only
-    * for the driver; the kept-set invariants and recall vs the v2 labeled
+    * lesson). ORACLE-EXACT: the oracle reads the persisted cell
+    * assignment parquet and replays the within-cell pair scan + keep
+    * rule; the kept-set invariants and recall vs the v2 labeled
     * pairs are asserted in SimilaritySpec.
     *
     * Known scale term, stated honestly: flat nearest-centroid ASSIGNMENT
@@ -737,7 +741,9 @@ object Similarity {
     * best match is one partial-aggregating max_by — so flagged pairs are
     * never false positives (one-sided error: cell routing can only MISS a
     * cross-cell pair; the miss rate is the spec'd recall floor vs the
-    * brute-force sweep, monotone in nprobe like v4). */
+    * brute-force sweep, monotone in nprobe like v4). ORACLE-EXACT:
+    * DuckDB consumes the persisted centroid + assignment parquet and
+    * replays probing, verification, and the per-vector max bit-for-bit. */
   def v16SemanticContamination(spark: SparkSession, dir: String,
                                nprobe: Int = 2): DataFrame = {
     import spark.implicits._
@@ -800,9 +806,11 @@ object Similarity {
     * Scale shape: assignment is the map-side HOF-vs-one-broadcast-row
     * pattern (no join, no shuffle of vectors); the only aggregation is
     * groupBy(cent_id) over (vec_id, cent_id) pairs — C-row output.
-    * Rows-only for the driver (k-means centroids are engine-specific);
-    * SimilaritySpec asserts nearest-centroid correctness vs a driver
-    * recompute, count conservation, and the no-refit store contract. */
+    * ORACLE-EXACT: DuckDB reads the persisted base-slice centroids and
+    * replays assignment and the per-cell audit from scratch (only the
+    * k-means fit is taken as given); SimilaritySpec additionally asserts
+    * nearest-centroid correctness vs a driver recompute, count
+    * conservation, and the no-refit store contract. */
   def v17IndexDelta(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val emb = normalizedEmbeddings(spark, dir)
@@ -937,8 +945,10 @@ object Similarity {
     * M array lookups per (vector, query) pair with NO shuffle before the
     * partial top-k; only PqShortlist ids per query reach the exact
     * re-rank, which re-attaches true vectors via a hash join bounded by
-    * queries×shortlist. Rows-only registry entry; recall-vs-exact and
-    * tinyint-compression specs in SimilaritySpec. */
+    * queries×shortlist. ORACLE-EXACT: DuckDB reads the persisted
+    * codebook parquet and replays encode → ADC shortlist → exact re-rank
+    * bit-for-bit (only the Lloyd fit is taken as given); recall-vs-exact
+    * and tinyint-compression specs in SimilaritySpec. */
   def v10AnnPq(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val emb = normalizedEmbeddings(spark, dir)
@@ -1028,7 +1038,10 @@ object Similarity {
     * through [[ModelStore]] — fit once per corpus snapshot, applied by
     * every later invocation (the fit/apply split; at 100 TB a per-query
     * re-fit would re-scan the corpus to rebuild a driver-sized artifact).
-    * Rows-only registry entry; recall + plan-shape specs. */
+    * ORACLE-EXACT: DuckDB reads BOTH persisted models (centroids +
+    * assignment, residual codebooks) and replays residual encode, probe,
+    * ADC, and the exact re-rank bit-for-bit; recall + plan-shape specs
+    * remain in SimilaritySpec. */
   def v15AnnIvfPq(spark: SparkSession, dir: String,
                   nprobe: Int = IvfPqProbes): DataFrame = {
     import spark.implicits._
@@ -1902,7 +1915,234 @@ object Similarity {
        |ORDER BY query_id, rk""".stripMargin
   }
 
-  val oracleSql: Map[String, String] = Map(
+  /** DuckDB-readable parquet glob for a persisted embeddings-derived
+    * model table (the d15 posting-index precedent, generalized): the
+    * centroid / cell-assignment / codebook artifacts ARE the model
+    * contract, so the oracle CONSUMES the same persisted parquet the
+    * engine applies — DuckDB then replays assignment, ADC scoring, and
+    * re-ranking from scratch, which checks the apply path bit-for-bit
+    * while treating only the fit (k-means on Spark-specific seeded
+    * hashes, not expressible in SQL) as given. `oracleSql` is evaluated
+    * by Verify AFTER the registry queries ran, so the artifacts exist;
+    * Verify pins the fixture dir via the graft.oracle.sfdir property. */
+  private def modelGlob(name: String): String = {
+    val dir = sys.props.getOrElse("graft.oracle.sfdir", "/root/testdata/sf0.01")
+    ModelStore.path(dir, "embeddings.parquet", name).getPath + "/*.parquet"
+  }
+
+  /** Shared oracle CTE: embeddings as (vec_id, v double[], nrm) — the
+    * exact arithmetic shape of [[normalizedEmbeddings]] (cast once,
+    * norm = sqrt of the sequential self-inner-product). */
+  private val enCte =
+    """en AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+      |         sqrt(list_inner_product(CAST(embedding AS DOUBLE[]),
+      |                                 CAST(embedding AS DOUBLE[]))) AS nrm
+      |       FROM embeddings)""".stripMargin
+
+  /** Shared oracle CTE pair: the persisted IVF centroid table (with the
+    * same cn = sqrt(cv·cv) the engine's centArray computes) and the
+    * persisted corpus cell assignment. Evaluated lazily inside
+    * [[oracleSql]] so the ModelStore path reflects the Verify-pinned
+    * fixture dir. */
+  private def ivfCtes: String =
+    s"""cents AS (SELECT cent_id, cv, sqrt(list_inner_product(cv, cv)) AS cn
+       |          FROM '${modelGlob(s"ivf-i1-p$IvfVectorsPerCell")}'),
+       |asg AS (SELECT vec_id, cent_id
+       |        FROM '${modelGlob(s"ivf-assign-i1-p$IvfVectorsPerCell")}')"""
+      .stripMargin
+
+  /** PQ-encode CTE chain over a (vec_id, <vcol> double[]) relation
+    * `src`: per-subspace slice → L2² to every codebook row (left-fold,
+    * matching the engine's aggregate-over-zip_with) → argmin code with
+    * ties to the lowest k (the engine's array_position-of-min rule). */
+  private def pqCodeCtes(src: String, vcol: String): String = {
+    val d = 64 / PqM
+    s"""ms AS (SELECT unnest(range($PqM)) AS m),
+       |sub AS (SELECT vec_id, m, list_slice($vcol, m*$d + 1, m*$d + $d) AS sv
+       |        FROM $src CROSS JOIN ms),
+       |dist AS (SELECT sub.vec_id, sub.m, cb.k,
+       |           list_reduce(list_transform(list_zip(sub.sv, cb.c),
+       |             t -> (t[1] - t[2]) * (t[1] - t[2])), (a, b) -> a + b) AS d2
+       |         FROM sub JOIN cb ON sub.m = cb.m),
+       |code AS (SELECT vec_id, m, k AS code FROM (
+       |           SELECT vec_id, m, k,
+       |             row_number() OVER (PARTITION BY vec_id, m
+       |               ORDER BY d2 ASC, k ASC) AS r FROM dist)
+       |         WHERE r = 1)""".stripMargin
+  }
+
+  def oracleSql: Map[String, String] = Map(
+    "v4_ann_ivf" ->
+      s"""WITH $ivfCtes,
+         |$enCte,
+         |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM en
+         |      WHERE vec_id < $QueryCount),
+         |qc AS (SELECT query_id, qv, qn, cent_id FROM (
+         |         SELECT q.query_id, q.qv, q.qn, c.cent_id,
+         |           row_number() OVER (PARTITION BY q.query_id
+         |             ORDER BY list_inner_product(q.qv, c.cv) / (q.qn * c.cn)
+         |               DESC, c.cent_id ASC) AS cr
+         |         FROM q CROSS JOIN cents c)
+         |       WHERE cr <= 2),
+         |cand AS (SELECT qc.query_id, en.vec_id,
+         |           list_inner_product(qc.qv, en.v) / (qc.qn * en.nrm) AS cos
+         |         FROM qc JOIN asg ON qc.cent_id = asg.cent_id
+         |                 JOIN en ON asg.vec_id = en.vec_id
+         |         WHERE en.vec_id != qc.query_id),
+         |r AS (SELECT query_id, vec_id, cos,
+         |        row_number() OVER (PARTITION BY query_id
+         |          ORDER BY cos DESC, vec_id ASC) AS rk FROM cand)
+         |SELECT query_id, CAST(rk AS INT) AS rk, vec_id,
+         |  round(cos, 6) AS cos_sim
+         |FROM r WHERE rk <= $K ORDER BY query_id, rk""".stripMargin,
+    "v8_semantic_dedup" ->
+      s"""WITH $ivfCtes,
+         |$enCte,
+         |e AS (SELECT asg.vec_id, asg.cent_id, en.v, en.nrm
+         |      FROM asg JOIN en USING (vec_id)),
+         |dropped AS (SELECT DISTINCT b.vec_id FROM e a JOIN e b
+         |              ON a.cent_id = b.cent_id AND a.vec_id < b.vec_id
+         |            WHERE list_inner_product(a.v, b.v) / (a.nrm * b.nrm)
+         |              >= $CosineThreshold)
+         |SELECT e.vec_id, e.cent_id, d.vec_id IS NULL AS kept
+         |FROM e LEFT JOIN dropped d ON e.vec_id = d.vec_id
+         |ORDER BY e.vec_id""".stripMargin,
+    "v16_semantic_contamination" ->
+      s"""WITH $ivfCtes,
+         |$enCte,
+         |corpus AS (SELECT en.vec_id, en.v, en.nrm, asg.cent_id
+         |           FROM en JOIN asg USING (vec_id)
+         |           WHERE en.vec_id % 25 != 0 AND en.nrm > 0),
+         |bench AS (SELECT vec_id AS bench_id, v AS bv, nrm AS bn, cent_id
+         |          FROM (
+         |            SELECT en.vec_id, en.v, en.nrm, c.cent_id,
+         |              row_number() OVER (PARTITION BY en.vec_id
+         |                ORDER BY list_inner_product(en.v, c.cv)
+         |                  / (en.nrm * c.cn) DESC, c.cent_id ASC) AS cr
+         |            FROM en CROSS JOIN cents c
+         |            WHERE en.vec_id % 25 = 0 AND en.nrm > 0)
+         |          WHERE cr <= 2),
+         |m AS (SELECT corpus.vec_id, bench.bench_id,
+         |        list_inner_product(corpus.v, bench.bv)
+         |          / (corpus.nrm * bench.bn) AS cos
+         |      FROM corpus JOIN bench USING (cent_id)),
+         |r AS (SELECT vec_id, bench_id, cos,
+         |        row_number() OVER (PARTITION BY vec_id
+         |          ORDER BY cos DESC, bench_id ASC) AS rk FROM m)
+         |SELECT vec_id, bench_id, round(cos, 6) AS cos_sim
+         |FROM r WHERE rk = 1 AND cos >= $CosineThreshold
+         |ORDER BY vec_id""".stripMargin,
+    "v17_index_delta" ->
+      s"""WITH cents AS (SELECT cent_id, cv,
+         |          sqrt(list_inner_product(cv, cv)) AS cn
+         |        FROM '${modelGlob(s"ivf-base-ex$DeltaMod-i1-p$IvfVectorsPerCell")}'),
+         |$enCte,
+         |asg AS (SELECT vec_id, cent_id FROM (
+         |          SELECT en.vec_id, c.cent_id,
+         |            row_number() OVER (PARTITION BY en.vec_id
+         |              ORDER BY list_inner_product(en.v, c.cv)
+         |                / (en.nrm * c.cn) DESC, c.cent_id ASC) AS cr
+         |          FROM en CROSS JOIN cents c)
+         |        WHERE cr = 1),
+         |base AS (SELECT cent_id, count(*) AS n_base FROM asg
+         |         WHERE vec_id % 10 != $DeltaMod GROUP BY 1),
+         |delta AS (SELECT cent_id, count(*) AS n_delta FROM asg
+         |          WHERE vec_id % 10 = $DeltaMod GROUP BY 1)
+         |SELECT cent_id,
+         |  COALESCE(n_base, 0) AS n_base,
+         |  COALESCE(n_delta, 0) AS n_delta,
+         |  COALESCE(n_base, 0) + COALESCE(n_delta, 0) AS n_total,
+         |  CAST(COALESCE(n_delta, 0) AS DOUBLE) /
+         |    CAST(COALESCE(n_base, 0) + COALESCE(n_delta, 0) AS DOUBLE)
+         |    AS delta_frac
+         |FROM base FULL JOIN delta USING (cent_id)
+         |ORDER BY cent_id""".stripMargin,
+    "v10_ann_pq" ->
+      s"""WITH cb AS (SELECT m, k, c
+         |        FROM '${modelGlob(s"pq-m$PqM-k$PqK-l$PqLloyd")}'),
+         |$enCte,
+         |${pqCodeCtes("en", "v")},
+         |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM en
+         |      WHERE vec_id < $QueryCount),
+         |term AS (SELECT q.query_id, code.vec_id, code.m,
+         |           list_inner_product(list_slice(q.qv,
+         |             code.m*${64 / PqM} + 1, code.m*${64 / PqM} + ${64 / PqM}),
+         |             cb.c) AS t
+         |         FROM code JOIN cb ON cb.m = code.m AND cb.k = code.code
+         |         CROSS JOIN q WHERE code.vec_id != q.query_id),
+         |adc AS (SELECT query_id, vec_id,
+         |          list_reduce(list(t ORDER BY m), (a, b) -> a + b) AS s
+         |        FROM term GROUP BY query_id, vec_id),
+         |short AS (SELECT query_id, vec_id FROM (
+         |            SELECT adc.query_id, adc.vec_id,
+         |              row_number() OVER (PARTITION BY adc.query_id
+         |                ORDER BY adc.s / (q.qn * en.nrm) DESC,
+         |                         adc.vec_id ASC) AS sr
+         |            FROM adc JOIN q USING (query_id)
+         |                     JOIN en ON adc.vec_id = en.vec_id)
+         |          WHERE sr <= $PqShortlist),
+         |r AS (SELECT short.query_id, short.vec_id,
+         |        list_inner_product(q.qv, en.v) / (q.qn * en.nrm) AS cos,
+         |        row_number() OVER (PARTITION BY short.query_id
+         |          ORDER BY list_inner_product(q.qv, en.v) / (q.qn * en.nrm)
+         |            DESC, short.vec_id ASC) AS rk
+         |      FROM short JOIN q USING (query_id)
+         |                 JOIN en ON short.vec_id = en.vec_id)
+         |SELECT query_id, CAST(rk AS INT) AS rk, vec_id,
+         |  round(cos, 6) AS cos_sim
+         |FROM r WHERE rk <= $K ORDER BY query_id, rk""".stripMargin,
+    "v15_ann_ivfpq" ->
+      s"""WITH $ivfCtes,
+         |cb AS (SELECT m, k, c
+         |  FROM '${modelGlob(s"ivfpq-cb-i1-p$IvfVectorsPerCell-m$PqM-k$PqK-l$PqLloyd")}'),
+         |$enCte,
+         |resid AS (SELECT en.vec_id, en.nrm, asg.cent_id,
+         |            list_transform(list_zip(en.v, cents.cv),
+         |              t -> t[1] - t[2]) AS rv
+         |          FROM en JOIN asg USING (vec_id) JOIN cents USING (cent_id)),
+         |${pqCodeCtes("resid", "rv")},
+         |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM en
+         |      WHERE vec_id < $QueryCount),
+         |probes AS (SELECT query_id, cent_id, qc FROM (
+         |             SELECT q.query_id, c.cent_id,
+         |               list_inner_product(q.qv, c.cv) AS qc,
+         |               row_number() OVER (PARTITION BY q.query_id
+         |                 ORDER BY list_inner_product(q.qv, c.cv)
+         |                   / (q.qn * c.cn) DESC, c.cent_id ASC) AS cr
+         |             FROM q CROSS JOIN cents c)
+         |           WHERE cr <= $IvfPqProbes),
+         |term AS (SELECT probes.query_id, resid.vec_id, probes.qc, code.m,
+         |           list_inner_product(list_slice(q.qv,
+         |             code.m*${64 / PqM} + 1, code.m*${64 / PqM} + ${64 / PqM}),
+         |             cb.c) AS t
+         |         FROM probes
+         |         JOIN resid ON probes.cent_id = resid.cent_id
+         |         JOIN code ON code.vec_id = resid.vec_id
+         |         JOIN cb ON cb.m = code.m AND cb.k = code.code
+         |         JOIN q ON q.query_id = probes.query_id
+         |         WHERE resid.vec_id != probes.query_id),
+         |adc AS (SELECT query_id, vec_id,
+         |          any_value(qc) +
+         |            list_reduce(list(t ORDER BY m), (a, b) -> a + b) AS s
+         |        FROM term GROUP BY query_id, vec_id),
+         |short AS (SELECT query_id, vec_id FROM (
+         |            SELECT adc.query_id, adc.vec_id,
+         |              row_number() OVER (PARTITION BY adc.query_id
+         |                ORDER BY adc.s / (q.qn * en.nrm) DESC,
+         |                         adc.vec_id ASC) AS sr
+         |            FROM adc JOIN q USING (query_id)
+         |                     JOIN en ON adc.vec_id = en.vec_id)
+         |          WHERE sr <= $IvfPqShortlist),
+         |r AS (SELECT short.query_id, short.vec_id,
+         |        list_inner_product(q.qv, en.v) / (q.qn * en.nrm) AS cos,
+         |        row_number() OVER (PARTITION BY short.query_id
+         |          ORDER BY list_inner_product(q.qv, en.v) / (q.qn * en.nrm)
+         |            DESC, short.vec_id ASC) AS rk
+         |      FROM short JOIN q USING (query_id)
+         |                 JOIN en ON short.vec_id = en.vec_id)
+         |SELECT query_id, CAST(rk AS INT) AS rk, vec_id,
+         |  round(cos, 6) AS cos_sim
+         |FROM r WHERE rk <= $K ORDER BY query_id, rk""".stripMargin,
     "v3_ann_lsh" -> v3Oracle,
     "v11_mmr_rerank" -> v11Oracle,
     "v18_ann_binary" ->

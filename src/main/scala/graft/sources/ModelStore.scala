@@ -25,20 +25,34 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object ModelStore {
 
   /** Bump to invalidate every persisted model (format/layout changes). */
-  private val StoreVersion = "v1"
+  private val StoreVersion = "v2"
 
-  /** Returns the persisted model table for (fixture `dir`, `name`),
-    * building it via `build` on first use. `srcFile` is the fixture file
-    * the model derives from (its mtime/size stamp the key). */
-  def table(spark: SparkSession, dir: String, srcFile: String, name: String)
-           (build: => DataFrame): DataFrame = synchronized {
-    val src = new java.io.File(dir, srcFile)
+  /** The store directory an entry resolves to — a pure function of
+    * (fixture dir, source content stamp, model name), exposed so the
+    * oracle harness can hand the SAME persisted parquet to DuckDB (the
+    * d15 posting-index precedent: the artifact is part of the contract,
+    * so the oracle consumes it rather than trusting the engine's read).
+    * Keyed on [[Tables.tableStamp]] — the recursive (name, length,
+    * mtime)-fold over every file under the table path — NOT the flat
+    * top-level mtime/size, so a regenerated fixture whose directory
+    * happens to preserve both still invalidates every model derived
+    * from it (countMemo's staleness semantics, unified). */
+  def path(dir: String, srcFile: String, name: String): java.io.File = {
+    val table = srcFile.stripSuffix(".parquet")
     val stamp = new java.io.File(dir).getCanonicalPath +
-      "|" + src.lastModified + "|" + src.length + "|" + name +
+      "|" + Tables.tableStamp(dir, table) + "|" + name +
       "|" + StoreVersion
     val key = java.security.MessageDigest.getInstance("MD5")
       .digest(stamp.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
-    val out = new java.io.File(sys.props("java.io.tmpdir"), s"graft-model-$key")
+    new java.io.File(sys.props("java.io.tmpdir"), s"graft-model-$key")
+  }
+
+  /** Returns the persisted model table for (fixture `dir`, `name`),
+    * building it via `build` on first use. `srcFile` is the fixture file
+    * the model derives from (its content stamp keys the entry). */
+  def table(spark: SparkSession, dir: String, srcFile: String, name: String)
+           (build: => DataFrame): DataFrame = synchronized {
+    val out = path(dir, srcFile, name)
     if (!new java.io.File(out, "_SUCCESS").exists()) {
       def rm(f: java.io.File): Unit = {
         Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
