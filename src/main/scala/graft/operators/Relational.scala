@@ -64,9 +64,14 @@ object Relational {
   }
 
   /** Q3 — join + aggregation: revenue per market segment.
-    * customer is the small side → broadcast; lineitem⋈orders shuffles on
-    * the order key (the natural co-partition key at 100 TB: bucket both
-    * by orderkey to eliminate this exchange). */
+    * customer is SF-PROPORTIONAL (TPC-H SF×150k rows), so it gets NO
+    * broadcast hint: at fixture scale AQE broadcasts it from measured
+    * size; at 100 TB the same plan degrades gracefully to a shuffle
+    * join instead of a forced driver OOM (only the fixed-cardinality
+    * nation/region dims are hint-broadcast anywhere — q42/q43's "no
+    * broadcast assumption" rule). lineitem⋈orders shuffles on the order
+    * key (the natural co-partition key at 100 TB: bucket both by
+    * orderkey to eliminate this exchange). */
   def q3JoinAgg(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val cust = Tables.load(spark, dir, "customer")
@@ -76,7 +81,7 @@ object Relational {
     val li = Tables.load(spark, dir, "lineitem")
       .select($"l_orderkey", $"l_extendedprice", $"l_discount")
     li.join(ord, $"l_orderkey" === $"o_orderkey")
-      .join(broadcast(cust), $"o_custkey" === $"c_custkey")
+      .join(cust, $"o_custkey" === $"c_custkey")
       .groupBy($"c_mktsegment")
       .agg(
         sum(dec($"l_extendedprice") * dec(lit(1.0) - $"l_discount"))
@@ -174,9 +179,11 @@ object Relational {
   }
 
   /** Q10 — multi-way star join (TPC-H Q5 shape): revenue by nation.
-    * region/nation/customer are broadcast; orders⋈lineitem shuffles on
-    * orderkey. At 100 TB: dims stay broadcast (<10 MB), the single big
-    * shuffle is on the co-partition key. */
+    * region/nation are hint-broadcast (fixed 5/25 rows at ANY scale
+    * factor); customer is SF-proportional and therefore NOT hinted —
+    * AQE broadcasts it while it measures small and falls back to a
+    * shuffle join at 100 TB instead of OOMing the driver (same rule as
+    * q3). orders⋈lineitem shuffles on orderkey. */
   def q10StarJoin(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val region = Tables.load(spark, dir, "region")
@@ -187,7 +194,7 @@ object Relational {
     li.select($"l_orderkey", $"l_extendedprice", $"l_discount")
       .join(ord.select($"o_orderkey", $"o_custkey"),
         $"l_orderkey" === $"o_orderkey")
-      .join(broadcast(cust.select($"c_custkey", $"c_nationkey")),
+      .join(cust.select($"c_custkey", $"c_nationkey"),
         $"o_custkey" === $"c_custkey")
       .join(broadcast(nation.select($"n_nationkey", $"n_name", $"n_regionkey")),
         $"c_nationkey" === $"n_nationkey")
@@ -827,7 +834,17 @@ object Relational {
     * co-partitioned exchange, per-user state bounded by the timeline.
     * The emitted audit aggregates per user (1 row/user, not 1/hour).
     * Carried sums are re-quantized to cent-longs before summing (a double
-    * sum over filled values would be reduction-order-dependent). */
+    * sum over filled values would be reduction-order-dependent).
+    *
+    * AT SCALE, USE [[q48GapFillSparse]]: the dense calendar explode is
+    * this query's honest weakness — a user active across years emits one
+    * row per timeline HOUR whether or not anything happened, which is
+    * why q36 is the suite's costliest query at the sf1 rung (~10 s vs
+    * q48's 0.6 s for the oracle-identical answer). q36 is retained as
+    * the oracle-friendly dense twin that pins the fill semantics; q48
+    * computes the same per-user audit from observation-to-observation
+    * gap arithmetic (lead − hr) without materializing a single filled
+    * row. */
   def q36GapFill(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val hourly = Tables.load(spark, dir, "events")

@@ -28,9 +28,34 @@ class PlanAuditSpec extends AnyFunSuite {
       "unused columns must be pruned from ReadSchema")
   }
 
-  test("q3: dimension tables join via broadcast, no shuffle of the fact side for the join") {
-    val plan = formatted("q3_join_agg")
-    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast join:\n$plan")
+  test("q3: AQE broadcasts the measured-small customer side at fixture scale") {
+    val df = graft.SparkEntry.queries("q3_join_agg")(spark, dir)
+    df.collect() // AQE finalizes the physical plan lazily
+    val exec = df.queryExecution.executedPlan.toString
+    assert(exec.contains("BroadcastHashJoin"),
+      s"expected AQE to pick a broadcast join at fixture scale:\n$exec")
+  }
+
+  test("q3/q10: customer carries NO broadcast() hint — with auto-broadcast " +
+    "disabled the customer join degrades to a shuffle join (customer is " +
+    "SF-proportional; a pinned hint would OOM the driver at 100 TB)") {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      for (q <- Seq("q3_join_agg", "q10_star_join")) {
+        val df = graft.SparkEntry.queries(q)(spark, dir)
+        df.collect()
+        val exec = df.queryExecution.executedPlan.toString
+        // q10's fixed-cardinality nation/region keep their hints, so scan
+        // per-line: no BroadcastHashJoin may build on the customer key
+        val offending = exec.linesIterator
+          .filter(_.contains("BroadcastHashJoin"))
+          .filter(_.contains("c_custkey")).toSeq
+        assert(offending.isEmpty,
+          s"$q still broadcasts customer with auto-broadcast off " +
+            s"(a forced hint):\n${offending.mkString("\n")}")
+      }
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
   test("q14: top-k compiles to TakeOrderedAndProject, not a global sort") {
