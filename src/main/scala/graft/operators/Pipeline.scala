@@ -599,15 +599,20 @@ object Pipeline {
   /** Streaming sketch maintenance — the ingest-time twin of the engine's
     * mergeable sketches (q23's HLL++ distinct counting, p18's CMS heavy
     * hitters): per SOURCE, a live approximate distinct-token count and
-    * the CMS top-k tokens, folded in update mode. Both sketches are
-    * ORDER-INDEPENDENT merges (HLL registers take maxes, CMS counters
-    * take sums), so once the same documents have been delivered — in any
-    * batching, any order — the stream state equals the batch aggregate
-    * EXACTLY (the same property that already makes their batch answers
-    * stable under Spark's arbitrary partition merges); the spec asserts
-    * bit-equality, not an error band. State per source is the fixed
-    * sketch size — the 100 TB dashboard shape: cardinality and
-    * heavy-hitter monitors that never hold the vocabulary. */
+    * the CMS top-k tokens, folded in update mode. The COUNTER state is
+    * an ORDER-INDEPENDENT merge (the row count sums, HLL registers take
+    * maxes, CMS counters take sums), so once the same documents have
+    * been delivered — in any batching, any order — n_tokens_seen, the
+    * HLL estimate, and every CMS count estimate equal the batch
+    * aggregate EXACTLY. The top-k CANDIDATE LIST is weaker by
+    * construction: CmsTopKAggregate prunes candidates at serialize time
+    * against partial-local counters (its scaladoc calls this out), so
+    * under adversarially skewed batchings the stream's candidate set can
+    * differ from batch — the list is exact with high probability, not
+    * guaranteed. The spec asserts counters bit-exact always, and top-k
+    * equality on the fixture's (benign) distribution. State per source
+    * is the fixed sketch size — the 100 TB dashboard shape: cardinality
+    * and heavy-hitter monitors that never hold the vocabulary. */
   def vocabSketchStream(stream: DataFrame, k: Int = VocabK): DataFrame = {
     import stream.sparkSession.implicits._
     stream
@@ -660,9 +665,13 @@ object Pipeline {
     * recompute agree exactly (u and the pow evaluate identically in one
     * JVM; this contract is spec-level, not a cross-engine oracle — pow is
     * not correctly-rounded across engines, which is why the UNIFORM
-    * reservoir is the oracle-friendly form). Weight here is the
-    * document's size — sampling documents ∝ tokens is how a token-budget
-    * holdout draw stays unbiased per TOKEN, not per document. Same O(k)
+    * reservoir is the oracle-friendly form). Weight here is n_chars —
+    * the document's size in CHARACTERS, the cheap already-materialized
+    * proxy for token count — so inclusion probability is ∝ chars: a
+    * size-weighted draw that APPROXIMATES per-token balance for a
+    * token-budget holdout (exactly-per-token would weight by a real
+    * tokenizer count, e.g. p25's n_bpe_tokens, at the cost of encoding
+    * every arrival). Same O(k)
     * distinct-mode fold as [[reservoirStream]]. Zero-weight docs are
     * FILTERED at the source (weight 0 means "never draw"; letting them
     * reach the fold would let key 0 occupy reservoir slots while fewer
@@ -1272,6 +1281,19 @@ object Pipeline {
   /** Merge-list length for p25's applied tokenizer. */
   val BpeMergeN = 30
 
+  /** Driver-side bound on the BPE training dictionary: only the top
+    * [[BpeDictCap]] words by frequency (ties → lexicographic) reach the
+    * driver fit. The engine's own t10/t11 rule — a web-scale vocabulary
+    * is billions of typo-tail rows and must never be collected — applies
+    * to the tokenizer fit too; real BPE trainers cap or floor their word
+    * dictionaries for the same reason, and the dropped tail (each word
+    * seen a handful of times) contributes negligible pair mass to the
+    * merge ranking. The limit compiles to TakeOrderedAndProject (per-
+    * partition top-M, no global sort), so the fit stage is 100 TB-safe.
+    * At fixture scale the dictionary (31 words) sits far under the cap,
+    * so capped ≡ uncapped bit-for-bit — asserted in PipelineSpec. */
+  val BpeDictCap = 65536
+
   /** p25's fitted tokenizer: the first [[BpeMergeN]] merges learned by
     * [[bpeMerges]] over the word dictionary, PERSISTED through the model
     * store (rank, left, right) — the fit/apply split for tokenizers: a
@@ -1281,10 +1303,12 @@ object Pipeline {
                                    dir: String): Seq[(String, String)] = {
     import spark.implicits._
     graft.sources.ModelStore.table(spark, dir, "documents.parquet",
-        s"bpe-merges-n$BpeMergeN") {
+        s"bpe-merges-n$BpeMergeN-cap$BpeDictCap") {
       val dict = Tables.load(spark, dir, "documents")
         .select(explode(tokens($"text")).as("token"))
         .groupBy($"token").agg(count(lit(1)).as("cnt"))
+        .orderBy($"cnt".desc, $"token")
+        .limit(BpeDictCap)
         .as[(String, Long)].collect().toSeq
       bpeMerges(dict, BpeMergeN).zipWithIndex
         .map { case ((a, b), r) => (r, a, b) }

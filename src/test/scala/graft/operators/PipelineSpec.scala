@@ -699,6 +699,21 @@ class PipelineSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"), plan.take(800))
   }
 
+  test("p25: the BpeDictCap dictionary bound is inert at fixture scale — " +
+    "capped fit ≡ uncapped fit merge-for-merge") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val uncappedDict = graft.sources.Tables.load(spark, dir, "documents")
+      .select(explode(graft.functions.TextFunctions.tokens($"text")).as("token"))
+      .groupBy($"token").agg(count(lit(1)).as("cnt"))
+      .as[(String, Long)].collect().toSeq
+    assert(uncappedDict.size < Pipeline.BpeDictCap,
+      "fixture dictionary must sit under the cap for this equivalence")
+    val uncapped = Pipeline.bpeMerges(uncappedDict, Pipeline.BpeMergeN)
+    assert(Pipeline.bpeMergeModel(spark, dir) == uncapped,
+      "the persisted (capped) model must equal the uncapped fit")
+  }
+
   test("p25: distributed BPE encode equals a driver replay of the fitted merges") {
     val merges = Pipeline.bpeMergeModel(spark, dir)
     assert(merges.length == Pipeline.BpeMergeN, "fit produced a full merge list")
