@@ -26,7 +26,13 @@ final class Statement private[api] (
     val name: String,
     val sql: String,
     val df: DataFrame,
-    streamHandle: Option[ChangelogStream.Handle]) {
+    streamHandle: Option[ChangelogStream.Handle],
+    /** The creation-time properties map — the reference posts
+      * `{sql.current-catalog, sql.current-database}` with every create
+      * (`/root/reference/api/statements.py:27-31,70-78`) and the
+      * statement carries them; mirrored here so the L5 API shape is
+      * complete. Empty for the default namespace. */
+    val properties: Map[String, String] = Map.empty) {
 
   val schema: StructType = df.schema
   val columns: Seq[String] = schema.fieldNames.toSeq
@@ -108,7 +114,8 @@ final class Statements(spark: SparkSession, prefix: String = "stmt-",
 
   private val rng = new SecureRandom()
   private val byName = TrieMap.empty[String, Statement]
-  private val byQuery = TrieMap.empty[(String, Seq[String]), Statement]
+  private val byQuery =
+    TrieMap.empty[(String, Seq[String], Map[String, String]), Statement]
   private val createLock = new Object
 
   private def randomId(): String = {
@@ -160,7 +167,8 @@ final class Statements(spark: SparkSession, prefix: String = "stmt-",
     * (`sessionState.sqlParser`), not regex; any SQL that does not match
     * this shape (or whose relations are not changelog feeds) falls
     * through to the default route untouched. */
-  private def tryJoinStatement(sql: String, name: String): Option[Statement] = {
+  private def tryJoinStatement(sql: String, name: String,
+      properties: Map[String, String] = Map.empty): Option[Statement] = {
     import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedRelation, UnresolvedStar}
     import org.apache.spark.sql.catalyst.expressions.EqualTo
     import org.apache.spark.sql.catalyst.plans.logical.{Join, LogicalPlan, Project, SubqueryAlias}
@@ -214,7 +222,7 @@ final class Statements(spark: SparkSession, prefix: String = "stmt-",
         val handle = ChangelogStream.deltaPassthrough(deltas, name)
         // the statement's advertised schema is the maintained view's
         // columns (op travels as the record op, not a column)
-        new Statement(name, sql, deltas.drop("op"), Some(handle))
+        new Statement(name, sql, deltas.drop("op"), Some(handle), properties)
       }
     }
   }
@@ -229,14 +237,32 @@ final class Statements(spark: SparkSession, prefix: String = "stmt-",
     s.phase != Phase.Failed &&
       !(s.isStreaming && !s.handle.exists(_.query.isActive))
 
+  /** The two statement properties the reference posts with every create
+    * (`/root/reference/api/statements.py:27-31`): the catalog/database
+    * the statement's unqualified table names resolve in. */
+  val CurrentCatalogProp = "sql.current-catalog"
+  val CurrentDatabaseProp = "sql.current-database"
+
   /** Create (or return the memoized) statement for this SQL. Streaming
     * plans start immediately with a changelog-synthesizing sink keyed on
     * `keyCols` — or, when omitted, on the grouping columns derived from
     * the analyzed plan; batch plans are complete on arrival. A cached
     * statement that has failed (or whose streaming query is no longer
-    * active) is evicted and re-created rather than returned dead. */
-  def create(sql: String, keyCols: Seq[String] = Nil): Statement = {
-    val cacheKey = (sql, keyCols)
+    * active) is evicted and re-created rather than returned dead.
+    *
+    * `properties` mirrors the reference's create payload
+    * (`api/statements.py:27-31,70-78`): `sql.current-catalog` /
+    * `sql.current-database` scope how THIS statement's unqualified table
+    * names resolve — routed to the session catalog for the duration of
+    * planning (creates serialize on `createLock`, so the temporary
+    * namespace switch cannot leak into a concurrent create) and restored
+    * after. Name resolution happens at plan time, so the restored
+    * session state does not affect the statement's later execution.
+    * Properties participate in the memo key: the same SQL against two
+    * databases is two statements. */
+  def create(sql: String, keyCols: Seq[String] = Nil,
+             properties: Map[String, String] = Map.empty): Statement = {
+    val cacheKey = (sql, keyCols, properties)
     // creation is heavyweight (may start a live streaming query), so misses
     // serialize: concurrent creates of the same SQL must not race two
     // queries into existence with one silently leaked
@@ -246,16 +272,29 @@ final class Statements(spark: SparkSession, prefix: String = "stmt-",
         // index, or failed statements pile up for the facade's lifetime
         byQuery.get(cacheKey).foreach(dead => byName.remove(dead.name))
         val name = prefix + randomId()
-        val stmt = tryJoinStatement(sql, name).getOrElse {
-          val df = spark.sql(sql)
-          val handle =
-            if (df.isStreaming) {
-              val keys = if (keyCols.nonEmpty) keyCols else derivedKeys(df)
-              if (keys.nonEmpty) Some(ChangelogStream.updating(df, name, keys))
-              else Some(ChangelogStream.appending(df, name))
-            } else None
-          new Statement(name, sql, df, handle)
-        }
+        val prevCatalog = spark.catalog.currentCatalog()
+        val prevDatabase = spark.catalog.currentDatabase
+        properties.get(CurrentCatalogProp)
+          .foreach(spark.catalog.setCurrentCatalog)
+        properties.get(CurrentDatabaseProp)
+          .foreach(spark.catalog.setCurrentDatabase)
+        val stmt =
+          try {
+            tryJoinStatement(sql, name, properties).getOrElse {
+              val df = spark.sql(sql)
+              val handle =
+                if (df.isStreaming) {
+                  val keys = if (keyCols.nonEmpty) keyCols else derivedKeys(df)
+                  if (keys.nonEmpty)
+                    Some(ChangelogStream.updating(df, name, keys))
+                  else Some(ChangelogStream.appending(df, name))
+                } else None
+              new Statement(name, sql, df, handle, properties)
+            }
+          } finally {
+            spark.catalog.setCurrentCatalog(prevCatalog)
+            spark.catalog.setCurrentDatabase(prevDatabase)
+          }
         byName.put(name, stmt)
         byQuery.put(cacheKey, stmt)
         stmt

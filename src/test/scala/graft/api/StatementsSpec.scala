@@ -61,6 +61,44 @@ class StatementsSpec extends AnyFunSuite {
     }
   }
 
+  test("statement properties route sql.current-database: the same " +
+    "unqualified table name resolves per-statement (api/statements.py:27-31)") {
+    val stmts = new Statements(spark)
+    // two databases, same table NAME, different content — the reference's
+    // catalog/database context decides which one an unqualified name hits
+    spark.sql("CREATE DATABASE IF NOT EXISTS stmt_db_a")
+    spark.sql("CREATE DATABASE IF NOT EXISTS stmt_db_b")
+    try {
+      spark.sql("DROP TABLE IF EXISTS stmt_db_a.ctx_t")
+      spark.sql("DROP TABLE IF EXISTS stmt_db_b.ctx_t")
+      spark.sql("CREATE TABLE stmt_db_a.ctx_t USING parquet AS SELECT 'a' AS v")
+      spark.sql("CREATE TABLE stmt_db_b.ctx_t USING parquet AS SELECT 'b' AS v")
+      val sql = "SELECT v FROM ctx_t"
+      def props(db: String) = Map(
+        stmts.CurrentCatalogProp -> "spark_catalog",
+        stmts.CurrentDatabaseProp -> db)
+      val sa = stmts.create(sql, properties = props("stmt_db_a"))
+      val sb = stmts.create(sql, properties = props("stmt_db_b"))
+      // properties participate in the memo key: same SQL, two statements
+      assert(sa.name != sb.name, "distinct namespaces must not share a memo hit")
+      assert(sa.properties(stmts.CurrentDatabaseProp) == "stmt_db_a")
+      def firstValue(s: Statement): String = {
+        val cl = new Changelog(s.columns, s.results())
+        cl.consume(); cl.collapse().rows.head.head.toString
+      }
+      assert(firstValue(sa) == "a" && firstValue(sb) == "b",
+        "unqualified ctx_t must resolve in the statement's database")
+      // the planning-time namespace switch must not leak into the session
+      assert(spark.catalog.currentDatabase == "default",
+        "session database must be restored after create()")
+      // … and a memoized re-create under the same properties is a hit
+      assert(stmts.create(sql, properties = props("stmt_db_a")).name == sa.name)
+    } finally {
+      spark.sql("DROP DATABASE IF EXISTS stmt_db_a CASCADE")
+      spark.sql("DROP DATABASE IF EXISTS stmt_db_b CASCADE")
+    }
+  }
+
   test("statements are memoized by SQL text") {
     Tables.registerAll(spark, SparkTestSession.sf0001)
     val stmts = new Statements(spark)
