@@ -324,6 +324,23 @@ object Dedup {
   private[operators] def docCount(spark: SparkSession, dir: String): Long =
     Tables.countMemo(spark, dir, "documents")
 
+  /** The adaptive band-arity switch, made SELF-DIAGNOSING: the DuckDB
+    * oracle re-counts documents live while the engine reads the
+    * content-stamped memo, so a (theoretical) stale memo crossing the
+    * [[SimHashTripleCutoff]] would band the two engines differently and
+    * surface as a confusing full-row mismatch. Logging the memoized
+    * count and the chosen arity at query-build time turns that failure
+    * mode into a one-line diff against the oracle's count(*). */
+  private[operators] def simHashArityFor(spark: SparkSession,
+                                         dir: String): Int = {
+    val n = docCount(spark, dir)
+    val a = simHashArity(n)
+    System.err.println(
+      s"[d5] memoized documents count=$n -> simhash band arity=$a " +
+        s"(triple cutoff $SimHashTripleCutoff)")
+    a
+  }
+
   private[operators] def simHashArity(n: Long): Int =
     if (n >= SimHashTripleCutoff) 3 else 2
 
@@ -368,7 +385,7 @@ object Dedup {
       .select($"doc_id", simHash(tokens($"text")).as("sig")).cache()
     def byte(j: Int): Column =
       shiftright($"sig", j * 8).bitwiseAND(lit(0xffL))
-    val bandKeys = simHashBands(simHashArity(docCount(spark, dir)))
+    val bandKeys = simHashBands(simHashArityFor(spark, dir))
       .map { case (bid, idxs) =>
         struct(lit(bid).as("band"),
           idxs.map(byte).reduceLeft((a, b) => a * 256 + b).as("bucket"))
@@ -511,7 +528,7 @@ object Dedup {
     def byte(j: Int): Column =
       if (j < 4) shiftright($"lo", 8 * j).bitwiseAND(lit(0xffL))
       else shiftright($"hi", 8 * (j - 4)).bitwiseAND(lit(0xffL))
-    val arity = forcedArity.getOrElse(simHashArity(docCount(spark, dir)))
+    val arity = forcedArity.getOrElse(simHashArityFor(spark, dir))
     val bandKeys = simHashBands(arity).map { case (bid, idxs) =>
       struct(lit(bid).as("band"),
         idxs.map(byte).reduceLeft((a, b) => a * 256 + b).as("bucket"))

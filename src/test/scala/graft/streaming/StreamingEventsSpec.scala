@@ -884,6 +884,91 @@ class StreamingEventsSpec extends AnyFunSuite {
     }
   }
 
+  test("right-outer changelog join PROPERTY: delete-heavy interleavings " +
+    "with mid-stream redelivery, at every prefix, over multiple seeds — " +
+    "the facade accepts RIGHT JOIN SQL, so the right-only pad direction " +
+    "gets the same adversarial coverage as LEFT/FULL") {
+    import StatefulOps.{JoinDelta, JoinEvent}
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    // reference view: matched pairs plus RIGHT-side pads only — a left
+    // row with no right match emits nothing under a right-outer join
+    def liveRightJoin(prefix: Seq[JoinEvent])
+        : Set[(Long, Long, String, Long, String)] = {
+      val l = scala.collection.mutable.Map.empty[(Long, Long), String]
+      val r = scala.collection.mutable.Map.empty[(Long, Long), String]
+      prefix.foreach { e =>
+        val m = if (e.left) l else r
+        if (e.delete) m.remove((e.key, e.id))
+        else m((e.key, e.id)) = e.value
+      }
+      val matched = for (((lk, li), lv) <- l.toSeq; ((rk, ri), rv) <- r.toSeq
+                         if lk == rk) yield (lk, li, lv, ri, rv)
+      val rPads = r.collect { case ((rk, ri), rv)
+        if !l.keys.exists(_._1 == rk) => (rk, -1L, null: String, ri, rv) }
+      (matched ++ rPads).toSet
+    }
+    // same adversarial axes as the full-outer suite: delete probability
+    // 1/2, 2 ids per side × 3 keys, one whole batch redelivered
+    Seq(5, 29, 83).foreach { seed =>
+      val rnd = new scala.util.Random(seed)
+      val evs = (0 until 160).map { _ =>
+        val left = rnd.nextBoolean()
+        JoinEvent(rnd.nextInt(3).toLong, left,
+          (if (left) 100 else 200) + rnd.nextInt(2).toLong,
+          s"v${rnd.nextInt(100)}", rnd.nextBoolean())
+      }
+      val qn = s"cl_rjoin_prop_$seed"
+      val mem = MemoryStream[(Long, JoinEvent)]
+      val q = StatefulOps.changelogJoinStream(mem.toDS(),
+          leftOuter = false, rightOuter = true)
+        .writeStream.outputMode("update")
+        .format("memory").queryName(qn).start()
+      try {
+        val base = evs.zipWithIndex.map { case (e, i) => (i.toLong, e) }
+          .grouped(40).toSeq
+        val redelivered = base(rnd.nextInt(base.size - 1))
+        val batches = base.patch(base.size - 1, Seq(redelivered), 0)
+        var prefix = Vector.empty[JoinEvent]
+        batches.foreach { b =>
+          mem.addData(b); q.processAllAvailable()
+          prefix ++= b.map(_._2)
+          val counts = s.table(qn).as[JoinDelta].collect()
+            .groupBy(d => (d.key, d.left_id, d.left_value, d.right_id,
+              d.right_value))
+            .view.mapValues(_.map(d => if (d.op == 0) 1 else -1).sum).toMap
+          assert(counts.values.forall(c => c == 0 || c == 1),
+            s"seed $seed: collapse went negative/double: " +
+              counts.filter(kv => kv._2 != 0 && kv._2 != 1))
+          assert(counts.filter(_._2 == 1).keySet == liveRightJoin(prefix),
+            s"seed $seed: right-outer view diverged at prefix ${prefix.size}")
+        }
+        // non-vacuousness: the interleaving must exercise BOTH pad
+        // transitions — a right pad appearing (right row while left side
+        // of its key is empty) and a pad retracting into a match (left
+        // arrival on a padded key); count them per-event on the replay
+        val l = scala.collection.mutable.Map.empty[(Long, Long), String]
+        val r = scala.collection.mutable.Map.empty[(Long, Long), String]
+        var padBorn = 0; var padRetracted = 0
+        prefix.foreach { e =>
+          def rightAlone(k: Long) =
+            r.keys.exists(_._1 == k) && !l.keys.exists(_._1 == k)
+          val before = rightAlone(e.key)
+          val m = if (e.left) l else r
+          if (e.delete) m.remove((e.key, e.id))
+          else m((e.key, e.id)) = e.value
+          val after = rightAlone(e.key)
+          if (!before && after) padBorn += 1
+          if (before && !after && e.left && !e.delete) padRetracted += 1
+        }
+        assert(padBorn > 0 && padRetracted > 0,
+          s"seed $seed: interleaving never exercised pad birth " +
+            s"($padBorn) or pad-to-match retraction ($padRetracted)")
+      } finally q.stop()
+    }
+  }
+
   test("nearDupStream bucket saturation is observable via the overflow " +
     "accumulator") {
     val s = spark
@@ -1037,8 +1122,8 @@ class StreamingEventsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
-  test("streaming sketch maintenance equals the batch sketches exactly " +
-    "(order-independent merges)") {
+  test("streaming sketch maintenance: counters equal batch exactly " +
+    "(order-independent merges); top-k list matches on this fixture") {
     val s = spark
     import s.implicits._
     implicit val ctx = s.sqlContext
@@ -1065,6 +1150,15 @@ class StreamingEventsSpec extends AnyFunSuite {
       val latest = s.table("sketch_test").collect()
         .groupBy(_.getString(0))
         .map { case (src, rs) => src -> row(rs.maxBy(_.getLong(1))) }
+      // counter halves (row count, HLL estimate) are GUARANTEED equal
+      // under any batching — assert them separately so a (theoretical)
+      // top-k candidate divergence cannot mask a counter bug
+      assert(latest.view.mapValues(v => (v._1, v._2)).toMap ==
+        batch.view.mapValues(v => (v._1, v._2)).toMap,
+        s"counter state diverges from batch: $latest vs $batch")
+      // the top-k LIST is exact-whp only (serialize-time candidate
+      // pruning — see vocabSketchStream's scaladoc); on this fixture's
+      // benign distribution it is deterministic and equal
       assert(latest == batch,
         s"stream sketches diverge from batch: $latest vs $batch")
     } finally q.stop()
