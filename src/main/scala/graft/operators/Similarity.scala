@@ -976,9 +976,9 @@ object Similarity {
     val shortlist = codes.crossJoin(broadcast(qdf))
       .filter($"vec_id" =!= $"query_id")
       .select($"query_id", $"vec_id", $"qn",
-        (aggregate(sequence(lit(0), lit(PqM - 1)), lit(0.0), (acc, m) =>
-          acc + element_at(element_at($"lut", m + 1),
-            element_at($"codes", m + 1).cast("int") + 1)) /
+        // codegen'd primitive loop (AdcScore) — the aggregate-HOF over
+        // nested element_at it replaces ran interpreted per candidate
+        (graft.plans.VectorExpressions.adcScore($"lut", $"codes") /
           ($"qn" * $"nrm")).as("approx_cos"))
       .groupBy($"query_id")
       .agg(graft.plans.TopKAggregate.topK($"approx_cos", $"vec_id", PqShortlist)
@@ -1108,9 +1108,9 @@ object Similarity {
     val shortlist = codes.join(broadcast(probes), "cent_id")
       .filter($"vec_id" =!= $"query_id")
       .select($"query_id", $"vec_id",
-        (($"qc" + aggregate(sequence(lit(0), lit(PqM - 1)), lit(0.0),
-          (acc, m) => acc + element_at(element_at($"lut", m + 1),
-            element_at($"codes", m + 1).cast("int") + 1))) /
+        // q·v = q·c + Σ lut[m][code_m], the residual sum via the
+        // codegen'd AdcScore loop (same left-fold order as the HOF)
+        (($"qc" + graft.plans.VectorExpressions.adcScore($"lut", $"codes")) /
           ($"qn" * $"nrm")).as("approx_cos"))
       .groupBy($"query_id")
       .agg(graft.plans.TopKAggregate.topK($"approx_cos", $"vec_id",
@@ -1159,11 +1159,20 @@ object Similarity {
     *     — cyclic Jacobi, deterministic, sign-fixed so reruns match;
     *  3. projection: map-side dot products against the broadcast-literal
     *     component matrix (codegen'd DotProduct), zero shuffle.
-    * Registry output is rows-only (eigenvectors aren't SQL-expressible);
-    * SimilaritySpec asserts orthonormality, descending captured variance,
-    * and agreement of the distributed covariance with a driver-side
-    * recompute. */
-  def v9PcaProject(spark: SparkSession, dir: String): DataFrame = {
+    * Stages 1–2 are the FIT and persist through [[ModelStore]] (r7):
+    * one (pc, w, mean_dot) row per component, fit once per corpus
+    * snapshot like every other model. ORACLE-EXACT since r7: DuckDB
+    * reads the persisted component parquet and replays the projection
+    * (list_inner_product − mean_dot, the same left-to-right double sum
+    * as the codegen'd DotProduct) — only the covariance+Jacobi fit is
+    * taken as given. SimilaritySpec asserts orthonormality, descending
+    * captured variance, centering, and the contraction property. */
+  private[operators] def pcaModel(spark: SparkSession, dir: String): DataFrame =
+    ModelStore.table(spark, dir, "embeddings.parquet", s"pca-k$PcaK") {
+      pcaFit(spark, dir)
+    }
+
+  private[operators] def pcaFit(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val dim = Tables.load(spark, dir, "embeddings")
       .select(size($"embedding")).first().getInt(0)
@@ -1248,12 +1257,26 @@ object Similarity {
       val m = v.indices.maxBy(i => math.abs(v(i)))
       if (v(m) < 0) v.map(x => -x) else v
     }
-    // stage 3: map-side projection — dot against literal components;
-    // centering folds into a scalar constant per component
-    val projCols = comps.zipWithIndex.map { case (v, c) =>
+    // model rows: component index, eigenvector, and the centering
+    // constant w·mean (folded here so apply never touches the mean)
+    val modelRows = comps.zipWithIndex.map { case (v, c) =>
       val meanDot = v.indices.map(i => v(i) * mean(i)).sum
-      (dot($"ev", lit(v.toArray)) - lit(meanDot)).as(s"pc${c + 1}")
+      (c + 1, v.toSeq, meanDot)
     }
+    spark.createDataFrame(modelRows).toDF("pc", "w", "mean_dot")
+  }
+
+  def v9PcaProject(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    // stage 3 (APPLY): map-side dot against the literal persisted
+    // components (doubles round-trip parquet bit-exactly, so
+    // store-apply ≡ fresh-fit-apply); centering is the stored scalar
+    val model = pcaModel(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray, r.getDouble(2)))
+      .sortBy(_._1)
+    val projCols = model.map { case (c, w, meanDot) =>
+      (dot($"ev", lit(w)) - lit(meanDot)).as(s"pc$c")
+    }.toSeq
     Tables.load(spark, dir, "embeddings")
       .select($"vec_id", $"embedding".cast("array<double>").as("ev"))
       .select(($"vec_id" +: projCols): _*)
@@ -1972,6 +1995,21 @@ object Similarity {
   }
 
   def oracleSql: Map[String, String] = Map(
+    "v9_pca_project" -> {
+      // one projected column per component, pivoted from the (vec_id,
+      // pc, score) join — max() over the single value per cell is exact
+      val pcCols = (1 to PcaK)
+        .map(c => s"  max(CASE WHEN pc = $c THEN s END) AS pc$c")
+        .mkString(",\n")
+      s"""WITH comp AS (SELECT pc, w, mean_dot FROM '${modelGlob(s"pca-k$PcaK")}'),
+         |sc AS (SELECT e.vec_id, comp.pc,
+         |         list_inner_product(CAST(e.embedding AS DOUBLE[]), comp.w)
+         |           - comp.mean_dot AS s
+         |       FROM embeddings e CROSS JOIN comp)
+         |SELECT vec_id,
+         |$pcCols
+         |FROM sc GROUP BY vec_id ORDER BY vec_id""".stripMargin
+    },
     "v4_ann_ivf" ->
       s"""WITH $ivfCtes,
          |$enCte,

@@ -56,12 +56,15 @@ class ScalingArtifactSpec extends AnyFunSuite {
     val declared = list("expected_superlinear")
     val entry =
       """"([a-z0-9_]+)":\{"times":[^}]*"ratio":([0-9.]+)(,"first_pass_ratio":[0-9.]+)?\}""".r
+    // the band is 2.0 (was 2.5 through r6): every ratio above it must
+    // carry an isolated first_pass_ratio or a declaration — the empty
+    // `superlinear` list is only as credible as its near-line residuals
     val offenders = entry.findAllMatchIn(json).collect {
-      case mm if mm.group(2).toDouble > 2.5 &&
+      case mm if mm.group(2).toDouble > 2.0 &&
         mm.group(3) == null && !declared(mm.group(1)) => mm.group(1)
     }.toSeq
     assert(offenders.isEmpty,
-      s"published ratio > 2.5 with no retry evidence and no declaration: " +
+      s"published ratio > 2.0 with no retry evidence and no declaration: " +
         offenders.mkString(", "))
   }
 

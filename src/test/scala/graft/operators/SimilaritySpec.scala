@@ -272,6 +272,17 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("v9: persisted PCA model — store read-back equals a fresh fit " +
+      "bit-for-bit (doubles round-trip parquet exactly)") {
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toSeq, r.getDouble(2)))
+      .sortBy(_._1).toSeq
+    val stored = rows(Similarity.pcaModel(spark, dir))
+    val fresh = rows(Similarity.pcaFit(spark, dir))
+    assert(stored == fresh,
+      "persisted (pc, w, mean_dot) must equal the fresh fit exactly")
+  }
+
   test("v10: PQ shortlist + exact re-rank recalls the exact top-k; codes ARE M tinyints") {
     val exact = Similarity.v1AnnTopK(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(2))).groupBy(_._1)

@@ -43,6 +43,44 @@ class VectorExpressionsSpec extends AnyFunSuite {
     assert(got == expect, s"$got != $expect")
   }
 
+  test("AdcScore equals the aggregate-HOF ADC sum bit-for-bit on random " +
+      "LUTs/codes, and two instances in one codegen scope declare " +
+      "disjoint locals") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(7)
+    val M = 8; val K = 16
+    val rows = (0 until 200).map { i =>
+      val lut = Seq.fill(M, K)(rnd.nextDouble() * 2 - 1)
+      val codes = Seq.fill(M)(rnd.nextInt(K).toByte)
+      (i.toLong, lut, codes)
+    }
+    val df = rows.toDF("id", "lut", "codes")
+    val got = df.select($"id",
+      VectorExpressions.adcScore($"lut", $"codes").as("s"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val hof = df.select($"id",
+      aggregate(sequence(lit(0), lit(M - 1)), lit(0.0), (acc, m) =>
+        acc + element_at(element_at($"lut", m + 1),
+          element_at($"codes", m + 1).cast("int") + 1)).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got == hof, "native ADC sum must equal the HOF left-fold " +
+      "bit-for-bit (same sequential order)")
+    // the DotProduct redefinition lesson, applied to the new expression
+    val lutRef = BoundReference(0,
+      ArrayType(ArrayType(DoubleType)), nullable = false)
+    val codeRef = BoundReference(1,
+      ArrayType(org.apache.spark.sql.types.ByteType), nullable = false)
+    val ctx = new CodegenContext
+    val c1 = AdcScore(lutRef, codeRef).genCode(ctx)
+    val c2 = AdcScore(lutRef, codeRef).genCode(ctx)
+    val decls = """(?:int|double) (\w+)""".r
+    val names = (decls.findAllMatchIn(c1.code.toString) ++
+      decls.findAllMatchIn(c2.code.toString)).map(_.group(1)).toSeq
+    assert(names.distinct.size == names.size,
+      s"duplicate local declarations across two instances: $names")
+  }
+
   test("PlaneSignBits equals the per-plane sign of the masked sum; " +
       "ElementSignBits equals the per-dimension sign") {
     val v = Array(0.5, -1.5, 2.0, -0.25)
