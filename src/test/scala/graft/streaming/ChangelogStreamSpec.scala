@@ -216,6 +216,40 @@ class ChangelogStreamSpec extends AnyFunSuite {
     } finally handle.stop()
   }
 
+  // the cap must protect the driver BEFORE the transfer, not only after:
+  // the sink collects `limit(remainingCapacity + 1)`, so a catch-up
+  // micro-batch far larger than the budget still fails via the log's
+  // documented error while only ~cap+1 rows ever flow toward the driver.
+  // An accumulator in the projection feeding the collect counts executor-
+  // side row evaluations: executeTake pulls the projection at most
+  // limit times per scanned partition, so the count stays orders of
+  // magnitude below the batch size.
+  test("oversized micro-batch fails via the cap with a bounded collect") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val mem = MemoryStream[Int]
+    val evals = s.sparkContext.longAccumulator("cap-bound-evals")
+    val touched = udf { (i: Int) => evals.add(1L); i }
+    val cap = 50
+    val total = 100000
+    val handle = ChangelogStream.appending(
+      mem.toDF().select(touched($"value").as("v")), "cap-bound-test",
+      maxBufferedRecords = cap)
+    try {
+      mem.addData(1 to total)
+      val ex = intercept[Exception](handle.processAllAvailable())
+      def messages(t: Throwable): Seq[String] =
+        Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ messages(e.getCause))
+      assert(messages(ex).exists(_.contains("maxBufferedRecords")),
+        s"error must name the budget: ${messages(ex)}")
+      assert(evals.value > 0, "instrumented projection never ran")
+      assert(evals.value < total / 10,
+        s"collect not bounded by the cap: ${evals.value} row evaluations " +
+          s"for a $total-row batch against cap=$cap")
+    } finally handle.stop()
+  }
+
   test("append-only streaming query passes rows through as +I") {
     val s = spark
     import s.implicits._
