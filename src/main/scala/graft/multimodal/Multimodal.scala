@@ -524,26 +524,83 @@ object Multimodal {
       (shiftright(hash, b1 * 8).bitwiseAND(lit(0xffL)) * 256 +
         shiftright(hash, b2 * 8).bitwiseAND(lit(0xffL))).as("bucket"))): _*))
 
-  /** Rows-only driver queries (binary payloads are not SQL-oracle
-    * territory; MultimodalSpec covers decode fidelity + shape). */
-  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "m9_video_phash" -> ((s: SparkSession, d: String) => {
+  /** The persisted perceptual-hash tables — hash-once/dedup-many is the
+    * production shape at 100 TB (perceptual hashes are computed at ingest
+    * and every dedup pass consumes the hash INDEX, never re-decoding the
+    * corpus), and the d15 posting-index precedent makes the artifact part
+    * of the oracle contract: DuckDB replays banding, the candidate join,
+    * and the Hamming verification from the SAME persisted parquet the
+    * engine applies, so everything downstream of the decode is
+    * hash-exact-checked; only the codec (not SQL territory) is taken as
+    * given, and THAT has planted-ground-truth + driver-recompute specs
+    * in MultimodalSpec. */
+  private[multimodal] def m7SigTable(s: SparkSession, d: String): DataFrame =
+    graft.sources.ModelStore.table(s, d, "documents.parquet", "m7-dhash") {
       import s.implicits._
-      // perceptual video dedup: per-frame dHash over the REAL decoded
-      // frames → clip signature of VideoFrames longs (narrow map work),
-      // candidates from m7's band shape applied per (frame_idx, band) —
-      // a transcoded dup collides on nearly every band, unrelated
-      // textures differ — verified by TOTAL signature Hamming ≤
-      // VideoFrames·PHashMaxDist. Signatures ride the band join: only
-      // (id, VideoFrames×8 bytes) ever shuffles, pixels never leave the
-      // decode stage.
-      val sigs = mediaParquet(s, d).as[MediaRecord]
+      mediaParquet(s, d).as[MediaRecord]
+        .filter($"kind" === "image")
+        .mapPartitions(_.map { m =>
+          val f = Codec.decodeImage(m.format, m.payload)
+          (m.media_id, dHash(f.width, f.height, f.rgb))
+        })
+        .toDF("media_id", "sig")
+    }
+
+  private[multimodal] def m9SigTable(s: SparkSession, d: String): DataFrame =
+    graft.sources.ModelStore.table(s, d, "documents.parquet", "m9-dhash") {
+      import s.implicits._
+      mediaParquet(s, d).as[MediaRecord]
         .filter($"kind" === "video")
         .mapPartitions(_.map { m =>
           val fs = Codec.decodeVideo(m.format, m.payload)
           (m.media_id, fs.map(f => dHash(f.width, f.height, f.rgb)).toArray)
         })
         .toDF("media_id", "sig")
+    }
+
+  /** m8's persisted artifacts: the constellation-fingerprint INDEX (the
+    * hash-once shape, like m7/m9) and the decoded-waveform cache the
+    * verification stage reuses (decode-once: audio PCM is the same order
+    * of bytes as the encoded payload — unlike video frames — so caching
+    * the decode is a sane ingest artifact, and the oracle can replay the
+    * cross-correlation from the exact samples the engine correlates). */
+  private[multimodal] def m8FpTable(s: SparkSession, d: String): DataFrame =
+    graft.sources.ModelStore.table(s, d, "documents.parquet", "m8-fingerprints") {
+      import s.implicits._
+      mediaParquet(s, d).as[MediaRecord]
+        .filter($"kind" === "audio")
+        .mapPartitions(_.flatMap { m =>
+          audioFingerprint(Codec.decodeWav(m.payload).samples)
+            .map(h => (m.media_id, h))
+        })
+        .toDF("media_id", "h")
+    }
+
+  private[multimodal] def m8SamplesTable(s: SparkSession, d: String): DataFrame =
+    graft.sources.ModelStore.table(s, d, "documents.parquet", "m8-samples") {
+      import s.implicits._
+      mediaParquet(s, d).as[MediaRecord]
+        .filter($"kind" === "audio")
+        .mapPartitions(_.map(m => (m.media_id, Codec.decodeWav(m.payload).samples)))
+        .toDF("media_id", "samples")
+    }
+
+  /** Driver queries. m7/m8/m9 are oracle-exact downstream of the
+    * persisted hash/waveform tables; the remaining decode rows stay
+    * rows-only (binary payloads are not SQL-oracle territory;
+    * MultimodalSpec covers decode fidelity + shape). */
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m9_video_phash" -> ((s: SparkSession, d: String) => {
+      import s.implicits._
+      // perceptual video dedup: per-frame dHash over the REAL decoded
+      // frames → clip signature of VideoFrames longs (narrow map work,
+      // persisted once — see m9SigTable), candidates from m7's band
+      // shape applied per (frame_idx, band) — a transcoded dup collides
+      // on nearly every band, unrelated textures differ — verified by
+      // TOTAL signature Hamming ≤ VideoFrames·PHashMaxDist. Signatures
+      // ride the band join: only (id, VideoFrames×8 bytes) ever
+      // shuffles, pixels never leave the decode stage.
+      val sigs = m9SigTable(s, d)
       val banded = sigs.select($"media_id", $"sig",
           posexplode($"sig").as(Seq("fidx", "fh")))
         // degenerate frames (constant luminance → dHash exactly 0: fades,
@@ -578,38 +635,33 @@ object Multimodal {
       import s.implicits._
       // audio dedup by spectral-peak constellation: decode → per-frame
       // top-3 peak-bin hash (narrow map work; the d-family shape with an
-      // FFT as the hash function), clips sharing any frame hash become
-      // candidates via an equi-join on the 8-byte hash — payloads never
-      // ride the join — then gain-invariant normalized cross-correlation
-      // over the two decoded clips confirms (the planted 0.9×-gain
-      // wav↔adpcm dups score ≥ ~0.99; unrelated clips decorrelate even
-      // on a full frequency-triple hash collision, because every partial
-      // carries an id-derived phase — see the synth comment). Only
-      // (id, hash) shuffles for candidate generation; payloads re-attach
-      // by bounded shuffled-hash joins for exactly the candidate pairs.
-      val audio = mediaParquet(s, d).as[MediaRecord]
-        .filter($"kind" === "audio")
-      val hashes = audio.mapPartitions(_.flatMap { m =>
-        audioFingerprint(Codec.decodeWav(m.payload).samples)
-          .map(h => (m.media_id, h))
-      }).toDF("media_id", "h")
+      // FFT as the hash function — persisted once, see m8FpTable), clips
+      // sharing any frame hash become candidates via an equi-join on the
+      // 8-byte hash — payloads never ride the join — then gain-invariant
+      // normalized cross-correlation over the two decoded waveforms
+      // confirms (the planted 0.9×-gain wav↔adpcm dups score ≥ ~0.99;
+      // unrelated clips decorrelate even on a full frequency-triple hash
+      // collision, because every partial carries an id-derived phase —
+      // see the synth comment). Only (id, hash) shuffles for candidate
+      // generation; waveforms (the persisted decode cache, m8SamplesTable)
+      // re-attach by bounded shuffled-hash joins for exactly the
+      // candidate pairs.
+      val hashes = m8FpTable(s, d)
       val cands = hashes.as("a").join(hashes.as("b"),
           $"a.h" === $"b.h" && $"a.media_id" < $"b.media_id")
         .groupBy($"a.media_id".as("id1"), $"b.media_id".as("id2"))
         .agg(count(lit(1)).as("n_shared"))
-      val payloads = audio.select($"media_id", $"payload")
+      val waves = m8SamplesTable(s, d)
       cands.hint("shuffle_hash")
-        .join(payloads.select($"media_id".as("id1"), $"payload".as("p1")),
+        .join(waves.select($"media_id".as("id1"), $"samples".as("p1")),
           "id1")
         .hint("shuffle_hash")
-        .join(payloads.select($"media_id".as("id2"), $"payload".as("p2")),
+        .join(waves.select($"media_id".as("id2"), $"samples".as("p2")),
           "id2")
         .select($"id1", $"id2", $"n_shared", $"p1", $"p2")
-        .as[(Long, Long, Long, Array[Byte], Array[Byte])]
+        .as[(Long, Long, Long, Array[Short], Array[Short])]
         .mapPartitions(_.map { case (id1, id2, ns, p1, p2) =>
-          val corr = xcorr(Codec.decodeWav(p1).samples,
-            Codec.decodeWav(p2).samples)
-          (id1, id2, ns, math.round(corr * 10000) / 10000.0)
+          (id1, id2, ns, math.round(xcorr(p1, p2) * 10000) / 10000.0)
         })
         .toDF("id1", "id2", "n_shared", "corr")
         .filter($"corr" >= FpMinCorr)
@@ -618,19 +670,14 @@ object Multimodal {
     "m7_image_phash" -> ((s: SparkSession, d: String) => {
       import s.implicits._
       // perceptual-hash image dedup: decode → 64-bit dHash (narrow map
-      // work, payload read only for image rows), then candidates from
-      // band-PAIR bucket collisions (see bandBuckets: Hamming ≤ 6 leaves
-      // ≥ 2 of 8 bands clean, so a clean 16-bit band-pair exists —
-      // the same guarantee as single bands at this distance, saturating
-      // 256× later), verified by exact Hamming ≤ PHashMaxDist. The
-      // pixels never shuffle: only (id, 8-byte hash) leaves the decode.
-      val sigs = mediaParquet(s, d).as[MediaRecord]
-        .filter($"kind" === "image")
-        .mapPartitions(_.map { m =>
-          val f = Codec.decodeImage(m.format, m.payload)
-          (m.media_id, dHash(f.width, f.height, f.rgb))
-        })
-        .toDF("media_id", "sig")
+      // work, payload read only for image rows, persisted once — see
+      // m7SigTable), then candidates from band-PAIR bucket collisions
+      // (see bandBuckets: Hamming ≤ 6 leaves ≥ 2 of 8 bands clean, so a
+      // clean 16-bit band-pair exists — the same guarantee as single
+      // bands at this distance, saturating 256× later), verified by
+      // exact Hamming ≤ PHashMaxDist. The pixels never shuffle: only
+      // (id, 8-byte hash) leaves the decode.
+      val sigs = m7SigTable(s, d)
       val banded = sigs.select($"media_id", $"sig",
           bandBuckets($"sig").as("bb"))
         .select($"media_id", $"sig", $"bb.band", $"bb.bucket")
@@ -776,18 +823,120 @@ object Multimodal {
     }),
   )
 
-  /** Oracles for the metadata-derivable m-queries. m3 never decodes;
-    * m2/m4 DO decode distributed (every sampled frame / resized payload
-    * must round-trip through a real codec) but emit decoded GEOMETRY —
-    * frame counts, pixel/sample totals, resize-target dims — and every
-    * one of those is a pure function of `doc_id` (the synth rules in
-    * `synthesize`), so DuckDB re-derives them from `documents` alone and
-    * the driver checks the rows exactly. The remaining decode queries
-    * (m1/m5–m9) stay rows-only: their values depend on encoded payload
-    * BYTES (JPEG entropy coding, ADPCM state machines, FFT bins) that
-    * SQL cannot reproduce; their fidelity specs compare against
-    * driver-side recomputes instead. */
+  /** DuckDB-readable glob for a persisted media-derived model table
+    * (Similarity.modelGlob / Pipeline.docModelGlob convention). */
+  private def mediaModelGlob(name: String): String = {
+    val dir = sys.props.getOrElse("graft.oracle.sfdir", "/root/testdata/sf0.01")
+    graft.sources.ModelStore.path(dir, "documents.parquet", name).getPath +
+      "/*.parquet"
+  }
+
+  /** The C(8,2)=28 band-pair CTE shared by the m7/m9 oracles — the SQL
+    * twin of [[bandBuckets]]: band id b1*8+b2, 16-bit bucket from the two
+    * 8-bit bands. DuckDB's `>>` is the same arithmetic shift and
+    * bit_count/xor the same two's-complement ops as the JVM's (checked
+    * on negative hashes). */
+  private val bandPairCte =
+    """bp AS (SELECT b1, b2 FROM (SELECT unnest(range(8)) AS b1)
+      |       CROSS JOIN (SELECT unnest(range(8)) AS b2) WHERE b1 < b2)"""
+      .stripMargin
+
+  /** Oracles for the metadata-derivable m-queries, plus the perceptual-
+    * hash dedups. m3 never decodes; m2/m4 DO decode distributed (every
+    * sampled frame / resized payload must round-trip through a real
+    * codec) but emit decoded GEOMETRY — frame counts, pixel/sample
+    * totals, resize-target dims — and every one of those is a pure
+    * function of `doc_id` (the synth rules in `synthesize`), so DuckDB
+    * re-derives them from `documents` alone and the driver checks the
+    * rows exactly. m7/m9 (r8): DuckDB consumes the PERSISTED dHash
+    * tables ([[m7SigTable]]/[[m9SigTable]] — the artifact is part of the
+    * contract, the d15/v4 precedent) and replays band-pair candidate
+    * generation and exact-Hamming verification from scratch, so the
+    * whole dedup downstream of the codec is hash-exact-checked. The
+    * remaining decode queries (m1/m5/m6/m8) stay rows-only: their values
+    * depend on encoded payload BYTES (JPEG entropy coding, ADPCM state
+    * machines, FFT bins) that SQL cannot reproduce; their fidelity specs
+    * compare against driver-side recomputes instead. */
   def oracleSql: Map[String, String] = Map(
+    "m7_image_phash" ->
+      s"""WITH s AS (SELECT media_id, sig FROM '${mediaModelGlob("m7-dhash")}'),
+         |$bandPairCte,
+         |banded AS (SELECT media_id, sig, b1 * 8 + b2 AS band,
+         |             ((sig >> (b1 * 8)) & 255) * 256
+         |               + ((sig >> (b2 * 8)) & 255) AS bucket
+         |           FROM s CROSS JOIN bp),
+         |cand AS (SELECT DISTINCT a.media_id AS id1, b.media_id AS id2,
+         |           CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming
+         |         FROM banded a JOIN banded b
+         |           ON a.band = b.band AND a.bucket = b.bucket
+         |          AND a.media_id < b.media_id)
+         |SELECT id1, id2, hamming FROM cand
+         |WHERE hamming <= $PHashMaxDist ORDER BY id1, id2""".stripMargin,
+    "m8_audio_fingerprint" ->
+      // Candidates replayed from the persisted fingerprint index; the
+      // cross-correlation replayed from the persisted waveform cache with
+      // the engine's exact accumulation shape: three separate sequential
+      // left-folds seeded at 0.0 (list_reduce over a 0.0-prepended list —
+      // 0.0 + x1 is bit-identical to x1), one sqrt, one division, then
+      // the floor(x·10⁴ + 0.5) rounding (Java Math.round). Verified
+      // bit-exact at sf0.01/sf0.001.
+      s"""WITH fp AS (SELECT media_id, h
+         |            FROM '${mediaModelGlob("m8-fingerprints")}'),
+         |w AS (SELECT media_id, samples FROM '${mediaModelGlob("m8-samples")}'),
+         |cand AS (SELECT a.media_id AS id1, b.media_id AS id2,
+         |           CAST(count(*) AS BIGINT) AS n_shared
+         |         FROM fp a JOIN fp b
+         |           ON a.h = b.h AND a.media_id < b.media_id
+         |         GROUP BY 1, 2),
+         |z AS (SELECT c.id1, c.id2, c.n_shared,
+         |        list_zip(
+         |          list_slice(wa.samples, 1,
+         |            least(len(wa.samples), len(wb.samples))),
+         |          list_slice(wb.samples, 1,
+         |            least(len(wa.samples), len(wb.samples)))) AS zz
+         |      FROM cand c JOIN w wa ON wa.media_id = c.id1
+         |                  JOIN w wb ON wb.media_id = c.id2),
+         |m AS (SELECT id1, id2, n_shared,
+         |        list_reduce(list_prepend(0.0, list_transform(zz,
+         |          t -> CAST(t[1] AS DOUBLE) * CAST(t[2] AS DOUBLE))),
+         |          (x, y) -> x + y) AS sab,
+         |        list_reduce(list_prepend(0.0, list_transform(zz,
+         |          t -> CAST(t[1] AS DOUBLE) * CAST(t[1] AS DOUBLE))),
+         |          (x, y) -> x + y) AS saa,
+         |        list_reduce(list_prepend(0.0, list_transform(zz,
+         |          t -> CAST(t[2] AS DOUBLE) * CAST(t[2] AS DOUBLE))),
+         |          (x, y) -> x + y) AS sbb
+         |      FROM z),
+         |r AS (SELECT id1, id2, n_shared,
+         |        CAST(floor((CASE WHEN saa = 0 OR sbb = 0 THEN 0.0
+         |          ELSE sab / sqrt(saa * sbb) END) * 10000 + 0.5) AS BIGINT)
+         |          / 10000.0 AS corr
+         |      FROM m)
+         |SELECT id1, id2, n_shared, corr FROM r
+         |WHERE corr >= $FpMinCorr ORDER BY id1, id2""".stripMargin,
+    "m9_video_phash" ->
+      s"""WITH s AS (SELECT media_id, sig FROM '${mediaModelGlob("m9-dhash")}'),
+         |fr0 AS (SELECT media_id, sig,
+         |          unnest(generate_series(1, len(sig))) AS i FROM s),
+         |fr AS (SELECT media_id, i - 1 AS fidx, sig[i] AS fh FROM fr0),
+         |$bandPairCte,
+         |banded AS (SELECT media_id, fidx, fh, b1 * 8 + b2 AS band,
+         |             ((fh >> (b1 * 8)) & 255) * 256
+         |               + ((fh >> (b2 * 8)) & 255) AS bucket
+         |           FROM fr CROSS JOIN bp WHERE fh != 0),
+         |cand AS (SELECT DISTINCT a.media_id AS id1, b.media_id AS id2
+         |         FROM banded a JOIN banded b
+         |           ON a.fidx = b.fidx AND a.band = b.band
+         |          AND a.bucket = b.bucket AND a.media_id < b.media_id),
+         |ham AS (SELECT c.id1, c.id2,
+         |          CAST(sum(bit_count(xor(fa.fh, fb.fh))) AS INT) AS hamming
+         |        FROM cand c
+         |        JOIN fr fa ON fa.media_id = c.id1
+         |        JOIN fr fb ON fb.media_id = c.id2 AND fb.fidx = fa.fidx
+         |        GROUP BY c.id1, c.id2)
+         |SELECT id1, id2, hamming FROM ham
+         |WHERE hamming <= ${VideoFrames * PHashMaxDist}
+         |ORDER BY id1, id2""".stripMargin,
     "m2_frame_sample" ->
       """WITH m AS (
         |  SELECT doc_id AS id,

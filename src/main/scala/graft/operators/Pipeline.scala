@@ -1355,8 +1355,12 @@ object Pipeline {
     * replay is genuinely imperative per-word work — the documented
     * mapPartitions exception, bounded by word length.
     *
-    * Rows-only: the merge replay is not SQL-expressible; the companion
-    * spec replays the encoder on the driver and matches every row. */
+    * Oracle-exact as of r8: the encode is replayed in DuckDB from the
+    * PERSISTED merge list (see oracleSql — a recursive CTE steps the
+    * merge ranks, and the left-to-right pair replacement maps onto
+    * string replace() over a wrapped-symbol representation). The
+    * companion spec additionally replays the encoder on the driver and
+    * matches every row. */
   def p25BpeEncode(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val bc = spark.sparkContext.broadcast(bpeMergeModel(spark, dir))
@@ -1638,7 +1642,69 @@ object Pipeline {
     "p10_chunking" -> p10Chunking _,
   )
 
-  val oracleSql: Map[String, String] = Map(
+  /** DuckDB-readable parquet glob for a persisted documents-derived model
+    * table (the Similarity.modelGlob / d15 posting-index precedent): the
+    * fitted artifact IS the model contract, so the oracle consumes the
+    * same persisted parquet the engine applies. Evaluated inside
+    * [[oracleSql]] (a def) so the ModelStore path reflects the
+    * Verify-pinned fixture dir (graft.oracle.sfdir). */
+  private def docModelGlob(name: String): String = {
+    val dir = sys.props.getOrElse("graft.oracle.sfdir", "/root/testdata/sf0.01")
+    graft.sources.ModelStore.path(dir, "documents.parquet", name).getPath +
+      "/*.parquet"
+  }
+
+  def oracleSql: Map[String, String] = Map(
+    "p25_bpe_encode" ->
+      // Replays the engine's BPE ENCODE from the persisted merge list —
+      // the d6-closure/v4-model precedent applied to the tokenizer: the
+      // fit (driver-side pair ranking) is given as the model artifact;
+      // the apply is recomputed from scratch in SQL. The encode's
+      // left-to-right non-overlapping pair replacement is exactly string
+      // replace() over a wrapped-symbol representation: a symbolization
+      // [s1, s2, …] is encoded as ␁s1␁␁s2␁… (each symbol wrapped in a
+      // separator absent from the corpus — asserted in PipelineSpec), so
+      // merging (a, b) is replace('␁a␁␁b␁' → '␁ab␁'): wrapper alignment
+      // makes mid-symbol matches impossible (symbols never contain ␁ and
+      // are non-empty), and replace() consumes matches left-to-right
+      // without rescanning its own output — the trainer's replacement
+      // rule. A recursive CTE steps rank 0..n-1 through the merge table;
+      // symbol count falls out as half the separator count. Verified
+      // bit-exact against the engine (incl. the single IEEE division)
+      // at sf0.01.
+      s"""WITH RECURSIVE
+         |m AS (SELECT rk, "left" AS lft, "right" AS rgt
+         |      FROM '${docModelGlob(s"bpe-merges-n$BpeMergeN-cap$BpeDictCap")}'),
+         |nm AS (SELECT count(*) AS n FROM m),
+         |t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+         |      FROM documents),
+         |perdoc AS (SELECT doc_id, token, count(*) AS n FROM t GROUP BY 1, 2),
+         |words AS (SELECT DISTINCT token FROM perdoc),
+         |enc AS (
+         |  SELECT token,
+         |    array_to_string(list_transform(string_split(token, ''),
+         |      c -> chr(1) || c || chr(1)), '') AS s,
+         |    0 AS i
+         |  FROM words
+         |  UNION ALL
+         |  SELECT e.token,
+         |    replace(e.s, chr(1) || m.lft || chr(1) || chr(1) || m.rgt || chr(1),
+         |                 chr(1) || m.lft || m.rgt || chr(1)),
+         |    e.i + 1
+         |  FROM enc e JOIN m ON m.rk = e.i
+         |),
+         |syms AS (SELECT token,
+         |           CAST((length(s) - length(replace(s, chr(1), ''))) // 2
+         |             AS INT) AS n_syms
+         |         FROM enc WHERE i = (SELECT n FROM nm))
+         |SELECT doc_id,
+         |  CAST(sum(n) AS BIGINT) AS n_words,
+         |  CAST(sum(n * length(token)) AS BIGINT) AS n_chars,
+         |  CAST(sum(n * n_syms) AS BIGINT) AS n_bpe_tokens,
+         |  CAST(sum(n * length(token)) AS DOUBLE)
+         |    / CAST(sum(n * n_syms) AS DOUBLE) AS chars_per_token
+         |FROM perdoc JOIN syms USING (token)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "p29_full_prep" ->
       s"""WITH q AS (${TextAnalysis.qualityCte}),
          |t AS (SELECT doc_id, lang, md5(text) AS tk,

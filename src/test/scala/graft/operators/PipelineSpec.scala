@@ -714,6 +714,17 @@ class PipelineSpec extends AnyFunSuite {
       "the persisted (capped) model must equal the uncapped fit")
   }
 
+  // p25's DuckDB oracle replays the encode via a wrapped-symbol string
+  // representation whose separator is chr(1): the wrapper-alignment
+  // argument (no mid-symbol matches) requires the separator to never
+  // appear inside a token. Asserted against the corpus, not assumed.
+  test("p25 oracle separator chr(1) is absent from the document corpus") {
+    import org.apache.spark.sql.functions._
+    val hits = graft.sources.Tables.load(spark, dir, "documents")
+      .filter(col("text").contains("\u0001")).count()
+    assert(hits == 0L, s"$hits documents contain the oracle separator chr(1)")
+  }
+
   test("p25: distributed BPE encode equals a driver replay of the fitted merges") {
     val merges = Pipeline.bpeMergeModel(spark, dir)
     assert(merges.length == Pipeline.BpeMergeN, "fit produced a full merge list")
