@@ -247,6 +247,59 @@ object Profile {
       return
     }
 
+    // `t14probe`: stage breakdown of the PMI collocation query — where
+    // does the time go (unigram agg, bigram agg+floor, the two unigram
+    // re-attach joins + ranking)?
+    if (args.headOption.contains("t14probe")) {
+      import graft.operators.TextAnalysis
+      val tk = Tables.load(spark, sfDir, "documents")
+        .select($"doc_id", tokens($"text").as("w"))
+      for (_ <- 1 to 2) {
+        time("uni: explode+groupBy") {
+          noop(tk.select(explode($"w").as("tok"))
+            .groupBy($"tok").agg(count(lit(1)).as("c1")))
+        }
+        time("cb: bigrams+groupBy+floor") {
+          noop(tk.filter(size($"w") >= 2)
+            .select(explode(expr(
+              "transform(sequence(1, size(w) - 1), i -> " +
+                "concat(element_at(w, i), ' ', element_at(w, i + 1)))")).as("big"))
+            .groupBy($"big").agg(count(lit(1)).as("c2"))
+            .filter($"c2" >= TextAnalysis.PmiMinCount))
+        }
+        time("full t14 (registry)") {
+          noop(SparkEntry.queries("t14_pmi_collocations")(spark, sfDir))
+        }
+        time("t14 alt: melt, ONE uni join") {
+          val uni = tk.select(explode($"w").as("tok"))
+            .groupBy($"tok").agg(count(lit(1)).as("c1"))
+          val tot = uni.agg(sum($"c1").as("t"))
+          val cb = tk.filter(size($"w") >= 2)
+            .select(explode(expr(
+              "transform(sequence(1, size(w) - 1), i -> " +
+                "concat(element_at(w, i), ' ', element_at(w, i + 1)))")).as("big"))
+            .groupBy($"big").agg(count(lit(1)).as("c2"))
+            .filter($"c2" >= TextAnalysis.PmiMinCount)
+          val melted = cb
+            .select($"big", $"c2", posexplode(split($"big", " "))
+              .as(Seq("pos", "tok")))
+          val re = melted
+            .join(uni.hint("shuffle_hash"), "tok")
+            .groupBy($"big", $"c2")
+            .agg(max(when($"pos" === 0, $"c1")).as("cx"),
+              max(when($"pos" === 1, $"c1")).as("cy"))
+          noop(re.crossJoin(broadcast(tot))
+            .withColumn("pmi_fp",
+              expr(s"(c2 * t * ${TextAnalysis.PmiScale}) DIV (cx * cy)"))
+            .select($"big", $"c2".as("pair_count"), $"cx", $"cy", $"pmi_fp")
+            .orderBy($"pmi_fp".desc, $"big".asc)
+            .limit(TextAnalysis.PmiTopK))
+        }
+      }
+      spark.stop()
+      return
+    }
+
     if (args.nonEmpty) {
       val registry = SparkEntry.queries
       args.foreach { q =>

@@ -395,15 +395,21 @@ object TextAnalysis {
     *
     * Scale shape: unigram and bigram counts are keyed groupBys with
     * map-side combine (hot tokens partial-aggregate before the
-    * shuffle); the unigram re-attach joins on token keys and stays a
-    * shuffle join (vocabulary is unbounded at corpus scale — never
-    * broadcast, t11's call) with AQE skew-splitting on hot heads like
-    * "the"; the final ranking is TakeOrderedAndProject at
-    * [[PmiTopK]] — each partition ships ≤k rows, the bigram table
-    * never feeds a global sort. At 100 TB the c_xy·T·10⁶ numerator
-    * approaches the BIGINT ceiling (T ≈ 10¹³ tokens would overflow at
-    * c_xy ≈ 10⁵ — widen the product to DECIMAL(38,0) there; at fixture
-    * scale BIGINT is exact and oracle-checkable). */
+    * shuffle). The unigram re-attach MELTS each surviving bigram into
+    * its (pos, token) legs and joins the unigram table ONCE — the r8
+    * change: the original x-then-y join pair shuffled the unbounded
+    * vocabulary TWICE (the query's dominant exchange; measured 0.78 →
+    * 0.61 s warm at sf0.1), where the melt shuffles it once and
+    * re-groups 2 rows per bigram (bounded by the c2-floored bigram
+    * table, far smaller than the vocabulary). The join stays a shuffle
+    * join (vocabulary is unbounded at corpus scale — never broadcast,
+    * t11's call) with AQE skew-splitting on hot heads like "the"; the
+    * final ranking is TakeOrderedAndProject at [[PmiTopK]] — each
+    * partition ships ≤k rows, the bigram table never feeds a global
+    * sort. At 100 TB the c_xy·T·10⁶ numerator approaches the BIGINT
+    * ceiling (T ≈ 10¹³ tokens would overflow at c_xy ≈ 10⁵ — widen the
+    * product to DECIMAL(38,0) there; at fixture scale BIGINT is exact
+    * and oracle-checkable). */
   def t14PmiCollocations(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val tk = Tables.load(spark, dir, "documents")
@@ -417,10 +423,14 @@ object TextAnalysis {
           "concat(element_at(w, i), ' ', element_at(w, i + 1)))")).as("big"))
       .groupBy($"big").agg(count(lit(1)).as("c2"))
       .filter($"c2" >= PmiMinCount)
-    cb.withColumn("x", split($"big", " ").getItem(0))
-      .withColumn("y", split($"big", " ").getItem(1))
-      .join(uni.select($"tok".as("x"), $"c1".as("cx")).hint("shuffle_hash"), "x")
-      .join(uni.select($"tok".as("y"), $"c1".as("cy")).hint("shuffle_hash"), "y")
+    cb.select($"big", $"c2",
+        posexplode(split($"big", " ")).as(Seq("pos", "tok")))
+      .join(uni.hint("shuffle_hash"), "tok")
+      .groupBy($"big", $"c2")
+      // exactly one row per leg (pos 0 = x, pos 1 = y); max over the
+      // single value per cell is exact — the v9-oracle pivot rule
+      .agg(max(when($"pos" === 0, $"c1")).as("cx"),
+        max(when($"pos" === 1, $"c1")).as("cy"))
       .crossJoin(broadcast(tot))
       .withColumn("pmi_fp", expr(s"(c2 * t * $PmiScale) DIV (cx * cy)"))
       .select($"big", $"c2".as("pair_count"), $"cx", $"cy", $"pmi_fp")
