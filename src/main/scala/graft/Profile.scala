@@ -300,6 +300,36 @@ object Profile {
       return
     }
 
+    // `t11probe`: stage breakdown of bigram surprisal.
+    if (args.headOption.contains("t11probe")) {
+      val tk = Tables.load(spark, sfDir, "documents")
+        .select($"doc_id", tokens($"text").as("w"))
+      val bg = tk.filter(size($"w") >= 2)
+        .select($"doc_id", explode(expr(
+          "transform(sequence(1, size(w) - 1), i -> " +
+            "concat(element_at(w, i), ' ', element_at(w, i + 1)))")).as("big"))
+      for (_ <- 1 to 2) {
+        time("bg: explode only") { noop(bg) }
+        time("db: per-(doc,big) agg") {
+          noop(bg.groupBy($"doc_id", $"big").agg(count(lit(1)).as("m")))
+        }
+        time("cb+ctx+model") {
+          val db = bg.groupBy($"doc_id", $"big").agg(count(lit(1)).as("m"))
+          val cb = db.groupBy($"big").agg(sum($"m").as("c2"))
+          val ctx = cb.groupBy(split($"big", " ").getItem(0).as("prev"))
+            .agg(sum($"c2").as("ctx"))
+          noop(cb.withColumn("prev", split($"big", " ").getItem(0))
+            .join(ctx, "prev")
+            .select($"big", (length(bin(expr("ctx DIV c2"))) - 1).as("bits")))
+        }
+        time("full t11 (registry)") {
+          noop(SparkEntry.queries("t11_bigram_surprisal")(spark, sfDir))
+        }
+      }
+      spark.stop()
+      return
+    }
+
     if (args.nonEmpty) {
       val registry = SparkEntry.queries
       args.foreach { q =>

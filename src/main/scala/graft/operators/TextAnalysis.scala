@@ -272,10 +272,20 @@ object TextAnalysis {
     *
     * Scale shape, exactly t10's: per-(doc, bigram) pre-aggregation first,
     * so a document repeating one hot transition contributes ONE row to the
-    * count re-attach; both re-attach joins (bigram counts on the bigram,
-    * context totals on the context word) are AQE-skew-splittable
-    * equi-joins; the model tables never broadcast (a web-scale bigram
-    * vocabulary is billions of rows). */
+    * count re-attach. The bits-per-bigram MODEL is assembled at
+    * vocabulary cardinality BEFORE the corpus sees it (the r8 change):
+    * context totals join the bigram counts — two vocab-scale tables —
+    * and the ⌊log₂⌋ quantization happens once per DISTINCT bigram, so
+    * the corpus-scale (doc, bigram) table shuffles exactly once (on the
+    * bigram re-attach; it previously shuffled a second time on the
+    * context word). At sf0.1 the change is cost-neutral (isolated
+    * 1.7–2.0 s both ways — the local cost lives in the string-keyed
+    * pre-agg, which is the protective shape, not the exchanges); the
+    * saved corpus-scale shuffle is the term that grows with data, the
+    * vocab-scale model join the one that doesn't (Heaps-law sublinear).
+    * The re-attach join stays AQE-skew-splittable;
+    * the model tables never broadcast (a web-scale bigram vocabulary is
+    * billions of rows). */
   def t11BigramSurprisal(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val bg = Tables.load(spark, dir, "documents")
@@ -288,10 +298,11 @@ object TextAnalysis {
     val cb = db.groupBy($"big").agg(sum($"m").as("c2"))
     val ctx = cb.groupBy(split($"big", " ").getItem(0).as("prev"))
       .agg(sum($"c2").as("ctx"))
-    db.join(cb, "big")
+    val model = cb
       .withColumn("prev", split($"big", " ").getItem(0))
       .join(ctx, "prev")
-      .withColumn("bits", length(bin(expr("ctx DIV c2"))) - 1)
+      .select($"big", (length(bin(expr("ctx DIV c2"))) - 1).as("bits"))
+    db.join(model, "big")
       .groupBy($"doc_id")
       .agg(sum($"m").as("n_bigrams"),
         sum($"m" * $"bits").as("sum_bits"))
