@@ -714,6 +714,51 @@ class PipelineSpec extends AnyFunSuite {
       "the persisted (capped) model must equal the uncapped fit")
   }
 
+  // The p25 oracle's core identity: BPE's left-to-right non-overlapping
+  // pair replacement over a symbol LIST equals string replace() over the
+  // wrapped-symbol representation (each symbol as ␁s␁, concatenated;
+  // merge (a,b) = replace "␁a␁␁b␁" → "␁ab␁"). Property-checked on a
+  // 3-letter alphabet — the regime that maximizes overlap pathologies
+  // ("aaa" under merge (a,a), merges consuming earlier merges' output,
+  // self-pairs) — with merge lists produced by the REAL trainer over
+  // random dictionaries, not just the fixture corpus. Java and DuckDB
+  // replace() share the same contract (leftmost match, continue after
+  // the match, never rescan the replacement), so this pins the
+  // symbol-scan ≡ string-replace identity the SQL oracle rides.
+  test("property: wrapped-symbol replace() replays bpeEncodeLen exactly") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val Sep = "\u0001"
+    def encodeViaReplace(word: String, merges: Seq[(String, String)]): Int = {
+      var s = word.map(c => s"$Sep$c$Sep").mkString
+      merges.foreach { case (a, b) =>
+        s = s.replace(Sep + a + Sep + Sep + b + Sep, Sep + a + b + Sep)
+      }
+      s.count(_ == Sep.head) / 2
+    }
+    val wordGen = for {
+      n <- Gen.chooseNum(0, 12)
+      cs <- Gen.listOfN(n, Gen.oneOf('a', 'b', 'c'))
+    } yield cs.mkString
+    (0 until 50).foreach { trial =>
+      val dict = (0 until 20).map { i =>
+        val w = wordGen.pureApply(Gen.Parameters.default,
+          Seed(trial * 1000L + i))
+        val c = Gen.chooseNum(1L, 50L).pureApply(Gen.Parameters.default,
+          Seed(trial * 1000L + 500 + i))
+        (w, c)
+      }.filter(_._1.nonEmpty)
+      val merges = Pipeline.bpeMerges(dict, 10)
+      dict.map(_._1).distinct.foreach { w =>
+        val direct = Pipeline.bpeEncodeLen(w, merges)
+        val viaReplace = encodeViaReplace(w, merges)
+        assert(direct == viaReplace,
+          s"trial $trial word '$w' merges $merges: " +
+            s"scan=$direct replace=$viaReplace")
+      }
+    }
+  }
+
   // p25's DuckDB oracle replays the encode via a wrapped-symbol string
   // representation whose separator is chr(1): the wrapper-alignment
   // argument (no mid-symbol matches) requires the separator to never
