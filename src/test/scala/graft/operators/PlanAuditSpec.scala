@@ -444,6 +444,28 @@ class PlanAuditSpec extends AnyFunSuite {
       s"unigram counts must re-attach via a shuffle join:\n${plan.take(1200)}")
   }
 
+  test("m7/m9: perceptual-dedup candidate generation is equi-join only — " +
+    "no cartesian, no nested loop (the banding IS the pruning)") {
+    Seq("m7_image_phash", "m9_video_phash").foreach { q =>
+      val plan = formatted(q)
+      assert(!plan.contains("CartesianProduct"),
+        s"$q grew a cartesian:\n${plan.take(1200)}")
+      assert(!plan.contains("BroadcastNestedLoopJoin"),
+        s"$q grew a nested loop:\n${plan.take(1200)}")
+    }
+  }
+
+  test("m8: candidates come from a hash equi-join and the waveform cache " +
+    "re-attaches via the hinted shuffle joins — no cartesian") {
+    val plan = formatted("m8_audio_fingerprint")
+    assert(plan.contains("ShuffledHashJoin"),
+      s"waveforms must re-attach via the hinted shuffle join (payload-" +
+        s"sized rows must never broadcast):\n${plan.take(1200)}")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"m8 grew a non-equi join:\n${plan.take(1200)}")
+  }
+
   test("p26: fitted quota table attaches to the corpus via broadcast") {
     val plan = formatted("p26_temperature_mixture")
     assert(plan.contains("BroadcastHashJoin"),
