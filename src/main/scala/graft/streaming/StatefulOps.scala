@@ -116,6 +116,71 @@ object StatefulOps {
       }
   }
 
+  case class GapAudit(user_id: Long, n_hours: Long, n_obs: Long,
+                      n_gaps: Long, gap_carried: Double)
+  case class GapFillState(lastHr: Long, lastCents: Long, firstHr: Long,
+                          nObs: Long, carriedCents: Long)
+
+  /** Streaming gap-fill audit — the LIVE tier of the gap-fill family,
+    * completing its scale ladder: q36 is the dense-calendar demo form
+    * (DECLARED expected_superlinear — O(users × timeline-span)), q48 the
+    * sparse batch form (observed rows only), and this op the ingest-time
+    * deployment: per-user keyed state is FIVE longs — last observed hour,
+    * its cent-quantized value, first hour, observation count, carried
+    * cents — O(1) per user forever, and every user touched in a
+    * micro-batch re-emits its cumulative audit row (update shape, like
+    * driftStream; consumers key on the latest row per user).
+    *
+    * Arithmetic is exactly q48's: a gap of g hours after an observation
+    * of v carries g·round(v·100) cents, and the audit emits the single
+    * IEEE division cents/100 — so once the same finalized hours have
+    * been delivered, the latest emission per user equals the batch
+    * q48/q36 row bit-for-bit (spec-asserted).
+    *
+    * Input contract: one FINALIZED row (user_id, hr, cents) per
+    * (user, hour) — the shape a watermark-closed windowed aggregation
+    * emits in append mode — with per-user hr advancing across batches
+    * (append-mode windows close in watermark order, which guarantees
+    * exactly this). In-batch rows fold in hr order. A row whose hr does
+    * not advance past the state's last hour is a broken upstream
+    * contract and FAILS FAST: unlike scd2Stream's droppable late close
+    * (symptom: a missing interval), silently absorbing a re-delivered
+    * hour here would double-count carried cents — a corrupt audit with
+    * no observable symptom, so the query dies loudly instead. */
+  def gapFillStream(hourly: Dataset[(Long, Long, Long)])
+      : Dataset[GapAudit] = {
+    implicit val outEnc: Encoder[GapAudit] = Encoders.product[GapAudit]
+    implicit val stEnc: Encoder[GapFillState] =
+      Encoders.product[GapFillState]
+    implicit val keyEnc: Encoder[Long] = Encoders.scalaLong
+    hourly.groupByKey(_._1)
+      .mapGroupsWithState[GapFillState, GapAudit](
+        GroupStateTimeout.NoTimeout()) {
+        (user: Long, rows: Iterator[(Long, Long, Long)],
+         state: GroupState[GapFillState]) =>
+          var st = state.getOption
+          rows.toVector.sortBy(_._2).foreach { case (_, hr, cents) =>
+            st = st match {
+              case None => Some(GapFillState(hr, cents, hr, 1L, 0L))
+              case Some(s) =>
+                if (hr <= s.lastHr)
+                  throw new IllegalStateException(
+                    s"gapFillStream ordering contract broken for user " +
+                      s"$user: hour $hr arrived at/behind ${s.lastHr} — " +
+                      "the upstream must deliver one finalized row per " +
+                      "(user, hour) in watermark order")
+                Some(GapFillState(hr, cents, s.firstHr, s.nObs + 1,
+                  s.carriedCents + (hr - s.lastHr - 1) * s.lastCents))
+            }
+          }
+          val s = st.get
+          state.update(s)
+          GapAudit(user, s.lastHr - s.firstHr + 1, s.nObs,
+            s.lastHr - s.firstHr + 1 - s.nObs,
+            s.carriedCents.toDouble / 100)
+      }
+  }
+
   case class PackAssign(shard: Int, doc_id: Long, n_tokens: Long,
                         seq_start: Long, seq_offset: Long, seq_end: Long)
 

@@ -309,6 +309,70 @@ class StreamingEventsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming gap-fill audit folds to the batch q48 rows with O(1) state") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val dir = SparkTestSession.sf0001
+    // the finalized-hour feed a watermark-closed windowed agg would emit:
+    // one (user, hr, cents) row per observed hour, quantized exactly as
+    // q48 quantizes (round(v·100) over the decimal-summed hourly value)
+    val hourly = Tables.load(s, dir, "events")
+      .filter($"event_type" === "purchase")
+      .withColumn("hr", expr("unix_micros(ts) DIV 3600000000"))
+      .groupBy($"user_id", $"hr")
+      .agg(sum($"value".cast("decimal(18,2)")).cast("double").as("v"))
+      .select($"user_id", $"hr", round($"v" * 100).cast("long").as("cents"))
+      .as[(Long, Long, Long)].collect().sortBy(r => (r._2, r._1))
+    // global hr order implies per-user hr order — watermark delivery
+    val mem = MemoryStream[(Long, Long, Long)]
+    val q = StatefulOps.gapFillStream(mem.toDS()).writeStream
+      .outputMode("update").format("memory").queryName("gapfill_test")
+      .start()
+    try {
+      hourly.grouped(hourly.length / 3 + 1).foreach { b =>
+        mem.addData(b.toSeq); q.processAllAvailable()
+      }
+      // latest emission per user = max n_hours (strictly increasing per
+      // emission: every accepted observation advances the last hour)
+      val got = s.table("gapfill_test").collect()
+        .map(r => (r.getLong(0),
+          (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))))
+        .groupBy(_._1).map { case (u, rows) => u -> rows.map(_._2).maxBy(_._1) }
+      val want = graft.operators.Relational.q48GapFillSparse(s, dir).collect()
+        .map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))))
+        .toMap
+      assert(got == want,
+        s"streaming gap-fill must equal batch q48 " +
+          s"(got ${got.size} users, want ${want.size})")
+    } finally q.stop()
+  }
+
+  test("streaming gap-fill fails fast on a non-advancing hour (the " +
+    "double-count guard)") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val mem = MemoryStream[(Long, Long, Long)]
+    val q = StatefulOps.gapFillStream(mem.toDS()).writeStream
+      .outputMode("update").format("memory").queryName("gapfill_ooo")
+      .start()
+    try {
+      mem.addData(Seq((1L, 10L, 100L), (1L, 12L, 200L)))
+      q.processAllAvailable()
+      // hour 12 redelivered: absorbing it silently would double-count
+      // carried cents, so the contract violation must kill the query
+      mem.addData(Seq((1L, 12L, 200L)))
+      val ex = intercept[Exception](q.processAllAvailable())
+      def messages(t: Throwable): Seq[String] =
+        Option(t).toSeq.flatMap(e =>
+          Option(e.getMessage).toSeq ++ messages(e.getCause))
+      assert(messages(ex).exists(_.contains("ordering contract")),
+        s"must fail via the contract guard: ${messages(ex)}")
+    } finally q.stop()
+  }
+
   test("streaming SCD2 drops ordering-contract violations instead of " +
     "emitting inverted intervals") {
     val s = spark
