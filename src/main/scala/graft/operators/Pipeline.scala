@@ -791,9 +791,34 @@ object Pipeline {
     * full (token, count) vocabulary. Estimates are one-sided (est ≥ true,
     * est ≤ true + εN w.h.p.); PipelineSpec asserts the bound, top-k
     * agreement with exact p5-style counts on the fixture, and
-    * repartition-invariance. Rows-only in the driver gate (sketch
-    * internals are engine-specific, like q23's HLL). */
+    * repartition-invariance.
+    *
+    * ORACLE-EXACT via the d4/d5 md5-twin pattern (r8): the registry row
+    * runs the sketch with md5 row hashes (row r = hex digits [3r+1,3r+3]
+    * of md5(token) mod width — one digest per token), so DuckDB replays
+    * the ENTIRE sketch from the raw corpus: per-row counter matrix as a
+    * GROUP BY over the same digits, estimates as min-over-rows, top-k by
+    * (est DESC, token). No persisted artifact needed — this is a full
+    * from-scratch replay, and it also certifies the candidate tracking:
+    * the engine's cap-bounded candidate set must surface the same top-k
+    * the ideal all-tokens scan finds. [[cmsTopKMurmur]] keeps the
+    * MurmurHash3 family as the 100 TB default (md5 costs ~5-10× per
+    * token at the scan — d4/d14's documented tradeoff); the spec pins
+    * both families to the same fixture top-k tokens. */
   def p18CmsTopK(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.load(spark, dir, "documents")
+      .select(explode(tokens($"text")).as("token"))
+      .agg(graft.plans.CmsTopKAggregate.cmsTopKMd5($"token", VocabK).as("top"))
+      .select(posexplode($"top"))
+      .select(($"pos" + 1).cast("int").as("rk"),
+        $"col.token".as("token"), $"col.est".as("est"))
+      .orderBy($"rk")
+  }
+
+  /** The MurmurHash3-row-hash production family of [[p18CmsTopK]] — same
+    * sketch, non-replayable rows, ~5-10× cheaper per token. */
+  def p18CmsTopKMurmur(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     Tables.load(spark, dir, "documents")
       .select(explode(tokens($"text")).as("token"))
@@ -1573,6 +1598,57 @@ object Pipeline {
       .orderBy($"source")
   }
 
+  /** Docs per loader batch for p30's length-bucketed batching. */
+  val BucketBatchDocs = 8
+
+  /** P30 — length-bucketed batch assignment + padding-waste audit: the
+    * PADDING-based alternative to p15's packing (the two standard ways a
+    * dataloader turns variable-length documents into fixed-shape
+    * batches). Documents bucket by ceil-power-of-two token length, rank
+    * within (bucket, block) by doc_id, and cut into
+    * [[BucketBatchDocs]]-doc batches; each batch reports its size, max
+    * length (the pad target — real loaders pad to the BATCH max, not
+    * the bucket cap), exact token total, padded total, and the waste
+    * fraction — the number that tells you whether bucketing beats
+    * packing for a given corpus.
+    *
+    * Scale shape: the ONLY window partitions by (bucket, block) — p3's
+    * bounded-block rule applied to ranking, so no partition exceeds
+    * (corpus / ShardMaxBlocks) rows per bucket and the corpus never
+    * enters a global or per-bucket-global sort (a plain per-bucket rank
+    * would funnel the whole corpus through ~60 bucket partitions).
+    * Batches are therefore block-LOCAL — exactly how real loaders shard
+    * batch formation per worker; the per-(bucket, block) partial tail
+    * batch is the honest cost of sharded formation and shows up in the
+    * audit. Bucket arithmetic is pure integer bit math (t12's
+    * next-pow-2 form), identical in DuckDB — oracle-exact; waste_frac
+    * is one IEEE division of exact longs. */
+  def p30LengthBuckets(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.load(spark, dir, "documents")
+      .select($"doc_id", size(tokens($"text")).cast("long").as("n"))
+    val maxId = Option(docs.agg(max($"doc_id")).head().get(0))
+      .map(_.asInstanceOf[Long]).getOrElse(0L)
+    val blockWidth = maxId / ShardMaxBlocks + 1
+    docs
+      .withColumn("bucket", expr(
+        "CASE WHEN n <= 1 THEN 1 " +
+          "ELSE shiftleft(CAST(1 AS BIGINT), length(bin(n - 1))) END"))
+      .withColumn("block", expr(s"doc_id DIV $blockWidth"))
+      .withColumn("batch_id",
+        expr(s"(row_number() OVER (PARTITION BY bucket, block " +
+          s"ORDER BY doc_id) - 1) DIV $BucketBatchDocs"))
+      .groupBy($"bucket", $"block", $"batch_id")
+      .agg(count(lit(1)).as("n_docs"),
+        max($"n").as("batch_max_len"),
+        sum($"n").as("total_tokens"))
+      .withColumn("padded_tokens", $"n_docs" * $"batch_max_len")
+      .withColumn("waste_frac",
+        ($"padded_tokens" - $"total_tokens").cast(DoubleType) /
+          $"padded_tokens".cast(DoubleType))
+      .orderBy($"bucket", $"block", $"batch_id")
+  }
+
   /** P29 — the composed end-to-end prep pipeline in ONE Catalyst plan:
     * quality filter (p13's keep rule) → exact dedup on survivors (d1's
     * min-doc_id-per-md5 rule, applied AFTER filtering — the real
@@ -1640,6 +1716,7 @@ object Pipeline {
     "p5_vocab_topk" -> p5VocabTopK _,
     "p9_tfidf" -> p9TfIdf _,
     "p10_chunking" -> p10Chunking _,
+    "p30_length_buckets" -> p30LengthBuckets _,
   )
 
   /** DuckDB-readable parquet glob for a persisted documents-derived model
@@ -1654,7 +1731,64 @@ object Pipeline {
       "/*.parquet"
   }
 
+  /** DuckDB text for md5-twin CMS row r's bucket of `col` (0-based row):
+    * hex digits [3r+1, 3r+3] as a 12-bit value mod the sketch width —
+    * digit-for-digit the aggregate's md5Rows bucket. */
+  private def duckCmsBucket(col: String, r: Int, width: Int): String =
+    s"(((instr('0123456789abcdef', substring(md5($col), ${3 * r + 1}, 1)) - 1) * 256" +
+      s" + (instr('0123456789abcdef', substring(md5($col), ${3 * r + 2}, 1)) - 1) * 16" +
+      s" + (instr('0123456789abcdef', substring(md5($col), ${3 * r + 3}, 1)) - 1)) % $width)"
+
   def oracleSql: Map[String, String] = Map(
+    "p18_cms_topk" -> {
+      val w = 2048
+      s"""WITH tk AS (SELECT unnest(string_split(text, ' ')) AS token
+         |            FROM documents),
+         |tc AS (SELECT token, CAST(count(*) AS BIGINT) AS c
+         |       FROM tk GROUP BY token),
+         |tb AS (SELECT token, c, r,
+         |         CASE r WHEN 0 THEN ${duckCmsBucket("token", 0, w)}
+         |                WHEN 1 THEN ${duckCmsBucket("token", 1, w)}
+         |                WHEN 2 THEN ${duckCmsBucket("token", 2, w)}
+         |                ELSE ${duckCmsBucket("token", 3, w)} END AS bkt
+         |       FROM tc CROSS JOIN (SELECT unnest([0,1,2,3]) AS r) rs),
+         |ctr AS (SELECT r, bkt, CAST(sum(c) AS BIGINT) AS cnt
+         |        FROM tb GROUP BY r, bkt),
+         |est AS (SELECT tb.token, min(ctr.cnt) AS est
+         |        FROM tb JOIN ctr ON ctr.r = tb.r AND ctr.bkt = tb.bkt
+         |        GROUP BY tb.token)
+         |SELECT CAST(row_number() OVER (ORDER BY est DESC, token) AS INT)
+         |         AS rk, token, est
+         |FROM est ORDER BY est DESC, token LIMIT $VocabK""".stripMargin
+    },
+    "p30_length_buckets" ->
+      s"""WITH d AS (SELECT doc_id,
+         |             CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+         |           FROM documents),
+         |mx AS (SELECT coalesce(max(doc_id), 0) AS m FROM d),
+         |b AS (SELECT doc_id, n,
+         |        CAST(CASE WHEN n <= 1 THEN 1
+         |          ELSE (CAST(1 AS BIGINT) << length(bin(n - 1)))
+         |        END AS BIGINT) AS bucket,
+         |        doc_id // ((SELECT m FROM mx) // $ShardMaxBlocks + 1)
+         |          AS block
+         |      FROM d),
+         |r AS (SELECT bucket, block, doc_id, n,
+         |        CAST((row_number() OVER (PARTITION BY bucket, block
+         |          ORDER BY doc_id) - 1) // $BucketBatchDocs AS BIGINT)
+         |          AS batch_id
+         |      FROM b),
+         |a AS (SELECT bucket, block, batch_id,
+         |        CAST(count(*) AS BIGINT) AS n_docs,
+         |        max(n) AS batch_max_len,
+         |        CAST(sum(n) AS BIGINT) AS total_tokens
+         |      FROM r GROUP BY 1, 2, 3)
+         |SELECT bucket, block, batch_id, n_docs, batch_max_len,
+         |  total_tokens,
+         |  n_docs * batch_max_len AS padded_tokens,
+         |  CAST(n_docs * batch_max_len - total_tokens AS DOUBLE)
+         |    / CAST(n_docs * batch_max_len AS DOUBLE) AS waste_frac
+         |FROM a ORDER BY bucket, block, batch_id""".stripMargin,
     "p25_bpe_encode" ->
       // Replays the engine's BPE ENCODE from the persisted merge list —
       // the d6-closure/v4-model precedent applied to the tokenizer: the

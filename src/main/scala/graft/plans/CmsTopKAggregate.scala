@@ -53,6 +53,7 @@ case class CmsTopKAggregate(
     depth: Int = 4,
     width: Int = 2048,
     cap: Int = 256,
+    md5Rows: Boolean = false,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[CmsTopKAggregate.Buffer] {
@@ -63,25 +64,52 @@ case class CmsTopKAggregate(
     s"candidate cap $cap must be >= 8*k=${8 * k}: serialize-time pruning is " +
       "partition-local, and a thin cap makes losing a global top-k token " +
       "under skew plausible rather than negligible")
+  require(!md5Rows || depth * 3 <= 32,
+    s"md5 row hashes take 3 hex digits each: depth $depth exceeds the digest")
 
   override def children: Seq[Expression] = Seq(tokenExpr)
   override def nullable: Boolean = false
   override def dataType: DataType = ArrayType(StructType(Seq(
     StructField("token", StringType, nullable = false),
     StructField("est", LongType, nullable = false))), containsNull = false)
-  override def prettyName: String = "cms_top_k"
+  override def prettyName: String = if (md5Rows) "cms_top_k_md5" else "cms_top_k"
 
-  private def bucket(row: Int, token: String): Int = {
-    val h = MurmurHash3.stringHash(token, 0x9747b28c + row)
-    java.lang.Math.floorMod(h, width)
+  /** All `depth` row buckets of one token. Production family: MurmurHash3
+    * (fast, not expressible in ANSI SQL). Oracle family (`md5Rows`): row r
+    * reads hex digits [3r+1, 3r+3] of md5(token) mod width — ONE digest
+    * per token, each row a disjoint 12-bit slice, replayable
+    * digit-for-digit in DuckDB (the d4/d5 md5-twin recipe applied to the
+    * sketch family). */
+  private def buckets(token: String): Array[Int] = {
+    val out = new Array[Int](depth)
+    if (md5Rows) {
+      val hex = CmsTopKAggregate.md5Hex(token)
+      var r = 0
+      while (r < depth) {
+        val v = (Character.digit(hex.charAt(r * 3), 16) << 8) |
+          (Character.digit(hex.charAt(r * 3 + 1), 16) << 4) |
+          Character.digit(hex.charAt(r * 3 + 2), 16)
+        out(r) = v % width
+        r += 1
+      }
+    } else {
+      var r = 0
+      while (r < depth) {
+        val h = MurmurHash3.stringHash(token, 0x9747b28c + r)
+        out(r) = java.lang.Math.floorMod(h, width)
+        r += 1
+      }
+    }
+    out
   }
 
   /** Sketch point query: min over rows (the CMS estimator). */
   private def estimate(buf: Buffer, token: String): Long = {
+    val bs = buckets(token)
     var e = Long.MaxValue
     var i = 0
     while (i < depth) {
-      val c = buf.counters(i * width + bucket(i, token))
+      val c = buf.counters(i * width + bs(i))
       if (c < e) e = c
       i += 1
     }
@@ -106,9 +134,10 @@ case class CmsTopKAggregate(
     val v = tokenExpr.eval(input)
     if (v != null) {
       val token = v.asInstanceOf[UTF8String].toString
+      val bs = buckets(token)
       var i = 0
       while (i < depth) {
-        buf.counters(i * width + bucket(i, token)) += 1
+        buf.counters(i * width + bs(i)) += 1
         i += 1
       }
       if (!buf.cand.contains(token)) {
@@ -189,4 +218,21 @@ object CmsTopKAggregate {
     ColumnBridge.column(
       CmsTopKAggregate(ColumnBridge.expression(token), k)
         .toAggregateExpression())
+
+  /** The md5-row-hash twin — identical sketch, ANSI-SQL-replayable rows. */
+  def cmsTopKMd5(token: Column, k: Int): Column =
+    ColumnBridge.column(
+      CmsTopKAggregate(ColumnBridge.expression(token), k, md5Rows = true)
+        .toAggregateExpression())
+
+  /** Lowercase hex MD5 of the token's UTF-8 bytes — byte-identical to
+    * Spark SQL's `md5()` and DuckDB's `md5()`. */
+  def md5Hex(s: String): String = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(StandardCharsets.UTF_8))
+    val sb = new java.lang.StringBuilder(32)
+    d.foreach(b => sb.append(Character.forDigit((b >> 4) & 0xf, 16))
+      .append(Character.forDigit(b & 0xf, 16)))
+    sb.toString
+  }
 }

@@ -558,12 +558,26 @@ class PipelineSpec extends AnyFunSuite {
     val tokens7 = graft.sources.Tables.load(s, dir, "documents")
       .select(explode(split($"text", " ")).as("token")).repartition(7)
     val again = tokens7
-      .agg(graft.plans.CmsTopKAggregate.cmsTopK($"token", Pipeline.VocabK)
+      .agg(graft.plans.CmsTopKAggregate.cmsTopKMd5($"token", Pipeline.VocabK)
         .as("top"))
       .select(posexplode($"top")).select($"col.token", $"col.est")
       .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
     assert(again == got.map(g => (g._2, g._3)).toSeq,
       "sketch result changed under repartitioning")
+    // hash-family identity: the MurmurHash3 production family (the 100 TB
+    // default — md5 row hashes cost ~5-10× per token) surfaces the same
+    // top-k TOKENS as the md5 oracle twin; estimates differ per family
+    // (different collision sets) but both obey the εN bound above
+    val murmur = Pipeline.p18CmsTopKMurmur(s, dir).collect()
+      .map(r => (r.getString(1), r.getLong(2)))
+    assert(murmur.map(_._1).toSeq == got.map(_._2).toSeq,
+      s"hash families disagree on the fixture top-k: " +
+        s"${murmur.map(_._1).toSeq} vs ${got.map(_._2).toSeq}")
+    murmur.foreach { case (tok, est) =>
+      val truth = exact(tok)
+      assert(est >= truth && est - truth <= bound,
+        s"murmur family out of bound on $tok: $est vs $truth")
+    }
     // scale shape: a mergeable object aggregate (partial sketches combine
     // map-side), not an exact expand-and-shuffle of the vocabulary
     val plan = Pipeline.p18CmsTopK(s, dir).queryExecution.executedPlan.toString
@@ -1010,5 +1024,37 @@ class PipelineSpec extends AnyFunSuite {
     // the sweep must actually discriminate on this corpus: some
     // threshold drops documents
     assert(rows.last._2 < rows.head._2)
+  }
+
+  test("p30: bucket/batch invariants — pow-2 bucket fits, batches full " +
+      "except per-(bucket,block) tails, tokens conserved, waste exact") {
+    val rows = Pipeline.p30LengthBuckets(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getDouble(7)))
+    assert(rows.nonEmpty)
+    val corpus = graft.sources.Tables.load(spark, dir, "documents").count()
+    assert(rows.map(_._4).sum == corpus, "every document lands in a batch")
+    rows.foreach { case (bucket, _, _, nDocs, maxLen, total, padded, waste) =>
+      // bucket is the smallest power of two >= every member length: the
+      // batch max must fit, and for bucket>1 must exceed the next bucket
+      // down (otherwise the doc would have bucketed there)
+      assert((bucket & (bucket - 1)) == 0 && bucket >= 1, s"bucket $bucket")
+      assert(maxLen <= bucket && (bucket == 1 || maxLen > bucket / 2),
+        s"batch max $maxLen outside (${bucket / 2}, $bucket]")
+      assert(nDocs >= 1 && nDocs <= Pipeline.BucketBatchDocs)
+      assert(padded == nDocs * maxLen && total <= padded)
+      assert(math.abs(waste - (padded - total).toDouble / padded) < 1e-15)
+    }
+    // within each (bucket, block) shard only the LAST batch may be
+    // partial — batch formation is a sequential cut, not bin packing
+    rows.groupBy(t => (t._1, t._2)).foreach { case ((b, blk), grp) =>
+      val sorted = grp.sortBy(_._3)
+      assert(sorted.map(_._3).toSeq == sorted.indices.map(_.toLong),
+        s"batch ids not dense in ($b,$blk)")
+      sorted.dropRight(1).foreach { t =>
+        assert(t._4 == Pipeline.BucketBatchDocs,
+          s"non-tail batch ${t._3} in ($b,$blk) is partial")
+      }
+    }
   }
 }

@@ -472,6 +472,22 @@ class PlanAuditSpec extends AnyFunSuite {
       s"quota table must broadcast:\n${plan.take(1200)}")
   }
 
+  test("p30: the ranking window partitions by (bucket, block) — the " +
+    "corpus never funnels through per-bucket-global or single partitions") {
+    val plan = formatted("p30_length_buckets")
+    // formatted mode puts the spec on the node's Arguments: line
+    assert("""windowspecdefinition\(bucket#\d+L?, block#\d+L?""".r
+      .findFirstIn(plan).isDefined,
+      s"row_number must partition by (bucket, block):\n${plan.take(1200)}")
+    assert(!plan.contains("SinglePartition") ||
+      !plan.linesIterator.exists(l =>
+        l.contains("Exchange SinglePartition") && !l.contains("max(doc_id")),
+      s"corpus-wide single partition:\n${plan.take(1200)}")
+    // one range exchange: the final ORDER BY over the aggregated batches
+    assert("rangepartitioning".r.findAllIn(plan).size == 1,
+      s"only the final batch sort may range-partition:\n${plan.take(1200)}")
+  }
+
   test("v18: Hamming shortlist is a partial top-k over broadcast query " +
     "codes; no cartesian anywhere") {
     val plan = formatted("v18_ann_binary")
