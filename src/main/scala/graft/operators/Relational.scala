@@ -390,19 +390,27 @@ object Relational {
       .orderBy($"user_id")
   }
 
-  /** Q23 — sketch-based distinct counting: HLL++ approx_count_distinct
-    * per group. At 100 TB the sketch is the only viable path (fixed-size
-    * mergeable state, map-side combinable); the exact count's
-    * expand-and-shuffle is the scale-killer and deliberately does NOT
-    * appear in this query — the ≤2% relative-error bound vs exact is
-    * asserted spec-side (RelationalSpec), where exactness belongs. Sketch
-    * values are engine-specific → rows-only for the driver. */
+  /** Q23 — sketch-based distinct counting: HyperLogLog per group. At
+    * 100 TB the sketch is the only viable path (fixed-size mergeable
+    * state, map-side combinable); the exact count's expand-and-shuffle is
+    * the scale-killer and deliberately does NOT appear in this query —
+    * the relative-error bound vs exact is asserted spec-side
+    * (RelationalSpec), where exactness belongs.
+    *
+    * ORACLE-EXACT as of r8 via [[graft.plans.HllAggregate]], the
+    * md5-twin HLL (m = 4096, rsd ≈ 1.6% — tighter than the 2% this
+    * query contracted through `approx_count_distinct(_, 0.02)` before):
+    * DuckDB replays registers, the exact-integer Z sum, and the rounded
+    * estimator from the raw column; see the aggregate's scaladoc for the
+    * cross-engine determinism argument (incl. the exhaustively-verified
+    * linear-counting domain). */
   def q23ApproxDistinct(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     Tables.load(spark, dir, "lineitem")
       .groupBy($"l_returnflag")
       .agg(count(lit(1)).as("n_rows"),
-        approx_count_distinct($"l_partkey", 0.02).as("approx_parts"))
+        graft.plans.HllAggregate.hllDistinct($"l_partkey".cast("string"))
+          .as("approx_parts"))
       .orderBy($"l_returnflag")
   }
 
@@ -1717,6 +1725,51 @@ object Relational {
       """SELECT user_id, COUNT(*) AS n_events,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q23_approx_distinct" -> {
+      // Replays HllAggregate (see its scaladoc for the determinism
+      // argument): register index/rank from the same md5 hex slices, Z
+      // accumulated exactly in DECIMAL(38,0), the SAME raw-numerator
+      // literal, and the rounded linear-counting branch (exhaustively
+      // bit-verified across glibc/JVM over its whole zeros∈[1,4096]
+      // domain).
+      def d(i: Int) = s"(instr('0123456789abcdef', substring(hx, $i, 1)) - 1)"
+      val idx = s"((${d(1)} * 16 + ${d(2)}) * 16 + ${d(3)})"
+      val w = (4 to 16).map(d).reduce((acc, x) => s"($acc * 16 + $x)")
+      val m = graft.plans.HllAggregate.M
+      val num = graft.plans.HllAggregate.Num.toString
+      s"""WITH v AS (SELECT DISTINCT l_returnflag,
+         |             md5(CAST(l_partkey AS VARCHAR)) AS hx
+         |           FROM lineitem WHERE l_partkey IS NOT NULL),
+         |h AS (SELECT l_returnflag, $idx AS idx, $w AS w FROM v),
+         |r AS (SELECT l_returnflag, idx,
+         |        max(CASE WHEN w = 0 THEN 53
+         |                 ELSE 53 - length(bin(w)) END) AS rho
+         |      FROM h GROUP BY 1, 2),
+         |grid AS (SELECT g.l_returnflag, gs.idx
+         |         FROM (SELECT DISTINCT l_returnflag FROM lineitem) g
+         |         CROSS JOIN (SELECT unnest(generate_series(0, ${m - 1}))
+         |                       AS idx) gs),
+         |mm AS (SELECT grid.l_returnflag, grid.idx,
+         |         coalesce(r.rho, 0) AS rho
+         |       FROM grid LEFT JOIN r
+         |         ON r.l_returnflag = grid.l_returnflag
+         |        AND r.idx = grid.idx),
+         |agg AS (SELECT l_returnflag,
+         |          sum(CAST(power(2, 53 - rho) AS DECIMAL(38,0))) AS zs,
+         |          count(*) FILTER (WHERE rho = 0) AS zeros
+         |        FROM mm GROUP BY 1),
+         |est AS (SELECT l_returnflag, zeros,
+         |          $num / CAST(zs AS DOUBLE) AS raw
+         |        FROM agg),
+         |n AS (SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_rows
+         |      FROM lineitem GROUP BY 1)
+         |SELECT n.l_returnflag, n.n_rows,
+         |  CAST(CASE WHEN est.raw <= 2.5 * $m AND est.zeros > 0
+         |       THEN floor($m.0 * ln($m.0 / est.zeros) + 0.5)
+         |       ELSE floor(est.raw + 0.5) END AS BIGINT) AS approx_parts
+         |FROM n JOIN est USING (l_returnflag)
+         |ORDER BY l_returnflag""".stripMargin
+    },
     "q25_funnel" ->
       """WITH t AS (
         |  SELECT user_id, event_id, ts, event_type,

@@ -1,0 +1,142 @@
+package graft.plans
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** HyperLogLog distinct-count estimation (Flajolet, Fusy, Gandouet &
+  * Meunier, AofA 2007) as a mergeable aggregate with md5-sliced register
+  * addressing — the oracle-replayable twin of Spark's built-in
+  * `approx_count_distinct` (whose HLL++ register layout and xxhash64
+  * hashing are engine-internal; reference behavior `dashboard.py` has no
+  * sketch surface — this is §2C inventory).
+  *
+  * Register addressing mirrors the d4/d5/p18 md5-twin recipe so ANSI SQL
+  * replays the WHOLE sketch from the raw column: hex digits [1,3] of
+  * md5(value) are the 12-bit register index (m = 4096, rsd 1.04/√m ≈
+  * 1.6% — tighter than the 2% the query previously contracted); digits
+  * [4,16] are a 52-bit tail whose leading-zero count gives the register
+  * rank ρ = 53 − bitlength(tail) (ρ = 53 for a zero tail). Registers
+  * max-merge — order/repartition/duplicate-invariant by construction.
+  *
+  * The estimator is deterministic cross-engine by design, not by luck:
+  *  - Z is accumulated EXACTLY: Σ 2^(53−M[j]) as arbitrary-precision
+  *    integers (BigInt here, DECIMAL(38,0) in the oracle — the terms are
+  *    exact powers of two whose double-sum would be accumulation-order-
+  *    dependent past 2^53), then ONE correctly-rounded cast to double.
+  *  - The raw estimate is ONE IEEE division NUM / Z with NUM a shared
+  *    literal (α·m²·2^53), so both engines compute the identical double.
+  *  - The small-range branch (raw ≤ 2.5m and empty registers exist —
+  *    linear counting, the regime every fixture scale lands in) needs
+  *    ln(m/zeros). libm ln differs from Math.log by 1 ulp on 4 of the
+  *    4096 possible arguments (measured), so the PUBLISHED estimate is
+  *    the ROUNDED long floor(m·ln(m/zeros)+0.5), verified bit-identical
+  *    across glibc/JVM by exhaustive enumeration of the whole domain
+  *    (zeros ∈ [1,4096]) — HllAggregateSpec pins a checksum of all 4096
+  *    values so a libm change is caught, not absorbed.
+  *  - The large-range branch rounds NUM/Z the same way; a rounding
+  *    mismatch would need the true value within ~est·2^−52 of a
+  *    half-integer AND a 1-ulp disagreement in the same direction —
+  *    possible in principle, vanishing in practice, and outside the
+  *    oracle's fixture regime either way (documented, not hidden).
+  *
+  * Scale shape: fixed 4096-byte state per group, map-side partial merge,
+  * O(m) bytes across the shuffle — the only viable distinct-count at
+  * 100 TB (the exact count's expand-and-shuffle is the scale-killer).
+  * md5 costs ~5-10× a murmur/xxhash per row (the documented d4/d14
+  * tradeoff) — for a non-oracle deployment the hash slice could swap
+  * without touching the estimator.
+  */
+case class HllAggregate(
+    child: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Byte]] {
+
+  import HllAggregate._
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = LongType
+  override def prettyName: String = "hll_distinct_md5"
+
+  override def createAggregationBuffer(): Array[Byte] = new Array[Byte](M)
+
+  override def update(buf: Array[Byte], input: InternalRow): Array[Byte] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(v.asInstanceOf[UTF8String].getBytes)
+      // nibble j (0-based) = hex digit j+1 (1-based) of the hex rendering
+      def nib(j: Int): Int = (d(j / 2) >> (4 * (1 - j % 2))) & 0xf
+      val idx = (nib(0) << 8) | (nib(1) << 4) | nib(2)
+      var w = 0L
+      var j = 3
+      while (j < 16) { w = (w << 4) | nib(j); j += 1 }
+      val rho = if (w == 0L) 53 else 53 - (64 - java.lang.Long.numberOfLeadingZeros(w))
+      if (rho > (buf(idx) & 0xff)) buf(idx) = rho.toByte
+    }
+    buf
+  }
+
+  override def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+    var i = 0
+    while (i < M) {
+      if ((b(i) & 0xff) > (a(i) & 0xff)) a(i) = b(i)
+      i += 1
+    }
+    a
+  }
+
+  override def eval(buf: Array[Byte]): Any = estimate(buf)
+
+  override def serialize(buf: Array[Byte]): Array[Byte] = buf
+  override def deserialize(bytes: Array[Byte]): Array[Byte] = bytes
+
+  override def withNewMutableAggBufferOffset(o: Int): HllAggregate =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): HllAggregate =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): HllAggregate =
+    copy(child = newChildren(0))
+}
+
+object HllAggregate {
+  /** Register count (p = 12 index bits). */
+  val M = 4096
+
+  /** α·m²·2^53 — the raw-estimate numerator, embedded as the SAME literal
+    * in the oracle SQL (Double.toString round-trips exactly through
+    * DuckDB's correctly-rounded parse). α = 0.7213/(1 + 1.079/m), the
+    * standard large-m constant from the HLL paper. */
+  val Num: Double =
+    0.7213 / (1.0 + 1.079 / M) * M.toDouble * M.toDouble * 9007199254740992.0
+
+  /** The full estimator over a register array — shared by eval and the
+    * spec's driver recompute. */
+  def estimate(buf: Array[Byte]): Long = {
+    var zeros = 0
+    var zs = BigInt(0)
+    var i = 0
+    while (i < M) {
+      val r = buf(i) & 0xff
+      if (r == 0) zeros += 1
+      zs += BigInt(1) << (53 - r)
+      i += 1
+    }
+    val raw = Num / zs.toDouble
+    if (raw <= 2.5 * M && zeros > 0)
+      math.floor(M.toDouble * Math.log(M.toDouble / zeros) + 0.5).toLong
+    else math.floor(raw + 0.5).toLong
+  }
+
+  /** hll_distinct_md5(stringCol) → long estimate. */
+  def hllDistinct(col: Column): Column =
+    ColumnBridge.column(
+      HllAggregate(ColumnBridge.expression(col)).toAggregateExpression())
+}
