@@ -299,6 +299,75 @@ object Pipeline {
       .orderBy($"doc_id")
   }
 
+  /** md5-twin bloom geometry: m bits, k probes per gram via
+    * Kirsch-Mitzenmacher double hashing (Random Struct. Alg. 2008 —
+    * pos_j = (h1 + j·step) mod m preserves the bloom's fpp asymptotics
+    * with two base hashes instead of k independent ones). h1 = the low
+    * 20 bits and step = 2·(high 12 bits)+1 (odd, so the k positions are
+    * distinct mod the power-of-two m) of the gram's 32-bit md5 span key
+    * — every number an integer DuckDB re-derives from the gram text. */
+  val BloomTwinBits: Long = 1L << 20
+  val BloomTwinK = 6
+
+  /** P14 registry row — the ORACLE-EXACT md5-twin of
+    * [[p14BloomContamination]] (the d4/d5/p18/q23 twin pattern applied to
+    * the bloom): gram keys are the d4-convention first-8-hex-digit md5
+    * span hashes, bloom positions double-hash from that key, the bit
+    * array builds as a `bit_or` aggregate over ≤ m/64 words (collected
+    * once — bounded by the m CONSTANT, not the data — and re-attached as
+    * an array literal), and the probe is k codegen'd element_at/shift
+    * tests, map-side, zero joins (plan-asserted). DuckDB replays key →
+    * positions → set-bit membership from the raw corpus, false positives
+    * included — a deterministic FP appears in BOTH engines, so the twin
+    * hash-matches while keeping the bloom's real semantics. The
+    * Spark-native `stat.bloomFilter` family above stays the production
+    * default (xxhash-based, engine-serialized — cheaper per gram); both
+    * share the no-false-negative contract, spec-pinned supersets of
+    * exact p4. */
+  def p14BloomContaminationMd5(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val m = BloomTwinBits
+    def positions(s: Column): Seq[Column] = {
+      val h1 = s % lit(m)
+      val step = (s / lit(1L << 20)).cast("long") * 2 + 1
+      (0 until BloomTwinK).map(j => (h1 + step * j) % lit(m))
+    }
+    val bench = Tables.load(spark, dir, "documents")
+      .filter($"source" === BenchmarkSource)
+      .select(explode(graft.plans.VectorExpressions
+        .md5SpanHashes($"text", ContamN)).as("s"))
+      .distinct()
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+    def shl(v: Column, amount: Column): Column = column(
+      org.apache.spark.sql.catalyst.expressions.ShiftLeft(
+        expression(v), expression(amount)))
+    def shr(v: Column, amount: Column): Column = column(
+      org.apache.spark.sql.catalyst.expressions.ShiftRight(
+        expression(v), expression(amount)))
+    val words = bench
+      .select(explode(array(positions($"s"): _*)).as("pos"))
+      .select(($"pos" / 64).cast("int").as("word"),
+        shl(lit(1L), ($"pos" % 64).cast("int")).as("b"))
+      .groupBy($"word").agg(bit_or($"b").as("bits"))
+      .collect() // ≤ m/64 = 16384 rows by construction — the model artifact
+    val bits = new Array[Long]((m / 64).toInt)
+    words.foreach(r => bits(r.getInt(0)) = r.getLong(1))
+    val bitsLit = lit(bits)
+    val hit = positions($"s").map { p =>
+      val word = (p / 64).cast("int") + 1
+      shr(element_at(bitsLit, word), (p % 64).cast("int"))
+        .bitwiseAND(lit(1L)) === lit(1L)
+    }.reduce(_ && _)
+    Tables.load(spark, dir, "documents")
+      .filter($"source" =!= BenchmarkSource)
+      .select($"doc_id", explode(graft.plans.VectorExpressions
+        .md5SpanHashes($"text", ContamN)).as("s"))
+      .filter(hit)
+      .groupBy($"doc_id")
+      .agg(countDistinct($"s").as("n_hit_ngrams"))
+      .orderBy($"doc_id")
+  }
+
   /** Streaming twin of p4: documents arrive as a stream and are checked
     * against the static benchmark n-gram set via a stream-static broadcast
     * join — contamination flagged as data lands, not in a nightly batch.
@@ -1704,8 +1773,7 @@ object Pipeline {
     "p1_repetition" -> p1Repetition _,
     "p12_mixture_sample" -> p12MixtureSample _,
     "p13_quality_filter" -> p13QualityFilter _,
-    "p14_bloom_contamination" -> ((s: SparkSession, d: String) =>
-      p14BloomContamination(s, d)),
+    "p14_bloom_contamination" -> p14BloomContaminationMd5 _,
     "p15_sequence_pack" -> p15SequencePack _,
     "p6_pii_redact" -> p6PiiRedact _,
     "p7_stratum_sample" -> p7StratumSample _,
@@ -1739,7 +1807,43 @@ object Pipeline {
       s" + (instr('0123456789abcdef', substring(md5($col), ${3 * r + 2}, 1)) - 1) * 16" +
       s" + (instr('0123456789abcdef', substring(md5($col), ${3 * r + 3}, 1)) - 1)) % $width)"
 
+  /** DuckDB text for the d4-convention 32-bit md5 span key: the numeric
+    * value of the first 8 hex digits of md5(col) (the Dedup.duckMd5Long
+    * Horner recipe — DuckDB has no conv()). */
+  private def duckMd5Head32(col: String): String =
+    (1 to 8)
+      .map(i => s"(instr('0123456789abcdef', substring(md5($col), $i, 1)) - 1)")
+      .reduce((acc, d) => s"($acc * 16 + $d)")
+
   def oracleSql: Map[String, String] = Map(
+    "p14_bloom_contamination" -> {
+      // Replays p14BloomContaminationMd5 end to end: gram text → 32-bit
+      // md5 span key → Kirsch-Mitzenmacher positions → membership in the
+      // benchmark position set (the bit array IS that set) — false
+      // positives reproduce deterministically in both engines.
+      val m = BloomTwinBits
+      s"""WITH d AS (SELECT doc_id, source, string_split(text,' ') AS w
+         |           FROM documents),
+         |g AS (SELECT doc_id, source,
+         |        unnest(list_distinct(list_transform(
+         |          generate_series(1, len(w)-${ContamN - 1}),
+         |          i -> w[i]||' '||w[i+1]||' '||w[i+2]||' '||w[i+3]||' '||w[i+4]))) AS gram
+         |      FROM d WHERE len(w) >= $ContamN),
+         |h AS (SELECT doc_id, source, ${duckMd5Head32("gram")} AS s FROM g),
+         |p AS (SELECT doc_id, source, s,
+         |        (s % $m + j * (2 * (s // $m) + 1)) % $m AS pos
+         |      FROM h CROSS JOIN (SELECT unnest(generate_series(0,
+         |        ${BloomTwinK - 1})) AS j) js),
+         |bset AS (SELECT DISTINCT pos FROM p
+         |         WHERE source = '$BenchmarkSource'),
+         |hits AS (SELECT pr.doc_id, pr.s
+         |         FROM p pr LEFT JOIN bset ON bset.pos = pr.pos
+         |         WHERE pr.source <> '$BenchmarkSource'
+         |         GROUP BY pr.doc_id, pr.s
+         |         HAVING count(bset.pos) = $BloomTwinK)
+         |SELECT doc_id, CAST(count(DISTINCT s) AS BIGINT) AS n_hit_ngrams
+         |FROM hits GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    },
     "p18_cms_topk" -> {
       val w = 2048
       s"""WITH tk AS (SELECT unnest(string_split(text, ' ')) AS token

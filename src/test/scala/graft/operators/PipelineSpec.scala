@@ -434,6 +434,16 @@ class PipelineSpec extends AnyFunSuite {
     // (fpp ~ 0), so the flagged set should not balloon
     assert(bloom.size <= exact.size + 5,
       s"fp explosion: bloom=${bloom.keySet} exact=${exact.keySet}")
+    // the md5 oracle twin (the registry row) carries the same structural
+    // no-false-negative contract and the same fp budget
+    val twin = Pipeline.p14BloomContaminationMd5(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    exact.foreach { case (doc, n) =>
+      assert(twin.contains(doc) && twin(doc) >= n,
+        s"md5 twin lost doc $doc (exact $n, got ${twin.get(doc)})")
+    }
+    assert(twin.size <= exact.size + 5,
+      s"md5-twin fp explosion: ${twin.keySet} vs ${exact.keySet}")
   }
 
   test("p14: an undersized bloom still has no false negatives — only extra flags") {

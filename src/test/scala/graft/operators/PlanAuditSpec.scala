@@ -251,12 +251,20 @@ class PlanAuditSpec extends AnyFunSuite {
   }
 
   test("p14: bloom probe is join-free — corpus only exchanges for its own count") {
+    // registry row = the md5 twin: the bit array rides an array LITERAL
+    // and the probe is k element_at/shift tests, map-side
     val df = graft.SparkEntry.queries("p14_bloom_contamination")(spark, dir)
     val plan = df.queryExecution.executedPlan.toString
     assert(!plan.contains("Join"),
       s"the bloom literal must probe map-side, not join:\n$plan")
-    assert(plan.contains("might_contain"),
-      s"expected the BloomFilterMightContain predicate:\n$plan")
+    assert(plan.contains("element_at"),
+      s"expected the literal-bit-array probe:\n${plan.take(1200)}")
+    // the production family keeps the codegen'd BloomFilterMightContain
+    val prod = graft.operators.Pipeline.p14BloomContamination(spark, dir)
+    val pplan = prod.queryExecution.executedPlan.toString
+    assert(!pplan.contains("Join") && pplan.contains("might_contain"),
+      s"production bloom must stay the join-free might_contain probe:\n" +
+        pplan.take(1200))
   }
 
   test("t8: vocab joins the corpus tokens via broadcast") {
