@@ -83,12 +83,12 @@ case class CmsTopKAggregate(
   private def buckets(token: String): Array[Int] = {
     val out = new Array[Int](depth)
     if (md5Rows) {
-      val hex = CmsTopKAggregate.md5Hex(token)
+      val d = CmsTopKAggregate.md5Bytes(token)
+      // nibble j (0-based) = hex digit j+1 of the hex rendering
+      def nib(j: Int): Int = (d(j / 2) >> (4 * (1 - j % 2))) & 0xf
       var r = 0
       while (r < depth) {
-        val v = (Character.digit(hex.charAt(r * 3), 16) << 8) |
-          (Character.digit(hex.charAt(r * 3 + 1), 16) << 4) |
-          Character.digit(hex.charAt(r * 3 + 2), 16)
+        val v = (nib(r * 3) << 8) | (nib(r * 3 + 1) << 4) | nib(r * 3 + 2)
         out(r) = v % width
         r += 1
       }
@@ -225,11 +225,21 @@ object CmsTopKAggregate {
       CmsTopKAggregate(ColumnBridge.expression(token), k, md5Rows = true)
         .toAggregateExpression())
 
+  private val md = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** MD5 digest of a string's UTF-8 bytes (thread-local digest instance —
+    * this runs per token on the hot update path). */
+  def md5Bytes(s: String): Array[Byte] = {
+    val d = md.get(); d.reset(); d.digest(s.getBytes(StandardCharsets.UTF_8))
+  }
+
   /** Lowercase hex MD5 of the token's UTF-8 bytes — byte-identical to
     * Spark SQL's `md5()` and DuckDB's `md5()`. */
   def md5Hex(s: String): String = {
-    val d = java.security.MessageDigest.getInstance("MD5")
-      .digest(s.getBytes(StandardCharsets.UTF_8))
+    val d = md5Bytes(s)
     val sb = new java.lang.StringBuilder(32)
     d.foreach(b => sb.append(Character.forDigit((b >> 4) & 0xf, 16))
       .append(Character.forDigit(b & 0xf, 16)))

@@ -69,8 +69,7 @@ case class HllAggregate(
   override def update(buf: Array[Byte], input: InternalRow): Array[Byte] = {
     val v = child.eval(input)
     if (v != null) {
-      val d = java.security.MessageDigest.getInstance("MD5")
-        .digest(v.asInstanceOf[UTF8String].getBytes)
+      val d = HllAggregate.md5(v.asInstanceOf[UTF8String].getBytes)
       // nibble j (0-based) = hex digit j+1 (1-based) of the hex rendering
       def nib(j: Int): Int = (d(j / 2) >> (4 * (1 - j % 2))) & 0xf
       val idx = (nib(0) << 8) | (nib(1) << 4) | nib(2)
@@ -109,6 +108,16 @@ case class HllAggregate(
 object HllAggregate {
   /** Register count (p = 12 index bits). */
   val M = 4096
+
+  private val mdLocal = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** Thread-local MD5 (this runs per row on the hot update path). */
+  def md5(bytes: Array[Byte]): Array[Byte] = {
+    val d = mdLocal.get(); d.reset(); d.digest(bytes)
+  }
 
   /** α·m²·2^53 — the raw-estimate numerator, embedded as the SAME literal
     * in the oracle SQL (Double.toString round-trips exactly through
