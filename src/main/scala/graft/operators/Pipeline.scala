@@ -1534,6 +1534,106 @@ object Pipeline {
       }
   }
 
+  /** noveltyStream geometry: the gram space shards [[NoveltyShards]]
+    * ways (each shard an independent keyed-state group — novelty is
+    * corpus-global, and a single global key would serialize the stream),
+    * each shard holding a [[NoveltyBloomBits]]-bit bloom filter with
+    * [[NoveltyBloomK]] Kirsch–Mitzenmacher probe positions (p14's
+    * double-hashing rule) — 8 KB of state per shard, 512 KB total,
+    * bounded FOREVER regardless of corpus size. */
+  val NoveltyShards = 64
+  val NoveltyBloomBits = 1 << 16
+  val NoveltyBloomK = 4
+
+  case class NoveltyBloomState(words: Seq[Long])
+  case class NoveltyShardRow(doc_id: Long, n_grams: Long, n_novel: Long)
+
+  /** Streaming twin of p22 — novelty scoring at the moment of ingest:
+    * each arriving document reports how many of its distinct 3-grams the
+    * corpus has never seen before, the admission signal an ordered-
+    * ingestion pipeline reads BEFORE storing the document (batch p22
+    * can only say it after the fact). Grams scatter to
+    * [[NoveltyShards]] keyed-state shards by gram-hash mod; each shard
+    * replays its rows in doc_id order (so two same-batch docs sharing a
+    * new gram resolve exactly like batch p22's min(doc_id) rule) against
+    * its bloom filter, emitting per-(doc, shard) partial counts the
+    * consumer sums by doc_id — the p3-shard-stats shape, which keeps
+    * this a SINGLE stateful operator (the per-doc rollup is stateless
+    * arithmetic downstream).
+    *
+    * The bloom is the bounded-state trade, and its error is ONE-SIDED by
+    * construction (p14's property, load-bearing here): a false positive
+    * marks a genuinely-first gram "seen", so the stream can only
+    * UNDER-report novelty, never invent it — an admission rule keyed on
+    * "novelty ≥ τ" never admits recombined boilerplate it would have
+    * rejected with exact state. Deterministic end to end: same feed,
+    * same verdicts, any engine. Fed in doc_id order with zero bloom
+    * collisions the emissions equal batch p22 exactly; both properties
+    * (driver-replay equality including collisions, and one-sided
+    * subset-of-batch) are spec-asserted.
+    *
+    * Delivery contract: exactly-once from a replayable source (the
+    * annStream convention) — a REDELIVERED document would find its own
+    * grams in the bloom and score zero novelty, and a membership-only
+    * sketch cannot tell "seen from a duplicate delivery" from "seen in
+    * an earlier document" (the marker-bit absorption the exact-state
+    * twins use is unavailable precisely because state here is bounded
+    * below per-doc size). */
+  def noveltyStream(stream: DataFrame)
+      : org.apache.spark.sql.Dataset[NoveltyShardRow] = {
+    import stream.sparkSession.implicits._
+    val nWords = NoveltyBloomBits / 64
+    stream
+      .select($"doc_id", explode(shingleHashes($"text", 3)).as("g"))
+      .select($"doc_id", $"g", pmod($"g", lit(NoveltyShards)).cast("int")
+        .as("shard"))
+      .as[(Long, Long, Int)]
+      .groupByKey(_._3)
+      .flatMapGroupsWithState[NoveltyBloomState, NoveltyShardRow](
+        org.apache.spark.sql.streaming.OutputMode.Update,
+        org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout()) {
+        (_, rows, state) =>
+          val words = state.getOption.map(_.words.toArray)
+            .getOrElse(new Array[Long](nWords))
+          // doc_id order within the shard reproduces batch min(doc_id)
+          // semantics for same-batch sharers; per-shard batch volume is
+          // (batch grams)/shards — the bounded sort this buys is the
+          // price of exact ordering, stated here
+          val out = rows.toSeq.sortBy(_._1).groupBy(_._1).toSeq
+            .sortBy(_._1).map { case (doc, docRows) =>
+              var novel = 0L
+              docRows.foreach { case (_, g, _) =>
+                // Kirsch–Mitzenmacher: pos_j = h1 + j·step (step odd ⇒
+                // positions distinct mod the power-of-two m), p14's rule
+                val h1 = g
+                val step = (g >>> 32) | 1L
+                var unseen = false
+                var j = 0
+                while (j < NoveltyBloomK) {
+                  val pos = java.lang.Long.remainderUnsigned(
+                    h1 + j * step, NoveltyBloomBits)
+                  if ((words((pos / 64).toInt) &
+                    (1L << (pos % 64))) == 0L) unseen = true
+                  j += 1
+                }
+                if (unseen) {
+                  novel += 1
+                  j = 0
+                  while (j < NoveltyBloomK) {
+                    val pos = java.lang.Long.remainderUnsigned(
+                      h1 + j * step, NoveltyBloomBits)
+                    words((pos / 64).toInt) |= 1L << (pos % 64)
+                    j += 1
+                  }
+                }
+              }
+              NoveltyShardRow(doc, docRows.size.toLong, novel)
+            }
+          state.update(NoveltyBloomState(words.toIndexedSeq))
+          out.iterator
+      }
+  }
+
   /** p26 keeps 1/[[TempTargetDen]] of the corpus, split by tempered weight. */
   val TempTargetDen = 2
 

@@ -1219,8 +1219,45 @@ object Relational {
       ORDER BY n.n_name, t.c_custkey""")
   }
 
+  /** Q49 — NTILE decile table: per-nation customer-balance deciles
+    * (bucket population + exact cents-quantized bucket bounds), the
+    * equal-population histogram a mixture/quota designer reads before
+    * writing threshold rules. NTILE is the one ranking window function
+    * the registry had not exercised; assignment is the SQL-standard rule
+    * (first n mod k buckets take the extra row) over the total order
+    * (cents, c_custkey), so both engines tile identically.
+    *
+    * Scale shape: the window partitions by nation (dimension-bounded
+    * fan-out, 25-way here) and each partition sorts once — exact
+    * per-row decile tags fundamentally need the partition's full order.
+    * At 100 TB-per-group scale the at-scale form is two-pass: p23's GK
+    * sketch publishes approximate decile BOUNDARIES (mergeable, one
+    * pass), then a map-side bucket assign tags rows — the trade (exact
+    * tags vs rank-error ≤ εN) is the same one t6's scaladoc prices.
+    * This query keeps the exact single-window form: it is the oracle
+    * anchor the sketch path is audited against. */
+  def q49NtileDeciles(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cust = Tables.load(spark, dir, "customer")
+      .select($"c_custkey", $"c_nationkey",
+        round($"c_acctbal" * 100).cast("long").as("cents"))
+    val nation = Tables.load(spark, dir, "nation")
+      .select($"n_nationkey", $"n_name")
+    val w = Window.partitionBy($"c_nationkey")
+      .orderBy($"cents".asc, $"c_custkey".asc)
+    cust.withColumn("decile", ntile(10).over(w))
+      .groupBy($"c_nationkey", $"decile")
+      .agg(count(lit(1)).as("n_cust"),
+        (min($"cents").cast(DoubleType) / 100).as("lo_bal"),
+        (max($"cents").cast(DoubleType) / 100).as("hi_bal"))
+      .join(broadcast(nation), $"c_nationkey" === $"n_nationkey")
+      .select($"n_name", $"decile", $"n_cust", $"lo_bal", $"hi_bal")
+      .orderBy($"n_name", $"decile")
+  }
+
   /** All relational queries, keyed for SparkEntry. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q49_ntile_deciles" -> q49NtileDeciles _,
     "q47_lateral_topk" -> q47LateralTopk _,
     "q46_asof_state" -> q46AsOfState _,
     "q45_recursive_depth" -> q45RecursiveDepth _,
@@ -1322,6 +1359,19 @@ object Relational {
 
   /** DuckDB oracle SQL per query (column names and ORDER BY must match). */
   val oracleSql: Map[String, String] = Map(
+    "q49_ntile_deciles" ->
+      """WITH c AS (SELECT c_custkey, c_nationkey,
+        |             CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+        |           FROM customer),
+        |d AS (SELECT c_nationkey, cents,
+        |        ntile(10) OVER (PARTITION BY c_nationkey
+        |          ORDER BY cents ASC, c_custkey ASC) AS decile
+        |      FROM c)
+        |SELECT n.n_name, d.decile, count(*) AS n_cust,
+        |       CAST(min(cents) AS DOUBLE) / 100 AS lo_bal,
+        |       CAST(max(cents) AS DOUBLE) / 100 AS hi_bal
+        |FROM d JOIN nation n ON d.c_nationkey = n.n_nationkey
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q47_lateral_topk" ->
       """SELECT n.n_name, t.c_custkey, t.c_acctbal
         |FROM nation n,

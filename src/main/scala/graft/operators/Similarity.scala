@@ -1745,6 +1745,90 @@ object Similarity {
       .orderBy($"query_id", $"vec_id")
   }
 
+  /** v23 geometry: 64-dim inputs, [[JlOutDims]] signed-sum outputs,
+    * inputs quantized at 2^20 so every projected coordinate is an exact
+    * integer (order-independent sums — the engine-exactness rule). */
+  val JlOutDims = 16
+  val JlScale: Double = (1L << 20).toDouble
+
+  /** The ±1 projection matrix behind v23: sign(j)(i) = +1 iff the first
+    * hex digit of md5("jl|j|i") < '8'. A pure function of the coordinate
+    * pair — no fit, no model artifact, nothing to persist or broadcast;
+    * any party (including the DuckDB oracle) re-derives the identical
+    * matrix from the rule. */
+  private[operators] def jlSigns(inDims: Int): Array[Array[Int]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(JlOutDims, inDims) { (j, i) =>
+      md.reset()
+      val d = md.digest(s"jl|$j|$i".getBytes("UTF-8"))
+      if (((d(0) >> 4) & 0xf) < 8) 1 else -1
+    }
+  }
+
+  /** V23 — Johnson–Lindenstrauss random projection (Achlioptas 2001's
+    * database-friendly ±1 form): every embedding maps to [[JlOutDims]]
+    * signed coordinate sums under the fixed md5-derived sign matrix, and
+    * the registry row audits what the theorem promises — the squared
+    * distance of each consecutive-id pair, before vs after, as the
+    * distortion ratio ‖P(a−b)‖² / (d_out·‖a−b‖²) (expectation exactly 1
+    * for ±1 signs), bucketed at width 0.05 with per-bucket min/max.
+    *
+    * This is the MODEL-FREE tier of the dimensionality ladder: v9's PCA
+    * fits a corpus-dependent basis (a ModelStore artifact that must be
+    * versioned and invalidated); JL needs only the (j, i) rule, so a new
+    * executor — or a second engine — projects identically with zero
+    * coordination, and a growing corpus never invalidates anything.
+    * What it gives up is adaptivity: distortion is probabilistic
+    * (sd ≈ √(2/d_out) per pair), not variance-optimal, which is exactly
+    * what this audit quantifies before anyone swaps it into the v13/v18
+    * style coarse-filter position.
+    *
+    * Scale shape: projection is pure map work over ONE corpus scan (the
+    * 16×64 matrix is plan literals — no join, no broadcast, no shuffle);
+    * the pair audit equi-joins vec_id+1 (co-partitioned ids, linear in N,
+    * never all-pairs); the bucket rollup is a ≤~40-group map-side-combined
+    * aggregate. Integer-exact end to end: quantized inputs, long sums,
+    * long squared distances (≤2⁵⁷ worst-case at these widths), integer
+    * bucket division; the only IEEE ops are the per-pair ratio division
+    * and the final /100-style presentation rounds — both bit-stable
+    * cross-engine. Oracle-exact: DuckDB re-derives the sign matrix from
+    * md5 over a range() grid and replays quantization, projection, and
+    * the bucket table from the raw embeddings. */
+  def v23RandomProjection(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val inDims = 64
+    val signs = jlSigns(inDims)
+    val emb = Tables.load(spark, dir, "embeddings")
+      .select($"vec_id",
+        transform(asDouble($"embedding"),
+          x => floor(x * JlScale + 0.5).cast("long")).as("q"))
+    val y = array((0 until JlOutDims).map { j =>
+      (0 until inDims).map { i =>
+        val t = element_at($"q", i + 1)
+        if (signs(j)(i) > 0) t else negate(t)
+      }.reduce(_ + _)
+    }: _*)
+    val proj = emb.select($"vec_id", $"q", y.as("y"))
+    def sqDist(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, yv) => (x - yv) * (x - yv)),
+        lit(0L), _ + _)
+    val pairs = proj.as("a")
+      .join(proj.as("b"), col("a.vec_id") + 1 === col("b.vec_id"))
+      .select(
+        sqDist(col("a.y"), col("b.y")).as("num"),
+        sqDist(col("a.q"), col("b.q")).as("den"))
+      .filter($"den" > 0)
+      .select(
+        expr(s"num * 20 div (den * $JlOutDims)").as("bucket"),
+        ($"num".cast(DoubleType) /
+          ($"den" * JlOutDims).cast(DoubleType)).as("ratio"))
+    pairs.groupBy($"bucket")
+      .agg(count(lit(1)).as("n_pairs"),
+        round(min($"ratio"), 6).as("min_ratio"),
+        round(max($"ratio"), 6).as("max_ratio"))
+      .orderBy($"bucket")
+  }
+
   /** Streaming ANN — v4's ONLINE twin: query vectors arrive as a stream
     * and are answered against the static corpus through the SAME
     * persisted IVF model ([[ivfCentroids]] → ModelStore), so a query
@@ -1796,6 +1880,7 @@ object Similarity {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "v23_random_projection" -> v23RandomProjection _,
     "v22_range_search" -> v22RangeSearch _,
     "v20_ann_filtered" -> v20AnnFiltered _,
     "v19_matryoshka_eval" -> v19MatryoshkaEval _,
@@ -2322,6 +2407,37 @@ object Similarity {
          |FROM pred WHERE vr = 1 GROUP BY qlabel ORDER BY label""".stripMargin,
     "v1_ann_topk" -> annTopKOracle,
     "v5_ann_topk_agg" -> annTopKOracle,
+    "v23_random_projection" ->
+      s"""WITH q AS (SELECT vec_id,
+         |         list_transform(CAST(embedding AS DOUBLE[]),
+         |           x -> CAST(floor(x * ${JlScale.toLong}.0 + 0.5) AS BIGINT)) AS q
+         |       FROM embeddings),
+         |sgn AS (SELECT j, i,
+         |          CASE WHEN substr(md5('jl|' || j || '|' || i), 1, 1) < '8'
+         |               THEN 1 ELSE -1 END AS s
+         |        FROM range($JlOutDims) t1(j), range(64) t2(i)),
+         |qi AS (SELECT vec_id, i, q[i + 1] AS qv FROM q, range(64) r(i)),
+         |proj AS (SELECT qi.vec_id, sgn.j,
+         |           CAST(sum(sgn.s * qi.qv) AS BIGINT) AS y
+         |         FROM qi JOIN sgn ON sgn.i = qi.i
+         |         GROUP BY qi.vec_id, sgn.j),
+         |dn AS (SELECT a.vec_id AS v1,
+         |         CAST(sum((a.qv - b.qv) * (a.qv - b.qv)) AS BIGINT) AS den
+         |       FROM qi a JOIN qi b ON b.vec_id = a.vec_id + 1 AND b.i = a.i
+         |       GROUP BY 1),
+         |nm AS (SELECT a.vec_id AS v1,
+         |         CAST(sum((a.y - b.y) * (a.y - b.y)) AS BIGINT) AS num
+         |       FROM proj a JOIN proj b ON b.vec_id = a.vec_id + 1
+         |         AND b.j = a.j
+         |       GROUP BY 1),
+         |r AS (SELECT num, den FROM nm JOIN dn USING (v1) WHERE den > 0)
+         |SELECT num * 20 // (den * $JlOutDims) AS bucket,
+         |       count(*) AS n_pairs,
+         |       round(min(CAST(num AS DOUBLE)
+         |         / CAST(den * $JlOutDims AS DOUBLE)), 6) AS min_ratio,
+         |       round(max(CAST(num AS DOUBLE)
+         |         / CAST(den * $JlOutDims AS DOUBLE)), 6) AS max_ratio
+         |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
     "v22_range_search" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < $QueryCount)

@@ -335,4 +335,30 @@ class RelationalSpec extends AnyFunSuite {
       !plan.toLowerCase.contains("sequence"),
       s"sparse path materialized a calendar:\n$plan")
   }
+
+  test("q49: ntile deciles partition every nation with SQL-standard " +
+      "sizing (larger buckets first, spread ≤ 1) and ordered bounds") {
+    val rows = Relational.q49NtileDeciles(spark, dir).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4))).toSeq
+    val total = graft.sources.Tables.load(spark, dir, "customer").count()
+    assert(rows.map(_._3).sum == total, "every customer tiles exactly once")
+    rows.groupBy(_._1).foreach { case (nation, rs) =>
+      val sorted = rs.sortBy(_._2)
+      // deciles are dense from 1 (ntile emits min(n, 10) buckets)
+      assert(sorted.map(_._2) == (1 to sorted.size),
+        s"$nation: buckets not dense: ${sorted.map(_._2)}")
+      val sizes = sorted.map(_._3)
+      assert(sizes.max - sizes.min <= 1,
+        s"$nation: bucket sizes spread > 1: $sizes")
+      assert(sizes == sizes.sortBy(-_),
+        s"$nation: extra rows must land in the FIRST buckets: $sizes")
+      // balance bounds never interleave across deciles
+      sorted.sliding(2).foreach {
+        case Seq(a, b) => assert(a._5 <= b._4,
+          s"$nation: decile ${a._2} hi ${a._5} > decile ${b._2} lo ${b._4}")
+        case _ =>
+      }
+    }
+  }
 }

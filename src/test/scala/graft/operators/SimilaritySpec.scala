@@ -646,4 +646,56 @@ class SimilaritySpec extends AnyFunSuite {
       rm(tmp)
     }
   }
+
+  test("v23: JL projection bucket table matches a full driver recompute; " +
+      "distortion concentrates near 1; the pair audit never goes cartesian") {
+    val df = Similarity.v23RandomProjection(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"pair audit must be an equi-join on vec_id+1:\n$plan")
+    val got = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      .toSeq
+    // driver recompute from the raw embeddings under the same sign rule
+    val emb = graft.sources.Tables.load(spark, dir, "embeddings")
+      .selectExpr("vec_id", "cast(embedding as array<double>) v").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    val inDims = emb.values.head.length
+    val signs = Similarity.jlSigns(inDims)
+    val q = emb.map { case (id, v) =>
+      id -> v.map(x => math.floor(x * Similarity.JlScale + 0.5).toLong)
+    }
+    def proj(qv: Array[Long]): Array[Long] =
+      Array.tabulate(Similarity.JlOutDims) { j =>
+        var s = 0L; var i = 0
+        while (i < inDims) { s += signs(j)(i) * qv(i); i += 1 }; s
+      }
+    val ratios = q.keys.toSeq.sorted.flatMap { id =>
+      q.get(id + 1).flatMap { qb =>
+        val qa = q(id)
+        val den = (0 until inDims)
+          .map(i => (qa(i) - qb(i)) * (qa(i) - qb(i))).sum
+        if (den == 0) None else {
+          val ya = proj(qa); val yb = proj(qb)
+          val num = (0 until Similarity.JlOutDims)
+            .map(j => (ya(j) - yb(j)) * (ya(j) - yb(j))).sum
+          Some((num * 20 / (den * Similarity.JlOutDims),
+            num.toDouble / (den * Similarity.JlOutDims).toDouble))
+        }
+      }
+    }
+    def r6(d: Double): Double =
+      BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expected = ratios.groupBy(_._1).toSeq.sortBy(_._1).map {
+      case (b, rs) => (b, rs.size.toLong,
+        r6(rs.map(_._2).min), r6(rs.map(_._2).max))
+    }
+    assert(got == expected, s"driver recompute diverges:\n$got\n$expected")
+    // JL concentration: E[ratio] = 1 for ±1 signs; at d_out = 16 the
+    // per-pair sd is ~0.35, so the fixture's MEAN must sit near 1 even
+    // though individual pairs spread
+    val mean = ratios.map(_._2).sum / ratios.size
+    assert(mean > 0.7 && mean < 1.3, s"distortion mean off: $mean")
+  }
 }

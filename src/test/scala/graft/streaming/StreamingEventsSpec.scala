@@ -1300,6 +1300,78 @@ class StreamingEventsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming novelty: shard emissions fold to an exact driver bloom " +
+      "replay and never over-report batch p22") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val dir = SparkTestSession.sf0001
+    val docs = Tables.load(s, dir, "documents").as[Doc].collect().toSeq
+      .sortBy(_.doc_id)
+    val mem = MemoryStream[Doc]
+    val nov = graft.operators.Pipeline.noveltyStream(mem.toDF())
+    val q = nov.writeStream.outputMode("update")
+      .format("memory").queryName("novelty_test").start()
+    try {
+      docs.grouped(120).foreach { b => mem.addData(b); q.processAllAvailable() }
+      // each (doc, shard) pair emits exactly once (update mode, one
+      // batch per doc); fold the shard partials to per-doc totals
+      val got = s.table("novelty_test").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .groupBy(_._1)
+        .map { case (id, es) => id -> ((es.map(_._2).sum, es.map(_._3).sum)) }
+      // driver replay: the same 64 shard blooms, same KM probe rule,
+      // grams walked in doc order — collisions and all
+      import graft.operators.Pipeline.{NoveltyShards, NoveltyBloomBits, NoveltyBloomK}
+      val grams = Tables.load(s, dir, "documents")
+        .select($"doc_id",
+          explode(graft.functions.TextFunctions.shingleHashes($"text", 3))
+            .as("g"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+        .sortBy(_._1)
+      val blooms = Array.fill(NoveltyShards)(
+        new Array[Long](NoveltyBloomBits / 64))
+      val expected = grams.groupBy(_._1).toSeq.sortBy(_._1).map {
+        case (id, gs) =>
+          var novel = 0L
+          gs.foreach { case (_, g) =>
+            val shard = java.lang.Math.floorMod(g, NoveltyShards.toLong).toInt
+            val words = blooms(shard)
+            val step = (g >>> 32) | 1L
+            def pos(j: Int) = java.lang.Long.remainderUnsigned(
+              g + j * step, NoveltyBloomBits)
+            val unseen = (0 until NoveltyBloomK).exists { j =>
+              (words((pos(j) / 64).toInt) & (1L << (pos(j) % 64))) == 0L
+            }
+            if (unseen) {
+              novel += 1
+              (0 until NoveltyBloomK).foreach { j =>
+                words((pos(j) / 64).toInt) |= 1L << (pos(j) % 64)
+              }
+            }
+          }
+          id -> ((gs.size.toLong, novel))
+      }.toMap
+      assert(got == expected,
+        s"stream fold diverges from the driver bloom replay " +
+          s"(${got.size} docs vs ${expected.size})")
+      // one-sided error vs batch p22: identical gram totals, novelty
+      // only ever UNDER-reported (a bloom FP marks a first gram seen)
+      val batch = graft.operators.Pipeline.p22Novelty(s, dir).collect()
+        .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+      assert(got.keySet == batch.keySet)
+      got.foreach { case (id, (ng, nn)) =>
+        val (bg, bn) = batch(id)
+        assert(ng == bg, s"doc $id gram count $ng != batch $bg")
+        assert(nn <= bn, s"doc $id stream novelty $nn OVER-reports batch $bn")
+      }
+      // and the sketch is not degenerate: overwhelmingly exact here
+      val exact = got.count { case (id, (_, nn)) => nn == batch(id)._2 }
+      assert(exact >= (got.size * 95) / 100,
+        s"bloom collisions dominate: only $exact/${got.size} docs exact")
+    } finally q.stop()
+  }
+
   test("streaming DSIR scoring selects exactly the batch p17 documents") {
     val s = spark
     import s.implicits._
