@@ -1255,8 +1255,44 @@ object Relational {
       .orderBy($"n_name", $"decile")
   }
 
+  /** Q50 — cumulative windowed COUNT DISTINCT via the first-seen
+    * rewrite: distinct users per event type up to and including each
+    * day. Spark (and SQL windows generally) cannot express
+    * `count(DISTINCT x) OVER (... ROWS UNBOUNDED PRECEDING)`, and the
+    * collect_set-over-window workaround shuffles every (user, event)
+    * row into ONE unsplittable partition per type while holding the
+    * growing set in memory. The rewrite is exact and distributed: a
+    * user contributes to the running distinct count exactly on their
+    * FIRST day (t12's first-occurrence pattern on the time axis) — so
+    * min(day) per (type, user) [one map-side-combined shuffle],
+    * first-seen counts per (type, day) [second map-side combine, output
+    * ≤ types × days rows], then a running sum over that DIMENSION-SIZED
+    * table (p3's bounded-window rule: the window never sees corpus-scale
+    * rows). Emits per-day new-user and cumulative-distinct counts. */
+  def q50CumulativeDistinct(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.load(spark, dir, "events")
+      .select($"event_type", $"user_id",
+        date_format($"ts", "yyyy-MM-dd").as("day"))
+    // every ACTIVE (type, day) is an observation row — a day with events
+    // but no new users keeps the running count flat rather than vanishing
+    val activeDays = ev.groupBy($"event_type", $"day").agg(
+      count(lit(1)).as("n_events"))
+    val newCounts = ev.groupBy($"event_type", $"user_id")
+      .agg(min($"day").as("day"))
+      .groupBy($"event_type", $"day")
+      .agg(count(lit(1)).as("n_new"))
+    val w = Window.partitionBy($"event_type").orderBy($"day")
+    activeDays.join(newCounts, Seq("event_type", "day"), "left")
+      .select($"event_type", $"day", $"n_events",
+        coalesce($"n_new", lit(0L)).as("n_new_users"))
+      .withColumn("cum_distinct_users", sum($"n_new_users").over(w))
+      .orderBy($"event_type", $"day")
+  }
+
   /** All relational queries, keyed for SparkEntry. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q50_cumulative_distinct" -> q50CumulativeDistinct _,
     "q49_ntile_deciles" -> q49NtileDeciles _,
     "q47_lateral_topk" -> q47LateralTopk _,
     "q46_asof_state" -> q46AsOfState _,
@@ -1359,6 +1395,24 @@ object Relational {
 
   /** DuckDB oracle SQL per query (column names and ORDER BY must match). */
   val oracleSql: Map[String, String] = Map(
+    "q50_cumulative_distinct" ->
+      """WITH e AS (SELECT event_type, user_id,
+        |             strftime(ts, '%Y-%m-%d') AS day
+        |           FROM events),
+        |ad AS (SELECT event_type, day, count(*) AS n_events
+        |       FROM e GROUP BY 1, 2),
+        |fd AS (SELECT event_type, user_id, min(day) AS day
+        |       FROM e GROUP BY 1, 2),
+        |d AS (SELECT event_type, day, count(*) AS n_new
+        |      FROM fd GROUP BY 1, 2)
+        |SELECT ad.event_type, ad.day, ad.n_events,
+        |       COALESCE(d.n_new, 0) AS n_new_users,
+        |       CAST(sum(COALESCE(d.n_new, 0)) OVER (
+        |         PARTITION BY ad.event_type ORDER BY ad.day)
+        |         AS BIGINT) AS cum_distinct_users
+        |FROM ad LEFT JOIN d ON ad.event_type = d.event_type
+        |  AND ad.day = d.day
+        |ORDER BY ad.event_type, ad.day""".stripMargin,
     "q49_ntile_deciles" ->
       """WITH c AS (SELECT c_custkey, c_nationkey,
         |             CAST(round(c_acctbal * 100) AS BIGINT) AS cents

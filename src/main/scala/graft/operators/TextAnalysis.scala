@@ -64,6 +64,35 @@ object TextAnalysis {
       .orderBy($"doc_id")
   }
 
+  /** T15 — language-ID confusion matrix: t3's marker-word argmax scored
+    * against the corpus's own `lang` labels, as (labeled, detected,
+    * count, row-share) cells — the eval that decides whether the
+    * heuristic is trustworthy enough to drive p12/p26-style per-language
+    * mixtures (p19's confusion-matrix discipline applied to t3; a
+    * classifier whose errors you haven't measured is a mixture bug
+    * waiting to happen). The interesting cells are off-diagonal: which
+    * languages leak into which under the marker heuristic, and how much
+    * mass falls to 'und' (no marker hit at all).
+    *
+    * Scale shape: per-doc detection is pure map work (the marker lists
+    * are plan literals); the matrix is ONE map-side-combined groupBy to
+    * ≤ langs×(langs+1) rows; row totals re-attach by a broadcast join of
+    * that dimension-sized table with itself — corpus rows never shuffle
+    * twice. Share is one IEEE division of exact counts (oracle-exact). */
+  def t15LangIdConfusion(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val pred = Tables.load(spark, dir, "documents")
+      .select($"lang".as("labeled_lang"),
+        langId(tokens($"text")).as("detected_lang"))
+    val cells = pred.groupBy($"labeled_lang", $"detected_lang")
+      .agg(count(lit(1)).as("n_docs"))
+    val totals = cells.groupBy($"labeled_lang").agg(sum($"n_docs").as("n_lang"))
+    cells.join(broadcast(totals), "labeled_lang")
+      .select($"labeled_lang", $"detected_lang", $"n_docs",
+        ($"n_docs".cast(DoubleType) / $"n_lang".cast(DoubleType)).as("share"))
+      .orderBy($"labeled_lang", $"detected_lang")
+  }
+
   /** T4 — document fingerprint (md5 over normalized text) and per-
     * fingerprint duplicate counts: the 16-byte dedup key pattern. */
   def t4Fingerprint(spark: SparkSession, dir: String): DataFrame = {
@@ -450,6 +479,7 @@ object TextAnalysis {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t15_langid_confusion" -> t15LangIdConfusion _,
     "t14_pmi_collocations" -> t14PmiCollocations _,
     "t13_zipf_checkpoints" -> t13ZipfCheckpoints _,
     "t12_vocab_growth" -> t12VocabGrowth _,
@@ -638,6 +668,29 @@ object TextAnalysis {
          |SELECT doc_id, labeled_lang, $caseExpr AS detected_lang,
          |  CAST(en_h AS INT) AS en_hits
          |FROM b ORDER BY doc_id""".stripMargin
+    },
+    "t15_langid_confusion" -> {
+      val hits = markerSql.map { case (l, ws) =>
+        s"len(list_filter(toks, x -> x IN ($ws))) AS ${l}_h"
+      }.mkString(",\n  ")
+      val best = markerSql.map(m => s"${m._1}_h").mkString("greatest(", ", ", ")")
+      val caseExpr = markerSql.map { case (l, _) =>
+        s"WHEN ${l}_h = best AND best > 0 THEN '$l'"
+      }.mkString("CASE ", " ", " ELSE 'und' END")
+      s"""WITH t AS (SELECT lang AS labeled_lang, string_split(text,' ') AS toks FROM documents),
+         |s AS (SELECT labeled_lang,
+         |  $hits
+         |FROM t),
+         |b AS (SELECT *, $best AS best FROM s),
+         |p AS (SELECT labeled_lang, $caseExpr AS detected_lang FROM b),
+         |m AS (SELECT labeled_lang, detected_lang, count(*) AS n_docs
+         |      FROM p GROUP BY 1, 2),
+         |tot AS (SELECT labeled_lang, CAST(sum(n_docs) AS BIGINT) AS n_lang
+         |        FROM m GROUP BY 1)
+         |SELECT m.labeled_lang, m.detected_lang, m.n_docs,
+         |  CAST(m.n_docs AS DOUBLE) / CAST(tot.n_lang AS DOUBLE) AS share
+         |FROM m JOIN tot USING (labeled_lang)
+         |ORDER BY m.labeled_lang, m.detected_lang""".stripMargin
     },
     "t4_fingerprint" ->
       """SELECT doc_id,

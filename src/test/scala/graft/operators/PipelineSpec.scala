@@ -1067,4 +1067,29 @@ class PipelineSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("t15: confusion matrix folds t3's per-doc verdicts exactly; " +
+      "row shares sum to 1") {
+    val perDoc = TextAnalysis.t3LangId(spark, dir).collect()
+      .map(r => (r.getString(1), r.getString(2)))
+    val expected = perDoc.groupBy(identity).view.mapValues(_.length.toLong)
+      .toMap
+    val rowTotals = perDoc.groupBy(_._1).view.mapValues(_.length.toLong)
+      .toMap
+    val got = TextAnalysis.t15LangIdConfusion(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3)))
+    assert(got.map(c => (c._1, c._2) -> c._3).toMap == expected,
+      "matrix cells diverge from the folded per-doc verdicts")
+    got.foreach { case (lab, det, n, share) =>
+      assert(share == n.toDouble / rowTotals(lab).toDouble,
+        s"($lab,$det) share is not the exact count ratio")
+    }
+    got.groupBy(_._1).foreach { case (lab, cells) =>
+      val s = cells.map(_._4).sum
+      assert(math.abs(s - 1.0) < 1e-9, s"$lab shares sum to $s")
+    }
+    assert(got.map(_._3).sum == perDoc.length.toLong,
+      "every document lands in exactly one cell")
+  }
 }

@@ -361,4 +361,49 @@ class RelationalSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("q50: first-seen rewrite equals the naive per-prefix distinct " +
+      "count; the corpus-scale work happens before the window") {
+    val got = Relational.q50CumulativeDistinct(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+      .toSeq
+    // naive driver recompute: for each ACTIVE (type, day), |distinct
+    // users with any event of that type on a day ≤ this day| — the
+    // definition the rewrite must reproduce
+    val fmt = java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd")
+      .withZone(java.time.ZoneOffset.UTC)
+    val ev = graft.sources.Tables.load(spark, dir, "events")
+      .select("event_type", "user_id", "ts").collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        fmt.format(r.getTimestamp(2).toInstant)))
+    val expected = ev.groupBy(e => (e._1, e._3)).toSeq.map {
+      case ((typ, day), es) =>
+        val cum = ev.collect {
+          case (t, u, d) if t == typ && d <= day => u
+        }.distinct.size.toLong
+        val newUsers = ev.groupBy(e => (e._1, e._2)).collect {
+          case ((t, _), us) if t == typ && us.map(_._3).min == day => 1L
+        }.sum
+        (typ, day, es.size.toLong, newUsers, cum)
+    }.sortBy(e => (e._1, e._2)).toSeq
+    assert(got == expected, "rewrite diverges from the naive definition")
+    // cumulative counts are non-decreasing and step exactly by n_new
+    got.groupBy(_._1).values.foreach { rs =>
+      val sorted = rs.sortBy(_._2)
+      sorted.foldLeft(0L) { (prev, r) =>
+        assert(r._5 == prev + r._4,
+          s"${r._1} ${r._2}: cum ${r._5} != $prev + new ${r._4}")
+        r._5
+      }
+    }
+    // scale shape: the Window's child aggregates FIRST — no window
+    // function ever sees per-event rows (the rewrite's whole point)
+    val plan = Relational.q50CumulativeDistinct(spark, dir)
+      .queryExecution.executedPlan.toString
+    val winIdx = plan.indexOf("Window")
+    assert(winIdx >= 0, "expected a window over the per-day table")
+    assert(plan.substring(winIdx).contains("HashAggregate"),
+      s"window must sit ABOVE the aggregates in the plan tree:\n$plan")
+  }
 }
