@@ -1798,17 +1798,20 @@ object Similarity {
     import spark.implicits._
     val inDims = 64
     val signs = jlSigns(inDims)
+    // per output dim j, a 64-bit mask with bit i set for sign +1 — the
+    // native JlProject loop consumes these (its scaladoc records why the
+    // unrolled 1024-term column tree was replaced: janino compile time)
+    val masks = IndexedSeq.tabulate(JlOutDims) { j =>
+      (0 until inDims).foldLeft(0L) { (m, i) =>
+        if (signs(j)(i) > 0) m | (1L << i) else m
+      }
+    }
     val emb = Tables.load(spark, dir, "embeddings")
       .select($"vec_id",
         transform(asDouble($"embedding"),
           x => floor(x * JlScale + 0.5).cast("long")).as("q"))
-    val y = array((0 until JlOutDims).map { j =>
-      (0 until inDims).map { i =>
-        val t = element_at($"q", i + 1)
-        if (signs(j)(i) > 0) t else negate(t)
-      }.reduce(_ + _)
-    }: _*)
-    val proj = emb.select($"vec_id", $"q", y.as("y"))
+    val proj = emb.select($"vec_id", $"q",
+      graft.plans.VectorExpressions.jlProject($"q", masks).as("y"))
     def sqDist(a: Column, b: Column): Column =
       aggregate(zip_with(a, b, (x, yv) => (x - yv) * (x - yv)),
         lit(0L), _ + _)

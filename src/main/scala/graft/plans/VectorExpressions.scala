@@ -498,6 +498,44 @@ case class PlaneSignBits(child: Expression, masks: IndexedSeq[Long])
     copy(child = c)
 }
 
+/** Johnson–Lindenstrauss ±1 projection of a quantized (integer) vector:
+  * output coordinate j = Σ_i (mask_j bit i set ? +v_i : −v_i) over the
+  * first min(|v|, 64) dimensions — exact integer sums, order-irrelevant.
+  * One fused primitive loop per row. This replaces v23's first cut, a
+  * 16-column tree of 64 signed element_at terms each: per-ROW cost was
+  * never the problem there, but the 1024-node tree made whole-stage
+  * codegen COMPILE ~2 s per invocation — a fixed tax at EVERY scale rung
+  * (measured 2.4 s at sf0.001 where the data work is microseconds). An
+  * interpreted CodegenFallback loop keeps the janino input tiny and does
+  * the same 1024 adds in primitives (the PlaneSignBits precedent). */
+case class JlProject(child: Expression, masks: IndexedSeq[Long])
+    extends UnaryExpression with CodegenFallback {
+
+  require(masks.nonEmpty, "at least one output dimension")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "jl_project"
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = math.min(arr.numElements(), 64)
+    val out = new Array[Long](masks.length)
+    var i = 0
+    while (i < n) {
+      val v = arr.getLong(i)
+      var j = 0
+      while (j < masks.length) {
+        if (((masks(j) >>> i) & 1L) == 1L) out(j) += v else out(j) -= v
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): JlProject =
+    copy(child = c)
+}
+
 /** Axis sign bits: bit i set iff v_i > 0 (the v18 binary-quantization
   * code), for up to the first 64 dimensions — one primitive loop instead
   * of 64 when(element_at…) branches (measured 0.94 s vs microseconds for
@@ -540,6 +578,8 @@ object VectorExpressions {
     column(Md5SpanHashes(expression(text), n))
   def md5SimHashPair(text: Column): Column =
     column(Md5SimHashPair(expression(text)))
+  def jlProject(quantized: Column, masks: IndexedSeq[Long]): Column =
+    column(JlProject(expression(quantized), masks))
   def planeSignBits(v: Column, masks: IndexedSeq[Long]): Column =
     column(PlaneSignBits(expression(v), masks))
   def elementSignBits(v: Column): Column =
