@@ -972,25 +972,30 @@ object Dedup {
       .groupBy($"g").agg(count(lit(1)).as("n_docs"))
       .filter($"n_docs" >= 2)
       .select($"g")
+    // covered positions aggregate to ONE array row per touched doc —
+    // the shuffle is sized by DUP SPANS (3 positions per dup gram,
+    // set-collapsed), not by the corpus: the token explode + anti-join
+    // + collect_list rebuild this replaces shuffled EVERY corpus token
+    // twice (by (doc, pos) for the anti join, then into the per-doc
+    // re-sort), ~2× the whole query at sf0.1 and a corpus-wide text
+    // shuffle at any scale. Here the document text never leaves its
+    // scan: the rebuild is a map-side native FilterPositions walk
+    // (O(n + |cut|)/doc) against the joined cut array.
     val covered = grams.join(dupGrams, "g")
       .select($"doc_id",
         explode(sequence($"start", $"start" + (ShingleN - 1))).as("pos"))
-      .distinct()
-    val toks = docs.select($"doc_id", posexplode($"w").as(Seq("pos0", "tok")))
-      .select($"doc_id", ($"pos0" + 1).as("pos"), $"tok")
-    toks.join(covered, Seq("doc_id", "pos"), "left_anti")
       .groupBy($"doc_id")
-      .agg(count(lit(1)).as("n_kept"),
-        md5(concat_ws(" ", expr("transform(array_sort(" +
-          "collect_list(struct(pos, tok))), x -> x.tok)")))
-          .as("cleaned_digest"))
-      .join(docs.select($"doc_id", size($"w").as("n_tokens")), Seq("doc_id"),
-        "right")
+      .agg(collect_set($"pos".cast("long")).as("cut"))
+    docs.join(covered, Seq("doc_id"), "left")
+      .select($"doc_id", size($"w").as("n_tokens"),
+        graft.plans.VectorExpressions.filterPositions($"w",
+          coalesce($"cut", expr("CAST(array() AS array<bigint>)")))
+          .as("kept"))
       .select($"doc_id", $"n_tokens",
-        coalesce($"n_kept", lit(0L)).as("n_kept"),
-        ($"n_tokens" - coalesce($"n_kept", lit(0L))).as("n_removed"),
-        // a fully-cut document cleans to the empty string
-        coalesce($"cleaned_digest", md5(lit(""))).as("cleaned_digest"))
+        size($"kept").cast("long").as("n_kept"),
+        ($"n_tokens" - size($"kept")).cast("long").as("n_removed"),
+        // a fully-cut document cleans to the empty string (md5(""))
+        md5(concat_ws(" ", $"kept")).as("cleaned_digest"))
       .orderBy($"doc_id")
   }
 

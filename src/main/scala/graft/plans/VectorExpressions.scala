@@ -536,6 +536,48 @@ case class JlProject(child: Expression, masks: IndexedSeq[Long])
     copy(child = c)
 }
 
+/** Drop the tokens at the given 1-based positions: `filter_positions(
+  * toks, cut)` returns toks minus every index listed in cut, order
+  * preserved — d14's per-document span-removal rebuild. One linear walk
+  * with a boolean mask (O(n + |cut|) per doc); the HOF formulation
+  * (`filter(w, (x, i) -> NOT array_contains(cut, i))`) is O(n·|cut|)
+  * per doc — quadratic for a document that is mostly duplicated span,
+  * exactly the doc this operator exists to cut. Out-of-range cut
+  * entries are ignored (a span's tail can exceed a short doc's length
+  * only if the caller mis-built spans; tolerating it keeps the
+  * expression total). */
+case class FilterPositions(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+
+  override def dataType: DataType = left.dataType
+  override def prettyName: String = "filter_positions"
+
+  override def nullSafeEval(toks: Any, cut: Any): Any = {
+    val ts = toks.asInstanceOf[ArrayData]
+    val cs = cut.asInstanceOf[ArrayData]
+    val n = ts.numElements()
+    val drop = new Array[Boolean](n + 1)
+    var i = 0
+    while (i < cs.numElements()) {
+      val p = cs.getLong(i)
+      if (p >= 1 && p <= n) drop(p.toInt) = true
+      i += 1
+    }
+    val out = new Array[AnyRef](n)
+    var k = 0
+    i = 0
+    while (i < n) {
+      if (!drop(i + 1)) { out(k) = ts.getUTF8String(i); k += 1 }
+      i += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(out, k))
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): FilterPositions =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Axis sign bits: bit i set iff v_i > 0 (the v18 binary-quantization
   * code), for up to the first 64 dimensions — one primitive loop instead
   * of 64 when(element_at…) branches (measured 0.94 s vs microseconds for
@@ -580,6 +622,8 @@ object VectorExpressions {
     column(Md5SimHashPair(expression(text)))
   def jlProject(quantized: Column, masks: IndexedSeq[Long]): Column =
     column(JlProject(expression(quantized), masks))
+  def filterPositions(toks: Column, cut: Column): Column =
+    column(FilterPositions(expression(toks), expression(cut)))
   def planeSignBits(v: Column, masks: IndexedSeq[Long]): Column =
     column(PlaneSignBits(expression(v), masks))
   def elementSignBits(v: Column): Column =
