@@ -154,4 +154,48 @@ class VectorExpressionsSpec extends AnyFunSuite {
       assert(sig == slow(id), s"doc $id: native $sig != sql ${slow(id)}")
     }
   }
+
+  test("JlProject: signed sums match a scalar recompute; dims past 64 " +
+      "are ignored; empty input projects to zeros") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val masks = IndexedSeq(0xAAAAAAAAAAAAAAAAL, 0x5555555555555555L, -1L, 0L)
+    def run(v: Array[Long]): Seq[Long] =
+      JlProject(Literal.create(new GenericArrayData(v),
+        ArrayType(org.apache.spark.sql.types.LongType)), masks)
+        .eval(null).asInstanceOf[ArrayData].toLongArray().toSeq
+    val v = Array.tabulate(64)(i => (i * 37 - 1000).toLong)
+    val expected = masks.map { m =>
+      v.zipWithIndex.map { case (x, i) =>
+        if (((m >>> i) & 1L) == 1L) x else -x
+      }.sum
+    }
+    assert(run(v) == expected)
+    // a 70-element vector must project exactly like its first 64 dims
+    assert(run(v ++ Array.fill(6)(999999L)) == expected,
+      "dimensions past 64 leaked into the projection")
+    assert(run(Array.empty[Long]) == Seq(0L, 0L, 0L, 0L))
+  }
+
+  test("FilterPositions: drops exactly the listed 1-based positions, " +
+      "preserves order, tolerates out-of-range and duplicate cuts") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.unsafe.types.UTF8String
+    val toks = new GenericArrayData(
+      Array("a", "b", "c", "d", "e").map(UTF8String.fromString))
+    def run(cut: Array[Long]): Seq[String] =
+      FilterPositions(
+        Literal.create(toks,
+          ArrayType(org.apache.spark.sql.types.StringType)),
+        Literal.create(new GenericArrayData(cut),
+          ArrayType(org.apache.spark.sql.types.LongType)))
+        .eval(null).asInstanceOf[ArrayData]
+        .toArray[UTF8String](org.apache.spark.sql.types.StringType)
+        .map(_.toString).toSeq
+    assert(run(Array(2L, 4L)) == Seq("a", "c", "e"))
+    assert(run(Array.empty[Long]) == Seq("a", "b", "c", "d", "e"))
+    assert(run(Array(1L, 2L, 3L, 4L, 5L)) == Seq.empty,
+      "a fully-cut document must clean to the empty token list")
+    // out-of-range (0, 6, -3) and duplicate cuts are ignored, not errors
+    assert(run(Array(0L, 6L, -3L, 2L, 2L)) == Seq("a", "c", "d", "e"))
+  }
 }
