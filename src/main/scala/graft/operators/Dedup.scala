@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DoubleType
 
@@ -148,6 +149,37 @@ object Dedup {
       .join(sizes.select($"doc_id".as("d2"), $"n".as("n2")), "d2")
       .withColumn("jaccard",
         $"shared".cast(DoubleType) / ($"n1" + $"n2" - $"shared"))
+  }
+
+  /** D17 — dedup-threshold sweep: the pair-similarity survival curve
+    * read BEFORE committing to a Jaccard cutoff (p27's threshold-sweep
+    * discipline applied to the dedup knob): every candidate pair in the
+    * persisted d3 index buckets by ⌊jaccard·20⌋ (0.05-wide), and a
+    * suffix sum gives, for each candidate threshold, how many pairs a
+    * dedup pass at that τ would act on — the curve that shows whether
+    * the corpus separates cleanly (a valley between boilerplate overlap
+    * and true dups) or τ sits on a cliff where ±0.05 swings the kill
+    * set. d3/d6/d13 all currently inherit [[JaccardThreshold]] = 0.8;
+    * this is the evidence for (or against) that number per corpus.
+    *
+    * Scale shape: ONE pass over the pair index (already persisted,
+    * already bounded by the df cap — no pairwise work here), a
+    * map-side-combined groupBy to ≤ 21 bucket rows, and the suffix-sum
+    * window over that constant-sized table (p27's bounded-window rule;
+    * the single-partition sort sees ≤ 21 rows at ANY corpus size).
+    * Oracle-exact: bucket = floor of the same IEEE jaccard ×20, counts
+    * are exact ints, thr one division. */
+  def d17JaccardSweep(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val buckets = jaccardCandidates(spark, dir, 0.0)
+      .select(floor($"jaccard" * 20).cast("int").as("bucket"))
+      .groupBy($"bucket").agg(count(lit(1)).as("n_pairs"))
+    val w = Window.orderBy($"bucket".desc)
+    buckets
+      .withColumn("n_pairs_ge", sum($"n_pairs").over(w))
+      .select($"bucket", ($"bucket".cast(DoubleType) / 20).as("thr"),
+        $"n_pairs", $"n_pairs_ge")
+      .orderBy($"bucket")
   }
 
   /** Candidate Jaccard floor for d9's edit-distance verification — looser
@@ -1199,6 +1231,7 @@ object Dedup {
     "d7_canonical_selection" -> d7CanonicalSelection _,
     "d2_dedup_fingerprint" -> d2FingerprintDedup _,
     "d3_jaccard_pairs" -> d3JaccardPairs _,
+    "d17_jaccard_sweep" -> d17JaccardSweep _,
     "d4_minhash_lsh" -> d4MinHashLshMd5 _,
     "d5_simhash" -> d5SimHashMd5 _,
     "d16_longest_dup_span" -> d16LongestDupSpan _,
@@ -1342,6 +1375,17 @@ object Dedup {
          |FROM inter JOIN sz x ON d1 = x.doc_id JOIN sz y ON d2 = y.doc_id
          |WHERE CAST(shared AS DOUBLE) / (x.n + y.n - shared) >= $JaccardThreshold
          |ORDER BY d1, d2""".stripMargin,
+    "d17_jaccard_sweep" ->
+      s"""WITH $d3Ctes,
+         |j AS (SELECT CAST(floor(CAST(shared AS DOUBLE)
+         |         / (x.n + y.n - shared) * 20) AS INT) AS bucket
+         |      FROM inter JOIN sz x ON d1 = x.doc_id
+         |                 JOIN sz y ON d2 = y.doc_id),
+         |b AS (SELECT bucket, count(*) AS n_pairs FROM j GROUP BY 1)
+         |SELECT bucket, CAST(bucket AS DOUBLE) / 20 AS thr, n_pairs,
+         |  CAST(sum(n_pairs) OVER (ORDER BY bucket DESC) AS BIGINT)
+         |    AS n_pairs_ge
+         |FROM b ORDER BY bucket""".stripMargin,
     // connected components over d3's pair graph: transitive closure by
     // recursive CTE (components are tiny, closure stays small), rep = min
     // reachable node

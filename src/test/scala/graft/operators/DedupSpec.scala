@@ -327,4 +327,29 @@ class DedupSpec extends AnyFunSuite {
       graft.sources.Tables.load(spark, dir, "documents")
         .select("text").distinct().count())
   }
+
+  test("d17: sweep is a monotone survival curve anchored at the full " +
+      "candidate set, and its 0.8 point IS d3's pair count") {
+    val rows = Dedup.d17JaccardSweep(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getDouble(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(rows.nonEmpty)
+    // suffix sums: non-increasing in bucket, each row the sum of its tail
+    rows.indices.foreach { i =>
+      assert(rows(i)._4 == rows.drop(i).map(_._3).sum,
+        s"bucket ${rows(i)._1}: suffix sum broken")
+    }
+    // the lowest bucket's survival count is the whole candidate index
+    val total = rows.map(_._3).sum
+    assert(rows.head._4 == total)
+    // floor(j·20) ≥ 16 ⟺ j ≥ 0.8, so the sweep's 0.8 point must equal
+    // d3's pair count exactly (the sweep is d3's tuning curve, not an
+    // approximation of it)
+    val d3 = Dedup.d3JaccardPairs(spark, dir).count()
+    val ge16 = rows.filter(_._1 >= 16).map(_._3).sum
+    assert(ge16 == d3, s"sweep says $ge16 pairs at 0.8, d3 finds $d3")
+    rows.foreach { case (b, thr, _, _) =>
+      assert(thr == b.toDouble / 20, s"thr $thr != bucket $b / 20")
+    }
+  }
 }
