@@ -1553,7 +1553,9 @@ object Pipeline {
     * corpus has never seen before, the admission signal an ordered-
     * ingestion pipeline reads BEFORE storing the document (batch p22
     * can only say it after the fact). Grams scatter to
-    * [[NoveltyShards]] keyed-state shards by gram-hash mod; each shard
+    * [[NoveltyShards]] keyed-state shards by the hash's HIGH bits
+    * (48-53 — disjoint from the bits the bloom probes consume, see the
+    * inline note); each shard
     * replays its rows in doc_id order (so two same-batch docs sharing a
     * new gram resolve exactly like batch p22's min(doc_id) rule) against
     * its bloom filter, emitting per-(doc, shard) partial counts the
@@ -1585,8 +1587,14 @@ object Pipeline {
     val nWords = NoveltyBloomBits / 64
     stream
       .select($"doc_id", explode(shingleHashes($"text", 3)).as("g"))
-      .select($"doc_id", $"g", pmod($"g", lit(NoveltyShards)).cast("int")
-        .as("shard"))
+      // shard on bits 48-53: the KM probes consume g's bits 0-15 (h1
+      // mod 2^16) and 32-47 (the step's low 16 bits) — sharding on the
+      // LOW bits would pin every gram's probe-0 position to the 1/64 of
+      // the filter congruent to the shard id, saturating that slice and
+      // silently degrading k=4 to k=3 as the shard fills
+      .select($"doc_id", $"g",
+        pmod(shiftrightunsigned($"g", 48), lit(NoveltyShards.toLong))
+          .cast("int").as("shard"))
       .as[(Long, Long, Int)]
       .groupByKey(_._3)
       .flatMapGroupsWithState[NoveltyBloomState, NoveltyShardRow](
@@ -1596,10 +1604,11 @@ object Pipeline {
           val words = state.getOption.map(_.words.toArray)
             .getOrElse(new Array[Long](nWords))
           // doc_id order within the shard reproduces batch min(doc_id)
-          // semantics for same-batch sharers; per-shard batch volume is
-          // (batch grams)/shards — the bounded sort this buys is the
-          // price of exact ordering, stated here
-          val out = rows.toSeq.sortBy(_._1).groupBy(_._1).toSeq
+          // semantics for same-batch sharers (within a doc, gram order
+          // is irrelevant — each gram probes independently); per-shard
+          // batch volume is (batch grams)/shards — the bounded per-key
+          // sort this buys is the price of exact ordering, stated here
+          val out = rows.toSeq.groupBy(_._1).toSeq
             .sortBy(_._1).map { case (doc, docRows) =>
               var novel = 0L
               docRows.foreach { case (_, g, _) =>

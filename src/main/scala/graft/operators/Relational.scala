@@ -1421,7 +1421,8 @@ object Relational {
         |        ntile(10) OVER (PARTITION BY c_nationkey
         |          ORDER BY cents ASC, c_custkey ASC) AS decile
         |      FROM c)
-        |SELECT n.n_name, d.decile, count(*) AS n_cust,
+        |SELECT n.n_name, CAST(d.decile AS INT) AS decile,
+        |       count(*) AS n_cust,
         |       CAST(min(cents) AS DOUBLE) / 100 AS lo_bal,
         |       CAST(max(cents) AS DOUBLE) / 100 AS hi_bal
         |FROM d JOIN nation n ON d.c_nationkey = n.n_nationkey

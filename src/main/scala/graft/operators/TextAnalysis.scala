@@ -513,6 +513,22 @@ object TextAnalysis {
     l -> ws.mkString("'", "','", "'")
   }
 
+  /** The t3 marker-argmax detector as DuckDB SQL fragments (per-lang hit
+    * columns, greatest() pick, tie-broken CASE) — ONE definition shared
+    * by the t3 and t15 oracles, so the detected_lang rule cannot drift
+    * between the per-doc report and the confusion matrix scored on it. */
+  private lazy val (detectorHits, detectorBest, detectorCase) = {
+    val hits = markerSql.map { case (l, ws) =>
+      s"len(list_filter(toks, x -> x IN ($ws))) AS ${l}_h"
+    }.mkString(",\n  ")
+    val best = markerSql.map(m => s"${m._1}_h")
+      .mkString("greatest(", ", ", ")")
+    val caseExpr = markerSql.map { case (l, _) =>
+      s"WHEN ${l}_h = best AND best > 0 THEN '$l'"
+    }.mkString("CASE ", " ", " ELSE 'und' END")
+    (hits, best, caseExpr)
+  }
+
   val oracleSql: Map[String, String] = Map(
     "t13_zipf_checkpoints" ->
       s"""WITH tk AS (SELECT unnest(string_split(text,' ')) AS tok
@@ -652,37 +668,22 @@ object TextAnalysis {
          |SELECT doc_id, distinct_ratio, stopword_ratio, length_score,
          |  distinct_ratio * 0.5 + (1.0 - stopword_ratio) * 0.3 + length_score * 0.2 AS quality_score
          |FROM r ORDER BY doc_id""".stripMargin,
-    "t3_lang_id" -> {
-      val hits = markerSql.map { case (l, ws) =>
-        s"len(list_filter(toks, x -> x IN ($ws))) AS ${l}_h"
-      }.mkString(",\n  ")
-      val best = markerSql.map(m => s"${m._1}_h").mkString("greatest(", ", ", ")")
-      val caseExpr = markerSql.map { case (l, _) =>
-        s"WHEN ${l}_h = best AND best > 0 THEN '$l'"
-      }.mkString("CASE ", " ", " ELSE 'und' END")
+    "t3_lang_id" ->
       s"""WITH t AS (SELECT doc_id, lang AS labeled_lang, string_split(text,' ') AS toks FROM documents),
          |s AS (SELECT doc_id, labeled_lang,
-         |  $hits
+         |  $detectorHits
          |FROM t),
-         |b AS (SELECT *, $best AS best FROM s)
-         |SELECT doc_id, labeled_lang, $caseExpr AS detected_lang,
+         |b AS (SELECT *, $detectorBest AS best FROM s)
+         |SELECT doc_id, labeled_lang, $detectorCase AS detected_lang,
          |  CAST(en_h AS INT) AS en_hits
-         |FROM b ORDER BY doc_id""".stripMargin
-    },
+         |FROM b ORDER BY doc_id""".stripMargin,
     "t15_langid_confusion" -> {
-      val hits = markerSql.map { case (l, ws) =>
-        s"len(list_filter(toks, x -> x IN ($ws))) AS ${l}_h"
-      }.mkString(",\n  ")
-      val best = markerSql.map(m => s"${m._1}_h").mkString("greatest(", ", ", ")")
-      val caseExpr = markerSql.map { case (l, _) =>
-        s"WHEN ${l}_h = best AND best > 0 THEN '$l'"
-      }.mkString("CASE ", " ", " ELSE 'und' END")
       s"""WITH t AS (SELECT lang AS labeled_lang, string_split(text,' ') AS toks FROM documents),
          |s AS (SELECT labeled_lang,
-         |  $hits
+         |  $detectorHits
          |FROM t),
-         |b AS (SELECT *, $best AS best FROM s),
-         |p AS (SELECT labeled_lang, $caseExpr AS detected_lang FROM b),
+         |b AS (SELECT *, $detectorBest AS best FROM s),
+         |p AS (SELECT labeled_lang, $detectorCase AS detected_lang FROM b),
          |m AS (SELECT labeled_lang, detected_lang, count(*) AS n_docs
          |      FROM p GROUP BY 1, 2),
          |tot AS (SELECT labeled_lang, CAST(sum(n_docs) AS BIGINT) AS n_lang

@@ -552,6 +552,22 @@ case class FilterPositions(left: Expression, right: Expression)
   override def dataType: DataType = left.dataType
   override def prettyName: String = "filter_positions"
 
+  // the eval walk reads UTF8Strings and long positions — any other
+  // array element type must die at ANALYSIS, not reinterpret bytes at
+  // runtime (UnsafeArrayData would read a long as a string offset)
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(StringType, _), ArrayType(LongType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+          .TypeCheckSuccess
+      case (l, r) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+          .TypeCheckFailure(
+            s"filter_positions expects (array<string>, array<bigint>), " +
+              s"got ($l, $r)")
+    }
+
   override def nullSafeEval(toks: Any, cut: Any): Any = {
     val ts = toks.asInstanceOf[ArrayData]
     val cs = cut.asInstanceOf[ArrayData]

@@ -1335,7 +1335,9 @@ class StreamingEventsSpec extends AnyFunSuite {
         case (id, gs) =>
           var novel = 0L
           gs.foreach { case (_, g) =>
-            val shard = java.lang.Math.floorMod(g, NoveltyShards.toLong).toInt
+            // bits 48-53, the operator's probe-disjoint shard rule
+            val shard = java.lang.Math.floorMod(g >>> 48,
+              NoveltyShards.toLong).toInt
             val words = blooms(shard)
             val step = (g >>> 32) | 1L
             def pos(j: Int) = java.lang.Long.remainderUnsigned(
