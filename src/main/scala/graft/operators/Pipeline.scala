@@ -253,6 +253,52 @@ object Pipeline {
       .distinct()
   }
 
+  /** P31 — decontamination by EXCISION: p4 tells you WHICH training
+    * documents share a [[ContamN]]-gram with the benchmark set; this is
+    * the TRANSFORM that fixes them — every token position covered by a
+    * benchmark-shared gram is cut and the document keeps its remaining
+    * tokens in order (d14's span-removal surgery pointed at an EXTERNAL
+    * contamination source instead of corpus-internal duplication). The
+    * alternative — dropping whole flagged documents — throws away the
+    * 99 % of a long document that never touched the benchmark; excision
+    * is what production decontamination does when the corpus is the
+    * scarce resource. Digest-only output (d14's rule): counts + md5 of
+    * the cleaned text.
+    *
+    * Scale shape: corpus positional grams probe the BROADCAST benchmark
+    * gram set map-side (p4's small-side-by-definition argument — no
+    * corpus shuffle to discover hits); covered positions collapse to one
+    * cut-array row per CONTAMINATED doc (shuffle sized by hits, not the
+    * corpus); the rebuild is d14's map-side native FilterPositions walk,
+    * so document text never leaves its scan. Oracle-exact (gram strings
+    * on the oracle side, the d8/d14 64-bit-equality convention). */
+  def p31Decontaminate(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.load(spark, dir, "documents")
+      .filter($"source" =!= BenchmarkSource)
+      .select($"doc_id", tokens($"text").as("w"))
+    val grams = Tables.load(spark, dir, "documents")
+      .filter($"source" =!= BenchmarkSource)
+      .select($"doc_id",
+        posexplode(shingleHashesPos($"text", ContamN)).as(Seq("p0", "s")))
+      .select($"doc_id", ($"p0" + 1).as("start"), $"s")
+    val covered = grams.join(broadcast(benchmarkGrams(spark, dir)), "s")
+      .select($"doc_id",
+        explode(sequence($"start", $"start" + (ContamN - 1))).as("pos"))
+      .groupBy($"doc_id")
+      .agg(collect_set($"pos".cast("long")).as("cut"))
+    docs.join(covered, Seq("doc_id"), "left")
+      .select($"doc_id", size($"w").as("n_tokens"),
+        graft.plans.VectorExpressions.filterPositions($"w",
+          coalesce($"cut", expr("CAST(array() AS array<bigint>)")))
+          .as("kept"))
+      .select($"doc_id", $"n_tokens",
+        size($"kept").cast("long").as("n_kept"),
+        ($"n_tokens" - size($"kept")).cast("long").as("n_removed"),
+        md5(concat_ws(" ", $"kept")).as("cleaned_digest"))
+      .orderBy($"doc_id")
+  }
+
   /** Bloom sizing for p14. At sf-fixture scale this over-provisions
     * massively (fpp ≈ 0); the sizing RULE is what carries to 100 TB: bits
     * ≈ 9.6 × distinct bench n-grams for 1% fpp, so even a 10⁹-gram
@@ -1890,6 +1936,7 @@ object Pipeline {
     "p2_stratified_sample" -> p2StratifiedSample _,
     "p3_token_shards" -> p3TokenShards _,
     "p4_contamination" -> p4Contamination _,
+    "p31_decontaminate" -> p31Decontaminate _,
     "p5_vocab_topk" -> p5VocabTopK _,
     "p9_tfidf" -> p9TfIdf _,
     "p10_chunking" -> p10Chunking _,
@@ -2371,6 +2418,38 @@ object Pipeline {
          |  CAST(count(DISTINCT b.bench_id) AS BIGINT) AS n_bench_docs
          |FROM g JOIN b USING (s) WHERE g.source <> '$BenchmarkSource'
          |GROUP BY g.doc_id ORDER BY doc_id""".stripMargin,
+    "p31_decontaminate" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text,' ') AS w
+         |           FROM documents WHERE source <> '$BenchmarkSource'),
+         |bg AS (SELECT DISTINCT
+         |         unnest(list_transform(generate_series(1, len(w)-4),
+         |           i -> w[i]||' '||w[i+1]||' '||w[i+2]||' '||w[i+3]||' '||w[i+4])) AS s
+         |       FROM (SELECT string_split(text,' ') AS w FROM documents
+         |             WHERE source = '$BenchmarkSource')
+         |       WHERE len(w) >= $ContamN),
+         |g AS (SELECT doc_id,
+         |        unnest(generate_series(1, len(w)-4)) AS start,
+         |        unnest(list_transform(generate_series(1, len(w)-4),
+         |          i -> w[i]||' '||w[i+1]||' '||w[i+2]||' '||w[i+3]||' '||w[i+4])) AS s
+         |      FROM t WHERE len(w) >= $ContamN),
+         |cov AS (SELECT DISTINCT doc_id, pos FROM (
+         |          SELECT doc_id,
+         |            unnest(generate_series(start, start + 4)) AS pos
+         |          FROM g JOIN bg USING (s))),
+         |tok AS (SELECT doc_id, unnest(w) AS tok,
+         |          unnest(generate_series(1, len(w))) AS pos FROM t),
+         |kept AS (SELECT tok.doc_id, tok.pos, tok.tok
+         |         FROM tok LEFT JOIN cov
+         |           ON tok.doc_id = cov.doc_id AND tok.pos = cov.pos
+         |         WHERE cov.pos IS NULL),
+         |agg AS (SELECT doc_id, count(*) AS n_kept,
+         |          md5(string_agg(tok, ' ' ORDER BY pos)) AS cleaned_digest
+         |        FROM kept GROUP BY doc_id)
+         |SELECT t.doc_id, CAST(len(w) AS INT) AS n_tokens,
+         |  CAST(coalesce(n_kept, 0) AS BIGINT) AS n_kept,
+         |  CAST(len(w) - coalesce(n_kept, 0) AS BIGINT) AS n_removed,
+         |  coalesce(cleaned_digest, md5('')) AS cleaned_digest
+         |FROM t LEFT JOIN agg USING (doc_id) ORDER BY t.doc_id""".stripMargin,
     "p6_pii_redact" ->
       s"""WITH s AS (SELECT doc_id,
          |  text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'

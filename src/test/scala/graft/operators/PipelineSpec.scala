@@ -1068,6 +1068,56 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("p31: excision removes positions for exactly p4's flagged docs, " +
+      "conserves tokens, and matches a full driver recompute") {
+    val got = Pipeline.p31Decontaminate(spark, dir).collect()
+      .map(r => (r.getLong(0), (r.getInt(1), r.getLong(2), r.getLong(3),
+        r.getString(4)))).toMap
+    // driver recompute from raw text under the same rules
+    val docs = graft.sources.Tables.load(spark, dir, "documents")
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val n = Pipeline.ContamN
+    def grams(toks: Array[String]): Seq[(Int, String)] =
+      if (toks.length < n) Seq.empty
+      else (0 to toks.length - n).map(i =>
+        (i + 1, toks.slice(i, i + n).mkString(" ")))
+    val benchSet = docs.filter(_._2 == Pipeline.BenchmarkSource)
+      .flatMap(d => grams(d._3.split(" ")).map(_._2)).toSet
+    val corpus = docs.filter(_._2 != Pipeline.BenchmarkSource)
+    assert(got.keySet == corpus.map(_._1).toSet)
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    var flagged = 0
+    corpus.foreach { case (id, _, text) =>
+      val w = text.split(" ")
+      val cut = grams(w).collect {
+        case (start, g) if benchSet(g) =>
+          start until (start + n)
+      }.flatten.toSet
+      val kept = w.zipWithIndex.collect {
+        case (tok, i) if !cut(i + 1) => tok
+      }
+      val (nt, nk, nr, dg) = got(id)
+      assert(nt == w.length && nk == kept.length.toLong &&
+        nr == (w.length - kept.length).toLong,
+        s"doc $id counts diverge")
+      assert(nk + nr == nt.toLong, s"doc $id does not conserve tokens")
+      assert(dg == md5hex(kept.mkString(" ")), s"doc $id digest diverges")
+      if (cut.nonEmpty) flagged += 1
+    }
+    // excision fires on exactly p4's flagged set
+    val p4 = Pipeline.p4Contamination(spark, dir).collect()
+      .map(_.getLong(0)).toSet
+    val removed = got.collect { case (id, (_, _, nr, _)) if nr > 0 => id }
+      .toSet
+    assert(removed == p4,
+      s"excised set != p4 flags: extra=${removed -- p4} " +
+        s"missing=${p4 -- removed}")
+    assert(flagged > 0, "fixture has no contamination to excise")
+  }
+
   test("t15: confusion matrix folds t3's per-doc verdicts exactly; " +
       "row shares sum to 1") {
     val perDoc = TextAnalysis.t3LangId(spark, dir).collect()
