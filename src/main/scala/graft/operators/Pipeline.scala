@@ -321,18 +321,24 @@ object Pipeline {
     * contamination hit is found; false positives can only inflate counts
     * (rows-only registry entry; the superset + fp-budget invariants are
     * spec-tested against exact p4 in PipelineSpec). */
+  /** The serialized benchmark-gram bloom (p14's build phase, factored so
+    * [[decontaminateStream]] deploys the SAME fitted sketch at ingest). */
+  def benchmarkBloomBytes(spark: SparkSession, dir: String,
+      expectedItems: Long = BloomExpectedItems,
+      fpp: Double = BloomFpp): Array[Byte] = {
+    val bf = benchmarkGrams(spark, dir).stat
+      .bloomFilter("s", expectedItems, fpp)
+    val bos = new java.io.ByteArrayOutputStream()
+    bf.writeTo(bos)
+    bos.toByteArray
+  }
+
   def p14BloomContamination(spark: SparkSession, dir: String,
       expectedItems: Long = BloomExpectedItems,
       fpp: Double = BloomFpp): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
-    val bf = benchmarkGrams(spark, dir).stat
-      .bloomFilter("s", expectedItems, fpp)
-    val bytes = {
-      val bos = new java.io.ByteArrayOutputStream()
-      bf.writeTo(bos)
-      bos.toByteArray
-    }
+    val bytes = benchmarkBloomBytes(spark, dir, expectedItems, fpp)
     val mightContain = column(
       new org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
         expression(lit(bytes)), expression($"s")))
@@ -1687,6 +1693,48 @@ object Pipeline {
           state.update(NoveltyBloomState(words.toIndexedSeq))
           out.iterator
       }
+  }
+
+  /** Streaming twin of p31 — decontamination at the moment of ingest:
+    * each arriving document is excised against the FITTED benchmark
+    * bloom ([[benchmarkBloomBytes]] — p14's sketch, the fit/apply split
+    * deployed to the stream) before it is ever stored. Pure map work:
+    * positional gram hashes probe the bloom-literal inside a zip_with
+    * lambda, contaminated spans flatten to the cut set, and the rebuild
+    * is the same native FilterPositions walk p31/d14 use — ZERO keyed
+    * state, no shuffle, append mode, any ingest rate.
+    *
+    * Error is one-sided in the SAFE direction: a bloom false positive
+    * can only OVER-excise (cut a span that wasn't actually shared) —
+    * a decontamination pass that occasionally trims a clean 5-gram is
+    * acceptable; one that leaks a benchmark answer into training is
+    * not. No false negatives by construction, so everything batch p31
+    * cuts, this cuts too (kept_stream ⊆ kept_batch positionally,
+    * spec-asserted along with a driver bloom replay). */
+  def decontaminateStream(stream: DataFrame,
+                          bloomBytes: Array[Byte]): DataFrame = {
+    import stream.sparkSession.implicits._
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+    def mightContain(h: Column): Column = column(
+      new org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+        expression(lit(bloomBytes)), expression(h)))
+    val hashes = shingleHashesPos($"text", ContamN)
+    val spans = zip_with(hashes, sequence(lit(1), size(hashes)),
+      (h, i) => when(mightContain(h), sequence(i, i + (ContamN - 1)))
+        .otherwise(expr("CAST(array() AS array<int>)")))
+    val cut = when(size(hashes) > 0,
+      array_distinct(flatten(spans)).cast("array<bigint>"))
+      .otherwise(expr("CAST(array() AS array<bigint>)"))
+    stream
+      .filter($"source" =!= BenchmarkSource)
+      .select($"doc_id", tokens($"text").as("w"), cut.as("cut"))
+      .select($"doc_id", size($"w").as("n_tokens"),
+        graft.plans.VectorExpressions.filterPositions($"w", $"cut")
+          .as("kept"))
+      .select($"doc_id", $"n_tokens",
+        size($"kept").cast("long").as("n_kept"),
+        ($"n_tokens" - size($"kept")).cast("long").as("n_removed"),
+        md5(concat_ws(" ", $"kept")).as("cleaned_digest"))
   }
 
   /** p26 keeps 1/[[TempTargetDen]] of the corpus, split by tempered weight. */

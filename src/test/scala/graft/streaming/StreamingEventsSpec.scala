@@ -1300,6 +1300,70 @@ class StreamingEventsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming decontamination: ingest excision equals a driver bloom " +
+      "replay, only ever over-excises vs batch p31, and covers p4's flags") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val dir = SparkTestSession.sf0001
+    val bloom = graft.operators.Pipeline.benchmarkBloomBytes(s, dir)
+    val docs = Tables.load(s, dir, "documents").as[Doc].collect().toSeq
+    val mem = MemoryStream[Doc]
+    val q = graft.operators.Pipeline.decontaminateStream(mem.toDF(), bloom)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("decon_test").start()
+    try {
+      docs.grouped(200).foreach { b => mem.addData(b); q.processAllAvailable() }
+      val got = s.table("decon_test").collect()
+        .map(r => (r.getLong(0), (r.getInt(1), r.getLong(2), r.getLong(3),
+          r.getString(4)))).toMap
+      // driver replay: same bloom object, same positional grams, same cut
+      val bf = org.apache.spark.util.sketch.BloomFilter.readFrom(
+        new java.io.ByteArrayInputStream(bloom))
+      val n = graft.operators.Pipeline.ContamN
+      val hashesOf = Tables.load(s, dir, "documents")
+        .select($"doc_id",
+          graft.functions.TextFunctions.shingleHashesPos($"text", n)
+            .as("h"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      def md5hex(str: String): String =
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(str.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val corpus = docs.filter(_.source !=
+        graft.operators.Pipeline.BenchmarkSource)
+      assert(got.keySet == corpus.map(_.doc_id).toSet)
+      corpus.foreach { doc =>
+        val w = doc.text.split(" ")
+        val cut = hashesOf(doc.doc_id).zipWithIndex.collect {
+          case (h, i) if bf.mightContainLong(h) => (i + 1) to (i + n)
+        }.flatten.toSet
+        val kept = w.zipWithIndex.collect {
+          case (tok, i) if !cut(i + 1) => tok
+        }
+        val (nt, nk, nr, dg) = got(doc.doc_id)
+        assert(nt == w.length && nk == kept.length.toLong &&
+          nr == (w.length - kept.length).toLong,
+          s"doc ${doc.doc_id}: stream counts diverge from the replay")
+        assert(dg == md5hex(kept.mkString(" ")),
+          s"doc ${doc.doc_id}: digest diverges from the replay")
+      }
+      // one-sided vs batch p31 (no false negatives → never under-excise)
+      val batch = graft.operators.Pipeline.p31Decontaminate(s, dir)
+        .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+      got.foreach { case (id, (_, nk, _, _)) =>
+        assert(nk <= batch(id),
+          s"doc $id: stream kept $nk > batch ${batch(id)} — under-excised")
+      }
+      // and everything p4 flags is excised here too
+      val p4 = graft.operators.Pipeline.p4Contamination(s, dir).collect()
+        .map(_.getLong(0)).toSet
+      val excised = got.collect { case (id, (_, _, nr, _)) if nr > 0 => id }
+        .toSet
+      assert(p4.subsetOf(excised),
+        s"p4 flags not covered: ${p4 -- excised}")
+    } finally q.stop()
+  }
+
   test("streaming novelty: shard emissions fold to an exact driver bloom " +
       "replay and never over-report batch p22") {
     val s = spark
