@@ -80,13 +80,22 @@ object Relational {
       .select($"o_orderkey", $"o_custkey")
     val li = Tables.load(spark, dir, "lineitem")
       .select($"l_orderkey", $"l_extendedprice", $"l_discount")
-    li.join(ord, $"l_orderkey" === $"o_orderkey")
+    // q10's aggregate pushdown: (revenue, item count) partial-sums per
+    // orderkey, then per custkey, so each join carries aggregated grains
+    // instead of raw lineitems — decimal sums and counts reassociate
+    // exactly; the oracle aggregates after the joins and the hash match
+    // proves the identity
+    li.select($"l_orderkey",
+        (dec($"l_extendedprice") * dec(lit(1.0) - $"l_discount")).as("rev"))
+      .groupBy($"l_orderkey")
+      .agg(sum($"rev").as("rev"), count(lit(1)).as("n"))
+      .join(ord, $"l_orderkey" === $"o_orderkey")
+      .groupBy($"o_custkey")
+      .agg(sum($"rev").as("rev"), sum($"n").as("n"))
       .join(cust, $"o_custkey" === $"c_custkey")
       .groupBy($"c_mktsegment")
-      .agg(
-        sum(dec($"l_extendedprice") * dec(lit(1.0) - $"l_discount"))
-          .cast(DoubleType).as("revenue"),
-        count(lit(1)).as("n_items"))
+      .agg(sum($"rev").cast(DoubleType).as("revenue"),
+        sum($"n").as("n_items"))
       .orderBy($"c_mktsegment")
   }
 
@@ -191,9 +200,22 @@ object Relational {
     val cust = Tables.load(spark, dir, "customer")
     val ord = Tables.load(spark, dir, "orders")
     val li = Tables.load(spark, dir, "lineitem")
-    li.select($"l_orderkey", $"l_extendedprice", $"l_discount")
+    // aggregate pushdown through the join tree: revenue partial-sums per
+    // orderkey BEFORE the fact-fact join (the map-side combine collapses
+    // ~rows-per-order lineitems ahead of the exchange, and the join then
+    // carries order-grain rows), again per custkey before the customer
+    // join — decimal sums are exactly reassociable, so the pushed-down
+    // plan is value-identical to aggregating after all joins (the oracle
+    // still does the latter; the hash match proves the identity)
+    val perOrder = li
+      .select($"l_orderkey",
+        (dec($"l_extendedprice") * dec(lit(1.0) - $"l_discount")).as("rev"))
+      .groupBy($"l_orderkey").agg(sum($"rev").as("rev"))
+    val perCust = perOrder
       .join(ord.select($"o_orderkey", $"o_custkey"),
         $"l_orderkey" === $"o_orderkey")
+      .groupBy($"o_custkey").agg(sum($"rev").as("rev"))
+    perCust
       .join(cust.select($"c_custkey", $"c_nationkey"),
         $"o_custkey" === $"c_custkey")
       .join(broadcast(nation.select($"n_nationkey", $"n_name", $"n_regionkey")),
@@ -201,8 +223,7 @@ object Relational {
       .join(broadcast(region.select($"r_regionkey", $"r_name")),
         $"n_regionkey" === $"r_regionkey")
       .groupBy($"r_name", $"n_name")
-      .agg(sum(dec($"l_extendedprice") * dec(lit(1.0) - $"l_discount"))
-        .cast(DoubleType).as("revenue"))
+      .agg(sum($"rev").cast(DoubleType).as("revenue"))
       .orderBy($"r_name", $"n_name")
   }
 
