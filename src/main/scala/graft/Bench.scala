@@ -49,11 +49,15 @@ object Bench {
     // retry pass.
     val RecycleEvery = 25
 
-    // two runs per query, report the faster: first-touch costs (file
-    // listing, codegen compilation, GC debt from the previous query) are
-    // environment noise, not operator cost. A failed query reports null
-    // (not its time-to-failure) and is excluded from the total — a broken
-    // query must not make the benchmark look faster.
+    // min-of-N runs per query (N=3), report the fastest: first-touch
+    // costs (file listing, codegen compilation, GC debt from the previous
+    // query) and same-host load drift are environment noise, not operator
+    // cost — NOTES documents ±15 % same-code drift between full runs, so
+    // the canonical per-query number is the minimum and ALL run times are
+    // published (`runs`) so a reader can see the spread instead of
+    // guessing at it. A failed query reports null (not its
+    // time-to-failure) and is excluded from the total — a broken query
+    // must not make the benchmark look faster.
     //
     // Bench-state isolation: operators cache intermediates (d3 shingles,
     // d4/d5 signatures, v4 embeddings/centroids) and a shared session
@@ -78,7 +82,7 @@ object Bench {
         spark = newSession()
         warmup()
       }
-      val times = (1 to 2).map { _ =>
+      val times = (1 to 3).map { _ =>
         spark.catalog.clearCache()
         // clearCache misses localCheckpoint blocks (freed only when their
         // RDD is GC'd via the ContextCleaner): iterative queries (d6, v4)
@@ -94,18 +98,38 @@ object Bench {
           None
         }
       }
-      name -> (if (times.forall(_.isDefined)) Some(times.flatten.min) else None)
+      (name, if (times.forall(_.isDefined)) Some(times.flatten.min) else None,
+        times)
     }
     def jd(d: Double): String = SparkEntry.jsonDouble(d)
     val qs = results.map {
-      case (k, Some(v)) => "\"" + k + "\":" + jd(v)
-      case (k, None) => "\"" + k + "\":null"
+      case (k, Some(v), _) => "\"" + k + "\":" + jd(v)
+      case (k, None, _) => "\"" + k + "\":null"
     }.mkString("{", ",", "}")
-    val failed = results.collect { case (k, None) => "\"" + k + "\"" }
+    val failed = results.collect { case (k, None, _) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.flatMap(_._2).sum
+    // full per-run times: the min is the canonical number, the spread is
+    // the evidence it rests on (regression triage reads this, not the min)
+    val runs = results.map { case (k, _, ts) =>
+      "\"" + k + "\":" + ts.map(_.map(jd).getOrElse("null"))
+        .mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
+    // twin-vs-production tagging (SparkEntry.oracleTwins): md5-twin rows
+    // deliberately run the slower oracle-replayable family so DuckDB can
+    // rebuild their sketches from the raw corpus — their cost is
+    // instrumentation, not engine; the split totals keep any
+    // bench-vs-baseline comparison honest about which is which
+    val twinSet = SparkEntry.oracleTwins
+    val families = results.map { case (k, _, _) =>
+      val fam = if (twinSet(k)) "md5-twin" else "production"
+      "\"" + k + "\":\"" + fam + "\""
+    }.mkString("{", ",", "}")
+    val twinTotal = results.collect {
+      case (k, Some(v), _) if twinSet(k) => v }.sum
+    val prodTotal = total - twinTotal
     val full =
-      s"""{"metric":"total","value":${jd(total)},"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${jd(total)},"unit":"sec","runs_per_query":3,"production_total":${jd(prodTotal)},"md5_twin_total":${jd(twinTotal)},"queries":$qs,"families":$families,"runs":$runs,"failed":$failed,"sf":"$sfDir"}"""
     // The driver parses the FINAL stdout line into BENCH_r{N}.parsed, but
     // it captures only a ~2 KB stdout TAIL: the 4.5 KB full per-query dict
     // as the last line arrives head-truncated and unparseable (r7 verdict
@@ -120,7 +144,7 @@ object Bench {
     if (only.isEmpty)
       java.nio.file.Files.write(java.nio.file.Paths.get("bench.json"),
         (full + "\n").getBytes("UTF-8"))
-    val slowest = results.collect { case (k, Some(v)) => (k, v) }
+    val slowest = results.collect { case (k, Some(v), _) => (k, v) }
       .sortBy(-_._2).take(10)
       .map { case (k, v) => "\"" + k + "\":" + jd(v) }
       .mkString("{", ",", "}")
@@ -128,7 +152,7 @@ object Bench {
     // a previous full run's numbers to this subset
     val qf = if (only.isEmpty) "\"bench.json\"" else "null"
     println(full)
-    println(s"""{"metric":"total","value":${jd(total)},"unit":"sec","n":${results.size},"failed":$failed,"slowest":$slowest,"queries_file":$qf,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${jd(total)},"unit":"sec","n":${results.size},"runs_per_query":3,"production_total":${jd(prodTotal)},"md5_twin_total":${jd(twinTotal)},"failed":$failed,"slowest":$slowest,"queries_file":$qf,"sf":"$sfDir"}""")
     // the forked JVM's stdout must flush before sbt tears the pipe down
     System.out.flush()
     spark.stop()

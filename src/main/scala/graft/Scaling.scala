@@ -208,7 +208,11 @@ object Scaling {
       val first = retried.get(n)
         .flatMap(_ => ratio.map(r0 => s""","first_pass_ratio":${jd(r0)}"""))
         .getOrElse("")
-      s""""$n":{"times":$ts,"ratio":$r$first}"""
+      // md5-twin rows run the oracle-replayable family, not the production
+      // one (SparkEntry.oracleTwins) — tagged so a scale reviewer knows
+      // which cost is engine and which is oracle instrumentation
+      val fam = if (SparkEntry.oracleTwins(n)) ""","family":"md5-twin"""" else ""
+      s""""$n":{"times":$ts,"ratio":$r$first$fam}"""
     }.mkString("{", ",", "}")
     val dj = dirs.map("\"" + _ + "\"").mkString("[", ",", "]")
     val sj = superlinear.map("\"" + _ + "\"").mkString("[", ",", "]")

@@ -24,6 +24,18 @@ object SparkEntry {
       Similarity.oracleSql ++ DemoQueries.oracleSql ++ Pipeline.oracleSql ++
       Multimodal.oracleSql
 
+  /** Registry rows that deliberately run the slower ORACLE-REPLAYABLE
+    * family of an operator instead of its production family, so the DuckDB
+    * oracle can rebuild the exact same sketch/signature from the raw corpus
+    * (md5-based hash families replayed as md5 SQL twins). The production
+    * families (xxhash/codegen'd paths) remain the library defaults — these
+    * rows price oracle exactness into the bench, and a bench-vs-baseline
+    * judgment must not read that instrumentation tax as engine cost.
+    * Bench/Scaling tag these rows `md5-twin` in their artifacts. */
+  val oracleTwins: Set[String] = Set(
+    "d4_minhash_lsh", "d5_simhash", "d14_span_removal",
+    "p14_bloom_contamination", "p18_cms_topk", "q23_approx_distinct")
+
   /** Locale-safe JSON double (Bench + Scaling artifacts must parse on
     * comma-decimal locales too). */
   private[graft] def jsonDouble(d: Double): String =
