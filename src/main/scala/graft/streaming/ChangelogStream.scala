@@ -151,6 +151,32 @@ object ChangelogStream {
       * never OOM the driver before the cap fires (r7 verdict item #3). */
     def remainingCapacity: Int = synchronized(maxRecords - buf.length)
 
+    /** Fail-fast-bounded driver transfer for the SYNTHESIZER sinks
+      * (updating / snapshotting / foldingSnapshot), whose batch rows feed
+      * stateful diffing rather than appending 1:1 — a `limit()` on the
+      * batch would silently corrupt synthesizer state (dropped groups
+      * read as deletions), so the bound is a pre-collect COUNT: an
+      * executor-side `limit(cap+1).count` that moves at most a long to
+      * the driver, erroring via the documented cap before any oversized
+      * `collect()` can OOM the driver. Conservative by design: batch rows
+      * are counted against remaining RECORD capacity (each changed group
+      * emits ≤2 records, a no-op update 0), so the guard can only fire
+      * early, never late — and a grouped batch larger than the log could
+      * ever accept is outside these sinks' dashboard-sized contract
+      * anyway. */
+    def boundedCollect(batch: org.apache.spark.sql.DataFrame)
+        : Seq[org.apache.spark.sql.Row] = {
+      val cap = remainingCapacity
+      if (batch.limit(cap + 1).count() > cap)
+        throw new IllegalStateException(
+          s"changelog sink micro-batch exceeds remaining capacity $cap of " +
+            s"maxBufferedRecords=$maxRecords before collect: these sinks " +
+            "retain results driver-side for cursor replay and are meant " +
+            "for dashboard-sized result consumption, not ETL — consume a " +
+            "bounded query, or write large results to a real sink")
+      batch.collect().toSeq
+    }
+
     private def logSize: Int = synchronized(buf.length)
     private def at(i: Int): RawRecord = synchronized(buf(i))
 
@@ -234,7 +260,10 @@ object ChangelogStream {
       .queryName(queryName)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val rows = batch.collect().iterator.map(r => r.toSeq.toVector).toSeq
+        // fail-fast bound BEFORE the driver transfer (see boundedCollect):
+        // a high-cardinality grouping in a catch-up micro-batch must error
+        // via the documented cap, not OOM the driver
+        val rows = log.boundedCollect(batch).map(r => r.toSeq.toVector)
         val q = Option(queryRef).orElse(
           ownerSession.streams.active.find(_.name == queryName))
         val recs = synth.synchronized {
@@ -267,13 +296,53 @@ object ChangelogStream {
       .queryName(queryName)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val rows = batch.collect().iterator.map(r => r.toSeq.toVector).toSeq
+        // same fail-fast pre-collect bound as `updating` — a complete-mode
+        // snapshot larger than the log's remaining capacity cannot fit
+        val rows = log.boundedCollect(batch).map(r => r.toSeq.toVector)
         val recs = synth.synchronized(synth.onSnapshot(rows))
         log.append(recs.map(r => RawRecord(r.op.map(_.code), r.values)))
         ()
       }
       .start()
     new Handle(() => query, schema, log)
+  }
+
+  /** Start a query whose rows are exact deltas (changelog-op-carrying,
+    * e.g. the IVM join's retraction stream) feeding a DRIVER-SIDE
+    * incremental fold — the composition shape `JOIN → GROUP BY` in one
+    * continuous statement: the caller's `fold` consumes each micro-batch's
+    * delta rows (in emission order) and returns the updated full snapshot
+    * of the maintained view, which is diffed against the previous snapshot
+    * exactly like [[snapshotting]] (`+I/-U/+U/-D`, `-U` adjacent to its
+    * `+U`, `-D` for dropped groups).
+    *
+    * Scale shape: the heavy state (join live-rows) lives in the executor
+    * StateStore inside the upstream IVM operator; per batch the driver
+    * sees only the TRUE OUTPUT DELTA of the join (not a rescan), and the
+    * fold's state is O(output groups) — dashboard-sized by the same
+    * contract as [[ChangelogSynthesizer]]. The delta transfer is
+    * fail-fast-bounded by [[RecordLog.boundedCollect]]. */
+  def foldingSnapshot(df: DataFrame, queryName: String,
+                      outSchema: Seq[String], keyCols: Seq[String],
+                      fold: Seq[Vector[Any]] => Seq[Vector[Any]],
+                      trigger: Trigger = Trigger.ProcessingTime(0),
+                      maxBufferedRecords: Int = DefaultMaxBufferedRecords): Handle = {
+    val synth = new ChangelogSynthesizer(outSchema, keyCols)
+    val log = new RecordLog(maxBufferedRecords)
+    val query = df.writeStream
+      .outputMode("update")
+      .queryName(queryName)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val deltas = log.boundedCollect(batch).map(r => r.toSeq.toVector)
+        // fold + diff under one lock: foreachBatch invocations are serial
+        // per query, but cursor replays may race the append
+        val recs = synth.synchronized(synth.onSnapshot(fold(deltas)))
+        log.append(recs.map(r => RawRecord(r.op.map(_.code), r.values)))
+        ()
+      }
+      .start()
+    new Handle(() => query, outSchema, log)
   }
 
   /** Start a query whose rows ALREADY ARE exact changelog deltas — the

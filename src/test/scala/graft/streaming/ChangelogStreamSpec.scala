@@ -250,6 +250,47 @@ class ChangelogStreamSpec extends AnyFunSuite {
     } finally handle.stop()
   }
 
+  // the synthesizer sinks (updating/snapshotting) cannot bound via
+  // limit() — a truncated batch would corrupt synthesizer state (dropped
+  // groups would later read as deletions) — so their bound is fail-fast:
+  // an executor-side limit(cap+1).count BEFORE the collect. The
+  // nondeterministic instrumented projection (pruning-proof) counts row
+  // evaluations: the count pass evaluates ≤ partitions×(cap+1) rows and
+  // the collect pass would evaluate all R again, so evals < R proves the
+  // oversized transfer never happened.
+  test("over-cap grouped micro-batch fails via the cap before collecting") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val mem = MemoryStream[Int]
+    val evals = s.sparkContext.longAccumulator("group-cap-evals")
+    val touched = udf { (i: Int) => evals.add(1L); i }.asNondeterministic()
+    val cap = 50
+    val groups = 20000 // distinct keys ⇒ update-mode batch of 20000 rows
+    val counts = mem.toDF().groupBy($"value").agg(count(lit(1)).as("n"))
+      .select(touched($"value").as("k"), $"n")
+    val handle = ChangelogStream.updating(counts, "group-cap-test", Seq("k"),
+      maxBufferedRecords = cap)
+    try {
+      mem.addData(1 to groups)
+      val ex = intercept[Exception](handle.processAllAvailable())
+      def messages(t: Throwable): Seq[String] =
+        Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ messages(e.getCause))
+      assert(messages(ex).exists(_.contains("maxBufferedRecords")),
+        s"error must name the budget: ${messages(ex)}")
+      assert(messages(ex).exists(_.contains("before collect")),
+        s"error must come from the pre-collect guard: ${messages(ex)}")
+      assert(evals.value > 0, "instrumented projection never ran")
+      assert(evals.value < groups,
+        s"collect was not prevented: ${evals.value} row evaluations for a " +
+          s"$groups-group batch against cap=$cap (count-only pass must " +
+          "evaluate well under one full scan)")
+      // nothing may have been emitted: the batch failed atomically
+      assert(handle.changelog().consume().isEmpty,
+        "failed batch must not leave partial records in the log")
+    } finally handle.stop()
+  }
+
   test("append-only streaming query passes rows through as +I") {
     val s = spark
     import s.implicits._
