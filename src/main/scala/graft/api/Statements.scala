@@ -3,6 +3,7 @@ package graft.api
 import java.security.SecureRandom
 
 import scala.collection.concurrent.TrieMap
+import scala.collection.mutable
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.types.StructType
@@ -157,74 +158,298 @@ final class Statements(spark: SparkSession, prefix: String = "stmt-",
       else None
     } catch { case _: Exception => None }
 
+  /** A matched two-feed continuous JOIN: the IVM delta stream (op, key,
+    * left_id, left_value, right_id, right_value) plus the SQL-side alias
+    * each feed was given (for resolving `a.value`-style references in a
+    * downstream GROUP BY). */
+  private case class FeedJoin(deltas: DataFrame, lAlias: String,
+                              rAlias: String)
+
+  /** Columns of the maintained join view, in delta-row order AFTER the
+    * leading op column. */
+  private val JoinViewCols =
+    Seq("key", "left_id", "left_value", "right_id", "right_value")
+
+  /** Match `l [AS a] <type> JOIN r [AS b] ON <key equality>` over two
+    * registered changelog feeds and build the exact-retraction IVM join
+    * ([[graft.streaming.StatefulOps.changelogJoinStream]]) over them —
+    * Structured Streaming's own stream-stream join is append-only and
+    * never retracts on upsert/delete, so this operator is the engine's
+    * equivalent of what the reference's Flink service maintains for a
+    * continuous two-table JOIN. */
+  private def matchFeedJoin(
+      j: org.apache.spark.sql.catalyst.plans.logical.Join): Option[FeedJoin] = {
+    import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedRelation}
+    import org.apache.spark.sql.catalyst.expressions.EqualTo
+    import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, SubqueryAlias}
+    import org.apache.spark.sql.catalyst.plans.{FullOuter, Inner, LeftOuter, RightOuter}
+    import graft.streaming.StatefulOps
+    // relation name resolves the feed; the outermost alias (or, unaliased,
+    // the relation name itself) is what column references qualify by
+    def relInfo(p: LogicalPlan): Option[(String, String)] = p match {
+      case u: UnresolvedRelation =>
+        Some((u.multipartIdentifier.last, u.multipartIdentifier.last))
+      case SubqueryAlias(id, c) => relInfo(c).map { case (n, _) => (n, id.name) }
+      case _ => None
+    }
+    val outer = j.joinType match {
+      case Inner => Some((false, false))
+      case LeftOuter => Some((true, false))
+      case RightOuter => Some((false, true))
+      case FullOuter => Some((true, true))
+      case _ => None
+    }
+    val keyEquality = j.condition.exists {
+      case EqualTo(a: UnresolvedAttribute, b: UnresolvedAttribute) =>
+        a.nameParts.last == "key" && b.nameParts.last == "key"
+      case _ => false
+    }
+    for {
+      (lo, ro) <- outer if keyEquality
+      (ln, la) <- relInfo(j.left); (rn, ra) <- relInfo(j.right)
+      lt <- changelogFeed(ln); rt <- changelogFeed(rn)
+    } yield {
+      import spark.implicits._
+      def feed(t: DataFrame, isLeft: Boolean) = t
+        .select("seq", "key", "id", "value", "delete")
+        .as[(Long, Long, Long, String, Boolean)]
+        .map { case (seq, k, id, v, del) =>
+          (seq, StatefulOps.JoinEvent(k, isLeft, id, v, del))
+        }
+      val deltas = StatefulOps
+        .changelogJoinStream(feed(lt, true).union(feed(rt, false)), lo, ro)
+        .toDF()
+      FeedJoin(deltas, la, ra)
+    }
+  }
+
   /** Recognize `SELECT * FROM l [AS a] <type> JOIN r [AS b] ON <key equality>`
     * over two registered changelog feeds, and run it through the exact
-    * retraction IVM join ([[graft.streaming.StatefulOps.changelogJoinStream]])
-    * instead of Structured Streaming's append-only stream-stream join —
-    * the one continuous-statement shape the reference's platform accepts
-    * that the default `spark.sql` route cannot express (an append join
-    * never retracts on upsert/delete). Parsing is Catalyst's own
+    * retraction IVM join instead of Structured Streaming's append-only
+    * stream-stream join. Parsing is Catalyst's own
     * (`sessionState.sqlParser`), not regex; any SQL that does not match
     * this shape (or whose relations are not changelog feeds) falls
     * through to the default route untouched. */
   private def tryJoinStatement(sql: String, name: String,
       properties: Map[String, String] = Map.empty): Option[Statement] = {
-    import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedRelation, UnresolvedStar}
-    import org.apache.spark.sql.catalyst.expressions.EqualTo
-    import org.apache.spark.sql.catalyst.plans.logical.{Join, LogicalPlan, Project, SubqueryAlias}
-    import org.apache.spark.sql.catalyst.plans.{FullOuter, Inner, LeftOuter, RightOuter}
-    import graft.streaming.StatefulOps
-    def relName(p: LogicalPlan): Option[String] = p match {
-      case u: UnresolvedRelation => Some(u.multipartIdentifier.last)
-      case SubqueryAlias(_, c) => relName(c)
-      case _ => None
-    }
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedStar
+    import org.apache.spark.sql.catalyst.plans.logical.{Join, Project}
     val parsed =
       try spark.sessionState.sqlParser.parsePlan(sql)
       catch { case _: Exception => return None }
-    // ONLY the exact `SELECT * FROM l JOIN r ON …` shape routes here: the
-    // statement serves the full maintained-view columns, so a narrowing
-    // projection must NOT silently get the wide view — any other shape
-    // falls through to the default route and keeps Spark's own semantics
-    val topJoin = parsed match {
-      case Project(Seq(UnresolvedStar(None)), j: Join) => Some(j)
-      case j: Join => Some(j)
+    parsed match {
+      // ONLY the exact `SELECT * FROM l JOIN r ON …` shape routes here:
+      // the statement serves the full maintained-view columns, so a
+      // narrowing projection must NOT silently get the wide view — any
+      // other shape falls through to the default route and keeps Spark's
+      // own semantics
+      case Project(Seq(UnresolvedStar(None)), j: Join) => joinStatement(j, sql, name, properties)
+      case j: Join => joinStatement(j, sql, name, properties)
+      // the composed continuous statement a reference user writes next:
+      // JOIN → GROUP BY in one statement (Flink-the-service maintains it
+      // as one changelog; `spark.sql` alone cannot — a stream-stream join
+      // feeding an aggregate is rejected without watermarks, and even the
+      // watermarked form never retracts)
+      case agg: org.apache.spark.sql.catalyst.plans.logical.Aggregate =>
+        agg.child match {
+          case j: Join => tryJoinAggStatement(agg, j, sql, name, properties)
+          case _ => None
+        }
       case _ => None
     }
-    topJoin.flatMap { j =>
-      val outer = j.joinType match {
-        case Inner => Some((false, false))
-        case LeftOuter => Some((true, false))
-        case RightOuter => Some((false, true))
-        case FullOuter => Some((true, true))
+  }
+
+  private def joinStatement(
+      j: org.apache.spark.sql.catalyst.plans.logical.Join, sql: String,
+      name: String, properties: Map[String, String]): Option[Statement] =
+    matchFeedJoin(j).map { fj =>
+      val handle = ChangelogStream.deltaPassthrough(fj.deltas, name)
+      // the statement's advertised schema is the maintained view's
+      // columns (op travels as the record op, not a column)
+      new Statement(name, sql, fj.deltas.drop("op"), Some(handle), properties)
+    }
+
+  /** The per-aggregate incremental state a retraction stream can maintain
+    * exactly: COUNT(*) / COUNT(col) / SUM / AVG are all ±-foldable (MIN and
+    * MAX are not — a retraction of the current extremum needs the full
+    * multiset, so they fall through to the default route). */
+  private sealed trait AggOp
+  private case object CountStar extends AggOp
+  private case class CountCol(idx: Int) extends AggOp
+  private case class SumCol(idx: Int) extends AggOp
+  private case class AvgCol(idx: Int) extends AggOp
+
+  /** Route `SELECT <group cols>, <aliased aggs> FROM a JOIN b ON a.key =
+    * b.key GROUP BY <cols>` over two changelog feeds through the IVM join
+    * feeding a grouped incremental fold
+    * ([[ChangelogStream.foldingSnapshot]]): the join emits its exact
+    * retraction deltas executor-side, and the fold maintains O(groups)
+    * aggregate state (COUNT/SUM/AVG, each ±-foldable), diff-synthesizing
+    * `+I/-U/+U/-D` per page. Aggregates must be aliased (the engine-wide
+    * oracle discipline); group keys may be any view column (`key`,
+    * `a.id`, `b.value`, …); numeric casts accept `CAST(x AS DOUBLE)`.
+    * Any non-matching shape falls through untouched. */
+  private def tryJoinAggStatement(
+      agg: org.apache.spark.sql.catalyst.plans.logical.Aggregate,
+      j: org.apache.spark.sql.catalyst.plans.logical.Join,
+      sql: String, name: String,
+      properties: Map[String, String]): Option[Statement] = {
+    import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedFunction, UnresolvedStar}
+    import org.apache.spark.sql.catalyst.expressions.{Alias, Cast, Expression, Literal}
+    import org.apache.spark.sql.types.{DoubleType, LongType, StringType, StructField, StructType}
+    val fj = matchFeedJoin(j).getOrElse(return None)
+    // view-column resolution: unqualified names hit the view columns
+    // directly; alias-qualified names map id/value/key onto their side
+    def viewCol(attr: UnresolvedAttribute): Option[Int] = {
+      val colName = attr.nameParts match {
+        case Seq(c) if JoinViewCols.contains(c) => Some(c)
+        case Seq(q, c) if q == fj.lAlias || q == fj.rAlias =>
+          val side = if (q == fj.lAlias) "left" else "right"
+          c match {
+            case "key" => Some("key")
+            case "id" => Some(s"${side}_id")
+            case "value" => Some(s"${side}_value")
+            case _ => None
+          }
         case _ => None
       }
-      val keyEquality = j.condition.exists {
-        case EqualTo(a: UnresolvedAttribute, b: UnresolvedAttribute) =>
-          a.nameParts.last == "key" && b.nameParts.last == "key"
-        case _ => false
-      }
-      for {
-        (lo, ro) <- outer if keyEquality
-        ln <- relName(j.left); rn <- relName(j.right)
-        lt <- changelogFeed(ln); rt <- changelogFeed(rn)
-      } yield {
-        import spark.implicits._
-        def feed(t: DataFrame, isLeft: Boolean) = t
-          .select("seq", "key", "id", "value", "delete")
-          .as[(Long, Long, Long, String, Boolean)]
-          .map { case (seq, k, id, v, del) =>
-            (seq, StatefulOps.JoinEvent(k, isLeft, id, v, del))
-          }
-        val deltas = StatefulOps
-          .changelogJoinStream(feed(lt, true).union(feed(rt, false)), lo, ro)
-          .toDF()
-        val handle = ChangelogStream.deltaPassthrough(deltas, name)
-        // the statement's advertised schema is the maintained view's
-        // columns (op travels as the record op, not a column)
-        new Statement(name, sql, deltas.drop("op"), Some(handle), properties)
-      }
+      colName.map(JoinViewCols.indexOf)
     }
+    // numeric argument of an aggregate: a view column, optionally under
+    // CAST(… AS DOUBLE) — other cast targets (INT truncation etc.) would
+    // change the value, so they fall through rather than mis-evaluate
+    def numArg(e: Expression): Option[Int] = e match {
+      case a: UnresolvedAttribute => viewCol(a)
+      case Cast(a: UnresolvedAttribute, DoubleType, _, _) => viewCol(a)
+      case _ => None
+    }
+    val groupIdx: Seq[Int] = agg.groupingExpressions.map {
+      case a: UnresolvedAttribute => viewCol(a).getOrElse(return None)
+      case _ => return None
+    }
+    // SELECT list → (output name, Left(view col idx) | Right(agg op))
+    val outCols: Seq[(String, Either[Int, AggOp])] =
+      agg.aggregateExpressions.map {
+        case a: UnresolvedAttribute =>
+          val i = viewCol(a).getOrElse(return None)
+          if (!groupIdx.contains(i)) return None // bare col must be grouped
+          (a.nameParts.last, Left(i))
+        case Alias(child, outName) =>
+          child match {
+            case a: UnresolvedAttribute =>
+              val i = viewCol(a).getOrElse(return None)
+              if (!groupIdx.contains(i)) return None
+              (outName, Left(i))
+            case f: UnresolvedFunction if !f.isDistinct =>
+              val op = (f.nameParts.map(_.toLowerCase).mkString("."),
+                f.arguments) match {
+                case ("count", Seq(UnresolvedStar(None))) => CountStar
+                case ("count", Seq(Literal(_, _))) => CountStar
+                case ("count", Seq(arg)) => CountCol(numArg(arg).getOrElse(return None))
+                case ("sum", Seq(arg)) => SumCol(numArg(arg).getOrElse(return None))
+                case ("avg", Seq(arg)) => AvgCol(numArg(arg).getOrElse(return None))
+                case _ => return None
+              }
+              (outName, Right(op))
+            case _ => return None
+          }
+        case _ => return None
+      }
+    if (!outCols.exists(_._2.isRight)) return None // not an aggregate shape
+    // every grouping column must be in the SELECT list: the synthesizer
+    // retracts by value equality on the key columns, so two groups folding
+    // to identical visible rows would corrupt the changelog
+    if (!groupIdx.forall(i => outCols.exists(_._2 == Left(i)))) return None
+    // ---- driver-side incremental fold over the join's retraction deltas:
+    // per group, live-row count plus (sum, non-null count) per aggregate —
+    // state is O(output groups), the dashboard-size contract; the heavy
+    // join state stays in the executor StateStore
+    val aggOps = outCols.collect { case (_, Right(op)) => op }
+    final class GState {
+      var rows: Long = 0L
+      val sums: Array[Double] = new Array[Double](aggOps.length)
+      val counts: Array[Long] = new Array[Long](aggOps.length)
+    }
+    val state = mutable.LinkedHashMap.empty[Vector[Any], GState]
+    def toNum(v: Any): Option[Double] = v match {
+      case null => None
+      case d: java.lang.Double => Some(d)
+      case l: java.lang.Long => Some(l.toDouble)
+      case i: java.lang.Integer => Some(i.toDouble)
+      case s: String =>
+        try Some(s.toDouble) catch { case _: NumberFormatException => None }
+      case other => try Some(other.toString.toDouble)
+                    catch { case _: NumberFormatException => None }
+    }
+    def fold(deltas: Seq[Vector[Any]]): Seq[Vector[Any]] = {
+      deltas.foreach { row =>
+        // delta rows lead with the changelog op; view columns follow
+        val sign = row(0).asInstanceOf[Int] match {
+          case 0 | 2 => 1L // +I / +U add
+          case 1 | 3 => -1L // -U / -D retract
+          case other => throw new IllegalStateException(
+            s"join delta carried an invalid changelog op: $other")
+        }
+        val view = row.drop(1)
+        val gkey = groupIdx.map(view).toVector
+        val g = state.getOrElseUpdate(gkey, new GState)
+        g.rows += sign
+        aggOps.zipWithIndex.foreach { case (op, k) =>
+          op match {
+            case CountStar => ()
+            case CountCol(i) =>
+              if (view(i) != null) g.counts(k) += sign
+            case SumCol(i) => toNum(view(i)).foreach { d =>
+              g.sums(k) += sign * d; g.counts(k) += sign
+            }
+            case AvgCol(i) => toNum(view(i)).foreach { d =>
+              g.sums(k) += sign * d; g.counts(k) += sign
+            }
+          }
+        }
+        if (g.rows <= 0) state.remove(gkey)
+      }
+      state.iterator.map { case (gkey, g) =>
+        var k = -1
+        outCols.map {
+          case (_, Left(i)) => gkey(groupIdx.indexOf(i))
+          case (_, Right(op)) =>
+            k += 1
+            op match {
+              case CountStar => java.lang.Long.valueOf(g.rows)
+              case CountCol(_) => java.lang.Long.valueOf(g.counts(k))
+              case SumCol(_) =>
+                if (g.counts(k) > 0) java.lang.Double.valueOf(g.sums(k)) else null
+              case AvgCol(_) =>
+                if (g.counts(k) > 0)
+                  java.lang.Double.valueOf(g.sums(k) / g.counts(k))
+                else null
+            }
+        }.toVector
+      }.toSeq
+    }
+    val outNames = outCols.map(_._1)
+    val keyNames = outCols.collect {
+      case (n, Left(i)) if groupIdx.contains(i) => n
+    }
+    if (keyNames.isEmpty) return None // ungrouped global agg: keep default
+    val viewType = Map("key" -> LongType, "left_id" -> LongType,
+      "right_id" -> LongType, "left_value" -> StringType,
+      "right_value" -> StringType)
+    val fields = outCols.map {
+      case (n, Left(i)) => StructField(n, viewType(JoinViewCols(i)))
+      case (n, Right(CountStar)) => StructField(n, LongType)
+      case (n, Right(CountCol(_))) => StructField(n, LongType)
+      case (n, Right(_)) => StructField(n, DoubleType, nullable = true)
+    }
+    val handle = ChangelogStream.foldingSnapshot(fj.deltas, name,
+      outNames, keyNames, fold)
+    // advertised schema ("traits.schema") is the aggregate view's — an
+    // empty typed frame carries it; results flow through the handle
+    val schemaDf = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(fields))
+    Some(new Statement(name, sql, schemaDf, Some(handle), properties))
   }
 
   /** A memo hit is only served while the statement is still usable: a

@@ -409,4 +409,94 @@ class StatementsSpec extends AnyFunSuite {
       } finally stmt.stop()
     }
   }
+
+  test("continuous JOIN → GROUP BY statement: IVM join deltas feed a " +
+    "grouped fold whose collapse equals the batch join+agg after EVERY page") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val lmem = MemoryStream[(Long, Long, Long, String, Boolean)]
+    val rmem = MemoryStream[(Long, Long, Long, String, Boolean)]
+    type Feed = (Long, Long, Long, String, Boolean)
+    lmem.toDF().toDF("seq", "key", "id", "value", "delete")
+      .createOrReplaceTempView("la_feed")
+    rmem.toDF().toDF("seq", "key", "id", "value", "delete")
+      .createOrReplaceTempView("ra_feed")
+    val stmts = new Statements(s)
+    // the composition gap a reference user hits writing a fourth query:
+    // one continuous statement joining two changelogs AND aggregating —
+    // aliased aggregates, alias-qualified column refs, CAST to double
+    val stmt = stmts.create(
+      "SELECT key, count(*) AS cnt, avg(CAST(a.value AS DOUBLE)) AS avg_v " +
+        "FROM la_feed AS a JOIN ra_feed AS b ON a.key = b.key GROUP BY key")
+    try {
+      assert(stmt.isStreaming, "join+agg must be a continuous statement")
+      assert(stmt.columns == Seq("key", "cnt", "avg_v"))
+      assert(stmts.waitForStatus(stmt, Set(Phase.Running)).isDefined)
+      val cl = stmt.handle.get.changelog()
+      // driver-side reference fold of the live rows; values are exact
+      // binary doubles (multiples of 0.25) so sum order cannot drift ulps
+      val l = scala.collection.mutable.Map.empty[(Long, Long), String]
+      val r = scala.collection.mutable.Map.empty[(Long, Long), String]
+      def apply(side: scala.collection.mutable.Map[(Long, Long), String],
+                f: Feed): Unit =
+        if (f._5) { side.remove((f._2, f._3)); () }
+        else side((f._2, f._3)) = f._4
+      def page(lb: Seq[Feed], rb: Seq[Feed]): Unit = {
+        if (lb.nonEmpty) lmem.addData(lb)
+        if (rb.nonEmpty) rmem.addData(rb)
+        stmt.handle.get.processAllAvailable()
+        lb.foreach(apply(l, _)); rb.foreach(apply(r, _))
+        while (cl.consume(1).nonEmpty) ()
+        // batch reference: inner join on key, then GROUP BY key with
+        // count(*) and avg(left value)
+        val joined = for (((lk, li), lv) <- l.toSeq;
+                          ((rk, ri), rv) <- r.toSeq if lk == rk)
+          yield (lk, lv)
+        val expected = joined.groupBy(_._1).map { case (k, rows) =>
+          val vals = rows.map(_._2.toDouble)
+          Vector[Any](k, rows.size.toLong, vals.sum / vals.size)
+        }.toSet
+        val got = cl.collapse().rows.toSet
+        assert(got == expected,
+          s"collapse diverged from batch join+agg: $got vs $expected")
+      }
+      // page 1: key 1 gets 2 left × 1 right = 2 joined rows; key 2 pending
+      page(Seq((0L, 1L, 100L, "1.5", false), (1L, 1L, 101L, "2.5", false),
+               (2L, 2L, 102L, "4.0", false)),
+           Seq((0L, 1L, 200L, "x", false)))
+      // page 2: key 2 matches (group +I); left UPDATE on key 1 changes its
+      // avg (-U/+U); a second right row on key 1 doubles its join rows
+      page(Seq((3L, 1L, 100L, "3.5", false)),
+           Seq((1L, 2L, 201L, "y", false), (2L, 1L, 201L, "z", false)))
+      // page 3: key 2's only right row deletes → its group -D's away;
+      // key 1 loses one left row
+      page(Seq((4L, 1L, 101L, "2.5", true)),
+           Seq((3L, 2L, 201L, "y", true)))
+      // page 4: everything deletes — the aggregate view empties
+      page(Seq((5L, 1L, 100L, "3.5", true), (6L, 2L, 102L, "4.0", true)),
+           Seq((4L, 1L, 200L, "x", true), (5L, 1L, 201L, "z", true)))
+      assert(cl.collapse().rows.isEmpty,
+        "emptied join+agg view must collapse to 0 rows")
+      // wire shape: updates must travel as adjacent -U/+U pairs
+      val ops = cl.history.flatMap(_.op).toVector
+      ops.zipWithIndex.foreach { case (op, i) =>
+        if (op == graft.changelog.Op.UpdateBefore)
+          assert(i + 1 < ops.length &&
+            ops(i + 1) == graft.changelog.Op.UpdateAfter,
+            "-U must immediately precede its +U")
+      }
+    } finally stmt.stop()
+    // shapes that must NOT silently take this route: an unaliased
+    // aggregate or a MIN (not ±-foldable) keeps the default spark.sql
+    // semantics — which rejects the unsupported streaming plan loudly
+    // rather than serving a wrong changelog
+    intercept[Exception] {
+      val bad = stmts.create(
+        "SELECT key, min(a.value) AS m FROM la_feed a JOIN ra_feed b " +
+          "ON a.key = b.key GROUP BY key")
+      bad.stop()
+    }
+  }
 }
