@@ -19,9 +19,12 @@ import graft.sources.Tables
 object Bucketing {
 
   /** Write lineitem and orders bucketed by order key into the session
-    * warehouse (idempotent per session). Returns the table names. */
+    * warehouse (idempotent per session). Returns the table names.
+    * Bucket count matches local[32] parallelism here; at cluster scale
+    * it would be sized to ~2× total cores (the write is one-time, the
+    * exchange elimination pays on every subsequent orderkey join). */
   def prepare(spark: SparkSession, dir: String,
-              buckets: Int = 8): (String, String) = {
+              buckets: Int = 32): (String, String) = {
     val li = "graft_lineitem_bkt"
     val ord = "graft_orders_bkt"
     if (!spark.catalog.tableExists(li)) {
@@ -63,5 +66,28 @@ object Bucketing {
           (lit(1.0) - $"l_discount").cast(DecimalType(18, 2)))
         .cast(DoubleType).as("revenue"))
       .orderBy($"o_custkey")
+  }
+
+  /** q3 over orderkey-bucketed lineitem/orders: the per-orderkey
+    * pre-aggregate AND the fact-fact join run on the bucket layout with
+    * ZERO Exchange on the order key — the 100 TB exchange-eliminator the
+    * unbucketed q3's scaladoc names. Same join tree ([[Relational.q3Over]]),
+    * same oracle hash; BucketingSpec asserts the orderkey-shuffle-free
+    * plan. customer stays a plain parquet scan (its join is on custkey —
+    * a different co-location decision). */
+  def q3Bucketed(spark: SparkSession, dir: String): DataFrame = {
+    val (li, ord) = prepare(spark, dir)
+    Relational.q3Over(spark.table(li), spark.table(ord),
+      Tables.load(spark, dir, "customer"))
+  }
+
+  /** q10 over orderkey-bucketed facts — see [[q3Bucketed]]; dims stay
+    * broadcast parquet scans. */
+  def q10Bucketed(spark: SparkSession, dir: String): DataFrame = {
+    val (li, ord) = prepare(spark, dir)
+    Relational.q10Over(spark.table(li), spark.table(ord),
+      Tables.load(spark, dir, "customer"),
+      Tables.load(spark, dir, "nation"),
+      Tables.load(spark, dir, "region"))
   }
 }

@@ -72,14 +72,24 @@ object Relational {
     * broadcast assumption" rule). lineitem⋈orders shuffles on the order
     * key (the natural co-partition key at 100 TB: bucket both by
     * orderkey to eliminate this exchange). */
-  def q3JoinAgg(spark: SparkSession, dir: String): DataFrame = {
+  def q3JoinAgg(spark: SparkSession, dir: String): DataFrame =
+    q3Over(
+      Tables.load(spark, dir, "lineitem"),
+      Tables.load(spark, dir, "orders"),
+      Tables.load(spark, dir, "customer"))
+
+  /** q3's join tree over caller-supplied fact frames — shared by the
+    * parquet path above and [[Bucketing.q3Bucketed]], where lineitem and
+    * orders arrive bucketed by order key and the whole orderkey stage
+    * (pre-aggregate + fact-fact join) plans with ZERO Exchange
+    * (BucketingSpec plan-asserts it; the oracle hash is identical). */
+  private[operators] def q3Over(lineitem: DataFrame, orders: DataFrame,
+                                customer: DataFrame): DataFrame = {
+    val spark = lineitem.sparkSession
     import spark.implicits._
-    val cust = Tables.load(spark, dir, "customer")
-      .select($"c_custkey", $"c_mktsegment")
-    val ord = Tables.load(spark, dir, "orders")
-      .select($"o_orderkey", $"o_custkey")
-    val li = Tables.load(spark, dir, "lineitem")
-      .select($"l_orderkey", $"l_extendedprice", $"l_discount")
+    val cust = customer.select($"c_custkey", $"c_mktsegment")
+    val ord = orders.select($"o_orderkey", $"o_custkey")
+    val li = lineitem.select($"l_orderkey", $"l_extendedprice", $"l_discount")
     // q10's aggregate pushdown: (revenue, item count) partial-sums per
     // orderkey, then per custkey, so each join carries aggregated grains
     // instead of raw lineitems — decimal sums and counts reassociate
@@ -193,13 +203,21 @@ object Relational {
     * AQE broadcasts it while it measures small and falls back to a
     * shuffle join at 100 TB instead of OOMing the driver (same rule as
     * q3). orders⋈lineitem shuffles on orderkey. */
-  def q10StarJoin(spark: SparkSession, dir: String): DataFrame = {
+  def q10StarJoin(spark: SparkSession, dir: String): DataFrame =
+    q10Over(
+      Tables.load(spark, dir, "lineitem"),
+      Tables.load(spark, dir, "orders"),
+      Tables.load(spark, dir, "customer"),
+      Tables.load(spark, dir, "nation"),
+      Tables.load(spark, dir, "region"))
+
+  /** q10's star join over caller-supplied frames — shared with
+    * [[Bucketing.q10Bucketed]] (orderkey-bucketed facts ⇒ the fact-fact
+    * stage plans exchange-free; see q3Over). */
+  private[operators] def q10Over(li: DataFrame, ord: DataFrame,
+      cust: DataFrame, nation: DataFrame, region: DataFrame): DataFrame = {
+    val spark = li.sparkSession
     import spark.implicits._
-    val region = Tables.load(spark, dir, "region")
-    val nation = Tables.load(spark, dir, "nation")
-    val cust = Tables.load(spark, dir, "customer")
-    val ord = Tables.load(spark, dir, "orders")
-    val li = Tables.load(spark, dir, "lineitem")
     // aggregate pushdown through the join tree: revenue partial-sums per
     // orderkey BEFORE the fact-fact join (the map-side combine collapses
     // ~rows-per-order lineitems ahead of the exchange, and the join then
@@ -1338,6 +1356,8 @@ object Relational {
     "q1_pricing_summary" -> q1PricingSummary _,
     "q2_filter_project" -> q2FilterProject _,
     "q3_join_agg" -> q3JoinAgg _,
+    "q3_join_agg_bucketed" -> (Bucketing.q3Bucketed _),
+    "q10_star_join_bucketed" -> (Bucketing.q10Bucketed _),
     "q4_casewhen_buckets" -> q4CaseWhenBuckets _,
     "q5_substring_cast" -> q5SubstringCast _,
     "q6_group_count" -> q6GroupCount _,
@@ -1695,6 +1715,28 @@ object Relational {
         |JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_mktsegment
         |ORDER BY c_mktsegment""".stripMargin,
+    // the bucketed run must hash-match the same oracle as the unbucketed
+    // one — the layout changes the plan (zero orderkey Exchange), never
+    // the answer
+    "q3_join_agg_bucketed" ->
+      """SELECT c_mktsegment,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1.0 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin,
+    "q10_star_join_bucketed" ->
+      """SELECT r_name, n_name,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1.0 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name
+        |ORDER BY r_name, n_name""".stripMargin,
     "q4_casewhen_buckets" ->
       """WITH bucketed AS (
         |  SELECT c_acctbal,

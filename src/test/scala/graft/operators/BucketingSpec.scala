@@ -37,4 +37,36 @@ class BucketingSpec extends AnyFunSuite {
     assert(df.collect().map(_.toSeq).toSet ==
       shuffled.collect().map(_.toSeq).toSet)
   }
+
+  // the registry-level proof (r8 verdict item #3): q3/q10 over the
+  // bucketed facts must (a) plan ZERO shuffle on the order key — the
+  // pre-aggregate and the fact-fact join both ride the bucket layout —
+  // and (b) return exactly the unbucketed answer (the driver's oracle
+  // additionally hash-checks both against DuckDB at sf0.01)
+  test("bucketed q3/q10 plan no orderkey exchange and match the unbucketed results") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    // static plan: AQE re-wraps stages and hides exchanges from collect()
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      for ((bucketed, plain, label) <- Seq(
+          (Bucketing.q3Bucketed(spark, dir),
+            Relational.q3JoinAgg(spark, dir), "q3"),
+          (Bucketing.q10Bucketed(spark, dir),
+            Relational.q10StarJoin(spark, dir), "q10"))) {
+        val shuffles = bucketed.queryExecution.executedPlan.collect {
+          case s: ShuffleExchangeExec => s
+        }
+        val onOrderkey = shuffles.filter(
+          _.outputPartitioning.toString.toLowerCase.contains("orderkey"))
+        assert(onOrderkey.isEmpty,
+          s"$label bucketed must not shuffle on the order key:\n" +
+            onOrderkey.map(_.outputPartitioning).mkString("\n"))
+        // the layout may change the plan, never the answer
+        assert(bucketed.collect().map(_.toSeq).toSeq ==
+          plain.collect().map(_.toSeq).toSeq,
+          s"$label bucketed diverged from the unbucketed result")
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
 }
