@@ -236,13 +236,4 @@ object CmsTopKAggregate {
     val d = md.get(); d.reset(); d.digest(s.getBytes(StandardCharsets.UTF_8))
   }
 
-  /** Lowercase hex MD5 of the token's UTF-8 bytes — byte-identical to
-    * Spark SQL's `md5()` and DuckDB's `md5()`. */
-  def md5Hex(s: String): String = {
-    val d = md5Bytes(s)
-    val sb = new java.lang.StringBuilder(32)
-    d.foreach(b => sb.append(Character.forDigit((b >> 4) & 0xf, 16))
-      .append(Character.forDigit(b & 0xf, 16)))
-    sb.toString
-  }
 }

@@ -64,6 +64,21 @@ case class HllAggregate(
   override def dataType: DataType = LongType
   override def prettyName: String = "hll_distinct_md5"
 
+  // update() hashes the child as a UTF8String — a non-string child must
+  // fail at analysis, not ClassCastException mid-job (callers cast
+  // explicitly, keeping the bytes-that-get-hashed visible in the plan)
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case org.apache.spark.sql.types.StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+          .TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+          .TypeCheckFailure(
+            s"hll_distinct_md5 expects a string child, got $other")
+    }
+
   override def createAggregationBuffer(): Array[Byte] = new Array[Byte](M)
 
   override def update(buf: Array[Byte], input: InternalRow): Array[Byte] = {

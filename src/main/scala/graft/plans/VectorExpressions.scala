@@ -515,17 +515,36 @@ case class JlProject(child: Expression, masks: IndexedSeq[Long])
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "jl_project"
 
+  // the eval loop reads raw longs — any other element type must die at
+  // ANALYSIS, not reinterpret UnsafeArrayData bytes into wrong projections
+  // at runtime (the FilterPositions guard, same hazard)
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+          .TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+          .TypeCheckFailure(
+            s"jl_project expects array<bigint>, got $other")
+    }
+
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
     val n = math.min(arr.numElements(), 64)
     val out = new Array[Long](masks.length)
     var i = 0
     while (i < n) {
-      val v = arr.getLong(i)
-      var j = 0
-      while (j < masks.length) {
-        if (((masks(j) >>> i) & 1L) == 1L) out(j) += v else out(j) -= v
-        j += 1
+      // null slots contribute nothing (the dot-product formulation this
+      // replaces treated a null coordinate as absent, not as garbage)
+      if (!arr.isNullAt(i)) {
+        val v = arr.getLong(i)
+        var j = 0
+        while (j < masks.length) {
+          if (((masks(j) >>> i) & 1L) == 1L) out(j) += v else out(j) -= v
+          j += 1
+        }
       }
       i += 1
     }

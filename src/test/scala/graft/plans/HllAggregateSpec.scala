@@ -55,6 +55,20 @@ class HllAggregateSpec extends AnyFunSuite {
     assert(again == got, "estimate changed under repartitioning")
   }
 
+  test("a non-string child fails at analysis, not mid-job") {
+    val s = spark
+    import s.implicits._
+    val li = graft.sources.Tables.load(s, dir, "lineitem")
+    val ex = intercept[Exception] {
+      li.groupBy($"l_returnflag")
+        .agg(HllAggregate.hllDistinct($"l_partkey").as("est"))
+        .collect()
+    }
+    assert(ex.getMessage.contains("hll_distinct_md5") ||
+      ex.getMessage.contains("DATATYPE_MISMATCH"),
+      s"expected an analysis-time type error, got: ${ex.getMessage}")
+  }
+
   test("duplicate rows are no-ops: registers max-merge") {
     val s = spark
     import s.implicits._

@@ -176,6 +176,28 @@ class VectorExpressionsSpec extends AnyFunSuite {
     assert(run(Array.empty[Long]) == Seq(0L, 0L, 0L, 0L))
   }
 
+  test("JlProject: non-long element types fail at analysis; null slots " +
+      "contribute nothing") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val masks = IndexedSeq(-1L)
+    // array<double> must be rejected by the type check — the eval loop
+    // reads raw longs and would otherwise reinterpret UnsafeArrayData
+    // bytes into wrong projections
+    val wrong = JlProject(Literal.create(new GenericArrayData(
+      Array(1.5, 2.5)), ArrayType(org.apache.spark.sql.types.DoubleType)),
+      masks)
+    assert(!wrong.checkInputDataTypes().isSuccess,
+      "jl_project must reject non-bigint array elements at analysis")
+    // a null slot is absent, not garbage: [1, null, 3] under mask -1 sums 4
+    val withNull = JlProject(Literal.create(new GenericArrayData(
+      Array[Any](1L, null, 3L)),
+      ArrayType(org.apache.spark.sql.types.LongType, containsNull = true)),
+      masks)
+    assert(withNull.checkInputDataTypes().isSuccess)
+    assert(withNull.eval(null).asInstanceOf[ArrayData].toLongArray().toSeq
+      == Seq(4L))
+  }
+
   test("FilterPositions: drops exactly the listed 1-based positions, " +
       "preserves order, tolerates out-of-range and duplicate cuts") {
     import org.apache.spark.sql.catalyst.util.GenericArrayData
