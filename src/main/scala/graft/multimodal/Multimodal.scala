@@ -597,11 +597,24 @@ object Multimodal {
       // persisted once — see m9SigTable), candidates from m7's band
       // shape applied per (frame_idx, band) — a transcoded dup collides
       // on nearly every band, unrelated textures differ — verified by
-      // TOTAL signature Hamming ≤ VideoFrames·PHashMaxDist. Signatures
-      // ride the band join: only (id, VideoFrames×8 bytes) ever
-      // shuffles, pixels never leave the decode stage.
+      // TOTAL signature Hamming ≤ VideoFrames·PHashMaxDist.
+      //
+      // The frame-band join term, split (r8's one scale watch item: sf1
+      // last-step ratio 3.17 vs 3.33 data growth — linear with no
+      // headroom): the candidate join now carries ONLY (media_id, fidx,
+      // band, bucket) — 20 bytes/row — where it previously dragged the
+      // whole VideoFrames-long signature array on every exploded row
+      // (frames × 28 copies per video through the exchange) and
+      // recomputed the full-signature Hamming per COLLISION ROW before
+      // the distinct (a transcoded dup collides on ~every (frame, band),
+      // so each true pair paid the aggregate hundreds of times).
+      // Signatures re-attach AFTER the pair-level distinct via two
+      // id-equi-joins against the one-row-per-video sig table (the m8
+      // cands→waveform shape), so the Hamming verification runs exactly
+      // once per candidate pair. Pixels still never leave the decode
+      // stage.
       val sigs = m9SigTable(s, d)
-      val banded = sigs.select($"media_id", $"sig",
+      val banded = sigs.select($"media_id",
           posexplode($"sig").as(Seq("fidx", "fh")))
         // degenerate frames (constant luminance → dHash exactly 0: fades,
         // black/white flashes, test cards) carry no discriminative signal
@@ -618,16 +631,20 @@ object Multimodal {
         // texture frames while only degenerate frames match exactly is
         // NOT guaranteed — the price of the stop-key rule
         .filter($"fh" =!= 0L)
-        .select($"media_id", $"sig", $"fidx", bandBuckets($"fh").as("bb"))
-        .select($"media_id", $"sig", $"fidx", $"bb.band", $"bb.bucket")
-      banded.as("a").join(banded.as("b"),
+        .select($"media_id", $"fidx", bandBuckets($"fh").as("bb"))
+        .select($"media_id", $"fidx", $"bb.band", $"bb.bucket")
+      val pairs = banded.as("a").join(banded.as("b"),
           $"a.fidx" === $"b.fidx" && $"a.band" === $"b.band" &&
             $"a.bucket" === $"b.bucket" && $"a.media_id" < $"b.media_id")
-        .select($"a.media_id".as("id1"), $"b.media_id".as("id2"),
-          aggregate(zip_with($"a.sig", $"b.sig",
+        .select($"a.media_id".as("id1"), $"b.media_id".as("id2"))
+        .distinct()
+      pairs
+        .join(sigs.select($"media_id".as("id1"), $"sig".as("sig1")), "id1")
+        .join(sigs.select($"media_id".as("id2"), $"sig".as("sig2")), "id2")
+        .select($"id1", $"id2",
+          aggregate(zip_with($"sig1", $"sig2",
               (x, y) => bit_count(x.bitwiseXOR(y))),
             lit(0), (acc, x) => acc + x).as("hamming"))
-        .distinct()
         .filter($"hamming" <= VideoFrames * PHashMaxDist)
         .orderBy($"id1", $"id2")
     }),
