@@ -1329,8 +1329,60 @@ object Relational {
       .orderBy($"event_type", $"day")
   }
 
+  /** Q51 — statistical aggregate surface (stddev / correlation /
+    * regression slope) with EXACT integer moments: the built-in
+    * `stddev_samp`/`corr`/`regr_slope` accumulate doubles in partition
+    * order, so their last ulps are partitioning-dependent and can never
+    * hash-match a different engine. Instead every input quantizes to
+    * cent longs (exact), the six raw moments (n, Σx, Σy, Σx², Σy², Σxy)
+    * aggregate as DECIMAL(38,0) — order-independent, exact at any
+    * partitioning, magnitudes bounded by n·(10⁷ cents)² ≈ 10²⁸ ≪ 10³⁸
+    * even at billions of rows — and each published statistic is a SHORT
+    * fixed composition of IEEE ops over those exact moments
+    * (cast → subtract/multiply → divide → sqrt), identical in both
+    * engines, rounded to 6 decimals (the v14 convention: a 1-ulp
+    * decimal→double cast difference is ~10⁻¹⁶ relative and cannot move
+    * the 6th decimal off a boundary except with vanishing probability —
+    * the HLL large-range argument).
+    *
+    * Scale shape: one map-side-combined groupBy carrying six numbers per
+    * group across the shuffle — the textbook moment-sketch; the window-
+    * free plan is the same at 60k rows and 100 TB. */
+  def q51StatsAggregates(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.types.DecimalType
+    val d38 = DecimalType(38, 0)
+    val li = Tables.load(spark, dir, "lineitem")
+      .select($"l_returnflag",
+        round($"l_quantity" * 100).cast("long").as("x"),
+        round($"l_extendedprice" * 100).cast("long").as("y"))
+    // per-row products stay in long range (price ≤ 10^7 cents → y² ≤
+    // 10^14 < 2^63); the SUMS are where 2^53/2^63 die, hence decimal
+    val m = li.groupBy($"l_returnflag").agg(
+      count(lit(1)).cast(d38).as("n"),
+      sum($"x".cast(d38)).as("sx"),
+      sum($"y".cast(d38)).as("sy"),
+      sum(($"x" * $"x").cast(d38)).as("sxx"),
+      sum(($"y" * $"y").cast(d38)).as("syy"),
+      sum(($"x" * $"y").cast(d38)).as("sxy"))
+    def dbl(c: Column): Column = c.cast(DoubleType)
+    val varXNum = dbl($"n" * $"sxx" - $"sx" * $"sx")
+    val varYNum = dbl($"n" * $"syy" - $"sy" * $"sy")
+    val covNum = dbl($"n" * $"sxy" - $"sx" * $"sy")
+    val sampDen = dbl($"n" * ($"n" - lit(1).cast(d38)))
+    m.select($"l_returnflag",
+        $"n".cast("long").as("n_rows"),
+        round(dbl($"sx") / dbl($"n"), 6).as("mean_qty_cents"),
+        round(sqrt(varXNum / sampDen), 6).as("stddev_qty_cents"),
+        round(sqrt(varYNum / sampDen), 6).as("stddev_price_cents"),
+        round(covNum / sqrt(varXNum * varYNum), 6).as("corr_qty_price"),
+        round(covNum / varXNum, 6).as("slope_price_per_qty"))
+      .orderBy($"l_returnflag")
+  }
+
   /** All relational queries, keyed for SparkEntry. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q51_stats_aggregates" -> q51StatsAggregates _,
     "q50_cumulative_distinct" -> q50CumulativeDistinct _,
     "q49_ntile_deciles" -> q49NtileDeciles _,
     "q47_lateral_topk" -> q47LateralTopk _,
@@ -1436,6 +1488,30 @@ object Relational {
 
   /** DuckDB oracle SQL per query (column names and ORDER BY must match). */
   val oracleSql: Map[String, String] = Map(
+    // q51: DuckDB's sum(BIGINT) is HUGEINT (int128, exact) — the same
+    // order-independent exact moments as the Spark side's DECIMAL(38,0);
+    // the double compositions are structurally identical ops in both
+    "q51_stats_aggregates" ->
+      """WITH b AS (SELECT l_returnflag,
+        |             CAST(round(l_quantity * 100) AS BIGINT) AS x,
+        |             CAST(round(l_extendedprice * 100) AS BIGINT) AS y
+        |           FROM lineitem),
+        |m AS (SELECT l_returnflag, count(*) AS n,
+        |        sum(x) AS sx, sum(y) AS sy,
+        |        sum(x*x) AS sxx, sum(y*y) AS syy, sum(x*y) AS sxy
+        |      FROM b GROUP BY 1)
+        |SELECT l_returnflag, CAST(n AS BIGINT) AS n_rows,
+        |  round(CAST(sx AS DOUBLE) / CAST(n AS DOUBLE), 6) AS mean_qty_cents,
+        |  round(sqrt(CAST(n*sxx - sx*sx AS DOUBLE)
+        |    / CAST(n*(n-1) AS DOUBLE)), 6) AS stddev_qty_cents,
+        |  round(sqrt(CAST(n*syy - sy*sy AS DOUBLE)
+        |    / CAST(n*(n-1) AS DOUBLE)), 6) AS stddev_price_cents,
+        |  round(CAST(n*sxy - sx*sy AS DOUBLE)
+        |    / sqrt(CAST(n*sxx - sx*sx AS DOUBLE)
+        |         * CAST(n*syy - sy*sy AS DOUBLE)), 6) AS corr_qty_price,
+        |  round(CAST(n*sxy - sx*sy AS DOUBLE)
+        |    / CAST(n*sxx - sx*sx AS DOUBLE), 6) AS slope_price_per_qty
+        |FROM m ORDER BY l_returnflag""".stripMargin,
     "q50_cumulative_distinct" ->
       """WITH e AS (SELECT event_type, user_id,
         |             strftime(ts, '%Y-%m-%d') AS day

@@ -1682,6 +1682,61 @@ object Similarity {
       .orderBy($"width", $"query_id")
   }
 
+  /** v24's shortlist stage: prefix width (dims scanned per corpus vector)
+    * and shortlist depth (candidates kept per query for exact re-rank). */
+  val ServePrefixWidth = 16
+  val ServeShortlist: Int = 4 * K
+
+  /** V24 — two-stage matryoshka SERVING (v19 is the evaluation; this is
+    * the retrieval path it justifies): stage 1 scans the corpus at a
+    * 16-dim PREFIX of the embedding and keeps a per-query shortlist of
+    * [[ServeShortlist]] candidates by prefix cosine; stage 2 re-ranks
+    * ONLY the shortlist with the exact full-dim cosine and serves top-K.
+    * The serving contract of every matryoshka deployment (Kusupati 2022):
+    * the full-width scan — 4× the FLOPs and, with prefix-sliced storage,
+    * 4× the bytes — runs on Q×shortlist rows instead of Q×N.
+    *
+    * Scale shape: stage 1 is v1's broadcast-queries/one-corpus-scan
+    * contract with the window carrying only (query_id, vec_id, pcos) —
+    * vectors never ride the rank shuffle; stage 2 re-attaches full
+    * vectors by broadcasting the Q×shortlist id table against one more
+    * corpus scan (the m9 candidates-then-reattach discipline). Exact
+    * within the shortlist → oracle-replayable end to end; what the
+    * prefix stage loses vs the full-dim truth is exactly what v19
+    * measures, and served recall ≥ v19's width-16 overlap by
+    * construction (a truth item inside the shortlist always survives the
+    * exact re-rank — spec-proven). This fixture's bulk is
+    * measured-isotropic, the worst case for prefix retrieval; matryoshka-
+    * TRAINED embeddings concentrate signal in the prefix, which is the
+    * deployment this serves. */
+  def v24MatryoshkaServe(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.load(spark, dir, "embeddings")
+      .select($"vec_id", asDouble($"embedding").as("v"))
+    val queries = emb.filter($"vec_id" < QueryCount)
+      .select($"vec_id".as("query_id"), $"v".as("qv"))
+    val wPre = Window.partitionBy($"query_id")
+      .orderBy($"pcos".desc, $"vec_id".asc)
+    val shortlist = emb
+      .join(broadcast(queries), $"vec_id" =!= $"query_id")
+      .select($"query_id", $"vec_id",
+        cosine(slice($"qv", 1, ServePrefixWidth),
+          slice($"v", 1, ServePrefixWidth)).as("pcos"))
+      .withColumn("prk", row_number().over(wPre))
+      .filter($"prk" <= ServeShortlist)
+      .select($"query_id", $"vec_id")
+    val wFull = Window.partitionBy($"query_id")
+      .orderBy($"cos".desc, $"vec_id".asc)
+    broadcast(shortlist) // bounded: QueryCount × ServeShortlist id pairs
+      .join(emb, "vec_id")
+      .join(broadcast(queries), "query_id")
+      .select($"query_id", $"vec_id", cosine($"qv", $"v").as("cos"))
+      .withColumn("rk", row_number().over(wFull))
+      .filter($"rk" <= K)
+      .select($"query_id", $"rk", $"vec_id", round($"cos", 6).as("cos_sim"))
+      .orderBy($"query_id", $"rk")
+  }
+
   /** V20 — filtered ANN (label-constrained top-K): each query retrieves
     * its top-K among corpus vectors sharing the query's label — the
     * metadata-predicate search every production vector store serves
@@ -1887,6 +1942,7 @@ object Similarity {
     "v22_range_search" -> v22RangeSearch _,
     "v20_ann_filtered" -> v20AnnFiltered _,
     "v19_matryoshka_eval" -> v19MatryoshkaEval _,
+    "v24_matryoshka_serve" -> v24MatryoshkaServe _,
     "v18_ann_binary" -> ((s: SparkSession, d: String) => v18AnnBinary(s, d)),
     "v17_index_delta" -> v17IndexDelta _,
     "v16_semantic_contamination" ->
@@ -2330,6 +2386,28 @@ object Similarity {
          |      WHERE vec_id != query_id)
          |SELECT query_id, label, rk, vec_id, round(cos, 6) AS cos_sim
          |FROM s WHERE rk <= $K
+         |ORDER BY query_id, rk""".stripMargin,
+    "v24_matryoshka_serve" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+         |           FROM embeddings),
+         |q AS (SELECT vec_id AS query_id, v AS qv FROM e
+         |      WHERE vec_id < $QueryCount),
+         |p AS (SELECT query_id, vec_id, v,
+         |        row_number() OVER (PARTITION BY query_id
+         |          ORDER BY list_cosine_similarity(
+         |              list_slice(qv, 1, $ServePrefixWidth),
+         |              list_slice(v, 1, $ServePrefixWidth)) DESC,
+         |            vec_id ASC) AS prk
+         |      FROM e CROSS JOIN q WHERE vec_id != query_id),
+         |s AS (SELECT query_id, vec_id, v FROM p WHERE prk <= $ServeShortlist),
+         |f AS (SELECT query_id, vec_id,
+         |        list_cosine_similarity(qv, v) AS cos,
+         |        row_number() OVER (PARTITION BY query_id
+         |          ORDER BY list_cosine_similarity(qv, v) DESC, vec_id ASC)
+         |          AS rk
+         |      FROM s JOIN q USING (query_id))
+         |SELECT query_id, rk, vec_id, round(cos, 6) AS cos_sim
+         |FROM f WHERE rk <= $K
          |ORDER BY query_id, rk""".stripMargin,
     "v19_matryoshka_eval" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v

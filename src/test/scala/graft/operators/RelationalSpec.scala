@@ -406,4 +406,46 @@ class RelationalSpec extends AnyFunSuite {
     assert(plan.substring(winIdx).contains("HashAggregate"),
       s"window must sit ABOVE the aggregates in the plan tree:\n$plan")
   }
+
+  test("q51: exact-moment statistics agree with Spark's built-in " +
+    "stddev/corr/regr_slope within double noise, at any partitioning") {
+    import org.apache.spark.sql.functions._
+    val s = spark
+    import s.implicits._
+    val got = Relational.q51StatsAggregates(s, dir).collect()
+      .map(r => r.getString(0) -> (r.getDouble(3), r.getDouble(5), r.getDouble(6)))
+      .toMap
+    // the built-ins accumulate doubles (order-dependent last ulps — the
+    // reason q51 exists); they still agree to ~1e-9 relative, so they
+    // pin the FORMULAS while the oracle pins exactness
+    val ref = graft.sources.Tables.load(s, dir, "lineitem")
+      .select($"l_returnflag",
+        (round($"l_quantity" * 100)).as("x"),
+        (round($"l_extendedprice" * 100)).as("y"))
+      .groupBy($"l_returnflag")
+      .agg(stddev_samp($"x").as("sd"), corr($"x", $"y").as("c"),
+        regr_slope($"y", $"x").as("sl"))
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(got.keySet == ref.keySet)
+    got.foreach { case (k, (sd, c, sl)) =>
+      val (rsd, rc, rsl) = ref(k)
+      assert(math.abs(sd - rsd) <= 1e-6 * math.abs(rsd) + 1e-9, s"$k stddev")
+      assert(math.abs(c - rc) <= 1e-6, s"$k corr: $c vs $rc")
+      assert(math.abs(sl - rsl) <= 1e-6 * math.abs(rsl) + 1e-9, s"$k slope")
+    }
+    // partitioning-invariance: the whole point of the decimal moments —
+    // a different shuffle layout merges partials in a different order
+    // and must still yield the SAME bits (double accumulators would
+    // drift in the last ulps)
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    val wide = Relational.q51StatsAggregates(s, dir).collect().map(_.toSeq).toSeq
+    try {
+      s.conf.set("spark.sql.shuffle.partitions", "3")
+      val narrow = Relational.q51StatsAggregates(s, dir)
+        .collect().map(_.toSeq).toSeq
+      assert(narrow == wide,
+        "moment statistics must be bit-identical under any partitioning")
+    } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+  }
 }

@@ -698,4 +698,55 @@ class SimilaritySpec extends AnyFunSuite {
     val mean = ratios.map(_._2).sum / ratios.size
     assert(mean > 0.7 && mean < 1.3, s"distortion mean off: $mean")
   }
+
+  test("v24: served scores are exact full-dim cosines (v1 agreement on " +
+    "shared pairs), recall vs the exact truth is high, and the rank " +
+    "shuffle never carries vectors") {
+    val s = spark
+    import s.implicits._
+    val served = Similarity.v24MatryoshkaServe(s, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    val truth = Similarity.v1AnnTopK(s, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(served.length == truth.length, "K rows per query on both paths")
+    // stage 2 is EXACT within the shortlist: wherever the served pair
+    // coincides with a truth pair, the score must match bit-for-bit
+    val truthScore = truth.map(t => (t._1, t._3) -> t._4).toMap
+    served.foreach { case (q, _, v, c) =>
+      truthScore.get((q, v)).foreach(tc =>
+        assert(c == tc, s"served cosine for ($q,$v) diverged: $c vs $tc"))
+    }
+    // recall bound, by construction: a truth item inside the shortlist
+    // is in the true global top-K, hence in the top-K of any subset
+    // containing it → served ⊇ (truth ∩ shortlist) ⊇ (truth ∩ prefix
+    // top-K), so served recall ≥ v19's width-16 overlap ratio. The
+    // fixture's bulk is measured-isotropic — the WORST case for prefix
+    // retrieval (the v21 honesty stance) — so the bound is the v19
+    // measurement itself, not an absolute constant the corpus can't earn
+    val servedSet = served.map(t => (t._1, t._3)).toSet
+    val truthSet = truth.map(t => (t._1, t._3)).toSet
+    val recall = (servedSet & truthSet).size.toDouble / truthSet.size
+    val v19Overlap = Similarity.v19MatryoshkaEval(s, dir).collect()
+      .filter(_.getInt(0) == Similarity.ServePrefixWidth)
+      .map(_.getLong(2)).sum.toDouble / truthSet.size
+    assert(recall >= v19Overlap,
+      s"served recall $recall below the width-16 prefix floor $v19Overlap")
+    assert(recall >= 0.2, s"prefix-shortlist recall collapsed: $recall")
+    // scale shape: the stage-1 rank window partitions only ids+pcos —
+    // no Exchange in the plan may carry an embedding array
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val prevAqe = s.conf.get("spark.sql.adaptive.enabled")
+    s.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val shuffles = Similarity.v24MatryoshkaServe(s, dir)
+        .queryExecution.executedPlan.collect {
+          case e: ShuffleExchangeExec => e
+        }
+      shuffles.foreach { e =>
+        val carried = e.output.map(_.dataType.simpleString).mkString(",")
+        assert(!carried.contains("array"),
+          s"rank shuffle must not carry vectors, got: $carried")
+      }
+    } finally s.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
 }
