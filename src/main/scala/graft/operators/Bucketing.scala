@@ -19,14 +19,21 @@ import graft.sources.Tables
 object Bucketing {
 
   /** Write lineitem and orders bucketed by order key into the session
-    * warehouse (idempotent per session). Returns the table names.
-    * Bucket count matches local[32] parallelism here; at cluster scale
-    * it would be sized to ~2× total cores (the write is one-time, the
-    * exchange elimination pays on every subsequent orderkey join). */
+    * warehouse (idempotent per session AND per source dir — the table
+    * names embed a digest of `dir`, so one session measuring several
+    * scale rungs, as `graft.Scaling` does, gets one bucketed layout per
+    * rung instead of silently reusing the first rung's data). Returns
+    * the table names. Bucket count matches local[32] parallelism here;
+    * at cluster scale it would be sized to ~2× total cores (the write
+    * is one-time, the exchange elimination pays on every subsequent
+    * orderkey join). */
   def prepare(spark: SparkSession, dir: String,
               buckets: Int = 32): (String, String) = {
-    val li = "graft_lineitem_bkt"
-    val ord = "graft_orders_bkt"
+    val stamp = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).take(4)
+      .map(b => f"${b & 0xff}%02x").mkString
+    val li = s"graft_lineitem_bkt_$stamp"
+    val ord = s"graft_orders_bkt_$stamp"
     if (!spark.catalog.tableExists(li)) {
       // the in-memory catalog forgets tables across JVMs but their files
       // survive in the warehouse dir — clear stale locations first

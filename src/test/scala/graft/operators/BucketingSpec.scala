@@ -69,4 +69,20 @@ class BucketingSpec extends AnyFunSuite {
       }
     } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
   }
+
+  // one session measuring several scale rungs (graft.Scaling) must get
+  // one bucketed layout PER source dir — a session-global table name
+  // would silently serve the first rung's data to every later rung
+  test("bucketed tables are per-source-dir within one session") {
+    val dir2 = "/root/testdata/sf0.01"
+    val a = Bucketing.q3Bucketed(spark, dir)
+    val b = Bucketing.q3Bucketed(spark, dir2)
+    val plainB = Relational.q3JoinAgg(spark, dir2)
+    assert(b.collect().map(_.toSeq).toSeq ==
+      plainB.collect().map(_.toSeq).toSeq,
+      "second dir's bucketed q3 must reflect the second dir's data")
+    assert(a.collect().map(_.toSeq).toSeq !=
+      b.collect().map(_.toSeq).toSeq,
+      "different source dirs cannot share one bucketed table")
+  }
 }
