@@ -344,7 +344,9 @@ final class Statements(spark: SparkSession, prefix: String = "stmt-",
               val op = (f.nameParts.map(_.toLowerCase).mkString("."),
                 f.arguments) match {
                 case ("count", Seq(UnresolvedStar(None))) => CountStar
-                case ("count", Seq(Literal(_, _))) => CountStar
+                // count over a non-null literal counts rows; count(NULL)
+                // is always 0 and must not take the row-count path
+                case ("count", Seq(Literal(v, _))) if v != null => CountStar
                 case ("count", Seq(arg)) => CountCol(numArg(arg).getOrElse(return None))
                 case ("sum", Seq(arg)) => SumCol(numArg(arg).getOrElse(return None))
                 case ("avg", Seq(arg)) => AvgCol(numArg(arg).getOrElse(return None))
