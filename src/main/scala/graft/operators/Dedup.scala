@@ -151,6 +151,13 @@ object Dedup {
         $"shared".cast(DoubleType) / ($"n1" + $"n2" - $"shared"))
   }
 
+  /** Near-dup pairs at the default threshold (d1 < d2), for cross-family
+    * composition (p34's effective-size mixture reads these; same persisted
+    * index every other d-consumer reads). */
+  private[operators] def nearDupPairs(spark: SparkSession,
+                                      dir: String): DataFrame =
+    jaccardCandidates(spark, dir, JaccardThreshold).select("d1", "d2")
+
   /** D17 — dedup-threshold sweep: the pair-similarity survival curve
     * read BEFORE committing to a Jaccard cutoff (p27's threshold-sweep
     * discipline applied to the dedup knob): every candidate pair in the
@@ -1475,8 +1482,9 @@ object Dedup {
        |        FROM tc GROUP BY a),
        |cs AS (SELECT cluster_rep, count(*) AS cluster_size FROM rep GROUP BY 1)""".stripMargin
 
-  /** Shared CTE chain of the d3 oracle (also the pair source for d6). */
-  private lazy val d3Ctes: String =
+  /** Shared CTE chain of the d3 oracle (also the pair source for d6, and
+    * for p34's oracle in Pipeline — package-visible for that composition). */
+  private[operators] lazy val d3Ctes: String =
     s"""docs AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
        |sh0 AS (SELECT DISTINCT doc_id, unnest(list_transform(generate_series(1, len(w)-2),
        |          i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s FROM docs),

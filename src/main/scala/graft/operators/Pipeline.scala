@@ -697,6 +697,45 @@ object Pipeline {
       .orderBy($"doc_id")
   }
 
+  /** P34 — dedup-adjusted ("effective-size") mixture quotas: the
+    * composition every corpus-mixing pipeline needs and usually skips —
+    * p12's quota math runs over RAW per-language counts, but near-dup
+    * inflation (one source republishing another, d10's off-diagonal
+    * cells) double-counts content, so a language heavy in duplicates
+    * gets a quota its UNIQUE content cannot fill. Effective count =
+    * docs surviving the lower-id-wins near-dup drop (v8's greedy kept
+    * rule over d3's persisted pair index: a doc with a ≥τ near-dup of
+    * smaller id is a duplicate); the output sets raw and effective
+    * counts and both quota columns side by side — the audit that shows
+    * how much duplication shifts the feasible mixture.
+    *
+    * Scale shape: the pair index is the persisted once-per-snapshot
+    * artifact (no pairwise work here); the drop is one anti-join on
+    * doc_id; counts and quotas are the p12 shape (tiny groupBy(lang) ⋈
+    * literal weights, all-integer DIV arithmetic — oracle-exact). */
+  def p34EffectiveMixture(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.load(spark, dir, "documents").select($"doc_id", $"lang")
+    val dropped = Dedup.nearDupPairs(spark, dir)
+      .select($"d2".as("doc_id")).distinct()
+    val eff = docs.join(dropped, Seq("doc_id"), "left_anti")
+    val W = MixtureWeights.map(_._2).sum
+    val wdf = MixtureWeights.toDF("lang", "w")
+    val rawCnt = docs.groupBy($"lang").agg(count(lit(1)).as("raw_cnt"))
+    val effCnt = eff.groupBy($"lang").agg(count(lit(1)).as("c"))
+    val joined = rawCnt
+      .join(effCnt, Seq("lang"), "left")
+      .select($"lang", $"raw_cnt", coalesce($"c", lit(0L)).as("eff_cnt"))
+      .join(broadcast(wdf), "lang")
+    val totRaw = joined.agg(min(expr(s"(raw_cnt * $W) DIV w")).as("tot_raw"))
+    val totEff = joined.agg(min(expr(s"(eff_cnt * $W) DIV w")).as("tot_eff"))
+    joined.crossJoin(broadcast(totRaw)).crossJoin(broadcast(totEff))
+      .select($"lang", $"raw_cnt", $"eff_cnt",
+        expr(s"(tot_raw * w) DIV $W").as("quota_raw"),
+        expr(s"(tot_eff * w) DIV $W").as("quota_eff"))
+      .orderBy($"lang")
+  }
+
   /** p12's fitted quota table (lang → quota): the ≤n_langs-row model the
     * batch resample and the streaming admitter both consume — one tiny
     * groupBy(lang) aggregate joined to the literal weight table. */
@@ -1177,6 +1216,55 @@ object Pipeline {
       .select($"is_clean".cast("int").as("actual_clean"),
         $"pred".cast("int").as("pred_clean"), $"n_docs")
       .orderBy($"actual_clean", $"pred_clean")
+  }
+
+  /** P33 — classifier calibration curve (reliability diagram): the eval
+    * a filter pipeline runs before trusting p19's accept/reject boundary
+    * as a SAMPLING WEIGHT rather than a hard gate. Held-out docs score
+    * through the SAME fitted model (classifierModel); each doc lands in
+    * one of 10 fixed score bins — one-percent steps of the
+    * score-to-prior ratio covering [0.96, 1.06), i.e.
+    * `least(greatest(100·avg_q DIV thr − 96, 0), 9)`, pure integer
+    * arithmetic (additive-odds scores concentrate near the prior, so
+    * percent-steps around it are the informative resolution; the outer
+    * bins absorb the tails) — and each bin reports its observed clean
+    * rate. A
+    * well-calibrated score is monotone in the bin index — and the audit
+    * is as useful when it ISN'T: on this synthetic corpus the diagram
+    * reads flat ≈ prior (the additive-odds score adds little doc-level
+    * signal), which is precisely the finding that stops a pipeline from
+    * deploying the score as a sampling weight. The spec pins the
+    * operator mechanics (exact partition of the test split, disjoint
+    * increasing bin ranges, rate = n_clean/n_docs).
+    *
+    * Binning is by FIXED boundaries, not ntile: a global decile window
+    * is one unsplittable partition at corpus scale (the q50 lesson),
+    * while the ratio bin is map-side codegen — the same rows, the same
+    * audit, no global sort. Bin populations are uneven by design
+    * (reliability diagrams bin by score, not by mass). */
+  def p33CalibrationCurve(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val toks = classifierTokens(spark, dir)
+    val (weights, thr) = classifierModel(spark, dir)
+    toks.filter($"doc_id" % 2 === 1)
+      .join(broadcast(weights), Seq("bucket"), "left")
+      .groupBy($"doc_id", $"is_clean")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(coalesce($"wq", lit(DsirScale))).as("score"))
+      .crossJoin(broadcast(thr))
+      .select($"is_clean",
+        expr("least(greatest((score DIV n_tokens) * 100 DIV thr - 96, 0), 9)")
+          .as("bin"),
+        expr("score DIV n_tokens").as("avg_q"))
+      .groupBy($"bin")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when($"is_clean", 1L).otherwise(0L)).as("n_clean"),
+        min($"avg_q").as("min_avg_q"), max($"avg_q").as("max_avg_q"))
+      .select($"bin", $"n_docs", $"n_clean",
+        round($"n_clean".cast(DoubleType) / $"n_docs".cast(DoubleType), 6)
+          .as("clean_rate"),
+        $"min_avg_q", $"max_avg_q")
+      .orderBy($"bin")
   }
 
   /** The bucketed token stream p19 trains and scores over. */
@@ -1970,6 +2058,8 @@ object Pipeline {
     "p21_profile" -> p21Profile _,
     "p20_interleave" -> p20Interleave _,
     "p19_quality_classifier" -> p19QualityClassifier _,
+    "p33_calibration_curve" -> p33CalibrationCurve _,
+    "p34_effective_mixture" -> p34EffectiveMixture _,
     "p16_bpe_pairs" -> p16BpePairs _,
     "p17_dsir_select" -> p17DsirSelect _,
     "p18_cms_topk" -> p18CmsTopK _,
@@ -2308,6 +2398,71 @@ object Pipeline {
         |FROM r JOIN idx ON r.lang = idx.lang AND r.source = idx.source
         |  CROSS JOIN n
         |ORDER BY position""".stripMargin,
+    "p34_effective_mixture" -> {
+      val W = MixtureWeights.map(_._2).sum
+      val vals = MixtureWeights
+        .map { case (l, w) => s"('$l', $w)" }.mkString(", ")
+      s"""WITH ${Dedup.d3Ctes},
+         |p AS (SELECT d1, d2 FROM inter
+         |      JOIN sz x ON d1 = x.doc_id JOIN sz y ON d2 = y.doc_id
+         |      WHERE CAST(shared AS DOUBLE) / (x.n + y.n - shared)
+         |        >= ${Dedup.JaccardThreshold}),
+         |dr AS (SELECT DISTINCT d2 AS doc_id FROM p),
+         |dl AS (SELECT doc_id, lang FROM documents),
+         |raw AS (SELECT lang, count(*) AS raw_cnt FROM dl GROUP BY 1),
+         |ef AS (SELECT lang, count(*) AS c FROM dl
+         |       WHERE doc_id NOT IN (SELECT doc_id FROM dr) GROUP BY 1),
+         |wt AS (SELECT * FROM (VALUES $vals) AS t(lang, w)),
+         |j AS (SELECT raw.lang, raw_cnt, coalesce(c, 0) AS eff_cnt, w
+         |      FROM raw LEFT JOIN ef ON raw.lang = ef.lang
+         |      JOIN wt ON raw.lang = wt.lang),
+         |tr AS (SELECT min((raw_cnt * $W) // w) AS tot_raw FROM j),
+         |te AS (SELECT min((eff_cnt * $W) // w) AS tot_eff FROM j)
+         |SELECT lang, CAST(raw_cnt AS BIGINT) AS raw_cnt,
+         |  CAST(eff_cnt AS BIGINT) AS eff_cnt,
+         |  CAST((tot_raw * w) // $W AS BIGINT) AS quota_raw,
+         |  CAST((tot_eff * w) // $W AS BIGINT) AS quota_eff
+         |FROM j CROSS JOIN tr CROSS JOIN te ORDER BY lang""".stripMargin
+    },
+    "p33_calibration_curve" -> {
+      val b = dsirBucketSql("tok")
+      s"""WITH t AS (SELECT doc_id,
+         |        CAST(substring(source, 4, 8) AS INT) < 10 AS is_clean,
+         |        unnest(string_split(text, ' ')) AS tok FROM documents),
+         |tb AS (SELECT doc_id, is_clean, $b AS bucket FROM t),
+         |tr AS (SELECT * FROM tb WHERE doc_id % 2 = 0),
+         |cc AS (SELECT bucket, count(*) AS c_c FROM tr
+         |       WHERE is_clean GROUP BY 1),
+         |cn AS (SELECT bucket, count(*) AS c_n FROM tr
+         |       WHERE NOT is_clean GROUP BY 1),
+         |w AS (SELECT coalesce(cc.bucket, cn.bucket) AS bucket,
+         |        ((coalesce(c_c, 0) + 1) * $DsirScale)
+         |          // (coalesce(c_n, 0) + 1) AS wq
+         |      FROM cc FULL JOIN cn ON cc.bucket = cn.bucket),
+         |th AS (SELECT
+         |        ((sum(CASE WHEN is_clean THEN 1 ELSE 0 END) + $DsirBuckets)
+         |           * $DsirScale)
+         |        // (sum(CASE WHEN NOT is_clean THEN 1 ELSE 0 END)
+         |           + $DsirBuckets) AS thr
+         |       FROM tr),
+         |s AS (SELECT doc_id, is_clean, count(*) AS n_tokens,
+         |        CAST(sum(coalesce(wq, $DsirScale)) AS BIGINT) AS score
+         |      FROM tb LEFT JOIN w ON tb.bucket = w.bucket
+         |      WHERE doc_id % 2 = 1 GROUP BY 1, 2),
+         |q AS (SELECT is_clean,
+         |        CAST(least(greatest((score // n_tokens) * 100 // thr - 96,
+         |          0), 9) AS BIGINT) AS bin,
+         |        score // n_tokens AS avg_q
+         |      FROM s CROSS JOIN th)
+         |SELECT bin, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(CASE WHEN is_clean THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_clean,
+         |  round(CAST(sum(CASE WHEN is_clean THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / CAST(count(*) AS DOUBLE), 6) AS clean_rate,
+         |  CAST(min(avg_q) AS BIGINT) AS min_avg_q,
+         |  CAST(max(avg_q) AS BIGINT) AS max_avg_q
+         |FROM q GROUP BY 1 ORDER BY bin""".stripMargin
+    },
     "p19_quality_classifier" -> {
       val b = dsirBucketSql("tok")
       s"""WITH t AS (SELECT doc_id,

@@ -499,4 +499,62 @@ class StatementsSpec extends AnyFunSuite {
       bad.stop()
     }
   }
+
+  test("continuous JOIN → GROUP BY property: random delete-heavy " +
+    "interleavings over several seeds collapse to the batch join+agg " +
+    "after every page") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    type Feed = (Long, Long, Long, String, Boolean)
+    for (seed <- Seq(11, 29)) {
+      val rnd = new scala.util.Random(seed)
+      val lmem = MemoryStream[(Long, Long, Long, String, Boolean)]
+      val rmem = MemoryStream[(Long, Long, Long, String, Boolean)]
+      lmem.toDF().toDF("seq", "key", "id", "value", "delete")
+        .createOrReplaceTempView(s"lg_feed$seed")
+      rmem.toDF().toDF("seq", "key", "id", "value", "delete")
+        .createOrReplaceTempView(s"rg_feed$seed")
+      val stmts = new Statements(s)
+      val stmt = stmts.create(
+        s"SELECT key, count(*) AS cnt, sum(CAST(a.value AS DOUBLE)) AS sv " +
+          s"FROM lg_feed$seed a JOIN rg_feed$seed b ON a.key = b.key " +
+          "GROUP BY key")
+      try {
+        assert(stmts.waitForStatus(stmt, Set(Phase.Running)).isDefined)
+        val cl = stmt.handle.get.changelog()
+        val l = scala.collection.mutable.Map.empty[(Long, Long), String]
+        val r = scala.collection.mutable.Map.empty[(Long, Long), String]
+        var seq = 0L
+        // values are quarter-integers (exact binary), delete p = 1/3,
+        // 3 keys × 2 ids/side so groups die and come back repeatedly
+        for (pg <- 0 until 6) {
+          def events(): Seq[Feed] = (0 until rnd.nextInt(8)).map { _ =>
+            seq += 1
+            (seq, rnd.nextInt(3).toLong, 100L + rnd.nextInt(2),
+              s"${rnd.nextInt(40)}.25", rnd.nextInt(3) == 0)
+          }
+          val (lb, rb) = (events(), events())
+          if (lb.nonEmpty) lmem.addData(lb)
+          if (rb.nonEmpty) rmem.addData(rb)
+          stmt.handle.get.processAllAvailable()
+          def apply(m: scala.collection.mutable.Map[(Long, Long), String],
+                    f: Feed): Unit =
+            if (f._5) { m.remove((f._2, f._3)); () } else m((f._2, f._3)) = f._4
+          lb.foreach(apply(l, _)); rb.foreach(apply(r, _))
+          while (cl.consume(1).nonEmpty) ()
+          val joined = for (((lk, li), lv) <- l.toSeq;
+                            ((rk, _), _) <- r.toSeq if lk == rk)
+            yield (lk, lv.toDouble)
+          val expected = joined.groupBy(_._1).map { case (k, rows) =>
+            Vector[Any](k, rows.size.toLong, rows.map(_._2).sum)
+          }.toSet
+          val got = cl.collapse().rows.toSet
+          assert(got == expected,
+            s"seed $seed page $pg: agg collapse $got != reference $expected")
+        }
+      } finally stmt.stop()
+    }
+  }
 }

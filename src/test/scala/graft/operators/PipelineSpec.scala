@@ -723,6 +723,81 @@ class PipelineSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"), plan.take(800))
   }
 
+  test("p33: calibration bins partition the test split exactly with " +
+    "disjoint increasing score ranges") {
+    val df = Pipeline.p33CalibrationCurve(spark, dir)
+    val rows = df.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // bins are within [0,9], distinct, ordered
+    assert(rows.map(_._1).forall(b => b >= 0 && b <= 9))
+    assert(rows.map(_._1).distinct.length == rows.length)
+    // the bins partition the ODD-doc_id test split exactly (same
+    // conservation contract as p19's confusion matrix)
+    val testDocs = graft.sources.Tables.load(spark, dir, "documents")
+      .filter(org.apache.spark.sql.functions.col("doc_id") % 2 === 1)
+      .count()
+    assert(rows.map(_._2).sum == testDocs,
+      s"calibration bins must sum to the $testDocs test docs")
+    // n_clean never exceeds n_docs, rate is their ratio rounded to 6dp
+    rows.foreach { case (_, n, c, rate) =>
+      assert(c >= 0 && c <= n)
+      assert(math.abs(rate - c.toDouble / n) <= 5e-7)
+    }
+    // binning mechanics: each bin's [min_avg_q, max_avg_q] range is
+    // internally ordered and bins are mutually disjoint and increasing
+    // (the structural property of fixed-boundary binning; whether the
+    // RATES rise is the model's calibration — the operator's finding,
+    // not its contract: on this synthetic corpus the diagram reads
+    // flat ≈ prior, i.e. the additive-odds score adds little
+    // doc-level signal, exactly what a calibration audit exists to say)
+    val byBin = df.collect().sortBy(_.getLong(0))
+      .map(r => (r.getLong(0), r.getLong(4), r.getLong(5)))
+    byBin.foreach { case (_, lo, hi) => assert(lo <= hi) }
+    byBin.sliding(2).foreach {
+      case Array((_, _, hiPrev), (_, loNext, _)) =>
+        assert(hiPrev < loNext,
+          s"bin ranges must be disjoint and increasing: $hiPrev vs $loNext")
+      case _ => ()
+    }
+  }
+
+  test("p34: effective counts equal the lower-id-wins kept set per lang; " +
+    "dedup can only shrink quotas; quota math matches p12's rule") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val rows = Pipeline.p34EffectiveMixture(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    // driver recompute of the kept set from the same pair index
+    val droppedIds = Dedup.nearDupPairs(spark, dir)
+      .select($"d2").as[Long].collect().toSet
+    val langOf = graft.sources.Tables.load(spark, dir, "documents")
+      .select($"doc_id", $"lang").as[(Long, String)].collect()
+    val rawBy = langOf.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val effBy = langOf.filterNot(d => droppedIds(d._1))
+      .groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    rows.foreach { case (lang, raw, eff, qRaw, qEff) =>
+      assert(raw == rawBy(lang), s"$lang raw count")
+      assert(eff == effBy.getOrElse(lang, 0L), s"$lang effective count")
+      assert(eff <= raw, s"$lang effective exceeds raw")
+      assert(qEff <= qRaw, s"$lang dedup must not grow the quota")
+    }
+    // p12's integer quota rule over the two count columns
+    val W = Pipeline.MixtureWeights.map(_._2).sum
+    val wOf = Pipeline.MixtureWeights.toMap
+    def quotas(cnt: Map[String, Long]): Map[String, Long] = {
+      val tot = Pipeline.MixtureWeights
+        .map { case (l, w) => cnt.getOrElse(l, 0L) * W / w }.min
+      Pipeline.MixtureWeights.map { case (l, w) => l -> tot * w / W }.toMap
+    }
+    val (qr, qe) = (quotas(rawBy), quotas(effBy.toMap))
+    rows.foreach { case (lang, _, _, qRaw, qEff) =>
+      assert(qRaw == qr(lang) && qEff == qe(lang),
+        s"$lang quota rule diverged from p12's")
+    }
+    assert(wOf.keySet == rows.map(_._1).toSet)
+  }
+
   test("p25: the BpeDictCap dictionary bound is inert at fixture scale — " +
     "capped fit ≡ uncapped fit merge-for-merge") {
     import org.apache.spark.sql.functions._
