@@ -246,13 +246,20 @@ final class Statements(spark: SparkSession, prefix: String = "stmt-",
       case Project(Seq(UnresolvedStar(None)), j: Join) => joinStatement(j, sql, name, properties)
       case j: Join => joinStatement(j, sql, name, properties)
       // the composed continuous statement a reference user writes next:
-      // JOIN → GROUP BY in one statement (Flink-the-service maintains it
-      // as one changelog; `spark.sql` alone cannot — a stream-stream join
-      // feeding an aggregate is rejected without watermarks, and even the
-      // watermarked form never retracts)
+      // JOIN → [WHERE] → GROUP BY in one statement (Flink-the-service
+      // maintains it as one changelog; `spark.sql` alone cannot — a
+      // stream-stream join feeding an aggregate is rejected without
+      // watermarks, and even the watermarked form never retracts). A
+      // WHERE between them is sound on the retraction stream: a
+      // deterministic row predicate passes or rejects a joined row
+      // identically on its +I and its -D, so filtering the deltas
+      // equals filtering the view.
       case agg: org.apache.spark.sql.catalyst.plans.logical.Aggregate =>
         agg.child match {
-          case j: Join => tryJoinAggStatement(agg, j, sql, name, properties)
+          case j: Join =>
+            tryJoinAggStatement(agg, j, None, sql, name, properties)
+          case org.apache.spark.sql.catalyst.plans.logical.Filter(cond, j: Join) =>
+            tryJoinAggStatement(agg, j, Some(cond), sql, name, properties)
           case _ => None
         }
       case _ => None
@@ -280,22 +287,25 @@ final class Statements(spark: SparkSession, prefix: String = "stmt-",
   private case class AvgCol(idx: Int) extends AggOp
 
   /** Route `SELECT <group cols>, <aliased aggs> FROM a JOIN b ON a.key =
-    * b.key GROUP BY <cols>` over two changelog feeds through the IVM join
-    * feeding a grouped incremental fold
+    * b.key [WHERE <pred>] GROUP BY <cols>` over two changelog feeds
+    * through the IVM join feeding a grouped incremental fold
     * ([[ChangelogStream.foldingSnapshot]]): the join emits its exact
     * retraction deltas executor-side, and the fold maintains O(groups)
     * aggregate state (COUNT/SUM/AVG, each ±-foldable), diff-synthesizing
     * `+I/-U/+U/-D` per page. Aggregates must be aliased (the engine-wide
     * oracle discipline); group keys may be any view column (`key`,
-    * `a.id`, `b.value`, …); numeric casts accept `CAST(x AS DOUBLE)`.
+    * `a.id`, `b.value`, …); numeric casts accept `CAST(x AS DOUBLE)`;
+    * WHERE supports column-vs-literal comparisons, IS [NOT] NULL, and
+    * AND/OR/NOT with SQL three-valued semantics (see compilePred).
     * Any non-matching shape falls through untouched. */
   private def tryJoinAggStatement(
       agg: org.apache.spark.sql.catalyst.plans.logical.Aggregate,
       j: org.apache.spark.sql.catalyst.plans.logical.Join,
+      where: Option[org.apache.spark.sql.catalyst.expressions.Expression],
       sql: String, name: String,
       properties: Map[String, String]): Option[Statement] = {
     import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedFunction, UnresolvedStar}
-    import org.apache.spark.sql.catalyst.expressions.{Alias, Cast, Expression, Literal}
+    import org.apache.spark.sql.catalyst.expressions.{Alias, And, Cast, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, IsNotNull, IsNull, LessThan, LessThanOrEqual, Literal, Not, Or}
     import org.apache.spark.sql.types.{DoubleType, LongType, StringType, StructField, StructType}
     val fj = matchFeedJoin(j).getOrElse(return None)
     // view-column resolution: unqualified names hit the view columns
@@ -322,6 +332,72 @@ final class Statements(spark: SparkSession, prefix: String = "stmt-",
       case a: UnresolvedAttribute => viewCol(a)
       case Cast(a: UnresolvedAttribute, DoubleType, _, _) => viewCol(a)
       case _ => None
+    }
+    // WHERE compiler — the supported predicate algebra over the joined
+    // view: a view column compared to a literal (=, <>, <, <=, >, >=),
+    // IS [NOT] NULL, AND/OR/NOT. SQL three-valued logic is modeled with
+    // Option[Boolean] (None = unknown): a comparison against NULL is
+    // unknown, NOT(unknown) stays unknown, and only a definite TRUE
+    // passes the row. Any predicate outside this algebra falls through
+    // to the default route rather than mis-evaluating.
+    def litVal(l: Literal): Any = l.value match {
+      case u: org.apache.spark.unsafe.types.UTF8String => u.toString
+      case d: org.apache.spark.sql.types.Decimal => d.toJavaBigDecimal
+      case other => other
+    }
+    def compileCmp(a: UnresolvedAttribute, l: Literal,
+        test: Int => Boolean): Option[Vector[Any] => Option[Boolean]] =
+      viewCol(a).map { i => (v: Vector[Any]) =>
+        val x = v(i)
+        val y = litVal(l)
+        if (x == null || y == null) None
+        else (x, y) match {
+          case (s: String, t: String) => Some(test(s.compareTo(t)))
+          case (xn: Number, yn: Number) => Some(test(
+            java.lang.Double.compare(xn.doubleValue, yn.doubleValue)))
+          case _ => None // incomparable types: unknown
+        }
+      }
+    def compilePred(e: Expression): Option[Vector[Any] => Option[Boolean]] =
+      e match {
+        case And(l, r) =>
+          for { lf <- compilePred(l); rf <- compilePred(r) } yield
+            (v: Vector[Any]) => (lf(v), rf(v)) match {
+              case (Some(false), _) | (_, Some(false)) => Some(false)
+              case (Some(true), Some(true)) => Some(true)
+              case _ => None
+            }
+        case Or(l, r) =>
+          for { lf <- compilePred(l); rf <- compilePred(r) } yield
+            (v: Vector[Any]) => (lf(v), rf(v)) match {
+              case (Some(true), _) | (_, Some(true)) => Some(true)
+              case (Some(false), Some(false)) => Some(false)
+              case _ => None
+            }
+        case Not(c) => // also covers `<>`, which parses as Not(EqualTo)
+          compilePred(c).map(f => (v: Vector[Any]) => f(v).map(!_))
+        case IsNull(a: UnresolvedAttribute) =>
+          viewCol(a).map(i => (v: Vector[Any]) => Some(v(i) == null))
+        case IsNotNull(a: UnresolvedAttribute) =>
+          viewCol(a).map(i => (v: Vector[Any]) => Some(v(i) != null))
+        case EqualTo(a: UnresolvedAttribute, l: Literal) => compileCmp(a, l, _ == 0)
+        case EqualTo(l: Literal, a: UnresolvedAttribute) => compileCmp(a, l, _ == 0)
+        case LessThan(a: UnresolvedAttribute, l: Literal) => compileCmp(a, l, _ < 0)
+        case LessThan(l: Literal, a: UnresolvedAttribute) => compileCmp(a, l, _ > 0)
+        case LessThanOrEqual(a: UnresolvedAttribute, l: Literal) => compileCmp(a, l, _ <= 0)
+        case LessThanOrEqual(l: Literal, a: UnresolvedAttribute) => compileCmp(a, l, _ >= 0)
+        case GreaterThan(a: UnresolvedAttribute, l: Literal) => compileCmp(a, l, _ > 0)
+        case GreaterThan(l: Literal, a: UnresolvedAttribute) => compileCmp(a, l, _ < 0)
+        case GreaterThanOrEqual(a: UnresolvedAttribute, l: Literal) => compileCmp(a, l, _ >= 0)
+        case GreaterThanOrEqual(l: Literal, a: UnresolvedAttribute) => compileCmp(a, l, _ <= 0)
+        case _ => None
+      }
+    val rowFilter: Option[Vector[Any] => Boolean] = where match {
+      case None => None
+      case Some(cond) => compilePred(cond) match {
+        case Some(f) => Some((v: Vector[Any]) => f(v).contains(true))
+        case None => return None // unsupported predicate: default route
+      }
     }
     val groupIdx: Seq[Int] = agg.groupingExpressions.map {
       case a: UnresolvedAttribute => viewCol(a).getOrElse(return None)
@@ -393,23 +469,28 @@ final class Statements(spark: SparkSession, prefix: String = "stmt-",
             s"join delta carried an invalid changelog op: $other")
         }
         val view = row.drop(1)
-        val gkey = groupIdx.map(view).toVector
-        val g = state.getOrElseUpdate(gkey, new GState)
-        g.rows += sign
-        aggOps.zipWithIndex.foreach { case (op, k) =>
-          op match {
-            case CountStar => ()
-            case CountCol(i) =>
-              if (view(i) != null) g.counts(k) += sign
-            case SumCol(i) => toNum(view(i)).foreach { d =>
-              g.sums(k) += sign * d; g.counts(k) += sign
-            }
-            case AvgCol(i) => toNum(view(i)).foreach { d =>
-              g.sums(k) += sign * d; g.counts(k) += sign
+        // WHERE applies to the joined row: a deterministic predicate
+        // filters a row's +I and its -D identically, so the filtered
+        // fold maintains exactly the aggregate of the filtered view
+        if (rowFilter.forall(_(view))) {
+          val gkey = groupIdx.map(view).toVector
+          val g = state.getOrElseUpdate(gkey, new GState)
+          g.rows += sign
+          aggOps.zipWithIndex.foreach { case (op, k) =>
+            op match {
+              case CountStar => ()
+              case CountCol(i) =>
+                if (view(i) != null) g.counts(k) += sign
+              case SumCol(i) => toNum(view(i)).foreach { d =>
+                g.sums(k) += sign * d; g.counts(k) += sign
+              }
+              case AvgCol(i) => toNum(view(i)).foreach { d =>
+                g.sums(k) += sign * d; g.counts(k) += sign
+              }
             }
           }
+          if (g.rows <= 0) state.remove(gkey)
         }
-        if (g.rows <= 0) state.remove(gkey)
       }
       state.iterator.map { case (gkey, g) =>
         var k = -1

@@ -500,6 +500,65 @@ class StatementsSpec extends AnyFunSuite {
     }
   }
 
+  test("continuous JOIN → WHERE → GROUP BY statement: the predicate " +
+    "filters the joined view before aggregation, per page") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    type Feed = (Long, Long, Long, String, Boolean)
+    val lmem = MemoryStream[(Long, Long, Long, String, Boolean)]
+    val rmem = MemoryStream[(Long, Long, Long, String, Boolean)]
+    lmem.toDF().toDF("seq", "key", "id", "value", "delete")
+      .createOrReplaceTempView("lw_feed")
+    rmem.toDF().toDF("seq", "key", "id", "value", "delete")
+      .createOrReplaceTempView("rw_feed")
+    val stmts = new Statements(s)
+    // a filtered composition: only joined rows whose LEFT value clears
+    // the literal participate in the aggregate (string comparison; the
+    // <> parses as Not(EqualTo) and exercises three-valued NOT)
+    val stmt = stmts.create(
+      "SELECT key, count(*) AS cnt FROM lw_feed a JOIN rw_feed b " +
+        "ON a.key = b.key WHERE a.value >= 'm' AND b.value <> 'drop' " +
+        "GROUP BY key")
+    try {
+      assert(stmt.isStreaming)
+      assert(stmts.waitForStatus(stmt, Set(Phase.Running)).isDefined)
+      val cl = stmt.handle.get.changelog()
+      val l = scala.collection.mutable.Map.empty[(Long, Long), String]
+      val r = scala.collection.mutable.Map.empty[(Long, Long), String]
+      def apply(m: scala.collection.mutable.Map[(Long, Long), String],
+                f: Feed): Unit =
+        if (f._5) { m.remove((f._2, f._3)); () } else m((f._2, f._3)) = f._4
+      def page(lb: Seq[Feed], rb: Seq[Feed]): Unit = {
+        if (lb.nonEmpty) lmem.addData(lb)
+        if (rb.nonEmpty) rmem.addData(rb)
+        stmt.handle.get.processAllAvailable()
+        lb.foreach(apply(l, _)); rb.foreach(apply(r, _))
+        while (cl.consume(1).nonEmpty) ()
+        val expected = (for (((lk, _), lv) <- l.toSeq;
+                             ((rk, _), rv) <- r.toSeq
+                             if lk == rk && lv >= "m" && rv != "drop")
+          yield lk).groupBy(identity)
+          .map { case (k, xs) => Vector[Any](k, xs.size.toLong) }.toSet
+        assert(cl.collapse().rows.toSet == expected,
+          s"filtered collapse diverged: ${cl.collapse().rows.toSet} vs $expected")
+      }
+      // 'apple' fails the left filter, 'zebra' passes; right 'drop' rows
+      // join but are filtered; updates move rows across the boundary
+      page(Seq((0L, 1L, 100L, "apple", false), (1L, 1L, 101L, "zebra", false)),
+           Seq((0L, 1L, 200L, "ok", false), (1L, 1L, 201L, "drop", false)))
+      // left UPDATE moves 'apple' → 'mango' (now passes); right deletes
+      // the filtered 'drop' row (no visible change from it)
+      page(Seq((2L, 1L, 100L, "mango", false)),
+           Seq((2L, 1L, 201L, "drop", true)))
+      // everything deletes → empty view
+      page(Seq((3L, 1L, 100L, "mango", true), (4L, 1L, 101L, "zebra", true)),
+           Seq((3L, 1L, 200L, "ok", true)))
+      assert(cl.collapse().rows.isEmpty)
+    } finally stmt.stop()
+  }
+
   test("continuous JOIN → GROUP BY property: random delete-heavy " +
     "interleavings over several seeds collapse to the batch join+agg " +
     "after every page") {
