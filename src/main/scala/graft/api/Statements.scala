@@ -255,13 +255,35 @@ final class Statements(spark: SparkSession, prefix: String = "stmt-",
       // identically on its +I and its -D, so filtering the deltas
       // equals filtering the view.
       case agg: org.apache.spark.sql.catalyst.plans.logical.Aggregate =>
-        agg.child match {
-          case j: Join =>
-            tryJoinAggStatement(agg, j, None, sql, name, properties)
-          case org.apache.spark.sql.catalyst.plans.logical.Filter(cond, j: Join) =>
-            tryJoinAggStatement(agg, j, Some(cond), sql, name, properties)
+        aggShape(agg).flatMap { case (j, w) =>
+          tryJoinAggStatement(agg, j, w, None, sql, name, properties)
+        }
+      // HAVING filters the AGGREGATE view: applied to the fold's emitted
+      // snapshot, so a group crossing the boundary emits the -D / +I the
+      // changelog wire expects (the complete-mode-diff transition)
+      case h: org.apache.spark.sql.catalyst.analysis.UnresolvedHaving =>
+        h.child match {
+          case agg: org.apache.spark.sql.catalyst.plans.logical.Aggregate =>
+            aggShape(agg).flatMap { case (j, w) =>
+              tryJoinAggStatement(agg, j, w, Some(h.havingCondition),
+                sql, name, properties)
+            }
           case _ => None
         }
+      case _ => None
+    }
+  }
+
+  /** The `Aggregate over [Filter over] Join` shape both the plain and the
+    * HAVING route share. */
+  private def aggShape(
+      agg: org.apache.spark.sql.catalyst.plans.logical.Aggregate)
+      : Option[(org.apache.spark.sql.catalyst.plans.logical.Join,
+                Option[org.apache.spark.sql.catalyst.expressions.Expression])] = {
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join}
+    agg.child match {
+      case j: Join => Some((j, None))
+      case Filter(cond, j: Join) => Some((j, Some(cond)))
       case _ => None
     }
   }
@@ -302,6 +324,7 @@ final class Statements(spark: SparkSession, prefix: String = "stmt-",
       agg: org.apache.spark.sql.catalyst.plans.logical.Aggregate,
       j: org.apache.spark.sql.catalyst.plans.logical.Join,
       where: Option[org.apache.spark.sql.catalyst.expressions.Expression],
+      having: Option[org.apache.spark.sql.catalyst.expressions.Expression],
       sql: String, name: String,
       properties: Map[String, String]): Option[Statement] = {
     import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedFunction, UnresolvedStar}
@@ -345,9 +368,10 @@ final class Statements(spark: SparkSession, prefix: String = "stmt-",
       case d: org.apache.spark.sql.types.Decimal => d.toJavaBigDecimal
       case other => other
     }
-    def compileCmp(a: UnresolvedAttribute, l: Literal,
+    def compileCmp(resolve: UnresolvedAttribute => Option[Int])(
+        a: UnresolvedAttribute, l: Literal,
         test: Int => Boolean): Option[Vector[Any] => Option[Boolean]] =
-      viewCol(a).map { i => (v: Vector[Any]) =>
+      resolve(a).map { i => (v: Vector[Any]) =>
         val x = v(i)
         val y = litVal(l)
         if (x == null || y == null) None
@@ -358,43 +382,47 @@ final class Statements(spark: SparkSession, prefix: String = "stmt-",
           case _ => None // incomparable types: unknown
         }
       }
-    def compilePred(e: Expression): Option[Vector[Any] => Option[Boolean]] =
+    def compilePred(resolve: UnresolvedAttribute => Option[Int])(
+        e: Expression): Option[Vector[Any] => Option[Boolean]] = {
+      val rec = compilePred(resolve) _
+      val cmp = compileCmp(resolve) _
       e match {
         case And(l, r) =>
-          for { lf <- compilePred(l); rf <- compilePred(r) } yield
+          for { lf <- rec(l); rf <- rec(r) } yield
             (v: Vector[Any]) => (lf(v), rf(v)) match {
               case (Some(false), _) | (_, Some(false)) => Some(false)
               case (Some(true), Some(true)) => Some(true)
               case _ => None
             }
         case Or(l, r) =>
-          for { lf <- compilePred(l); rf <- compilePred(r) } yield
+          for { lf <- rec(l); rf <- rec(r) } yield
             (v: Vector[Any]) => (lf(v), rf(v)) match {
               case (Some(true), _) | (_, Some(true)) => Some(true)
               case (Some(false), Some(false)) => Some(false)
               case _ => None
             }
         case Not(c) => // also covers `<>`, which parses as Not(EqualTo)
-          compilePred(c).map(f => (v: Vector[Any]) => f(v).map(!_))
+          rec(c).map(f => (v: Vector[Any]) => f(v).map(!_))
         case IsNull(a: UnresolvedAttribute) =>
-          viewCol(a).map(i => (v: Vector[Any]) => Some(v(i) == null))
+          resolve(a).map(i => (v: Vector[Any]) => Some(v(i) == null))
         case IsNotNull(a: UnresolvedAttribute) =>
-          viewCol(a).map(i => (v: Vector[Any]) => Some(v(i) != null))
-        case EqualTo(a: UnresolvedAttribute, l: Literal) => compileCmp(a, l, _ == 0)
-        case EqualTo(l: Literal, a: UnresolvedAttribute) => compileCmp(a, l, _ == 0)
-        case LessThan(a: UnresolvedAttribute, l: Literal) => compileCmp(a, l, _ < 0)
-        case LessThan(l: Literal, a: UnresolvedAttribute) => compileCmp(a, l, _ > 0)
-        case LessThanOrEqual(a: UnresolvedAttribute, l: Literal) => compileCmp(a, l, _ <= 0)
-        case LessThanOrEqual(l: Literal, a: UnresolvedAttribute) => compileCmp(a, l, _ >= 0)
-        case GreaterThan(a: UnresolvedAttribute, l: Literal) => compileCmp(a, l, _ > 0)
-        case GreaterThan(l: Literal, a: UnresolvedAttribute) => compileCmp(a, l, _ < 0)
-        case GreaterThanOrEqual(a: UnresolvedAttribute, l: Literal) => compileCmp(a, l, _ >= 0)
-        case GreaterThanOrEqual(l: Literal, a: UnresolvedAttribute) => compileCmp(a, l, _ <= 0)
+          resolve(a).map(i => (v: Vector[Any]) => Some(v(i) != null))
+        case EqualTo(a: UnresolvedAttribute, l: Literal) => cmp(a, l, _ == 0)
+        case EqualTo(l: Literal, a: UnresolvedAttribute) => cmp(a, l, _ == 0)
+        case LessThan(a: UnresolvedAttribute, l: Literal) => cmp(a, l, _ < 0)
+        case LessThan(l: Literal, a: UnresolvedAttribute) => cmp(a, l, _ > 0)
+        case LessThanOrEqual(a: UnresolvedAttribute, l: Literal) => cmp(a, l, _ <= 0)
+        case LessThanOrEqual(l: Literal, a: UnresolvedAttribute) => cmp(a, l, _ >= 0)
+        case GreaterThan(a: UnresolvedAttribute, l: Literal) => cmp(a, l, _ > 0)
+        case GreaterThan(l: Literal, a: UnresolvedAttribute) => cmp(a, l, _ < 0)
+        case GreaterThanOrEqual(a: UnresolvedAttribute, l: Literal) => cmp(a, l, _ >= 0)
+        case GreaterThanOrEqual(l: Literal, a: UnresolvedAttribute) => cmp(a, l, _ <= 0)
         case _ => None
       }
+    }
     val rowFilter: Option[Vector[Any] => Boolean] = where match {
       case None => None
-      case Some(cond) => compilePred(cond) match {
+      case Some(cond) => compilePred(viewCol)(cond) match {
         case Some(f) => Some((v: Vector[Any]) => f(v).contains(true))
         case None => return None // unsupported predicate: default route
       }
@@ -438,6 +466,22 @@ final class Statements(spark: SparkSession, prefix: String = "stmt-",
     // retracts by value equality on the key columns, so two groups folding
     // to identical visible rows would corrupt the changelog
     if (!groupIdx.forall(i => outCols.exists(_._2 == Left(i)))) return None
+    // HAVING resolves against the OUTPUT columns (aliases + group cols)
+    // and filters the fold's emitted snapshot — a group crossing the
+    // boundary emits the -D / +I the complete-mode diff produces
+    def outIdx(a: UnresolvedAttribute): Option[Int] = a.nameParts match {
+      case Seq(n) =>
+        val i = outCols.indexWhere(_._1 == n)
+        if (i >= 0) Some(i) else None
+      case _ => None
+    }
+    val havingFilter: Option[Vector[Any] => Boolean] = having match {
+      case None => None
+      case Some(cond) => compilePred(outIdx)(cond) match {
+        case Some(f) => Some((v: Vector[Any]) => f(v).contains(true))
+        case None => return None // unsupported predicate: default route
+      }
+    }
     // ---- driver-side incremental fold over the join's retraction deltas:
     // per group, live-row count plus (sum, non-null count) per aggregate —
     // state is O(output groups), the dashboard-size contract; the heavy
@@ -492,7 +536,7 @@ final class Statements(spark: SparkSession, prefix: String = "stmt-",
           if (g.rows <= 0) state.remove(gkey)
         }
       }
-      state.iterator.map { case (gkey, g) =>
+      val snapshot = state.iterator.map { case (gkey, g) =>
         var k = -1
         outCols.map {
           case (_, Left(i)) => gkey(groupIdx.indexOf(i))
@@ -510,6 +554,10 @@ final class Statements(spark: SparkSession, prefix: String = "stmt-",
             }
         }.toVector
       }.toSeq
+      havingFilter match {
+        case Some(f) => snapshot.filter(f)
+        case None => snapshot
+      }
     }
     val outNames = outCols.map(_._1)
     val keyNames = outCols.collect {

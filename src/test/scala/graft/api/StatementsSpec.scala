@@ -559,6 +559,49 @@ class StatementsSpec extends AnyFunSuite {
     } finally stmt.stop()
   }
 
+  test("continuous JOIN → GROUP BY → HAVING statement: groups entering " +
+    "and leaving the HAVING set emit +I and -D") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    type Feed = (Long, Long, Long, String, Boolean)
+    val lmem = MemoryStream[(Long, Long, Long, String, Boolean)]
+    val rmem = MemoryStream[(Long, Long, Long, String, Boolean)]
+    lmem.toDF().toDF("seq", "key", "id", "value", "delete")
+      .createOrReplaceTempView("lh_feed")
+    rmem.toDF().toDF("seq", "key", "id", "value", "delete")
+      .createOrReplaceTempView("rh_feed")
+    val stmts = new Statements(s)
+    val stmt = stmts.create(
+      "SELECT key, count(*) AS cnt FROM lh_feed a JOIN rh_feed b " +
+        "ON a.key = b.key GROUP BY key HAVING cnt >= 2")
+    try {
+      assert(stmt.isStreaming,
+        "HAVING over the continuous join+agg must route, not fall through")
+      assert(stmts.waitForStatus(stmt, Set(Phase.Running)).isDefined)
+      val cl = stmt.handle.get.changelog()
+      def sync(): Set[Vector[Any]] = {
+        stmt.handle.get.processAllAvailable()
+        while (cl.consume(1).nonEmpty) ()
+        cl.collapse().rows.toSet
+      }
+      // one joined row: cnt=1, below the bar → view empty
+      lmem.addData((0L, 1L, 100L, "a", false))
+      rmem.addData((0L, 1L, 200L, "x", false))
+      assert(sync().isEmpty, "cnt=1 must not clear HAVING cnt >= 2")
+      // second left row: cnt=2 → group ENTERS (+I)
+      lmem.addData((1L, 1L, 101L, "b", false))
+      assert(sync() == Set(Vector[Any](1L, 2L)))
+      // delete one left row: cnt drops to 1 → group LEAVES (-D)
+      lmem.addData((2L, 1L, 101L, "b", true))
+      assert(sync().isEmpty, "dropping below the bar must emit -D")
+      // the wire must have carried a real -D, not just absence
+      assert(cl.history.flatMap(_.op).contains(graft.changelog.Op.Delete),
+        "crossing below HAVING must be a -D on the wire")
+    } finally stmt.stop()
+  }
+
   test("continuous JOIN → GROUP BY property: random delete-heavy " +
     "interleavings over several seeds collapse to the batch join+agg " +
     "after every page") {
