@@ -177,21 +177,27 @@ final class Statements(spark: SparkSession, prefix: String = "stmt-",
     * never retracts on upsert/delete, so this operator is the engine's
     * equivalent of what the reference's Flink service maintains for a
     * continuous two-table JOIN. */
-  private def matchFeedJoin(
-      j: org.apache.spark.sql.catalyst.plans.logical.Join): Option[FeedJoin] = {
-    import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedRelation}
-    import org.apache.spark.sql.catalyst.expressions.EqualTo
-    import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, SubqueryAlias}
-    import org.apache.spark.sql.catalyst.plans.{FullOuter, Inner, LeftOuter, RightOuter}
-    import graft.streaming.StatefulOps
-    // relation name resolves the feed; the outermost alias (or, unaliased,
-    // the relation name itself) is what column references qualify by
-    def relInfo(p: LogicalPlan): Option[(String, String)] = p match {
+  /** Relation name (resolves the feed) and the outermost alias (what
+    * column references qualify by; the relation name itself when
+    * unaliased). */
+  private def relInfo(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : Option[(String, String)] = {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
+    import org.apache.spark.sql.catalyst.plans.logical.SubqueryAlias
+    p match {
       case u: UnresolvedRelation =>
         Some((u.multipartIdentifier.last, u.multipartIdentifier.last))
       case SubqueryAlias(id, c) => relInfo(c).map { case (n, _) => (n, id.name) }
       case _ => None
     }
+  }
+
+  private def matchFeedJoin(
+      j: org.apache.spark.sql.catalyst.plans.logical.Join): Option[FeedJoin] = {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    import org.apache.spark.sql.catalyst.expressions.EqualTo
+    import org.apache.spark.sql.catalyst.plans.{FullOuter, Inner, LeftOuter, RightOuter}
+    import graft.streaming.StatefulOps
     val outer = j.joinType match {
       case Inner => Some((false, false))
       case LeftOuter => Some((true, false))
@@ -255,37 +261,82 @@ final class Statements(spark: SparkSession, prefix: String = "stmt-",
       // identically on its +I and its -D, so filtering the deltas
       // equals filtering the view.
       case agg: org.apache.spark.sql.catalyst.plans.logical.Aggregate =>
-        aggShape(agg).flatMap { case (j, w) =>
-          tryJoinAggStatement(agg, j, w, None, sql, name, properties)
-        }
+        routeAgg(agg, None, sql, name, properties)
       // HAVING filters the AGGREGATE view: applied to the fold's emitted
       // snapshot, so a group crossing the boundary emits the -D / +I the
       // changelog wire expects (the complete-mode-diff transition)
       case h: org.apache.spark.sql.catalyst.analysis.UnresolvedHaving =>
         h.child match {
           case agg: org.apache.spark.sql.catalyst.plans.logical.Aggregate =>
-            aggShape(agg).flatMap { case (j, w) =>
-              tryJoinAggStatement(agg, j, w, Some(h.havingCondition),
-                sql, name, properties)
-            }
+            routeAgg(agg, Some(h.havingCondition), sql, name, properties)
           case _ => None
         }
       case _ => None
     }
   }
 
-  /** The `Aggregate over [Filter over] Join` shape both the plain and the
-    * HAVING route share. */
-  private def aggShape(
-      agg: org.apache.spark.sql.catalyst.plans.logical.Aggregate)
-      : Option[(org.apache.spark.sql.catalyst.plans.logical.Join,
-                Option[org.apache.spark.sql.catalyst.expressions.Expression])] = {
+  /** Dispatch an `Aggregate over [Filter over] <source>` continuous
+    * statement: the source is either a two-feed JOIN (the IVM join's
+    * deltas) or a SINGLE changelog feed — whose upsert/delete semantics
+    * an append-only reading gets wrong (deletes must subtract, updates
+    * must not double-count), so it routes through
+    * [[graft.streaming.StatefulOps.changelogUpsertStream]]. */
+  private def routeAgg(
+      agg: org.apache.spark.sql.catalyst.plans.logical.Aggregate,
+      having: Option[org.apache.spark.sql.catalyst.expressions.Expression],
+      sql: String, name: String,
+      properties: Map[String, String]): Option[Statement] = {
     import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join}
-    agg.child match {
-      case j: Join => Some((j, None))
-      case Filter(cond, j: Join) => Some((j, Some(cond)))
-      case _ => None
+    val (src, where) = agg.child match {
+      case Filter(cond, s) => (s, Some(cond))
+      case s => (s, None)
     }
+    src match {
+      case j: Join => tryJoinAggStatement(agg, j, where, having,
+        sql, name, properties)
+      case rel => tryFeedAggStatement(agg, rel, where, having,
+        sql, name, properties)
+    }
+  }
+
+  /** Columns of a single feed's maintained view, in delta-row order
+    * after the leading op column. */
+  private val FeedViewCols = Seq("key", "id", "value")
+
+  /** Route `SELECT <group cols>, <aliased aggs> FROM feed [WHERE …]
+    * GROUP BY … [HAVING …]` over ONE registered changelog feed through
+    * the exact-retraction upsert stream feeding the same grouped fold as
+    * the join route. */
+  private def tryFeedAggStatement(
+      agg: org.apache.spark.sql.catalyst.plans.logical.Aggregate,
+      rel: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+      where: Option[org.apache.spark.sql.catalyst.expressions.Expression],
+      having: Option[org.apache.spark.sql.catalyst.expressions.Expression],
+      sql: String, name: String,
+      properties: Map[String, String]): Option[Statement] = {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    import org.apache.spark.sql.types.{LongType, StringType}
+    import graft.streaming.StatefulOps
+    val (relName, alias) = relInfo(rel).getOrElse(return None)
+    val feed = changelogFeed(relName).getOrElse(return None)
+    import spark.implicits._
+    val deltas = StatefulOps.changelogUpsertStream(
+      feed.select("seq", "key", "id", "value", "delete")
+        .as[(Long, Long, Long, String, Boolean)]
+        .map { case (seq, k, id, v, del) =>
+          (seq, StatefulOps.UpsertEvent(k, id, v, del))
+        }).toDF()
+    def resolve(a: UnresolvedAttribute): Option[Int] = {
+      val colName = a.nameParts match {
+        case Seq(c) if FeedViewCols.contains(c) => Some(c)
+        case Seq(q, c) if q == alias && FeedViewCols.contains(c) => Some(c)
+        case _ => None
+      }
+      colName.map(FeedViewCols.indexOf)
+    }
+    aggOverDeltas(deltas, FeedViewCols,
+      Map("key" -> LongType, "id" -> LongType, "value" -> StringType),
+      resolve, agg, where, having, sql, name, properties)
   }
 
   private def joinStatement(
@@ -327,13 +378,12 @@ final class Statements(spark: SparkSession, prefix: String = "stmt-",
       having: Option[org.apache.spark.sql.catalyst.expressions.Expression],
       sql: String, name: String,
       properties: Map[String, String]): Option[Statement] = {
-    import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedFunction, UnresolvedStar}
-    import org.apache.spark.sql.catalyst.expressions.{Alias, And, Cast, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, IsNotNull, IsNull, LessThan, LessThanOrEqual, Literal, Not, Or}
-    import org.apache.spark.sql.types.{DoubleType, LongType, StringType, StructField, StructType}
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    import org.apache.spark.sql.types.{LongType, StringType}
     val fj = matchFeedJoin(j).getOrElse(return None)
     // view-column resolution: unqualified names hit the view columns
     // directly; alias-qualified names map id/value/key onto their side
-    def viewCol(attr: UnresolvedAttribute): Option[Int] = {
+    def resolve(attr: UnresolvedAttribute): Option[Int] = {
       val colName = attr.nameParts match {
         case Seq(c) if JoinViewCols.contains(c) => Some(c)
         case Seq(q, c) if q == fj.lAlias || q == fj.rAlias =>
@@ -348,6 +398,30 @@ final class Statements(spark: SparkSession, prefix: String = "stmt-",
       }
       colName.map(JoinViewCols.indexOf)
     }
+    aggOverDeltas(fj.deltas, JoinViewCols,
+      Map("key" -> LongType, "left_id" -> LongType, "right_id" -> LongType,
+        "left_value" -> StringType, "right_value" -> StringType),
+      resolve, agg, where, having, sql, name, properties)
+  }
+
+  /** The source-agnostic core of the composed continuous aggregate
+    * statement: a delta stream (op + view columns), the view's column
+    * names/types, and an attribute resolver in — a running Statement
+    * out. Shared by the two-feed JOIN route and the single-feed upsert
+    * route. */
+  private def aggOverDeltas(
+      deltas: DataFrame, viewCols: Seq[String],
+      viewType: Map[String, org.apache.spark.sql.types.DataType],
+      viewColResolve: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute => Option[Int],
+      agg: org.apache.spark.sql.catalyst.plans.logical.Aggregate,
+      where: Option[org.apache.spark.sql.catalyst.expressions.Expression],
+      having: Option[org.apache.spark.sql.catalyst.expressions.Expression],
+      sql: String, name: String,
+      properties: Map[String, String]): Option[Statement] = {
+    import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedFunction, UnresolvedStar}
+    import org.apache.spark.sql.catalyst.expressions.{Alias, And, Cast, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, IsNotNull, IsNull, LessThan, LessThanOrEqual, Literal, Not, Or}
+    import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType}
+    def viewCol(attr: UnresolvedAttribute): Option[Int] = viewColResolve(attr)
     // numeric argument of an aggregate: a view column, optionally under
     // CAST(… AS DOUBLE) — other cast targets (INT truncation etc.) would
     // change the value, so they fall through rather than mis-evaluate
@@ -564,16 +638,13 @@ final class Statements(spark: SparkSession, prefix: String = "stmt-",
       case (n, Left(i)) if groupIdx.contains(i) => n
     }
     if (keyNames.isEmpty) return None // ungrouped global agg: keep default
-    val viewType = Map("key" -> LongType, "left_id" -> LongType,
-      "right_id" -> LongType, "left_value" -> StringType,
-      "right_value" -> StringType)
     val fields = outCols.map {
-      case (n, Left(i)) => StructField(n, viewType(JoinViewCols(i)))
+      case (n, Left(i)) => StructField(n, viewType(viewCols(i)))
       case (n, Right(CountStar)) => StructField(n, LongType)
       case (n, Right(CountCol(_))) => StructField(n, LongType)
       case (n, Right(_)) => StructField(n, DoubleType, nullable = true)
     }
-    val handle = ChangelogStream.foldingSnapshot(fj.deltas, name,
+    val handle = ChangelogStream.foldingSnapshot(deltas, name,
       outNames, keyNames, fold)
     // advertised schema ("traits.schema") is the aggregate view's — an
     // empty typed frame carries it; results flow through the handle

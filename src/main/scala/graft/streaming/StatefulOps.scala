@@ -398,6 +398,60 @@ object StatefulOps {
   case class JoinState(lid: Seq[Long], lval: Seq[String],
                        rid: Seq[Long], rval: Seq[String])
 
+  /** A keyed upsert/delete change on a single changelog feed. */
+  case class UpsertEvent(key: Long, id: Long, value: String, delete: Boolean)
+
+  /** An emitted delta of the maintained single-feed view: `op` uses the
+    * changelog codes (0 = +I, 3 = -D, matching [[graft.changelog.Op]]). */
+  case class UpsertDelta(op: Int, key: Long, id: Long, value: String)
+
+  /** Latest live row of one id — the state the single-feed view keeps. */
+  case class UpsertState(key: Long, value: String)
+
+  /** Exact retraction deltas of a single keyed UPSERT/DELETE feed — the
+    * one-input analogue of [[changelogJoinStream]], and what a GROUP BY
+    * over an upsert table needs that an append-only reading cannot give
+    * (a delete must SUBTRACT, an update must not double-count): an
+    * upsert of an id that had an old value first retracts (`-D`) the old
+    * row, then inserts (`+I`) the new one; a delete retracts the live
+    * row; a delete of an unknown id is a tolerated no-op (the
+    * reference's missing-retract tolerance, `lib/flink.py:28-32`).
+    * Collapsing the deltas at ANY prefix yields exactly the feed's live
+    * rows — the same IVM invariant as the join, property-tested in
+    * StreamingEventsSpec.
+    *
+    * Scale shape: state is one (key, value) per live id in the executor
+    * StateStore sharded by id — the irreducible upsert-table state;
+    * emission per change is ≤ 2 rows, the true output delta. Events
+    * within a micro-batch fold in the caller's `seq` order. */
+  def changelogUpsertStream(
+      events: Dataset[(Long, UpsertEvent)]): Dataset[UpsertDelta] = {
+    implicit val stateEnc: Encoder[UpsertState] = Encoders.product[UpsertState]
+    implicit val outEnc: Encoder[UpsertDelta] = Encoders.product[UpsertDelta]
+    implicit val keyEnc: Encoder[Long] = Encoders.scalaLong
+    events.groupByKey(_._2.id)
+      .flatMapGroupsWithState[UpsertState, UpsertDelta](
+        OutputMode.Update, GroupStateTimeout.NoTimeout()) {
+        (id: Long, rows: Iterator[(Long, UpsertEvent)],
+         state: GroupState[UpsertState]) =>
+          var cur = state.getOption
+          val out = Seq.newBuilder[UpsertDelta]
+          rows.toSeq.sortBy(_._1).foreach { case (_, e) =>
+            // retract the previous row with ITS stored key: the stored
+            // row is what collapsed views hold, so the retraction must
+            // match it bit-for-bit even if a malformed event re-keys id
+            cur.foreach(s => out += UpsertDelta(3, s.key, id, s.value))
+            cur = if (e.delete) None else Some(UpsertState(e.key, e.value))
+            if (!e.delete) out += UpsertDelta(0, e.key, id, e.value)
+          }
+          cur match {
+            case Some(s) => state.update(s)
+            case None => state.remove()
+          }
+          out.result().iterator
+      }
+  }
+
   /** Continuously-maintained equi-join (INNER or LEFT OUTER) over two
     * changelog (upsert/delete) feeds — the reference's Flink runtime
     * maintains exactly this for a two-table continuous `JOIN` statement

@@ -559,6 +559,54 @@ class StatementsSpec extends AnyFunSuite {
     } finally stmt.stop()
   }
 
+  test("continuous single-feed GROUP BY statement: upserts do not " +
+    "double-count, deletes subtract — the changelog reading of the feed") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    type Feed = (Long, Long, Long, String, Boolean)
+    val mem = MemoryStream[(Long, Long, Long, String, Boolean)]
+    mem.toDF().toDF("seq", "key", "id", "value", "delete")
+      .createOrReplaceTempView("uf_feed")
+    val stmts = new Statements(s)
+    val stmt = stmts.create(
+      "SELECT key, count(*) AS cnt, avg(CAST(value AS DOUBLE)) AS av " +
+        "FROM uf_feed GROUP BY key")
+    try {
+      assert(stmt.isStreaming)
+      assert(stmt.columns == Seq("key", "cnt", "av"))
+      assert(stmts.waitForStatus(stmt, Set(Phase.Running)).isDefined)
+      val cl = stmt.handle.get.changelog()
+      val live = scala.collection.mutable.Map.empty[(Long, Long), String]
+      def page(evs: Seq[Feed]): Unit = {
+        mem.addData(evs)
+        stmt.handle.get.processAllAvailable()
+        evs.foreach { f =>
+          if (f._5) live.remove((f._2, f._3)) else live((f._2, f._3)) = f._4
+        }
+        while (cl.consume(1).nonEmpty) ()
+        val expected = live.toSeq.groupBy(_._1._1).map { case (k, rows) =>
+          val vs = rows.map(_._2.toDouble)
+          Vector[Any](k, rows.size.toLong, vs.sum / vs.size)
+        }.toSet
+        assert(cl.collapse().rows.toSet == expected,
+          s"feed agg diverged: ${cl.collapse().rows.toSet} vs $expected")
+      }
+      // inserts on two keys
+      page(Seq((0L, 1L, 100L, "1.5", false), (1L, 1L, 101L, "2.5", false),
+               (2L, 2L, 102L, "4.0", false)))
+      // UPSERT of id 100: the count must stay 2 (an append-only reading
+      // would double-count it) and the avg must move
+      page(Seq((3L, 1L, 100L, "3.5", false)))
+      // DELETE of id 101: count drops (an append-only reading cannot
+      // subtract); key 2 empties entirely → -D
+      page(Seq((4L, 1L, 101L, "2.5", true), (5L, 2L, 102L, "4.0", true)))
+      // tolerated no-op: deleting an unknown id changes nothing
+      page(Seq((6L, 9L, 999L, "x", true)))
+    } finally stmt.stop()
+  }
+
   test("continuous JOIN → GROUP BY → HAVING statement: groups entering " +
     "and leaving the HAVING set emit +I and -D") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream

@@ -735,6 +735,49 @@ class StreamingEventsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("changelogUpsertStream property: collapsing the deltas equals the " +
+    "feed's live rows at every prefix; counts never leave {0, 1}") {
+    import StatefulOps.{UpsertDelta, UpsertEvent}
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    // delete-heavy mix over few ids so rows churn: upsert-over-upsert
+    // (the double-count trap) and delete-of-absent (tolerated no-op)
+    // both occur many times
+    val rnd = new scala.util.Random(13)
+    val evs = (0 until 200).map { _ =>
+      val id = rnd.nextInt(8).toLong
+      UpsertEvent(id % 3, id, s"v${rnd.nextInt(100)}", rnd.nextInt(3) == 0)
+    }
+    def liveRows(prefix: Seq[UpsertEvent]): Set[(Long, Long, String)] = {
+      val m = scala.collection.mutable.Map.empty[Long, (Long, String)]
+      prefix.foreach { e =>
+        if (e.delete) m.remove(e.id) else m(e.id) = (e.key, e.value)
+      }
+      m.map { case (id, (k, v)) => (k, id, v) }.toSet
+    }
+    val mem = MemoryStream[(Long, UpsertEvent)]
+    val q = StatefulOps.changelogUpsertStream(mem.toDS())
+      .writeStream.outputMode("update")
+      .format("memory").queryName("cl_upsert_test").start()
+    try {
+      val batches = evs.zipWithIndex.map { case (e, i) => (i.toLong, e) }
+        .grouped(40).toSeq
+      var prefix = Vector.empty[UpsertEvent]
+      batches.foreach { b =>
+        mem.addData(b); q.processAllAvailable()
+        prefix ++= b.map(_._2)
+        val counts = s.table("cl_upsert_test").as[UpsertDelta].collect()
+          .groupBy(d => (d.key, d.id, d.value))
+          .view.mapValues(_.map(d => if (d.op == 0) 1 else -1).sum).toMap
+        assert(counts.values.forall(c => c == 0 || c == 1),
+          s"collapse must never go negative or double-insert: $counts")
+        assert(counts.filter(_._2 == 1).keySet == liveRows(prefix),
+          s"maintained view diverged at prefix ${prefix.size}")
+      }
+    } finally q.stop()
+  }
+
   test("left-outer changelog join: null padding appears and retracts " +
     "exactly at right-side 0/1 transitions, at every prefix") {
     import StatefulOps.{JoinDelta, JoinEvent}
