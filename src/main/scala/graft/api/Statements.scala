@@ -251,6 +251,12 @@ final class Statements(spark: SparkSession, prefix: String = "stmt-",
       // own semantics
       case Project(Seq(UnresolvedStar(None)), j: Join) => joinStatement(j, sql, name, properties)
       case j: Join => joinStatement(j, sql, name, properties)
+      // `SELECT * FROM feed` over a single changelog feed serves the
+      // MAINTAINED VIEW's changelog (upsert retracts, delete removes) —
+      // the default route would append raw wire events, serving delete
+      // markers as data rows
+      case Project(Seq(UnresolvedStar(None)), rel) =>
+        feedViewStatement(rel, sql, name, properties)
       // the composed continuous statement a reference user writes next:
       // JOIN → [WHERE] → GROUP BY in one statement (Flink-the-service
       // maintains it as one changelog; `spark.sql` alone cannot — a
@@ -273,6 +279,37 @@ final class Statements(spark: SparkSession, prefix: String = "stmt-",
         }
       case _ => None
     }
+  }
+
+  /** `SELECT * FROM <changelog feed>`: the single-feed maintained view
+    * as a retraction changelog — [[graft.streaming.StatefulOps.changelogUpsertStream]]'s
+    * exact deltas through the passthrough sink, columns (key, id, value). */
+  private def feedViewStatement(
+      rel: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+      sql: String, name: String,
+      properties: Map[String, String]): Option[Statement] = {
+    import graft.streaming.StatefulOps
+    for {
+      (relName, _) <- relInfo(rel)
+      feed <- changelogFeed(relName)
+    } yield {
+      val deltas = upsertDeltas(feed)
+      val handle = ChangelogStream.deltaPassthrough(deltas, name)
+      new Statement(name, sql, deltas.drop("op"), Some(handle), properties)
+    }
+  }
+
+  /** One feed's wire rows → the exact retraction deltas of its
+    * maintained view. */
+  private def upsertDeltas(feed: DataFrame): DataFrame = {
+    import graft.streaming.StatefulOps
+    import spark.implicits._
+    StatefulOps.changelogUpsertStream(
+      feed.select("seq", "key", "id", "value", "delete")
+        .as[(Long, Long, Long, String, Boolean)]
+        .map { case (seq, k, id, v, del) =>
+          (seq, StatefulOps.UpsertEvent(k, id, v, del))
+        }).toDF()
   }
 
   /** Dispatch an `Aggregate over [Filter over] <source>` continuous
@@ -316,16 +353,9 @@ final class Statements(spark: SparkSession, prefix: String = "stmt-",
       properties: Map[String, String]): Option[Statement] = {
     import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
     import org.apache.spark.sql.types.{LongType, StringType}
-    import graft.streaming.StatefulOps
     val (relName, alias) = relInfo(rel).getOrElse(return None)
     val feed = changelogFeed(relName).getOrElse(return None)
-    import spark.implicits._
-    val deltas = StatefulOps.changelogUpsertStream(
-      feed.select("seq", "key", "id", "value", "delete")
-        .as[(Long, Long, Long, String, Boolean)]
-        .map { case (seq, k, id, v, del) =>
-          (seq, StatefulOps.UpsertEvent(k, id, v, del))
-        }).toDF()
+    val deltas = upsertDeltas(feed)
     def resolve(a: UnresolvedAttribute): Option[Int] = {
       val colName = a.nameParts match {
         case Seq(c) if FeedViewCols.contains(c) => Some(c)

@@ -559,6 +559,34 @@ class StatementsSpec extends AnyFunSuite {
     } finally stmt.stop()
   }
 
+  test("continuous SELECT * over a single changelog feed serves the " +
+    "maintained view, not the raw wire events") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val mem = MemoryStream[(Long, Long, Long, String, Boolean)]
+    mem.toDF().toDF("seq", "key", "id", "value", "delete")
+      .createOrReplaceTempView("sv_feed")
+    val stmts = new Statements(s)
+    val stmt = stmts.create("SELECT * FROM sv_feed")
+    try {
+      assert(stmt.isStreaming)
+      assert(stmt.columns == Seq("key", "id", "value"),
+        "the statement serves the maintained view's columns")
+      assert(stmts.waitForStatus(stmt, Set(Phase.Running)).isDefined)
+      val cl = stmt.handle.get.changelog()
+      // insert, update (would duplicate on an append reading), delete
+      // (would be served as a data row on an append reading)
+      mem.addData((0L, 1L, 100L, "a", false), (1L, 1L, 100L, "b", false),
+        (2L, 2L, 200L, "x", false), (3L, 2L, 200L, "x", true))
+      stmt.handle.get.processAllAvailable()
+      while (cl.consume(1).nonEmpty) ()
+      assert(cl.collapse().rows.toSet == Set(Vector[Any](1L, 100L, "b")),
+        "upsert must replace and delete must remove in the collapsed view")
+    } finally stmt.stop()
+  }
+
   test("continuous single-feed GROUP BY statement: upserts do not " +
     "double-count, deletes subtract — the changelog reading of the feed") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
