@@ -229,14 +229,17 @@ final class Statements(spark: SparkSession, prefix: String = "stmt-",
     }
   }
 
-  /** Recognize `SELECT * FROM l [AS a] <type> JOIN r [AS b] ON <key equality>`
-    * over two registered changelog feeds, and run it through the exact
-    * retraction IVM join instead of Structured Streaming's append-only
-    * stream-stream join. Parsing is Catalyst's own
-    * (`sessionState.sqlParser`), not regex; any SQL that does not match
-    * this shape (or whose relations are not changelog feeds) falls
-    * through to the default route untouched. */
-  private def tryJoinStatement(sql: String, name: String,
+  /** Recognize the continuous-statement shapes that need EXACT RETRACTION
+    * semantics the default `spark.sql` route cannot express, and run them
+    * through the IVM operators:
+    *  - `SELECT * FROM l JOIN r ON l.key = r.key` (two-feed join view)
+    *  - `SELECT * FROM feed` (single-feed maintained view)
+    *  - `SELECT <groups>, <aliased aggs> FROM <join | feed> [WHERE …]
+    *    GROUP BY … [HAVING …]` (grouped fold over the view's deltas)
+    * Parsing is Catalyst's own (`sessionState.sqlParser`), not regex; any
+    * SQL that does not match these shapes (or whose relations are not
+    * changelog feeds) falls through to the default route untouched. */
+  private def tryContinuousStatement(sql: String, name: String,
       properties: Map[String, String] = Map.empty): Option[Statement] = {
     import org.apache.spark.sql.catalyst.analysis.UnresolvedStar
     import org.apache.spark.sql.catalyst.plans.logical.{Join, Project}
@@ -737,7 +740,7 @@ final class Statements(spark: SparkSession, prefix: String = "stmt-",
           .foreach(spark.catalog.setCurrentDatabase)
         val stmt =
           try {
-            tryJoinStatement(sql, name, properties).getOrElse {
+            tryContinuousStatement(sql, name, properties).getOrElse {
               val df = spark.sql(sql)
               val handle =
                 if (df.isStreaming) {
