@@ -6,10 +6,14 @@ import scala.collection.concurrent.TrieMap
 import scala.collection.mutable
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedFunction, UnresolvedHaving, UnresolvedRelation, UnresolvedStar}
+import org.apache.spark.sql.catalyst.expressions.{Alias, And, Cast, Descending, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, IsNotNull, IsNull, LessThan, LessThanOrEqual, Literal, Not, NullsFirst, Or, SortOrder}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Distinct, Filter, GlobalLimit, Join, LocalLimit, LogicalPlan, Project, Sort, SubqueryAlias}
+import org.apache.spark.sql.catalyst.plans.{FullOuter, Inner, LeftOuter, RightOuter}
+import org.apache.spark.sql.types._
 
 import graft.changelog.{Op, RawRecord}
-import graft.streaming.ChangelogStream
+import graft.streaming.{ChangelogStream, StatefulOps}
 
 /** Statement lifecycle phases, lowercase like the reference's
   * `status.phase` (`/root/reference/api/statements.py:180-189`). */
@@ -19,6 +23,17 @@ object Phase {
   val Completed = "completed"
   val Failed = "failed"
 }
+
+/** Thrown by `Statements.create` when a statement's FROM clause resolves
+  * to changelog feed(s) but uses a construct the IVM routes cannot
+  * maintain exactly. Falling through to the default `spark.sql` route
+  * would SILENTLY mis-evaluate such a statement — the append-only reading
+  * of a changelog feed counts deletes as rows and double-counts upserts —
+  * so the facade fails loudly at create() instead (the S14 contract:
+  * exact retraction semantics or a visible error, never a plausible wrong
+  * changelog). */
+final class UnsupportedContinuousStatement(msg: String)
+  extends IllegalArgumentException(msg)
 
 /** A created statement: name, SQL, result schema ("traits.schema" in the
   * reference, read at `/root/reference/dashboard.py:201`), current phase,
@@ -131,7 +146,6 @@ final class Statements(spark: SparkSession, prefix: String = "stmt-",
     * survive into the output schema count; empty for non-aggregating
     * (append-only) queries. */
   private def derivedKeys(df: DataFrame): Seq[String] = {
-    import org.apache.spark.sql.catalyst.plans.logical.Aggregate
     import org.apache.spark.sql.catalyst.expressions.NamedExpression
     val out = df.schema.fieldNames.toSet
     df.queryExecution.analyzed.collectFirst {
@@ -150,54 +164,137 @@ final class Statements(spark: SparkSession, prefix: String = "stmt-",
     * such keyed changelogs; this is the engine's wire shape for it. */
   private val FeedCols = Seq("seq", "key", "id", "value", "delete")
 
+  /** A registered changelog feed: a STREAMING view whose schema is
+    * EXACTLY the five feed columns. Exact — not "contains" — so a
+    * streaming view that merely happens to carry these names among
+    * others cannot silently lose its extra columns under `SELECT *` or
+    * flip from append to upsert-collapsed semantics (r9 advice). */
   private def changelogFeed(name: String): Option[DataFrame] =
     try {
       val t = spark.table(name)
-      if (t.isStreaming && FeedCols.forall(t.schema.fieldNames.contains))
+      if (t.isStreaming && t.schema.fieldNames.toSet == FeedCols.toSet &&
+          t.schema.fieldNames.length == FeedCols.length)
         Some(t)
       else None
     } catch { case _: Exception => None }
 
-  /** A matched two-feed continuous JOIN: the IVM delta stream (op, key,
-    * left_id, left_value, right_id, right_value) plus the SQL-side alias
-    * each feed was given (for resolving `a.value`-style references in a
-    * downstream GROUP BY). */
-  private case class FeedJoin(deltas: DataFrame, lAlias: String,
-                              rAlias: String)
+  /** A registered BATCH table (the static side of a feed ⋈ dim join). */
+  private def staticTable(name: String): Option[DataFrame] =
+    try {
+      val t = spark.table(name)
+      if (!t.isStreaming) Some(t) else None
+    } catch { case _: Exception => None }
 
-  /** Columns of the maintained join view, in delta-row order AFTER the
-    * leading op column. */
+  /** Does any leaf relation of this (unresolved) plan name a registered
+    * changelog feed? Gates the loud-rejection contract: a feed-touching
+    * aggregate that no IVM route matches must error at create(), because
+    * the default route would silently mis-evaluate it. */
+  private def referencesFeed(p: LogicalPlan): Boolean =
+    p.collect { case u: UnresolvedRelation => u.multipartIdentifier.last }
+      .exists(n => changelogFeed(n).isDefined)
+
+  /** The aggregate functions the fold maintains — used to spot an
+    * ungrouped aggregate still parsed as a Project. */
+  private val AggFns = Set("count", "sum", "avg", "min", "max")
+  private def hasAggFunction(es: Seq[Expression]): Boolean =
+    es.exists(_.exists {
+      case f: UnresolvedFunction =>
+        AggFns.contains(f.nameParts.map(_.toLowerCase).mkString("."))
+      case _ => false
+    })
+
+  private def unsupported(sql: String, what: String): Nothing =
+    throw new UnsupportedContinuousStatement(
+      "continuous statement over changelog feed(s) cannot be maintained " +
+        s"exactly: $what — and the append-only default route would " +
+        "mis-evaluate it (deletes read as rows, upserts double-count), " +
+        s"so the statement is rejected at create(). SQL: $sql")
+
+  /** A matched continuous source: its exact-retraction delta stream
+    * (leading `op` column + the view columns), the maintained view's
+    * column names and types (positionally aligned), and the resolver
+    * mapping an UNRESOLVED SQL attribute onto a view column index. */
+  private case class DeltaSource(deltas: DataFrame, viewCols: Seq[String],
+                                 types: Seq[DataType],
+                                 resolve: UnresolvedAttribute => Option[Int])
+
+  /** Columns of the two-feed maintained join view, in delta-row order
+    * AFTER the leading op column. */
   private val JoinViewCols =
     Seq("key", "left_id", "left_value", "right_id", "right_value")
 
-  /** Match `l [AS a] <type> JOIN r [AS b] ON <key equality>` over two
+  /** Columns of a single feed's maintained view, in delta-row order
+    * after the leading op column. */
+  private val FeedViewCols = Seq("key", "id", "value")
+  private val FeedViewTypes = Seq[DataType](LongType, LongType, StringType)
+
+  /** Relation name (resolves the feed) and the outermost alias (what
+    * column references qualify by; the relation name itself when
+    * unaliased). */
+  private def relInfo(p: LogicalPlan): Option[(String, String)] = p match {
+    case u: UnresolvedRelation =>
+      Some((u.multipartIdentifier.last, u.multipartIdentifier.last))
+    case SubqueryAlias(id, c) => relInfo(c).map { case (n, _) => (n, id.name) }
+    case _ => None
+  }
+
+  /** `<one side>.key = <other side>.key` with qualifiers REQUIRED and one
+    * per side: `ON a.key = a.key` is a per-key tautology (a cross join
+    * per non-null key in SQL) and must not route to the equi-join IVM
+    * (r9 advice — the old name-only check accepted it). */
+  private def keyEquality(cond: Expression, la: String, ra: String): Boolean =
+    cond match {
+      case EqualTo(a: UnresolvedAttribute, b: UnresolvedAttribute) =>
+        def qual(x: UnresolvedAttribute): Option[String] = x.nameParts match {
+          case Seq(q, "key") => Some(q)
+          case _ => None
+        }
+        (qual(a), qual(b)) match {
+          case (Some(x), Some(y)) => x != y && Set(x, y) == Set(la, ra)
+          case _ => false
+        }
+      case _ => false
+    }
+
+  /** The single-feed maintained view: one feed's wire rows through the
+    * exact-retraction upsert IVM
+    * ([[graft.streaming.StatefulOps.changelogUpsertStream]]). */
+  private def matchSingleFeed(rel: LogicalPlan): Option[DeltaSource] =
+    for {
+      (relName, alias) <- relInfo(rel)
+      feed <- changelogFeed(relName)
+    } yield {
+      val resolve: UnresolvedAttribute => Option[Int] = a => {
+        val colName = a.nameParts match {
+          case Seq(c) if FeedViewCols.contains(c) => Some(c)
+          case Seq(q, c) if q == alias && FeedViewCols.contains(c) => Some(c)
+          case _ => None
+        }
+        colName.map(FeedViewCols.indexOf)
+      }
+      DeltaSource(upsertDeltas(feed), FeedViewCols, FeedViewTypes, resolve)
+    }
+
+  /** One feed's wire rows → the exact retraction deltas of its
+    * maintained view. */
+  private def upsertDeltas(feed: DataFrame): DataFrame = {
+    import spark.implicits._
+    StatefulOps.changelogUpsertStream(
+      feed.select("seq", "key", "id", "value", "delete")
+        .as[(Long, Long, Long, String, Boolean)]
+        .map { case (seq, k, id, v, del) =>
+          (seq, StatefulOps.UpsertEvent(k, id, v, del))
+        }).toDF()
+  }
+
+  /** Match `l [AS a] <type> JOIN r [AS b] ON a.key = b.key` over two
     * registered changelog feeds and build the exact-retraction IVM join
     * ([[graft.streaming.StatefulOps.changelogJoinStream]]) over them —
     * Structured Streaming's own stream-stream join is append-only and
     * never retracts on upsert/delete, so this operator is the engine's
     * equivalent of what the reference's Flink service maintains for a
     * continuous two-table JOIN. */
-  /** Relation name (resolves the feed) and the outermost alias (what
-    * column references qualify by; the relation name itself when
-    * unaliased). */
-  private def relInfo(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
-      : Option[(String, String)] = {
-    import org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
-    import org.apache.spark.sql.catalyst.plans.logical.SubqueryAlias
-    p match {
-      case u: UnresolvedRelation =>
-        Some((u.multipartIdentifier.last, u.multipartIdentifier.last))
-      case SubqueryAlias(id, c) => relInfo(c).map { case (n, _) => (n, id.name) }
-      case _ => None
-    }
-  }
-
-  private def matchFeedJoin(
-      j: org.apache.spark.sql.catalyst.plans.logical.Join): Option[FeedJoin] = {
-    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
-    import org.apache.spark.sql.catalyst.expressions.EqualTo
-    import org.apache.spark.sql.catalyst.plans.{FullOuter, Inner, LeftOuter, RightOuter}
-    import graft.streaming.StatefulOps
+  private def matchFeedJoin2(j: Join): Option[DeltaSource] = {
     val outer = j.joinType match {
       case Inner => Some((false, false))
       case LeftOuter => Some((true, false))
@@ -205,14 +302,10 @@ final class Statements(spark: SparkSession, prefix: String = "stmt-",
       case FullOuter => Some((true, true))
       case _ => None
     }
-    val keyEquality = j.condition.exists {
-      case EqualTo(a: UnresolvedAttribute, b: UnresolvedAttribute) =>
-        a.nameParts.last == "key" && b.nameParts.last == "key"
-      case _ => false
-    }
     for {
-      (lo, ro) <- outer if keyEquality
+      (lo, ro) <- outer
       (ln, la) <- relInfo(j.left); (rn, ra) <- relInfo(j.right)
+      if j.condition.exists(keyEquality(_, la, ra))
       lt <- changelogFeed(ln); rt <- changelogFeed(rn)
     } yield {
       import spark.implicits._
@@ -225,41 +318,222 @@ final class Statements(spark: SparkSession, prefix: String = "stmt-",
       val deltas = StatefulOps
         .changelogJoinStream(feed(lt, true).union(feed(rt, false)), lo, ro)
         .toDF()
-      FeedJoin(deltas, la, ra)
+      // view-column resolution: unqualified names hit the view columns
+      // directly; alias-qualified names map id/value/key onto their side
+      val resolve: UnresolvedAttribute => Option[Int] = attr => {
+        val colName = attr.nameParts match {
+          case Seq(c) if JoinViewCols.contains(c) => Some(c)
+          case Seq(q, c) if q == la || q == ra =>
+            val side = if (q == la) "left" else "right"
+            c match {
+              case "key" => Some("key")
+              case "id" => Some(s"${side}_id")
+              case "value" => Some(s"${side}_value")
+              case _ => None
+            }
+          case _ => None
+        }
+        colName.map(JoinViewCols.indexOf)
+      }
+      DeltaSource(deltas, JoinViewCols,
+        Seq(LongType, LongType, StringType, LongType, StringType), resolve)
     }
   }
+
+  /** Match a LEFT-DEEP chain of ≥3 changelog feeds INNER-joined on ONE
+    * shared key (`a JOIN b ON a.key = b.key JOIN c ON b.key = c.key …`)
+    * and build the N-way IVM join
+    * ([[graft.streaming.StatefulOps.changelogMultiJoinStream]]) over the
+    * union of all feeds. Sharing the key keeps all sides' live rows in
+    * one keyed state entry — each change emits its exact cross-side
+    * delta in one pass, with no intermediate retraction stream to
+    * re-shuffle. View columns: `key`, then `<alias>_id`/`<alias>_value`
+    * per side in join order. */
+  private def matchFeedChain(j: Join): Option[DeltaSource] = {
+    def flat(p: LogicalPlan): Option[(Seq[LogicalPlan], Seq[Expression])] =
+      p match {
+        case jj: Join if jj.joinType == Inner =>
+          for {
+            c <- jj.condition
+            (rels, conds) <- flat(jj.left)
+          } yield (rels :+ jj.right, conds :+ c)
+        case rel => Some((Seq(rel), Nil))
+      }
+    def sequence[A](xs: Seq[Option[A]]): Option[Seq[A]] =
+      if (xs.forall(_.isDefined)) Some(xs.map(_.get)) else None
+    for {
+      (rels, conds) <- flat(j)
+      if rels.length >= 3
+      infos <- sequence(rels.map(relInfo))
+      aliases = infos.map(_._2)
+      if aliases.distinct.length == aliases.length
+      // condition i must equate the NEW side's key with some PREVIOUS
+      // side's key — the whole chain shares one join key
+      if conds.zipWithIndex.forall { case (c, i) =>
+        aliases.take(i + 1).exists(prev => keyEquality(c, prev, aliases(i + 1)))
+      }
+      feeds <- sequence(infos.map { case (n, _) => changelogFeed(n) })
+    } yield {
+      import spark.implicits._
+      import org.apache.spark.sql.functions.{col, element_at}
+      val n = feeds.length
+      val unioned = feeds.zipWithIndex.map { case (t, i) =>
+        t.select("seq", "key", "id", "value", "delete")
+          .as[(Long, Long, Long, String, Boolean)]
+          .map { case (seq, k, id, v, del) =>
+            (seq, StatefulOps.MultiJoinEvent(k, i, id, v, del))
+          }
+      }.reduce(_ union _)
+      val multi = StatefulOps.changelogMultiJoinStream(unioned, n).toDF()
+      val sideCols = aliases.zipWithIndex.flatMap { case (al, i) =>
+        Seq(element_at(col("ids"), i + 1).as(s"${al}_id"),
+          element_at(col("values"), i + 1).as(s"${al}_value"))
+      }
+      val deltas = multi.select((col("op") +: col("key") +: sideCols): _*)
+      val viewCols =
+        "key" +: aliases.flatMap(al => Seq(s"${al}_id", s"${al}_value"))
+      val types: Seq[DataType] =
+        LongType +: aliases.flatMap(_ => Seq[DataType](LongType, StringType))
+      val resolve: UnresolvedAttribute => Option[Int] = a => {
+        val colName = a.nameParts match {
+          case Seq(c) if viewCols.contains(c) => Some(c)
+          case Seq(q, "key") if aliases.contains(q) => Some("key")
+          case Seq(q, "id") if aliases.contains(q) => Some(s"${q}_id")
+          case Seq(q, "value") if aliases.contains(q) => Some(s"${q}_value")
+          case _ => None
+        }
+        colName.map(viewCols.indexOf)
+      }
+      DeltaSource(deltas, viewCols, types, resolve)
+    }
+  }
+
+  /** Match `feed [AS a] JOIN dim [AS s] ON a.key = s.<col>` — a
+    * changelog feed equi-joined to a registered BATCH table. Because the
+    * static side never changes, IVM is a stream-static join of the
+    * feed's retraction deltas: a `+I` delta joins to `+I` rows, a `-D`
+    * to the identical `-D` rows, so retractions cancel exactly. The
+    * static side is broadcast (the dimension-table contract — at 100 TB
+    * the fact side is the feed; a dim too big to broadcast belongs in a
+    * second feed). INNER either way around; outer only on the FEED side
+    * (LEFT with the feed left / RIGHT with the feed right): pads are
+    * stable because the static side never gains or loses rows, whereas a
+    * static-side outer would need pad transitions only a feed delta
+    * could drive, so it does not route. */
+  private def matchFeedStatic(j: Join, sql: String): Option[DeltaSource] = {
+    val li = relInfo(j.left); val ri = relInfo(j.right)
+    if (li.isEmpty || ri.isEmpty || j.condition.isEmpty) return None
+    val (ln, la) = li.get; val (rn, ra) = ri.get
+    val arranged = (changelogFeed(ln), changelogFeed(rn)) match {
+      case (Some(f), None) => staticTable(rn).flatMap { st =>
+        j.joinType match {
+          case Inner => Some((f, la, st, ra, false))
+          case LeftOuter => Some((f, la, st, ra, true))
+          case _ => None
+        }
+      }
+      case (None, Some(f)) => staticTable(ln).flatMap { st =>
+        j.joinType match {
+          case Inner => Some((f, ra, st, la, false))
+          case RightOuter => Some((f, ra, st, la, true))
+          case _ => None
+        }
+      }
+      case _ => None // feed⋈feed handled by the 2-way/chain matchers
+    }
+    val (feed, fAlias, static, sAlias, feedOuter) =
+      arranged.getOrElse(return None)
+    val staticCols = static.schema.fieldNames.toSeq
+    val jcol: String = j.condition.get match {
+      case EqualTo(a: UnresolvedAttribute, b: UnresolvedAttribute) =>
+        def feedKey(x: UnresolvedAttribute) = x.nameParts == Seq(fAlias, "key")
+        def staticCol(x: UnresolvedAttribute): Option[String] =
+          x.nameParts match {
+            case Seq(q, c) if q == sAlias && staticCols.contains(c) => Some(c)
+            case _ => None
+          }
+        (if (feedKey(a)) staticCol(b)
+         else if (feedKey(b)) staticCol(a)
+         else None).getOrElse(return None)
+      case _ => return None
+    }
+    // the feed's key is a long: the static join column must be integral
+    if (kindOf(static.schema(jcol).dataType) != Some(LongK)) return None
+    // the view's columns are the feed's three plus the dim's, by name —
+    // a dim column shadowing op/key/id/value would make the view
+    // ambiguous, and the shape HAS matched, so reject loudly (rename the
+    // dim column) rather than fall through to a mis-evaluating route
+    val clash = staticCols.filter(c => (FeedViewCols :+ "op").contains(c))
+    if (clash.nonEmpty)
+      unsupported(sql, s"static table $sAlias columns ${clash.mkString(", ")} " +
+        "shadow the maintained view's op/key/id/value — rename them " +
+        "(e.g. SELECT them under aliases into a temp view) to join a feed")
+    import org.apache.spark.sql.functions.broadcast
+    val fd = upsertDeltas(feed)
+    val joined = fd
+      .join(broadcast(static), fd("key") === static(jcol),
+        if (feedOuter) "left_outer" else "inner")
+      .select((Seq("op", "key", "id", "value").map(fd(_)) ++
+        staticCols.map(static(_))): _*)
+    val viewCols = FeedViewCols ++ staticCols
+    val types = FeedViewTypes ++ staticCols.map(c => static.schema(c).dataType)
+    val resolve: UnresolvedAttribute => Option[Int] = a => {
+      val colName = a.nameParts match {
+        case Seq(c) if viewCols.count(_ == c) == 1 => Some(c)
+        case Seq(q, c) if q == fAlias && FeedViewCols.contains(c) => Some(c)
+        case Seq(q, c) if q == sAlias && staticCols.contains(c) => Some(c)
+        case _ => None
+      }
+      colName.map(viewCols.indexOf)
+    }
+    Some(DeltaSource(joined, viewCols, types, resolve))
+  }
+
+  /** All continuous-join shapes, most specific first. */
+  private def matchJoinSource(j: Join, sql: String): Option[DeltaSource] =
+    matchFeedJoin2(j)
+      .orElse(matchFeedChain(j))
+      .orElse(matchFeedStatic(j, sql))
 
   /** Recognize the continuous-statement shapes that need EXACT RETRACTION
     * semantics the default `spark.sql` route cannot express, and run them
     * through the IVM operators:
-    *  - `SELECT * FROM l JOIN r ON l.key = r.key` (two-feed join view)
-    *  - `SELECT * FROM feed` (single-feed maintained view)
-    *  - `SELECT <groups>, <aliased aggs> FROM <join | feed> [WHERE …]
-    *    GROUP BY … [HAVING …]` (grouped fold over the view's deltas)
-    * Parsing is Catalyst's own (`sessionState.sqlParser`), not regex; any
-    * SQL that does not match these shapes (or whose relations are not
-    * changelog feeds) falls through to the default route untouched. */
+    *  - `SELECT * FROM <source>` where the source is a feed, a two-feed
+    *    equi-join (INNER/LEFT/RIGHT/FULL), a same-key INNER chain of ≥3
+    *    feeds, or a feed ⋈ static-table equi-join — the maintained view
+    *  - `SELECT <groups>, <aliased aggs> FROM <source> [WHERE …]
+    *    GROUP BY … [HAVING …]` (grouped or UNGROUPED incremental fold —
+    *    COUNT/SUM/AVG/MIN/MAX — over the view's deltas)
+    *  - `SELECT DISTINCT <cols> FROM <source>` (the zero-aggregate fold)
+    *  - `SELECT * FROM <feed> ORDER BY <col> LIMIT k` (maintained top-k)
+    * Parsing is Catalyst's own (`sessionState.sqlParser`), not regex. SQL
+    * whose relations are not changelog feeds falls through to the default
+    * route untouched; an AGGREGATE whose FROM references feeds but whose
+    * shape no route matches is rejected loudly
+    * ([[UnsupportedContinuousStatement]]) — the default route would
+    * silently mis-evaluate it. Non-aggregate projections over feeds still
+    * fall through: the raw wire rows they serve carry the explicit
+    * `delete` column, so nothing is silently misread. */
   private def tryContinuousStatement(sql: String, name: String,
       properties: Map[String, String] = Map.empty): Option[Statement] = {
-    import org.apache.spark.sql.catalyst.analysis.UnresolvedStar
-    import org.apache.spark.sql.catalyst.plans.logical.{Join, Project}
     val parsed =
       try spark.sessionState.sqlParser.parsePlan(sql)
       catch { case _: Exception => return None }
     parsed match {
-      // ONLY the exact `SELECT * FROM l JOIN r ON …` shape routes here:
-      // the statement serves the full maintained-view columns, so a
-      // narrowing projection must NOT silently get the wide view — any
-      // other shape falls through to the default route and keeps Spark's
-      // own semantics
-      case Project(Seq(UnresolvedStar(None)), j: Join) => joinStatement(j, sql, name, properties)
-      case j: Join => joinStatement(j, sql, name, properties)
+      // ONLY the exact `SELECT * FROM <join> …` shape routes here: the
+      // statement serves the full maintained-view columns, so a narrowing
+      // projection must NOT silently get the wide view — any other shape
+      // falls through to the default route and keeps Spark's own semantics
+      case Project(Seq(UnresolvedStar(None)), j: Join) =>
+        matchJoinSource(j, sql).map(viewStatement(_, sql, name, properties))
+      case j: Join =>
+        matchJoinSource(j, sql).map(viewStatement(_, sql, name, properties))
       // `SELECT * FROM feed` over a single changelog feed serves the
       // MAINTAINED VIEW's changelog (upsert retracts, delete removes) —
       // the default route would append raw wire events, serving delete
       // markers as data rows
       case Project(Seq(UnresolvedStar(None)), rel) =>
-        feedViewStatement(rel, sql, name, properties)
+        matchSingleFeed(rel).map(viewStatement(_, sql, name, properties))
       // the composed continuous statement a reference user writes next:
       // JOIN → [WHERE] → GROUP BY in one statement (Flink-the-service
       // maintains it as one changelog; `spark.sql` alone cannot — a
@@ -269,251 +543,361 @@ final class Statements(spark: SparkSession, prefix: String = "stmt-",
       // deterministic row predicate passes or rejects a joined row
       // identically on its +I and its -D, so filtering the deltas
       // equals filtering the view.
-      case agg: org.apache.spark.sql.catalyst.plans.logical.Aggregate =>
-        routeAgg(agg, None, sql, name, properties)
+      case agg: Aggregate => routeAgg(agg, None, sql, name, properties)
       // HAVING filters the AGGREGATE view: applied to the fold's emitted
       // snapshot, so a group crossing the boundary emits the -D / +I the
       // changelog wire expects (the complete-mode-diff transition)
-      case h: org.apache.spark.sql.catalyst.analysis.UnresolvedHaving =>
+      case h: UnresolvedHaving =>
         h.child match {
-          case agg: org.apache.spark.sql.catalyst.plans.logical.Aggregate =>
+          case agg: Aggregate =>
             routeAgg(agg, Some(h.havingCondition), sql, name, properties)
           case _ => None
         }
+      // an UNGROUPED aggregate (`SELECT count(*) AS c FROM feed`) parses
+      // as a plain Project — the parser cannot know count() aggregates;
+      // this is the same rewrite Catalyst's GlobalAggregates rule makes
+      // at analysis time
+      case p: Project if hasAggFunction(p.projectList) =>
+        routeAgg(Aggregate(Nil, p.projectList, p.child, None), None,
+          sql, name, properties)
+      // SELECT DISTINCT <cols> FROM <source> ≡ GROUP BY those columns
+      // with no aggregates — the membership fold (rows live while their
+      // multiplicity is positive)
+      case Distinct(Project(projList, rel))
+          if !projList.exists(_.isInstanceOf[UnresolvedStar]) =>
+        routeAgg(Aggregate(projList, projList, rel, None), None,
+          sql, name, properties)
+      // SELECT * FROM <feed> ORDER BY <col> [ASC|DESC] LIMIT k — the
+      // continuously-maintained top-k view (Flink's Top-N operator for
+      // this statement shape)
+      case GlobalLimit(Literal(k: Int, IntegerType),
+          LocalLimit(_, Sort(Seq(order), true,
+            Project(Seq(UnresolvedStar(None)), rel), _))) =>
+        topKStatement(rel, order, k, sql, name, properties)
       case _ => None
     }
   }
 
-  /** `SELECT * FROM <changelog feed>`: the single-feed maintained view
-    * as a retraction changelog — [[graft.streaming.StatefulOps.changelogUpsertStream]]'s
-    * exact deltas through the passthrough sink, columns (key, id, value). */
-  private def feedViewStatement(
-      rel: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
-      sql: String, name: String,
-      properties: Map[String, String]): Option[Statement] = {
-    import graft.streaming.StatefulOps
-    for {
-      (relName, _) <- relInfo(rel)
-      feed <- changelogFeed(relName)
-    } yield {
-      val deltas = upsertDeltas(feed)
-      val handle = ChangelogStream.deltaPassthrough(deltas, name)
-      new Statement(name, sql, deltas.drop("op"), Some(handle), properties)
-    }
-  }
-
-  /** One feed's wire rows → the exact retraction deltas of its
-    * maintained view. */
-  private def upsertDeltas(feed: DataFrame): DataFrame = {
-    import graft.streaming.StatefulOps
-    import spark.implicits._
-    StatefulOps.changelogUpsertStream(
-      feed.select("seq", "key", "id", "value", "delete")
-        .as[(Long, Long, Long, String, Boolean)]
-        .map { case (seq, k, id, v, del) =>
-          (seq, StatefulOps.UpsertEvent(k, id, v, del))
-        }).toDF()
+  /** A matched maintained view served as-is: the delta stream's own
+    * retractions through the passthrough sink (no synthesizer state sits
+    * between the IVM operator and the wire). */
+  private def viewStatement(ds: DeltaSource, sql: String, name: String,
+      properties: Map[String, String]): Statement = {
+    val handle = ChangelogStream.deltaPassthrough(ds.deltas, name)
+    // the statement's advertised schema is the maintained view's columns
+    // (op travels as the record op, not a column)
+    new Statement(name, sql, ds.deltas.drop("op"), Some(handle), properties)
   }
 
   /** Dispatch an `Aggregate over [Filter over] <source>` continuous
-    * statement: the source is either a two-feed JOIN (the IVM join's
-    * deltas) or a SINGLE changelog feed — whose upsert/delete semantics
-    * an append-only reading gets wrong (deletes must subtract, updates
-    * must not double-count), so it routes through
-    * [[graft.streaming.StatefulOps.changelogUpsertStream]]. */
-  private def routeAgg(
-      agg: org.apache.spark.sql.catalyst.plans.logical.Aggregate,
-      having: Option[org.apache.spark.sql.catalyst.expressions.Expression],
+    * statement: the source is a feed, a feed join (2-way, chain, or
+    * feed ⋈ static) — all reduced to their exact retraction deltas. A
+    * feed-touching aggregate that matches NO route rejects loudly: the
+    * default route's append-only reading would silently mis-evaluate it
+    * (deletes as rows, upserts double-counted). */
+  private def routeAgg(agg: Aggregate, having: Option[Expression],
       sql: String, name: String,
       properties: Map[String, String]): Option[Statement] = {
-    import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join}
     val (src, where) = agg.child match {
       case Filter(cond, s) => (s, Some(cond))
       case s => (s, None)
     }
-    src match {
-      case j: Join => tryJoinAggStatement(agg, j, where, having,
-        sql, name, properties)
-      case rel => tryFeedAggStatement(agg, rel, where, having,
-        sql, name, properties)
+    val source = src match {
+      case j: Join => matchJoinSource(j, sql)
+      case rel => matchSingleFeed(rel)
+    }
+    source match {
+      case Some(ds) =>
+        Some(aggOverDeltas(ds, agg, where, having, sql, name, properties))
+      case None =>
+        if (referencesFeed(src))
+          unsupported(sql, "the FROM clause references changelog feed(s) " +
+            "in a shape no IVM route matches (supported: one feed; a " +
+            "two-feed equi-join on key, INNER/LEFT/RIGHT/FULL; a same-key " +
+            "INNER chain of 3+ feeds; a feed joined to a static table)")
+        None
     }
   }
 
-  /** Columns of a single feed's maintained view, in delta-row order
-    * after the leading op column. */
-  private val FeedViewCols = Seq("key", "id", "value")
+  // ===== the continuous aggregate fold =====
 
-  /** Route `SELECT <group cols>, <aliased aggs> FROM feed [WHERE …]
-    * GROUP BY … [HAVING …]` over ONE registered changelog feed through
-    * the exact-retraction upsert stream feeding the same grouped fold as
-    * the join route. */
-  private def tryFeedAggStatement(
-      agg: org.apache.spark.sql.catalyst.plans.logical.Aggregate,
-      rel: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
-      where: Option[org.apache.spark.sql.catalyst.expressions.Expression],
-      having: Option[org.apache.spark.sql.catalyst.expressions.Expression],
-      sql: String, name: String,
-      properties: Map[String, String]): Option[Statement] = {
-    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
-    import org.apache.spark.sql.types.{LongType, StringType}
-    val (relName, alias) = relInfo(rel).getOrElse(return None)
-    val feed = changelogFeed(relName).getOrElse(return None)
-    val deltas = upsertDeltas(feed)
-    def resolve(a: UnresolvedAttribute): Option[Int] = {
-      val colName = a.nameParts match {
-        case Seq(c) if FeedViewCols.contains(c) => Some(c)
-        case Seq(q, c) if q == alias && FeedViewCols.contains(c) => Some(c)
-        case _ => None
-      }
-      colName.map(FeedViewCols.indexOf)
-    }
-    aggOverDeltas(deltas, FeedViewCols,
-      Map("key" -> LongType, "id" -> LongType, "value" -> StringType),
-      resolve, agg, where, having, sql, name, properties)
+  /** Canonical value kinds the continuous fold can maintain exactly:
+    * integral (exact long arithmetic), fractional (exact decimal
+    * expansions — see [[exactNum]]), and string (compares; coerces to
+    * DOUBLE under SUM/AVG, Spark's lenient PromoteStrings discipline).
+    * Any other view-column type rejects at create() — folding it
+    * silently (the r9 `toNum` catch-all) hid type errors. */
+  private sealed trait ValKind
+  private case object LongK extends ValKind
+  private case object DoubleK extends ValKind
+  private case object StringK extends ValKind
+
+  private def kindOf(dt: DataType): Option[ValKind] = dt match {
+    case ByteType | ShortType | IntegerType | LongType => Some(LongK)
+    case FloatType | DoubleType | _: DecimalType => Some(DoubleK)
+    case StringType => Some(StringK)
+    case _ => None
   }
 
-  private def joinStatement(
-      j: org.apache.spark.sql.catalyst.plans.logical.Join, sql: String,
-      name: String, properties: Map[String, String]): Option[Statement] =
-    matchFeedJoin(j).map { fj =>
-      val handle = ChangelogStream.deltaPassthrough(fj.deltas, name)
-      // the statement's advertised schema is the maintained view's
-      // columns (op travels as the record op, not a column)
-      new Statement(name, sql, fj.deltas.drop("op"), Some(handle), properties)
-    }
+  /** The EXACT numeric value of a live cell, as an arbitrary-precision
+    * decimal: integral types exactly; float/double as the exact decimal
+    * expansion of the binary value (`new BigDecimal(double)` — not the
+    * string rounding); DECIMAL exactly; strings via their lenient DOUBLE
+    * cast (unparseable → null, Spark's non-ANSI cast). Accumulating
+    * these is associative and commutative with NO rounding, so the
+    * incremental fold equals a from-scratch replay bit-for-bit for ANY
+    * float input and ANY retraction order — the q51 exact-moments
+    * discipline applied to the facade (r8/r9 verdicts: IEEE-double
+    * accumulators drifted across group rebirth). NaN/Infinity have no
+    * decimal expansion and fold as null. */
+  private def exactNum(v: Any): java.math.BigDecimal = v match {
+    case null => null
+    case b: java.math.BigDecimal => b
+    case l: java.lang.Long => java.math.BigDecimal.valueOf(l)
+    case i: java.lang.Integer => java.math.BigDecimal.valueOf(i.longValue)
+    case s: java.lang.Short => java.math.BigDecimal.valueOf(s.longValue)
+    case b: java.lang.Byte => java.math.BigDecimal.valueOf(b.longValue)
+    case d: java.lang.Double =>
+      if (d.isNaN || d.isInfinite) null else new java.math.BigDecimal(d)
+    case f: java.lang.Float =>
+      if (f.isNaN || f.isInfinite) null
+      else new java.math.BigDecimal(f.doubleValue)
+    case s: String =>
+      try {
+        val d = s.trim.toDouble
+        if (d.isNaN || d.isInfinite) null else new java.math.BigDecimal(d)
+      } catch { case _: NumberFormatException => null }
+    case _ => null
+  }
 
-  /** The per-aggregate incremental state a retraction stream can maintain
-    * exactly: COUNT(*) / COUNT(col) / SUM / AVG are all ±-foldable (MIN and
-    * MAX are not — a retraction of the current extremum needs the full
-    * multiset, so they fall through to the default route). */
+  /** A cell canonicalized for MIN/MAX comparison under its kind. */
+  private def canon(v: Any, k: ValKind): AnyRef = (v, k) match {
+    case (null, _) => null
+    case (x, LongK) =>
+      java.lang.Long.valueOf(x.asInstanceOf[Number].longValue)
+    case (s: String, DoubleK) => // CAST(string AS DOUBLE), lenient
+      try java.lang.Double.valueOf(s.trim.toDouble)
+      catch { case _: NumberFormatException => null }
+    case (x, DoubleK) =>
+      java.lang.Double.valueOf(x.asInstanceOf[Number].doubleValue)
+    case (x, StringK) => x.asInstanceOf[String]
+  }
+
+  private def ordFor(k: ValKind): Ordering[AnyRef] = k match {
+    case LongK => Ordering.by((x: AnyRef) => x.asInstanceOf[java.lang.Long].longValue)
+    case DoubleK => Ordering.by((x: AnyRef) =>
+      x.asInstanceOf[java.lang.Double].doubleValue)(Ordering.Double.TotalOrdering)
+    case StringK => Ordering.by((x: AnyRef) => x.asInstanceOf[String])
+  }
+
+  /** The per-aggregate incremental state a retraction stream maintains
+    * exactly: COUNT(*) / COUNT(col) / SUM / AVG are ±-foldable scalars;
+    * MIN / MAX keep a per-group ORDERED COUNT-MULTISET of live values, so
+    * a retraction of the current extremum re-derives the next one exactly
+    * (the transition ±-foldable aggregates never face — r9's "falls
+    * through" gap, now closed). */
   private sealed trait AggOp
   private case object CountStar extends AggOp
   private case class CountCol(idx: Int) extends AggOp
-  private case class SumCol(idx: Int) extends AggOp
-  private case class AvgCol(idx: Int) extends AggOp
-
-  /** Route `SELECT <group cols>, <aliased aggs> FROM a JOIN b ON a.key =
-    * b.key [WHERE <pred>] GROUP BY <cols>` over two changelog feeds
-    * through the IVM join feeding a grouped incremental fold
-    * ([[ChangelogStream.foldingSnapshot]]): the join emits its exact
-    * retraction deltas executor-side, and the fold maintains O(groups)
-    * aggregate state (COUNT/SUM/AVG, each ±-foldable), diff-synthesizing
-    * `+I/-U/+U/-D` per page. Aggregates must be aliased (the engine-wide
-    * oracle discipline); group keys may be any view column (`key`,
-    * `a.id`, `b.value`, …); numeric casts accept `CAST(x AS DOUBLE)`;
-    * WHERE supports column-vs-literal comparisons, IS [NOT] NULL, and
-    * AND/OR/NOT with SQL three-valued semantics (see compilePred).
-    * Any non-matching shape falls through untouched. */
-  private def tryJoinAggStatement(
-      agg: org.apache.spark.sql.catalyst.plans.logical.Aggregate,
-      j: org.apache.spark.sql.catalyst.plans.logical.Join,
-      where: Option[org.apache.spark.sql.catalyst.expressions.Expression],
-      having: Option[org.apache.spark.sql.catalyst.expressions.Expression],
-      sql: String, name: String,
-      properties: Map[String, String]): Option[Statement] = {
-    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
-    import org.apache.spark.sql.types.{LongType, StringType}
-    val fj = matchFeedJoin(j).getOrElse(return None)
-    // view-column resolution: unqualified names hit the view columns
-    // directly; alias-qualified names map id/value/key onto their side
-    def resolve(attr: UnresolvedAttribute): Option[Int] = {
-      val colName = attr.nameParts match {
-        case Seq(c) if JoinViewCols.contains(c) => Some(c)
-        case Seq(q, c) if q == fj.lAlias || q == fj.rAlias =>
-          val side = if (q == fj.lAlias) "left" else "right"
-          c match {
-            case "key" => Some("key")
-            case "id" => Some(s"${side}_id")
-            case "value" => Some(s"${side}_value")
-            case _ => None
-          }
-        case _ => None
-      }
-      colName.map(JoinViewCols.indexOf)
-    }
-    aggOverDeltas(fj.deltas, JoinViewCols,
-      Map("key" -> LongType, "left_id" -> LongType, "right_id" -> LongType,
-        "left_value" -> StringType, "right_value" -> StringType),
-      resolve, agg, where, having, sql, name, properties)
-  }
+  private case class SumCol(idx: Int, kind: ValKind) extends AggOp
+  private case class AvgCol(idx: Int, kind: ValKind) extends AggOp
+  private case class MinCol(idx: Int, kind: ValKind) extends AggOp
+  private case class MaxCol(idx: Int, kind: ValKind) extends AggOp
 
   /** The source-agnostic core of the composed continuous aggregate
-    * statement: a delta stream (op + view columns), the view's column
-    * names/types, and an attribute resolver in — a running Statement
-    * out. Shared by the two-feed JOIN route and the single-feed upsert
-    * route. */
-  private def aggOverDeltas(
-      deltas: DataFrame, viewCols: Seq[String],
-      viewType: Map[String, org.apache.spark.sql.types.DataType],
-      viewColResolve: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute => Option[Int],
-      agg: org.apache.spark.sql.catalyst.plans.logical.Aggregate,
-      where: Option[org.apache.spark.sql.catalyst.expressions.Expression],
-      having: Option[org.apache.spark.sql.catalyst.expressions.Expression],
+    * statement: a matched [[DeltaSource]] plus the parsed Aggregate /
+    * WHERE / HAVING in — a running Statement out. By the time this is
+    * called the source IS changelog feed(s), so every unsupported
+    * construct rejects loudly (see [[UnsupportedContinuousStatement]])
+    * instead of falling through to a route that would mis-evaluate.
+    *
+    * Fold state is O(output groups) driver-side (the dashboard-size
+    * contract; heavy join/upsert state lives in the executor StateStore
+    * inside the IVM operators): per group a live-row count, exact sums
+    * (longs for integral columns, arbitrary-precision decimals for
+    * fractional — incremental ≡ replay bit-for-bit, see [[exactNum]]),
+    * and an ordered count-multiset per MIN/MAX. An UNGROUPED aggregate
+    * is the single always-live group: SQL semantics give one row even
+    * over an empty view (COUNT 0, others NULL), and the changelog keys
+    * every snapshot row to the empty key so transitions wire as -U/+U. */
+  private def aggOverDeltas(ds: DeltaSource, agg: Aggregate,
+      where: Option[Expression], having: Option[Expression],
       sql: String, name: String,
-      properties: Map[String, String]): Option[Statement] = {
-    import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedFunction, UnresolvedStar}
-    import org.apache.spark.sql.catalyst.expressions.{Alias, And, Cast, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, IsNotNull, IsNull, LessThan, LessThanOrEqual, Literal, Not, Or}
-    import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType}
-    def viewCol(attr: UnresolvedAttribute): Option[Int] = viewColResolve(attr)
-    // numeric argument of an aggregate: a view column, optionally under
-    // CAST(… AS DOUBLE) — other cast targets (INT truncation etc.) would
-    // change the value, so they fall through rather than mis-evaluate
-    def numArg(e: Expression): Option[Int] = e match {
+      properties: Map[String, String]): Statement = {
+    def bail(what: String): Nothing = unsupported(sql, what)
+    def viewCol(a: UnresolvedAttribute): Int =
+      ds.resolve(a).getOrElse(bail(s"column ${a.nameParts.mkString(".")} " +
+        s"does not resolve in the maintained view (${ds.viewCols.mkString(", ")})"))
+    def colKind(i: Int): ValKind = kindOf(ds.types(i)).getOrElse(
+      bail(s"view column ${ds.viewCols(i)} has type ${ds.types(i)}, which " +
+        "the incremental fold cannot maintain (numeric and string only)"))
+    // aggregate argument: a view column, optionally under CAST(… AS
+    // DOUBLE) — other cast targets (INT truncation etc.) would change the
+    // value, so they reject rather than mis-evaluate
+    def aggArg(e: Expression): (Int, ValKind) = e match {
+      case a: UnresolvedAttribute =>
+        val i = viewCol(a); (i, colKind(i))
+      case Cast(a: UnresolvedAttribute, DoubleType, _, _) =>
+        val i = viewCol(a); colKind(i); (i, DoubleK)
+      case other =>
+        bail(s"aggregate argument $other is not a view column " +
+          "(optionally CAST(col AS DOUBLE))")
+    }
+    val groupIdx: Seq[Int] = agg.groupingExpressions.map {
       case a: UnresolvedAttribute => viewCol(a)
-      case Cast(a: UnresolvedAttribute, DoubleType, _, _) => viewCol(a)
-      case _ => None
+      case other => bail(s"GROUP BY expression $other is not a view column")
     }
-    // WHERE compiler — the supported predicate algebra over the joined
-    // view: a view column compared to a literal (=, <>, <, <=, >, >=),
-    // IS [NOT] NULL, AND/OR/NOT. SQL three-valued logic is modeled with
-    // Option[Boolean] (None = unknown): a comparison against NULL is
-    // unknown, NOT(unknown) stays unknown, and only a definite TRUE
-    // passes the row. Any predicate outside this algebra falls through
-    // to the default route rather than mis-evaluating.
-    def litVal(l: Literal): Any = l.value match {
-      case u: org.apache.spark.unsafe.types.UTF8String => u.toString
-      case d: org.apache.spark.sql.types.Decimal => d.toJavaBigDecimal
-      case other => other
-    }
-    def compileCmp(resolve: UnresolvedAttribute => Option[Int])(
-        a: UnresolvedAttribute, l: Literal,
-        test: Int => Boolean): Option[Vector[Any] => Option[Boolean]] =
-      resolve(a).map { i => (v: Vector[Any]) =>
-        val x = v(i)
-        val y = litVal(l)
-        if (x == null || y == null) None
-        else (x, y) match {
-          case (s: String, t: String) => Some(test(s.compareTo(t)))
-          case (xn: Number, yn: Number) => Some(test(
-            java.lang.Double.compare(xn.doubleValue, yn.doubleValue)))
-          case _ => None // incomparable types: unknown
-        }
+    // SELECT list → (output name, Left(view col idx) | Right(agg op))
+    val outCols: Seq[(String, Either[Int, AggOp])] =
+      agg.aggregateExpressions.map {
+        case a: UnresolvedAttribute =>
+          val i = viewCol(a)
+          if (!groupIdx.contains(i))
+            bail(s"bare column ${a.nameParts.mkString(".")} is not in GROUP BY")
+          (a.nameParts.last, Left(i))
+        case Alias(child, outName) =>
+          child match {
+            case a: UnresolvedAttribute =>
+              val i = viewCol(a)
+              if (!groupIdx.contains(i))
+                bail(s"bare column ${a.nameParts.mkString(".")} is not in GROUP BY")
+              (outName, Left(i))
+            case f: UnresolvedFunction if !f.isDistinct =>
+              val op = (f.nameParts.map(_.toLowerCase).mkString("."),
+                f.arguments) match {
+                case ("count", Seq(UnresolvedStar(None))) => CountStar
+                // count over a non-null literal counts rows; count(NULL)
+                // is always 0 and must not take the row-count path
+                case ("count", Seq(Literal(v, _))) if v != null => CountStar
+                case ("count", Seq(arg)) => CountCol(aggArg(arg)._1)
+                case ("sum", Seq(arg)) =>
+                  val (i, k) = aggArg(arg)
+                  SumCol(i, if (k == LongK) LongK else DoubleK)
+                case ("avg", Seq(arg)) =>
+                  val (i, k) = aggArg(arg)
+                  AvgCol(i, if (k == LongK) LongK else DoubleK)
+                case ("min", Seq(arg)) => (MinCol.apply _).tupled(aggArg(arg))
+                case ("max", Seq(arg)) => (MaxCol.apply _).tupled(aggArg(arg))
+                case (fn, _) =>
+                  bail(s"aggregate $fn is not maintainable on a retraction " +
+                    "stream here (supported: COUNT/SUM/AVG/MIN/MAX, " +
+                    "non-DISTINCT)")
+              }
+              (outName, Right(op))
+            case other =>
+              bail(s"SELECT item $other must be a grouping column or an " +
+                "aliased aggregate over one")
+          }
+        case _: UnresolvedFunction =>
+          bail("aggregates must be aliased (the engine-wide oracle discipline)")
+        case other =>
+          bail(s"SELECT item $other must be a grouping column or an " +
+            "aliased aggregate")
       }
-    def compilePred(resolve: UnresolvedAttribute => Option[Int])(
-        e: Expression): Option[Vector[Any] => Option[Boolean]] = {
-      val rec = compilePred(resolve) _
-      val cmp = compileCmp(resolve) _
+    // every grouping column must be in the SELECT list: the synthesizer
+    // retracts by value equality on the key columns, so two groups folding
+    // to identical visible rows would corrupt the changelog
+    if (!groupIdx.forall(i => outCols.exists(_._2 == Left(i))))
+      bail("every GROUP BY column must appear in the SELECT list (the " +
+        "changelog retracts groups by their visible key values)")
+    val ungrouped = groupIdx.isEmpty
+    // output schema (also the types HAVING compiles against)
+    def kindType(k: ValKind): DataType = k match {
+      case LongK => LongType
+      case DoubleK => DoubleType
+      case StringK => StringType
+    }
+    val fields = outCols.map {
+      case (n, Left(i)) => StructField(n, ds.types(i))
+      case (n, Right(CountStar)) => StructField(n, LongType)
+      case (n, Right(CountCol(_))) => StructField(n, LongType)
+      case (n, Right(SumCol(_, LongK))) => StructField(n, LongType)
+      case (n, Right(SumCol(_, _))) => StructField(n, DoubleType)
+      case (n, Right(AvgCol(_, _))) => StructField(n, DoubleType)
+      // MIN/MAX canonicalize under their kind (an INT dim column compares
+      // — and emits — as long)
+      case (n, Right(MinCol(_, k))) => StructField(n, kindType(k))
+      case (n, Right(MaxCol(_, k))) => StructField(n, kindType(k))
+    }
+    // WHERE / HAVING compiler — the supported predicate algebra: a view
+    // (resp. output) column compared to a literal (=, <>, <, <=, >, >=),
+    // IS [NOT] NULL, AND/OR/NOT with SQL three-valued semantics
+    // (Option[Boolean], None = unknown; only definite TRUE passes).
+    // Comparisons are typed at COMPILE time from the view schema (the r9
+    // version decided comparability per row and silently excluded
+    // mismatches): numeric-vs-numeric compares EXACTLY via BigDecimal (a
+    // long beyond 2^53 never rounds through a double), string-vs-numeric
+    // coerces the string side to DOUBLE (Spark's PromoteStrings; an
+    // unparseable cell or literal becomes NULL → unknown), and any type
+    // outside the algebra rejects at create().
+    def compileCmp(resolve: UnresolvedAttribute => Int,
+        typeAt: Int => DataType)(a: UnresolvedAttribute, l: Literal,
+        test: Int => Boolean): Vector[Any] => Option[Boolean] = {
+      val i = resolve(a)
+      val ck = kindOf(typeAt(i)).getOrElse(
+        bail(s"column ${a.nameParts.mkString(".")} of type ${typeAt(i)} " +
+          "is not comparable here (numeric and string only)"))
+      val lv = l.value match {
+        case null => null
+        case u: org.apache.spark.unsafe.types.UTF8String => u.toString
+        case d: org.apache.spark.sql.types.Decimal => d.toJavaBigDecimal
+        case other => other
+      }
+      if (lv == null) return (_: Vector[Any]) => None // cmp to NULL: unknown
+      (ck, lv) match {
+        case (StringK, s: String) =>
+          v => {
+            val x = v(i)
+            if (x == null) None
+            else Some(test(x.asInstanceOf[String].compareTo(s)))
+          }
+        case (LongK | DoubleK, s: String) =>
+          // numeric column vs string literal: the literal coerces to
+          // DOUBLE; unparseable casts to NULL → the predicate is unknown
+          val y = exactNum(s)
+          if (y == null) (_: Vector[Any]) => None
+          else v => {
+            val x = exactNum(v(i))
+            if (x == null) None else Some(test(x.compareTo(y)))
+          }
+        case _ =>
+          // numeric-vs-numeric (exact), or string column coerced to
+          // DOUBLE against a numeric literal (lenient cast per row)
+          val y = exactNum(lv)
+          if (y == null)
+            bail(s"literal $lv of type ${l.dataType} is not comparable " +
+              s"with ${typeAt(i)}")
+          v => {
+            val x = exactNum(v(i))
+            if (x == null) None else Some(test(x.compareTo(y)))
+          }
+      }
+    }
+    def compilePred(resolve: UnresolvedAttribute => Int,
+        typeAt: Int => DataType)(e: Expression): Vector[Any] => Option[Boolean] = {
+      val rec = compilePred(resolve, typeAt) _
+      val cmp = compileCmp(resolve, typeAt) _
       e match {
         case And(l, r) =>
-          for { lf <- rec(l); rf <- rec(r) } yield
-            (v: Vector[Any]) => (lf(v), rf(v)) match {
-              case (Some(false), _) | (_, Some(false)) => Some(false)
-              case (Some(true), Some(true)) => Some(true)
-              case _ => None
-            }
+          val lf = rec(l); val rf = rec(r)
+          (v: Vector[Any]) => (lf(v), rf(v)) match {
+            case (Some(false), _) | (_, Some(false)) => Some(false)
+            case (Some(true), Some(true)) => Some(true)
+            case _ => None
+          }
         case Or(l, r) =>
-          for { lf <- rec(l); rf <- rec(r) } yield
-            (v: Vector[Any]) => (lf(v), rf(v)) match {
-              case (Some(true), _) | (_, Some(true)) => Some(true)
-              case (Some(false), Some(false)) => Some(false)
-              case _ => None
-            }
+          val lf = rec(l); val rf = rec(r)
+          (v: Vector[Any]) => (lf(v), rf(v)) match {
+            case (Some(true), _) | (_, Some(true)) => Some(true)
+            case (Some(false), Some(false)) => Some(false)
+            case _ => None
+          }
         case Not(c) => // also covers `<>`, which parses as Not(EqualTo)
-          rec(c).map(f => (v: Vector[Any]) => f(v).map(!_))
+          val f = rec(c); (v: Vector[Any]) => f(v).map(!_)
         case IsNull(a: UnresolvedAttribute) =>
-          resolve(a).map(i => (v: Vector[Any]) => Some(v(i) == null))
+          val i = resolve(a); (v: Vector[Any]) => Some(v(i) == null)
         case IsNotNull(a: UnresolvedAttribute) =>
-          resolve(a).map(i => (v: Vector[Any]) => Some(v(i) != null))
+          val i = resolve(a); (v: Vector[Any]) => Some(v(i) != null)
         case EqualTo(a: UnresolvedAttribute, l: Literal) => cmp(a, l, _ == 0)
         case EqualTo(l: Literal, a: UnresolvedAttribute) => cmp(a, l, _ == 0)
         case LessThan(a: UnresolvedAttribute, l: Literal) => cmp(a, l, _ < 0)
@@ -524,91 +908,52 @@ final class Statements(spark: SparkSession, prefix: String = "stmt-",
         case GreaterThan(l: Literal, a: UnresolvedAttribute) => cmp(a, l, _ < 0)
         case GreaterThanOrEqual(a: UnresolvedAttribute, l: Literal) => cmp(a, l, _ >= 0)
         case GreaterThanOrEqual(l: Literal, a: UnresolvedAttribute) => cmp(a, l, _ <= 0)
-        case _ => None
+        case other =>
+          bail(s"predicate $other is outside the supported algebra " +
+            "(column-vs-literal comparisons, IS [NOT] NULL, AND/OR/NOT)")
       }
     }
-    val rowFilter: Option[Vector[Any] => Boolean] = where match {
-      case None => None
-      case Some(cond) => compilePred(viewCol)(cond) match {
-        case Some(f) => Some((v: Vector[Any]) => f(v).contains(true))
-        case None => return None // unsupported predicate: default route
-      }
+    val rowFilter: Option[Vector[Any] => Boolean] = where.map { cond =>
+      val f = compilePred(viewCol, ds.types)(cond)
+      (v: Vector[Any]) => f(v).contains(true)
     }
-    val groupIdx: Seq[Int] = agg.groupingExpressions.map {
-      case a: UnresolvedAttribute => viewCol(a).getOrElse(return None)
-      case _ => return None
-    }
-    // SELECT list → (output name, Left(view col idx) | Right(agg op))
-    val outCols: Seq[(String, Either[Int, AggOp])] =
-      agg.aggregateExpressions.map {
-        case a: UnresolvedAttribute =>
-          val i = viewCol(a).getOrElse(return None)
-          if (!groupIdx.contains(i)) return None // bare col must be grouped
-          (a.nameParts.last, Left(i))
-        case Alias(child, outName) =>
-          child match {
-            case a: UnresolvedAttribute =>
-              val i = viewCol(a).getOrElse(return None)
-              if (!groupIdx.contains(i)) return None
-              (outName, Left(i))
-            case f: UnresolvedFunction if !f.isDistinct =>
-              val op = (f.nameParts.map(_.toLowerCase).mkString("."),
-                f.arguments) match {
-                case ("count", Seq(UnresolvedStar(None))) => CountStar
-                // count over a non-null literal counts rows; count(NULL)
-                // is always 0 and must not take the row-count path
-                case ("count", Seq(Literal(v, _))) if v != null => CountStar
-                case ("count", Seq(arg)) => CountCol(numArg(arg).getOrElse(return None))
-                case ("sum", Seq(arg)) => SumCol(numArg(arg).getOrElse(return None))
-                case ("avg", Seq(arg)) => AvgCol(numArg(arg).getOrElse(return None))
-                case _ => return None
-              }
-              (outName, Right(op))
-            case _ => return None
-          }
-        case _ => return None
-      }
-    if (!outCols.exists(_._2.isRight)) return None // not an aggregate shape
-    // every grouping column must be in the SELECT list: the synthesizer
-    // retracts by value equality on the key columns, so two groups folding
-    // to identical visible rows would corrupt the changelog
-    if (!groupIdx.forall(i => outCols.exists(_._2 == Left(i)))) return None
     // HAVING resolves against the OUTPUT columns (aliases + group cols)
     // and filters the fold's emitted snapshot — a group crossing the
     // boundary emits the -D / +I the complete-mode diff produces
-    def outIdx(a: UnresolvedAttribute): Option[Int] = a.nameParts match {
-      case Seq(n) =>
-        val i = outCols.indexWhere(_._1 == n)
-        if (i >= 0) Some(i) else None
-      case _ => None
+    def outIdx(a: UnresolvedAttribute): Int = a.nameParts match {
+      case Seq(n) if outCols.exists(_._1 == n) => outCols.indexWhere(_._1 == n)
+      case _ => bail(s"HAVING column ${a.nameParts.mkString(".")} does not " +
+        s"resolve among the output columns (${outCols.map(_._1).mkString(", ")})")
     }
-    val havingFilter: Option[Vector[Any] => Boolean] = having match {
-      case None => None
-      case Some(cond) => compilePred(outIdx)(cond) match {
-        case Some(f) => Some((v: Vector[Any]) => f(v).contains(true))
-        case None => return None // unsupported predicate: default route
-      }
+    val havingFilter: Option[Vector[Any] => Boolean] = having.map { cond =>
+      val f = compilePred(outIdx, i => fields(i).dataType)(cond)
+      (v: Vector[Any]) => f(v).contains(true)
     }
-    // ---- driver-side incremental fold over the join's retraction deltas:
-    // per group, live-row count plus (sum, non-null count) per aggregate —
-    // state is O(output groups), the dashboard-size contract; the heavy
-    // join state stays in the executor StateStore
+    // ---- driver-side incremental fold over the source's retraction
+    // deltas; the heavy join/upsert state stays in the executor StateStore
     val aggOps = outCols.collect { case (_, Right(op)) => op }
+    val nAgg = aggOps.length
     final class GState {
       var rows: Long = 0L
-      val sums: Array[Double] = new Array[Double](aggOps.length)
-      val counts: Array[Long] = new Array[Long](aggOps.length)
+      val counts = new Array[Long](nAgg)
+      val lsums = new Array[Long](nAgg)
+      val dsums: Array[java.math.BigDecimal] =
+        Array.fill(nAgg)(java.math.BigDecimal.ZERO)
+      val bags: Array[mutable.TreeMap[AnyRef, Long]] = aggOps.map {
+        case MinCol(_, k) => mutable.TreeMap.empty[AnyRef, Long](ordFor(k))
+        case MaxCol(_, k) => mutable.TreeMap.empty[AnyRef, Long](ordFor(k))
+        case _ => null
+      }.toArray
     }
     val state = mutable.LinkedHashMap.empty[Vector[Any], GState]
-    def toNum(v: Any): Option[Double] = v match {
-      case null => None
-      case d: java.lang.Double => Some(d)
-      case l: java.lang.Long => Some(l.toDouble)
-      case i: java.lang.Integer => Some(i.toDouble)
-      case s: String =>
-        try Some(s.toDouble) catch { case _: NumberFormatException => None }
-      case other => try Some(other.toString.toDouble)
-                    catch { case _: NumberFormatException => None }
+    def bagUpdate(bag: mutable.TreeMap[AnyRef, Long], x: AnyRef,
+        sign: Long): Unit = {
+      val next = bag.getOrElse(x, 0L) + sign
+      if (next < 0L)
+        throw new IllegalStateException(
+          "continuous MIN/MAX state retracted a value that was never " +
+            "added — the delta stream broke the IVM invariant")
+      if (next == 0L) bag.remove(x) else bag.update(x, next)
     }
     def fold(deltas: Seq[Vector[Any]]): Seq[Vector[Any]] = {
       deltas.foreach { row =>
@@ -617,32 +962,63 @@ final class Statements(spark: SparkSession, prefix: String = "stmt-",
           case 0 | 2 => 1L // +I / +U add
           case 1 | 3 => -1L // -U / -D retract
           case other => throw new IllegalStateException(
-            s"join delta carried an invalid changelog op: $other")
+            s"delta carried an invalid changelog op: $other")
         }
         val view = row.drop(1)
-        // WHERE applies to the joined row: a deterministic predicate
+        // WHERE applies to the view row: a deterministic predicate
         // filters a row's +I and its -D identically, so the filtered
         // fold maintains exactly the aggregate of the filtered view
         if (rowFilter.forall(_(view))) {
           val gkey = groupIdx.map(view).toVector
           val g = state.getOrElseUpdate(gkey, new GState)
           g.rows += sign
-          aggOps.zipWithIndex.foreach { case (op, k) =>
+          var k = 0
+          aggOps.foreach { op =>
             op match {
               case CountStar => ()
               case CountCol(i) =>
                 if (view(i) != null) g.counts(k) += sign
-              case SumCol(i) => toNum(view(i)).foreach { d =>
-                g.sums(k) += sign * d; g.counts(k) += sign
-              }
-              case AvgCol(i) => toNum(view(i)).foreach { d =>
-                g.sums(k) += sign * d; g.counts(k) += sign
-              }
+              case SumCol(i, LongK) =>
+                val x = view(i)
+                if (x != null) {
+                  g.lsums(k) += sign * x.asInstanceOf[Number].longValue
+                  g.counts(k) += sign
+                }
+              case SumCol(i, _) =>
+                val b = exactNum(view(i))
+                if (b != null) {
+                  g.dsums(k) =
+                    if (sign > 0) g.dsums(k).add(b) else g.dsums(k).subtract(b)
+                  g.counts(k) += sign
+                }
+              case AvgCol(i, LongK) =>
+                val x = view(i)
+                if (x != null) {
+                  g.lsums(k) += sign * x.asInstanceOf[Number].longValue
+                  g.counts(k) += sign
+                }
+              case AvgCol(i, _) =>
+                val b = exactNum(view(i))
+                if (b != null) {
+                  g.dsums(k) =
+                    if (sign > 0) g.dsums(k).add(b) else g.dsums(k).subtract(b)
+                  g.counts(k) += sign
+                }
+              case MinCol(i, kind) =>
+                val x = canon(view(i), kind)
+                if (x != null) { bagUpdate(g.bags(k), x, sign); g.counts(k) += sign }
+              case MaxCol(i, kind) =>
+                val x = canon(view(i), kind)
+                if (x != null) { bagUpdate(g.bags(k), x, sign); g.counts(k) += sign }
             }
+            k += 1
           }
-          if (g.rows <= 0) state.remove(gkey)
+          // a grouped group dies with its last row; the UNGROUPED group
+          // always lives (SQL: one row even over an empty input)
+          if (!ungrouped && g.rows <= 0) state.remove(gkey)
         }
       }
+      if (ungrouped) state.getOrElseUpdate(Vector.empty, new GState)
       val snapshot = state.iterator.map { case (gkey, g) =>
         var k = -1
         outCols.map {
@@ -652,12 +1028,25 @@ final class Statements(spark: SparkSession, prefix: String = "stmt-",
             op match {
               case CountStar => java.lang.Long.valueOf(g.rows)
               case CountCol(_) => java.lang.Long.valueOf(g.counts(k))
-              case SumCol(_) =>
-                if (g.counts(k) > 0) java.lang.Double.valueOf(g.sums(k)) else null
-              case AvgCol(_) =>
+              case SumCol(_, LongK) =>
+                if (g.counts(k) > 0) java.lang.Long.valueOf(g.lsums(k)) else null
+              case SumCol(_, _) =>
                 if (g.counts(k) > 0)
-                  java.lang.Double.valueOf(g.sums(k) / g.counts(k))
+                  java.lang.Double.valueOf(g.dsums(k).doubleValue) else null
+              case AvgCol(_, LongK) =>
+                if (g.counts(k) > 0)
+                  java.lang.Double.valueOf(g.lsums(k).toDouble / g.counts(k))
                 else null
+              case AvgCol(_, _) =>
+                // the correctly-rounded double of the EXACT sum, divided
+                // once — order-independent, so incremental ≡ replay
+                if (g.counts(k) > 0)
+                  java.lang.Double.valueOf(g.dsums(k).doubleValue / g.counts(k))
+                else null
+              case MinCol(_, _) =>
+                if (g.bags(k).nonEmpty) g.bags(k).firstKey else null
+              case MaxCol(_, _) =>
+                if (g.bags(k).nonEmpty) g.bags(k).lastKey else null
             }
         }.toVector
       }.toSeq
@@ -670,20 +1059,99 @@ final class Statements(spark: SparkSession, prefix: String = "stmt-",
     val keyNames = outCols.collect {
       case (n, Left(i)) if groupIdx.contains(i) => n
     }
-    if (keyNames.isEmpty) return None // ungrouped global agg: keep default
-    val fields = outCols.map {
-      case (n, Left(i)) => StructField(n, viewType(viewCols(i)))
-      case (n, Right(CountStar)) => StructField(n, LongType)
-      case (n, Right(CountCol(_))) => StructField(n, LongType)
-      case (n, Right(_)) => StructField(n, DoubleType, nullable = true)
-    }
-    val handle = ChangelogStream.foldingSnapshot(deltas, name,
+    // ungrouped: keyNames is empty — the synthesizer keys every snapshot
+    // row to the EMPTY key, i.e. the one always-live row, so its
+    // transitions wire as -U/+U (never a spurious +I/-D pair)
+    val handle = ChangelogStream.foldingSnapshot(ds.deltas, name,
       outNames, keyNames, fold)
     // advertised schema ("traits.schema") is the aggregate view's — an
     // empty typed frame carries it; results flow through the handle
     val schemaDf = spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
       StructType(fields))
+    new Statement(name, sql, schemaDf, Some(handle), properties)
+  }
+
+  /** `SELECT * FROM <feed> ORDER BY <col> [ASC|DESC] LIMIT k`: the
+    * continuously-maintained top-k view — Flink's Top-N operator for
+    * this statement shape (the reference dashboard sorts client-side,
+    * `dashboard.py:93`; the Flink service would maintain it
+    * server-side). Like Flink's no-rownum Top-N, the served columns are
+    * the view's own (key, id, value) and emissions are MEMBERSHIP
+    * deltas: a row crossing the k-boundary emits +I / -D, an in-view
+    * change -U/+U; clients recover the order by sorting k rows. Ties
+    * break toward the lower id, so the view is deterministic for any
+    * arrival interleaving.
+    *
+    * State shape: the fold keeps the feed's live rows (O(live ids),
+    * driver-side): a retraction of the k-th row must know the (k+1)-th,
+    * so the full order is the operator's irreducible state — Flink's
+    * Top-N keeps the same. Dashboard-sized by the facade contract; the
+    * executor-side bounded-state variant is
+    * [[graft.streaming.StatefulOps.topKPerKey]]. */
+  private def topKStatement(rel: LogicalPlan, order: SortOrder, k: Int,
+      sql: String, name: String,
+      properties: Map[String, String]): Option[Statement] = {
+    val (relName, alias) = relInfo(rel).getOrElse(return None)
+    val feed = changelogFeed(relName).getOrElse(return None)
+    if (k <= 0) return None // LIMIT 0 is a constant-empty view: default
+    val sortIdx: Int = order.child match {
+      case a: UnresolvedAttribute => a.nameParts match {
+        case Seq(c) if FeedViewCols.contains(c) => FeedViewCols.indexOf(c)
+        case Seq(q, c) if q == alias && FeedViewCols.contains(c) =>
+          FeedViewCols.indexOf(c)
+        case _ => unsupported(sql, s"ORDER BY column " +
+          s"${a.nameParts.mkString(".")} does not resolve in the " +
+          s"maintained view (${FeedViewCols.mkString(", ")})")
+      }
+      case other =>
+        unsupported(sql, s"ORDER BY expression $other is not a view column")
+    }
+    val desc = order.direction == Descending
+    val nullsFirst = order.nullOrdering == NullsFirst
+    val ord: Ordering[Vector[Any]] = new Ordering[Vector[Any]] {
+      override def compare(x: Vector[Any], y: Vector[Any]): Int = {
+        val xv = x(sortIdx); val yv = y(sortIdx)
+        val c =
+          if (xv == null && yv == null) 0
+          else if (xv == null) { if (nullsFirst) -1 else 1 }
+          else if (yv == null) { if (nullsFirst) 1 else -1 }
+          else {
+            val base =
+              if (sortIdx == 2)
+                xv.asInstanceOf[String].compareTo(yv.asInstanceOf[String])
+              else java.lang.Long.compare(
+                xv.asInstanceOf[Long], yv.asInstanceOf[Long])
+            if (desc) -base else base
+          }
+        if (c != 0) c
+        else java.lang.Long.compare( // deterministic tiebreak: id asc
+          x(1).asInstanceOf[Long], y(1).asInstanceOf[Long])
+      }
+    }
+    val live = mutable.Map.empty[Long, (Long, String)] // id -> (key, value)
+    def fold(deltas: Seq[Vector[Any]]): Seq[Vector[Any]] = {
+      deltas.foreach { row => // (op, key, id, value)
+        val id = row(2).asInstanceOf[Long]
+        row(0).asInstanceOf[Int] match {
+          case 0 => live(id) = (row(1).asInstanceOf[Long],
+            row(3).asInstanceOf[String])
+          case 3 => live.remove(id)
+          case other => throw new IllegalStateException(
+            s"upsert delta carried an invalid changelog op: $other")
+        }
+      }
+      live.iterator
+        .map { case (id, (key, v)) => Vector[Any](key, id, v) }
+        .toVector.sorted(ord).take(k)
+    }
+    val handle = ChangelogStream.foldingSnapshot(upsertDeltas(feed), name,
+      FeedViewCols, Seq("id"), fold)
+    val schemaDf = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(FeedViewCols.zip(FeedViewTypes).map {
+        case (n, t) => StructField(n, t)
+      }))
     Some(new Statement(name, sql, schemaDf, Some(handle), properties))
   }
 

@@ -652,10 +652,14 @@ object Similarity {
       .orderBy($"query_id", $"rk")
   }
 
-  /** Exact integer dot product over two tinyint arrays (HOF, codegen'd). */
+  /** Exact integer dot product over two tinyint arrays — the codegen'd
+    * native loop ([[graft.plans.IntDot]]). The `aggregate(zip_with(…))`
+    * HOF this replaces is CodegenFallback (interpreted lambda tree + an
+    * allocation per pair over Q×N pairs): the r9 verdict measured it at
+    * ~4× the cost of v5's identical physical shape — the same lesson the
+    * repo already recorded for v3 (per-plane dots) and v23 (JlProject). */
   private def intDot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => (x.cast("int") * y.cast("int"))
-      .cast("long")), lit(0L), (acc, p) => acc + p)
+    graft.plans.VectorExpressions.intDot(a, b)
 
   /** The quantized embedding table (vec_id, qv: array<tinyint>, qn):
     * per-vector symmetric int8 quantization. */

@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, 
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftbridge.ColumnBridge
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType, StringType}
+import org.apache.spark.sql.types.{ArrayType, ByteType, DataType, DoubleType, LongType, StringType}
 import org.apache.spark.unsafe.Platform
 import org.apache.spark.unsafe.hash.Murmur3_x86_32
 import org.apache.spark.unsafe.types.UTF8String
@@ -59,6 +59,67 @@ case class DotProduct(left: Expression, right: Expression)
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): DotProduct =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Exact integer dot product over two tinyint arrays — v7's per-pair hot
+  * loop and quantizedEmbeddings' norm: Σ_i a_i·b_i as a long, in a tight
+  * primitive loop inside whole-stage codegen. Replaces the
+  * `aggregate(zip_with(…))` HOF formulation: higher-order functions are
+  * CodegenFallback — an interpreted 64-element lambda tree plus an array
+  * allocation per PAIR, evaluated Q×N times — which the r9 verdict
+  * measured at ~4× the cost of the identical physical shape with the
+  * codegen'd DotProduct (v7 1.61 s vs v5 0.42 s at sf0.1). Integer sums
+  * are exact and order-free, so scores stay bit-identical to the HOF
+  * form (spec-asserted). */
+case class IntDot(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "int_dot"
+
+  // the loops read raw bytes — any other element type must die at
+  // ANALYSIS, not reinterpret UnsafeArrayData bytes (the JlProject guard)
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(ByteType, _), ArrayType(ByteType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+          .TypeCheckSuccess
+      case (l, r) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+          .TypeCheckFailure(
+            s"int_dot expects (array<tinyint>, array<tinyint>), got ($l, $r)")
+    }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0L
+    var i = 0
+    while (i < n) { s += x.getByte(i).toLong * y.getByte(i); i += 1 }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      // freshName for every local — the DotProduct redefinition lesson
+      val n = ctx.freshName("idN")
+      val acc = ctx.freshName("idAcc")
+      val i = ctx.freshName("idI")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |long $acc = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += (long) $a.getByte($i) * (long) $b.getByte($i);
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): IntDot =
     copy(left = newLeft, right = newRight)
 }
 
@@ -643,6 +704,8 @@ object VectorExpressions {
   import ColumnBridge.{column, expression}
   def dotProduct(a: Column, b: Column): Column =
     column(DotProduct(expression(a), expression(b)))
+  def intDot(a: Column, b: Column): Column =
+    column(IntDot(expression(a), expression(b)))
   def minhashSig(shingles: Column, k: Int): Column =
     column(MinHashSig(expression(shingles), k))
   def shingleHashes(text: Column, n: Int): Column =

@@ -39,6 +39,10 @@ final class ChangelogSynthesizer(schema: Seq[String], keyCols: Seq[String],
 
   private val state = mutable.LinkedHashMap.empty[Vector[Any], Vector[Any]]
 
+  /** Live group count — the bound on how many `-D`s a snapshot diff can
+    * emit beyond its batch rows (see RecordLog.boundedCollect). */
+  def size: Int = state.size
+
   private def key(row: Vector[Any]): Vector[Any] = keyIdx.map(row).toVector
 
   /** One update-mode micro-batch: rows are the new values of changed keys. */
@@ -158,15 +162,22 @@ object ChangelogStream {
       * read as deletions), so the bound is a pre-collect COUNT: an
       * executor-side `limit(cap+1).count` that moves at most a long to
       * the driver, erroring via the documented cap before any oversized
-      * `collect()` can OOM the driver. Conservative by design: batch rows
-      * are counted against remaining RECORD capacity (each changed group
-      * emits ≤2 records, a no-op update 0), so the guard can only fire
-      * early, never late — and a grouped batch larger than the log could
-      * ever accept is outside these sinks' dashboard-sized contract
-      * anyway. */
-    def boundedCollect(batch: org.apache.spark.sql.DataFrame)
+      * `collect()` can OOM the driver.
+      *
+      * The bound must hold AFTER synthesis, never before: N batch rows
+      * can emit up to 2N records (a `-U/+U` pair per changed group) plus
+      * one `-D` per group dropped from a snapshot diff — and an append()
+      * failure after the synthesizer folded the batch would leave its
+      * state ahead of the log. So callers pass their synthesizer's live
+      * group count and the batch is counted against
+      * `(remaining − synthSize) / 2`: emissions ≤ 2·rows + dropped ≤
+      * 2·cap + synthSize ≤ remaining, making the guard the ONLY failure
+      * point — it fires before any state mutation or oversized
+      * collect(). */
+    def boundedCollect(batch: org.apache.spark.sql.DataFrame,
+                       synthSize: Int)
         : Seq[org.apache.spark.sql.Row] = {
-      val cap = remainingCapacity
+      val cap = math.max(0, (remainingCapacity - synthSize) / 2)
       if (batch.limit(cap + 1).count() > cap)
         throw new IllegalStateException(
           s"changelog sink micro-batch exceeds remaining capacity $cap of " +
@@ -263,7 +274,8 @@ object ChangelogStream {
         // fail-fast bound BEFORE the driver transfer (see boundedCollect):
         // a high-cardinality grouping in a catch-up micro-batch must error
         // via the documented cap, not OOM the driver
-        val rows = log.boundedCollect(batch).map(r => r.toSeq.toVector)
+        val rows = log.boundedCollect(batch, synth.synchronized(synth.size))
+          .map(r => r.toSeq.toVector)
         val q = Option(queryRef).orElse(
           ownerSession.streams.active.find(_.name == queryName))
         val recs = synth.synchronized {
@@ -298,7 +310,8 @@ object ChangelogStream {
       .foreachBatch { (batch: DataFrame, _: Long) =>
         // same fail-fast pre-collect bound as `updating` — a complete-mode
         // snapshot larger than the log's remaining capacity cannot fit
-        val rows = log.boundedCollect(batch).map(r => r.toSeq.toVector)
+        val rows = log.boundedCollect(batch, synth.synchronized(synth.size))
+          .map(r => r.toSeq.toVector)
         val recs = synth.synchronized(synth.onSnapshot(rows))
         log.append(recs.map(r => RawRecord(r.op.map(_.code), r.values)))
         ()
@@ -334,7 +347,8 @@ object ChangelogStream {
       .queryName(queryName)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val deltas = log.boundedCollect(batch).map(r => r.toSeq.toVector)
+        val deltas = log.boundedCollect(batch, synth.synchronized(synth.size))
+          .map(r => r.toSeq.toVector)
         // fold + diff under one lock: foreachBatch invocations are serial
         // per query, but cursor replays may race the append
         val recs = synth.synchronized(synth.onSnapshot(fold(deltas)))

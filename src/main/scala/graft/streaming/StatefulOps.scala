@@ -13,7 +13,7 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * the same sharding as a streaming aggregate; nothing accumulates on the
   * driver.
   */
-object StatefulOps {
+object StatefulOps extends Serializable {
 
   case class KeyedCount(key: String, n: Long, lastValue: Double)
 
@@ -562,6 +562,93 @@ object StatefulOps {
           }
           if (s.lid.isEmpty && s.rid.isEmpty) state.remove()
           else state.update(s)
+          out.result().iterator
+      }
+  }
+
+  /** One side's change to an N-input continuously-maintained same-key
+    * join: `side` is the input's position in the chain (0-based). */
+  case class MultiJoinEvent(key: Long, side: Int, id: Long, value: String,
+                            delete: Boolean)
+
+  /** An emitted delta of the maintained N-way join view: `ids`/`values`
+    * are positionally parallel across the N sides, in side order. `op`
+    * uses the changelog codes (0 = +I, 3 = -D). */
+  case class MultiJoinDelta(op: Int, key: Long, ids: Seq[Long],
+                            values: Seq[String])
+
+  /** Per-join-key live rows of ALL N inputs — the chain generalization
+    * of [[JoinState]] (outer seq indexed by side). */
+  case class MultiJoinState(ids: Seq[Seq[Long]], vals: Seq[Seq[String]])
+
+  /** Continuously-maintained N-way INNER equi-join over `nSides`
+    * changelog feeds sharing ONE join key — the shape of a chained
+    * `a JOIN b ON a.key = b.key JOIN c ON b.key = c.key` continuous
+    * statement (the reference's Flink service maintains the same via a
+    * cascade of two-input joins; sharing the key lets the engine keep
+    * ALL sides' live rows in one keyed state entry and emit each delta
+    * in one pass — no intermediate retraction stream to re-shuffle).
+    *
+    * Semantics are [[changelogJoinStream]]'s, generalized: an upsert of
+    * a row that had an old value first retracts (`-D`) the old value's
+    * cross-product with every OTHER side's live rows, then inserts
+    * (`+I`) the new value's; a delete retracts its live cross-product.
+    * Collapsing the deltas at ANY prefix yields exactly the N-way inner
+    * join of the rows live at that prefix (property-tested in
+    * StatementsSpec through the facade).
+    *
+    * Scale shape: state is the live rows per (key, side) in the executor
+    * StateStore sharded by join key; emission per change is the product
+    * of the OTHER sides' live-row counts for that key — the true output
+    * delta of an N-way join, which is also its irreducible cost. */
+  def changelogMultiJoinStream(events: Dataset[(Long, MultiJoinEvent)],
+                               nSides: Int): Dataset[MultiJoinDelta] = {
+    require(nSides >= 2, s"a multi-join needs at least 2 sides, got $nSides")
+    implicit val stateEnc: Encoder[MultiJoinState] =
+      Encoders.product[MultiJoinState]
+    implicit val outEnc: Encoder[MultiJoinDelta] =
+      Encoders.product[MultiJoinDelta]
+    implicit val keyEnc: Encoder[Long] = Encoders.scalaLong
+    events.groupByKey(_._2.key)
+      .flatMapGroupsWithState[MultiJoinState, MultiJoinDelta](
+        OutputMode.Update, GroupStateTimeout.NoTimeout()) {
+        (key: Long, rows: Iterator[(Long, MultiJoinEvent)],
+         state: GroupState[MultiJoinState]) =>
+          var s = state.getOption.getOrElse(MultiJoinState(
+            Seq.fill(nSides)(Nil), Seq.fill(nSides)(Nil)))
+          val out = Seq.newBuilder[MultiJoinDelta]
+          // every combination of one live row from each side EXCEPT
+          // `side`, with (id, v) plugged in at `side` — the exact delta
+          // set one change on `side` touches
+          def emit(op: Int, side: Int, id: Long, v: String): Unit = {
+            def rec(i: Int, ids: List[Long], vs: List[String]): Unit =
+              if (i < 0) out += MultiJoinDelta(op, key, ids, vs)
+              else if (i == side) rec(i - 1, id :: ids, v :: vs)
+              else s.ids(i).indices.foreach { j =>
+                rec(i - 1, s.ids(i)(j) :: ids, s.vals(i)(j) :: vs)
+              }
+            // the combination walk short-circuits to nothing if any
+            // OTHER side is empty — an inner join has no partial rows
+            if ((0 until nSides).forall(i => i == side || s.ids(i).nonEmpty))
+              rec(nSides - 1, Nil, Nil)
+          }
+          rows.toSeq.sortBy(_._1).foreach { case (_, e) =>
+            val ids = s.ids(e.side); val vals = s.vals(e.side)
+            val at = ids.indexOf(e.id)
+            if (at >= 0) emit(3, e.side, e.id, vals(at))
+            val (keepIds, keepVals) =
+              if (at >= 0) (ids.patch(at, Nil, 1), vals.patch(at, Nil, 1))
+              else (ids, vals)
+            s = MultiJoinState(s.ids.updated(e.side, keepIds),
+              s.vals.updated(e.side, keepVals))
+            if (!e.delete) {
+              emit(0, e.side, e.id, e.value)
+              s = MultiJoinState(
+                s.ids.updated(e.side, keepIds :+ e.id),
+                s.vals.updated(e.side, keepVals :+ e.value))
+            }
+          }
+          if (s.ids.forall(_.isEmpty)) state.remove() else state.update(s)
           out.result().iterator
       }
   }

@@ -1,0 +1,491 @@
+package graft.api
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+
+/** Round-10 continuous-statement surface: MIN/MAX and UNGROUPED
+  * aggregates through the IVM fold, loud type rejection, three-way feed
+  * chains, feed ⋈ static-table joins, maintained top-k, and DISTINCT —
+  * each checked with the engine's standing invariant: the changelog's
+  * collapse equals the batch answer over the live rows after EVERY page. */
+class ContinuousStatementsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  type Feed = (Long, Long, Long, String, Boolean) // seq, key, id, value, del
+
+  private def newFeed(name: String)
+      : org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Feed] = {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val mem = MemoryStream[Feed]
+    mem.toDF().toDF("seq", "key", "id", "value", "delete")
+      .createOrReplaceTempView(name)
+    mem
+  }
+
+  private def applyFeed(m: scala.collection.mutable.Map[(Long, Long), String],
+                        f: Feed): Unit =
+    if (f._5) { m.remove((f._2, f._3)); () } else m((f._2, f._3)) = f._4
+
+  test("continuous JOIN → GROUP BY with MAX/MIN: a delete of the row " +
+    "supporting the current extremum re-derives the next one exactly") {
+    val lmem = newFeed("lm_feed"); val rmem = newFeed("rm_feed")
+    val stmts = new Statements(spark)
+    val stmt = stmts.create(
+      "SELECT key, max(CAST(a.value AS DOUBLE)) AS mx, min(b.value) AS mn " +
+        "FROM lm_feed a JOIN rm_feed b ON a.key = b.key GROUP BY key")
+    try {
+      assert(stmt.isStreaming, "MAX/MIN must now route through the IVM fold")
+      assert(stmt.columns == Seq("key", "mx", "mn"))
+      assert(stmts.waitForStatus(stmt, Set(Phase.Running)).isDefined)
+      val cl = stmt.handle.get.changelog()
+      val l = scala.collection.mutable.Map.empty[(Long, Long), String]
+      val r = scala.collection.mutable.Map.empty[(Long, Long), String]
+      def page(lb: Seq[Feed], rb: Seq[Feed]): Set[Vector[Any]] = {
+        if (lb.nonEmpty) lmem.addData(lb)
+        if (rb.nonEmpty) rmem.addData(rb)
+        stmt.handle.get.processAllAvailable()
+        lb.foreach(applyFeed(l, _)); rb.foreach(applyFeed(r, _))
+        while (cl.consume(1).nonEmpty) ()
+        val joined = for (((lk, _), lv) <- l.toSeq;
+                          ((rk, _), rv) <- r.toSeq if lk == rk)
+          yield (lk, lv.toDouble, rv)
+        val expected = joined.groupBy(_._1).map { case (k, rows) =>
+          Vector[Any](k, rows.map(_._2).max, rows.map(_._3).min)
+        }.toSet
+        val got = cl.collapse().rows.toSet
+        assert(got == expected, s"MIN/MAX collapse $got != batch $expected")
+        got
+      }
+      // page 1: key 1 max over {5.5, 2.5} = 5.5; min over {"x"} = "x"
+      val p1 = page(Seq((0L, 1L, 100L, "5.5", false), (1L, 1L, 101L, "2.5", false)),
+                    Seq((0L, 1L, 200L, "x", false)))
+      assert(p1 == Set(Vector[Any](1L, 5.5, "x")))
+      // page 2: DELETE the row supporting the max — the transition a
+      // ±-foldable aggregate can never produce: mx must DECREASE to 2.5;
+      // right side gains "m" < "x" so mn moves too
+      val p2 = page(Seq((2L, 1L, 100L, "5.5", true)),
+                    Seq((1L, 1L, 201L, "m", false)))
+      assert(p2 == Set(Vector[Any](1L, 2.5, "m")),
+        "retracting the supporting row must re-derive the next extremum")
+      // page 3: everything deletes → the grouped view empties via -D
+      val p3 = page(Seq((3L, 1L, 101L, "2.5", true)),
+                    Seq((2L, 1L, 200L, "x", true), (3L, 1L, 201L, "m", true)))
+      assert(p3.isEmpty)
+      assert(cl.history.flatMap(_.op).contains(graft.changelog.Op.Delete))
+    } finally stmt.stop()
+  }
+
+  test("continuous MIN/MAX property: delete-heavy random interleavings " +
+    "collapse to the batch extrema after every page") {
+    for (seed <- Seq(13, 37)) {
+      val rnd = new scala.util.Random(seed)
+      val mem = newFeed(s"mm_feed$seed")
+      val stmts = new Statements(spark)
+      val stmt = stmts.create(
+        s"SELECT key, max(value) AS mx, min(CAST(value AS DOUBLE)) AS mn, " +
+          s"count(*) AS cnt FROM mm_feed$seed GROUP BY key")
+      try {
+        assert(stmts.waitForStatus(stmt, Set(Phase.Running)).isDefined)
+        val cl = stmt.handle.get.changelog()
+        // id is the feed's ROW IDENTITY (an upsert with a new key RE-KEYS
+        // the row): the reference fold must be keyed by id alone, like
+        // changelogUpsertStream's state
+        val live = scala.collection.mutable.Map.empty[Long, (Long, String)]
+        var seq = 0L
+        for (pg <- 0 until 6) {
+          val evs = (0 until rnd.nextInt(9)).map { _ =>
+            seq += 1
+            (seq, rnd.nextInt(3).toLong, 100L + rnd.nextInt(3),
+              f"${rnd.nextInt(10)}%d.${rnd.nextInt(100)}%02d",
+              rnd.nextInt(3) == 0)
+          }
+          if (evs.nonEmpty) mem.addData(evs)
+          stmt.handle.get.processAllAvailable()
+          evs.foreach { f =>
+            if (f._5) live.remove(f._3) else live(f._3) = (f._2, f._4)
+          }
+          while (cl.consume(1).nonEmpty) ()
+          val expected = live.values.toSeq.groupBy(_._1).map { case (k, rows) =>
+            val vs = rows.map(_._2)
+            Vector[Any](k, vs.max, vs.map(_.toDouble).min, vs.size.toLong)
+          }.toSet
+          val got = cl.collapse().rows.toSet
+          assert(got == expected,
+            s"seed $seed page $pg: extrema collapse $got != batch $expected")
+        }
+      } finally stmt.stop()
+    }
+  }
+
+  test("UNGROUPED continuous aggregate: one always-live row — COUNT " +
+    "returns to 0 (not -D) when the view empties, SUM/MAX go NULL") {
+    val mem = newFeed("ug_feed")
+    val stmts = new Statements(spark)
+    val stmt = stmts.create(
+      "SELECT count(*) AS cnt, sum(CAST(value AS DOUBLE)) AS sv, " +
+        "max(value) AS mx FROM ug_feed")
+    try {
+      assert(stmt.isStreaming, "an ungrouped aggregate must route")
+      assert(stmt.columns == Seq("cnt", "sv", "mx"))
+      assert(stmts.waitForStatus(stmt, Set(Phase.Running)).isDefined)
+      val cl = stmt.handle.get.changelog()
+      def sync(): Seq[Vector[Any]] = {
+        stmt.handle.get.processAllAvailable()
+        while (cl.consume(1).nonEmpty) ()
+        cl.collapse().rows
+      }
+      mem.addData((0L, 1L, 100L, "1.5", false), (1L, 2L, 200L, "4.0", false))
+      assert(sync() == Seq(Vector[Any](2L, 5.5, "4.0")))
+      // delete EVERYTHING: SQL still gives one row — COUNT(*) = 0 and
+      // NULL aggregates — and the wire transition is -U/+U, never -D
+      mem.addData((2L, 1L, 100L, "1.5", true), (3L, 2L, 200L, "4.0", true))
+      assert(sync() == Seq(Vector[Any](0L, null, null)),
+        "the empty ungrouped aggregate is COUNT 0 with NULLs, not no-rows")
+      assert(!cl.history.flatMap(_.op).contains(graft.changelog.Op.Delete),
+        "the ungrouped row never leaves the view — no -D may be wired")
+      // and it comes back up
+      mem.addData((4L, 3L, 300L, "2.5", false))
+      assert(sync() == Seq(Vector[Any](1L, 2.5, "2.5")))
+    } finally stmt.stop()
+  }
+
+  test("unsupported types and shapes over feeds reject loudly at " +
+    "create() instead of falling through to a mis-evaluating route") {
+    val s = spark
+    import s.implicits._
+    newFeed("lt_feed")
+    Seq((1L, "east", 2.5, true), (2L, "west", 1.0, false))
+      .toDF("k", "region", "w", "flag").createOrReplaceTempView("lt_dims")
+    val stmts = new Statements(s)
+    def rejects(sql: String, needle: String): Unit = {
+      val ex = intercept[UnsupportedContinuousStatement](stmts.create(sql))
+      assert(ex.getMessage.contains(needle),
+        s"error for [$sql] must mention '$needle': ${ex.getMessage}")
+    }
+    // SUM over a BOOLEAN column: the r9 toNum catch-all folded nothing
+    // silently; now the type rejects at analysis (verdict item #5)
+    rejects("SELECT a.key, sum(d.flag) AS s FROM lt_feed a JOIN lt_dims d " +
+      "ON a.key = d.k GROUP BY a.key", "cannot maintain")
+    // GROUP BY over an expression the fold cannot key
+    rejects("SELECT upper(value) AS u, count(*) AS c FROM lt_feed " +
+      "GROUP BY upper(value)", "not a view column")
+    // column-vs-column WHERE is outside the predicate algebra
+    rejects("SELECT key, count(*) AS c FROM lt_feed WHERE value = id " +
+      "GROUP BY key", "outside the supported algebra")
+    // an aggregate over a subquery-wrapped feed matches no route — the
+    // default route would fold delete markers as data rows
+    rejects("SELECT count(*) AS c FROM (SELECT * FROM lt_feed)",
+      "no IVM route matches")
+    // a dim column shadowing the view's id/value makes the joined view
+    // ambiguous: loud, with a rename hint
+    Seq((1L, 9L)).toDF("k", "id").createOrReplaceTempView("lt_dims_clash")
+    rejects("SELECT a.key, count(*) AS c FROM lt_feed a JOIN lt_dims_clash d " +
+      "ON a.key = d.k GROUP BY a.key", "shadow")
+  }
+
+  test("numeric-vs-string comparisons in WHERE follow Spark coercion: " +
+    "string column against a numeric literal compares as DOUBLE") {
+    val mem = newFeed("co_feed")
+    val stmts = new Statements(spark)
+    // r9 advice (medium): this used to evaluate per-row to 'unknown' and
+    // silently exclude every row; now the string column coerces to
+    // DOUBLE like Spark's PromoteStrings (unparseable cells → NULL)
+    val stmt = stmts.create(
+      "SELECT key, count(*) AS cnt FROM co_feed WHERE value > 5 GROUP BY key")
+    try {
+      assert(stmts.waitForStatus(stmt, Set(Phase.Running)).isDefined)
+      val cl = stmt.handle.get.changelog()
+      mem.addData((0L, 1L, 100L, "7.5", false), (1L, 1L, 101L, "3.0", false),
+        (2L, 1L, 102L, "oops", false), (3L, 1L, 103L, "5.01", false))
+      stmt.handle.get.processAllAvailable()
+      while (cl.consume(1).nonEmpty) ()
+      assert(cl.collapse().rows.toSet == Set(Vector[Any](1L, 2L)),
+        "7.5 and 5.01 pass, 3.0 fails, unparseable 'oops' is unknown")
+    } finally stmt.stop()
+  }
+
+  test("three-way continuous JOIN chain: SELECT * and GROUP BY both " +
+    "collapse to the batch triple join after every page") {
+    val f1 = newFeed("c3_a"); val f2 = newFeed("c3_b"); val f3 = newFeed("c3_c")
+    val stmts = new Statements(spark)
+    val view = stmts.create(
+      "SELECT * FROM c3_a a JOIN c3_b b ON a.key = b.key " +
+        "JOIN c3_c c ON b.key = c.key")
+    val agg = stmts.create(
+      "SELECT key, count(*) AS cnt, max(CAST(c.value AS DOUBLE)) AS mx " +
+        "FROM c3_a a JOIN c3_b b ON a.key = b.key " +
+        "JOIN c3_c c ON b.key = c.key GROUP BY key")
+    try {
+      assert(view.isStreaming && agg.isStreaming)
+      assert(view.columns == Seq("key", "a_id", "a_value", "b_id", "b_value",
+        "c_id", "c_value"))
+      assert(stmts.waitForStatus(view, Set(Phase.Running)).isDefined)
+      assert(stmts.waitForStatus(agg, Set(Phase.Running)).isDefined)
+      val clv = view.handle.get.changelog()
+      val cla = agg.handle.get.changelog()
+      val a = scala.collection.mutable.Map.empty[(Long, Long), String]
+      val b = scala.collection.mutable.Map.empty[(Long, Long), String]
+      val c = scala.collection.mutable.Map.empty[(Long, Long), String]
+      def page(ab: Seq[Feed], bb: Seq[Feed], cb: Seq[Feed]): Unit = {
+        if (ab.nonEmpty) f1.addData(ab)
+        if (bb.nonEmpty) f2.addData(bb)
+        if (cb.nonEmpty) f3.addData(cb)
+        view.handle.get.processAllAvailable()
+        agg.handle.get.processAllAvailable()
+        ab.foreach(applyFeed(a, _)); bb.foreach(applyFeed(b, _))
+        cb.foreach(applyFeed(c, _))
+        while (clv.consume(1).nonEmpty) ()
+        while (cla.consume(1).nonEmpty) ()
+        val joined = for (((ak, ai), av) <- a.toSeq;
+                          ((bk, bi), bv) <- b.toSeq if bk == ak;
+                          ((ck, ci), cv) <- c.toSeq if ck == ak)
+          yield Vector[Any](ak, ai, av, bi, bv, ci, cv)
+        assert(clv.collapse().rows.toSet == joined.toSet,
+          s"3-way view diverged: ${clv.collapse().rows.toSet} vs ${joined.toSet}")
+        val expAgg = joined.groupBy(_(0)).map { case (k, rows) =>
+          Vector[Any](k, rows.size.toLong,
+            rows.map(_(6).asInstanceOf[String].toDouble).max)
+        }.toSet
+        assert(cla.collapse().rows.toSet == expAgg,
+          s"3-way agg diverged: ${cla.collapse().rows.toSet} vs $expAgg")
+      }
+      // page 1: key 1 complete across all three sides (2×1×1 rows)
+      page(Seq((0L, 1L, 100L, "a1", false), (1L, 1L, 101L, "a2", false)),
+           Seq((2L, 1L, 200L, "b1", false)),
+           Seq((3L, 1L, 300L, "3.5", false)))
+      // page 2: key 2 completes; key 1's c-side doubles (2×1×2 rows);
+      // an a-side UPDATE retracts and re-inserts its cross product
+      page(Seq((4L, 1L, 100L, "a9", false), (5L, 2L, 102L, "a3", false)),
+           Seq((6L, 2L, 201L, "b2", false)),
+           Seq((7L, 1L, 301L, "9.25", false), (8L, 2L, 302L, "1.5", false)))
+      // page 3: deleting key 1's only b row kills ALL key-1 join rows
+      page(Nil, Seq((9L, 1L, 200L, "b1", true)), Nil)
+      // page 4: everything else deletes — both views empty
+      page(Seq((10L, 1L, 100L, "a9", true), (11L, 1L, 101L, "a2", true),
+               (12L, 2L, 102L, "a3", true)),
+           Seq((13L, 2L, 201L, "b2", true)),
+           Seq((14L, 1L, 300L, "3.5", true), (15L, 1L, 301L, "9.25", true),
+               (16L, 2L, 302L, "1.5", true)))
+      assert(clv.collapse().rows.isEmpty && cla.collapse().rows.isEmpty)
+    } finally { view.stop(); agg.stop() }
+  }
+
+  test("three-way chain property: random delete-heavy interleavings " +
+    "collapse to the batch triple join after every page") {
+    val seed = 41
+    val rnd = new scala.util.Random(seed)
+    val f1 = newFeed("p3_a"); val f2 = newFeed("p3_b"); val f3 = newFeed("p3_c")
+    val stmts = new Statements(spark)
+    val stmt = stmts.create(
+      "SELECT * FROM p3_a a JOIN p3_b b ON a.key = b.key " +
+        "JOIN p3_c c ON b.key = c.key")
+    try {
+      assert(stmts.waitForStatus(stmt, Set(Phase.Running)).isDefined)
+      val cl = stmt.handle.get.changelog()
+      val sides = Seq.fill(3)(
+        scala.collection.mutable.Map.empty[(Long, Long), String])
+      var seq = 0L
+      for (pg <- 0 until 5) {
+        val batches = (0 until 3).map { _ =>
+          (0 until rnd.nextInt(6)).map { _ =>
+            seq += 1
+            (seq, rnd.nextInt(2).toLong, 100L + rnd.nextInt(2),
+              s"v$seq", rnd.nextInt(3) == 0)
+          }
+        }
+        if (batches(0).nonEmpty) f1.addData(batches(0))
+        if (batches(1).nonEmpty) f2.addData(batches(1))
+        if (batches(2).nonEmpty) f3.addData(batches(2))
+        stmt.handle.get.processAllAvailable()
+        (0 until 3).foreach(i => batches(i).foreach(applyFeed(sides(i), _)))
+        while (cl.consume(1).nonEmpty) ()
+        val expected = (for (((ak, ai), av) <- sides(0).toSeq;
+                             ((bk, bi), bv) <- sides(1).toSeq if bk == ak;
+                             ((ck, ci), cv) <- sides(2).toSeq if ck == ak)
+          yield Vector[Any](ak, ai, av, bi, bv, ci, cv)).toSet
+        val got = cl.collapse().rows.toSet
+        assert(got == expected,
+          s"seed $seed page $pg: 3-way collapse $got != batch $expected")
+      }
+    } finally stmt.stop()
+  }
+
+  test("feed ⋈ static-table continuous statements: SELECT * view, " +
+    "GROUP BY over a dim attribute, WHERE on a dim column, LEFT padding") {
+    val s = spark
+    import s.implicits._
+    val mem = newFeed("fs_feed")
+    Seq((1L, "east", 2.5), (2L, "west", 1.0), (3L, "east", 0.5))
+      .toDF("k", "region", "w").createOrReplaceTempView("fs_dims")
+    val stmts = new Statements(s)
+    val view = stmts.create(
+      "SELECT * FROM fs_feed a JOIN fs_dims d ON a.key = d.k")
+    val agg = stmts.create(
+      "SELECT d.region, count(*) AS cnt, sum(CAST(a.value AS DOUBLE)) AS sv " +
+        "FROM fs_feed a JOIN fs_dims d ON a.key = d.k " +
+        "WHERE d.w > 0.75 GROUP BY d.region")
+    val lview = stmts.create(
+      "SELECT * FROM fs_feed a LEFT JOIN fs_dims d ON a.key = d.k")
+    try {
+      assert(view.isStreaming && agg.isStreaming && lview.isStreaming)
+      assert(view.columns == Seq("key", "id", "value", "k", "region", "w"))
+      assert(agg.columns == Seq("region", "cnt", "sv"))
+      for (st <- Seq(view, agg, lview))
+        assert(stmts.waitForStatus(st, Set(Phase.Running)).isDefined)
+      val dims = Map(1L -> ("east", 2.5), 2L -> ("west", 1.0),
+        3L -> ("east", 0.5))
+      val clv = view.handle.get.changelog()
+      val cla = agg.handle.get.changelog()
+      val cll = lview.handle.get.changelog()
+      val live = scala.collection.mutable.Map.empty[(Long, Long), String]
+      def page(evs: Seq[Feed]): Unit = {
+        mem.addData(evs)
+        Seq(view, agg, lview).foreach(_.handle.get.processAllAvailable())
+        evs.foreach(applyFeed(live, _))
+        Seq(clv, cla, cll).foreach(cl => while (cl.consume(1).nonEmpty) ())
+        val inner = live.toSeq.collect {
+          case ((k, id), v) if dims.contains(k) =>
+            Vector[Any](k, id, v, k, dims(k)._1, dims(k)._2)
+        }
+        assert(clv.collapse().rows.toSet == inner.toSet,
+          s"inner view diverged: ${clv.collapse().rows.toSet} vs $inner")
+        val expAgg = live.toSeq.collect {
+          case ((k, _), v) if dims.contains(k) && dims(k)._2 > 0.75 =>
+            (dims(k)._1, v.toDouble)
+        }.groupBy(_._1).map { case (reg, rows) =>
+          Vector[Any](reg, rows.size.toLong, rows.map(_._2).sum)
+        }.toSet
+        assert(cla.collapse().rows.toSet == expAgg,
+          s"dim agg diverged: ${cla.collapse().rows.toSet} vs $expAgg")
+        val outer = live.toSeq.map { case ((k, id), v) =>
+          dims.get(k) match {
+            case Some((reg, w)) => Vector[Any](k, id, v, k, reg, w)
+            case None => Vector[Any](k, id, v, null, null, null)
+          }
+        }
+        assert(cll.collapse().rows.toSet == outer.toSet,
+          s"left view diverged: ${cll.collapse().rows.toSet} vs $outer")
+      }
+      // keys 1 (east, passes WHERE), 3 (east, fails WHERE w=0.5),
+      // 9 (no dim row: inner drops, LEFT pads)
+      page(Seq((0L, 1L, 100L, "1.25", false), (1L, 3L, 300L, "4.0", false),
+        (2L, 9L, 900L, "7.0", false)))
+      // upsert moves a value; key 2 (west) joins in
+      page(Seq((3L, 1L, 100L, "2.75", false), (4L, 2L, 200L, "0.5", false)))
+      // deletes: key 1 leaves entirely → 'east' group drops to the
+      // w>0.75-filtered empty set → -D
+      page(Seq((5L, 1L, 100L, "2.75", true), (6L, 3L, 300L, "4.0", true)))
+      page(Seq((7L, 2L, 200L, "0.5", true), (8L, 9L, 900L, "7.0", true)))
+      assert(clv.collapse().rows.isEmpty && cla.collapse().rows.isEmpty &&
+        cll.collapse().rows.isEmpty)
+    } finally { view.stop(); agg.stop(); lview.stop() }
+  }
+
+  test("maintained top-k statement: ORDER BY … LIMIT k serves membership " +
+    "deltas — rows crossing the boundary emit +I / -D") {
+    val mem = newFeed("tk_feed")
+    val stmts = new Statements(spark)
+    val stmt = stmts.create(
+      "SELECT * FROM tk_feed ORDER BY value DESC LIMIT 2")
+    try {
+      assert(stmt.isStreaming, "top-k over a feed must route, not batch-sort")
+      assert(stmt.columns == Seq("key", "id", "value"))
+      assert(stmts.waitForStatus(stmt, Set(Phase.Running)).isDefined)
+      val cl = stmt.handle.get.changelog()
+      val live = scala.collection.mutable.Map.empty[(Long, Long), String]
+      def page(evs: Seq[Feed]): Set[Vector[Any]] = {
+        mem.addData(evs)
+        stmt.handle.get.processAllAvailable()
+        evs.foreach(applyFeed(live, _))
+        while (cl.consume(1).nonEmpty) ()
+        val expected = live.toSeq
+          .map { case ((k, id), v) => (v, id, k) }
+          .sortBy { case (v, id, _) => (v, -id) }(
+            Ordering.Tuple2(Ordering.String.reverse, Ordering.Long.reverse))
+          .take(2).map { case (v, id, k) => Vector[Any](k, id, v) }.toSet
+        val got = cl.collapse().rows.toSet
+        assert(got == expected, s"top-k collapse $got != batch $expected")
+        got
+      }
+      // three rows: top-2 by value desc = "c", "b"
+      val p1 = page(Seq((0L, 1L, 100L, "a", false), (1L, 1L, 101L, "b", false),
+        (2L, 2L, 200L, "c", false)))
+      assert(p1 == Set(Vector[Any](2L, 200L, "c"), Vector[Any](1L, 101L, "b")))
+      // upsert id 100 "a"→"z": it ENTERS the top-2, "b" LEAVES (-D)
+      val p2 = page(Seq((3L, 1L, 100L, "z", false)))
+      assert(p2 == Set(Vector[Any](1L, 100L, "z"), Vector[Any](2L, 200L, "c")))
+      assert(cl.history.flatMap(_.op).contains(graft.changelog.Op.Delete),
+        "a row leaving the top-k must wire a real -D")
+      // delete "z": "b" RE-ENTERS
+      val p3 = page(Seq((4L, 1L, 100L, "z", true)))
+      assert(p3 == Set(Vector[Any](2L, 200L, "c"), Vector[Any](1L, 101L, "b")))
+      // fewer live rows than k is fine
+      page(Seq((5L, 1L, 101L, "b", true)))
+      page(Seq((6L, 2L, 200L, "c", true)))
+      assert(cl.collapse().rows.isEmpty)
+    } finally stmt.stop()
+  }
+
+  test("SELECT DISTINCT over a feed maintains membership: an upsert " +
+    "moving an id between keys moves the distinct row") {
+    val mem = newFeed("dk_feed")
+    val stmts = new Statements(spark)
+    val stmt = stmts.create("SELECT DISTINCT key FROM dk_feed")
+    try {
+      assert(stmt.isStreaming)
+      assert(stmt.columns == Seq("key"))
+      assert(stmts.waitForStatus(stmt, Set(Phase.Running)).isDefined)
+      val cl = stmt.handle.get.changelog()
+      def sync(): Set[Vector[Any]] = {
+        stmt.handle.get.processAllAvailable()
+        while (cl.consume(1).nonEmpty) ()
+        cl.collapse().rows.toSet
+      }
+      mem.addData((0L, 1L, 100L, "a", false), (1L, 1L, 101L, "b", false),
+        (2L, 2L, 200L, "c", false))
+      assert(sync() == Set(Vector[Any](1L), Vector[Any](2L)))
+      // re-key id 101 from key 1 to key 3: key 1 still has id 100, key 3
+      // appears
+      mem.addData((3L, 3L, 101L, "b", false))
+      assert(sync() == Set(Vector[Any](1L), Vector[Any](2L), Vector[Any](3L)))
+      // deleting key 1's last id removes its distinct row (-D)
+      mem.addData((4L, 1L, 100L, "a", true))
+      assert(sync() == Set(Vector[Any](2L), Vector[Any](3L)))
+      assert(cl.history.flatMap(_.op).contains(graft.changelog.Op.Delete))
+    } finally stmt.stop()
+  }
+
+  test("continuous SUM over an integral column stays exact and emits " +
+    "LONG (SQL sum-of-bigint typing), including values beyond 2^53") {
+    val mem = newFeed("ix_feed")
+    val stmts = new Statements(spark)
+    // id is the feed's long column: sum ids per key
+    val stmt = stmts.create(
+      "SELECT key, sum(id) AS sid FROM ix_feed GROUP BY key")
+    try {
+      assert(stmt.columns == Seq("key", "sid"))
+      assert(stmt.schema("sid").dataType ==
+        org.apache.spark.sql.types.LongType,
+        "SUM over an integral column must type as LONG, not DOUBLE")
+      assert(stmts.waitForStatus(stmt, Set(Phase.Running)).isDefined)
+      val cl = stmt.handle.get.changelog()
+      def sync(): Set[Vector[Any]] = {
+        stmt.handle.get.processAllAvailable()
+        while (cl.consume(1).nonEmpty) ()
+        cl.collapse().rows.toSet
+      }
+      // 2^53 + 1 is NOT representable as a double: an IEEE accumulator
+      // would silently round it
+      val big = (1L << 53) + 1L
+      mem.addData((0L, 1L, big, "x", false), (1L, 1L, 2L, "y", false))
+      assert(sync() == Set(Vector[Any](1L, big + 2L)),
+        "the exact long accumulator must hold past-2^53 sums")
+      mem.addData((2L, 1L, big, "x", true))
+      assert(sync() == Set(Vector[Any](1L, 2L)))
+    } finally stmt.stop()
+  }
+}

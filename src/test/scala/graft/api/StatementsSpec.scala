@@ -488,15 +488,20 @@ class StatementsSpec extends AnyFunSuite {
             "-U must immediately precede its +U")
       }
     } finally stmt.stop()
-    // shapes that must NOT silently take this route: an unaliased
-    // aggregate or a MIN (not ±-foldable) keeps the default spark.sql
-    // semantics — which rejects the unsupported streaming plan loudly
-    // rather than serving a wrong changelog
-    intercept[Exception] {
-      val bad = stmts.create(
-        "SELECT key, min(a.value) AS m FROM la_feed a JOIN ra_feed b " +
-          "ON a.key = b.key GROUP BY key")
-      bad.stop()
+    // shapes the IVM fold cannot maintain (a DISTINCT aggregate needs
+    // per-group value state the route does not keep) reject LOUDLY at
+    // create(): the FROM references changelog feeds, so the default
+    // route's append-only reading would serve a silently wrong changelog
+    val ex = intercept[UnsupportedContinuousStatement] {
+      stmts.create(
+        "SELECT key, count(DISTINCT a.value) AS m FROM la_feed a " +
+          "JOIN ra_feed b ON a.key = b.key GROUP BY key")
+    }
+    assert(ex.getMessage.contains("rejected at create()"))
+    // … and so does an unaliased aggregate (the oracle discipline)
+    intercept[UnsupportedContinuousStatement] {
+      stmts.create("SELECT key, count(*) FROM la_feed a JOIN ra_feed b " +
+        "ON a.key = b.key GROUP BY key")
     }
   }
 
@@ -705,13 +710,18 @@ class StatementsSpec extends AnyFunSuite {
         val l = scala.collection.mutable.Map.empty[(Long, Long), String]
         val r = scala.collection.mutable.Map.empty[(Long, Long), String]
         var seq = 0L
-        // values are quarter-integers (exact binary), delete p = 1/3,
-        // 3 keys × 2 ids/side so groups die and come back repeatedly
+        // values are ADVERSARIAL decimals (e.g. "7.13" — NOT exactly
+        // representable in binary), delete p = 1/3, 3 keys × 2 ids/side
+        // so groups die and come back repeatedly: the fold's exact
+        // decimal accumulators must make incremental ≡ replay bit-exact
+        // for ANY float input and retraction order (the r9 quarter-
+        // integer restriction is gone)
         for (pg <- 0 until 6) {
           def events(): Seq[Feed] = (0 until rnd.nextInt(8)).map { _ =>
             seq += 1
             (seq, rnd.nextInt(3).toLong, 100L + rnd.nextInt(2),
-              s"${rnd.nextInt(40)}.25", rnd.nextInt(3) == 0)
+              f"${rnd.nextInt(40)}%d.${rnd.nextInt(100)}%02d",
+              rnd.nextInt(3) == 0)
           }
           val (lb, rb) = (events(), events())
           if (lb.nonEmpty) lmem.addData(lb)
@@ -726,7 +736,12 @@ class StatementsSpec extends AnyFunSuite {
                             ((rk, _), _) <- r.toSeq if lk == rk)
             yield (lk, lv.toDouble)
           val expected = joined.groupBy(_._1).map { case (k, rows) =>
-            Vector[Any](k, rows.size.toLong, rows.map(_._2).sum)
+            // the fold's SUM contract: the EXACT (arbitrary-precision)
+            // sum of the values' binary doubles, rounded once at the end
+            // — order-independent, unlike an IEEE left-fold
+            val exact = rows.map(v => new java.math.BigDecimal(v._2))
+              .foldLeft(java.math.BigDecimal.ZERO)(_.add(_))
+            Vector[Any](k, rows.size.toLong, exact.doubleValue)
           }.toSet
           val got = cl.collapse().rows.toSet
           assert(got == expected,

@@ -723,6 +723,36 @@ class PipelineSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"), plan.take(800))
   }
 
+  test("p19/p33 classifier model persists through ModelStore: a second " +
+    "lookup HITs the store (zero re-fits) and the stored rows equal a " +
+    "fresh fit exactly") {
+    // prime the store (idempotent if an earlier test already did)
+    Pipeline.classifierModel(spark, dir)
+    // a second lookup under the same name must HIT: the build block is
+    // by-name — if it ever runs, the fit/apply split is broken and the
+    // calibration query re-scans the train split per run (r9 verdict #4)
+    val storedW = graft.sources.ModelStore.table(spark, dir,
+      "documents.parquet",
+      s"p19-clf-w-b${Pipeline.DsirBuckets}-s${Pipeline.DsirScale}") {
+      fail("classifier weight store missed on re-invocation — query re-fit")
+    }.collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val storedThr = graft.sources.ModelStore.table(spark, dir,
+      "documents.parquet",
+      s"p19-clf-thr-b${Pipeline.DsirBuckets}-s${Pipeline.DsirScale}") {
+      fail("classifier threshold store missed on re-invocation — re-fit")
+    }.collect().map(_.getLong(0)).toSeq
+    // integer weights round-trip parquet exactly: load-then-apply IS
+    // fit-then-apply
+    val freshW = Pipeline.freshClassifierWeights(spark, dir).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val freshThr = Pipeline.freshClassifierThreshold(spark, dir).collect()
+      .map(_.getLong(0)).toSeq
+    assert(storedW == freshW,
+      "persisted classifier weights differ from a fresh fit")
+    assert(storedThr == freshThr,
+      "persisted classifier threshold differs from a fresh fit")
+  }
+
   test("p33: calibration bins partition the test split exactly with " +
     "disjoint increasing score ranges") {
     val df = Pipeline.p33CalibrationCurve(spark, dir)

@@ -220,4 +220,44 @@ class VectorExpressionsSpec extends AnyFunSuite {
     // out-of-range (0, 6, -3) and duplicate cuts are ignored, not errors
     assert(run(Array(0L, 6L, -3L, 2L, 2L)) == Seq("a", "c", "d", "e"))
   }
+
+  test("IntDot equals the zip_with/aggregate HOF bit-for-bit on random " +
+      "tinyint arrays (v7's hot loop), rejects non-byte arrays at " +
+      "analysis, and two instances declare disjoint codegen locals") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(11)
+    val rows = (0 until 300).map { i =>
+      val a = Seq.fill(64)((rnd.nextInt(255) - 127).toByte)
+      val b = Seq.fill(64)((rnd.nextInt(255) - 127).toByte)
+      (i.toLong, a, b)
+    }
+    val df = rows.toDF("id", "a", "b")
+    val got = df.select($"id", VectorExpressions.intDot($"a", $"b").as("d"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // the exact HOF formulation v7 shipped with through r9
+    val hof = df.select($"id",
+      aggregate(zip_with($"a", $"b", (x, y) =>
+        (x.cast("int") * y.cast("int")).cast("long")),
+        lit(0L), (acc, p) => acc + p).as("d"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == hof,
+      "native integer dot must equal the HOF path (exact sums, any order)")
+    // a non-byte array must die at analysis, never reinterpret bytes
+    intercept[org.apache.spark.sql.AnalysisException] {
+      Seq((Seq(1.0, 2.0), Seq(1.toByte, 2.toByte))).toDF("a", "b")
+        .select(VectorExpressions.intDot($"a", $"b")).collect()
+    }
+    // the DotProduct redefinition lesson, applied to the new expression
+    val ref = BoundReference(0,
+      ArrayType(org.apache.spark.sql.types.ByteType), nullable = false)
+    val ctx = new CodegenContext
+    val c1 = IntDot(ref, ref).genCode(ctx)
+    val c2 = IntDot(ref, ref).genCode(ctx)
+    val decls = """(?:int|long) (\w+)""".r
+    val names = (decls.findAllMatchIn(c1.code.toString) ++
+      decls.findAllMatchIn(c2.code.toString)).map(_.group(1)).toSeq
+    assert(names.distinct.size == names.size,
+      s"duplicate local declarations across two instances: $names")
+  }
 }
