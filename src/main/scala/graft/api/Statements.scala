@@ -498,9 +498,10 @@ final class Statements(spark: SparkSession, prefix: String = "stmt-",
   /** Recognize the continuous-statement shapes that need EXACT RETRACTION
     * semantics the default `spark.sql` route cannot express, and run them
     * through the IVM operators:
-    *  - `SELECT * FROM <source>` where the source is a feed, a two-feed
-    *    equi-join (INNER/LEFT/RIGHT/FULL), a same-key INNER chain of ≥3
-    *    feeds, or a feed ⋈ static-table equi-join — the maintained view
+    *  - `SELECT * FROM <source> [WHERE <pred>]` where the source is a
+    *    feed, a two-feed equi-join (INNER/LEFT/RIGHT/FULL), a same-key
+    *    INNER chain of ≥3 feeds, or a feed ⋈ static-table equi-join —
+    *    the (optionally filtered) maintained view
     *  - `SELECT <groups>, <aliased aggs> FROM <source> [WHERE …]
     *    GROUP BY … [HAVING …]` (grouped or UNGROUPED incremental fold —
     *    COUNT/SUM/AVG/MIN/MAX — over the view's deltas)
@@ -528,6 +529,19 @@ final class Statements(spark: SparkSession, prefix: String = "stmt-",
         matchJoinSource(j, sql).map(viewStatement(_, sql, name, properties))
       case j: Join =>
         matchJoinSource(j, sql).map(viewStatement(_, sql, name, properties))
+      // `SELECT * FROM <source> WHERE <pred>` — the FILTERED maintained
+      // view: a deterministic row predicate passes a row's +I and its -D
+      // identically, so filtering the DELTA STREAM is filtering the view.
+      // The predicate rewrites onto the delta columns and runs
+      // EXECUTOR-side (full Spark predicate algebra, codegen'd) — rows
+      // the view rejects never reach the driver at all
+      case Project(Seq(UnresolvedStar(None)), Filter(cond, src)) =>
+        val source = src match {
+          case j: Join => matchJoinSource(j, sql)
+          case rel => matchSingleFeed(rel)
+        }
+        source.map(ds =>
+          viewStatement(filterDeltas(ds, cond, sql), sql, name, properties))
       // `SELECT * FROM feed` over a single changelog feed serves the
       // MAINTAINED VIEW's changelog (upsert retracts, delete removes) —
       // the default route would append raw wire events, serving delete
@@ -551,6 +565,11 @@ final class Statements(spark: SparkSession, prefix: String = "stmt-",
         h.child match {
           case agg: Aggregate =>
             routeAgg(agg, Some(h.havingCondition), sql, name, properties)
+          // HAVING over an UNGROUPED aggregate: the child parses as a
+          // Project (same parser gap as below)
+          case p: Project if hasAggFunction(p.projectList) =>
+            routeAgg(Aggregate(Nil, p.projectList, p.child, None),
+              Some(h.havingCondition), sql, name, properties)
           case _ => None
         }
       // an UNGROUPED aggregate (`SELECT count(*) AS c FROM feed`) parses
@@ -576,6 +595,40 @@ final class Statements(spark: SparkSession, prefix: String = "stmt-",
         topKStatement(rel, order, k, sql, name, properties)
       case _ => None
     }
+  }
+
+  /** Rewrite a `SELECT *`-view WHERE onto the delta stream's columns and
+    * apply it executor-side. Unlike the aggregate fold's driver-side
+    * predicate (whose HAVING leg must evaluate emitted snapshots), a
+    * view filter can be pure Catalyst: every unresolved attribute maps
+    * through the source's resolver onto a delta column, and Spark's own
+    * analysis/codegen take it from there — the full predicate algebra,
+    * evaluated before anything crosses to the driver. Non-deterministic
+    * predicates reject: a row's +I and -D must filter identically or
+    * retractions stop cancelling. */
+  private def filterDeltas(ds: DeltaSource, cond: Expression,
+      sql: String): DeltaSource = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val rewritten = cond.transform {
+      case a: UnresolvedAttribute =>
+        ds.resolve(a) match {
+          case Some(i) => ColumnBridge.expression(ds.deltas(ds.viewCols(i)))
+          case None =>
+            unsupported(sql, s"WHERE column ${a.nameParts.mkString(".")} " +
+              s"does not resolve in the maintained view " +
+              s"(${ds.viewCols.mkString(", ")})")
+        }
+    }
+    val filtered = ds.deltas.filter(ColumnBridge.column(rewritten))
+    // determinism is only knowable AFTER analysis (an UnresolvedFunction
+    // reports the default); read it off the analyzed Filter
+    val deterministic = filtered.queryExecution.analyzed.collectFirst {
+      case f: Filter => f.condition.deterministic
+    }.getOrElse(true)
+    if (!deterministic)
+      unsupported(sql, "a non-deterministic WHERE cannot filter a " +
+        "retraction stream (a row's +I and its -D must filter identically)")
+    ds.copy(deltas = filtered)
   }
 
   /** A matched maintained view served as-is: the delta stream's own

@@ -1741,6 +1741,66 @@ object Similarity {
       .orderBy($"query_id", $"rk")
   }
 
+  /** The PREFIX-SLICED physical embedding store v24's byte-cut claim
+    * rests on: the corpus persisted as TWO column families —
+    * (vec_id, head = the first [[ServePrefixWidth]] dims, tail = the
+    * rest) — so a prefix-stage scan that selects only `head` reads the
+    * 16-dim family's column chunks and skips the 48-dim tail entirely
+    * (parquet prunes unselected columns at the chunk level: real I/O,
+    * not just FLOPs). Persisted via ModelStore because slicing is a
+    * one-time LAYOUT job: at 100 TB the vector store is written
+    * prefix-sliced at ingest and serving never re-slices. */
+  private[operators] def prefixSlicedStore(spark: SparkSession,
+                                           dir: String): DataFrame =
+    ModelStore.table(spark, dir, "embeddings.parquet",
+        s"prefix-store-w$ServePrefixWidth") {
+      import spark.implicits._
+      Tables.load(spark, dir, "embeddings")
+        .select($"vec_id", asDouble($"embedding").as("v"))
+        .select($"vec_id",
+          slice($"v", 1, ServePrefixWidth).as("head"),
+          slice($"v", lit(ServePrefixWidth + 1), size($"v")).as("tail"))
+    }
+
+  /** V25 — v24's serving path over the PREFIX-SLICED store
+    * ([[prefixSlicedStore]]): the probe that v24's "4× fewer bytes"
+    * claim is real I/O. Stage 1 selects ONLY (vec_id, head), so the
+    * corpus scan's ReadSchema carries no tail column and the bytes read
+    * are the head family's (~width/dim of the vector bytes — both the
+    * stage-1 ReadSchema and the footer-level column-chunk byte split
+    * are asserted in SimilaritySpec); stage 2 re-attaches head||tail
+    * for the Q×shortlist candidates only. Doubles round-trip parquet
+    * bit-exactly and head||tail == v, so the served rows equal v24's —
+    * the registry row shares v24's oracle, hash-for-hash. */
+  def v25PrefixStoreServe(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val store = prefixSlicedStore(spark, dir)
+    val heads = store.select($"vec_id", $"head") // tail is NEVER read here
+    val qheads = heads.filter($"vec_id" < QueryCount)
+      .select($"vec_id".as("query_id"), $"head".as("qh"))
+    val wPre = Window.partitionBy($"query_id")
+      .orderBy($"pcos".desc, $"vec_id".asc)
+    val shortlist = heads
+      .join(broadcast(qheads), $"vec_id" =!= $"query_id")
+      .select($"query_id", $"vec_id", cosine($"qh", $"head").as("pcos"))
+      .withColumn("prk", row_number().over(wPre))
+      .filter($"prk" <= ServeShortlist)
+      .select($"query_id", $"vec_id")
+    val full = store.select($"vec_id", concat($"head", $"tail").as("v"))
+    val queries = full.filter($"vec_id" < QueryCount)
+      .select($"vec_id".as("query_id"), $"v".as("qv"))
+    val wFull = Window.partitionBy($"query_id")
+      .orderBy($"cos".desc, $"vec_id".asc)
+    broadcast(shortlist) // bounded: QueryCount × ServeShortlist id pairs
+      .join(full, "vec_id")
+      .join(broadcast(queries), "query_id")
+      .select($"query_id", $"vec_id", cosine($"qv", $"v").as("cos"))
+      .withColumn("rk", row_number().over(wFull))
+      .filter($"rk" <= K)
+      .select($"query_id", $"rk", $"vec_id", round($"cos", 6).as("cos_sim"))
+      .orderBy($"query_id", $"rk")
+  }
+
   /** V20 — filtered ANN (label-constrained top-K): each query retrieves
     * its top-K among corpus vectors sharing the query's label — the
     * metadata-predicate search every production vector store serves
@@ -1947,6 +2007,7 @@ object Similarity {
     "v20_ann_filtered" -> v20AnnFiltered _,
     "v19_matryoshka_eval" -> v19MatryoshkaEval _,
     "v24_matryoshka_serve" -> v24MatryoshkaServe _,
+    "v25_prefix_store_serve" -> v25PrefixStoreServe _,
     "v18_ann_binary" -> ((s: SparkSession, d: String) => v18AnnBinary(s, d)),
     "v17_index_delta" -> v17IndexDelta _,
     "v16_semantic_contamination" ->
@@ -1969,6 +2030,32 @@ object Similarity {
     "v9_pca_project" -> v9PcaProject _,
     "v10_ann_pq" -> v10AnnPq _,
   )
+
+  /** Shared by v24 and v25: the logical two-stage serve is identical —
+    * v25 only changes the PHYSICAL layout it scans (prefix-sliced
+    * column families), and head||tail round-trips the doubles exactly. */
+  private val matryoshkaServeOracle: String =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+       |           FROM embeddings),
+       |q AS (SELECT vec_id AS query_id, v AS qv FROM e
+       |      WHERE vec_id < $QueryCount),
+       |p AS (SELECT query_id, vec_id, v,
+       |        row_number() OVER (PARTITION BY query_id
+       |          ORDER BY list_cosine_similarity(
+       |              list_slice(qv, 1, $ServePrefixWidth),
+       |              list_slice(v, 1, $ServePrefixWidth)) DESC,
+       |            vec_id ASC) AS prk
+       |      FROM e CROSS JOIN q WHERE vec_id != query_id),
+       |s AS (SELECT query_id, vec_id, v FROM p WHERE prk <= $ServeShortlist),
+       |f AS (SELECT query_id, vec_id,
+       |        list_cosine_similarity(qv, v) AS cos,
+       |        row_number() OVER (PARTITION BY query_id
+       |          ORDER BY list_cosine_similarity(qv, v) DESC, vec_id ASC)
+       |          AS rk
+       |      FROM s JOIN q USING (query_id))
+       |SELECT query_id, rk, vec_id, round(cos, 6) AS cos_sim
+       |FROM f WHERE rk <= $K
+       |ORDER BY query_id, rk""".stripMargin
 
   /** Shared by v2 and v21: the brute force and its blocked scale tier
     * compute the identical exact pair set, so one oracle covers both. */
@@ -2391,28 +2478,11 @@ object Similarity {
          |SELECT query_id, label, rk, vec_id, round(cos, 6) AS cos_sim
          |FROM s WHERE rk <= $K
          |ORDER BY query_id, rk""".stripMargin,
-    "v24_matryoshka_serve" ->
-      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
-         |           FROM embeddings),
-         |q AS (SELECT vec_id AS query_id, v AS qv FROM e
-         |      WHERE vec_id < $QueryCount),
-         |p AS (SELECT query_id, vec_id, v,
-         |        row_number() OVER (PARTITION BY query_id
-         |          ORDER BY list_cosine_similarity(
-         |              list_slice(qv, 1, $ServePrefixWidth),
-         |              list_slice(v, 1, $ServePrefixWidth)) DESC,
-         |            vec_id ASC) AS prk
-         |      FROM e CROSS JOIN q WHERE vec_id != query_id),
-         |s AS (SELECT query_id, vec_id, v FROM p WHERE prk <= $ServeShortlist),
-         |f AS (SELECT query_id, vec_id,
-         |        list_cosine_similarity(qv, v) AS cos,
-         |        row_number() OVER (PARTITION BY query_id
-         |          ORDER BY list_cosine_similarity(qv, v) DESC, vec_id ASC)
-         |          AS rk
-         |      FROM s JOIN q USING (query_id))
-         |SELECT query_id, rk, vec_id, round(cos, 6) AS cos_sim
-         |FROM f WHERE rk <= $K
-         |ORDER BY query_id, rk""".stripMargin,
+    "v24_matryoshka_serve" -> matryoshkaServeOracle,
+    // v25 is v24's serving path over the prefix-sliced PHYSICAL store:
+    // head||tail == v bit-for-bit, so one oracle covers both (the
+    // v2/v21 shared-oracle precedent)
+    "v25_prefix_store_serve" -> matryoshkaServeOracle,
     "v19_matryoshka_eval" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
          |           FROM embeddings),

@@ -153,6 +153,31 @@ class ContinuousStatementsSpec extends AnyFunSuite {
     } finally stmt.stop()
   }
 
+  test("HAVING over an UNGROUPED continuous aggregate routes: the single " +
+    "row enters and leaves the view across the threshold") {
+    val mem = newFeed("uh_feed")
+    val stmts = new Statements(spark)
+    val stmt = stmts.create(
+      "SELECT count(*) AS cnt FROM uh_feed HAVING cnt >= 2")
+    try {
+      assert(stmt.isStreaming, "ungrouped HAVING must route (Project child)")
+      assert(stmts.waitForStatus(stmt, Set(Phase.Running)).isDefined)
+      val cl = stmt.handle.get.changelog()
+      def sync(): Seq[Vector[Any]] = {
+        stmt.handle.get.processAllAvailable()
+        while (cl.consume(1).nonEmpty) ()
+        cl.collapse().rows
+      }
+      mem.addData((0L, 1L, 100L, "a", false))
+      assert(sync().isEmpty, "cnt=1 must not clear HAVING cnt >= 2")
+      mem.addData((1L, 1L, 101L, "b", false))
+      assert(sync() == Seq(Vector[Any](2L)), "cnt=2 enters the view (+I)")
+      mem.addData((2L, 1L, 101L, "b", true))
+      assert(sync().isEmpty, "dropping below the bar must emit -D")
+      assert(cl.history.flatMap(_.op).contains(graft.changelog.Op.Delete))
+    } finally stmt.stop()
+  }
+
   test("unsupported types and shapes over feeds reject loudly at " +
     "create() instead of falling through to a mis-evaluating route") {
     val s = spark
@@ -457,6 +482,73 @@ class ContinuousStatementsSpec extends AnyFunSuite {
       assert(sync() == Set(Vector[Any](2L), Vector[Any](3L)))
       assert(cl.history.flatMap(_.op).contains(graft.changelog.Op.Delete))
     } finally stmt.stop()
+  }
+
+  test("filtered SELECT * view: the WHERE runs executor-side on the " +
+    "delta stream and upserts move rows across the predicate boundary") {
+    val mem = newFeed("fw_feed")
+    val stmts = new Statements(spark)
+    // a predicate the driver compiler does NOT support (function call) —
+    // the view filter is pure Catalyst, so it routes anyway
+    val stmt = stmts.create(
+      "SELECT * FROM fw_feed WHERE upper(value) LIKE 'A%' AND key < 5")
+    try {
+      assert(stmt.isStreaming, "a filtered view over a feed must route")
+      assert(stmt.columns == Seq("key", "id", "value"))
+      assert(stmts.waitForStatus(stmt, Set(Phase.Running)).isDefined)
+      val cl = stmt.handle.get.changelog()
+      val live = scala.collection.mutable.Map.empty[Long, (Long, String)]
+      def page(evs: Seq[Feed]): Set[Vector[Any]] = {
+        mem.addData(evs)
+        stmt.handle.get.processAllAvailable()
+        evs.foreach { f =>
+          if (f._5) live.remove(f._3) else live(f._3) = (f._2, f._4)
+        }
+        while (cl.consume(1).nonEmpty) ()
+        val expected = live.collect {
+          case (id, (k, v)) if v != null &&
+            v.toUpperCase.startsWith("A") && k < 5 =>
+            Vector[Any](k, id, v)
+        }.toSet
+        val got = cl.collapse().rows.toSet
+        assert(got == expected, s"filtered view $got != batch $expected")
+        got
+      }
+      // 'apple' passes, 'banana' fails, 'anchor' fails on key
+      page(Seq((0L, 1L, 100L, "apple", false), (1L, 1L, 101L, "banana", false),
+        (2L, 9L, 900L, "anchor", false)))
+      // upsert moves id 101 ACROSS the boundary (enters), id 100 OUT
+      // (leaves — its -D passes the filter, its +I does not)
+      val p2 = page(Seq((3L, 1L, 101L, "avocado", false),
+        (4L, 1L, 100L, "plum", false)))
+      assert(p2 == Set(Vector[Any](1L, 101L, "avocado")))
+      page(Seq((5L, 1L, 101L, "avocado", true)))
+      assert(cl.collapse().rows.isEmpty)
+      // the wire carried a real -D for the row that left the view
+      assert(cl.history.flatMap(_.op).contains(graft.changelog.Op.Delete))
+    } finally stmt.stop()
+    // a filtered JOIN view routes the same way, alias-qualified
+    val lm = newFeed("fwj_l"); val rm = newFeed("fwj_r")
+    val jstmt = stmts.create(
+      "SELECT * FROM fwj_l a JOIN fwj_r b ON a.key = b.key " +
+        "WHERE a.value <> b.value")
+    try {
+      assert(jstmt.isStreaming)
+      assert(stmts.waitForStatus(jstmt, Set(Phase.Running)).isDefined)
+      val cl = jstmt.handle.get.changelog()
+      lm.addData((0L, 1L, 100L, "x", false), (1L, 1L, 101L, "y", false))
+      rm.addData((0L, 1L, 200L, "x", false))
+      jstmt.handle.get.processAllAvailable()
+      while (cl.consume(1).nonEmpty) ()
+      assert(cl.collapse().rows.toSet ==
+        Set(Vector[Any](1L, 101L, "y", 200L, "x")),
+        "the equal-valued joined row must be filtered out")
+    } finally jstmt.stop()
+    // non-deterministic predicates reject loudly: +I and -D must filter
+    // identically or retractions stop cancelling
+    intercept[UnsupportedContinuousStatement] {
+      stmts.create("SELECT * FROM fw_feed WHERE rand() < 0.5")
+    }
   }
 
   test("continuous SUM over an integral column stays exact and emits " +

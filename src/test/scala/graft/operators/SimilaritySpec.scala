@@ -749,4 +749,53 @@ class SimilaritySpec extends AnyFunSuite {
       }
     } finally s.conf.set("spark.sql.adaptive.enabled", prevAqe)
   }
+
+  test("v25: the prefix-sliced store makes v24's byte cut real I/O — " +
+    "stage 1 scans (vec_id, head) only, the head family is a fraction " +
+    "of the on-disk vector bytes, and the served rows equal v24's") {
+    val v25 = Similarity.v25PrefixStoreServe(spark, dir)
+    // physical layout must not change the answer: head||tail round-trips
+    // the doubles exactly, so rows match v24 value-for-value (the driver
+    // checks the same claim against the shared DuckDB oracle)
+    val rows25 = v25.collect().toSeq
+    val rows24 = Similarity.v24MatryoshkaServe(spark, dir).collect().toSeq
+    assert(rows25 == rows24,
+      "prefix-sliced serving must reproduce v24's rows exactly")
+    // the byte cut is COLUMN PRUNING, visible in the plan: stage 1's
+    // parquet scan must read head WITHOUT tail (v24's single-table form
+    // can only slice AFTER reading all 64 dims off disk)
+    val formatted = v25.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    val scanSchemas = "ReadSchema: (.*)".r.findAllMatchIn(formatted)
+      .map(_.group(1)).toSeq
+    assert(scanSchemas.exists(sc => sc.contains("head") && !sc.contains("tail")),
+      s"stage 1 must scan only the head family, saw:\n${scanSchemas.mkString("\n")}")
+    // …and the cut is real BYTES, not just schema: the parquet footers
+    // store head and tail as separate column chunks, and the 48-dim tail
+    // holds ~3× the head's bytes — exactly what a head-only scan skips
+    val storeDir = graft.sources.ModelStore.path(dir, "embeddings.parquet",
+      s"prefix-store-w${Similarity.ServePrefixWidth}")
+    val conf = new org.apache.hadoop.conf.Configuration()
+    var headBytes = 0L
+    var tailBytes = 0L
+    storeDir.listFiles().filter(_.getName.endsWith(".parquet")).foreach { f =>
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(f.getPath), conf))
+      try {
+        reader.getFooter.getBlocks.forEach { block =>
+          block.getColumns.forEach { col =>
+            val path = col.getPath.toDotString
+            if (path.startsWith("head")) headBytes += col.getTotalSize
+            else if (path.startsWith("tail")) tailBytes += col.getTotalSize
+          }
+        }
+      } finally reader.close()
+    }
+    assert(headBytes > 0 && tailBytes > 0,
+      s"store must hold both families (head=$headBytes tail=$tailBytes)")
+    assert(tailBytes > 2 * headBytes,
+      s"a head-only scan must skip the dominant tail bytes: " +
+        s"head=$headBytes tail=$tailBytes")
+  }
 }

@@ -735,6 +735,60 @@ class StreamingEventsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("changelogMultiJoinStream property: collapsing the deltas equals " +
+    "the 3-way inner join of live rows at every micro-batch prefix") {
+    import StatefulOps.{MultiJoinDelta, MultiJoinEvent}
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val rnd = new scala.util.Random(77)
+    val nSides = 3
+    // delete-heavy interleaving over few keys/ids so rows collide,
+    // retract, and re-match across all three sides repeatedly
+    val evs = (0 until 180).map { _ =>
+      MultiJoinEvent(rnd.nextInt(4).toLong, rnd.nextInt(nSides),
+        100L + rnd.nextInt(3), s"v${rnd.nextInt(1000)}",
+        rnd.nextInt(4) == 0)
+    }
+    def liveJoin(prefix: Seq[MultiJoinEvent])
+        : Set[(Long, Seq[Long], Seq[String])] = {
+      val sides = Seq.fill(nSides)(
+        scala.collection.mutable.Map.empty[(Long, Long), String])
+      prefix.foreach { e =>
+        val m = sides(e.side)
+        if (e.delete) m.remove((e.key, e.id)) else m((e.key, e.id)) = e.value
+      }
+      (for (((k0, i0), v0) <- sides(0).toSeq;
+            ((k1, i1), v1) <- sides(1).toSeq if k1 == k0;
+            ((k2, i2), v2) <- sides(2).toSeq if k2 == k0)
+        yield (k0, Seq(i0, i1, i2), Seq(v0, v1, v2))).toSet
+    }
+    val mem = MemoryStream[(Long, MultiJoinEvent)]
+    val q = StatefulOps.changelogMultiJoinStream(mem.toDS(), nSides)
+      .writeStream.outputMode("update")
+      .format("memory").queryName("cl_mjoin_test").start()
+    try {
+      val batches = evs.zipWithIndex.map { case (e, i) => (i.toLong, e) }
+        .grouped(45).toSeq
+      var prefix = Vector.empty[MultiJoinEvent]
+      batches.foreach { b =>
+        mem.addData(b); q.processAllAvailable()
+        prefix ++= b.map(_._2)
+        val counts = s.table("cl_mjoin_test").as[MultiJoinDelta].collect()
+          .groupBy(d => (d.key, d.ids, d.values))
+          .view.mapValues(_.map(d => if (d.op == 0) 1 else -1).sum).toMap
+        assert(counts.values.forall(c => c == 0 || c == 1),
+          s"collapse must never go negative or double-insert: $counts")
+        val collapsed = counts.filter(_._2 == 1).keySet
+        assert(collapsed == liveJoin(prefix),
+          s"3-way view diverged at prefix ${prefix.size}: " +
+            s"$collapsed vs ${liveJoin(prefix)}")
+      }
+      assert(s.table("cl_mjoin_test").count() > 0,
+        "fixture interleaving must exercise actual join emissions")
+    } finally q.stop()
+  }
+
   test("changelogUpsertStream property: collapsing the deltas equals the " +
     "feed's live rows at every prefix; counts never leave {0, 1}") {
     import StatefulOps.{UpsertDelta, UpsertEvent}
