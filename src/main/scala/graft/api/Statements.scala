@@ -315,9 +315,28 @@ final class Statements(spark: SparkSession, prefix: String = "stmt-",
         .map { case (seq, k, id, v, del) =>
           (seq, StatefulOps.JoinEvent(k, isLeft, id, v, del))
         }
-      val deltas = StatefulOps
+      val raw = StatefulOps
         .changelogJoinStream(feed(lt, true).union(feed(rt, false)), lo, ro)
         .toDF()
+      // the operator pads an unmatched row's opposite side with the
+      // (-1, null) sentinel (a case-class Long cannot hold null); the
+      // FACADE's maintained view is SQL, where a pad is a NULL row — so
+      // the sentinel converts to true NULLs here, making `b.id IS NULL`
+      // anti-joins and null-skipping COUNT/MIN/MAX over the padded side
+      // behave like SQL (r10 review finding). A pad is exactly
+      // (id == -1 AND value IS NULL) on its side: -1 is the wire's
+      // reserved pad id, never a row identity.
+      val deltas = {
+        import org.apache.spark.sql.functions.{col, lit, when}
+        def denull(idc: String, vc: String)(df: DataFrame): DataFrame =
+          df.withColumn(idc,
+            when(col(idc) === -1L && col(vc).isNull, lit(null).cast("long"))
+              .otherwise(col(idc)))
+        var d = raw
+        if (lo) d = denull("right_id", "right_value")(d) // left outer pads RIGHT
+        if (ro) d = denull("left_id", "left_value")(d)
+        d
+      }
       // view-column resolution: unqualified names hit the view columns
       // directly; alias-qualified names map id/value/key onto their side
       val resolve: UnresolvedAttribute => Option[Int] = attr => {
@@ -872,17 +891,19 @@ final class Statements(spark: SparkSession, prefix: String = "stmt-",
       case (n, Right(MinCol(_, k))) => StructField(n, kindType(k))
       case (n, Right(MaxCol(_, k))) => StructField(n, kindType(k))
     }
-    // WHERE / HAVING compiler — the supported predicate algebra: a view
-    // (resp. output) column compared to a literal (=, <>, <, <=, >, >=),
-    // IS [NOT] NULL, AND/OR/NOT with SQL three-valued semantics
-    // (Option[Boolean], None = unknown; only definite TRUE passes).
-    // Comparisons are typed at COMPILE time from the view schema (the r9
-    // version decided comparability per row and silently excluded
-    // mismatches): numeric-vs-numeric compares EXACTLY via BigDecimal (a
-    // long beyond 2^53 never rounds through a double), string-vs-numeric
-    // coerces the string side to DOUBLE (Spark's PromoteStrings; an
-    // unparseable cell or literal becomes NULL → unknown), and any type
-    // outside the algebra rejects at create().
+    // HAVING compiler — HAVING filters the fold's EMITTED snapshots, so
+    // unlike WHERE (which rides filterDeltas' executor-side Catalyst
+    // rewrite) it needs a driver-side predicate over output rows. The
+    // supported algebra: an output column compared to a literal (=, <>,
+    // <, <=, >, >=), IS [NOT] NULL, AND/OR/NOT with SQL three-valued
+    // semantics (Option[Boolean], None = unknown; only definite TRUE
+    // passes). Comparisons are typed at COMPILE time from the output
+    // schema (the r9 version decided comparability per row and silently
+    // excluded mismatches): integral columns compare EXACTLY via
+    // BigDecimal (a long beyond 2^53 never rounds through a double),
+    // fractional/string columns compare in the DOUBLE domain (Spark's
+    // PromoteStrings; an unparseable cell or literal becomes NULL →
+    // unknown), and any type outside the algebra rejects at create().
     def compileCmp(resolve: UnresolvedAttribute => Int,
         typeAt: Int => DataType)(a: UnresolvedAttribute, l: Literal,
         test: Int => Boolean): Vector[Any] => Option[Boolean] = {
@@ -914,13 +935,24 @@ final class Statements(spark: SparkSession, prefix: String = "stmt-",
             if (x == null) None else Some(test(x.compareTo(y)))
           }
         case _ =>
-          // numeric-vs-numeric (exact), or string column coerced to
-          // DOUBLE against a numeric literal (lenient cast per row)
-          val y = exactNum(lv)
-          if (y == null)
+          // numeric-vs-numeric, or string column coerced to DOUBLE
+          // against a numeric literal (lenient cast per row). The
+          // comparison domain follows Spark's promotion: a fractional or
+          // string COLUMN compares in DOUBLE — the literal must round
+          // through its double first, or an exact decimal like 7.13
+          // could never equal the binary cell it came from (r10 review
+          // finding) — while an integral column compares EXACTLY via
+          // decimals (the r9 advice: long cells past 2^53 must not
+          // round through a double)
+          val yRaw = exactNum(lv)
+          if (yRaw == null)
             bail(s"literal $lv of type ${l.dataType} is not comparable " +
               s"with ${typeAt(i)}")
-          v => {
+          val y =
+            if (ck == LongK) yRaw
+            else exactNum(java.lang.Double.valueOf(yRaw.doubleValue))
+          if (y == null) (_: Vector[Any]) => None // literal overflows double
+          else v => {
             val x = exactNum(v(i))
             if (x == null) None else Some(test(x.compareTo(y)))
           }
@@ -966,10 +998,14 @@ final class Statements(spark: SparkSession, prefix: String = "stmt-",
             "(column-vs-literal comparisons, IS [NOT] NULL, AND/OR/NOT)")
       }
     }
-    val rowFilter: Option[Vector[Any] => Boolean] = where.map { cond =>
-      val f = compilePred(viewCol, ds.types)(cond)
-      (v: Vector[Any]) => f(v).contains(true)
-    }
+    // WHERE applies to the source view and is DELTA-COMMUTING (a
+    // deterministic row predicate passes a row's +I and its -D
+    // identically), so it compiles through the same executor-side
+    // Catalyst rewrite as the filtered `SELECT *` views — the full
+    // Spark predicate algebra, codegen'd, and rejected rows never cross
+    // to the driver fold at all. Only HAVING needs the driver-side
+    // compiled predicate below (it evaluates EMITTED snapshots).
+    val filtered = where.map(filterDeltas(ds, _, sql)).getOrElse(ds)
     // HAVING resolves against the OUTPUT columns (aliases + group cols)
     // and filters the fold's emitted snapshot — a group crossing the
     // boundary emits the -D / +I the complete-mode diff produces
@@ -1018,58 +1054,53 @@ final class Statements(spark: SparkSession, prefix: String = "stmt-",
             s"delta carried an invalid changelog op: $other")
         }
         val view = row.drop(1)
-        // WHERE applies to the view row: a deterministic predicate
-        // filters a row's +I and its -D identically, so the filtered
-        // fold maintains exactly the aggregate of the filtered view
-        if (rowFilter.forall(_(view))) {
-          val gkey = groupIdx.map(view).toVector
-          val g = state.getOrElseUpdate(gkey, new GState)
-          g.rows += sign
-          var k = 0
-          aggOps.foreach { op =>
-            op match {
-              case CountStar => ()
-              case CountCol(i) =>
-                if (view(i) != null) g.counts(k) += sign
-              case SumCol(i, LongK) =>
-                val x = view(i)
-                if (x != null) {
-                  g.lsums(k) += sign * x.asInstanceOf[Number].longValue
-                  g.counts(k) += sign
-                }
-              case SumCol(i, _) =>
-                val b = exactNum(view(i))
-                if (b != null) {
-                  g.dsums(k) =
-                    if (sign > 0) g.dsums(k).add(b) else g.dsums(k).subtract(b)
-                  g.counts(k) += sign
-                }
-              case AvgCol(i, LongK) =>
-                val x = view(i)
-                if (x != null) {
-                  g.lsums(k) += sign * x.asInstanceOf[Number].longValue
-                  g.counts(k) += sign
-                }
-              case AvgCol(i, _) =>
-                val b = exactNum(view(i))
-                if (b != null) {
-                  g.dsums(k) =
-                    if (sign > 0) g.dsums(k).add(b) else g.dsums(k).subtract(b)
-                  g.counts(k) += sign
-                }
-              case MinCol(i, kind) =>
-                val x = canon(view(i), kind)
-                if (x != null) { bagUpdate(g.bags(k), x, sign); g.counts(k) += sign }
-              case MaxCol(i, kind) =>
-                val x = canon(view(i), kind)
-                if (x != null) { bagUpdate(g.bags(k), x, sign); g.counts(k) += sign }
-            }
-            k += 1
+        val gkey = groupIdx.map(view).toVector
+        val g = state.getOrElseUpdate(gkey, new GState)
+        g.rows += sign
+        var k = 0
+        aggOps.foreach { op =>
+          op match {
+            case CountStar => ()
+            case CountCol(i) =>
+              if (view(i) != null) g.counts(k) += sign
+            case SumCol(i, LongK) =>
+              val x = view(i)
+              if (x != null) {
+                g.lsums(k) += sign * x.asInstanceOf[Number].longValue
+                g.counts(k) += sign
+              }
+            case SumCol(i, _) =>
+              val b = exactNum(view(i))
+              if (b != null) {
+                g.dsums(k) =
+                  if (sign > 0) g.dsums(k).add(b) else g.dsums(k).subtract(b)
+                g.counts(k) += sign
+              }
+            case AvgCol(i, LongK) =>
+              val x = view(i)
+              if (x != null) {
+                g.lsums(k) += sign * x.asInstanceOf[Number].longValue
+                g.counts(k) += sign
+              }
+            case AvgCol(i, _) =>
+              val b = exactNum(view(i))
+              if (b != null) {
+                g.dsums(k) =
+                  if (sign > 0) g.dsums(k).add(b) else g.dsums(k).subtract(b)
+                g.counts(k) += sign
+              }
+            case MinCol(i, kind) =>
+              val x = canon(view(i), kind)
+              if (x != null) { bagUpdate(g.bags(k), x, sign); g.counts(k) += sign }
+            case MaxCol(i, kind) =>
+              val x = canon(view(i), kind)
+              if (x != null) { bagUpdate(g.bags(k), x, sign); g.counts(k) += sign }
           }
-          // a grouped group dies with its last row; the UNGROUPED group
-          // always lives (SQL: one row even over an empty input)
-          if (!ungrouped && g.rows <= 0) state.remove(gkey)
+          k += 1
         }
+        // a grouped group dies with its last row; the UNGROUPED group
+        // always lives (SQL: one row even over an empty input)
+        if (!ungrouped && g.rows <= 0) state.remove(gkey)
       }
       if (ungrouped) state.getOrElseUpdate(Vector.empty, new GState)
       val snapshot = state.iterator.map { case (gkey, g) =>
@@ -1115,7 +1146,7 @@ final class Statements(spark: SparkSession, prefix: String = "stmt-",
     // ungrouped: keyNames is empty — the synthesizer keys every snapshot
     // row to the EMPTY key, i.e. the one always-live row, so its
     // transitions wire as -U/+U (never a spurious +I/-D pair)
-    val handle = ChangelogStream.foldingSnapshot(ds.deltas, name,
+    val handle = ChangelogStream.foldingSnapshot(filtered.deltas, name,
       outNames, keyNames, fold)
     // advertised schema ("traits.schema") is the aggregate view's — an
     // empty typed frame carries it; results flow through the handle

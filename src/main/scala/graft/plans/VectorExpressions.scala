@@ -78,6 +78,12 @@ case class IntDot(left: Expression, right: Expression)
   override def dataType: DataType = LongType
   override def prettyName: String = "int_dot"
 
+  // length-mismatched or null-slotted inputs yield NULL (the HOF's
+  // semantics: zip_with null-pads the shorter array and a null product
+  // poisons the aggregate), so the expression is nullable even over
+  // non-null inputs
+  override def nullable: Boolean = true
+
   // the loops read raw bytes — any other element type must die at
   // ANALYSIS, not reinterpret UnsafeArrayData bytes (the JlProject guard)
   override def checkInputDataTypes()
@@ -95,11 +101,16 @@ case class IntDot(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var s = 0L
     var i = 0
-    while (i < n) { s += x.getByte(i).toLong * y.getByte(i); i += 1 }
-    s
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      s += x.getByte(i).toLong * y.getByte(i)
+      i += 1
+    }
+    java.lang.Long.valueOf(s)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -108,13 +119,26 @@ case class IntDot(left: Expression, right: Expression)
       val n = ctx.freshName("idN")
       val acc = ctx.freshName("idAcc")
       val i = ctx.freshName("idI")
+      // schemas proven null-free skip the per-element branch entirely
+      val mayHoldNulls =
+        left.dataType.asInstanceOf[ArrayType].containsNull ||
+          right.dataType.asInstanceOf[ArrayType].containsNull
+      val nullSlotCheck =
+        if (mayHoldNulls)
+          s"if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }"
+        else ""
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |long $acc = 0L;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $acc += (long) $a.getByte($i) * (long) $b.getByte($i);
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  long $acc = 0L;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $nullSlotCheck
+         |    $acc += (long) $a.getByte($i) * (long) $b.getByte($i);
+         |  }
+         |  if (!${ev.isNull}) ${ev.value} = $acc;
          |}
-         |${ev.value} = $acc;
        """.stripMargin
     })
 

@@ -198,9 +198,12 @@ class ContinuousStatementsSpec extends AnyFunSuite {
     // GROUP BY over an expression the fold cannot key
     rejects("SELECT upper(value) AS u, count(*) AS c FROM lt_feed " +
       "GROUP BY upper(value)", "not a view column")
-    // column-vs-column WHERE is outside the predicate algebra
-    rejects("SELECT key, count(*) AS c FROM lt_feed WHERE value = id " +
-      "GROUP BY key", "outside the supported algebra")
+    // HAVING is driver-evaluated over emitted snapshots, so ITS algebra
+    // is the compiled subset: column-vs-column comparisons reject
+    // (WHERE, by contrast, rides the executor-side Catalyst rewrite and
+    // supports them — see the filtered-view and agg-WHERE specs)
+    rejects("SELECT key, count(*) AS c, sum(id) AS s FROM lt_feed " +
+      "GROUP BY key HAVING c = s", "outside the supported algebra")
     // an aggregate over a subquery-wrapped feed matches no route — the
     // default route would fold delete markers as data rows
     rejects("SELECT count(*) AS c FROM (SELECT * FROM lt_feed)",
@@ -212,15 +215,18 @@ class ContinuousStatementsSpec extends AnyFunSuite {
       "ON a.key = d.k GROUP BY a.key", "shadow")
   }
 
-  test("numeric-vs-string comparisons in WHERE follow Spark coercion: " +
-    "string column against a numeric literal compares as DOUBLE") {
+  test("agg WHERE runs Spark's OWN semantics executor-side: try_cast " +
+    "coercion works per row, and a malformed ANSI cast fails the " +
+    "statement LOUDLY — never a silent per-row exclusion (r9 advice)") {
     val mem = newFeed("co_feed")
     val stmts = new Statements(spark)
-    // r9 advice (medium): this used to evaluate per-row to 'unknown' and
-    // silently exclude every row; now the string column coerces to
-    // DOUBLE like Spark's PromoteStrings (unparseable cells → NULL)
+    // the lenient spelling a user writes under ANSI: try_cast → NULL →
+    // unknown for unparseable cells. The r9 driver-side compiler
+    // silently excluded EVERY row of a string-vs-numeric comparison;
+    // the executor-side rewrite evaluates exactly what Spark SQL would
     val stmt = stmts.create(
-      "SELECT key, count(*) AS cnt FROM co_feed WHERE value > 5 GROUP BY key")
+      "SELECT key, count(*) AS cnt FROM co_feed " +
+        "WHERE try_cast(value AS DOUBLE) > 5 GROUP BY key")
     try {
       assert(stmts.waitForStatus(stmt, Set(Phase.Running)).isDefined)
       val cl = stmt.handle.get.changelog()
@@ -231,19 +237,49 @@ class ContinuousStatementsSpec extends AnyFunSuite {
       assert(cl.collapse().rows.toSet == Set(Vector[Any](1L, 2L)),
         "7.5 and 5.01 pass, 3.0 fails, unparseable 'oops' is unknown")
     } finally stmt.stop()
+    // the bare coercion runs under whatever mode the SESSION has —
+    // Spark's own semantics, never a private silent coercion: with ANSI
+    // on, the malformed cast fails the STATEMENT loudly; in legacy mode
+    // the cast nulls and the row is unknown-excluded, exactly as
+    // spark.sql would evaluate the same WHERE. (Mode read at runtime:
+    // another suite's ANSI toggle on the shared session must not decide
+    // this test's expectation — the NOTES ANSI-contamination gotcha.)
+    val mem2 = newFeed("co2_feed")
+    val bad = stmts.create(
+      "SELECT key, count(*) AS cnt FROM co2_feed WHERE value > 5 GROUP BY key")
+    try {
+      mem2.addData((0L, 1L, 100L, "oops", false), (1L, 1L, 101L, "7", false))
+      if (spark.conf.get("spark.sql.ansi.enabled").toBoolean) {
+        intercept[Exception](bad.handle.get.processAllAvailable())
+        assert(bad.phase == Phase.Failed,
+          "an ANSI cast error must surface as a failed statement")
+      } else {
+        bad.handle.get.processAllAvailable()
+        val clb = bad.handle.get.changelog()
+        while (clb.consume(1).nonEmpty) ()
+        assert(clb.collapse().rows.toSet == Set(Vector[Any](1L, 1L)),
+          "legacy mode: '7' passes, unparseable 'oops' is unknown")
+      }
+    } finally bad.stop()
   }
 
   test("three-way continuous JOIN chain: SELECT * and GROUP BY both " +
     "collapse to the batch triple join after every page") {
-    val f1 = newFeed("c3_a"); val f2 = newFeed("c3_b"); val f3 = newFeed("c3_c")
+    // one MemoryStream set PER STATEMENT: MemoryStream.commit trims
+    // delivered batches, so two queries sharing one stream race — the
+    // faster query's commit can drop a batch before the slower reads it
+    val f1 = newFeed("c3v_a"); val f2 = newFeed("c3v_b")
+    val f3 = newFeed("c3v_c")
+    val g1 = newFeed("c3g_a"); val g2 = newFeed("c3g_b")
+    val g3 = newFeed("c3g_c")
     val stmts = new Statements(spark)
     val view = stmts.create(
-      "SELECT * FROM c3_a a JOIN c3_b b ON a.key = b.key " +
-        "JOIN c3_c c ON b.key = c.key")
+      "SELECT * FROM c3v_a a JOIN c3v_b b ON a.key = b.key " +
+        "JOIN c3v_c c ON b.key = c.key")
     val agg = stmts.create(
       "SELECT key, count(*) AS cnt, max(CAST(c.value AS DOUBLE)) AS mx " +
-        "FROM c3_a a JOIN c3_b b ON a.key = b.key " +
-        "JOIN c3_c c ON b.key = c.key GROUP BY key")
+        "FROM c3g_a a JOIN c3g_b b ON a.key = b.key " +
+        "JOIN c3g_c c ON b.key = c.key GROUP BY key")
     try {
       assert(view.isStreaming && agg.isStreaming)
       assert(view.columns == Seq("key", "a_id", "a_value", "b_id", "b_value",
@@ -256,9 +292,9 @@ class ContinuousStatementsSpec extends AnyFunSuite {
       val b = scala.collection.mutable.Map.empty[(Long, Long), String]
       val c = scala.collection.mutable.Map.empty[(Long, Long), String]
       def page(ab: Seq[Feed], bb: Seq[Feed], cb: Seq[Feed]): Unit = {
-        if (ab.nonEmpty) f1.addData(ab)
-        if (bb.nonEmpty) f2.addData(bb)
-        if (cb.nonEmpty) f3.addData(cb)
+        if (ab.nonEmpty) { f1.addData(ab); g1.addData(ab) }
+        if (bb.nonEmpty) { f2.addData(bb); g2.addData(bb) }
+        if (cb.nonEmpty) { f3.addData(cb); g3.addData(cb) }
         view.handle.get.processAllAvailable()
         agg.handle.get.processAllAvailable()
         ab.foreach(applyFeed(a, _)); bb.foreach(applyFeed(b, _))
@@ -343,18 +379,20 @@ class ContinuousStatementsSpec extends AnyFunSuite {
     "GROUP BY over a dim attribute, WHERE on a dim column, LEFT padding") {
     val s = spark
     import s.implicits._
-    val mem = newFeed("fs_feed")
+    // one feed per statement (MemoryStream.commit trims shared batches)
+    val mem1 = newFeed("fs1_feed"); val mem2 = newFeed("fs2_feed")
+    val mem3 = newFeed("fs3_feed")
     Seq((1L, "east", 2.5), (2L, "west", 1.0), (3L, "east", 0.5))
       .toDF("k", "region", "w").createOrReplaceTempView("fs_dims")
     val stmts = new Statements(s)
     val view = stmts.create(
-      "SELECT * FROM fs_feed a JOIN fs_dims d ON a.key = d.k")
+      "SELECT * FROM fs1_feed a JOIN fs_dims d ON a.key = d.k")
     val agg = stmts.create(
       "SELECT d.region, count(*) AS cnt, sum(CAST(a.value AS DOUBLE)) AS sv " +
-        "FROM fs_feed a JOIN fs_dims d ON a.key = d.k " +
+        "FROM fs2_feed a JOIN fs_dims d ON a.key = d.k " +
         "WHERE d.w > 0.75 GROUP BY d.region")
     val lview = stmts.create(
-      "SELECT * FROM fs_feed a LEFT JOIN fs_dims d ON a.key = d.k")
+      "SELECT * FROM fs3_feed a LEFT JOIN fs_dims d ON a.key = d.k")
     try {
       assert(view.isStreaming && agg.isStreaming && lview.isStreaming)
       assert(view.columns == Seq("key", "id", "value", "k", "region", "w"))
@@ -368,7 +406,7 @@ class ContinuousStatementsSpec extends AnyFunSuite {
       val cll = lview.handle.get.changelog()
       val live = scala.collection.mutable.Map.empty[(Long, Long), String]
       def page(evs: Seq[Feed]): Unit = {
-        mem.addData(evs)
+        mem1.addData(evs); mem2.addData(evs); mem3.addData(evs)
         Seq(view, agg, lview).foreach(_.handle.get.processAllAvailable())
         evs.foreach(applyFeed(live, _))
         Seq(clv, cla, cll).foreach(cl => while (cl.consume(1).nonEmpty) ())
@@ -408,6 +446,51 @@ class ContinuousStatementsSpec extends AnyFunSuite {
       assert(clv.collapse().rows.isEmpty && cla.collapse().rows.isEmpty &&
         cll.collapse().rows.isEmpty)
     } finally { view.stop(); agg.stop(); lview.stop() }
+  }
+
+  test("outer-join pads surface as SQL NULLs in the facade view: IS NULL " +
+    "anti-joins serve unmatched rows, null-skipping aggregates ignore pads") {
+    // one feed pair per statement (MemoryStream.commit trims shared
+    // batches under two readers)
+    val lv = newFeed("opv_l"); val rv = newFeed("opv_r")
+    val lg = newFeed("opg_l"); val rg = newFeed("opg_r")
+    val stmts = new Statements(spark)
+    val anti = stmts.create(
+      "SELECT * FROM opv_l a LEFT JOIN opv_r b ON a.key = b.key " +
+        "WHERE b.id IS NULL")
+    val agg = stmts.create(
+      "SELECT key, count(b.id) AS nb, min(b.value) AS mv, count(*) AS n " +
+        "FROM opg_l a LEFT JOIN opg_r b ON a.key = b.key GROUP BY key")
+    try {
+      for (st <- Seq(anti, agg))
+        assert(stmts.waitForStatus(st, Set(Phase.Running)).isDefined)
+      val cla = anti.handle.get.changelog()
+      val clg = agg.handle.get.changelog()
+      def sync(): (Set[Vector[Any]], Set[Vector[Any]]) = {
+        Seq(anti, agg).foreach(_.handle.get.processAllAvailable())
+        Seq(cla, clg).foreach(cl => while (cl.consume(1).nonEmpty) ())
+        (cla.collapse().rows.toSet, clg.collapse().rows.toSet)
+      }
+      def addL(evs: Feed*): Unit = { lv.addData(evs); lg.addData(evs) }
+      def addR(evs: Feed*): Unit = { rv.addData(evs); rg.addData(evs) }
+      // key 1 matched, key 2 unmatched (padded)
+      addL((0L, 1L, 100L, "x", false), (1L, 2L, 101L, "y", false))
+      addR((0L, 1L, 200L, "r", false))
+      val (a1, g1) = sync()
+      assert(a1 == Set(Vector[Any](2L, 101L, "y", null, null)),
+        s"IS NULL anti-join must serve exactly the padded row, got $a1")
+      assert(g1 == Set(Vector[Any](1L, 1L, "r", 1L),
+        Vector[Any](2L, 0L, null, 1L)),
+        s"COUNT(col)/MIN must skip the pad while COUNT(*) counts it: $g1")
+      // key 2's right row arrives: the anti-join row LEAVES (-D) and the
+      // aggregates pick up the real value
+      addR((1L, 2L, 201L, "s", false))
+      val (a2, g2) = sync()
+      assert(a2.isEmpty, "a matched key must leave the anti-join view")
+      assert(cla.history.flatMap(_.op).contains(graft.changelog.Op.Delete))
+      assert(g2 == Set(Vector[Any](1L, 1L, "r", 1L),
+        Vector[Any](2L, 1L, "s", 1L)))
+    } finally { anti.stop(); agg.stop() }
   }
 
   test("maintained top-k statement: ORDER BY … LIMIT k serves membership " +

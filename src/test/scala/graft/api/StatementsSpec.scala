@@ -265,10 +265,14 @@ class StatementsSpec extends AnyFunSuite {
     // analyzes fine, fails at execution: ANSI cast of a non-numeric string
     val stmt = stmts.create(
       "SELECT CAST(n_name AS INT) + 1 AS boom FROM nation")
+    // restore the PREVIOUS mode, not a hardcoded one — a hardcoded
+    // "false" leaked legacy mode into every suite that ran after (the
+    // NOTES ANSI-contamination gotcha, bitten again in r10)
+    val prevAnsi = spark.conf.get("spark.sql.ansi.enabled")
     intercept[Exception] {
       spark.conf.set("spark.sql.ansi.enabled", "true")
       try stmt.results().foreach(_ => ())
-      finally spark.conf.set("spark.sql.ansi.enabled", "false")
+      finally spark.conf.set("spark.sql.ansi.enabled", prevAnsi)
     }
     assert(stmt.phase == Phase.Failed)
     assert(stmts.waitForStatus(stmt, Set(Phase.Completed)).isEmpty,
@@ -343,8 +347,11 @@ class StatementsSpec extends AnyFunSuite {
       stmt2.handle.get.processAllAvailable()
       val cl3 = stmt2.handle.get.changelog()
       while (cl3.consume(1).nonEmpty) ()
+      // the operator wire pads with (-1, null); the FACADE view is SQL,
+      // so the pad surfaces as a NULL id (r10: IS NULL anti-joins and
+      // null-skipping aggregates over the padded side must work)
       assert(cl3.collapse().rows.exists(r =>
-        r(0) == 7L && r(2) == "solo" && r(3) == -1L && r(4) == null),
+        r(0) == 7L && r(2) == "solo" && r(3) == null && r(4) == null),
         "LEFT JOIN statement must null-pad the unmatched left row")
     } finally stmt2.stop()
     // a NARROWING projection must not silently get the wide IVM view —

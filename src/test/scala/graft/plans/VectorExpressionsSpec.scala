@@ -243,6 +243,26 @@ class VectorExpressionsSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == hof,
       "native integer dot must equal the HOF path (exact sums, any order)")
+    // NULL semantics match the HOF exactly (r10 review finding): a null
+    // slot poisons the sum and a length mismatch null-pads — both yield
+    // NULL, never a silently different score over a prefix
+    def optByte(xs: Option[Byte]*): Seq[Option[Byte]] = xs
+    val nullRows = Seq(
+      (0L, optByte(Some(1), None, Some(3)), optByte(Some(1), Some(2), Some(3))),
+      (1L, optByte(Some(1), Some(2)), optByte(Some(1), Some(2), Some(3))),
+      (2L, optByte(Some(2), Some(3)), optByte(Some(4), Some(5))))
+      .toDF("id", "a", "b")
+    def asMap(df: org.apache.spark.sql.DataFrame): Map[Long, Option[Long]] =
+      df.collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    val gotN = asMap(nullRows.select($"id",
+      VectorExpressions.intDot($"a", $"b").as("d")))
+    val hofN = asMap(nullRows.select($"id",
+      aggregate(zip_with($"a", $"b", (x, y) =>
+        (x.cast("int") * y.cast("int")).cast("long")),
+        lit(0L), (acc, p) => acc + p).as("d")))
+    assert(gotN == hofN, s"null semantics diverged: $gotN vs $hofN")
+    assert(gotN == Map(0L -> None, 1L -> None, 2L -> Some(23L)))
     // a non-byte array must die at analysis, never reinterpret bytes
     intercept[org.apache.spark.sql.AnalysisException] {
       Seq((Seq(1.0, 2.0), Seq(1.toByte, 2.toByte))).toDF("a", "b")
