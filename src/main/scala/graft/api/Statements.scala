@@ -525,7 +525,9 @@ final class Statements(spark: SparkSession, prefix: String = "stmt-",
     *    GROUP BY … [HAVING …]` (grouped or UNGROUPED incremental fold —
     *    COUNT/SUM/AVG/MIN/MAX — over the view's deltas)
     *  - `SELECT DISTINCT <cols> FROM <source>` (the zero-aggregate fold)
-    *  - `SELECT * FROM <feed> ORDER BY <col> LIMIT k` (maintained top-k)
+    *  - `… ORDER BY <col> [DESC] LIMIT k` over a feed's `SELECT *` or
+    *    over any GROUP BY above (the maintained top-k / aggregate
+    *    leaderboard — Flink's Top-N)
     * Parsing is Catalyst's own (`sessionState.sqlParser`), not regex. SQL
     * whose relations are not changelog feeds falls through to the default
     * route untouched; an AGGREGATE whose FROM references feeds but whose
@@ -605,13 +607,33 @@ final class Statements(spark: SparkSession, prefix: String = "stmt-",
           if !projList.exists(_.isInstanceOf[UnresolvedStar]) =>
         routeAgg(Aggregate(projList, projList, rel, None), None,
           sql, name, properties)
-      // SELECT * FROM <feed> ORDER BY <col> [ASC|DESC] LIMIT k — the
-      // continuously-maintained top-k view (Flink's Top-N operator for
-      // this statement shape)
+      // ORDER BY <col> [ASC|DESC] LIMIT k — the continuously-maintained
+      // top-k (Flink's Top-N operator): over `SELECT * FROM feed` it
+      // serves the feed's top rows; over a GROUP BY (with or without
+      // HAVING, grouped or ungrouped) it serves the AGGREGATE
+      // leaderboard — groups crossing the k-boundary emit +I / -D
       case GlobalLimit(Literal(k: Int, IntegerType),
-          LocalLimit(_, Sort(Seq(order), true,
-            Project(Seq(UnresolvedStar(None)), rel), _))) =>
-        topKStatement(rel, order, k, sql, name, properties)
+          LocalLimit(_, Sort(Seq(order), true, child, _))) =>
+        child match {
+          case Project(Seq(UnresolvedStar(None)), rel) =>
+            topKStatement(rel, order, k, sql, name, properties)
+          case agg: Aggregate =>
+            routeAgg(agg, None, sql, name, properties, Some((order, k)))
+          case h: UnresolvedHaving => h.child match {
+            case agg: Aggregate =>
+              routeAgg(agg, Some(h.havingCondition), sql, name, properties,
+                Some((order, k)))
+            case p: Project if hasAggFunction(p.projectList) =>
+              routeAgg(Aggregate(Nil, p.projectList, p.child, None),
+                Some(h.havingCondition), sql, name, properties,
+                Some((order, k)))
+            case _ => None
+          }
+          case p: Project if hasAggFunction(p.projectList) =>
+            routeAgg(Aggregate(Nil, p.projectList, p.child, None), None,
+              sql, name, properties, Some((order, k)))
+          case _ => None
+        }
       case _ => None
     }
   }
@@ -668,8 +690,8 @@ final class Statements(spark: SparkSession, prefix: String = "stmt-",
     * default route's append-only reading would silently mis-evaluate it
     * (deletes as rows, upserts double-counted). */
   private def routeAgg(agg: Aggregate, having: Option[Expression],
-      sql: String, name: String,
-      properties: Map[String, String]): Option[Statement] = {
+      sql: String, name: String, properties: Map[String, String],
+      topK: Option[(SortOrder, Int)] = None): Option[Statement] = {
     val (src, where) = agg.child match {
       case Filter(cond, s) => (s, Some(cond))
       case s => (s, None)
@@ -680,7 +702,8 @@ final class Statements(spark: SparkSession, prefix: String = "stmt-",
     }
     source match {
       case Some(ds) =>
-        Some(aggOverDeltas(ds, agg, where, having, sql, name, properties))
+        Some(aggOverDeltas(ds, agg, where, having, sql, name, properties,
+          topK))
       case None =>
         if (referencesFeed(src))
           unsupported(sql, "the FROM clause references changelog feed(s) " +
@@ -794,8 +817,8 @@ final class Statements(spark: SparkSession, prefix: String = "stmt-",
     * every snapshot row to the empty key so transitions wire as -U/+U. */
   private def aggOverDeltas(ds: DeltaSource, agg: Aggregate,
       where: Option[Expression], having: Option[Expression],
-      sql: String, name: String,
-      properties: Map[String, String]): Statement = {
+      sql: String, name: String, properties: Map[String, String],
+      topK: Option[(SortOrder, Int)] = None): Statement = {
     def bail(what: String): Nothing = unsupported(sql, what)
     def viewCol(a: UnresolvedAttribute): Int =
       ds.resolve(a).getOrElse(bail(s"column ${a.nameParts.mkString(".")} " +
@@ -1018,6 +1041,66 @@ final class Statements(spark: SparkSession, prefix: String = "stmt-",
       val f = compilePred(outIdx, i => fields(i).dataType)(cond)
       (v: Vector[Any]) => f(v).contains(true)
     }
+    // ORDER BY … LIMIT k over the AGGREGATE view — Flink's Top-N over a
+    // grouped aggregate (the leaderboard statement): the emitted
+    // snapshot sorts by the output column and keeps k rows, so groups
+    // crossing the k-boundary wire the same +I/-D membership
+    // transitions as the feed-level top-k. Ties break by the group-key
+    // columns ascending — deterministic for any arrival order.
+    val presentation: Seq[Vector[Any]] => Seq[Vector[Any]] = topK match {
+      case None => identity
+      case Some((order, k)) =>
+        if (k <= 0) bail("a maintained top-k needs a positive LIMIT")
+        val sIdx = order.child match {
+          case a: UnresolvedAttribute => outIdx(a)
+          case other =>
+            bail(s"ORDER BY expression $other is not an output column")
+        }
+        val desc = order.direction == Descending
+        val nullsFirst = order.nullOrdering == NullsFirst
+        def cmpVals(dt: DataType, a: Any, b: Any): Int = kindOf(dt) match {
+          case Some(LongK) => java.lang.Long.compare(
+            a.asInstanceOf[Number].longValue,
+            b.asInstanceOf[Number].longValue)
+          case Some(DoubleK) => java.lang.Double.compare(
+            a.asInstanceOf[Number].doubleValue,
+            b.asInstanceOf[Number].doubleValue)
+          case Some(StringK) =>
+            a.asInstanceOf[String].compareTo(b.asInstanceOf[String])
+          // a group key of a kind the fold can't compare (e.g. a boolean
+          // dim column) still needs a DETERMINISTIC tiebreak: canonical
+          // string form
+          case None => String.valueOf(a).compareTo(String.valueOf(b))
+        }
+        val keyIdxs = outCols.zipWithIndex.collect {
+          case ((_, Left(i)), at) if groupIdx.contains(i) => at
+        }
+        val ord: Ordering[Vector[Any]] = new Ordering[Vector[Any]] {
+          override def compare(x: Vector[Any], y: Vector[Any]): Int = {
+            val xv = x(sIdx); val yv = y(sIdx)
+            val c =
+              if (xv == null && yv == null) 0
+              else if (xv == null) { if (nullsFirst) -1 else 1 }
+              else if (yv == null) { if (nullsFirst) 1 else -1 }
+              else {
+                val base = cmpVals(fields(sIdx).dataType, xv, yv)
+                if (desc) -base else base
+              }
+            if (c != 0) return c
+            keyIdxs.foreach { i =>
+              val a = x(i); val b = y(i)
+              val t =
+                if (a == null && b == null) 0
+                else if (a == null) -1
+                else if (b == null) 1
+                else cmpVals(fields(i).dataType, a, b)
+              if (t != 0) return t
+            }
+            0
+          }
+        }
+        rows => rows.sorted(ord).take(k)
+    }
     // ---- driver-side incremental fold over the source's retraction
     // deltas; the heavy join/upsert state stays in the executor StateStore
     val aggOps = outCols.collect { case (_, Right(op)) => op }
@@ -1134,10 +1217,10 @@ final class Statements(spark: SparkSession, prefix: String = "stmt-",
             }
         }.toVector
       }.toSeq
-      havingFilter match {
+      presentation(havingFilter match {
         case Some(f) => snapshot.filter(f)
         case None => snapshot
-      }
+      })
     }
     val outNames = outCols.map(_._1)
     val keyNames = outCols.collect {

@@ -538,6 +538,53 @@ class ContinuousStatementsSpec extends AnyFunSuite {
     } finally stmt.stop()
   }
 
+  test("aggregate leaderboard: GROUP BY … ORDER BY agg DESC LIMIT k " +
+    "maintains the top-k groups with +I/-D boundary transitions") {
+    val mem = newFeed("lb_feed")
+    val stmts = new Statements(spark)
+    val stmt = stmts.create(
+      "SELECT key, count(*) AS cnt FROM lb_feed GROUP BY key " +
+        "ORDER BY cnt DESC LIMIT 2")
+    try {
+      assert(stmt.isStreaming, "an aggregate top-k must route")
+      assert(stmt.columns == Seq("key", "cnt"))
+      assert(stmts.waitForStatus(stmt, Set(Phase.Running)).isDefined)
+      val cl = stmt.handle.get.changelog()
+      val live = scala.collection.mutable.Map.empty[Long, (Long, String)]
+      def page(evs: Seq[Feed]): Set[Vector[Any]] = {
+        mem.addData(evs)
+        stmt.handle.get.processAllAvailable()
+        evs.foreach { f =>
+          if (f._5) live.remove(f._3) else live(f._3) = (f._2, f._4)
+        }
+        while (cl.consume(1).nonEmpty) ()
+        // batch reference: counts per key, top-2 by (cnt desc, key asc)
+        val expected = live.values.groupBy(_._1).view
+          .mapValues(_.size.toLong).toSeq
+          .sortBy { case (k, n) => (-n, k) }.take(2)
+          .map { case (k, n) => Vector[Any](k, n) }.toSet
+        val got = cl.collapse().rows.toSet
+        assert(got == expected, s"leaderboard $got != batch $expected")
+        got
+      }
+      // key 1 has 2 rows, keys 2/3 one each: top-2 = (1,2),(2,1) — the
+      // cnt tie between keys 2 and 3 breaks toward the lower key
+      val p1 = page(Seq((0L, 1L, 100L, "a", false), (1L, 1L, 101L, "b", false),
+        (2L, 2L, 200L, "c", false), (3L, 3L, 300L, "d", false)))
+      assert(p1 == Set(Vector[Any](1L, 2L), Vector[Any](2L, 1L)))
+      // key 3 gains two rows → (3,3) ENTERS, (2,1) LEAVES via -D
+      val p2 = page(Seq((4L, 3L, 301L, "e", false), (5L, 3L, 302L, "f", false)))
+      assert(p2 == Set(Vector[Any](1L, 2L), Vector[Any](3L, 3L)))
+      assert(cl.history.flatMap(_.op).contains(graft.changelog.Op.Delete),
+        "a group leaving the leaderboard must wire a real -D")
+      // deletes shrink key 3 → key 2 re-enters on the tiebreak
+      page(Seq((6L, 3L, 301L, "e", true), (7L, 3L, 302L, "f", true),
+        (8L, 3L, 300L, "d", true)))
+      assert(cl.collapse().rows.toSet ==
+        Set(Vector[Any](1L, 2L), Vector[Any](2L, 1L)))
+    } finally stmt.stop()
+  }
+
   test("SELECT DISTINCT over a feed maintains membership: an upsert " +
     "moving an id between keys moves the distinct row") {
     val mem = newFeed("dk_feed")
