@@ -85,6 +85,62 @@ class ThroughputSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("composed continuous statement (upsert IVM -> executor WHERE -> " +
+      "driver fold -> wire) sustains well over the 20 events/s baseline") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val mem = MemoryStream[(Long, Long, Long, String, Boolean)]
+    mem.toDF().toDF("seq", "key", "id", "value", "delete")
+      .createOrReplaceTempView("tp_feed")
+    val stmts = new graft.api.Statements(s)
+    // the full dashboard-shaped route: exact-retraction upsert IVM,
+    // codegen'd WHERE, O(groups) driver fold with a MIN/MAX multiset,
+    // changelog synthesis — the path every routed statement pays
+    val stmt = stmts.create(
+      "SELECT key, count(*) AS cnt, max(value) AS mx FROM tp_feed " +
+        "WHERE value IS NOT NULL GROUP BY key")
+    try {
+      val rnd = new scala.util.Random(7)
+      var seqNo = 0L
+      def batch(n: Int): Seq[(Long, Long, Long, String, Boolean)] =
+        (0 until n).map { _ =>
+          seqNo += 1
+          (seqNo, rnd.nextInt(100).toLong, rnd.nextInt(500).toLong,
+            s"v${rnd.nextInt(1000)}", rnd.nextInt(5) == 0)
+        }
+      // the PUBLIC surface only: the query by statement name, results()
+      // as the page cursor (what a dashboard client sees)
+      def sync(): Unit =
+        s.streams.active.find(_.name == stmt.name).get.processAllAvailable()
+      mem.addData(batch(10)); sync() // warmup
+      val t0 = System.nanoTime()
+      (1 to 10).foreach { _ =>
+        mem.addData(batch(1000))
+        sync() // freshness per micro-batch
+      }
+      val secs = (System.nanoTime() - t0) / 1e9
+      val rate = 10000 / secs
+      info(f"sustained $rate%.0f events/s through the composed statement")
+      assert(rate >= 20 * 10,
+        f"composed-statement rate $rate%.0f events/s below 10x the baseline")
+      // the wire stayed consumable: ~100 live groups in the collapse.
+      // results() is the infinite heartbeat iterator — drain by POLLS
+      // (three consecutive empty polls = caught up), the client pattern
+      val it = stmt.results(heartbeatMs = 0)
+      val recs = scala.collection.mutable.ArrayBuffer
+        .empty[Option[graft.changelog.RawRecord]]
+      var idle = 0
+      while (idle < 3) it.next() match {
+        case some @ Some(_) => recs += some; idle = 0
+        case None => idle += 1
+      }
+      val cl = new graft.changelog.Changelog(stmt.columns, recs.iterator)
+      cl.consume()
+      assert(cl.collapse().rows.nonEmpty)
+    } finally stmt.stop()
+  }
+
   test("ingest-twin pipeline (classify + drift) sustains well over the " +
       "20 docs/s baseline") {
     val s = spark
