@@ -615,8 +615,21 @@ final class Statements(spark: SparkSession, prefix: String = "stmt-",
       case GlobalLimit(Literal(k: Int, IntegerType),
           LocalLimit(_, Sort(Seq(order), true, child, _))) =>
         child match {
-          case Project(Seq(UnresolvedStar(None)), rel) =>
-            topKStatement(rel, order, k, sql, name, properties)
+          // filtered top-k first: the bare pattern below would swallow
+          // the Filter as its source otherwise
+          case Project(Seq(UnresolvedStar(None)), Filter(cond, src)) =>
+            val source = src match {
+              case j: Join => matchJoinSource(j, sql)
+              case rel => matchSingleFeed(rel)
+            }
+            source.map(ds => topKViewStatement(filterDeltas(ds, cond, sql),
+              order, k, sql, name, properties))
+          case Project(Seq(UnresolvedStar(None)), src) =>
+            val source = src match {
+              case j: Join => matchJoinSource(j, sql)
+              case rel => matchSingleFeed(rel)
+            }
+            source.map(topKViewStatement(_, order, k, sql, name, properties))
           case agg: Aggregate =>
             routeAgg(agg, None, sql, name, properties, Some((order, k)))
           case h: UnresolvedHaving => h.child match {
@@ -1056,49 +1069,11 @@ final class Statements(spark: SparkSession, prefix: String = "stmt-",
           case other =>
             bail(s"ORDER BY expression $other is not an output column")
         }
-        val desc = order.direction == Descending
-        val nullsFirst = order.nullOrdering == NullsFirst
-        def cmpVals(dt: DataType, a: Any, b: Any): Int = kindOf(dt) match {
-          case Some(LongK) => java.lang.Long.compare(
-            a.asInstanceOf[Number].longValue,
-            b.asInstanceOf[Number].longValue)
-          case Some(DoubleK) => java.lang.Double.compare(
-            a.asInstanceOf[Number].doubleValue,
-            b.asInstanceOf[Number].doubleValue)
-          case Some(StringK) =>
-            a.asInstanceOf[String].compareTo(b.asInstanceOf[String])
-          // a group key of a kind the fold can't compare (e.g. a boolean
-          // dim column) still needs a DETERMINISTIC tiebreak: canonical
-          // string form
-          case None => String.valueOf(a).compareTo(String.valueOf(b))
-        }
         val keyIdxs = outCols.zipWithIndex.collect {
           case ((_, Left(i)), at) if groupIdx.contains(i) => at
         }
-        val ord: Ordering[Vector[Any]] = new Ordering[Vector[Any]] {
-          override def compare(x: Vector[Any], y: Vector[Any]): Int = {
-            val xv = x(sIdx); val yv = y(sIdx)
-            val c =
-              if (xv == null && yv == null) 0
-              else if (xv == null) { if (nullsFirst) -1 else 1 }
-              else if (yv == null) { if (nullsFirst) 1 else -1 }
-              else {
-                val base = cmpVals(fields(sIdx).dataType, xv, yv)
-                if (desc) -base else base
-              }
-            if (c != 0) return c
-            keyIdxs.foreach { i =>
-              val a = x(i); val b = y(i)
-              val t =
-                if (a == null && b == null) 0
-                else if (a == null) -1
-                else if (b == null) 1
-                else cmpVals(fields(i).dataType, a, b)
-              if (t != 0) return t
-            }
-            0
-          }
-        }
+        val ord = rowOrdering(sIdx, order.direction == Descending,
+          order.nullOrdering == NullsFirst, i => fields(i).dataType, keyIdxs)
         rows => rows.sorted(ord).take(k)
     }
     // ---- driver-side incremental fold over the source's retraction
@@ -1239,44 +1214,28 @@ final class Statements(spark: SparkSession, prefix: String = "stmt-",
     new Statement(name, sql, schemaDf, Some(handle), properties)
   }
 
-  /** `SELECT * FROM <feed> ORDER BY <col> [ASC|DESC] LIMIT k`: the
-    * continuously-maintained top-k view — Flink's Top-N operator for
-    * this statement shape (the reference dashboard sorts client-side,
-    * `dashboard.py:93`; the Flink service would maintain it
-    * server-side). Like Flink's no-rownum Top-N, the served columns are
-    * the view's own (key, id, value) and emissions are MEMBERSHIP
-    * deltas: a row crossing the k-boundary emits +I / -D, an in-view
-    * change -U/+U; clients recover the order by sorting k rows. Ties
-    * break toward the lower id, so the view is deterministic for any
-    * arrival interleaving.
-    *
-    * State shape: the fold keeps the feed's live rows (O(live ids),
-    * driver-side): a retraction of the k-th row must know the (k+1)-th,
-    * so the full order is the operator's irreducible state — Flink's
-    * Top-N keeps the same. Dashboard-sized by the facade contract; the
-    * executor-side bounded-state variant is
-    * [[graft.streaming.StatefulOps.topKPerKey]]. */
-  private def topKStatement(rel: LogicalPlan, order: SortOrder, k: Int,
-      sql: String, name: String,
-      properties: Map[String, String]): Option[Statement] = {
-    val (relName, alias) = relInfo(rel).getOrElse(return None)
-    val feed = changelogFeed(relName).getOrElse(return None)
-    if (k <= 0) return None // LIMIT 0 is a constant-empty view: default
-    val sortIdx: Int = order.child match {
-      case a: UnresolvedAttribute => a.nameParts match {
-        case Seq(c) if FeedViewCols.contains(c) => FeedViewCols.indexOf(c)
-        case Seq(q, c) if q == alias && FeedViewCols.contains(c) =>
-          FeedViewCols.indexOf(c)
-        case _ => unsupported(sql, s"ORDER BY column " +
-          s"${a.nameParts.mkString(".")} does not resolve in the " +
-          s"maintained view (${FeedViewCols.mkString(", ")})")
-      }
-      case other =>
-        unsupported(sql, s"ORDER BY expression $other is not a view column")
-    }
-    val desc = order.direction == Descending
-    val nullsFirst = order.nullOrdering == NullsFirst
-    val ord: Ordering[Vector[Any]] = new Ordering[Vector[Any]] {
+  /** Canonical comparison of two cells under a known (or unknown) kind
+    * — the deterministic building block of every maintained ordering. */
+  private def cmpCells(dt: DataType, a: Any, b: Any): Int = kindOf(dt) match {
+    case Some(LongK) => java.lang.Long.compare(
+      a.asInstanceOf[Number].longValue, b.asInstanceOf[Number].longValue)
+    case Some(DoubleK) => java.lang.Double.compare(
+      a.asInstanceOf[Number].doubleValue, b.asInstanceOf[Number].doubleValue)
+    case Some(StringK) =>
+      a.asInstanceOf[String].compareTo(b.asInstanceOf[String])
+    // a column of a kind the fold can't compare (e.g. a boolean dim
+    // column) still needs a DETERMINISTIC tiebreak: canonical string form
+    case None => String.valueOf(a).compareTo(String.valueOf(b))
+  }
+
+  /** Total deterministic order for maintained top-k rows: the sort
+    * column first (direction + null placement from the SQL), then the
+    * `tiebreak` columns ascending nulls-first — so the served k-set is
+    * identical for any arrival interleaving. */
+  private def rowOrdering(sortIdx: Int, desc: Boolean, nullsFirst: Boolean,
+      typeAt: Int => DataType,
+      tiebreak: Seq[Int]): Ordering[Vector[Any]] =
+    new Ordering[Vector[Any]] {
       override def compare(x: Vector[Any], y: Vector[Any]): Int = {
         val xv = x(sortIdx); val yv = y(sortIdx)
         val c =
@@ -1284,42 +1243,88 @@ final class Statements(spark: SparkSession, prefix: String = "stmt-",
           else if (xv == null) { if (nullsFirst) -1 else 1 }
           else if (yv == null) { if (nullsFirst) 1 else -1 }
           else {
-            val base =
-              if (sortIdx == 2)
-                xv.asInstanceOf[String].compareTo(yv.asInstanceOf[String])
-              else java.lang.Long.compare(
-                xv.asInstanceOf[Long], yv.asInstanceOf[Long])
+            val base = cmpCells(typeAt(sortIdx), xv, yv)
             if (desc) -base else base
           }
-        if (c != 0) c
-        else java.lang.Long.compare( // deterministic tiebreak: id asc
-          x(1).asInstanceOf[Long], y(1).asInstanceOf[Long])
+        if (c != 0) return c
+        tiebreak.foreach { i =>
+          val a = x(i); val b = y(i)
+          val t =
+            if (a == null && b == null) 0
+            else if (a == null) -1
+            else if (b == null) 1
+            else cmpCells(typeAt(i), a, b)
+          if (t != 0) return t
+        }
+        0
       }
     }
-    val live = mutable.Map.empty[Long, (Long, String)] // id -> (key, value)
+
+  /** `SELECT * FROM <source> [WHERE …] ORDER BY <col> [ASC|DESC] LIMIT
+    * k` over ANY matched delta source (a feed's maintained view, a feed
+    * join, a chain, feed ⋈ static): the continuously-maintained top-k
+    * view — Flink's Top-N operator for this statement shape (the
+    * reference dashboard sorts client-side, `dashboard.py:93`; the Flink
+    * service would maintain it server-side). Like Flink's no-rownum
+    * Top-N, the served columns are the view's own and emissions are
+    * MEMBERSHIP deltas: a row crossing the k-boundary emits +I / -D.
+    * Ties break by the remaining view columns ascending, so the view is
+    * deterministic for any arrival interleaving.
+    *
+    * State shape: the fold keeps the view's live rows as a counted
+    * multiset (O(live rows), driver-side): a retraction of the k-th row
+    * must know the (k+1)-th, so the full order is the operator's
+    * irreducible state — Flink's Top-N keeps the same. Dashboard-sized
+    * by the facade contract; the executor-side bounded-state variant is
+    * [[graft.streaming.StatefulOps.topKPerKey]]. */
+  private def topKViewStatement(ds: DeltaSource, order: SortOrder, k: Int,
+      sql: String, name: String,
+      properties: Map[String, String]): Statement = {
+    if (k <= 0)
+      unsupported(sql, "a maintained top-k needs a positive LIMIT")
+    val sortIdx: Int = order.child match {
+      case a: UnresolvedAttribute => ds.resolve(a).getOrElse(
+        unsupported(sql, s"ORDER BY column ${a.nameParts.mkString(".")} " +
+          s"does not resolve in the maintained view " +
+          s"(${ds.viewCols.mkString(", ")})"))
+      case other =>
+        unsupported(sql, s"ORDER BY expression $other is not a view column")
+    }
+    if (kindOf(ds.types(sortIdx)).isEmpty)
+      unsupported(sql, s"ORDER BY column ${ds.viewCols(sortIdx)} of type " +
+        s"${ds.types(sortIdx)} is not orderable here (numeric/string only)")
+    val ord = rowOrdering(sortIdx, order.direction == Descending,
+      order.nullOrdering == NullsFirst, ds.types,
+      ds.viewCols.indices.filterNot(_ == sortIdx))
+    // live VIEW rows as a counted multiset: view rows carry their ids so
+    // true duplicates cannot occur, but counting keeps the fold total
+    // (a retraction always has something exact to cancel)
+    val live = mutable.Map.empty[Vector[Any], Long]
     def fold(deltas: Seq[Vector[Any]]): Seq[Vector[Any]] = {
-      deltas.foreach { row => // (op, key, id, value)
-        val id = row(2).asInstanceOf[Long]
+      deltas.foreach { row =>
+        val v = row.drop(1)
         row(0).asInstanceOf[Int] match {
-          case 0 => live(id) = (row(1).asInstanceOf[Long],
-            row(3).asInstanceOf[String])
-          case 3 => live.remove(id)
+          case 0 => live(v) = live.getOrElse(v, 0L) + 1L
+          case 3 =>
+            val next = live.getOrElse(v, 0L) - 1L
+            if (next < 0L) throw new IllegalStateException(
+              "top-k view retracted a row that was never inserted — the " +
+                "delta stream broke the IVM invariant")
+            if (next == 0L) live.remove(v) else live(v) = next
           case other => throw new IllegalStateException(
-            s"upsert delta carried an invalid changelog op: $other")
+            s"view delta carried an invalid changelog op: $other")
         }
       }
-      live.iterator
-        .map { case (id, (key, v)) => Vector[Any](key, id, v) }
-        .toVector.sorted(ord).take(k)
+      live.keysIterator.toVector.sorted(ord).take(k)
     }
-    val handle = ChangelogStream.foldingSnapshot(upsertDeltas(feed), name,
-      FeedViewCols, Seq("id"), fold)
+    val handle = ChangelogStream.foldingSnapshot(ds.deltas, name,
+      ds.viewCols, ds.viewCols, fold)
     val schemaDf = spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-      StructType(FeedViewCols.zip(FeedViewTypes).map {
+      StructType(ds.viewCols.zip(ds.types).map {
         case (n, t) => StructField(n, t)
       }))
-    Some(new Statement(name, sql, schemaDf, Some(handle), properties))
+    new Statement(name, sql, schemaDf, Some(handle), properties)
   }
 
   /** A memo hit is only served while the statement is still usable: a

@@ -536,6 +536,25 @@ class ContinuousStatementsSpec extends AnyFunSuite {
       page(Seq((6L, 2L, 200L, "c", true)))
       assert(cl.collapse().rows.isEmpty)
     } finally stmt.stop()
+    // the top-k route generalizes to ANY matched source: a filtered
+    // 2-feed JOIN view, ordered by an alias-qualified column
+    val jl = newFeed("tkj_l"); val jr = newFeed("tkj_r")
+    val stmts2 = new Statements(spark)
+    val jstmt = stmts2.create(
+      "SELECT * FROM tkj_l a JOIN tkj_r b ON a.key = b.key " +
+        "WHERE b.value <> 'skip' ORDER BY a.value DESC LIMIT 1")
+    try {
+      assert(jstmt.isStreaming, "top-k over a filtered join view must route")
+      assert(stmts2.waitForStatus(jstmt, Set(Phase.Running)).isDefined)
+      val clj = jstmt.handle.get.changelog()
+      jl.addData((0L, 1L, 100L, "m", false), (1L, 1L, 101L, "z", false))
+      jr.addData((0L, 1L, 200L, "ok", false), (1L, 1L, 201L, "skip", false))
+      jstmt.handle.get.processAllAvailable()
+      while (clj.consume(1).nonEmpty) ()
+      assert(clj.collapse().rows.toSet ==
+        Set(Vector[Any](1L, 101L, "z", 200L, "ok")),
+        "top-1 of the filtered join view by left value desc")
+    } finally jstmt.stop()
   }
 
   test("aggregate leaderboard: GROUP BY … ORDER BY agg DESC LIMIT k " +
