@@ -607,6 +607,21 @@ final class Statements(spark: SparkSession, prefix: String = "stmt-",
           if !projList.exists(_.isInstanceOf[UnresolvedStar]) =>
         routeAgg(Aggregate(projList, projList, rel, None), None,
           sql, name, properties)
+      // `SELECT <scalar projections> FROM <source> [WHERE …]`: the
+      // PROJECTED maintained view — a deterministic projection commutes
+      // with retraction (a row's +I and its -D project identically), so
+      // projecting the delta stream IS projecting the view, multiset
+      // semantics included (the consumer's collapse counts equal rows).
+      // Non-deterministic projections (demo1's RAND jitter is the
+      // reference's own example) and unresolvable items keep the default
+      // APPEND route, whose raw wire rows carry the explicit delete
+      // column — visible, not silently misread.
+      case Project(projList, Filter(cond, src))
+          if !projList.exists(_.isInstanceOf[UnresolvedStar]) =>
+        tryProjectedView(projList, src, Some(cond), sql, name, properties)
+      case Project(projList, src)
+          if !projList.exists(_.isInstanceOf[UnresolvedStar]) =>
+        tryProjectedView(projList, src, None, sql, name, properties)
       // ORDER BY <col> [ASC|DESC] LIMIT k — the continuously-maintained
       // top-k (Flink's Top-N operator): over `SELECT * FROM feed` it
       // serves the feed's top rows; over a GROUP BY (with or without
@@ -683,6 +698,65 @@ final class Statements(spark: SparkSession, prefix: String = "stmt-",
       unsupported(sql, "a non-deterministic WHERE cannot filter a " +
         "retraction stream (a row's +I and its -D must filter identically)")
     ds.copy(deltas = filtered)
+  }
+
+  /** The PROJECTED maintained view (see the router comment): rewrite
+    * every projection item (and the optional WHERE) onto the delta
+    * columns and run them executor-side — Catalyst's full scalar
+    * algebra, codegen'd. Quiet fall-through (None) on anything this
+    * route cannot serve faithfully: unresolvable attributes (wire
+    * columns like `delete` belong to the append reading), analysis
+    * failures, or non-determinism (per-event evaluation is the intended
+    * reading there — the reference's demo1 RAND jitter). */
+  private def tryProjectedView(
+      projList: Seq[org.apache.spark.sql.catalyst.expressions.NamedExpression],
+      src: LogicalPlan, where: Option[Expression], sql: String, name: String,
+      properties: Map[String, String]): Option[Statement] = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val source = src match {
+      case j: Join => matchJoinSource(j, sql)
+      case rel => matchSingleFeed(rel)
+    }
+    source.flatMap { ds =>
+      var ok = true
+      def rewrite(e: Expression): Expression = e.transform {
+        case a: UnresolvedAttribute => ds.resolve(a) match {
+          case Some(i) => ColumnBridge.expression(ds.deltas(ds.viewCols(i)))
+          case None => ok = false; a
+        }
+      }
+      val cols: Seq[(String, Expression)] = projList.map {
+        case a: UnresolvedAttribute => (a.nameParts.last, rewrite(a))
+        case Alias(child, n) => (n, rewrite(child))
+        case other => ok = false; (other.toString, other)
+      }
+      val whereRewritten = where.map(rewrite)
+      if (!ok) None
+      else try {
+        val base = whereRewritten match {
+          case Some(c) => ds.deltas.filter(ColumnBridge.column(c))
+          case None => ds.deltas
+        }
+        val projected = base.select((base("op") +: cols.map {
+          case (n, e) => ColumnBridge.column(e).as(n)
+        }): _*)
+        // determinism is only knowable AFTER analysis; every Project /
+        // Filter in the plan must be deterministic or retractions stop
+        // projecting onto their inserts
+        val deterministic = projected.queryExecution.analyzed.collect {
+          case p: Project => p.projectList.forall(_.deterministic)
+          case f: Filter => f.condition.deterministic
+        }.forall(identity)
+        if (!deterministic) None
+        else {
+          val handle = ChangelogStream.deltaPassthrough(projected, name)
+          Some(new Statement(name, sql, projected.drop("op"), Some(handle),
+            properties))
+        }
+      } catch {
+        case _: org.apache.spark.sql.AnalysisException => None
+      }
+    }
   }
 
   /** A matched maintained view served as-is: the delta stream's own

@@ -700,6 +700,66 @@ class ContinuousStatementsSpec extends AnyFunSuite {
     }
   }
 
+  test("projected maintained views: SELECT <exprs> FROM <source> " +
+    "[WHERE …] serves the view's projection (multiset semantics), " +
+    "never the raw wire; non-deterministic projections keep append") {
+    val mem = newFeed("pv_feed")
+    val stmts = new Statements(spark)
+    val stmt = stmts.create(
+      "SELECT key, upper(value) AS u FROM pv_feed WHERE key < 10")
+    try {
+      assert(stmt.isStreaming)
+      assert(stmt.columns == Seq("key", "u"))
+      assert(stmts.waitForStatus(stmt, Set(Phase.Running)).isDefined)
+      val cl = stmt.handle.get.changelog()
+      def sync(): Map[Vector[Any], Int] = {
+        stmt.handle.get.processAllAvailable()
+        while (cl.consume(1).nonEmpty) ()
+        cl.collapse().toMultiset
+      }
+      // two rows on key 1; key 99 filtered out
+      mem.addData((0L, 1L, 100L, "a", false), (1L, 1L, 101L, "b", false),
+        (2L, 99L, 900L, "z", false))
+      assert(sync() == Map(Vector[Any](1L, "A") -> 1, Vector[Any](1L, "B") -> 1))
+      // UPSERT id 100 a→b: the projection now has a DUPLICATE row — the
+      // multiset the raw-wire append reading could never maintain
+      // (it would show three rows and a delete marker later)
+      mem.addData((3L, 1L, 100L, "b", false))
+      assert(sync() == Map(Vector[Any](1L, "B") -> 2),
+        "projected view must carry row multiplicity")
+      // delete one of the two equal rows: multiplicity drops to 1
+      mem.addData((4L, 1L, 101L, "b", true))
+      assert(sync() == Map(Vector[Any](1L, "B") -> 1))
+    } finally stmt.stop()
+    // alias-qualified projections over a JOIN view route the same way
+    val jl = newFeed("pvj_l"); val jr = newFeed("pvj_r")
+    val j = stmts.create(
+      "SELECT a.value AS lv, b.value AS rv FROM pvj_l a JOIN pvj_r b " +
+        "ON a.key = b.key")
+    try {
+      assert(j.isStreaming)
+      assert(j.columns == Seq("lv", "rv"))
+      assert(stmts.waitForStatus(j, Set(Phase.Running)).isDefined)
+      val clj = j.handle.get.changelog()
+      jl.addData((0L, 1L, 100L, "x", false))
+      jr.addData((0L, 1L, 200L, "y", false))
+      j.handle.get.processAllAvailable()
+      while (clj.consume(1).nonEmpty) ()
+      assert(clj.collapse().rows.toSet == Set(Vector[Any]("x", "y")))
+      // a left UPDATE retracts the old projected row and inserts the new
+      jl.addData((1L, 1L, 100L, "x2", false))
+      j.handle.get.processAllAvailable()
+      while (clj.consume(1).nonEmpty) ()
+      assert(clj.collapse().rows.toSet == Set(Vector[Any]("x2", "y")),
+        "the projected join view must retract the stale projection")
+    } finally j.stop()
+    // RAND() keeps the default APPEND route (the reference's demo1 shape:
+    // per-event jitter is the intended evaluation)
+    val nd = stmts.create("SELECT key, rand() AS r FROM pv_feed")
+    try assert(nd.isStreaming && nd.columns == Seq("key", "r"))
+    finally nd.stop()
+  }
+
   test("continuous SUM over an integral column stays exact and emits " +
     "LONG (SQL sum-of-bigint typing), including values beyond 2^53") {
     val mem = newFeed("ix_feed")

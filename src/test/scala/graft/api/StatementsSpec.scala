@@ -354,9 +354,9 @@ class StatementsSpec extends AnyFunSuite {
         r(0) == 7L && r(2) == "solo" && r(3) == null && r(4) == null),
         "LEFT JOIN statement must null-pad the unmatched left row")
     } finally stmt2.stop()
-    // a NARROWING projection must not silently get the wide IVM view —
-    // only `SELECT *` routes to the changelog join; anything else keeps
-    // the default route (and its own schema)
+    // a NARROWING projection serves the PROJECTED maintained view (r10:
+    // deterministic projections commute with retraction) — never the
+    // wide view's columns, and never the raw wire
     val stmt3 = stmts.create(
       "SELECT a.value AS lv FROM l_feed a JOIN r_feed b ON a.key = b.key")
     try assert(stmt3.columns == Seq("lv"),
