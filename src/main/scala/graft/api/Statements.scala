@@ -263,17 +263,19 @@ final class Statements(spark: SparkSession, prefix: String = "stmt-",
     for {
       (relName, alias) <- relInfo(rel)
       feed <- changelogFeed(relName)
-    } yield {
-      val resolve: UnresolvedAttribute => Option[Int] = a => {
-        val colName = a.nameParts match {
-          case Seq(c) if FeedViewCols.contains(c) => Some(c)
-          case Seq(q, c) if q == alias && FeedViewCols.contains(c) => Some(c)
-          case _ => None
-        }
-        colName.map(FeedViewCols.indexOf)
+    } yield singleFeedSource(feed, alias)
+
+  private def singleFeedSource(feed: DataFrame, alias: String): DeltaSource = {
+    val resolve: UnresolvedAttribute => Option[Int] = a => {
+      val colName = a.nameParts match {
+        case Seq(c) if FeedViewCols.contains(c) => Some(c)
+        case Seq(q, c) if q == alias && FeedViewCols.contains(c) => Some(c)
+        case _ => None
       }
-      DeltaSource(upsertDeltas(feed), FeedViewCols, FeedViewTypes, resolve)
+      colName.map(FeedViewCols.indexOf)
     }
+    DeltaSource(upsertDeltas(feed), FeedViewCols, FeedViewTypes, resolve)
+  }
 
   /** One feed's wire rows → the exact retraction deltas of its
     * maintained view. */
@@ -392,39 +394,160 @@ final class Statements(spark: SparkSession, prefix: String = "stmt-",
         aliases.take(i + 1).exists(prev => keyEquality(c, prev, aliases(i + 1)))
       }
       feeds <- sequence(infos.map { case (n, _) => changelogFeed(n) })
-    } yield {
-      import spark.implicits._
-      import org.apache.spark.sql.functions.{col, element_at}
-      val n = feeds.length
-      val unioned = feeds.zipWithIndex.map { case (t, i) =>
-        t.select("seq", "key", "id", "value", "delete")
-          .as[(Long, Long, Long, String, Boolean)]
-          .map { case (seq, k, id, v, del) =>
-            (seq, StatefulOps.MultiJoinEvent(k, i, id, v, del))
-          }
-      }.reduce(_ union _)
-      val multi = StatefulOps.changelogMultiJoinStream(unioned, n).toDF()
-      val sideCols = aliases.zipWithIndex.flatMap { case (al, i) =>
-        Seq(element_at(col("ids"), i + 1).as(s"${al}_id"),
-          element_at(col("values"), i + 1).as(s"${al}_value"))
-      }
-      val deltas = multi.select((col("op") +: col("key") +: sideCols): _*)
-      val viewCols =
-        "key" +: aliases.flatMap(al => Seq(s"${al}_id", s"${al}_value"))
-      val types: Seq[DataType] =
-        LongType +: aliases.flatMap(_ => Seq[DataType](LongType, StringType))
-      val resolve: UnresolvedAttribute => Option[Int] = a => {
-        val colName = a.nameParts match {
-          case Seq(c) if viewCols.contains(c) => Some(c)
-          case Seq(q, "key") if aliases.contains(q) => Some("key")
-          case Seq(q, "id") if aliases.contains(q) => Some(s"${q}_id")
-          case Seq(q, "value") if aliases.contains(q) => Some(s"${q}_value")
-          case _ => None
+    } yield chainSource(feeds, aliases)
+  }
+
+  /** The same-key INNER N-way join of `feeds` (n ≥ 2) as a delta source:
+    * view columns `key`, then `<alias>_id`/`<alias>_value` per side. */
+  private def chainSource(feeds: Seq[DataFrame],
+                          aliases: Seq[String]): DeltaSource = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, element_at}
+    val n = feeds.length
+    val unioned = feeds.zipWithIndex.map { case (t, i) =>
+      t.select("seq", "key", "id", "value", "delete")
+        .as[(Long, Long, Long, String, Boolean)]
+        .map { case (seq, k, id, v, del) =>
+          (seq, StatefulOps.MultiJoinEvent(k, i, id, v, del))
         }
-        colName.map(viewCols.indexOf)
-      }
-      DeltaSource(deltas, viewCols, types, resolve)
+    }.reduce(_ union _)
+    val multi = StatefulOps.changelogMultiJoinStream(unioned, n).toDF()
+    val sideCols = aliases.zipWithIndex.flatMap { case (al, i) =>
+      Seq(element_at(col("ids"), i + 1).as(s"${al}_id"),
+        element_at(col("values"), i + 1).as(s"${al}_value"))
     }
+    val deltas = multi.select((col("op") +: col("key") +: sideCols): _*)
+    val viewCols =
+      "key" +: aliases.flatMap(al => Seq(s"${al}_id", s"${al}_value"))
+    val types: Seq[DataType] =
+      LongType +: aliases.flatMap(_ => Seq[DataType](LongType, StringType))
+    val resolve: UnresolvedAttribute => Option[Int] = a => {
+      val colName = a.nameParts match {
+        case Seq(c) if viewCols.contains(c) => Some(c)
+        case Seq(q, "key") if aliases.contains(q) => Some("key")
+        case Seq(q, "id") if aliases.contains(q) => Some(s"${q}_id")
+        case Seq(q, "value") if aliases.contains(q) => Some(s"${q}_value")
+        case _ => None
+      }
+      colName.map(viewCols.indexOf)
+    }
+    DeltaSource(deltas, viewCols, types, resolve)
+  }
+
+  /** Extend a delta source with a broadcast STATIC dim, INNER-joined on
+    * the view's `key`: the static side never changes, so a `+I` delta
+    * joins to `+I` rows and a `-D` to the identical `-D` rows —
+    * retractions cancel exactly. Dim columns append to the view by
+    * name; a dim column shadowing an existing view column rejects
+    * loudly with a rename hint (the view would be ambiguous and the
+    * shape HAS matched). */
+  private def attachStatic(ds: DeltaSource, sAlias: String,
+      static: DataFrame, jcol: String, sql: String): DeltaSource = {
+    import org.apache.spark.sql.functions.broadcast
+    val staticCols = static.schema.fieldNames.toSeq
+    val clash = staticCols.filter(c => (ds.viewCols :+ "op").contains(c))
+    if (clash.nonEmpty)
+      unsupported(sql, s"static table $sAlias columns " +
+        s"${clash.mkString(", ")} shadow maintained-view columns — " +
+        "rename them (e.g. SELECT them under aliases into a temp view)")
+    val joined = ds.deltas
+      .join(broadcast(static), ds.deltas("key") === static(jcol), "inner")
+      .select((("op" +: ds.viewCols).map(ds.deltas(_)) ++
+        staticCols.map(static(_))): _*)
+    val resolve: UnresolvedAttribute => Option[Int] = a => {
+      a.nameParts match {
+        case Seq(q, c) if q == sAlias && staticCols.contains(c) =>
+          Some(ds.viewCols.length + staticCols.indexOf(c))
+        case Seq(c) if staticCols.contains(c) && !ds.viewCols.contains(c) =>
+          Some(ds.viewCols.length + staticCols.indexOf(c))
+        case _ => ds.resolve(a)
+      }
+    }
+    DeltaSource(joined, ds.viewCols ++ staticCols,
+      ds.types ++ staticCols.map(c => static.schema(c).dataType), resolve)
+  }
+
+  /** Match a left-deep all-INNER tree mixing changelog feeds (a
+    * same-key group) with one or more broadcast static dims — the
+    * enrichment statement (`a JOIN b ON a.key = b.key JOIN dims d ON
+    * a.key = d.k …`) the pure-feed and single-dim matchers above do not
+    * cover. The FIRST leaf must be a feed (fact first, dims after);
+    * every further feed must key-equate with a previous feed, and every
+    * dim must equate some previous feed's `key` with one of its own
+    * integral columns. INNER only: a pad over a static side cannot
+    * transition, and outer feed-sides belong to the 2-way matcher. */
+  private def matchFeedTree(j: Join, sql: String): Option[DeltaSource] = {
+    def flat(p: LogicalPlan): Option[(Seq[LogicalPlan], Seq[Expression])] =
+      p match {
+        case jj: Join if jj.joinType == Inner =>
+          for {
+            c <- jj.condition
+            (rels, conds) <- flat(jj.left)
+          } yield (rels :+ jj.right, conds :+ c)
+        case rel => Some((Seq(rel), Nil))
+      }
+    val (rels, conds) = flat(j).getOrElse(return None)
+    if (rels.length < 2) return None
+    val infos = rels.map(relInfo)
+    if (infos.exists(_.isEmpty)) return None
+    val classified: Seq[(String, Either[DataFrame, DataFrame])] =
+      infos.map(_.get).map { case (n, a) =>
+        changelogFeed(n) match {
+          case Some(f) => (a, Left(f))
+          case None => staticTable(n) match {
+            case Some(st) => (a, Right(st))
+            case None => return None
+          }
+        }
+      }
+    val aliases = classified.map(_._1)
+    if (aliases.distinct.length != aliases.length) return None
+    val feedLeaves = classified.collect { case (a, Left(f)) => (a, f) }
+    val staticLeaves = classified.collect { case (a, Right(st)) => (a, st) }
+    // pure-feed trees and single-feed⋈single-dim (incl. outer) belong to
+    // the earlier matchers; this one exists for the MIXED shapes
+    if (feedLeaves.isEmpty || staticLeaves.isEmpty) return None
+    if (!classified.head._2.isLeft) return None // fact first
+    val staticJoinCol = mutable.Map.empty[String, String]
+    conds.zipWithIndex.foreach { case (c, i) =>
+      val prefixFeeds = classified.take(i + 1)
+        .collect { case (a, Left(_)) => a }
+      classified(i + 1) match {
+        case (na, Left(_)) =>
+          if (!prefixFeeds.exists(pa => keyEquality(c, pa, na))) return None
+        case (na, Right(st)) =>
+          val cols = st.schema.fieldNames.toSet
+          val jc: Option[String] = c match {
+            case EqualTo(a: UnresolvedAttribute, b: UnresolvedAttribute) =>
+              def feedKey(x: UnresolvedAttribute): Boolean = x.nameParts match {
+                case Seq(q, "key") => prefixFeeds.contains(q)
+                case _ => false
+              }
+              def stCol(x: UnresolvedAttribute): Option[String] =
+                x.nameParts match {
+                  case Seq(q, col) if q == na && cols.contains(col) => Some(col)
+                  case _ => None
+                }
+              if (feedKey(a)) stCol(b)
+              else if (feedKey(b)) stCol(a)
+              else None
+            case _ => None
+          }
+          jc match {
+            case Some(col) if kindOf(st.schema(col).dataType) == Some(LongK) =>
+              staticJoinCol(na) = col
+            case _ => return None
+          }
+      }
+    }
+    var ds =
+      if (feedLeaves.length == 1)
+        singleFeedSource(feedLeaves.head._2, feedLeaves.head._1)
+      else chainSource(feedLeaves.map(_._2), feedLeaves.map(_._1))
+    staticLeaves.foreach { case (a, st) =>
+      ds = attachStatic(ds, a, st, staticJoinCol(a), sql)
+    }
+    Some(ds)
   }
 
   /** Match `feed [AS a] JOIN dim [AS s] ON a.key = s.<col>` — a
@@ -513,6 +636,7 @@ final class Statements(spark: SparkSession, prefix: String = "stmt-",
     matchFeedJoin2(j)
       .orElse(matchFeedChain(j))
       .orElse(matchFeedStatic(j, sql))
+      .orElse(matchFeedTree(j, sql))
 
   /** Recognize the continuous-statement shapes that need EXACT RETRACTION
     * semantics the default `spark.sql` route cannot express, and run them

@@ -493,6 +493,88 @@ class ContinuousStatementsSpec extends AnyFunSuite {
     } finally { anti.stop(); agg.stop() }
   }
 
+  test("mixed feed/dim trees: two feeds enriched with a broadcast dim, " +
+    "and one feed with TWO dims, both collapse to the batch join") {
+    val s = spark
+    import s.implicits._
+    Seq((1L, "east"), (2L, "west")).toDF("k", "region")
+      .createOrReplaceTempView("mt_dims")
+    Seq((1L, 10L), (2L, 20L)).toDF("kk", "quota")
+      .createOrReplaceTempView("mt_quotas")
+    val stmts = new Statements(s)
+    // 2 feeds + 1 dim: SELECT * view and a dim-grouped aggregate
+    val lv = newFeed("mt_l"); val rv = newFeed("mt_r")
+    val lg = newFeed("mtg_l"); val rg = newFeed("mtg_r")
+    val view = stmts.create(
+      "SELECT * FROM mt_l a JOIN mt_r b ON a.key = b.key " +
+        "JOIN mt_dims d ON a.key = d.k")
+    val agg = stmts.create(
+      "SELECT d.region, count(*) AS cnt FROM mtg_l a " +
+        "JOIN mtg_r b ON a.key = b.key JOIN mt_dims d ON b.key = d.k " +
+        "GROUP BY d.region")
+    // 1 feed + 2 dims
+    val fv = newFeed("mt_f")
+    val two = stmts.create(
+      "SELECT * FROM mt_f a JOIN mt_dims d ON a.key = d.k " +
+        "JOIN mt_quotas q ON a.key = q.kk")
+    try {
+      for (st <- Seq(view, agg, two)) {
+        assert(st.isStreaming, s"${st.sql} must route")
+        assert(stmts.waitForStatus(st, Set(Phase.Running)).isDefined)
+      }
+      assert(view.columns == Seq("key", "a_id", "a_value", "b_id",
+        "b_value", "k", "region"))
+      assert(two.columns == Seq("key", "id", "value", "k", "region",
+        "kk", "quota"))
+      val clv = view.handle.get.changelog()
+      val cla = agg.handle.get.changelog()
+      val clt = two.handle.get.changelog()
+      val dims = Map(1L -> "east", 2L -> "west")
+      val quotas = Map(1L -> 10L, 2L -> 20L)
+      val l = scala.collection.mutable.Map.empty[(Long, Long), String]
+      val r = scala.collection.mutable.Map.empty[(Long, Long), String]
+      val f = scala.collection.mutable.Map.empty[Long, (Long, String)]
+      def page(lb: Seq[Feed], rb: Seq[Feed], fb: Seq[Feed]): Unit = {
+        if (lb.nonEmpty) { lv.addData(lb); lg.addData(lb) }
+        if (rb.nonEmpty) { rv.addData(rb); rg.addData(rb) }
+        if (fb.nonEmpty) fv.addData(fb)
+        Seq(view, agg, two).foreach(_.handle.get.processAllAvailable())
+        lb.foreach(applyFeed(l, _)); rb.foreach(applyFeed(r, _))
+        fb.foreach { e =>
+          if (e._5) f.remove(e._3) else f(e._3) = (e._2, e._4)
+        }
+        Seq(clv, cla, clt).foreach(cl => while (cl.consume(1).nonEmpty) ())
+        val joined = for (((lk, li), lvv) <- l.toSeq;
+                          ((rk, ri), rvv) <- r.toSeq
+                          if lk == rk && dims.contains(lk))
+          yield Vector[Any](lk, li, lvv, ri, rvv, lk, dims(lk))
+        assert(clv.collapse().rows.toSet == joined.toSet,
+          s"mixed view diverged: ${clv.collapse().rows.toSet} vs $joined")
+        val expAgg = joined.groupBy(_(6)).map { case (reg, rows) =>
+          Vector[Any](reg, rows.size.toLong)
+        }.toSet
+        assert(cla.collapse().rows.toSet == expAgg,
+          s"dim-grouped agg diverged: ${cla.collapse().rows.toSet} vs $expAgg")
+        val expTwo = f.toSeq.collect {
+          case (id, (k, v)) if dims.contains(k) && quotas.contains(k) =>
+            Vector[Any](k, id, v, k, dims(k), k, quotas(k))
+        }.toSet
+        assert(clt.collapse().rows.toSet == expTwo,
+          s"two-dim view diverged: ${clt.collapse().rows.toSet} vs $expTwo")
+      }
+      // key 1 joins everywhere; key 9 has no dim row (inner: dropped)
+      page(Seq((0L, 1L, 100L, "x", false), (1L, 9L, 900L, "w", false)),
+           Seq((0L, 1L, 200L, "y", false), (1L, 9L, 901L, "v", false)),
+           Seq((0L, 1L, 500L, "p", false), (1L, 9L, 501L, "q", false)))
+      // updates + key 2 joins in; deletes empty key 1
+      page(Seq((2L, 1L, 100L, "x2", false), (3L, 2L, 101L, "z", false)),
+           Seq((2L, 2L, 201L, "u", false)),
+           Seq((2L, 1L, 500L, "p", true), (3L, 2L, 502L, "s", false)))
+      page(Seq((4L, 1L, 100L, "x2", true)), Nil, Nil)
+      assert(cla.collapse().rows.toSet == Set(Vector[Any]("west", 1L)))
+    } finally { view.stop(); agg.stop(); two.stop() }
+  }
+
   test("maintained top-k statement: ORDER BY … LIMIT k serves membership " +
     "deltas — rows crossing the boundary emit +I / -D") {
     val mem = newFeed("tk_feed")
