@@ -963,7 +963,15 @@ object Similarity {
     val d = dim / PqM
     // persisted codebook model: fit once per corpus snapshot, applied here
     val cb = pqModel(spark, dir, s"pq-m$PqM-k$PqK-l$PqLloyd", d)(emb)
-    val codes = pqEncode(emb, cb, d)
+    // the corpus CODE TABLE persists too (the ivfCellAssignment
+    // precedent, r10): codes are a pure function of (corpus snapshot,
+    // fitted codebook), and the N×M argmin encode pass — an interpreted
+    // HOF over K×d terms per subvector — is a snapshot-build cost, not a
+    // per-query one; every later invocation reads (vec_id, nrm, M bytes)
+    // rows instead of re-encoding. Byte codes and doubles round-trip
+    // parquet exactly (store-equivalence spec'd).
+    val codes = ModelStore.table(spark, dir, "embeddings.parquet",
+      s"pq-codes-m$PqM-k$PqK-l$PqLloyd") { pqEncode(emb, cb, d) }
     // per-query ADC lookup tables, driver-computed from the broadcast side
     val lutRows = emb.filter($"vec_id" < QueryCount)
       .select($"vec_id", $"v", $"nrm").collect().toSeq
@@ -1076,9 +1084,14 @@ object Similarity {
       r.select($"vec_id", $"nrm", $"v")
     }
     // per-vector codes with cent_id carried through the subvector explode
-    // (v10's pqEncode shape + the cell column — all narrow map work)
-    val codes = pqEncode(residFit.getOrElse(resid), cb, d,
-      carry = Seq("cent_id"))
+    // (v10's pqEncode shape + the cell column) — PERSISTED like v10's
+    // code table; the name embeds the IVF fit parameters too, since the
+    // residual codes are defined against those centroids. On a code-store
+    // hit the residuals are never recomputed at all.
+    val codes = ModelStore.table(spark, dir, "embeddings.parquet",
+        s"ivfpq-codes-i1-p$IvfVectorsPerCell-m$PqM-k$PqK-l$PqLloyd") {
+      pqEncode(residFit.getOrElse(resid), cb, d, carry = Seq("cent_id"))
+    }
     // driver-side query model: per query, the nprobe nearest cells with
     // q·c precomputed, plus the M×K residual-codebook LUT
     val centRows = cents.collect()

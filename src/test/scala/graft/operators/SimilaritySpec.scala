@@ -456,6 +456,19 @@ class SimilaritySpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(storedAssign == freshAssign,
       "persisted cell assignment differs from a fresh nearest-centroid pass")
+    // the corpus PQ CODE TABLE (r10): same discipline — a second lookup
+    // must HIT the store, and the stored codes must equal a fresh encode
+    // byte-for-byte (the N×M argmin pass is a snapshot-build cost)
+    val storedCodes = graft.sources.ModelStore.table(spark, dir,
+      "embeddings.parquet",
+      s"pq-codes-m${Similarity.PqM}-k${Similarity.PqK}-l${Similarity.PqLloyd}") {
+      fail("PQ code store missed on re-invocation — corpus re-encoded")
+    }.collect().map(r => r.getLong(0) ->
+      (r.getDouble(1), r.getSeq[Byte](2))).toMap
+    val freshCodes = Similarity.pqEncode(emb, freshPq, d).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getSeq[Byte](2))).toMap
+    assert(storedCodes == freshCodes,
+      "persisted PQ codes differ from a fresh encode")
   }
 
   test("brute-force top-k is k rows per query, ranked by cosine desc") {
