@@ -662,9 +662,23 @@ object Similarity {
     graft.plans.VectorExpressions.intDot(a, b)
 
   /** The quantized embedding table (vec_id, qv: array<tinyint>, qn):
-    * per-vector symmetric int8 quantization. */
+    * per-vector symmetric int8 quantization — PERSISTED via ModelStore
+    * (the PQ-codes discipline, r10): quantization is a pure function of
+    * the corpus snapshot, and its two interpreted HOF passes per row
+    * (abs-max + round/cast over every dim) are a snapshot-build cost;
+    * invocations read (vec_id, 64 bytes, qn) rows. Tinyints and the
+    * integer-exact qn round-trip parquet bit-for-bit (store-equivalence
+    * spec'd). */
   private[operators] def quantizedEmbeddings(spark: SparkSession,
-                                             dir: String): DataFrame = {
+                                             dir: String): DataFrame =
+    ModelStore.table(spark, dir, "embeddings.parquet", "v7-int8-quant") {
+      freshQuantizedEmbeddings(spark, dir)
+    }
+
+  /** The store's build path — also the fresh side of the
+    * store-equivalence spec. */
+  private[operators] def freshQuantizedEmbeddings(spark: SparkSession,
+                                                  dir: String): DataFrame = {
     import spark.implicits._
     val mx = array_max(transform($"v", x => abs(x)))
     Tables.load(spark, dir, "embeddings")

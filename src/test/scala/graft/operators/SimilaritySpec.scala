@@ -469,6 +469,18 @@ class SimilaritySpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> (r.getDouble(1), r.getSeq[Byte](2))).toMap
     assert(storedCodes == freshCodes,
       "persisted PQ codes differ from a fresh encode")
+    // v7's int8 quantization table: same discipline (r10)
+    Similarity.v7AnnQuantized(spark, dir).collect() // prime the store
+    val storedQuant = graft.sources.ModelStore.table(spark, dir,
+      "embeddings.parquet", "v7-int8-quant") {
+      fail("int8 quantization store missed on re-invocation — re-quantized")
+    }.collect().map(r => r.getLong(0) ->
+      (r.getSeq[Byte](1), r.getDouble(2))).toMap
+    val freshQuant = Similarity.freshQuantizedEmbeddings(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        (r.getSeq[Byte](1), r.getDouble(2))).toMap
+    assert(storedQuant == freshQuant,
+      "persisted int8 quantization differs from a fresh pass")
   }
 
   test("brute-force top-k is k rows per query, ranked by cosine desc") {
