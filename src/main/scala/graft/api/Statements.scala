@@ -370,22 +370,11 @@ final class Statements(spark: SparkSession, prefix: String = "stmt-",
     * delta in one pass, with no intermediate retraction stream to
     * re-shuffle. View columns: `key`, then `<alias>_id`/`<alias>_value`
     * per side in join order. */
-  private def matchFeedChain(j: Join): Option[DeltaSource] = {
-    def flat(p: LogicalPlan): Option[(Seq[LogicalPlan], Seq[Expression])] =
-      p match {
-        case jj: Join if jj.joinType == Inner =>
-          for {
-            c <- jj.condition
-            (rels, conds) <- flat(jj.left)
-          } yield (rels :+ jj.right, conds :+ c)
-        case rel => Some((Seq(rel), Nil))
-      }
-    def sequence[A](xs: Seq[Option[A]]): Option[Seq[A]] =
-      if (xs.forall(_.isDefined)) Some(xs.map(_.get)) else None
+  private def matchFeedChain(j: Join): Option[DeltaSource] =
     for {
-      (rels, conds) <- flat(j)
+      (rels, conds) <- flattenInnerJoins(j)
       if rels.length >= 3
-      infos <- sequence(rels.map(relInfo))
+      infos <- sequenceOpts(rels.map(relInfo))
       aliases = infos.map(_._2)
       if aliases.distinct.length == aliases.length
       // condition i must equate the NEW side's key with some PREVIOUS
@@ -393,9 +382,8 @@ final class Statements(spark: SparkSession, prefix: String = "stmt-",
       if conds.zipWithIndex.forall { case (c, i) =>
         aliases.take(i + 1).exists(prev => keyEquality(c, prev, aliases(i + 1)))
       }
-      feeds <- sequence(infos.map { case (n, _) => changelogFeed(n) })
+      feeds <- sequenceOpts(infos.map { case (n, _) => changelogFeed(n) })
     } yield chainSource(feeds, aliases)
-  }
 
   /** The same-key INNER N-way join of `feeds` (n ≥ 2) as a delta source:
     * view columns `key`, then `<alias>_id`/`<alias>_value` per side. */
@@ -477,16 +465,7 @@ final class Statements(spark: SparkSession, prefix: String = "stmt-",
     * integral columns. INNER only: a pad over a static side cannot
     * transition, and outer feed-sides belong to the 2-way matcher. */
   private def matchFeedTree(j: Join, sql: String): Option[DeltaSource] = {
-    def flat(p: LogicalPlan): Option[(Seq[LogicalPlan], Seq[Expression])] =
-      p match {
-        case jj: Join if jj.joinType == Inner =>
-          for {
-            c <- jj.condition
-            (rels, conds) <- flat(jj.left)
-          } yield (rels :+ jj.right, conds :+ c)
-        case rel => Some((Seq(rel), Nil))
-      }
-    val (rels, conds) = flat(j).getOrElse(return None)
+    val (rels, conds) = flattenInnerJoins(j).getOrElse(return None)
     if (rels.length < 2) return None
     val infos = rels.map(relInfo)
     if (infos.exists(_.isEmpty)) return None
@@ -638,6 +617,32 @@ final class Statements(spark: SparkSession, prefix: String = "stmt-",
       .orElse(matchFeedStatic(j, sql))
       .orElse(matchFeedTree(j, sql))
 
+  /** A matched continuous source for ANY FROM shape — the one dispatch
+    * every route goes through (so a new source shape lands everywhere
+    * at once): joins through the join matchers, plain relations through
+    * the single-feed matcher. */
+  private def matchSource(p: LogicalPlan, sql: String): Option[DeltaSource] =
+    p match {
+      case j: Join => matchJoinSource(j, sql)
+      case rel => matchSingleFeed(rel)
+    }
+
+  /** Flatten a LEFT-DEEP all-INNER join tree into (leaves, conditions):
+    * conds(i) joins leaves(i+1) to the prefix — shared by the chain and
+    * tree matchers so they always agree on which plans flatten. */
+  private def flattenInnerJoins(p: LogicalPlan)
+      : Option[(Seq[LogicalPlan], Seq[Expression])] = p match {
+    case jj: Join if jj.joinType == Inner =>
+      for {
+        c <- jj.condition
+        (rels, conds) <- flattenInnerJoins(jj.left)
+      } yield (rels :+ jj.right, conds :+ c)
+    case rel => Some((Seq(rel), Nil))
+  }
+
+  private def sequenceOpts[A](xs: Seq[Option[A]]): Option[Seq[A]] =
+    if (xs.forall(_.isDefined)) Some(xs.map(_.get)) else None
+
   /** Recognize the continuous-statement shapes that need EXACT RETRACTION
     * semantics the default `spark.sql` route cannot express, and run them
     * through the IVM operators:
@@ -681,11 +686,7 @@ final class Statements(spark: SparkSession, prefix: String = "stmt-",
       // EXECUTOR-side (full Spark predicate algebra, codegen'd) — rows
       // the view rejects never reach the driver at all
       case Project(Seq(UnresolvedStar(None)), Filter(cond, src)) =>
-        val source = src match {
-          case j: Join => matchJoinSource(j, sql)
-          case rel => matchSingleFeed(rel)
-        }
-        source.map(ds =>
+        matchSource(src, sql).map(ds =>
           viewStatement(filterDeltas(ds, cond, sql), sql, name, properties))
       // `SELECT * FROM feed` over a single changelog feed serves the
       // MAINTAINED VIEW's changelog (upsert retracts, delete removes) —
@@ -757,18 +758,12 @@ final class Statements(spark: SparkSession, prefix: String = "stmt-",
           // filtered top-k first: the bare pattern below would swallow
           // the Filter as its source otherwise
           case Project(Seq(UnresolvedStar(None)), Filter(cond, src)) =>
-            val source = src match {
-              case j: Join => matchJoinSource(j, sql)
-              case rel => matchSingleFeed(rel)
-            }
-            source.map(ds => topKViewStatement(filterDeltas(ds, cond, sql),
-              order, k, sql, name, properties))
+            matchSource(src, sql).map(ds =>
+              topKViewStatement(filterDeltas(ds, cond, sql),
+                order, k, sql, name, properties))
           case Project(Seq(UnresolvedStar(None)), src) =>
-            val source = src match {
-              case j: Join => matchJoinSource(j, sql)
-              case rel => matchSingleFeed(rel)
-            }
-            source.map(topKViewStatement(_, order, k, sql, name, properties))
+            matchSource(src, sql)
+              .map(topKViewStatement(_, order, k, sql, name, properties))
           case agg: Aggregate =>
             routeAgg(agg, None, sql, name, properties, Some((order, k)))
           case h: UnresolvedHaving => h.child match {
@@ -837,11 +832,7 @@ final class Statements(spark: SparkSession, prefix: String = "stmt-",
       src: LogicalPlan, where: Option[Expression], sql: String, name: String,
       properties: Map[String, String]): Option[Statement] = {
     import org.apache.spark.sql.graftbridge.ColumnBridge
-    val source = src match {
-      case j: Join => matchJoinSource(j, sql)
-      case rel => matchSingleFeed(rel)
-    }
-    source.flatMap { ds =>
+    matchSource(src, sql).flatMap { ds =>
       var ok = true
       def rewrite(e: Expression): Expression = e.transform {
         case a: UnresolvedAttribute => ds.resolve(a) match {
@@ -854,6 +845,10 @@ final class Statements(spark: SparkSession, prefix: String = "stmt-",
         case Alias(child, n) => (n, rewrite(child))
         case other => ok = false; (other.toString, other)
       }
+      // an output column named "op" would collide with the internal
+      // delta-op column (drop("op") would take both; the sink would read
+      // record ops from user data) — the append route serves it fine
+      if (cols.exists(_._1 == "op")) ok = false
       val whereRewritten = where.map(rewrite)
       if (!ok) None
       else try {
@@ -907,11 +902,7 @@ final class Statements(spark: SparkSession, prefix: String = "stmt-",
       case Filter(cond, s) => (s, Some(cond))
       case s => (s, None)
     }
-    val source = src match {
-      case j: Join => matchJoinSource(j, sql)
-      case rel => matchSingleFeed(rel)
-    }
-    source match {
+    matchSource(src, sql) match {
       case Some(ds) =>
         Some(aggOverDeltas(ds, agg, where, having, sql, name, properties,
           topK))
@@ -1240,16 +1231,21 @@ final class Statements(spark: SparkSession, prefix: String = "stmt-",
     // to the driver fold at all. Only HAVING needs the driver-side
     // compiled predicate below (it evaluates EMITTED snapshots).
     val filtered = where.map(filterDeltas(ds, _, sql)).getOrElse(ds)
-    // HAVING resolves against the OUTPUT columns (aliases + group cols)
-    // and filters the fold's emitted snapshot — a group crossing the
+    // HAVING and ORDER BY resolve against the OUTPUT columns (aliases +
+    // group cols); the error names the resolving CLAUSE — an ORDER BY
+    // typo must not be blamed on a HAVING the statement doesn't have
+    def outIdx(clause: String)(a: UnresolvedAttribute): Int =
+      a.nameParts match {
+        case Seq(n) if outCols.exists(_._1 == n) =>
+          outCols.indexWhere(_._1 == n)
+        case _ => bail(s"$clause column ${a.nameParts.mkString(".")} does " +
+          "not resolve among the output columns " +
+          s"(${outCols.map(_._1).mkString(", ")})")
+      }
+    // HAVING filters the fold's emitted snapshot — a group crossing the
     // boundary emits the -D / +I the complete-mode diff produces
-    def outIdx(a: UnresolvedAttribute): Int = a.nameParts match {
-      case Seq(n) if outCols.exists(_._1 == n) => outCols.indexWhere(_._1 == n)
-      case _ => bail(s"HAVING column ${a.nameParts.mkString(".")} does not " +
-        s"resolve among the output columns (${outCols.map(_._1).mkString(", ")})")
-    }
     val havingFilter: Option[Vector[Any] => Boolean] = having.map { cond =>
-      val f = compilePred(outIdx, i => fields(i).dataType)(cond)
+      val f = compilePred(outIdx("HAVING"), i => fields(i).dataType)(cond)
       (v: Vector[Any]) => f(v).contains(true)
     }
     // ORDER BY … LIMIT k over the AGGREGATE view — Flink's Top-N over a
@@ -1263,7 +1259,7 @@ final class Statements(spark: SparkSession, prefix: String = "stmt-",
       case Some((order, k)) =>
         if (k <= 0) bail("a maintained top-k needs a positive LIMIT")
         val sIdx = order.child match {
-          case a: UnresolvedAttribute => outIdx(a)
+          case a: UnresolvedAttribute => outIdx("ORDER BY")(a)
           case other =>
             bail(s"ORDER BY expression $other is not an output column")
         }
@@ -1494,9 +1490,15 @@ final class Statements(spark: SparkSession, prefix: String = "stmt-",
     val ord = rowOrdering(sortIdx, order.direction == Descending,
       order.nullOrdering == NullsFirst, ds.types,
       ds.viewCols.indices.filterNot(_ == sortIdx))
-    // live VIEW rows as a counted multiset: view rows carry their ids so
-    // true duplicates cannot occur, but counting keeps the fold total
-    // (a retraction always has something exact to cancel)
+    // live VIEW rows as a counted multiset. Pure-feed views cannot hold
+    // duplicates (rows carry their ids), but a static dim with fully
+    // duplicate rows duplicates joined rows — so the k-selection COUNTS
+    // multiplicity (a row occupying two of the k slots keeps the
+    // (k+1)-th out, matching the SQL LIMIT), while the WIRE serves the
+    // selection's DISTINCT rows: the changelog snapshot diff is keyed by
+    // value, so set semantics at the wire is the contract (same as every
+    // snapshot-diffed route; the reference's consumers collapse by value
+    // equality too, lib/flink.py:27-45).
     val live = mutable.Map.empty[Vector[Any], Long]
     def fold(deltas: Seq[Vector[Any]]): Seq[Vector[Any]] = {
       deltas.foreach { row =>
@@ -1513,7 +1515,11 @@ final class Statements(spark: SparkSession, prefix: String = "stmt-",
             s"view delta carried an invalid changelog op: $other")
         }
       }
-      live.keysIterator.toVector.sorted(ord).take(k)
+      live.iterator
+        .flatMap { case (row, n) =>
+          Iterator.fill(math.min(n, k.toLong).toInt)(row)
+        }
+        .toVector.sorted(ord).take(k).distinct
     }
     val handle = ChangelogStream.foldingSnapshot(ds.deltas, name,
       ds.viewCols, ds.viewCols, fold)

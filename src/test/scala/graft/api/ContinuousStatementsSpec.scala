@@ -684,6 +684,14 @@ class ContinuousStatementsSpec extends AnyFunSuite {
       assert(cl.collapse().rows.toSet ==
         Set(Vector[Any](1L, 2L), Vector[Any](2L, 1L)))
     } finally stmt.stop()
+    // an ORDER BY typo is blamed on ORDER BY, not on a HAVING the
+    // statement doesn't have
+    val ex = intercept[UnsupportedContinuousStatement] {
+      stmts.create("SELECT key, count(*) AS cnt FROM lb_feed GROUP BY key " +
+        "ORDER BY cont DESC LIMIT 2")
+    }
+    assert(ex.getMessage.contains("ORDER BY column cont"),
+      s"error must name the resolving clause: ${ex.getMessage}")
   }
 
   test("SELECT DISTINCT over a feed maintains membership: an upsert " +
@@ -840,6 +848,21 @@ class ContinuousStatementsSpec extends AnyFunSuite {
     val nd = stmts.create("SELECT key, rand() AS r FROM pv_feed")
     try assert(nd.isStreaming && nd.columns == Seq("key", "r"))
     finally nd.stop()
+    // an output column aliased "op" would collide with the internal
+    // delta-op column: the route declines and the APPEND reading serves
+    // it (observable: a delete event appends a row instead of retracting)
+    val memOp = newFeed("pvo_feed")
+    val opStmt = stmts.create("SELECT key AS op FROM pvo_feed")
+    try {
+      assert(opStmt.columns == Seq("op"))
+      memOp.addData((0L, 1L, 100L, "a", false), (1L, 1L, 100L, "a", true))
+      opStmt.handle.get.processAllAvailable()
+      val clo = opStmt.handle.get.changelog()
+      while (clo.consume(1).nonEmpty) ()
+      assert(clo.collapse().rows.size == 2,
+        "op-aliased projections must keep append semantics, not corrupt " +
+          "the delta wire")
+    } finally opStmt.stop()
   }
 
   test("continuous SUM over an integral column stays exact and emits " +
