@@ -694,6 +694,39 @@ final class Statements(spark: SparkSession, prefix: String = "stmt-",
       // markers as data rows
       case Project(Seq(UnresolvedStar(None)), rel) =>
         matchSingleFeed(rel).map(viewStatement(_, sql, name, properties))
+      // `SELECT * FROM feedA UNION ALL SELECT * FROM feedB [UNION ALL …]`
+      // — the maintained MULTISET union of feed views: the same id in
+      // two feeds is two independent rows, so the state keys by
+      // (feed index, id) inside ONE stateful operator (Structured
+      // Streaming permits a single update-mode flatMapGroupsWithState
+      // per query — per-feed operators cannot compose) and the
+      // consumer's counting collapse carries cross-view multiplicity.
+      // Non-feed children (join views etc.) fall through for the same
+      // single-operator reason; UNION DISTINCT parses as Distinct(Union)
+      // and falls through to the default route's loud rejection.
+      case u: org.apache.spark.sql.catalyst.plans.logical.Union
+          if !u.byName =>
+        val feedsOpt = u.children.map {
+          case Project(Seq(UnresolvedStar(None)), rel) =>
+            relInfo(rel).flatMap { case (n, _) => changelogFeed(n) }
+          case _ => None
+        }
+        if (feedsOpt.exists(_.isEmpty)) None
+        else {
+          import spark.implicits._
+          val unioned = feedsOpt.map(_.get).zipWithIndex.map { case (t, i) =>
+            t.select("seq", "key", "id", "value", "delete")
+              .as[(Long, Long, Long, String, Boolean)]
+              .map { case (seq, k, id, v, del) =>
+                (seq, i, StatefulOps.UpsertEvent(k, id, v, del))
+              }
+          }.reduce(_ union _)
+          val deltas =
+            StatefulOps.changelogUnionUpsertStream(unioned).toDF()
+          Some(viewStatement(
+            DeltaSource(deltas, FeedViewCols, FeedViewTypes, _ => None),
+            sql, name, properties))
+        }
       // the composed continuous statement a reference user writes next:
       // JOIN → [WHERE] → GROUP BY in one statement (Flink-the-service
       // maintains it as one changelog; `spark.sql` alone cannot — a

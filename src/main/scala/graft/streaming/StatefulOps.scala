@@ -452,6 +452,40 @@ object StatefulOps extends Serializable {
       }
   }
 
+  /** Exact retraction deltas of the MULTISET UNION of several keyed
+    * upsert feeds, in ONE stateful operator — Structured Streaming
+    * permits a single update-mode flatMapGroupsWithState per query, so
+    * a `UNION ALL` of maintained views cannot compose per-feed
+    * operators. State is keyed by (feed index, id): the same id in two
+    * feeds is two INDEPENDENT rows — exactly UNION ALL's multiset
+    * reading — and each row's retraction semantics are
+    * [[changelogUpsertStream]]'s verbatim. */
+  def changelogUnionUpsertStream(
+      events: Dataset[(Long, Int, UpsertEvent)]): Dataset[UpsertDelta] = {
+    implicit val stateEnc: Encoder[UpsertState] = Encoders.product[UpsertState]
+    implicit val outEnc: Encoder[UpsertDelta] = Encoders.product[UpsertDelta]
+    implicit val keyEnc: Encoder[(Int, Long)] = Encoders.product[(Int, Long)]
+    events.groupByKey(e => (e._2, e._3.id))
+      .flatMapGroupsWithState[UpsertState, UpsertDelta](
+        OutputMode.Update, GroupStateTimeout.NoTimeout()) {
+        (k: (Int, Long), rows: Iterator[(Long, Int, UpsertEvent)],
+         state: GroupState[UpsertState]) =>
+          val id = k._2
+          var cur = state.getOption
+          val out = Seq.newBuilder[UpsertDelta]
+          rows.toSeq.sortBy(_._1).foreach { case (_, _, e) =>
+            cur.foreach(s => out += UpsertDelta(3, s.key, id, s.value))
+            cur = if (e.delete) None else Some(UpsertState(e.key, e.value))
+            if (!e.delete) out += UpsertDelta(0, e.key, id, e.value)
+          }
+          cur match {
+            case Some(s) => state.update(s)
+            case None => state.remove()
+          }
+          out.result().iterator
+      }
+  }
+
   /** Continuously-maintained equi-join (INNER or LEFT OUTER) over two
     * changelog (upsert/delete) feeds — the reference's Flink runtime
     * maintains exactly this for a two-table continuous `JOIN` statement

@@ -865,6 +865,38 @@ class ContinuousStatementsSpec extends AnyFunSuite {
     } finally opStmt.stop()
   }
 
+  test("UNION ALL of maintained views: the multiset union of live rows, " +
+    "with per-side retractions and cross-view multiplicity") {
+    val m1 = newFeed("un_a"); val m2 = newFeed("un_b")
+    val stmts = new Statements(spark)
+    val stmt = stmts.create(
+      "SELECT * FROM un_a UNION ALL SELECT * FROM un_b")
+    try {
+      assert(stmt.isStreaming, "UNION ALL of feed views must route")
+      assert(stmt.columns == Seq("key", "id", "value"))
+      assert(stmts.waitForStatus(stmt, Set(Phase.Running)).isDefined)
+      val cl = stmt.handle.get.changelog()
+      def sync(): Map[Vector[Any], Int] = {
+        stmt.handle.get.processAllAvailable()
+        while (cl.consume(1).nonEmpty) ()
+        cl.collapse().toMultiset
+      }
+      // the SAME row live in both feeds → multiplicity 2
+      m1.addData((0L, 1L, 100L, "x", false))
+      m2.addData((0L, 1L, 100L, "x", false), (1L, 2L, 200L, "y", false))
+      assert(sync() == Map(Vector[Any](1L, 100L, "x") -> 2,
+        Vector[Any](2L, 200L, "y") -> 1))
+      // deleting it from ONE side drops multiplicity to 1, not 0
+      m1.addData((1L, 1L, 100L, "x", true))
+      assert(sync() == Map(Vector[Any](1L, 100L, "x") -> 1,
+        Vector[Any](2L, 200L, "y") -> 1))
+      // an upsert on the remaining side retracts within its own stream
+      m2.addData((2L, 1L, 100L, "x2", false))
+      assert(sync() == Map(Vector[Any](1L, 100L, "x2") -> 1,
+        Vector[Any](2L, 200L, "y") -> 1))
+    } finally stmt.stop()
+  }
+
   test("continuous SUM over an integral column stays exact and emits " +
     "LONG (SQL sum-of-bigint typing), including values beyond 2^53") {
     val mem = newFeed("ix_feed")
