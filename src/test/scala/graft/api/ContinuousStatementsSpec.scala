@@ -694,6 +694,43 @@ class ContinuousStatementsSpec extends AnyFunSuite {
       s"error must name the resolving clause: ${ex.getMessage}")
   }
 
+  test("leaderboard property: random delete-heavy interleavings collapse " +
+    "to the batch top-3 (cnt desc, key asc) after every page") {
+    val seed = 59
+    val rnd = new scala.util.Random(seed)
+    val mem = newFeed(s"lbp_feed$seed")
+    val stmts = new Statements(spark)
+    val stmt = stmts.create(
+      s"SELECT key, count(*) AS cnt FROM lbp_feed$seed GROUP BY key " +
+        "ORDER BY cnt DESC LIMIT 3")
+    try {
+      assert(stmts.waitForStatus(stmt, Set(Phase.Running)).isDefined)
+      val cl = stmt.handle.get.changelog()
+      val live = scala.collection.mutable.Map.empty[Long, (Long, String)]
+      var seq = 0L
+      for (pg <- 0 until 6) {
+        val evs = (0 until rnd.nextInt(10)).map { _ =>
+          seq += 1
+          (seq, rnd.nextInt(5).toLong, 100L + rnd.nextInt(6),
+            s"v$seq", rnd.nextInt(3) == 0)
+        }
+        if (evs.nonEmpty) mem.addData(evs)
+        stmt.handle.get.processAllAvailable()
+        evs.foreach { f =>
+          if (f._5) live.remove(f._3) else live(f._3) = (f._2, f._4)
+        }
+        while (cl.consume(1).nonEmpty) ()
+        val expected = live.values.groupBy(_._1).view
+          .mapValues(_.size.toLong).toSeq
+          .sortBy { case (k, n) => (-n, k) }.take(3)
+          .map { case (k, n) => Vector[Any](k, n) }.toSet
+        val got = cl.collapse().rows.toSet
+        assert(got == expected,
+          s"seed $seed page $pg: leaderboard $got != batch $expected")
+      }
+    } finally stmt.stop()
+  }
+
   test("SELECT DISTINCT over a feed maintains membership: an upsert " +
     "moving an id between keys moves the distinct row") {
     val mem = newFeed("dk_feed")
