@@ -757,20 +757,27 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= v19Overlap,
       s"served recall $recall below the width-16 prefix floor $v19Overlap")
     assert(recall >= 0.2, s"prefix-shortlist recall collapsed: $recall")
-    // scale shape: the stage-1 rank window partitions only ids+pcos —
-    // no Exchange in the plan may carry an embedding array
+    // scale shape, both serving paths: the shortlist/re-rank stages ride
+    // the MERGEABLE TopKAggregate — no Window may sit anywhere in the
+    // plan (a per-query rank window would sort all N corpus rows inside
+    // ONE task per query; the aggregate ships k pairs per query), and no
+    // Exchange may carry an embedding array
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.window.WindowExec
     val prevAqe = s.conf.get("spark.sql.adaptive.enabled")
     s.conf.set("spark.sql.adaptive.enabled", "false")
     try {
-      val shuffles = Similarity.v24MatryoshkaServe(s, dir)
-        .queryExecution.executedPlan.collect {
-          case e: ShuffleExchangeExec => e
-        }
-      shuffles.foreach { e =>
-        val carried = e.output.map(_.dataType.simpleString).mkString(",")
-        assert(!carried.contains("array"),
-          s"rank shuffle must not carry vectors, got: $carried")
+      Seq("v24" -> Similarity.v24MatryoshkaServe(s, dir),
+          "v25" -> Similarity.v25PrefixStoreServe(s, dir)).foreach {
+        case (tag, df) =>
+          val plan = df.queryExecution.executedPlan
+          assert(plan.collect { case w: WindowExec => w }.isEmpty,
+            s"$tag must rank via the mergeable top-k aggregate, not a Window")
+          plan.collect { case e: ShuffleExchangeExec => e }.foreach { e =>
+            val carried = e.output.map(_.dataType.simpleString).mkString(",")
+            assert(!carried.contains("array"),
+              s"$tag rank shuffle must not carry vectors, got: $carried")
+          }
       }
     } finally s.conf.set("spark.sql.adaptive.enabled", prevAqe)
   }
