@@ -15,6 +15,16 @@ import org.apache.spark.sql.types._
 import graft.changelog.{Op, RawRecord}
 import graft.streaming.{ChangelogStream, StatefulOps}
 
+object Statements {
+  /** Default cap on driver-retained fold-state entries (groups ×
+    * distinct bag values × maintained-view rows) — the state-side twin
+    * of [[graft.streaming.ChangelogStream.DefaultMaxBufferedRecords]]:
+    * dashboard-sized statements hold thousands of entries; a million
+    * signals a statement whose state belongs in the executor StateStore
+    * or an upstream pre-aggregation, not on the driver. */
+  val DefaultMaxFoldStateEntries: Int = 1 << 20
+}
+
 /** Statement lifecycle phases, lowercase like the reference's
   * `status.phase` (`/root/reference/api/statements.py:180-189`). */
 object Phase {
@@ -126,7 +136,35 @@ final class Statement private[api] (
   * rather than silently reusing the first keying.
   */
 final class Statements(spark: SparkSession, prefix: String = "stmt-",
-                       pollMs: Long = 300L) {
+                       pollMs: Long = 300L,
+                       maxFoldStateEntries: Int =
+                         Statements.DefaultMaxFoldStateEntries) {
+
+  /** Fail-fast budget for DRIVER-retained fold state — the discipline
+    * RecordLog.maxBufferedRecords applies to emitted records, applied to
+    * the state that emissions do NOT bound: a non-extremal value under
+    * MIN/MAX, a duplicate under COUNT(DISTINCT), or a row below the
+    * k-boundary of a maintained top-k changes no output, yet each one
+    * permanently occupies a driver-side multiset entry. Without this
+    * bound a long high-cardinality stream is a silent driver OOM; with
+    * it the statement dies with the documented cap error like every
+    * other driver-retained structure in the engine. One entry ≙ one
+    * group, one distinct bag value, or one live view row. */
+  private final class FoldStateBudget {
+    private var entries = 0L
+    def grow(): Unit = {
+      entries += 1L
+      if (entries > maxFoldStateEntries)
+        throw new IllegalStateException(
+          s"continuous fold state exceeded maxFoldStateEntries=" +
+            s"$maxFoldStateEntries: the driver-side fold keeps one entry " +
+            "per group, per distinct MIN/MAX/COUNT(DISTINCT) value, and " +
+            "per maintained-view row — it is meant for dashboard-sized " +
+            "statements. Re-shape the statement (pre-aggregate upstream) " +
+            "or raise maxFoldStateEntries on the Statements facade")
+    }
+    def shrink(): Unit = entries -= 1L
+  }
 
   private val rng = new SecureRandom()
   private val byName = TrieMap.empty[String, Statement]
@@ -1033,6 +1071,11 @@ final class Statements(spark: SparkSession, prefix: String = "stmt-",
   private case class AvgCol(idx: Int, kind: ValKind) extends AggOp
   private case class MinCol(idx: Int, kind: ValKind) extends AggOp
   private case class MaxCol(idx: Int, kind: ValKind) extends AggOp
+  /** COUNT(DISTINCT col): the MIN/MAX count-multiset re-keyed as
+    * per-(group, value) membership counts — the distinct count is the
+    * bag's key count, and it DECREASES exactly when the last duplicate
+    * of a value retracts (the transition a plain ±-fold cannot see). */
+  private case class DistinctCol(idx: Int, kind: ValKind) extends AggOp
 
   /** The source-agnostic core of the composed continuous aggregate
     * statement: a matched [[DeltaSource]] plus the parsed Aggregate /
@@ -1092,6 +1135,16 @@ final class Statements(spark: SparkSession, prefix: String = "stmt-",
               if (!groupIdx.contains(i))
                 bail(s"bare column ${a.nameParts.mkString(".")} is not in GROUP BY")
               (outName, Left(i))
+            case f: UnresolvedFunction if f.isDistinct =>
+              val op = (f.nameParts.map(_.toLowerCase).mkString("."),
+                f.arguments) match {
+                case ("count", Seq(arg)) =>
+                  (DistinctCol.apply _).tupled(aggArg(arg))
+                case (fn, _) =>
+                  bail(s"DISTINCT aggregate $fn is not maintainable on a " +
+                    "retraction stream here (COUNT(DISTINCT col) only)")
+              }
+              (outName, Right(op))
             case f: UnresolvedFunction if !f.isDistinct =>
               val op = (f.nameParts.map(_.toLowerCase).mkString("."),
                 f.arguments) match {
@@ -1110,8 +1163,8 @@ final class Statements(spark: SparkSession, prefix: String = "stmt-",
                 case ("max", Seq(arg)) => (MaxCol.apply _).tupled(aggArg(arg))
                 case (fn, _) =>
                   bail(s"aggregate $fn is not maintainable on a retraction " +
-                    "stream here (supported: COUNT/SUM/AVG/MIN/MAX, " +
-                    "non-DISTINCT)")
+                    "stream here (supported: COUNT/SUM/AVG/MIN/MAX and " +
+                    "COUNT(DISTINCT col))")
               }
               (outName, Right(op))
             case other =>
@@ -1148,6 +1201,7 @@ final class Statements(spark: SparkSession, prefix: String = "stmt-",
       // — and emits — as long)
       case (n, Right(MinCol(_, k))) => StructField(n, kindType(k))
       case (n, Right(MaxCol(_, k))) => StructField(n, kindType(k))
+      case (n, Right(DistinctCol(_, _))) => StructField(n, LongType)
     }
     // HAVING compiler — HAVING filters the fold's EMITTED snapshots, so
     // unlike WHERE (which rides filterDeltas' executor-side Catalyst
@@ -1316,18 +1370,26 @@ final class Statements(spark: SparkSession, prefix: String = "stmt-",
       val bags: Array[mutable.TreeMap[AnyRef, Long]] = aggOps.map {
         case MinCol(_, k) => mutable.TreeMap.empty[AnyRef, Long](ordFor(k))
         case MaxCol(_, k) => mutable.TreeMap.empty[AnyRef, Long](ordFor(k))
+        case DistinctCol(_, k) => mutable.TreeMap.empty[AnyRef, Long](ordFor(k))
         case _ => null
       }.toArray
     }
     val state = mutable.LinkedHashMap.empty[Vector[Any], GState]
+    // the fail-fast bound on this fold's driver state: groups and bag
+    // values count against the facade cap the moment they are created —
+    // BEFORE the next value is stored — so a high-cardinality stream dies
+    // via the documented error, never a silent driver OOM
+    val budget = new FoldStateBudget
     def bagUpdate(bag: mutable.TreeMap[AnyRef, Long], x: AnyRef,
         sign: Long): Unit = {
-      val next = bag.getOrElse(x, 0L) + sign
+      val prev = bag.getOrElse(x, 0L)
+      val next = prev + sign
       if (next < 0L)
         throw new IllegalStateException(
-          "continuous MIN/MAX state retracted a value that was never " +
-            "added — the delta stream broke the IVM invariant")
-      if (next == 0L) bag.remove(x) else bag.update(x, next)
+          "continuous MIN/MAX/DISTINCT state retracted a value that was " +
+            "never added — the delta stream broke the IVM invariant")
+      if (next == 0L) { bag.remove(x); if (prev > 0L) budget.shrink() }
+      else { if (prev == 0L) budget.grow(); bag.update(x, next) }
     }
     def fold(deltas: Seq[Vector[Any]]): Seq[Vector[Any]] = {
       deltas.foreach { row =>
@@ -1340,7 +1402,7 @@ final class Statements(spark: SparkSession, prefix: String = "stmt-",
         }
         val view = row.drop(1)
         val gkey = groupIdx.map(view).toVector
-        val g = state.getOrElseUpdate(gkey, new GState)
+        val g = state.getOrElseUpdate(gkey, { budget.grow(); new GState })
         g.rows += sign
         var k = 0
         aggOps.foreach { op =>
@@ -1380,14 +1442,20 @@ final class Statements(spark: SparkSession, prefix: String = "stmt-",
             case MaxCol(i, kind) =>
               val x = canon(view(i), kind)
               if (x != null) { bagUpdate(g.bags(k), x, sign); g.counts(k) += sign }
+            case DistinctCol(i, kind) =>
+              val x = canon(view(i), kind)
+              if (x != null) { bagUpdate(g.bags(k), x, sign); g.counts(k) += sign }
           }
           k += 1
         }
         // a grouped group dies with its last row; the UNGROUPED group
-        // always lives (SQL: one row even over an empty input)
-        if (!ungrouped && g.rows <= 0) state.remove(gkey)
+        // always lives (SQL: one row even over an empty input). Its bags
+        // are necessarily empty at rows == 0 (every bag count is bounded
+        // by the group's live non-null rows), so one shrink per group.
+        if (!ungrouped && g.rows <= 0) { state.remove(gkey); budget.shrink() }
       }
-      if (ungrouped) state.getOrElseUpdate(Vector.empty, new GState)
+      if (ungrouped)
+        state.getOrElseUpdate(Vector.empty, { budget.grow(); new GState })
       val snapshot = state.iterator.map { case (gkey, g) =>
         var k = -1
         outCols.map {
@@ -1416,6 +1484,10 @@ final class Statements(spark: SparkSession, prefix: String = "stmt-",
                 if (g.bags(k).nonEmpty) g.bags(k).firstKey else null
               case MaxCol(_, _) =>
                 if (g.bags(k).nonEmpty) g.bags(k).lastKey else null
+              // COUNT(DISTINCT): the bag's key count — 0 (never null)
+              // over an empty group, per SQL COUNT semantics
+              case DistinctCol(_, _) =>
+                java.lang.Long.valueOf(g.bags(k).size.toLong)
             }
         }.toVector
       }.toSeq
@@ -1533,17 +1605,25 @@ final class Statements(spark: SparkSession, prefix: String = "stmt-",
     // snapshot-diffed route; the reference's consumers collapse by value
     // equality too, lib/flink.py:27-45).
     val live = mutable.Map.empty[Vector[Any], Long]
+    // rows below the k-boundary change no output yet live here — the
+    // same emission-unbounded driver state as the fold's bags, so the
+    // same fail-fast budget (one entry per distinct live view row)
+    val budget = new FoldStateBudget
     def fold(deltas: Seq[Vector[Any]]): Seq[Vector[Any]] = {
       deltas.foreach { row =>
         val v = row.drop(1)
         row(0).asInstanceOf[Int] match {
-          case 0 => live(v) = live.getOrElse(v, 0L) + 1L
+          case 0 =>
+            val prev = live.getOrElse(v, 0L)
+            if (prev == 0L) budget.grow()
+            live(v) = prev + 1L
           case 3 =>
             val next = live.getOrElse(v, 0L) - 1L
             if (next < 0L) throw new IllegalStateException(
               "top-k view retracted a row that was never inserted — the " +
                 "delta stream broke the IVM invariant")
-            if (next == 0L) live.remove(v) else live(v) = next
+            if (next == 0L) { live.remove(v); budget.shrink() }
+            else live(v) = next
           case other => throw new IllegalStateException(
             s"view delta carried an invalid changelog op: $other")
         }

@@ -963,4 +963,87 @@ class ContinuousStatementsSpec extends AnyFunSuite {
       assert(sync() == Set(Vector[Any](1L, 2L)))
     } finally stmt.stop()
   }
+
+  test("continuous COUNT(DISTINCT): the count decreases exactly when the " +
+    "LAST duplicate of a value retracts, and collapse == batch per page") {
+    val mem = newFeed("cd_feed")
+    val stmts = new Statements(spark)
+    val stmt = stmts.create("SELECT key, count(DISTINCT value) AS dv, " +
+      "count(*) AS c FROM cd_feed GROUP BY key")
+    try {
+      assert(stmt.isStreaming, "COUNT(DISTINCT) must route through the fold")
+      assert(stmt.columns == Seq("key", "dv", "c"))
+      assert(stmts.waitForStatus(stmt, Set(Phase.Running)).isDefined)
+      val cl = stmt.handle.get.changelog()
+      val live = scala.collection.mutable.Map.empty[Long, (Long, String)]
+      def page(evs: Seq[Feed]): Set[Vector[Any]] = {
+        if (evs.nonEmpty) mem.addData(evs)
+        stmt.handle.get.processAllAvailable()
+        evs.foreach { f =>
+          if (f._5) live.remove(f._3) else live(f._3) = (f._2, f._4)
+        }
+        while (cl.consume(1).nonEmpty) ()
+        val expected = live.values.toSeq.groupBy(_._1).map { case (k, rs) =>
+          Vector[Any](k, rs.map(_._2).distinct.size.toLong, rs.size.toLong)
+        }.toSet
+        val got = cl.collapse().rows.toSet
+        assert(got == expected, s"distinct collapse $got != batch $expected")
+        got
+      }
+      // "a" lives under two ids; distinct counts it once
+      val p1 = page(Seq((0L, 1L, 100L, "a", false), (1L, 1L, 101L, "a", false),
+        (2L, 1L, 102L, "b", false)))
+      assert(p1 == Set(Vector[Any](1L, 2L, 3L)))
+      // deleting ONE duplicate leaves the distinct count at 2
+      val p2 = page(Seq((3L, 1L, 101L, "a", true)))
+      assert(p2 == Set(Vector[Any](1L, 2L, 2L)))
+      // deleting the LAST "a" is the transition a ±-fold cannot see:
+      // dv must DECREASE to 1
+      val p3 = page(Seq((4L, 1L, 100L, "a", true)))
+      assert(p3 == Set(Vector[Any](1L, 1L, 1L)),
+        "retracting the last duplicate must decrease the distinct count")
+      // an upsert that REVALUES an id is retract+insert in one event
+      val p4 = page(Seq((5L, 1L, 102L, "a", false)))
+      assert(p4 == Set(Vector[Any](1L, 1L, 1L)))
+    } finally stmt.stop()
+  }
+
+  test("fold driver state is fail-fast-capped: a high-cardinality MIN " +
+    "stream and a deep maintained top-k die via the documented " +
+    "maxFoldStateEntries error, never a silent driver OOM") {
+    def messages(e: Throwable): String = {
+      val sb = new StringBuilder
+      var cur: Throwable = e
+      while (cur != null) { sb.append(cur.getMessage).append('\n'); cur = cur.getCause }
+      sb.toString
+    }
+    // MIN bag: values past the first change no emission, yet each is an
+    // entry — the emission-unbounded state the cap exists for
+    val mem = newFeed("cap_feed")
+    val stmts = new Statements(spark, maxFoldStateEntries = 8)
+    val stmt = stmts.create(
+      "SELECT key, min(value) AS mn FROM cap_feed GROUP BY key")
+    try {
+      assert(stmts.waitForStatus(stmt, Set(Phase.Running)).isDefined)
+      mem.addData((0 until 20).map(i =>
+        (i.toLong, 1L, 100L + i, f"v$i%02d", false)))
+      val ex = intercept[Exception](stmt.handle.get.processAllAvailable())
+      assert(messages(ex).contains("maxFoldStateEntries"),
+        s"cap error must name the documented bound, got: ${messages(ex)}")
+      assert(stmt.phase == Phase.Failed)
+    } finally stmt.stop()
+    // maintained top-k: rows below the k-boundary are the same
+    // emission-unbounded state
+    val mem2 = newFeed("cap_topk_feed")
+    val stmt2 = stmts.create(
+      "SELECT * FROM cap_topk_feed ORDER BY id DESC LIMIT 2")
+    try {
+      assert(stmts.waitForStatus(stmt2, Set(Phase.Running)).isDefined)
+      mem2.addData((0 until 20).map(i =>
+        (i.toLong, 1L, 100L + i, s"r$i", false)))
+      val ex2 = intercept[Exception](stmt2.handle.get.processAllAvailable())
+      assert(messages(ex2).contains("maxFoldStateEntries"))
+      assert(stmt2.phase == Phase.Failed)
+    } finally stmt2.stop()
+  }
 }

@@ -495,13 +495,14 @@ class StatementsSpec extends AnyFunSuite {
             "-U must immediately precede its +U")
       }
     } finally stmt.stop()
-    // shapes the IVM fold cannot maintain (a DISTINCT aggregate needs
-    // per-group value state the route does not keep) reject LOUDLY at
-    // create(): the FROM references changelog feeds, so the default
-    // route's append-only reading would serve a silently wrong changelog
+    // shapes the IVM fold cannot maintain reject LOUDLY at create():
+    // the FROM references changelog feeds, so the default route's
+    // append-only reading would serve a silently wrong changelog.
+    // (COUNT(DISTINCT) routes as of r11 — ContinuousStatementsSpec —
+    // but SUM(DISTINCT) still needs state this fold does not keep.)
     val ex = intercept[UnsupportedContinuousStatement] {
       stmts.create(
-        "SELECT key, count(DISTINCT a.value) AS m FROM la_feed a " +
+        "SELECT key, sum(DISTINCT a.value) AS m FROM la_feed a " +
           "JOIN ra_feed b ON a.key = b.key GROUP BY key")
     }
     assert(ex.getMessage.contains("rejected at create()"))
