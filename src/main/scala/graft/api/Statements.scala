@@ -657,13 +657,116 @@ final class Statements(spark: SparkSession, prefix: String = "stmt-",
 
   /** A matched continuous source for ANY FROM shape — the one dispatch
     * every route goes through (so a new source shape lands everywhere
-    * at once): joins through the join matchers, plain relations through
-    * the single-feed matcher. */
+    * at once): joins through the join matchers, projected subqueries /
+    * inlined CTE bodies through the projection matcher, plain relations
+    * through the single-feed matcher. */
   private def matchSource(p: LogicalPlan, sql: String): Option[DeltaSource] =
     p match {
       case j: Join => matchJoinSource(j, sql)
+      case sa @ SubqueryAlias(id, child) =>
+        matchSingleFeed(sa).orElse(
+          matchProjectedPlan(child, sql).map(aliased(_, id.name)))
+      case pj: Project => matchProjectedPlan(pj, sql)
       case rel => matchSingleFeed(rel)
     }
+
+  /** Re-qualify a delta source under a subquery alias: `v.col` resolves
+    * wherever bare `col` does (the inner source's own qualifiers keep
+    * working — a CTE body's aliases stay visible only inside it, which
+    * matches SQL scoping since the outer query can only name `v`). */
+  private def aliased(ds: DeltaSource, alias: String): DeltaSource =
+    ds.copy(resolve = a => ds.resolve(a).orElse(a.nameParts match {
+      case Seq(q, rest @ _*) if q == alias && rest.nonEmpty =>
+        ds.resolve(UnresolvedAttribute(rest))
+      case _ => None
+    }))
+
+  /** `(SELECT <scalar items> FROM <source> [WHERE …])` — a subquery (or
+    * inlined CTE body) over matched feed source(s) as a PROJECTED delta
+    * source: deterministic scalar projections commute with retraction
+    * (a row's +I and its -D project identically), so projecting the
+    * delta stream IS projecting the view — the r10 projected-view proof,
+    * now composable under any route (aggregates included: the demo3
+    * shape). `SELECT *` passes the inner source through. Quiet None on
+    * anything the projection cannot serve faithfully (stars mixed with
+    * items, unresolvable columns, non-determinism): a feed-touching
+    * AGGREGATE over it still rejects loudly downstream via routeAgg's
+    * referencesFeed check, and a bare SELECT keeps the append route's
+    * visible wire form. */
+  private def matchProjectedPlan(p: LogicalPlan,
+      sql: String): Option[DeltaSource] = {
+    def items(projList: Seq[org.apache.spark.sql.catalyst.expressions.NamedExpression])
+        : Option[Seq[(String, Expression)]] =
+      sequenceOpts(projList.map {
+        case a: UnresolvedAttribute => Some((a.nameParts.last, a: Expression))
+        case Alias(child, n) => Some((n, child))
+        case _ => None
+      })
+    p match {
+      case Project(Seq(UnresolvedStar(None)), Filter(cond, src)) =>
+        matchSource(src, sql).map(filterDeltas(_, cond, sql))
+      case Project(Seq(UnresolvedStar(None)), src) => matchSource(src, sql)
+      case Project(projList, Filter(cond, src)) =>
+        for {
+          ds <- matchSource(src, sql)
+          is <- items(projList)
+          out <- projectSource(filterDeltas(ds, cond, sql), is)
+        } yield out
+      case Project(projList, src) =>
+        for {
+          ds <- matchSource(src, sql)
+          is <- items(projList)
+          out <- projectSource(ds, is)
+        } yield out
+      case _ => None
+    }
+  }
+
+  /** Project a delta source through deterministic scalar expressions,
+    * EXECUTOR-side (Catalyst's full scalar algebra, codegen'd): each
+    * item rewrites its unresolved attributes onto the delta columns and
+    * the projected frame's analyzed schema supplies the new view types.
+    * None when an attribute does not resolve, an output name collides
+    * (with `op` or another item), analysis fails, or any projection is
+    * non-deterministic (a non-deterministic projection cannot commute
+    * with retraction). */
+  private def projectSource(ds: DeltaSource,
+      items: Seq[(String, Expression)]): Option[DeltaSource] = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val outNames = items.map(_._1)
+    if (outNames.contains("op") || outNames.distinct.length != outNames.length)
+      return None
+    var ok = true
+    def rewrite(e: Expression): Expression = e.transform {
+      case a: UnresolvedAttribute => ds.resolve(a) match {
+        case Some(i) => ColumnBridge.expression(ds.deltas(ds.viewCols(i)))
+        case None => ok = false; a
+      }
+    }
+    val exprs = items.map { case (n, e) => (n, rewrite(e)) }
+    if (!ok) return None
+    try {
+      val projected = ds.deltas.select((ds.deltas("op") +: exprs.map {
+        case (n, e) => ColumnBridge.column(e).as(n)
+      }): _*)
+      val deterministic = projected.queryExecution.analyzed.collect {
+        case pr: Project => pr.projectList.forall(_.deterministic)
+        case f: Filter => f.condition.deterministic
+      }.forall(identity)
+      if (!deterministic) None
+      else {
+        val types = projected.schema.fields.drop(1).map(_.dataType).toSeq
+        val resolve: UnresolvedAttribute => Option[Int] = a =>
+          a.nameParts match {
+            case Seq(c) if outNames.contains(c) => Some(outNames.indexOf(c))
+            case _ => None
+          }
+        Some(DeltaSource(projected, outNames, types, resolve))
+      }
+    } catch {
+      case _: org.apache.spark.sql.AnalysisException => None
+    }
+  }
 
   /** Flatten a LEFT-DEEP all-INNER join tree into (leaves, conditions):
     * conds(i) joins leaves(i+1) to the prefix — shared by the chain and
@@ -708,7 +811,49 @@ final class Statements(spark: SparkSession, prefix: String = "stmt-",
     val parsed =
       try spark.sessionState.sqlParser.parsePlan(sql)
       catch { case _: Exception => return None }
+    routePlan(parsed, sql, name, properties)
+  }
+
+  /** Inline non-recursive CTE bodies at their reference sites — the
+    * facade's own CTESubstitution: later CTEs may reference earlier ones
+    * (Catalyst's left-to-right scoping), so each body resolves against
+    * the prefix before the main query substitutes. The inlined plan is
+    * the demo3 shape: `WITH v AS (SELECT <exprs> FROM feed) SELECT …
+    * FROM v GROUP BY …` becomes an Aggregate over a SubqueryAlias'd
+    * projection of the feed, which the projected-source matcher serves. */
+  private def inlineCtes(plan: LogicalPlan,
+      ctes: Seq[(String, SubqueryAlias)]): LogicalPlan = {
+    val resolved = ctes.foldLeft(Vector.empty[(String, LogicalPlan)]) {
+      case (acc, (n, sa)) => acc :+ (n -> substituteCtes(sa, acc))
+    }
+    substituteCtes(plan, resolved)
+  }
+
+  private def substituteCtes(p: LogicalPlan,
+      ctes: Seq[(String, LogicalPlan)]): LogicalPlan =
+    p.transformUp {
+      case u: UnresolvedRelation if u.multipartIdentifier.length == 1 =>
+        ctes.find(_._1.equalsIgnoreCase(u.multipartIdentifier.head))
+          .map(_._2).getOrElse(u)
+    }
+
+  private def routePlan(parsed: LogicalPlan, sql: String, name: String,
+      properties: Map[String, String]): Option[Statement] = {
     parsed match {
+      // WITH <name> AS (…) …: inline the CTE bodies and route the
+      // resulting plan — the reference's own demo3 statement is a CTE
+      // projecting CASE/CAST expressions over the feed, aggregated by
+      // the projected column. Recursive/nested WITH keeps the default
+      // route (q45's recursive CTE is a batch shape).
+      case w: org.apache.spark.sql.catalyst.plans.logical.UnresolvedWith
+          if !w.allowRecursion =>
+        val ctes = w.cteRelations.map { case (n, sa, _) => (n, sa) }
+        val nested = (w.child +: ctes.map(_._2: LogicalPlan)).exists(_.exists {
+          case _: org.apache.spark.sql.catalyst.plans.logical.UnresolvedWith => true
+          case _ => false
+        })
+        if (nested) None
+        else routePlan(inlineCtes(w.child, ctes), sql, name, properties)
       // ONLY the exact `SELECT * FROM <join> …` shape routes here: the
       // statement serves the full maintained-view columns, so a narrowing
       // projection must NOT silently get the wide view — any other shape
@@ -726,12 +871,13 @@ final class Statements(spark: SparkSession, prefix: String = "stmt-",
       case Project(Seq(UnresolvedStar(None)), Filter(cond, src)) =>
         matchSource(src, sql).map(ds =>
           viewStatement(filterDeltas(ds, cond, sql), sql, name, properties))
-      // `SELECT * FROM feed` over a single changelog feed serves the
-      // MAINTAINED VIEW's changelog (upsert retracts, delete removes) —
-      // the default route would append raw wire events, serving delete
-      // markers as data rows
+      // `SELECT * FROM <source>` — over a single changelog feed this
+      // serves the MAINTAINED VIEW's changelog (upsert retracts, delete
+      // removes; the default route would append raw wire events, serving
+      // delete markers as data rows); over a projected subquery / CTE
+      // body it serves that PROJECTED view (matchSource composes)
       case Project(Seq(UnresolvedStar(None)), rel) =>
-        matchSingleFeed(rel).map(viewStatement(_, sql, name, properties))
+        matchSource(rel, sql).map(viewStatement(_, sql, name, properties))
       // `SELECT * FROM feedA UNION ALL SELECT * FROM feedB [UNION ALL …]`
       // — the maintained MULTISET union of feed views: the same id in
       // two feeds is two independent rows, so the state keys by
@@ -974,17 +1120,150 @@ final class Statements(spark: SparkSession, prefix: String = "stmt-",
       case s => (s, None)
     }
     matchSource(src, sql) match {
-      case Some(ds) =>
-        Some(aggOverDeltas(ds, agg, where, having, sql, name, properties,
-          topK))
+      case Some(ds0) =>
+        // WHERE applies to the source view and is DELTA-COMMUTING (a
+        // deterministic row predicate passes a row's +I and its -D
+        // identically) — it compiles through the executor-side Catalyst
+        // rewrite BEFORE any normalization projection, so it sees the
+        // source's own columns; rejected rows never reach the driver
+        val ds = where.map(filterDeltas(ds0, _, sql)).getOrElse(ds0)
+        val (dsN, aggN) = normalizeAgg(ds, agg, sql)
+        Some(aggOverDeltas(dsN, aggN, having, sql, name, properties, topK))
       case None =>
         if (referencesFeed(src))
           unsupported(sql, "the FROM clause references changelog feed(s) " +
             "in a shape no IVM route matches (supported: one feed; a " +
             "two-feed equi-join on key, INNER/LEFT/RIGHT/FULL; a same-key " +
-            "INNER chain of 3+ feeds; a feed joined to a static table)")
+            "INNER chain of 3+ feeds; a feed joined to a static table; " +
+            "deterministic projected subqueries / CTEs over those)")
         None
     }
+  }
+
+  /** Rewrite an Aggregate whose grouping expressions or aggregate
+    * arguments are SCALAR EXPRESSIONS over view columns into the
+    * column-only form the incremental fold maintains, by PRE-PROJECTING
+    * the expressions executor-side ([[projectSource]]) and re-pointing
+    * the Aggregate at the projected columns: `GROUP BY CASE …`,
+    * aggregates over arithmetic, and the inlined demo3 CTE shape all
+    * reduce to the bare-column fold this way. Deterministic projections
+    * commute with retraction (the projected-view proof), so exactness is
+    * untouched; column-only aggregates pass through with NO extra
+    * projection in the plan. Loud on anything unservable — the source IS
+    * feed(s) by the time this runs. */
+  private def normalizeAgg(ds: DeltaSource, agg: Aggregate,
+      sql: String): (DeltaSource, Aggregate) = {
+    def simpleArg(e: Expression): Boolean = e match {
+      case _: UnresolvedAttribute => true
+      case Cast(_: UnresolvedAttribute, DoubleType, _, _) => true
+      case UnresolvedStar(None) => true
+      case _: Literal => true
+      case _ => false
+    }
+    val simple =
+      agg.groupingExpressions.forall(_.isInstanceOf[UnresolvedAttribute]) &&
+        agg.aggregateExpressions.forall {
+          case _: UnresolvedAttribute => true
+          case Alias(_: UnresolvedAttribute, _) => true
+          case Alias(f: UnresolvedFunction, _) => f.arguments.forall(simpleArg)
+          case _ => false
+        }
+    if (simple) return (ds, agg)
+    def bail(what: String): Nothing = unsupported(sql, what)
+    val items = mutable.ArrayBuffer.empty[(String, Expression)]
+    // bare attributes compare by their RESOLVED view column, so `key`
+    // and `a.key` share one projected column; other expressions compare
+    // structurally (the parser emits equal trees for equal text)
+    def sameExpr(x: Expression, y: Expression): Boolean = (x, y) match {
+      case (a: UnresolvedAttribute, b: UnresolvedAttribute) =>
+        val ra = ds.resolve(a)
+        ra.isDefined && ra == ds.resolve(b)
+      case _ => x == y
+    }
+    def addItem(name: String, e: Expression): String =
+      items.find(_._1 == name) match {
+        case Some((_, ex)) if sameExpr(ex, e) => name
+        case Some(_) => bail(s"output column $name is defined twice with " +
+          "different expressions")
+        case None => items += ((name, e)); name
+      }
+    var synth = 0
+    // projection column carrying an AGGREGATE ARGUMENT: reuse any item
+    // already bound to the same expression; otherwise a bare column
+    // projects under its own name (unless an output item took it) and a
+    // compound expression under a synthesized internal name
+    def argItem(e: Expression): String =
+      items.find { case (_, ex) => sameExpr(ex, e) }.map(_._1).getOrElse {
+        val base = e match {
+          case a: UnresolvedAttribute if !items.exists(_._1 == a.nameParts.last) =>
+            a.nameParts.last
+          case _ => synth += 1; s"__arg$synth"
+        }
+        addItem(base, e)
+      }
+    def attrOf(n: String) = UnresolvedAttribute(Seq(n))
+    // pass 1+2: SELECT items — scalars become projection columns under
+    // their output name; aggregate functions re-point their arguments
+    val newSelect: Seq[org.apache.spark.sql.catalyst.expressions.NamedExpression] =
+      agg.aggregateExpressions.map {
+        case a: UnresolvedAttribute => attrOf(addItem(a.nameParts.last, a))
+        case Alias(f: UnresolvedFunction, n)
+            if AggFns.contains(f.nameParts.map(_.toLowerCase).mkString(".")) =>
+          val newArgs = f.arguments.map {
+            case s: UnresolvedStar => s
+            case l: Literal => l
+            case c @ Cast(a: UnresolvedAttribute, DoubleType, _, _) =>
+              c.copy(child = attrOf(argItem(a)))
+            case e => attrOf(argItem(e))
+          }
+          Alias(f.copy(arguments = newArgs), n)()
+        case Alias(child, n) if !hasAggFunction(Seq(child)) =>
+          Alias(attrOf(addItem(n, child)), n)()
+        case other =>
+          bail(s"SELECT item $other must be a grouping column/expression " +
+            "or an aliased aggregate")
+      }
+    // pass 3: GROUP BY — each grouping expression must be (or name, via
+    // an ordinal) a projected SELECT item: the changelog retracts groups
+    // by their visible key values
+    val newGroups: Seq[Expression] = agg.groupingExpressions.map { g =>
+      // GROUP BY <ordinal>: Spark's groupByOrdinal reading (the parser
+      // emits UnresolvedOrdinal in grouping position)
+      val ordinal: Option[Int] = g match {
+        case o: org.apache.spark.sql.catalyst.analysis.UnresolvedOrdinal =>
+          Some(o.ordinal)
+        case Literal(i: Int, IntegerType) => Some(i)
+        case _ => None
+      }
+      val named = (ordinal, g) match {
+        case (Some(i), _) if i >= 1 && i <= agg.aggregateExpressions.length =>
+          agg.aggregateExpressions(i - 1) match {
+            case a: UnresolvedAttribute => items.find(it => sameExpr(it._2, a))
+            case Alias(child, n) => items.find(_._1 == n)
+              .filter(it => sameExpr(it._2, child))
+            case _ => None
+          }
+        case (Some(_), _) => None // out-of-range ordinal
+        // the DISTINCT route passes its projection list as the grouping
+        // list verbatim, so a grouping item may arrive alias-wrapped
+        case (None, Alias(child, n)) =>
+          items.find(it => it._1 == n && sameExpr(it._2, child))
+        case (None, other) => items.find(it => sameExpr(it._2, other))
+      }
+      named match {
+        case Some((n, _)) => attrOf(n)
+        case None => bail(s"GROUP BY expression $g must appear in the " +
+          "SELECT list (the changelog retracts groups by their visible " +
+          "key values)")
+      }
+    }
+    val pds = projectSource(ds, items.toSeq).getOrElse(
+      bail("the projected continuous view could not be built: a column " +
+        "does not resolve in the maintained view " +
+        s"(${ds.viewCols.mkString(", ")}), an output name collides, or " +
+        "an expression is non-deterministic (projections must commute " +
+        "with retraction)"))
+    (pds, Aggregate(newGroups, newSelect, agg.child, None))
   }
 
   // ===== the continuous aggregate fold =====
@@ -1094,7 +1373,7 @@ final class Statements(spark: SparkSession, prefix: String = "stmt-",
     * over an empty view (COUNT 0, others NULL), and the changelog keys
     * every snapshot row to the empty key so transitions wire as -U/+U. */
   private def aggOverDeltas(ds: DeltaSource, agg: Aggregate,
-      where: Option[Expression], having: Option[Expression],
+      having: Option[Expression],
       sql: String, name: String, properties: Map[String, String],
       topK: Option[(SortOrder, Int)] = None): Statement = {
     def bail(what: String): Nothing = unsupported(sql, what)
@@ -1310,14 +1589,10 @@ final class Statements(spark: SparkSession, prefix: String = "stmt-",
             "(column-vs-literal comparisons, IS [NOT] NULL, AND/OR/NOT)")
       }
     }
-    // WHERE applies to the source view and is DELTA-COMMUTING (a
-    // deterministic row predicate passes a row's +I and its -D
-    // identically), so it compiles through the same executor-side
-    // Catalyst rewrite as the filtered `SELECT *` views — the full
-    // Spark predicate algebra, codegen'd, and rejected rows never cross
-    // to the driver fold at all. Only HAVING needs the driver-side
-    // compiled predicate below (it evaluates EMITTED snapshots).
-    val filtered = where.map(filterDeltas(ds, _, sql)).getOrElse(ds)
+    // WHERE was already applied executor-side in routeAgg (it compiles
+    // against the SOURCE view's columns, before any normalization
+    // projection). Only HAVING needs the driver-side compiled predicate
+    // below (it evaluates EMITTED snapshots).
     // HAVING and ORDER BY resolve against the OUTPUT columns (aliases +
     // group cols); the error names the resolving CLAUSE — an ORDER BY
     // typo must not be blamed on a HAVING the statement doesn't have
@@ -1503,7 +1778,7 @@ final class Statements(spark: SparkSession, prefix: String = "stmt-",
     // ungrouped: keyNames is empty — the synthesizer keys every snapshot
     // row to the EMPTY key, i.e. the one always-live row, so its
     // transitions wire as -U/+U (never a spurious +I/-D pair)
-    val handle = ChangelogStream.foldingSnapshot(filtered.deltas, name,
+    val handle = ChangelogStream.foldingSnapshot(ds.deltas, name,
       outNames, keyNames, fold)
     // advertised schema ("traits.schema") is the aggregate view's — an
     // empty typed frame carries it; results flow through the handle

@@ -195,18 +195,26 @@ class ContinuousStatementsSpec extends AnyFunSuite {
     // silently; now the type rejects at analysis (verdict item #5)
     rejects("SELECT a.key, sum(d.flag) AS s FROM lt_feed a JOIN lt_dims d " +
       "ON a.key = d.k GROUP BY a.key", "cannot maintain")
-    // GROUP BY over an expression the fold cannot key
-    rejects("SELECT upper(value) AS u, count(*) AS c FROM lt_feed " +
-      "GROUP BY upper(value)", "not a view column")
+    // GROUP BY over an expression ROUTES as of r11 (the normalization
+    // projection), but only when the expression appears in the SELECT
+    // list: the changelog retracts groups by their visible key values
+    rejects("SELECT count(*) AS c FROM lt_feed GROUP BY upper(value)",
+      "must appear in the SELECT list")
+    // … and only DETERMINISTIC expressions: a non-deterministic group
+    // key cannot commute with retraction
+    rejects("SELECT rand() AS r, count(*) AS c FROM lt_feed GROUP BY rand()",
+      "could not be built")
     // HAVING is driver-evaluated over emitted snapshots, so ITS algebra
     // is the compiled subset: column-vs-column comparisons reject
     // (WHERE, by contrast, rides the executor-side Catalyst rewrite and
     // supports them — see the filtered-view and agg-WHERE specs)
     rejects("SELECT key, count(*) AS c, sum(id) AS s FROM lt_feed " +
       "GROUP BY key HAVING c = s", "outside the supported algebra")
-    // an aggregate over a subquery-wrapped feed matches no route — the
-    // default route would fold delete markers as data rows
-    rejects("SELECT count(*) AS c FROM (SELECT * FROM lt_feed)",
+    // a PROJECTED/star subquery routes as of r11, but an aggregate
+    // nested INSIDE the subquery still matches no route — the default
+    // route would fold delete markers as data rows
+    rejects("SELECT count(*) AS c FROM " +
+      "(SELECT key, count(*) AS k FROM lt_feed GROUP BY key)",
       "no IVM route matches")
     // a dim column shadowing the view's id/value makes the joined view
     // ambiguous: loud, with a rename hint
@@ -961,6 +969,152 @@ class ContinuousStatementsSpec extends AnyFunSuite {
         "the exact long accumulator must hold past-2^53 sums")
       mem.addData((2L, 1L, big, "x", true))
       assert(sync() == Set(Vector[Any](1L, 2L)))
+    } finally stmt.stop()
+  }
+
+  test("the reference's demo3 statement shape over a changelog feed: a " +
+    "CTE projecting CASE/CAST/substring expressions, aggregated by the " +
+    "projected column — collapse == batch after every page") {
+    val mem = newFeed("age_feed")
+    val stmts = new Statements(spark)
+    // dashboard.py:118-132 verbatim, with the reference's user columns
+    // mapped onto the feed's wire columns (key plays age, value plays
+    // the '$123.45'-style balance string)
+    val stmt = stmts.create("""
+      WITH users_with_age_groups AS
+           (SELECT CAST(substring(value FROM 2) AS DOUBLE) AS balance_double,
+                   CASE
+                       WHEN key BETWEEN 40 AND 49 THEN '40s'
+                       WHEN key BETWEEN 30 AND 39 THEN '30s'
+                       WHEN key BETWEEN 20 AND 29 THEN '20s'
+                       WHEN key BETWEEN 50 AND 59 THEN '50s'
+                       ELSE 'other' END AS age_group
+            FROM age_feed)
+      SELECT age_group,
+             AVG(balance_double) AS avg_balance
+      FROM users_with_age_groups
+      GROUP BY age_group""")
+    try {
+      assert(stmt.isStreaming,
+        "the demo3 CTE shape must route through the IVM fold")
+      assert(stmt.columns == Seq("age_group", "avg_balance"))
+      assert(stmts.waitForStatus(stmt, Set(Phase.Running)).isDefined)
+      val cl = stmt.handle.get.changelog()
+      val live = scala.collection.mutable.Map.empty[Long, (Long, String)]
+      def ageGroup(age: Long): String =
+        if (age >= 40 && age <= 49) "40s"
+        else if (age >= 30 && age <= 39) "30s"
+        else if (age >= 20 && age <= 29) "20s"
+        else if (age >= 50 && age <= 59) "50s"
+        else "other"
+      def page(evs: Seq[Feed]): Set[Vector[Any]] = {
+        if (evs.nonEmpty) mem.addData(evs)
+        stmt.handle.get.processAllAvailable()
+        evs.foreach { f =>
+          if (f._5) live.remove(f._3) else live(f._3) = (f._2, f._4)
+        }
+        while (cl.consume(1).nonEmpty) ()
+        // the fold's exact arithmetic: decimal-exact sum of the doubles'
+        // binary expansions, ONE IEEE division at emission
+        val expected = live.values.toSeq.groupBy(v => ageGroup(v._1)).map {
+          case (g, rows) =>
+            val sum = rows.map(r =>
+                new java.math.BigDecimal(r._2.drop(1).toDouble))
+              .reduce(_.add(_))
+            Vector[Any](g, sum.doubleValue / rows.size)
+        }.toSet
+        val got = cl.collapse().rows.toSet
+        assert(got == expected, s"demo3 collapse $got != batch $expected")
+        got
+      }
+      // page 1: two 40s users, one 20s
+      val p1 = page(Seq((0L, 44L, 1L, "$100.10", false),
+        (1L, 41L, 2L, "$50.50", false), (2L, 25L, 3L, "$7.25", false)))
+      assert(p1 == Set(Vector[Any]("40s", (new java.math.BigDecimal(100.10)
+          .add(new java.math.BigDecimal(50.50))).doubleValue / 2),
+        Vector[Any]("20s", 7.25)))
+      // page 2: user 1 AGES into the 50s (an upsert that re-keys its
+      // group through the CASE expression) — both groups transition
+      page(Seq((3L, 52L, 1L, "$100.10", false)))
+      // page 3: user 2 deletes → the 40s group -D's away entirely
+      page(Seq((4L, 41L, 2L, "$50.50", true)))
+      assert(cl.history.flatMap(_.op).contains(graft.changelog.Op.Delete))
+      // page 4: balance update inside a group (value change, same group)
+      page(Seq((5L, 25L, 3L, "$8.00", false)))
+    } finally stmt.stop()
+  }
+
+  test("GROUP BY <expression> and aggregates over expressions route " +
+    "through the normalization projection: executor-side scalar algebra " +
+    "under the exact fold, collapse == batch per page") {
+    val mem = newFeed("gb_feed")
+    val stmts = new Statements(spark)
+    // upper(value) as the group key (in the SELECT list), an aggregate
+    // over an arithmetic expression, and an ordinal GROUP BY reference
+    val stmt = stmts.create(
+      "SELECT upper(value) AS u, count(*) AS c, sum(id * 2) AS s2, " +
+        "min(key + 100) AS mk FROM gb_feed GROUP BY 1")
+    try {
+      assert(stmt.isStreaming, "GROUP BY expression must route")
+      assert(stmt.columns == Seq("u", "c", "s2", "mk"))
+      assert(stmts.waitForStatus(stmt, Set(Phase.Running)).isDefined)
+      val cl = stmt.handle.get.changelog()
+      val live = scala.collection.mutable.Map.empty[Long, (Long, String)]
+      def page(evs: Seq[Feed]): Set[Vector[Any]] = {
+        if (evs.nonEmpty) mem.addData(evs)
+        stmt.handle.get.processAllAvailable()
+        evs.foreach { f =>
+          if (f._5) live.remove(f._3) else live(f._3) = (f._2, f._4)
+        }
+        while (cl.consume(1).nonEmpty) ()
+        val expected = live.toSeq.groupBy(_._2._2.toUpperCase).map {
+          case (u, rows) =>
+            Vector[Any](u, rows.size.toLong, rows.map(_._1 * 2).sum,
+              rows.map(_._2._1 + 100L).min)
+        }.toSet
+        val got = cl.collapse().rows.toSet
+        assert(got == expected, s"expr-group collapse $got != batch $expected")
+        got
+      }
+      val p1 = page(Seq((0L, 1L, 10L, "ab", false), (1L, 2L, 11L, "AB", false),
+        (2L, 9L, 12L, "cd", false)))
+      assert(p1 == Set(Vector[Any]("AB", 2L, 42L, 101L),
+        Vector[Any]("CD", 1L, 24L, 109L)))
+      // delete the row holding the AB group's min(key + 100)
+      page(Seq((3L, 1L, 10L, "ab", true)))
+      // re-key a row ACROSS expression groups via upsert
+      page(Seq((4L, 9L, 11L, "cd", false)))
+      // empty everything
+      page(Seq((5L, 9L, 11L, "cd", true), (6L, 9L, 12L, "cd", true)))
+      assert(cl.collapse().rows.isEmpty)
+    } finally stmt.stop()
+  }
+
+  test("SELECT * over a projected subquery serves the PROJECTED " +
+    "maintained view (retractions project onto their inserts)") {
+    val mem = newFeed("ps_feed")
+    val stmts = new Statements(spark)
+    val stmt = stmts.create(
+      "SELECT * FROM (SELECT id, concat(value, '!') AS shout " +
+        "FROM ps_feed WHERE key >= 10)")
+    try {
+      assert(stmt.isStreaming)
+      assert(stmt.columns == Seq("id", "shout"))
+      assert(stmts.waitForStatus(stmt, Set(Phase.Running)).isDefined)
+      val cl = stmt.handle.get.changelog()
+      def sync(): Set[Vector[Any]] = {
+        stmt.handle.get.processAllAvailable()
+        while (cl.consume(1).nonEmpty) ()
+        cl.collapse().rows.toSet
+      }
+      mem.addData((0L, 10L, 1L, "a", false), (1L, 5L, 2L, "b", false))
+      assert(sync() == Set(Vector[Any](1L, "a!")),
+        "the subquery's WHERE must filter the delta stream executor-side")
+      // the upsert retracts the OLD projected row exactly
+      mem.addData((2L, 10L, 1L, "c", false))
+      assert(sync() == Set(Vector[Any](1L, "c!")))
+      mem.addData((3L, 10L, 1L, "c", true))
+      assert(sync().isEmpty)
     } finally stmt.stop()
   }
 
