@@ -152,6 +152,7 @@ final class Statements(spark: SparkSession, prefix: String = "stmt-",
     * group, one distinct bag value, or one live view row. */
   private final class FoldStateBudget {
     private var entries = 0L
+    def shrink(n: Long): Unit = entries -= n
     def grow(): Unit = {
       entries += 1L
       if (entries > maxFoldStateEntries)
@@ -1127,8 +1128,10 @@ final class Statements(spark: SparkSession, prefix: String = "stmt-",
         // rewrite BEFORE any normalization projection, so it sees the
         // source's own columns; rejected rows never reach the driver
         val ds = where.map(filterDeltas(ds0, _, sql)).getOrElse(ds0)
-        val (dsN, aggN) = normalizeAgg(ds, agg, sql)
-        Some(aggOverDeltas(dsN, aggN, having, sql, name, properties, topK))
+        val (aggT, tumbleCol) = rewriteTumble(agg, ds, sql)
+        val (dsN, aggN) = normalizeAgg(ds, aggT, sql)
+        Some(aggOverDeltas(dsN, aggN, having, sql, name, properties, topK,
+          tumbleCol))
       case None =>
         if (referencesFeed(src))
           unsupported(sql, "the FROM clause references changelog feed(s) " +
@@ -1138,6 +1141,85 @@ final class Statements(spark: SparkSession, prefix: String = "stmt-",
             "deterministic projected subqueries / CTEs over those)")
         None
     }
+  }
+
+  /** `TUMBLE(col, width)` — the event-time tumbling window as a grouping
+    * function over an integral view column (Flink SQL's `GROUP BY
+    * TUMBLE(ts, INTERVAL …)` re-expressed for the feed's long event-time
+    * domain; the batch twin is q18's window() aggregation). The call
+    * rewrites to the window-start scalar `col - pmod(col, width)` (true
+    * floor alignment for any sign), which the normalization projection
+    * evaluates executor-side like any grouping expression — and the
+    * returned output-column name tells the fold to run WATERMARK
+    * EVICTION over it: the watermark is the maximum window start any
+    * live insert has reached, a window strictly below it is CLOSED —
+    * its group leaves the maintained view (the snapshot diff emits the
+    * `-D` with the final value, mirroring Flink's state eviction at
+    * watermark passage), and late rows targeting closed windows drop
+    * (Flink's late-event discipline; allowed lateness 0 here). Only the
+    * direct `tumble(col, w) AS name` SELECT-item + matching GROUP BY
+    * form routes; a tumble nested in another expression rejects loudly
+    * (it would silently lose eviction). */
+  private def rewriteTumble(agg: Aggregate, ds: DeltaSource,
+      sql: String): (Aggregate, Option[String]) = {
+    def bail(what: String): Nothing = unsupported(sql, what)
+    def isTumble(f: UnresolvedFunction): Boolean =
+      f.nameParts.map(_.toLowerCase) == Seq("tumble")
+    def containsTumble(es: Seq[Expression]): Boolean =
+      es.exists(_.exists {
+        case f: UnresolvedFunction => isTumble(f)
+        case _ => false
+      })
+    if (!containsTumble(agg.aggregateExpressions) &&
+        !containsTumble(agg.groupingExpressions))
+      return (agg, None)
+    val tumbles = agg.aggregateExpressions.collect {
+      case Alias(f: UnresolvedFunction, n) if isTumble(f) => (f, n)
+    }
+    if (tumbles.isEmpty)
+      bail("tumble(col, width) must appear as a direct aliased SELECT " +
+        "item (the changelog retracts windows by their visible start)")
+    if (tumbles.length > 1)
+      bail("one tumble window per continuous statement")
+    val (f, outName) = tumbles.head
+    val (col, width) = f.arguments match {
+      case Seq(a: UnresolvedAttribute, Literal(w, _)) =>
+        val wl = w match {
+          case i: java.lang.Integer => i.longValue
+          case l: java.lang.Long => l.longValue
+          case _ => bail("tumble width must be an integer literal")
+        }
+        if (wl <= 0) bail("tumble width must be positive")
+        val i = ds.resolve(a).getOrElse(
+          bail(s"tumble column ${a.nameParts.mkString(".")} does not " +
+            s"resolve in the maintained view (${ds.viewCols.mkString(", ")})"))
+        if (kindOf(ds.types(i)) != Some(LongK))
+          bail(s"tumble column ${ds.viewCols(i)} must be integral " +
+            "(the feed's event-time domain)")
+        (a, wl)
+      case _ =>
+        bail("tumble(col, width) needs a view column and an integer " +
+          "literal width")
+    }
+    import org.apache.spark.sql.catalyst.expressions.Subtract
+    val start: Expression = Subtract(col,
+      UnresolvedFunction(Seq("pmod"), Seq(col, Literal(width)),
+        isDistinct = false))
+    val newAgg = agg.copy(
+      aggregateExpressions = agg.aggregateExpressions.map {
+        case Alias(ff: UnresolvedFunction, n) if ff == f => Alias(start, n)()
+        case other => other
+      },
+      groupingExpressions = agg.groupingExpressions.map {
+        case ff: UnresolvedFunction if ff == f => start
+        case other => other
+      })
+    if (containsTumble(newAgg.aggregateExpressions) ||
+        containsTumble(newAgg.groupingExpressions))
+      bail("tumble(col, width) may appear only as a direct aliased " +
+        "SELECT item and a matching GROUP BY expression — nesting it in " +
+        "another expression would silently lose watermark eviction")
+    (newAgg, Some(outName))
   }
 
   /** Rewrite an Aggregate whose grouping expressions or aggregate
@@ -1375,7 +1457,8 @@ final class Statements(spark: SparkSession, prefix: String = "stmt-",
   private def aggOverDeltas(ds: DeltaSource, agg: Aggregate,
       having: Option[Expression],
       sql: String, name: String, properties: Map[String, String],
-      topK: Option[(SortOrder, Int)] = None): Statement = {
+      topK: Option[(SortOrder, Int)] = None,
+      tumble: Option[String] = None): Statement = {
     def bail(what: String): Nothing = unsupported(sql, what)
     def viewCol(a: UnresolvedAttribute): Int =
       ds.resolve(a).getOrElse(bail(s"column ${a.nameParts.mkString(".")} " +
@@ -1463,6 +1546,16 @@ final class Statements(spark: SparkSession, prefix: String = "stmt-",
       bail("every GROUP BY column must appear in the SELECT list (the " +
         "changelog retracts groups by their visible key values)")
     val ungrouped = groupIdx.isEmpty
+    // TUMBLE eviction metadata: the position of the window-start column
+    // within the GROUP KEY (see rewriteTumble — the fold watermarks and
+    // evicts over it)
+    val tumblePos: Option[Int] = tumble.map { n =>
+      outCols.find(_._1 == n) match {
+        case Some((_, Left(i))) if groupIdx.contains(i) =>
+          groupIdx.indexOf(i)
+        case _ => bail("tumble(col, width) must be a GROUP BY expression")
+      }
+    }
     // output schema (also the types HAVING compiles against)
     def kindType(k: ValKind): DataType = k match {
       case LongK => LongType
@@ -1666,6 +1759,13 @@ final class Statements(spark: SparkSession, prefix: String = "stmt-",
       if (next == 0L) { bag.remove(x); if (prev > 0L) budget.shrink() }
       else { if (prev == 0L) budget.grow(); bag.update(x, next) }
     }
+    // TUMBLE watermark: the max window start any ADD has reached. A
+    // window strictly below it is closed — late rows (and retractions
+    // of already-evicted rows) drop, per Flink's late-event discipline.
+    var watermark = Long.MinValue
+    def windowStart(gkey: Vector[Any]): Option[Long] = tumblePos.flatMap {
+      p => Option(gkey(p)).map(_.asInstanceOf[Number].longValue)
+    }
     def fold(deltas: Seq[Vector[Any]]): Seq[Vector[Any]] = {
       deltas.foreach { row =>
         // delta rows lead with the changelog op; view columns follow
@@ -1677,6 +1777,30 @@ final class Statements(spark: SparkSession, prefix: String = "stmt-",
         }
         val view = row.drop(1)
         val gkey = groupIdx.map(view).toVector
+        val late = windowStart(gkey).exists { s =>
+          if (s < watermark) true // closed window: drop
+          else { if (sign > 0) watermark = math.max(watermark, s); false }
+        }
+        if (!late) foldRow(sign, view, gkey)
+      }
+      // eviction: every window strictly below the watermark leaves the
+      // maintained view — the snapshot diff below emits its -D with the
+      // final value (Flink's state eviction at watermark passage). An
+      // evicted group's bags may still hold entries (unlike natural
+      // group death), so the budget releases them too.
+      tumblePos.foreach { _ =>
+        val dead = state.keysIterator
+          .filter(k => windowStart(k).exists(_ < watermark)).toVector
+        dead.foreach { k =>
+          state.remove(k).foreach { g =>
+            budget.shrink()
+            g.bags.foreach(b => if (b != null) budget.shrink(b.size.toLong))
+          }
+        }
+      }
+      emitSnapshot()
+    }
+    def foldRow(sign: Long, view: Vector[Any], gkey: Vector[Any]): Unit = {
         val g = state.getOrElseUpdate(gkey, { budget.grow(); new GState })
         g.rows += sign
         var k = 0
@@ -1728,7 +1852,8 @@ final class Statements(spark: SparkSession, prefix: String = "stmt-",
         // are necessarily empty at rows == 0 (every bag count is bounded
         // by the group's live non-null rows), so one shrink per group.
         if (!ungrouped && g.rows <= 0) { state.remove(gkey); budget.shrink() }
-      }
+    }
+    def emitSnapshot(): Seq[Vector[Any]] = {
       if (ungrouped)
         state.getOrElseUpdate(Vector.empty, { budget.grow(); new GState })
       val snapshot = state.iterator.map { case (gkey, g) =>

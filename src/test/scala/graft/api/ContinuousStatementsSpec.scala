@@ -204,6 +204,12 @@ class ContinuousStatementsSpec extends AnyFunSuite {
     // key cannot commute with retraction
     rejects("SELECT rand() AS r, count(*) AS c FROM lt_feed GROUP BY rand()",
       "could not be built")
+    // tumble guards: event time must be integral, and the call must be a
+    // direct aliased item (nesting would silently lose eviction)
+    rejects("SELECT tumble(value, 10) AS w, count(*) AS c FROM lt_feed " +
+      "GROUP BY tumble(value, 10)", "must be integral")
+    rejects("SELECT tumble(key, 10) + 1 AS w, count(*) AS c FROM lt_feed " +
+      "GROUP BY tumble(key, 10) + 1", "direct aliased SELECT item")
     // HAVING is driver-evaluated over emitted snapshots, so ITS algebra
     // is the compiled subset: column-vs-column comparisons reject
     // (WHERE, by contrast, rides the executor-side Catalyst rewrite and
@@ -1115,6 +1121,47 @@ class ContinuousStatementsSpec extends AnyFunSuite {
       assert(sync() == Set(Vector[Any](1L, "c!")))
       mem.addData((3L, 10L, 1L, "c", true))
       assert(sync().isEmpty)
+    } finally stmt.stop()
+  }
+
+  test("event-time TUMBLE windows: the maintained view holds open " +
+    "windows; a closed window retracts with -D at watermark passage and " +
+    "late rows drop") {
+    val mem = newFeed("tw_feed")
+    val stmts = new Statements(spark)
+    // key plays the event-time domain; tumble(key, 10) aligns to the
+    // window start — the continuous twin of q18's batch window()
+    val stmt = stmts.create(
+      "SELECT tumble(key, 10) AS win, count(*) AS c, sum(id) AS s " +
+        "FROM tw_feed GROUP BY tumble(key, 10)")
+    try {
+      assert(stmt.isStreaming, "tumble must route through the IVM fold")
+      assert(stmt.columns == Seq("win", "c", "s"))
+      assert(stmts.waitForStatus(stmt, Set(Phase.Running)).isDefined)
+      val cl = stmt.handle.get.changelog()
+      def sync(): Set[Vector[Any]] = {
+        stmt.handle.get.processAllAvailable()
+        while (cl.consume(1).nonEmpty) ()
+        cl.collapse().rows.toSet
+      }
+      // window [0,10): two rows, folding live
+      mem.addData((0L, 3L, 1L, "a", false), (1L, 7L, 2L, "b", false))
+      assert(sync() == Set(Vector[Any](0L, 2L, 3L)))
+      // an event in [10,20) advances the watermark past window 0's end:
+      // window 0 CLOSES — the view retracts it via -D with the final value
+      mem.addData((2L, 12L, 3L, "c", false))
+      assert(sync() == Set(Vector[Any](10L, 1L, 3L)))
+      val dels = cl.history.filter(_.op.contains(graft.changelog.Op.Delete))
+      assert(dels.exists(_.values == Vector[Any](0L, 2L, 3L)),
+        s"the closed window must retract with its FINAL value, got $dels")
+      // a LATE row targeting the closed window drops (no resurrection),
+      // and so does a late retraction of an already-evicted row
+      mem.addData((3L, 5L, 9L, "late", false), (4L, 3L, 1L, "a", true))
+      assert(sync() == Set(Vector[Any](10L, 1L, 3L)),
+        "late rows must not resurrect a closed window")
+      // the open window still folds exactly
+      mem.addData((5L, 15L, 4L, "d", false))
+      assert(sync() == Set(Vector[Any](10L, 2L, 7L)))
     } finally stmt.stop()
   }
 
