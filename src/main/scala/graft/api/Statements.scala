@@ -649,12 +649,100 @@ final class Statements(spark: SparkSession, prefix: String = "stmt-",
     Some(DeltaSource(joined, viewCols, types, resolve))
   }
 
-  /** All continuous-join shapes, most specific first. */
+  /** Match a left-deep all-INNER tree of changelog feeds joined on
+    * DIFFERENT keys (`a JOIN b ON a.key = b.key JOIN c ON b.id = c.key
+    * …`) — the shape the same-key chain cannot keep in one keyed state
+    * entry — and build it as a CASCADE of Z-set binary joins
+    * ([[graft.streaming.StatefulOps.zJoinStream]]), one per stage, each
+    * keyed (shuffled) by its own join column: exactly how Flink plans a
+    * multi-way continuous join as two-input joins. Every condition must
+    * equate the NEW feed's `key` with a previous feed's `key` or `id`
+    * (the view's long columns); stage i's left input is stage i−1's
+    * emitted delta stream. View columns: `<alias>_key` / `<alias>_id` /
+    * `<alias>_value` per side in join order (keys differ per side, so
+    * unlike the same-key chain there is no shared `key` column). */
+  private def matchFeedCascade(j: Join): Option[DeltaSource] =
+    for {
+      (rels, conds) <- flattenInnerJoins(j)
+      if rels.length >= 2
+      infos <- sequenceOpts(rels.map(relInfo))
+      aliases = infos.map(_._2)
+      if aliases.distinct.length == aliases.length
+      feeds <- sequenceOpts(infos.map { case (n, _) => changelogFeed(n) })
+      refs <- sequenceOpts(conds.zipWithIndex.map { case (c, i) =>
+        cascadeRef(c, aliases.take(i + 1), aliases(i + 1))
+      })
+    } yield cascadeSource(feeds, aliases, refs)
+
+  /** `<new>.key = <prev>.key|id` → (previous-side alias index, isKey). */
+  private def cascadeRef(cond: Expression, prev: Seq[String],
+      na: String): Option[(Int, Boolean)] = cond match {
+    case EqualTo(a: UnresolvedAttribute, b: UnresolvedAttribute) =>
+      def newKey(x: UnresolvedAttribute) = x.nameParts == Seq(na, "key")
+      def prevRef(x: UnresolvedAttribute): Option[(Int, Boolean)] =
+        x.nameParts match {
+          case Seq(q, "key") if prev.contains(q) => Some((prev.indexOf(q), true))
+          case Seq(q, "id") if prev.contains(q) => Some((prev.indexOf(q), false))
+          case _ => None
+        }
+      if (newKey(a)) prevRef(b)
+      else if (newKey(b)) prevRef(a)
+      else None
+    case _ => None
+  }
+
+  private def cascadeSource(feeds: Seq[DataFrame], aliases: Seq[String],
+      refs: Seq[(Int, Boolean)]): DeltaSource = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, element_at}
+    import graft.streaming.StatefulOps.{ZDelta, ZEvent, ZRow}
+    def feedDeltas(t: DataFrame): org.apache.spark.sql.Dataset[ZDelta] =
+      upsertDeltas(t).as[(Int, Long, Long, String)].map {
+        case (op, k, id, v) => ZDelta(op, ZRow(Seq(k), Seq(id), Seq(v)))
+      }
+    var acc = feedDeltas(feeds.head)
+    refs.zipWithIndex.foreach { case ((aIdx, isKey), i) =>
+      val left = acc.map { d =>
+        ZEvent(if (isKey) d.row.keys(aIdx) else d.row.ids(aIdx), true,
+          d.row, if (d.op == 0) 1 else -1)
+      }
+      val right = feedDeltas(feeds(i + 1)).map { d =>
+        ZEvent(d.row.keys.head, false, d.row, if (d.op == 0) 1 else -1)
+      }
+      acc = StatefulOps.zJoinStream(left.union(right))
+    }
+    val sideCols = aliases.zipWithIndex.flatMap { case (al, i) =>
+      Seq(element_at(col("row.keys"), i + 1).as(s"${al}_key"),
+        element_at(col("row.ids"), i + 1).as(s"${al}_id"),
+        element_at(col("row.values"), i + 1).as(s"${al}_value"))
+    }
+    val deltas = acc.toDF().select((col("op") +: sideCols): _*)
+    val viewCols = aliases.flatMap(al =>
+      Seq(s"${al}_key", s"${al}_id", s"${al}_value"))
+    val types: Seq[DataType] = aliases.flatMap(_ =>
+      Seq[DataType](LongType, LongType, StringType))
+    val resolve: UnresolvedAttribute => Option[Int] = a => {
+      val colName = a.nameParts match {
+        case Seq(c) if viewCols.contains(c) => Some(c)
+        case Seq(q, "key") if aliases.contains(q) => Some(s"${q}_key")
+        case Seq(q, "id") if aliases.contains(q) => Some(s"${q}_id")
+        case Seq(q, "value") if aliases.contains(q) => Some(s"${q}_value")
+        case _ => None
+      }
+      colName.map(viewCols.indexOf)
+    }
+    DeltaSource(deltas, viewCols, types, resolve)
+  }
+
+  /** All continuous-join shapes, most specific first: the same-key
+    * single-operator forms, then the static-dim forms, then the
+    * different-key cascade. */
   private def matchJoinSource(j: Join, sql: String): Option[DeltaSource] =
     matchFeedJoin2(j)
       .orElse(matchFeedChain(j))
       .orElse(matchFeedStatic(j, sql))
       .orElse(matchFeedTree(j, sql))
+      .orElse(matchFeedCascade(j))
 
   /** A matched continuous source for ANY FROM shape — the one dispatch
     * every route goes through (so a new source shape lands everywhere
@@ -882,9 +970,9 @@ final class Statements(spark: SparkSession, prefix: String = "stmt-",
       // `SELECT * FROM feedA UNION ALL SELECT * FROM feedB [UNION ALL …]`
       // — the maintained MULTISET union of feed views: the same id in
       // two feeds is two independent rows, so the state keys by
-      // (feed index, id) inside ONE stateful operator (Structured
-      // Streaming permits a single update-mode flatMapGroupsWithState
-      // per query — per-feed operators cannot compose) and the
+      // (feed index, id) inside ONE stateful operator (one keyed state
+      // pass instead of N operator stages — the union needs no
+      // cross-side state, unlike the join cascade) and the
       // consumer's counting collapse carries cross-view multiplicity.
       // Non-feed children (join views etc.) fall through for the same
       // single-operator reason; UNION DISTINCT parses as Distinct(Union)

@@ -342,8 +342,12 @@ object ChangelogStream {
                       maxBufferedRecords: Int = DefaultMaxBufferedRecords): Handle = {
     val synth = new ChangelogSynthesizer(outSchema, keyCols)
     val log = new RecordLog(maxBufferedRecords)
+    // the IVM operators emit their deltas in APPEND mode (delta streams
+    // are append streams — which is also what lets several of them chain
+    // in one query: Spark permits multiple flatMapGroupsWithState only
+    // when all are append and the query is append)
     val query = df.writeStream
-      .outputMode("update")
+      .outputMode("append")
       .queryName(queryName)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, _: Long) =>
@@ -370,8 +374,9 @@ object ChangelogStream {
     val opIdx = df.schema.fieldIndex(opCol)
     val schema = df.schema.fieldNames.toSeq.patch(opIdx, Nil, 1)
     val log = new RecordLog(maxBufferedRecords)
+    // append mode: see foldingSnapshot — delta streams are append streams
     val query = df.writeStream
-      .outputMode("update")
+      .outputMode("append")
       .queryName(queryName)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, _: Long) =>

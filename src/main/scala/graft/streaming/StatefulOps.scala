@@ -431,7 +431,7 @@ object StatefulOps extends Serializable {
     implicit val keyEnc: Encoder[Long] = Encoders.scalaLong
     events.groupByKey(_._2.id)
       .flatMapGroupsWithState[UpsertState, UpsertDelta](
-        OutputMode.Update, GroupStateTimeout.NoTimeout()) {
+        OutputMode.Append, GroupStateTimeout.NoTimeout()) {
         (id: Long, rows: Iterator[(Long, UpsertEvent)],
          state: GroupState[UpsertState]) =>
           var cur = state.getOption
@@ -453,9 +453,8 @@ object StatefulOps extends Serializable {
   }
 
   /** Exact retraction deltas of the MULTISET UNION of several keyed
-    * upsert feeds, in ONE stateful operator — Structured Streaming
-    * permits a single update-mode flatMapGroupsWithState per query, so
-    * a `UNION ALL` of maintained views cannot compose per-feed
+    * upsert feeds, in ONE stateful operator — the union needs no
+    * cross-side state, so one keyed pass beats composing per-feed
     * operators. State is keyed by (feed index, id): the same id in two
     * feeds is two INDEPENDENT rows — exactly UNION ALL's multiset
     * reading — and each row's retraction semantics are
@@ -467,7 +466,7 @@ object StatefulOps extends Serializable {
     implicit val keyEnc: Encoder[(Int, Long)] = Encoders.product[(Int, Long)]
     events.groupByKey(e => (e._2, e._3.id))
       .flatMapGroupsWithState[UpsertState, UpsertDelta](
-        OutputMode.Update, GroupStateTimeout.NoTimeout()) {
+        OutputMode.Append, GroupStateTimeout.NoTimeout()) {
         (k: (Int, Long), rows: Iterator[(Long, Int, UpsertEvent)],
          state: GroupState[UpsertState]) =>
           val id = k._2
@@ -532,7 +531,7 @@ object StatefulOps extends Serializable {
     implicit val keyEnc: Encoder[Long] = Encoders.scalaLong
     events.groupByKey(_._2.key)
       .flatMapGroupsWithState[JoinState, JoinDelta](
-        OutputMode.Update, GroupStateTimeout.NoTimeout()) {
+        OutputMode.Append, GroupStateTimeout.NoTimeout()) {
         (key: Long, rows: Iterator[(Long, JoinEvent)],
          state: GroupState[JoinState]) =>
           var s = state.getOption.getOrElse(JoinState(Nil, Nil, Nil, Nil))
@@ -645,7 +644,7 @@ object StatefulOps extends Serializable {
     implicit val keyEnc: Encoder[Long] = Encoders.scalaLong
     events.groupByKey(_._2.key)
       .flatMapGroupsWithState[MultiJoinState, MultiJoinDelta](
-        OutputMode.Update, GroupStateTimeout.NoTimeout()) {
+        OutputMode.Append, GroupStateTimeout.NoTimeout()) {
         (key: Long, rows: Iterator[(Long, MultiJoinEvent)],
          state: GroupState[MultiJoinState]) =>
           var s = state.getOption.getOrElse(MultiJoinState(
@@ -684,6 +683,118 @@ object StatefulOps extends Serializable {
           }
           if (s.ids.forall(_.isEmpty)) state.remove() else state.update(s)
           out.result().iterator
+      }
+  }
+
+  /** A row of the Z-set join's accumulated view: positionally parallel
+    * per-feed (key, id, value) triples in join order — stage N of a
+    * cascade carries N-length seqs. */
+  case class ZRow(keys: Seq[Long], ids: Seq[Long], values: Seq[String])
+
+  /** One side's counted-multiset change at a join key: `sign` is +1 for
+    * an insert delta, -1 for a retraction. */
+  case class ZEvent(jkey: Long, left: Boolean, row: ZRow, sign: Int)
+
+  /** An emitted delta of the joined view (`op`: 0 = +I, 3 = -D). */
+  case class ZDelta(op: Int, row: ZRow)
+
+  /** Per-join-key live counted multisets of both inputs (parallel
+    * row/count seqs — the product encoder's cheap shape). */
+  case class ZJoinState(lrows: Seq[ZRow], lcounts: Seq[Long],
+                        rrows: Seq[ZRow], rcounts: Seq[Long])
+
+  /** Continuously-maintained binary INNER equi-join over two RETRACTION
+    * DELTA streams, as counted multisets (Z-sets) — the composable join
+    * tier that [[changelogJoinStream]]'s upsert-keyed form cannot give:
+    * its inputs are keyed upsert/delete events, while a CASCADE stage's
+    * left input is the previous join's emitted delta stream (multiset
+    * inserts/retracts of composite rows, no per-id upsert identity). A
+    * left-deep tree of feeds joined on DIFFERENT keys chains one of
+    * these per stage — each stage keyed (shuffled) by its own join
+    * column, exactly how Flink plans a multi-way continuous join as a
+    * cascade of two-input joins. All stages run flatMapGroupsWithState
+    * in APPEND mode (delta streams are append streams), which is what
+    * lets several stateful operators legally compose in one query.
+    *
+    * Per micro-batch and join key the operator folds the batch's events
+    * into side deltas ΔL/ΔR and emits the exact bilinear join delta
+    * ΔL ⋈ R_new + L_old ⋈ ΔR (= L_new ⋈ R_new − L_old ⋈ R_old), with
+    * per-combination multiplicity |n| rows of +I (n > 0) or -D (n < 0) —
+    * order-independent within the batch, so upstream -D/+I pairs of the
+    * same row cancel algebraically instead of tripping a transient
+    * negative. A multiset count that ends a batch negative is a broken
+    * IVM invariant and fails loudly. Collapsing the emitted deltas at
+    * any batch boundary equals the inner join of the live multisets at
+    * that boundary (property-tested through the facade).
+    *
+    * Scale shape: state is the live rows per (key, side) in the executor
+    * StateStore sharded by join key — the irreducible two-input join
+    * state; emission per change is the true output delta. */
+  def zJoinStream(events: Dataset[ZEvent]): Dataset[ZDelta] = {
+    implicit val stateEnc: Encoder[ZJoinState] = Encoders.product[ZJoinState]
+    implicit val outEnc: Encoder[ZDelta] = Encoders.product[ZDelta]
+    implicit val keyEnc: Encoder[Long] = Encoders.scalaLong
+    events.groupByKey(_.jkey)
+      .flatMapGroupsWithState[ZJoinState, ZDelta](
+        OutputMode.Append, GroupStateTimeout.NoTimeout()) {
+        (_: Long, rows: Iterator[ZEvent], state: GroupState[ZJoinState]) =>
+          val st = state.getOption.getOrElse(ZJoinState(Nil, Nil, Nil, Nil))
+          // the batch's side deltas as insertion-ordered Z-sets
+          // (iteration order — and therefore emission order — is the
+          // first-seen order of each distinct row, deterministic for a
+          // deterministic upstream)
+          val dL = scala.collection.mutable.LinkedHashMap.empty[ZRow, Long]
+          val dR = scala.collection.mutable.LinkedHashMap.empty[ZRow, Long]
+          rows.foreach { e =>
+            val m = if (e.left) dL else dR
+            val n = m.getOrElse(e.row, 0L) + e.sign
+            if (n == 0L) m.remove(e.row) else m.update(e.row, n)
+          }
+          val lOld = scala.collection.mutable.LinkedHashMap(
+            st.lrows.zip(st.lcounts): _*)
+          val rOld = scala.collection.mutable.LinkedHashMap(
+            st.rrows.zip(st.rcounts): _*)
+          val rNew = scala.collection.mutable.LinkedHashMap(rOld.toSeq: _*)
+          dR.foreach { case (row, c) =>
+            val n = rNew.getOrElse(row, 0L) + c
+            if (n == 0L) rNew.remove(row) else rNew.update(row, n)
+          }
+          // accumulate the bilinear terms into the batch's NET output
+          // Z-set before emitting: the cross terms produce transient
+          // ±pairs of the same composite row (e.g. ΔL ⋈ ΔR retractions
+          // that L_old ⋈ ΔR re-inserts) which must cancel ALGEBRAICALLY
+          // — emitting them as ordered rows would put a -D before its +I
+          // inside one batch and break downstream order-sensitive folds
+          val net = scala.collection.mutable.LinkedHashMap.empty[ZRow, Long]
+          def emit(l: ZRow, r: ZRow, n: Long): Unit = if (n != 0L) {
+            val combined = ZRow(l.keys ++ r.keys, l.ids ++ r.ids,
+              l.values ++ r.values)
+            val c = net.getOrElse(combined, 0L) + n
+            if (c == 0L) net.remove(combined) else net.update(combined, c)
+          }
+          dL.foreach { case (l, cl) =>
+            rNew.foreach { case (r, cr) => emit(l, r, cl * cr) } }
+          lOld.foreach { case (l, cl) =>
+            dR.foreach { case (r, cr) => emit(l, r, cl * cr) } }
+          val out = scala.collection.mutable.ArrayBuffer.empty[ZDelta]
+          net.foreach { case (row, n) =>
+            val op = if (n > 0L) 0 else 3
+            var i = math.abs(n)
+            while (i > 0L) { out += ZDelta(op, row); i -= 1L }
+          }
+          val lNew = scala.collection.mutable.LinkedHashMap(lOld.toSeq: _*)
+          dL.foreach { case (row, c) =>
+            val n = lNew.getOrElse(row, 0L) + c
+            if (n == 0L) lNew.remove(row) else lNew.update(row, n)
+          }
+          if ((lNew.valuesIterator ++ rNew.valuesIterator).exists(_ < 0L))
+            throw new IllegalStateException(
+              "Z-set join retracted a row that was never inserted — the " +
+                "delta stream broke the IVM invariant")
+          if (lNew.isEmpty && rNew.isEmpty) state.remove()
+          else state.update(ZJoinState(lNew.keys.toSeq, lNew.values.toSeq,
+            rNew.keys.toSeq, rNew.values.toSeq))
+          out.iterator
       }
   }
 

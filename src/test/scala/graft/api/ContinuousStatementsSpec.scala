@@ -1124,6 +1124,136 @@ class ContinuousStatementsSpec extends AnyFunSuite {
     } finally stmt.stop()
   }
 
+  test("different-key three-feed continuous join routes as a cascade of " +
+    "Z-set joins: SELECT * and GROUP BY both collapse to the batch " +
+    "triple join after every page") {
+    val am = newFeed("casc_a"); val bm = newFeed("casc_b")
+    val cm = newFeed("casc_c")
+    val stmts = new Statements(spark)
+    // a⋈b share a key; c joins on b's ROW ID — the shape the same-key
+    // chain cannot keep in one state entry, so it cascades
+    val stmt = stmts.create("SELECT * FROM casc_a a " +
+      "JOIN casc_b b ON a.key = b.key JOIN casc_c c ON b.id = c.key")
+    val aggStmt = stmts.create("SELECT a.key AS k, count(*) AS c, " +
+      "min(c.value) AS mc FROM casc_a a JOIN casc_b b ON a.key = b.key " +
+      "JOIN casc_c c ON b.id = c.key GROUP BY a.key")
+    try {
+      assert(stmt.isStreaming, "the different-key tree must route")
+      assert(stmt.columns == Seq("a_key", "a_id", "a_value",
+        "b_key", "b_id", "b_value", "c_key", "c_id", "c_value"))
+      assert(stmts.waitForStatus(stmt, Set(Phase.Running)).isDefined)
+      assert(stmts.waitForStatus(aggStmt, Set(Phase.Running)).isDefined)
+      val cl = stmt.handle.get.changelog()
+      val acl = aggStmt.handle.get.changelog()
+      val a = scala.collection.mutable.Map.empty[Long, (Long, String)]
+      val b = scala.collection.mutable.Map.empty[Long, (Long, String)]
+      val c = scala.collection.mutable.Map.empty[Long, (Long, String)]
+      def page(ae: Seq[Feed], be: Seq[Feed], ce: Seq[Feed]): Set[Vector[Any]] = {
+        if (ae.nonEmpty) am.addData(ae)
+        if (be.nonEmpty) bm.addData(be)
+        if (ce.nonEmpty) cm.addData(ce)
+        stmt.handle.get.processAllAvailable()
+        aggStmt.handle.get.processAllAvailable()
+        def app(m: scala.collection.mutable.Map[Long, (Long, String)],
+                evs: Seq[Feed]): Unit = evs.foreach { f =>
+          if (f._5) m.remove(f._3) else m(f._3) = (f._2, f._4)
+        }
+        app(a, ae); app(b, be); app(c, ce)
+        while (cl.consume(1).nonEmpty) ()
+        while (acl.consume(1).nonEmpty) ()
+        val joined = for {
+          (aid, (ak, av)) <- a.toSeq
+          (bid, (bk, bv)) <- b.toSeq if ak == bk
+          (cid, (ck, cv)) <- c.toSeq if bid == ck
+        } yield Vector[Any](ak, aid, av, bk, bid, bv, ck, cid, cv)
+        val got = cl.collapse().rows.toSet
+        assert(got == joined.toSet,
+          s"cascade collapse $got != batch ${joined.toSet}")
+        val expAgg = joined.groupBy(_. head).map { case (k, rows) =>
+          Vector[Any](k, rows.size.toLong,
+            rows.map(_(8).asInstanceOf[String]).min)
+        }.toSet
+        val gotAgg = acl.collapse().rows.toSet
+        assert(gotAgg == expAgg, s"cascade agg $gotAgg != batch $expAgg")
+        got
+      }
+      // page 1: one full path a(1,10) ⋈ b(1,20) ⋈ c(20,30)
+      val p1 = page(Seq((0L, 1L, 10L, "A1", false)),
+        Seq((0L, 1L, 20L, "B1", false)),
+        Seq((0L, 20L, 30L, "C1", false)))
+      assert(p1 == Set(Vector[Any](1L, 10L, "A1", 1L, 20L, "B1",
+        20L, 30L, "C1")))
+      // page 2: b's VALUE updates (same id) — the composite row retracts
+      // and reinserts through BOTH stages; and a second c row under b's
+      // id doubles the fan-out
+      page(Seq.empty, Seq((1L, 1L, 20L, "B2", false)),
+        Seq((1L, 20L, 31L, "C2", false)))
+      // page 3: deleting c id=30 narrows; deleting a empties the view
+      page(Seq((1L, 1L, 10L, "A1", true)), Seq.empty,
+        Seq((2L, 20L, 30L, "C1", true)))
+      assert(cl.collapse().rows.isEmpty)
+      // page 4: rebuild a — the retained b/c state re-joins
+      val p4 = page(Seq((2L, 1L, 11L, "A2", false)), Seq.empty, Seq.empty)
+      assert(p4 == Set(Vector[Any](1L, 11L, "A2", 1L, 20L, "B2",
+        20L, 31L, "C2")))
+      // page 5: b RE-KEYS to key 2 (away from a) — view empties again
+      page(Seq.empty, Seq((2L, 2L, 20L, "B2", false)), Seq.empty)
+      assert(cl.collapse().rows.isEmpty)
+    } finally { stmt.stop(); aggStmt.stop() }
+  }
+
+  test("different-key cascade property: random delete-heavy " +
+    "interleavings over three feeds collapse to the batch triple join " +
+    "after every page") {
+    for (seed <- Seq(11, 23)) {
+      val rnd = new scala.util.Random(seed)
+      val am = newFeed(s"cp_a$seed"); val bm = newFeed(s"cp_b$seed")
+      val cm = newFeed(s"cp_c$seed")
+      val stmts = new Statements(spark)
+      val stmt = stmts.create(s"SELECT * FROM cp_a$seed a " +
+        s"JOIN cp_b$seed b ON a.key = b.key " +
+        s"JOIN cp_c$seed c ON b.id = c.key")
+      try {
+        assert(stmts.waitForStatus(stmt, Set(Phase.Running)).isDefined)
+        val cl = stmt.handle.get.changelog()
+        val a = scala.collection.mutable.Map.empty[Long, (Long, String)]
+        val b = scala.collection.mutable.Map.empty[Long, (Long, String)]
+        val c = scala.collection.mutable.Map.empty[Long, (Long, String)]
+        var seq = 0L
+        // b ids live in 20..22 so c's keys (20..22) can hit them
+        def evs(idBase: Long, keyOf: () => Long): Seq[Feed] =
+          (0 until rnd.nextInt(6)).map { _ =>
+            seq += 1
+            (seq, keyOf(), idBase + rnd.nextInt(3),
+              s"v${rnd.nextInt(50)}", rnd.nextInt(3) == 0)
+          }
+        for (pg <- 0 until 6) {
+          val ae = evs(10L, () => 1L + rnd.nextInt(2))
+          val be = evs(20L, () => 1L + rnd.nextInt(2))
+          val ce = evs(30L, () => 20L + rnd.nextInt(3))
+          if (ae.nonEmpty) am.addData(ae)
+          if (be.nonEmpty) bm.addData(be)
+          if (ce.nonEmpty) cm.addData(ce)
+          stmt.handle.get.processAllAvailable()
+          def app(m: scala.collection.mutable.Map[Long, (Long, String)],
+                  es: Seq[Feed]): Unit = es.foreach { f =>
+            if (f._5) m.remove(f._3) else m(f._3) = (f._2, f._4)
+          }
+          app(a, ae); app(b, be); app(c, ce)
+          while (cl.consume(1).nonEmpty) ()
+          val expected = (for {
+            (aid, (ak, av)) <- a.toSeq
+            (bid, (bk, bv)) <- b.toSeq if ak == bk
+            (cid, (ck, cv)) <- c.toSeq if bid == ck
+          } yield Vector[Any](ak, aid, av, bk, bid, bv, ck, cid, cv)).toSet
+          val got = cl.collapse().rows.toSet
+          assert(got == expected,
+            s"seed $seed page $pg: cascade $got != batch $expected")
+        }
+      } finally stmt.stop()
+    }
+  }
+
   test("event-time TUMBLE windows: the maintained view holds open " +
     "windows; a closed window retracts with -D at watermark passage and " +
     "late rows drop") {

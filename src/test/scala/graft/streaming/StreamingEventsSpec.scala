@@ -707,7 +707,7 @@ class StreamingEventsSpec extends AnyFunSuite {
 
     val mem = MemoryStream[(Long, JoinEvent)]
     val q = StatefulOps.changelogJoinStream(mem.toDS())
-      .writeStream.outputMode("update")
+      .writeStream.outputMode("append")
       .format("memory").queryName("cl_join_test").start()
     try {
       val batches = evs.zipWithIndex.map { case (e, i) => (i.toLong, e) }
@@ -765,7 +765,7 @@ class StreamingEventsSpec extends AnyFunSuite {
     }
     val mem = MemoryStream[(Long, MultiJoinEvent)]
     val q = StatefulOps.changelogMultiJoinStream(mem.toDS(), nSides)
-      .writeStream.outputMode("update")
+      .writeStream.outputMode("append")
       .format("memory").queryName("cl_mjoin_test").start()
     try {
       val batches = evs.zipWithIndex.map { case (e, i) => (i.toLong, e) }
@@ -812,7 +812,7 @@ class StreamingEventsSpec extends AnyFunSuite {
     }
     val mem = MemoryStream[(Long, UpsertEvent)]
     val q = StatefulOps.changelogUpsertStream(mem.toDS())
-      .writeStream.outputMode("update")
+      .writeStream.outputMode("append")
       .format("memory").queryName("cl_upsert_test").start()
     try {
       val batches = evs.zipWithIndex.map { case (e, i) => (i.toLong, e) }
@@ -867,7 +867,7 @@ class StreamingEventsSpec extends AnyFunSuite {
 
     val mem = MemoryStream[(Long, JoinEvent)]
     val q = StatefulOps.changelogJoinStream(mem.toDS(), leftOuter = true)
-      .writeStream.outputMode("update")
+      .writeStream.outputMode("append")
       .format("memory").queryName("cl_ljoin_test").start()
     try {
       val batches = evs.zipWithIndex.map { case (e, i) => (i.toLong, e) }
@@ -930,7 +930,7 @@ class StreamingEventsSpec extends AnyFunSuite {
     val mem = MemoryStream[(Long, JoinEvent)]
     val q = StatefulOps.changelogJoinStream(mem.toDS(),
         leftOuter = true, rightOuter = true)
-      .writeStream.outputMode("update")
+      .writeStream.outputMode("append")
       .format("memory").queryName("cl_fjoin_test").start()
     try {
       val batches = evs.zipWithIndex.map { case (e, i) => (i.toLong, e) }
@@ -1000,7 +1000,7 @@ class StreamingEventsSpec extends AnyFunSuite {
       val mem = MemoryStream[(Long, JoinEvent)]
       val q = StatefulOps.changelogJoinStream(mem.toDS(),
           leftOuter = true, rightOuter = true)
-        .writeStream.outputMode("update")
+        .writeStream.outputMode("append")
         .format("memory").queryName(qn).start()
       try {
         val base = evs.zipWithIndex.map { case (e, i) => (i.toLong, e) }
@@ -1084,7 +1084,7 @@ class StreamingEventsSpec extends AnyFunSuite {
       val mem = MemoryStream[(Long, JoinEvent)]
       val q = StatefulOps.changelogJoinStream(mem.toDS(),
           leftOuter = false, rightOuter = true)
-        .writeStream.outputMode("update")
+        .writeStream.outputMode("append")
         .format("memory").queryName(qn).start()
       try {
         val base = evs.zipWithIndex.map { case (e, i) => (i.toLong, e) }

@@ -67,7 +67,7 @@ class ThroughputSpec extends AnyFunSuite {
     }
     val mem = MemoryStream[(Long, JoinEvent)]
     val q = StatefulOps.changelogJoinStream(mem.toDS())
-      .writeStream.outputMode("update")
+      .writeStream.outputMode("append")
       .format("noop").start()
     try {
       // warmup on keys disjoint from the workload (999+), so the timed
