@@ -649,30 +649,52 @@ final class Statements(spark: SparkSession, prefix: String = "stmt-",
     Some(DeltaSource(joined, viewCols, types, resolve))
   }
 
-  /** Match a left-deep all-INNER tree of changelog feeds joined on
-    * DIFFERENT keys (`a JOIN b ON a.key = b.key JOIN c ON b.id = c.key
-    * …`) — the shape the same-key chain cannot keep in one keyed state
+  /** Match a left-deep tree of changelog feeds joined on DIFFERENT
+    * keys (`a JOIN b ON a.key = b.key [LEFT] JOIN c ON b.id = c.key …`)
+    * — the shape the same-key chain cannot keep in one keyed state
     * entry — and build it as a CASCADE of Z-set binary joins
     * ([[graft.streaming.StatefulOps.zJoinStream]]), one per stage, each
     * keyed (shuffled) by its own join column: exactly how Flink plans a
     * multi-way continuous join as two-input joins. Every condition must
     * equate the NEW feed's `key` with a previous feed's `key` or `id`
     * (the view's long columns); stage i's left input is stage i−1's
-    * emitted delta stream. View columns: `<alias>_key` / `<alias>_id` /
-    * `<alias>_value` per side in join order (keys differ per side, so
-    * unlike the same-key chain there is no shared `key` column). */
+    * emitted delta stream. Stages may be INNER, LEFT, RIGHT, or FULL
+    * OUTER — the preserved side's rows survive null-padded (the Z-set
+    * pad algebra), and the facade converts the operator's (-1, null)
+    * pad sentinels into true SQL NULLs on the padded side's columns.
+    * View columns: `<alias>_key` / `<alias>_id` / `<alias>_value` per
+    * side in join order (keys differ per side, so unlike the same-key
+    * chain there is no shared `key` column). */
   private def matchFeedCascade(j: Join): Option[DeltaSource] =
     for {
-      (rels, conds) <- flattenInnerJoins(j)
+      (rels, conds) <- flattenCascadeJoins(j)
       if rels.length >= 2
       infos <- sequenceOpts(rels.map(relInfo))
       aliases = infos.map(_._2)
       if aliases.distinct.length == aliases.length
       feeds <- sequenceOpts(infos.map { case (n, _) => changelogFeed(n) })
-      refs <- sequenceOpts(conds.zipWithIndex.map { case (c, i) =>
-        cascadeRef(c, aliases.take(i + 1), aliases(i + 1))
+      refs <- sequenceOpts(conds.zipWithIndex.map { case ((c, jt), i) =>
+        cascadeRef(c, aliases.take(i + 1), aliases(i + 1)).map {
+          case (aIdx, isKey) =>
+            (aIdx, isKey, jt == LeftOuter || jt == FullOuter,
+              jt == RightOuter || jt == FullOuter)
+        }
       })
     } yield cascadeSource(feeds, aliases, refs)
+
+  /** Flatten a LEFT-DEEP tree of INNER/LEFT/RIGHT/FULL joins into
+    * (leaves, per-stage (condition, joinType)) — the cascade's shape. */
+  private def flattenCascadeJoins(p: LogicalPlan)
+      : Option[(Seq[LogicalPlan], Seq[(Expression,
+        org.apache.spark.sql.catalyst.plans.JoinType)])] = p match {
+    case jj: Join if jj.joinType == Inner || jj.joinType == LeftOuter ||
+        jj.joinType == RightOuter || jj.joinType == FullOuter =>
+      for {
+        c <- jj.condition
+        (rels, conds) <- flattenCascadeJoins(jj.left)
+      } yield (rels :+ jj.right, conds :+ ((c, jj.joinType)))
+    case rel => Some((Seq(rel), Nil))
+  }
 
   /** `<new>.key = <prev>.key|id` → (previous-side alias index, isKey). */
   private def cascadeRef(cond: Expression, prev: Seq[String],
@@ -692,16 +714,16 @@ final class Statements(spark: SparkSession, prefix: String = "stmt-",
   }
 
   private def cascadeSource(feeds: Seq[DataFrame], aliases: Seq[String],
-      refs: Seq[(Int, Boolean)]): DeltaSource = {
+      refs: Seq[(Int, Boolean, Boolean, Boolean)]): DeltaSource = {
     import spark.implicits._
-    import org.apache.spark.sql.functions.{col, element_at}
+    import org.apache.spark.sql.functions.{col, element_at, lit, when}
     import graft.streaming.StatefulOps.{ZDelta, ZEvent, ZRow}
     def feedDeltas(t: DataFrame): org.apache.spark.sql.Dataset[ZDelta] =
       upsertDeltas(t).as[(Int, Long, Long, String)].map {
         case (op, k, id, v) => ZDelta(op, ZRow(Seq(k), Seq(id), Seq(v)))
       }
     var acc = feedDeltas(feeds.head)
-    refs.zipWithIndex.foreach { case ((aIdx, isKey), i) =>
+    refs.zipWithIndex.foreach { case ((aIdx, isKey, lo, ro), i) =>
       val left = acc.map { d =>
         ZEvent(if (isKey) d.row.keys(aIdx) else d.row.ids(aIdx), true,
           d.row, if (d.op == 0) 1 else -1)
@@ -709,12 +731,26 @@ final class Statements(spark: SparkSession, prefix: String = "stmt-",
       val right = feedDeltas(feeds(i + 1)).map { d =>
         ZEvent(d.row.keys.head, false, d.row, if (d.op == 0) 1 else -1)
       }
-      acc = StatefulOps.zJoinStream(left.union(right))
+      acc = StatefulOps.zJoinStream(left.union(right), leftOuter = lo,
+        rightOuter = ro, leftArity = i + 1, rightArity = 1)
     }
+    val anyOuter = refs.exists(r => r._3 || r._4)
     val sideCols = aliases.zipWithIndex.flatMap { case (al, i) =>
-      Seq(element_at(col("row.keys"), i + 1).as(s"${al}_key"),
-        element_at(col("row.ids"), i + 1).as(s"${al}_id"),
-        element_at(col("row.values"), i + 1).as(s"${al}_value"))
+      val key = element_at(col("row.keys"), i + 1)
+      val id = element_at(col("row.ids"), i + 1)
+      val value = element_at(col("row.values"), i + 1)
+      if (!anyOuter)
+        Seq(key.as(s"${al}_key"), id.as(s"${al}_id"), value.as(s"${al}_value"))
+      else {
+        // a pad is exactly (id == -1 AND value IS NULL) on its side —
+        // -1 is the wire's reserved pad id, never a row identity — and
+        // surfaces as true SQL NULLs in the facade view (the
+        // matchFeedJoin2 denull convention)
+        val isPad = id === -1L && value.isNull
+        Seq(when(isPad, lit(null).cast("long")).otherwise(key).as(s"${al}_key"),
+          when(isPad, lit(null).cast("long")).otherwise(id).as(s"${al}_id"),
+          value.as(s"${al}_value"))
+      }
     }
     val deltas = acc.toDF().select((col("op") +: sideCols): _*)
     val viewCols = aliases.flatMap(al =>

@@ -727,13 +727,28 @@ object StatefulOps extends Serializable {
     * any batch boundary equals the inner join of the live multisets at
     * that boundary (property-tested through the facade).
     *
+    * `leftOuter` adds SQL LEFT OUTER semantics (the accumulated/left
+    * side survives without matches): while a key's R multiset is EMPTY,
+    * every live L row is emitted padded with `rightArity` (-1, -1,
+    * null) triples — the cascade's sentinel for a SQL NULL side, -1
+    * being the wire's reserved pad id — and the pads retract/return on
+    * the R side's empty↔nonempty transitions. The pad algebra is the
+    * same per-batch Z-set difference as the join itself
+    * (padTerm_new − padTerm_old where padTerm = L when R is empty, ∅
+    * otherwise), so pad transitions net exactly and in one pass.
+    * `rightOuter` mirrors with `leftArity` pads; both = FULL OUTER.
+    *
     * Scale shape: state is the live rows per (key, side) in the executor
     * StateStore sharded by join key — the irreducible two-input join
     * state; emission per change is the true output delta. */
-  def zJoinStream(events: Dataset[ZEvent]): Dataset[ZDelta] = {
+  def zJoinStream(events: Dataset[ZEvent], leftOuter: Boolean = false,
+                  rightOuter: Boolean = false, leftArity: Int = 1,
+                  rightArity: Int = 1): Dataset[ZDelta] = {
     implicit val stateEnc: Encoder[ZJoinState] = Encoders.product[ZJoinState]
     implicit val outEnc: Encoder[ZDelta] = Encoders.product[ZDelta]
     implicit val keyEnc: Encoder[Long] = Encoders.scalaLong
+    def pad(arity: Int): ZRow = ZRow(Seq.fill(arity)(-1L),
+      Seq.fill(arity)(-1L), Seq.fill(arity)(null))
     events.groupByKey(_.jkey)
       .flatMapGroupsWithState[ZJoinState, ZDelta](
         OutputMode.Append, GroupStateTimeout.NoTimeout()) {
@@ -776,16 +791,31 @@ object StatefulOps extends Serializable {
             rNew.foreach { case (r, cr) => emit(l, r, cl * cr) } }
           lOld.foreach { case (l, cl) =>
             dR.foreach { case (r, cr) => emit(l, r, cl * cr) } }
+          val lNew = scala.collection.mutable.LinkedHashMap(lOld.toSeq: _*)
+          dL.foreach { case (row, c) =>
+            val n = lNew.getOrElse(row, 0L) + c
+            if (n == 0L) lNew.remove(row) else lNew.update(row, n)
+          }
+          // outer pads as the same per-batch Z-set difference: padTerm =
+          // the preserved side's multiset while the opposite one is
+          // empty, ∅ otherwise — new minus old nets every pad
+          // transition (first match retracts pads, last match's leave
+          // returns them) through the same cancellation as the join
+          if (leftOuter) {
+            val rp = pad(rightArity)
+            if (rNew.isEmpty) lNew.foreach { case (l, c) => emit(l, rp, c) }
+            if (rOld.isEmpty) lOld.foreach { case (l, c) => emit(l, rp, -c) }
+          }
+          if (rightOuter) {
+            val lp = pad(leftArity)
+            if (lNew.isEmpty) rNew.foreach { case (r, c) => emit(lp, r, c) }
+            if (lOld.isEmpty) rOld.foreach { case (r, c) => emit(lp, r, -c) }
+          }
           val out = scala.collection.mutable.ArrayBuffer.empty[ZDelta]
           net.foreach { case (row, n) =>
             val op = if (n > 0L) 0 else 3
             var i = math.abs(n)
             while (i > 0L) { out += ZDelta(op, row); i -= 1L }
-          }
-          val lNew = scala.collection.mutable.LinkedHashMap(lOld.toSeq: _*)
-          dL.foreach { case (row, c) =>
-            val n = lNew.getOrElse(row, 0L) + c
-            if (n == 0L) lNew.remove(row) else lNew.update(row, n)
           }
           if ((lNew.valuesIterator ++ rNew.valuesIterator).exists(_ < 0L))
             throw new IllegalStateException(

@@ -1127,16 +1127,22 @@ class ContinuousStatementsSpec extends AnyFunSuite {
   test("different-key three-feed continuous join routes as a cascade of " +
     "Z-set joins: SELECT * and GROUP BY both collapse to the batch " +
     "triple join after every page") {
+    // one MemoryStream set PER STATEMENT (the c3v/c3g lesson):
+    // MemoryStream.commit trims delivered batches, so two queries
+    // sharing one stream race — the faster query's commit can drop a
+    // batch before the slower reads it
     val am = newFeed("casc_a"); val bm = newFeed("casc_b")
     val cm = newFeed("casc_c")
+    val gam = newFeed("cascg_a"); val gbm = newFeed("cascg_b")
+    val gcm = newFeed("cascg_c")
     val stmts = new Statements(spark)
     // a⋈b share a key; c joins on b's ROW ID — the shape the same-key
     // chain cannot keep in one state entry, so it cascades
     val stmt = stmts.create("SELECT * FROM casc_a a " +
       "JOIN casc_b b ON a.key = b.key JOIN casc_c c ON b.id = c.key")
     val aggStmt = stmts.create("SELECT a.key AS k, count(*) AS c, " +
-      "min(c.value) AS mc FROM casc_a a JOIN casc_b b ON a.key = b.key " +
-      "JOIN casc_c c ON b.id = c.key GROUP BY a.key")
+      "min(c.value) AS mc FROM cascg_a a JOIN cascg_b b ON a.key = b.key " +
+      "JOIN cascg_c c ON b.id = c.key GROUP BY a.key")
     try {
       assert(stmt.isStreaming, "the different-key tree must route")
       assert(stmt.columns == Seq("a_key", "a_id", "a_value",
@@ -1149,9 +1155,9 @@ class ContinuousStatementsSpec extends AnyFunSuite {
       val b = scala.collection.mutable.Map.empty[Long, (Long, String)]
       val c = scala.collection.mutable.Map.empty[Long, (Long, String)]
       def page(ae: Seq[Feed], be: Seq[Feed], ce: Seq[Feed]): Set[Vector[Any]] = {
-        if (ae.nonEmpty) am.addData(ae)
-        if (be.nonEmpty) bm.addData(be)
-        if (ce.nonEmpty) cm.addData(ce)
+        if (ae.nonEmpty) { am.addData(ae); gam.addData(ae) }
+        if (be.nonEmpty) { bm.addData(be); gbm.addData(be) }
+        if (ce.nonEmpty) { cm.addData(ce); gcm.addData(ce) }
         stmt.handle.get.processAllAvailable()
         aggStmt.handle.get.processAllAvailable()
         def app(m: scala.collection.mutable.Map[Long, (Long, String)],
@@ -1249,6 +1255,110 @@ class ContinuousStatementsSpec extends AnyFunSuite {
           val got = cl.collapse().rows.toSet
           assert(got == expected,
             s"seed $seed page $pg: cascade $got != batch $expected")
+        }
+      } finally stmt.stop()
+    }
+  }
+
+  test("different-key LEFT OUTER cascade: unmatched rows survive " +
+    "null-padded, pads retract when the first match arrives and return " +
+    "when the last leaves — 2-feed and 3-feed forms, collapse == batch") {
+    val am = newFeed("oc_a"); val bm = newFeed("oc_b")
+    val stmts = new Statements(spark)
+    // a's ROW ID is the join column — different-key, so the cascade
+    // (not the same-key 2-way operator) must serve the outer join
+    val stmt = stmts.create(
+      "SELECT * FROM oc_a a LEFT JOIN oc_b b ON a.id = b.key")
+    try {
+      assert(stmt.isStreaming, "different-key LEFT OUTER must route")
+      assert(stmts.waitForStatus(stmt, Set(Phase.Running)).isDefined)
+      val cl = stmt.handle.get.changelog()
+      val a = scala.collection.mutable.Map.empty[Long, (Long, String)]
+      val b = scala.collection.mutable.Map.empty[Long, (Long, String)]
+      def page(ae: Seq[Feed], be: Seq[Feed]): Set[Vector[Any]] = {
+        if (ae.nonEmpty) am.addData(ae)
+        if (be.nonEmpty) bm.addData(be)
+        stmt.handle.get.processAllAvailable()
+        ae.foreach(f => if (f._5) a.remove(f._3) else a(f._3) = (f._2, f._4))
+        be.foreach(f => if (f._5) b.remove(f._3) else b(f._3) = (f._2, f._4))
+        while (cl.consume(1).nonEmpty) ()
+        val expected = a.toSeq.flatMap { case (aid, (ak, av)) =>
+          val ms = b.toSeq.filter { case (_, (bk, _)) => bk == aid }
+          if (ms.isEmpty) Seq(Vector[Any](ak, aid, av, null, null, null))
+          else ms.map { case (bid, (bk, bv)) =>
+            Vector[Any](ak, aid, av, bk, bid, bv) }
+        }.toSet
+        val got = cl.collapse().rows.toSet
+        assert(got == expected, s"outer cascade $got != batch $expected")
+        got
+      }
+      // unmatched left row lives null-padded
+      val p1 = page(Seq((0L, 1L, 5L, "A", false)), Seq.empty)
+      assert(p1 == Set(Vector[Any](1L, 5L, "A", null, null, null)))
+      // first match arrives → the pad retracts for the real row
+      page(Seq.empty, Seq((0L, 5L, 20L, "B", false)))
+      // a second match fans out; deleting both returns the pad
+      page(Seq.empty, Seq((1L, 5L, 21L, "B2", false)))
+      page(Seq.empty, Seq((2L, 5L, 20L, "B", true), (3L, 5L, 21L, "B2", true)))
+      assert(cl.collapse().rows.toSet ==
+        Set(Vector[Any](1L, 5L, "A", null, null, null)))
+      // deleting the left row empties the padded view
+      page(Seq((1L, 1L, 5L, "A", true)), Seq.empty)
+      assert(cl.collapse().rows.isEmpty)
+    } finally stmt.stop()
+  }
+
+  test("outer-stage cascade property: a JOIN b (inner, same key) LEFT " +
+    "JOIN c (on b.id) under random delete-heavy interleavings collapses " +
+    "to the batch answer after every page") {
+    for (seed <- Seq(7, 19)) {
+      val rnd = new scala.util.Random(seed)
+      val am = newFeed(s"op_a$seed"); val bm = newFeed(s"op_b$seed")
+      val cm = newFeed(s"op_c$seed")
+      val stmts = new Statements(spark)
+      val stmt = stmts.create(s"SELECT * FROM op_a$seed a " +
+        s"JOIN op_b$seed b ON a.key = b.key " +
+        s"LEFT JOIN op_c$seed c ON b.id = c.key")
+      try {
+        assert(stmts.waitForStatus(stmt, Set(Phase.Running)).isDefined)
+        val cl = stmt.handle.get.changelog()
+        val a = scala.collection.mutable.Map.empty[Long, (Long, String)]
+        val b = scala.collection.mutable.Map.empty[Long, (Long, String)]
+        val c = scala.collection.mutable.Map.empty[Long, (Long, String)]
+        var seq = 0L
+        def evs(idBase: Long, keyOf: () => Long): Seq[Feed] =
+          (0 until rnd.nextInt(6)).map { _ =>
+            seq += 1
+            (seq, keyOf(), idBase + rnd.nextInt(3),
+              s"v${rnd.nextInt(50)}", rnd.nextInt(3) == 0)
+          }
+        for (pg <- 0 until 6) {
+          val ae = evs(10L, () => 1L + rnd.nextInt(2))
+          val be = evs(20L, () => 1L + rnd.nextInt(2))
+          val ce = evs(30L, () => 20L + rnd.nextInt(3))
+          if (ae.nonEmpty) am.addData(ae)
+          if (be.nonEmpty) bm.addData(be)
+          if (ce.nonEmpty) cm.addData(ce)
+          stmt.handle.get.processAllAvailable()
+          def app(m: scala.collection.mutable.Map[Long, (Long, String)],
+                  es: Seq[Feed]): Unit = es.foreach { f =>
+            if (f._5) m.remove(f._3) else m(f._3) = (f._2, f._4)
+          }
+          app(a, ae); app(b, be); app(c, ce)
+          while (cl.consume(1).nonEmpty) ()
+          val expected = (for {
+            (aid, (ak, av)) <- a.toSeq
+            (bid, (bk, bv)) <- b.toSeq if ak == bk
+          } yield {
+            val ms = c.toSeq.filter { case (_, (ck, _)) => ck == bid }
+            if (ms.isEmpty)
+              Seq(Vector[Any](ak, aid, av, bk, bid, bv, null, null, null))
+            else ms.map { case (cid, (ck, cv)) =>
+              Vector[Any](ak, aid, av, bk, bid, bv, ck, cid, cv) }
+          }).flatten.toSet
+          val got = cl.collapse().rows.toSet
+          assert(got == expected,
+            s"seed $seed page $pg: outer cascade $got != batch $expected")
         }
       } finally stmt.stop()
     }
