@@ -1252,10 +1252,13 @@ final class Statements(spark: SparkSession, prefix: String = "stmt-",
         // rewrite BEFORE any normalization projection, so it sees the
         // source's own columns; rejected rows never reach the driver
         val ds = where.map(filterDeltas(ds0, _, sql)).getOrElse(ds0)
-        val (aggT, tumbleCol) = rewriteTumble(agg, ds, sql)
-        val (dsN, aggN) = normalizeAgg(ds, aggT, sql)
+        val (dsH, aggH, hopMeta) = rewriteHop(agg, ds, sql)
+        val (aggT, tumbleMeta) = rewriteTumble(aggH, dsH, sql)
+        if (hopMeta.isDefined && tumbleMeta.isDefined)
+          unsupported(sql, "one event-time window per continuous statement")
+        val (dsN, aggN) = normalizeAgg(dsH, aggT, sql)
         Some(aggOverDeltas(dsN, aggN, having, sql, name, properties, topK,
-          tumbleCol))
+          hopMeta.orElse(tumbleMeta)))
       case None =>
         if (referencesFeed(src))
           unsupported(sql, "the FROM clause references changelog feed(s) " +
@@ -1284,8 +1287,108 @@ final class Statements(spark: SparkSession, prefix: String = "stmt-",
     * direct `tumble(col, w) AS name` SELECT-item + matching GROUP BY
     * form routes; a tumble nested in another expression rejects loudly
     * (it would silently lose eviction). */
+  /** `HOP(col, slide, width)` — the event-time SLIDING window as a
+    * grouping function (Flink SQL's `GROUP BY HOP(ts, INTERVAL slide,
+    * INTERVAL width)`): every row belongs to the ⌈width/slide⌉ windows
+    * whose slide-aligned start s satisfies `s ≤ col < s + width`. The
+    * fan-out is a deterministic generator over the delta stream —
+    * `explode(sequence(first, last, slide))` executor-side — and a
+    * deterministic fan-out commutes with retraction exactly like a
+    * scalar projection (a row's +I and its -D explode to identical
+    * window sets), so the unchanged fold maintains every window and
+    * [[rewriteTumble]]'s watermark eviction applies with the hop's
+    * width: a window closes (emits -D with its final value) once the
+    * max seen start reaches `s + width` — conservative by < slide
+    * against the true max event time, so a close is DELAYED at most one
+    * slide, never premature. Null event-time rows leave the windowed
+    * view (explode drops the null sequence — Flink's null-rowtime
+    * discipline). Width must be a positive multiple-or-more of slide
+    * (width < slide would leave rows belonging to no window). */
+  private def rewriteHop(agg: Aggregate, ds: DeltaSource,
+      sql: String): (DeltaSource, Aggregate, Option[(String, Long)]) = {
+    def bail(what: String): Nothing = unsupported(sql, what)
+    def isHop(f: UnresolvedFunction): Boolean =
+      f.nameParts.map(_.toLowerCase) == Seq("hop")
+    def containsHop(es: Seq[Expression]): Boolean =
+      es.exists(_.exists {
+        case f: UnresolvedFunction => isHop(f)
+        case _ => false
+      })
+    if (!containsHop(agg.aggregateExpressions) &&
+        !containsHop(agg.groupingExpressions))
+      return (ds, agg, None)
+    val hops = agg.aggregateExpressions.collect {
+      case Alias(f: UnresolvedFunction, n) if isHop(f) => (f, n)
+    }
+    if (hops.isEmpty)
+      bail("hop(col, slide, width) must appear as a direct aliased SELECT " +
+        "item (the changelog retracts windows by their visible start)")
+    if (hops.length > 1) bail("one hop window per continuous statement")
+    val (f, outName) = hops.head
+    def longLit(e: Expression, what: String): Long = e match {
+      case Literal(i: java.lang.Integer, _) => i.longValue
+      case Literal(l: java.lang.Long, _) => l.longValue
+      case _ => bail(s"hop $what must be an integer literal")
+    }
+    val (colIdx, slide, width) = f.arguments match {
+      case Seq(a: UnresolvedAttribute, s, w) =>
+        val sl = longLit(s, "slide"); val wl = longLit(w, "width")
+        if (sl <= 0) bail("hop slide must be positive")
+        if (wl < sl) bail("hop width must be >= slide (a smaller width " +
+          "would leave rows belonging to no window)")
+        val i = ds.resolve(a).getOrElse(
+          bail(s"hop column ${a.nameParts.mkString(".")} does not resolve " +
+            s"in the maintained view (${ds.viewCols.mkString(", ")})"))
+        if (kindOf(ds.types(i)) != Some(LongK))
+          bail(s"hop column ${ds.viewCols(i)} must be integral " +
+            "(the feed's event-time domain)")
+        (i, sl, wl)
+      case _ => bail("hop(col, slide, width) needs a view column and two " +
+        "integer literal arguments")
+    }
+    if (ds.viewCols.contains(outName))
+      bail(s"hop output name $outName shadows a view column — alias it " +
+        "differently")
+    // the window-start fan-out, executor-side: one delta row per window
+    // the event falls in
+    val dsH: DeltaSource = {
+      import org.apache.spark.sql.functions.{col, explode, lit, pmod, sequence}
+      val v = ds.deltas(ds.viewCols(colIdx))
+      val last = v - pmod(v, lit(slide))
+      val vw = v - lit(width)
+      val first = vw - pmod(vw, lit(slide)) + lit(slide)
+      val exploded = ds.deltas.select(
+        (col("op") +: explode(sequence(first, last, lit(slide))).as(outName)
+          +: ds.viewCols.map(ds.deltas(_))): _*)
+      val viewCols = outName +: ds.viewCols
+      val types = LongType +: ds.types
+      val resolve: UnresolvedAttribute => Option[Int] = a =>
+        a.nameParts match {
+          case Seq(c) if c == outName => Some(0)
+          case _ => ds.resolve(a).map(_ + 1)
+        }
+      DeltaSource(exploded, viewCols, types, resolve)
+    }
+    val winAttr = UnresolvedAttribute(Seq(outName))
+    val newAgg = agg.copy(
+      aggregateExpressions = agg.aggregateExpressions.map {
+        case Alias(ff: UnresolvedFunction, n) if ff == f => Alias(winAttr, n)()
+        case other => other
+      },
+      groupingExpressions = agg.groupingExpressions.map {
+        case ff: UnresolvedFunction if ff == f => winAttr
+        case other => other
+      })
+    if (containsHop(newAgg.aggregateExpressions) ||
+        containsHop(newAgg.groupingExpressions))
+      bail("hop(col, slide, width) may appear only as a direct aliased " +
+        "SELECT item and a matching GROUP BY expression — nesting it in " +
+        "another expression would silently lose watermark eviction")
+    (dsH, newAgg, Some((outName, width)))
+  }
+
   private def rewriteTumble(agg: Aggregate, ds: DeltaSource,
-      sql: String): (Aggregate, Option[String]) = {
+      sql: String): (Aggregate, Option[(String, Long)]) = {
     def bail(what: String): Nothing = unsupported(sql, what)
     def isTumble(f: UnresolvedFunction): Boolean =
       f.nameParts.map(_.toLowerCase) == Seq("tumble")
@@ -1343,7 +1446,7 @@ final class Statements(spark: SparkSession, prefix: String = "stmt-",
       bail("tumble(col, width) may appear only as a direct aliased " +
         "SELECT item and a matching GROUP BY expression — nesting it in " +
         "another expression would silently lose watermark eviction")
-    (newAgg, Some(outName))
+    (newAgg, Some((outName, width)))
   }
 
   /** Rewrite an Aggregate whose grouping expressions or aggregate
@@ -1582,7 +1685,7 @@ final class Statements(spark: SparkSession, prefix: String = "stmt-",
       having: Option[Expression],
       sql: String, name: String, properties: Map[String, String],
       topK: Option[(SortOrder, Int)] = None,
-      tumble: Option[String] = None): Statement = {
+      tumble: Option[(String, Long)] = None): Statement = {
     def bail(what: String): Nothing = unsupported(sql, what)
     def viewCol(a: UnresolvedAttribute): Int =
       ds.resolve(a).getOrElse(bail(s"column ${a.nameParts.mkString(".")} " +
@@ -1670,14 +1773,15 @@ final class Statements(spark: SparkSession, prefix: String = "stmt-",
       bail("every GROUP BY column must appear in the SELECT list (the " +
         "changelog retracts groups by their visible key values)")
     val ungrouped = groupIdx.isEmpty
-    // TUMBLE eviction metadata: the position of the window-start column
-    // within the GROUP KEY (see rewriteTumble — the fold watermarks and
-    // evicts over it)
-    val tumblePos: Option[Int] = tumble.map { n =>
+    // window eviction metadata: the position of the window-start column
+    // within the GROUP KEY and the window width (see rewriteTumble /
+    // rewriteHop — the fold watermarks and evicts over it)
+    val tumblePos: Option[(Int, Long)] = tumble.map { case (n, w) =>
       outCols.find(_._1 == n) match {
         case Some((_, Left(i))) if groupIdx.contains(i) =>
-          groupIdx.indexOf(i)
-        case _ => bail("tumble(col, width) must be a GROUP BY expression")
+          (groupIdx.indexOf(i), w)
+        case _ =>
+          bail("the event-time window must be a GROUP BY expression")
       }
     }
     // output schema (also the types HAVING compiles against)
@@ -1883,13 +1987,17 @@ final class Statements(spark: SparkSession, prefix: String = "stmt-",
       if (next == 0L) { bag.remove(x); if (prev > 0L) budget.shrink() }
       else { if (prev == 0L) budget.grow(); bag.update(x, next) }
     }
-    // TUMBLE watermark: the max window start any ADD has reached. A
-    // window strictly below it is closed — late rows (and retractions
-    // of already-evicted rows) drop, per Flink's late-event discipline.
+    // window watermark: the max window start any ADD has reached. A
+    // window whose END the watermark has passed is closed — late rows
+    // (and retractions of already-evicted rows) drop, per Flink's
+    // late-event discipline. For tumble the rule is exact; for hop it is
+    // conservative by < slide (a close can be DELAYED one slide, never
+    // premature — the max start trails the max event time by < slide).
     var watermark = Long.MinValue
-    def windowStart(gkey: Vector[Any]): Option[Long] = tumblePos.flatMap {
-      p => Option(gkey(p)).map(_.asInstanceOf[Number].longValue)
-    }
+    def windowStart(gkey: Vector[Any]): Option[(Long, Long)] =
+      tumblePos.flatMap { case (p, w) =>
+        Option(gkey(p)).map(v => (v.asInstanceOf[Number].longValue, w))
+      }
     def fold(deltas: Seq[Vector[Any]]): Seq[Vector[Any]] = {
       deltas.foreach { row =>
         // delta rows lead with the changelog op; view columns follow
@@ -1901,8 +2009,8 @@ final class Statements(spark: SparkSession, prefix: String = "stmt-",
         }
         val view = row.drop(1)
         val gkey = groupIdx.map(view).toVector
-        val late = windowStart(gkey).exists { s =>
-          if (s < watermark) true // closed window: drop
+        val late = windowStart(gkey).exists { case (s, w) =>
+          if (s + w <= watermark) true // closed window: drop
           else { if (sign > 0) watermark = math.max(watermark, s); false }
         }
         if (!late) foldRow(sign, view, gkey)
@@ -1914,7 +2022,9 @@ final class Statements(spark: SparkSession, prefix: String = "stmt-",
       // group death), so the budget releases them too.
       tumblePos.foreach { _ =>
         val dead = state.keysIterator
-          .filter(k => windowStart(k).exists(_ < watermark)).toVector
+          .filter(k => windowStart(k).exists { case (s, w) =>
+            s + w <= watermark
+          }).toVector
         dead.foreach { k =>
           state.remove(k).foreach { g =>
             budget.shrink()

@@ -210,6 +210,9 @@ class ContinuousStatementsSpec extends AnyFunSuite {
       "GROUP BY tumble(value, 10)", "must be integral")
     rejects("SELECT tumble(key, 10) + 1 AS w, count(*) AS c FROM lt_feed " +
       "GROUP BY tumble(key, 10) + 1", "direct aliased SELECT item")
+    // hop guards: width < slide would leave rows in no window
+    rejects("SELECT hop(key, 10, 5) AS w, count(*) AS c FROM lt_feed " +
+      "GROUP BY hop(key, 10, 5)", "width must be >= slide")
     // HAVING is driver-evaluated over emitted snapshots, so ITS algebra
     // is the compiled subset: column-vs-column comparisons reject
     // (WHERE, by contrast, rides the executor-side Catalyst rewrite and
@@ -1402,6 +1405,49 @@ class ContinuousStatementsSpec extends AnyFunSuite {
       // the open window still folds exactly
       mem.addData((5L, 15L, 4L, "d", false))
       assert(sync() == Set(Vector[Any](10L, 2L, 7L)))
+    } finally stmt.stop()
+  }
+
+  test("HOP sliding windows: every row folds into each window containing " +
+    "it, closed windows retract with -D, and late rows drop from all " +
+    "their closed windows") {
+    val mem = newFeed("hop_feed")
+    val stmts = new Statements(spark)
+    // slide 5, width 10: every event belongs to two windows
+    val stmt = stmts.create(
+      "SELECT hop(key, 5, 10) AS win, count(*) AS c FROM hop_feed " +
+        "GROUP BY hop(key, 5, 10)")
+    try {
+      assert(stmt.isStreaming, "hop must route through the IVM fold")
+      assert(stmt.columns == Seq("win", "c"))
+      assert(stmts.waitForStatus(stmt, Set(Phase.Running)).isDefined)
+      val cl = stmt.handle.get.changelog()
+      def sync(): Set[Vector[Any]] = {
+        stmt.handle.get.processAllAvailable()
+        while (cl.consume(1).nonEmpty) ()
+        cl.collapse().rows.toSet
+      }
+      // event at 7 lands in windows [0,10) and [5,15)
+      mem.addData((0L, 7L, 1L, "a", false))
+      assert(sync() == Set(Vector[Any](0L, 1L), Vector[Any](5L, 1L)))
+      // event at 12 lands in [5,15) and [10,20); the watermark (max
+      // start = 10) passes window 0's end → it closes with -D
+      mem.addData((1L, 12L, 2L, "b", false))
+      assert(sync() == Set(Vector[Any](5L, 2L), Vector[Any](10L, 1L)))
+      assert(cl.history.filter(_.op.contains(graft.changelog.Op.Delete))
+        .exists(_.values == Vector[Any](0L, 1L)),
+        "window [0,10) must retract with its final count")
+      // a late event at 1 belongs only to closed windows → fully dropped
+      mem.addData((2L, 1L, 9L, "late", false))
+      assert(sync() == Set(Vector[Any](5L, 2L), Vector[Any](10L, 1L)))
+      // deleting the event at 7 retracts from its OPEN window [5,15)
+      // (its closed window [0,10) leg drops as late)
+      mem.addData((3L, 7L, 1L, "a", true))
+      assert(sync() == Set(Vector[Any](5L, 1L), Vector[Any](10L, 1L)))
+      // an event at 20 closes [5,15) and [10,20) — only its own two
+      // windows stay open
+      mem.addData((4L, 20L, 3L, "c", false))
+      assert(sync() == Set(Vector[Any](15L, 1L), Vector[Any](20L, 1L)))
     } finally stmt.stop()
   }
 
