@@ -152,7 +152,7 @@ final class Statements(spark: SparkSession, prefix: String = "stmt-",
     * group, one distinct bag value, or one live view row. */
   private final class FoldStateBudget {
     private var entries = 0L
-    def shrink(n: Long): Unit = entries -= n
+    def shrink(n: Long = 1L): Unit = entries -= n
     def grow(): Unit = {
       entries += 1L
       if (entries > maxFoldStateEntries)
@@ -164,7 +164,6 @@ final class Statements(spark: SparkSession, prefix: String = "stmt-",
             "statements. Re-shape the statement (pre-aggregate upstream) " +
             "or raise maxFoldStateEntries on the Statements facade")
     }
-    def shrink(): Unit = entries -= 1L
   }
 
   private val rng = new SecureRandom()
@@ -720,7 +719,17 @@ final class Statements(spark: SparkSession, prefix: String = "stmt-",
     import graft.streaming.StatefulOps.{ZDelta, ZEvent, ZRow}
     def feedDeltas(t: DataFrame): org.apache.spark.sql.Dataset[ZDelta] =
       upsertDeltas(t).as[(Int, Long, Long, String)].map {
-        case (op, k, id, v) => ZDelta(op, ZRow(Seq(k), Seq(id), Seq(v)))
+        case (op, k, id, v) =>
+          // -1 is the cascade's OUTER-pad sentinel (the same reserved id
+          // as changelogJoinStream's pads): a live row carrying it would
+          // be misread as a pad in the served view, or join pad rows at
+          // a later stage where SQL NULL matches nothing — fail loudly
+          if (k == -1L || id == -1L)
+            throw new IllegalStateException(
+              "changelog feed key/id -1 is reserved for outer-join pad " +
+                "sentinels and cannot be a live row identity in a join " +
+                "cascade")
+          ZDelta(op, ZRow(Seq(k), Seq(id), Seq(v)))
       }
     var acc = feedDeltas(feeds.head)
     refs.zipWithIndex.foreach { case ((aIdx, isKey, lo, ro), i) =>
@@ -827,15 +836,25 @@ final class Statements(spark: SparkSession, prefix: String = "stmt-",
         case Alias(child, n) => Some((n, child))
         case _ => None
       })
+    // QUIET filter: inside a subquery, a WHERE the view cannot serve
+    // (wire columns like `delete`, non-determinism) must fall through —
+    // the default append route serves the statement with the explicit
+    // delete column visible, exactly as it did before subqueries routed.
+    // (The TOP-level `SELECT * FROM <source> WHERE …` keeps filterDeltas'
+    // loud contract — there the source has already matched.)
+    def quiet(ds: DeltaSource, cond: Expression): Option[DeltaSource] =
+      try Some(filterDeltas(ds, cond, sql))
+      catch { case _: UnsupportedContinuousStatement => None }
     p match {
       case Project(Seq(UnresolvedStar(None)), Filter(cond, src)) =>
-        matchSource(src, sql).map(filterDeltas(_, cond, sql))
+        matchSource(src, sql).flatMap(quiet(_, cond))
       case Project(Seq(UnresolvedStar(None)), src) => matchSource(src, sql)
       case Project(projList, Filter(cond, src)) =>
         for {
           ds <- matchSource(src, sql)
+          fds <- quiet(ds, cond)
           is <- items(projList)
-          out <- projectSource(filterDeltas(ds, cond, sql), is)
+          out <- projectSource(fds, is)
         } yield out
       case Project(projList, src) =>
         for {
@@ -1080,15 +1099,13 @@ final class Statements(spark: SparkSession, prefix: String = "stmt-",
       // projecting the delta stream IS projecting the view, multiset
       // semantics included (the consumer's collapse counts equal rows).
       // Non-deterministic projections (demo1's RAND jitter is the
-      // reference's own example) and unresolvable items keep the default
-      // APPEND route, whose raw wire rows carry the explicit delete
-      // column — visible, not silently misread.
-      case Project(projList, Filter(cond, src))
+      // reference's own example), unresolvable items, and unservable
+      // WHEREs keep the default APPEND route, whose raw wire rows carry
+      // the explicit delete column — visible, not silently misread.
+      // (One machinery with the FROM-subquery route: matchProjectedPlan.)
+      case pj @ Project(projList, _)
           if !projList.exists(_.isInstanceOf[UnresolvedStar]) =>
-        tryProjectedView(projList, src, Some(cond), sql, name, properties)
-      case Project(projList, src)
-          if !projList.exists(_.isInstanceOf[UnresolvedStar]) =>
-        tryProjectedView(projList, src, None, sql, name, properties)
+        matchProjectedPlan(pj, sql).map(viewStatement(_, sql, name, properties))
       // ORDER BY <col> [ASC|DESC] LIMIT k — the continuously-maintained
       // top-k (Flink's Top-N operator): over `SELECT * FROM feed` it
       // serves the feed's top rows; over a GROUP BY (with or without
@@ -1159,65 +1176,6 @@ final class Statements(spark: SparkSession, prefix: String = "stmt-",
       unsupported(sql, "a non-deterministic WHERE cannot filter a " +
         "retraction stream (a row's +I and its -D must filter identically)")
     ds.copy(deltas = filtered)
-  }
-
-  /** The PROJECTED maintained view (see the router comment): rewrite
-    * every projection item (and the optional WHERE) onto the delta
-    * columns and run them executor-side — Catalyst's full scalar
-    * algebra, codegen'd. Quiet fall-through (None) on anything this
-    * route cannot serve faithfully: unresolvable attributes (wire
-    * columns like `delete` belong to the append reading), analysis
-    * failures, or non-determinism (per-event evaluation is the intended
-    * reading there — the reference's demo1 RAND jitter). */
-  private def tryProjectedView(
-      projList: Seq[org.apache.spark.sql.catalyst.expressions.NamedExpression],
-      src: LogicalPlan, where: Option[Expression], sql: String, name: String,
-      properties: Map[String, String]): Option[Statement] = {
-    import org.apache.spark.sql.graftbridge.ColumnBridge
-    matchSource(src, sql).flatMap { ds =>
-      var ok = true
-      def rewrite(e: Expression): Expression = e.transform {
-        case a: UnresolvedAttribute => ds.resolve(a) match {
-          case Some(i) => ColumnBridge.expression(ds.deltas(ds.viewCols(i)))
-          case None => ok = false; a
-        }
-      }
-      val cols: Seq[(String, Expression)] = projList.map {
-        case a: UnresolvedAttribute => (a.nameParts.last, rewrite(a))
-        case Alias(child, n) => (n, rewrite(child))
-        case other => ok = false; (other.toString, other)
-      }
-      // an output column named "op" would collide with the internal
-      // delta-op column (drop("op") would take both; the sink would read
-      // record ops from user data) — the append route serves it fine
-      if (cols.exists(_._1 == "op")) ok = false
-      val whereRewritten = where.map(rewrite)
-      if (!ok) None
-      else try {
-        val base = whereRewritten match {
-          case Some(c) => ds.deltas.filter(ColumnBridge.column(c))
-          case None => ds.deltas
-        }
-        val projected = base.select((base("op") +: cols.map {
-          case (n, e) => ColumnBridge.column(e).as(n)
-        }): _*)
-        // determinism is only knowable AFTER analysis; every Project /
-        // Filter in the plan must be deterministic or retractions stop
-        // projecting onto their inserts
-        val deterministic = projected.queryExecution.analyzed.collect {
-          case p: Project => p.projectList.forall(_.deterministic)
-          case f: Filter => f.condition.deterministic
-        }.forall(identity)
-        if (!deterministic) None
-        else {
-          val handle = ChangelogStream.deltaPassthrough(projected, name)
-          Some(new Statement(name, sql, projected.drop("op"), Some(handle),
-            properties))
-        }
-      } catch {
-        case _: org.apache.spark.sql.AnalysisException => None
-      }
-    }
   }
 
   /** A matched maintained view served as-is: the delta stream's own
@@ -1511,11 +1469,27 @@ final class Statements(spark: SparkSession, prefix: String = "stmt-",
         addItem(base, e)
       }
     def attrOf(n: String) = UnresolvedAttribute(Seq(n))
-    // pass 1+2: SELECT items — scalars become projection columns under
-    // their output name; aggregate functions re-point their arguments
+    // pass 1: register every OUTPUT item's projection column FIRST, so
+    // an aggregate ARGUMENT never claims a name a later SELECT item
+    // owns (argItem would otherwise make acceptance depend on
+    // select-list order)
+    agg.aggregateExpressions.foreach {
+      case a: UnresolvedAttribute => addItem(a.nameParts.last, a); ()
+      case Alias(f: UnresolvedFunction, _)
+          if AggFns.contains(f.nameParts.map(_.toLowerCase).mkString(".")) =>
+        () // aggregate: no output projection column of its own
+      case Alias(child, n) if !hasAggFunction(Seq(child)) =>
+        addItem(n, child); ()
+      case other =>
+        bail(s"SELECT item $other must be a grouping column/expression " +
+          "or an aliased aggregate")
+    }
+    // pass 2: rewrite — scalars point at their projected column,
+    // aggregate functions re-point their arguments (reusing an output
+    // item bound to the same expression, else a fresh internal column)
     val newSelect: Seq[org.apache.spark.sql.catalyst.expressions.NamedExpression] =
       agg.aggregateExpressions.map {
-        case a: UnresolvedAttribute => attrOf(addItem(a.nameParts.last, a))
+        case a: UnresolvedAttribute => attrOf(a.nameParts.last)
         case Alias(f: UnresolvedFunction, n)
             if AggFns.contains(f.nameParts.map(_.toLowerCase).mkString(".")) =>
           val newArgs = f.arguments.map {
@@ -1526,8 +1500,7 @@ final class Statements(spark: SparkSession, prefix: String = "stmt-",
             case e => attrOf(argItem(e))
           }
           Alias(f.copy(arguments = newArgs), n)()
-        case Alias(child, n) if !hasAggFunction(Seq(child)) =>
-          Alias(attrOf(addItem(n, child)), n)()
+        case Alias(child, n) => Alias(attrOf(n), n)()
         case other =>
           bail(s"SELECT item $other must be a grouping column/expression " +
             "or an aliased aggregate")
@@ -1537,11 +1510,15 @@ final class Statements(spark: SparkSession, prefix: String = "stmt-",
     // by their visible key values
     val newGroups: Seq[Expression] = agg.groupingExpressions.map { g =>
       // GROUP BY <ordinal>: Spark's groupByOrdinal reading (the parser
-      // emits UnresolvedOrdinal in grouping position)
+      // emits UnresolvedOrdinal in grouping position; honored only while
+      // the session's groupByOrdinal conf is on — off, the same literal
+      // means "group by a constant", which this route does not express
+      // and therefore rejects loudly below rather than mis-resolving)
+      val byOrdinal = spark.sessionState.conf.groupByOrdinal
       val ordinal: Option[Int] = g match {
-        case o: org.apache.spark.sql.catalyst.analysis.UnresolvedOrdinal =>
-          Some(o.ordinal)
-        case Literal(i: Int, IntegerType) => Some(i)
+        case o: org.apache.spark.sql.catalyst.analysis.UnresolvedOrdinal
+            if byOrdinal => Some(o.ordinal)
+        case Literal(i: Int, IntegerType) if byOrdinal => Some(i)
         case _ => None
       }
       val named = (ordinal, g) match {
@@ -1998,7 +1975,10 @@ final class Statements(spark: SparkSession, prefix: String = "stmt-",
       tumblePos.flatMap { case (p, w) =>
         Option(gkey(p)).map(v => (v.asInstanceOf[Number].longValue, w))
       }
-    def fold(deltas: Seq[Vector[Any]]): Seq[Vector[Any]] = {
+    // the watermark value the last eviction scan ran at: a batch that
+    // does not advance the watermark skips the O(live groups) rescan
+    var evictScanAt = Long.MinValue
+    def fold(deltas: Seq[Vector[Any]]): Seq[Seq[Vector[Any]]] = {
       deltas.foreach { row =>
         // delta rows lead with the changelog op; view columns follow
         val sign = row(0).asInstanceOf[Int] match {
@@ -2009,30 +1989,48 @@ final class Statements(spark: SparkSession, prefix: String = "stmt-",
         }
         val view = row.drop(1)
         val gkey = groupIdx.map(view).toVector
-        val late = windowStart(gkey).exists { case (s, w) =>
-          if (s + w <= watermark) true // closed window: drop
-          else { if (sign > 0) watermark = math.max(watermark, s); false }
+        val late = tumblePos.exists { case (p, w) =>
+          gkey(p) match {
+            // a NULL event time belongs to no window: the row leaves the
+            // windowed view (hop drops it with the null sequence; the
+            // tumble route must agree, or the NULL group would live —
+            // and grow — forever outside the eviction discipline)
+            case null => true
+            case v =>
+              val s = v.asInstanceOf[Number].longValue
+              if (s + w <= watermark) true // closed window: drop
+              else { if (sign > 0) watermark = math.max(watermark, s); false }
+          }
         }
         if (!late) foldRow(sign, view, gkey)
       }
-      // eviction: every window strictly below the watermark leaves the
-      // maintained view — the snapshot diff below emits its -D with the
-      // final value (Flink's state eviction at watermark passage). An
-      // evicted group's bags may still hold entries (unlike natural
-      // group death), so the budget releases them too.
-      tumblePos.foreach { _ =>
-        val dead = state.keysIterator
-          .filter(k => windowStart(k).exists { case (s, w) =>
-            s + w <= watermark
-          }).toVector
+      // eviction: every window whose end the watermark has passed leaves
+      // the maintained view. The batch that closes a window may ALSO
+      // carry its last contributions, so the close publishes in TWO
+      // snapshots: first the pre-eviction snapshot (the closed window's
+      // FINAL value reaches the wire — Flink's fire-at-close), then the
+      // post-eviction snapshot whose diff emits the -D. An evicted
+      // group's bags may still hold entries (unlike natural group
+      // death), so the budget releases them too.
+      val dead: Seq[Vector[Any]] =
+        if (tumblePos.isDefined && watermark > evictScanAt) {
+          evictScanAt = watermark
+          state.keysIterator
+            .filter(k => windowStart(k).exists { case (s, w) =>
+              s + w <= watermark
+            }).toVector
+        } else Vector.empty
+      if (dead.isEmpty) Seq(emitSnapshot())
+      else {
+        val atClose = emitSnapshot()
         dead.foreach { k =>
           state.remove(k).foreach { g =>
             budget.shrink()
             g.bags.foreach(b => if (b != null) budget.shrink(b.size.toLong))
           }
         }
+        Seq(atClose, emitSnapshot())
       }
-      emitSnapshot()
     }
     def foldRow(sign: Long, view: Vector[Any], gkey: Vector[Any]): Unit = {
         val g = state.getOrElseUpdate(gkey, { budget.grow(); new GState })
@@ -2243,7 +2241,7 @@ final class Statements(spark: SparkSession, prefix: String = "stmt-",
     // same emission-unbounded driver state as the fold's bags, so the
     // same fail-fast budget (one entry per distinct live view row)
     val budget = new FoldStateBudget
-    def fold(deltas: Seq[Vector[Any]]): Seq[Vector[Any]] = {
+    def fold(deltas: Seq[Vector[Any]]): Seq[Seq[Vector[Any]]] = {
       deltas.foreach { row =>
         val v = row.drop(1)
         row(0).asInstanceOf[Int] match {
@@ -2262,11 +2260,11 @@ final class Statements(spark: SparkSession, prefix: String = "stmt-",
             s"view delta carried an invalid changelog op: $other")
         }
       }
-      live.iterator
+      Seq(live.iterator
         .flatMap { case (row, n) =>
           Iterator.fill(math.min(n, k.toLong).toInt)(row)
         }
-        .toVector.sorted(ord).take(k).distinct
+        .toVector.sorted(ord).take(k).distinct)
     }
     val handle = ChangelogStream.foldingSnapshot(ds.deltas, name,
       ds.viewCols, ds.viewCols, fold)

@@ -324,10 +324,13 @@ object ChangelogStream {
     * e.g. the IVM join's retraction stream) feeding a DRIVER-SIDE
     * incremental fold — the composition shape `JOIN → GROUP BY` in one
     * continuous statement: the caller's `fold` consumes each micro-batch's
-    * delta rows (in emission order) and returns the updated full snapshot
-    * of the maintained view, which is diffed against the previous snapshot
-    * exactly like [[snapshotting]] (`+I/-U/+U/-D`, `-U` adjacent to its
-    * `+U`, `-D` for dropped groups).
+    * delta rows (in emission order) and returns the updated full
+    * snapshot(s) of the maintained view — usually one per batch, but a
+    * fold may emit SEVERAL in order (a window close publishes the final
+    * value in a pre-eviction snapshot, then the eviction itself) — each
+    * diffed against its predecessor exactly like [[snapshotting]]
+    * (`+I/-U/+U/-D`, `-U` adjacent to its `+U`, `-D` for dropped
+    * groups).
     *
     * Scale shape: the heavy state (join live-rows) lives in the executor
     * StateStore inside the upstream IVM operator; per batch the driver
@@ -337,7 +340,7 @@ object ChangelogStream {
     * fail-fast-bounded by [[RecordLog.boundedCollect]]. */
   def foldingSnapshot(df: DataFrame, queryName: String,
                       outSchema: Seq[String], keyCols: Seq[String],
-                      fold: Seq[Vector[Any]] => Seq[Vector[Any]],
+                      fold: Seq[Vector[Any]] => Seq[Seq[Vector[Any]]],
                       trigger: Trigger = Trigger.ProcessingTime(0),
                       maxBufferedRecords: Int = DefaultMaxBufferedRecords): Handle = {
     val synth = new ChangelogSynthesizer(outSchema, keyCols)
@@ -355,7 +358,7 @@ object ChangelogStream {
           .map(r => r.toSeq.toVector)
         // fold + diff under one lock: foreachBatch invocations are serial
         // per query, but cursor replays may race the append
-        val recs = synth.synchronized(synth.onSnapshot(fold(deltas)))
+        val recs = synth.synchronized(fold(deltas).flatMap(synth.onSnapshot))
         log.append(recs.map(r => RawRecord(r.op.map(_.code), r.values)))
         ()
       }

@@ -1311,6 +1311,29 @@ class ContinuousStatementsSpec extends AnyFunSuite {
     } finally stmt.stop()
   }
 
+  test("cascade pad-sentinel guard: a live feed row carrying the " +
+    "reserved key/id -1 fails the statement loudly instead of being " +
+    "misread as (or joined with) an outer pad") {
+    val am = newFeed("sg_a"); newFeed("sg_b")
+    val stmts = new Statements(spark)
+    val stmt = stmts.create(
+      "SELECT * FROM sg_a a LEFT JOIN sg_b b ON a.id = b.key")
+    try {
+      assert(stmts.waitForStatus(stmt, Set(Phase.Running)).isDefined)
+      am.addData((0L, 1L, -1L, "bad", false))
+      val ex = intercept[Exception](stmt.handle.get.processAllAvailable())
+      def msgs(e: Throwable): String = {
+        val sb = new StringBuilder
+        var c: Throwable = e
+        while (c != null) { sb.append(c.getMessage).append('\n'); c = c.getCause }
+        sb.toString
+      }
+      assert(msgs(ex).contains("reserved"),
+        s"the sentinel guard must name the reserved id, got ${msgs(ex)}")
+      assert(stmt.phase == Phase.Failed)
+    } finally stmt.stop()
+  }
+
   test("outer-stage cascade property: a JOIN b (inner, same key) LEFT " +
     "JOIN c (on b.id) under random delete-heavy interleavings collapses " +
     "to the batch answer after every page") {
@@ -1408,6 +1431,46 @@ class ContinuousStatementsSpec extends AnyFunSuite {
     } finally stmt.stop()
   }
 
+  test("a window closed in the SAME batch as its last contributions " +
+    "publishes the FINAL value before retracting (fire-at-close), and " +
+    "NULL event times leave the windowed view like hop's null sequence") {
+    // CTE projects a nullable event time so both behaviors compose with
+    // the round's projection machinery
+    val mem = newFeed("twb_feed")
+    val stmts = new Statements(spark)
+    val stmt = stmts.create("""
+      WITH v AS (SELECT nullif(key, 99) AS ts, id, value FROM twb_feed)
+      SELECT tumble(ts, 10) AS win, count(*) AS c
+      FROM v GROUP BY tumble(ts, 10)""")
+    try {
+      assert(stmt.isStreaming)
+      assert(stmts.waitForStatus(stmt, Set(Phase.Running)).isDefined)
+      val cl = stmt.handle.get.changelog()
+      def sync(): Set[Vector[Any]] = {
+        stmt.handle.get.processAllAvailable()
+        while (cl.consume(1).nonEmpty) ()
+        cl.collapse().rows.toSet
+      }
+      // ONE batch: two window-0 rows AND the window-10 closer — window 0
+      // must still publish its final count 2 on the wire before its -D
+      // (Flink fires the window at close; a single post-eviction
+      // snapshot would silently drop the same-batch contributions).
+      // A null event time (key 99) never enters any window.
+      mem.addData((0L, 5L, 1L, "a", false), (1L, 7L, 2L, "b", false),
+        (2L, 99L, 8L, "nullts", false), (3L, 15L, 3L, "c", false))
+      assert(sync() == Set(Vector[Any](10L, 1L)))
+      val win0 = cl.history.filter(_.values.headOption.contains(0L))
+      assert(win0.exists(r =>
+        r.op.contains(graft.changelog.Op.Insert) &&
+          r.values == Vector[Any](0L, 2L)),
+        s"the closed window must publish its final count first, got $win0")
+      assert(win0.exists(r =>
+        r.op.contains(graft.changelog.Op.Delete) &&
+          r.values == Vector[Any](0L, 2L)),
+        s"…then retract the same final value, got $win0")
+    } finally stmt.stop()
+  }
+
   test("HOP sliding windows: every row folds into each window containing " +
     "it, closed windows retract with -D, and late rows drop from all " +
     "their closed windows") {
@@ -1449,6 +1512,48 @@ class ContinuousStatementsSpec extends AnyFunSuite {
       mem.addData((4L, 20L, 3L, "c", false))
       assert(sync() == Set(Vector[Any](15L, 1L), Vector[Any](20L, 1L)))
     } finally stmt.stop()
+  }
+
+  test("a subquery WHERE the projected view cannot serve (wire columns, " +
+    "non-determinism) falls through QUIETLY to the append route — never " +
+    "a create() error for a shape that worked before subqueries routed") {
+    val mem = newFeed("qf_feed")
+    val stmts = new Statements(spark)
+    // `delete` is a wire column, not a maintained-view column: the
+    // statement keeps the default append reading (raw wire rows, delete
+    // flag filtered per event — visible semantics, nothing misread)
+    val stmt = stmts.create(
+      "SELECT id, value FROM (SELECT * FROM qf_feed WHERE delete = false)")
+    try {
+      assert(stmt.isStreaming)
+      assert(stmt.columns == Seq("id", "value"))
+      assert(stmts.waitForStatus(stmt, Set(Phase.Running)).isDefined)
+      val cl = stmt.handle.get.changelog()
+      // the append route emits +I per WIRE event — an upsert of the same
+      // id appends a second row instead of retracting (the proof this
+      // fell through rather than routing as a maintained view)
+      mem.addData((0L, 1L, 100L, "a", false), (1L, 1L, 100L, "b", false),
+        (2L, 1L, 100L, "b", true))
+      stmt.handle.get.processAllAvailable()
+      while (cl.consume(1).nonEmpty) ()
+      assert(cl.history.forall(_.op.contains(graft.changelog.Op.Insert)))
+      assert(cl.history.map(_.values).toSet ==
+        Set(Vector[Any](100L, "a"), Vector[Any](100L, "b")))
+    } finally stmt.stop()
+    // normalization is select-list-order independent: an aggregate
+    // argument must not claim a name a LATER item owns
+    val mem2 = newFeed("qf2_feed")
+    val s2 = stmts.create("SELECT sum(value) AS s, upper(value) AS value " +
+      "FROM qf2_feed GROUP BY upper(value)")
+    try {
+      assert(s2.isStreaming && s2.columns == Seq("s", "value"))
+      assert(stmts.waitForStatus(s2, Set(Phase.Running)).isDefined)
+      val cl2 = s2.handle.get.changelog()
+      mem2.addData((0L, 1L, 10L, "3.5", false), (1L, 1L, 11L, "3.5", false))
+      s2.handle.get.processAllAvailable()
+      while (cl2.consume(1).nonEmpty) ()
+      assert(cl2.collapse().rows.toSet == Set(Vector[Any](7.0, "3.5")))
+    } finally s2.stop()
   }
 
   test("continuous COUNT(DISTINCT): the count decreases exactly when the " +
