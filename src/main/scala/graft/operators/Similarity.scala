@@ -1841,6 +1841,88 @@ object Similarity {
       .orderBy($"query_id", $"rk")
   }
 
+  /** v26's leg depth (candidates each retriever contributes to fusion),
+    * the standard RRF smoothing constant, and the stop-token document-
+    * frequency cap of the lexical leg's inverted index. */
+  val FuseDepth = 10
+  val RrfConst = 60
+  val HybridDfCap = 100
+  /** Integer scale of one reciprocal-rank term: scores stay exact longs
+    * (1e12 DIV (60+rank)) — no float summation order to disagree on. */
+  val RrfScale = 1000000000000L
+
+  /** V26 — HYBRID retrieval with reciprocal-rank fusion: every query
+    * document retrieves through TWO independent legs — dense (exact
+    * cosine over the embedding corpus, v1's contract) and lexical
+    * (distinct shared tokens through a df-capped inverted index, the
+    * BM25-family shape) — each contributing its [[FuseDepth]] best
+    * candidates, fused by RRF (Cormack et al. 2009):
+    * `score(d) = Σ_legs RrfScale DIV (RrfConst + rank_leg(d))`, kept as
+    * EXACT integer arithmetic (integer division of a fixed scale — no
+    * float summation order for engines to disagree on), final top-[[K]]
+    * per query by (score desc, id asc). This is the production hybrid
+    * search every retrieval stack serves (sparse+dense fusion beats
+    * either leg alone on out-of-domain corpora), and the fixture's
+    * doc_id/vec_id identity makes the two legs joinable.
+    *
+    * Scale shape: the dense leg is v1's broadcast-queries/one-corpus-
+    * scan contract ranked by the MERGEABLE TopKAggregate (k pairs per
+    * query cross the shuffle, no Window on the Q×N stream); the lexical
+    * leg generates candidates through the d3-style inverted index with
+    * stop tokens df-capped at [[HybridDfCap]] (never all-pairs); fusion
+    * itself touches only Q×2·FuseDepth rank rows. Oracle-exact: both
+    * legs and the fused score are integer/IEEE-identical in DuckDB. */
+  def v26HybridRrf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.load(spark, dir, "embeddings")
+      .select($"vec_id", asDouble($"embedding").as("v"))
+    val queries = emb.filter($"vec_id" < QueryCount)
+      .select($"vec_id".as("query_id"), $"v".as("qv"))
+    val dense = emb
+      .join(broadcast(queries), $"vec_id" =!= $"query_id")
+      .select($"query_id", $"vec_id", cosine($"qv", $"v").as("cos"))
+      .groupBy($"query_id")
+      .agg(graft.plans.TopKAggregate
+        .topK($"cos", $"vec_id", FuseDepth).as("top"))
+      .select($"query_id", posexplode($"top"))
+      .select($"query_id", $"col.id".as("id"),
+        ($"pos" + 1).cast("long").as("rd"))
+    val toks = Tables.load(spark, dir, "documents")
+      .select($"doc_id", explode(array_distinct(split($"text", " "))).as("tok"))
+    // stop tokens (df above the cap) leave the index: they would blow
+    // the candidate fan-out at scale while carrying no selectivity
+    val kept = toks.groupBy($"tok").agg(count(lit(1)).as("df"))
+      .filter($"df" <= HybridDfCap).select($"tok")
+    val idx = toks.join(kept, "tok")
+    val qtok = idx.filter($"doc_id" < QueryCount)
+      .select($"doc_id".as("query_id"), $"tok")
+    val overlap = qtok
+      .join(idx.withColumnRenamed("doc_id", "id"), "tok")
+      .filter($"id" =!= $"query_id")
+      .groupBy($"query_id", $"id")
+      .agg(count(lit(1)).as("shared")) // = |distinct token intersection|
+    val lex = overlap
+      .groupBy($"query_id")
+      .agg(graft.plans.TopKAggregate
+        .topK($"shared".cast("double"), $"id", FuseDepth).as("top"))
+      .select($"query_id", posexplode($"top"))
+      .select($"query_id", $"col.id".as("id"),
+        ($"pos" + 1).cast("long").as("rl"))
+    val fused = dense.join(lex, Seq("query_id", "id"), "full_outer")
+      .select($"query_id", $"id".as("doc_id"),
+        (coalesce(expr(s"$RrfScale DIV ($RrfConst + rd)"), lit(0L)) +
+          coalesce(expr(s"$RrfScale DIV ($RrfConst + rl)"), lit(0L)))
+          .as("rrf"))
+    fused
+      .groupBy($"query_id")
+      .agg(graft.plans.TopKAggregate
+        .topK($"rrf".cast("double"), $"doc_id", K).as("top"))
+      .select($"query_id", posexplode($"top"))
+      .select($"query_id", ($"pos" + 1).cast("int").as("rk"),
+        $"col.id".as("doc_id"), $"col.score".cast("long").as("rrf_score"))
+      .orderBy($"query_id", $"rk")
+  }
+
   /** V20 — filtered ANN (label-constrained top-K): each query retrieves
     * its top-K among corpus vectors sharing the query's label — the
     * metadata-predicate search every production vector store serves
@@ -2048,6 +2130,7 @@ object Similarity {
     "v19_matryoshka_eval" -> v19MatryoshkaEval _,
     "v24_matryoshka_serve" -> v24MatryoshkaServe _,
     "v25_prefix_store_serve" -> v25PrefixStoreServe _,
+    "v26_hybrid_rrf" -> v26HybridRrf _,
     "v18_ann_binary" -> ((s: SparkSession, d: String) => v18AnnBinary(s, d)),
     "v17_index_delta" -> v17IndexDelta _,
     "v16_semantic_contamination" ->
@@ -2602,6 +2685,50 @@ object Similarity {
          |FROM pred WHERE vr = 1 GROUP BY qlabel ORDER BY label""".stripMargin,
     "v1_ann_topk" -> annTopKOracle,
     "v5_ann_topk_agg" -> annTopKOracle,
+    "v26_hybrid_rrf" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+         |           FROM embeddings),
+         |q AS (SELECT vec_id AS query_id, v AS qv FROM e
+         |      WHERE vec_id < $QueryCount),
+         |dr AS (SELECT query_id, vec_id AS id,
+         |         row_number() OVER (PARTITION BY query_id
+         |           ORDER BY list_cosine_similarity(qv, v) DESC,
+         |             vec_id ASC) AS rd
+         |       FROM e CROSS JOIN q WHERE vec_id != query_id),
+         |d AS (SELECT query_id, id, rd FROM dr WHERE rd <= $FuseDepth),
+         |tok AS (SELECT doc_id,
+         |          unnest(list_distinct(string_split(text, ' '))) AS tok
+         |        FROM documents),
+         |kept AS (SELECT tok FROM tok GROUP BY tok
+         |         HAVING count(*) <= $HybridDfCap),
+         |idx AS (SELECT doc_id, tok FROM tok
+         |        WHERE tok IN (SELECT tok FROM kept)),
+         |qt AS (SELECT doc_id AS query_id, tok FROM idx
+         |       WHERE doc_id < $QueryCount),
+         |ov AS (SELECT qt.query_id, idx.doc_id AS id,
+         |         count(*) AS shared
+         |       FROM qt JOIN idx ON qt.tok = idx.tok
+         |         AND idx.doc_id != qt.query_id
+         |       GROUP BY 1, 2),
+         |lr AS (SELECT query_id, id,
+         |         row_number() OVER (PARTITION BY query_id
+         |           ORDER BY shared DESC, id ASC) AS rl
+         |       FROM ov),
+         |l AS (SELECT query_id, id, rl FROM lr WHERE rl <= $FuseDepth),
+         |f AS (SELECT COALESCE(d.query_id, l.query_id) AS query_id,
+         |        COALESCE(d.id, l.id) AS doc_id,
+         |        COALESCE($RrfScale // ($RrfConst + d.rd), 0)
+         |          + COALESCE($RrfScale // ($RrfConst + l.rl), 0) AS rrf
+         |      FROM d FULL OUTER JOIN l
+         |        ON d.query_id = l.query_id AND d.id = l.id),
+         |r AS (SELECT query_id, doc_id, rrf,
+         |        row_number() OVER (PARTITION BY query_id
+         |          ORDER BY rrf DESC, doc_id ASC) AS rk
+         |      FROM f)
+         |SELECT query_id, CAST(rk AS INT) AS rk, doc_id,
+         |  CAST(rrf AS BIGINT) AS rrf_score
+         |FROM r WHERE rk <= $K
+         |ORDER BY query_id, rk""".stripMargin,
     "v23_random_projection" ->
       s"""WITH q AS (SELECT vec_id,
          |         list_transform(CAST(embedding AS DOUBLE[]),

@@ -782,6 +782,71 @@ class SimilaritySpec extends AnyFunSuite {
     } finally s.conf.set("spark.sql.adaptive.enabled", prevAqe)
   }
 
+  test("v26: hybrid RRF equals a driver recompute of both legs, scores " +
+    "are exact integer reciprocal-rank sums, and no Window or cartesian " +
+    "product touches either leg's pair stream") {
+    val s = spark
+    import Similarity.{FuseDepth, HybridDfCap, K, QueryCount, RrfConst, RrfScale}
+    val df = Similarity.v26HybridRrf(s, dir)
+    val got = df.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    // driver recompute of the whole fusion from the raw tables
+    val emb = graft.sources.Tables.load(s, dir, "embeddings")
+      .selectExpr("vec_id", "CAST(embedding AS ARRAY<DOUBLE>) AS v")
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val docs = graft.sources.Tables.load(s, dir, "documents")
+      .selectExpr("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ", -1).distinct.toSet))
+    val dfCount = docs.flatMap(_._2).groupBy(identity).map { case (t, xs) => (t, xs.length) }
+    val kept = dfCount.filter(_._2 <= HybridDfCap).keySet
+    val tokOf = docs.map { case (id, ts) => (id, ts.intersect(kept)) }.toMap
+    val expected = (0L until QueryCount.toLong).flatMap { q =>
+      val qv = emb(q)
+      val dRanks = emb.toSeq.filter(_._1 != q)
+        .map { case (id, v) => (id, cos(qv, v)) }
+        .sortBy { case (id, c) => (-c, id) }.take(FuseDepth)
+        .zipWithIndex.map { case ((id, _), i) => (id, i + 1L) }.toMap
+      val lRanks = tokOf.toSeq.filter(_._1 != q)
+        .map { case (id, ts) => (id, tokOf(q).intersect(ts).size.toLong) }
+        .filter(_._2 > 0L)
+        .sortBy { case (id, n) => (-n, id) }.take(FuseDepth)
+        .zipWithIndex.map { case ((id, _), i) => (id, i + 1L) }.toMap
+      (dRanks.keySet ++ lRanks.keySet).toSeq
+        .map { id =>
+          val sc = dRanks.get(id).map(r => RrfScale / (RrfConst + r)).getOrElse(0L) +
+            lRanks.get(id).map(r => RrfScale / (RrfConst + r)).getOrElse(0L)
+          (id, sc)
+        }
+        .sortBy { case (id, sc) => (-sc, id) }.take(K)
+        .zipWithIndex.map { case ((id, sc), i) => (q, i + 1, id, sc) }
+    }
+    assert(got.toSeq == expected,
+      "hybrid RRF must equal the driver recompute rank-for-rank")
+    // every score is 1-2 exact reciprocal-rank terms — never zero, never
+    // above two first-rank terms
+    val maxTerm = RrfScale / (RrfConst + 1)
+    got.foreach { case (_, _, _, sc) => assert(sc > 0 && sc <= 2 * maxTerm) }
+    // scale shape: both legs rank via the mergeable aggregate (no
+    // Window), and the lexical candidates come from the token equi-join
+    // (no cartesian product anywhere)
+    val prevAqe = s.conf.get("spark.sql.adaptive.enabled")
+    s.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = Similarity.v26HybridRrf(s, dir).queryExecution.executedPlan
+      assert(plan.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w
+      }.isEmpty, "v26 must rank via TopKAggregate, not a Window")
+      assert(plan.collect {
+        case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+      }.isEmpty, "no leg may degrade to a cartesian product")
+    } finally s.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
+
   test("v25: the prefix-sliced store makes v24's byte cut real I/O — " +
     "stage 1 scans (vec_id, head) only, the head family is a fraction " +
     "of the on-disk vector bytes, and the served rows equal v24's") {
