@@ -1211,12 +1211,14 @@ final class Statements(spark: SparkSession, prefix: String = "stmt-",
         // source's own columns; rejected rows never reach the driver
         val ds = where.map(filterDeltas(ds0, _, sql)).getOrElse(ds0)
         val (dsH, aggH, hopMeta) = rewriteHop(agg, ds, sql)
-        val (aggT, tumbleMeta) = rewriteTumble(aggH, dsH, sql)
-        if (hopMeta.isDefined && tumbleMeta.isDefined)
+        val (aggS, sessMeta) = rewriteSession(aggH, dsH, sql)
+        val (aggT, tumbleMeta) = rewriteTumble(aggS, dsH, sql)
+        if (Seq(hopMeta, sessMeta, tumbleMeta).count(_.isDefined) > 1)
           unsupported(sql, "one event-time window per continuous statement")
         val (dsN, aggN) = normalizeAgg(dsH, aggT, sql)
         Some(aggOverDeltas(dsN, aggN, having, sql, name, properties, topK,
-          hopMeta.orElse(tumbleMeta)))
+          hopMeta.orElse(sessMeta).orElse(tumbleMeta),
+          sessionMode = sessMeta.isDefined))
       case None =>
         if (referencesFeed(src))
           unsupported(sql, "the FROM clause references changelog feed(s) " +
@@ -1343,6 +1345,86 @@ final class Statements(spark: SparkSession, prefix: String = "stmt-",
         "SELECT item and a matching GROUP BY expression — nesting it in " +
         "another expression would silently lose watermark eviction")
     (dsH, newAgg, Some((outName, width)))
+  }
+
+  /** `SESSION(col, gap)` — the event-time session window as a grouping
+    * function (Flink SQL's `GROUP BY SESSION(ts, INTERVAL gap)`): a
+    * session is a maximal run of live event times in which consecutive
+    * times are ≤ `gap` apart, keyed by the statement's OTHER grouping
+    * columns; the emitted window value is the session's first event
+    * time. Unlike tumble/hop, a row's window assignment depends on the
+    * OTHER live rows — an arriving bridge event MERGES two sessions,
+    * and (the transition batch engines cannot express) a retraction of
+    * the bridge SPLITS them back — so the call cannot pre-project: it
+    * rewrites to the RAW event-time column as a hidden per-time
+    * grouping column, the fold maintains one accumulator bucket per
+    * (keys, time) exactly like a plain GROUP BY, and the SNAPSHOT pass
+    * walks each key's times in order, splits at gaps, and merges the
+    * run's buckets into one session row (exact: sums add, extrema
+    * bags union). Watermark eviction matches tumble's rule with the
+    * gap as the horizon: a session whose last time + gap the watermark
+    * passed closes (fires its final row, then -D), and late rows drop.
+    * State is O(live (keys, time) buckets), counted by the fold
+    * budget. */
+  private def rewriteSession(agg: Aggregate, ds: DeltaSource,
+      sql: String): (Aggregate, Option[(String, Long)]) = {
+    def bail(what: String): Nothing = unsupported(sql, what)
+    def isSession(f: UnresolvedFunction): Boolean =
+      f.nameParts.map(_.toLowerCase) == Seq("session")
+    def containsSession(es: Seq[Expression]): Boolean =
+      es.exists(_.exists {
+        case f: UnresolvedFunction => isSession(f)
+        case _ => false
+      })
+    if (!containsSession(agg.aggregateExpressions) &&
+        !containsSession(agg.groupingExpressions))
+      return (agg, None)
+    val sessions = agg.aggregateExpressions.collect {
+      case Alias(f: UnresolvedFunction, n) if isSession(f) => (f, n)
+    }
+    if (sessions.isEmpty)
+      bail("session(col, gap) must appear as a direct aliased SELECT " +
+        "item (the changelog retracts windows by their visible start)")
+    if (sessions.length > 1)
+      bail("one session window per continuous statement")
+    val (f, outName) = sessions.head
+    val col = f.arguments match {
+      case Seq(a: UnresolvedAttribute, Literal(w, _)) =>
+        val wl = w match {
+          case i: java.lang.Integer => i.longValue
+          case l: java.lang.Long => l.longValue
+          case _ => bail("session gap must be an integer literal")
+        }
+        if (wl <= 0) bail("session gap must be positive")
+        val i = ds.resolve(a).getOrElse(
+          bail(s"session column ${a.nameParts.mkString(".")} does not " +
+            s"resolve in the maintained view (${ds.viewCols.mkString(", ")})"))
+        if (kindOf(ds.types(i)) != Some(LongK))
+          bail(s"session column ${ds.viewCols(i)} must be integral " +
+            "(the feed's event-time domain)")
+        a
+      case _ =>
+        bail("session(col, gap) needs a view column and an integer " +
+          "literal gap")
+    }
+    val gap = f.arguments(1).asInstanceOf[Literal].value match {
+      case i: java.lang.Integer => i.longValue
+      case l: java.lang.Long => l.longValue
+    }
+    val newAgg = agg.copy(
+      aggregateExpressions = agg.aggregateExpressions.map {
+        case Alias(ff: UnresolvedFunction, n) if ff == f => Alias(col, n)()
+        case other => other
+      },
+      groupingExpressions = agg.groupingExpressions.map {
+        case ff: UnresolvedFunction if ff == f => col
+        case other => other
+      })
+    if (containsSession(newAgg.aggregateExpressions) ||
+        containsSession(newAgg.groupingExpressions))
+      bail("session(col, gap) may appear only as a direct aliased " +
+        "SELECT item and a matching GROUP BY expression")
+    (newAgg, Some((outName, gap)))
   }
 
   private def rewriteTumble(agg: Aggregate, ds: DeltaSource,
@@ -1662,7 +1744,8 @@ final class Statements(spark: SparkSession, prefix: String = "stmt-",
       having: Option[Expression],
       sql: String, name: String, properties: Map[String, String],
       topK: Option[(SortOrder, Int)] = None,
-      tumble: Option[(String, Long)] = None): Statement = {
+      tumble: Option[(String, Long)] = None,
+      sessionMode: Boolean = false): Statement = {
     def bail(what: String): Nothing = unsupported(sql, what)
     def viewCol(a: UnresolvedAttribute): Int =
       ds.resolve(a).getOrElse(bail(s"column ${a.nameParts.mkString(".")} " +
@@ -2013,7 +2096,19 @@ final class Statements(spark: SparkSession, prefix: String = "stmt-",
       // group's bags may still hold entries (unlike natural group
       // death), so the budget releases them too.
       val dead: Seq[Vector[Any]] =
-        if (tumblePos.isDefined && watermark > evictScanAt) {
+        if (sessionMode) {
+          // sessions must scan EVERY batch, not just on watermark
+          // advance: retracting a bridge SPLITS a run, and the split-off
+          // part can fall behind an already-passed watermark. A closed
+          // session (last time + gap behind the watermark) releases
+          // every one of its per-time buckets.
+          sessionRuns().filter { run =>
+            val (last, gap) = windowStart(run.last._1).get
+            last + gap <= watermark
+          }.flatMap(_.map(_._1))
+        } else if (tumblePos.isDefined && watermark > evictScanAt) {
+          // tumble/hop closure is purely watermark-driven (membership is
+          // static), so a watermark-stale batch skips the group rescan
           evictScanAt = watermark
           state.keysIterator
             .filter(k => windowStart(k).exists { case (s, w) =>
@@ -2085,10 +2180,68 @@ final class Statements(spark: SparkSession, prefix: String = "stmt-",
         // by the group's live non-null rows), so one shrink per group.
         if (!ungrouped && g.rows <= 0) { state.remove(gkey); budget.shrink() }
     }
+    // SESSION support: group the per-(keys, time) buckets by their
+    // static-key part (insertion order — deterministic), sort each
+    // key's times, and split into gap-separated runs. Shared by the
+    // snapshot merge and eviction.
+    def sessionRuns(): Seq[Seq[(Vector[Any], GState)]] = {
+      val (p, gap) = tumblePos.get
+      val byStatic =
+        mutable.LinkedHashMap.empty[Vector[Any],
+          mutable.ArrayBuffer[(Vector[Any], GState)]]
+      state.foreach { case (gk, g) =>
+        byStatic.getOrElseUpdate(gk.patch(p, Nil, 1),
+          mutable.ArrayBuffer.empty) += ((gk, g))
+      }
+      byStatic.valuesIterator.flatMap { entries =>
+        val sorted = entries.sortBy(_._1(p).asInstanceOf[Number].longValue)
+        val runs = mutable.ArrayBuffer.empty[Seq[(Vector[Any], GState)]]
+        var cur = mutable.ArrayBuffer.empty[(Vector[Any], GState)]
+        var prev = Long.MinValue
+        sorted.foreach { e =>
+          val t = e._1(p).asInstanceOf[Number].longValue
+          if (cur.nonEmpty && t - prev > gap) {
+            runs += cur.toSeq; cur = mutable.ArrayBuffer.empty
+          }
+          cur += e; prev = t
+        }
+        if (cur.nonEmpty) runs += cur.toSeq
+        runs
+      }.toSeq
+    }
+    // merge a session run's buckets into one accumulator set — exact:
+    // counts/sums add, extremum/distinct bags union-add
+    def mergeRun(run: Seq[(Vector[Any], GState)]): GState = {
+      val m = new GState
+      run.foreach { case (_, g) =>
+        m.rows += g.rows
+        var k = 0
+        while (k < nAgg) {
+          m.counts(k) += g.counts(k)
+          m.lsums(k) += g.lsums(k)
+          m.dsums(k) = m.dsums(k).add(g.dsums(k))
+          if (m.bags(k) != null)
+            g.bags(k).foreach { case (x, c) =>
+              m.bags(k).update(x, m.bags(k).getOrElse(x, 0L) + c)
+            }
+          k += 1
+        }
+      }
+      m
+    }
     def emitSnapshot(): Seq[Vector[Any]] = {
       if (ungrouped)
         state.getOrElseUpdate(Vector.empty, { budget.grow(); new GState })
-      val snapshot = state.iterator.map { case (gkey, g) =>
+      // session mode merges each gap-run into ONE row keyed by the run's
+      // first event time (the emitted window value); plain mode serves
+      // the buckets as the groups they are
+      val entries: Iterator[(Vector[Any], GState)] =
+        if (sessionMode) {
+          // the run's first bucket's gkey already carries the session's
+          // first event time in the window slot
+          sessionRuns().iterator.map(run => (run.head._1, mergeRun(run)))
+        } else state.iterator
+      val snapshot = entries.map { case (gkey, g) =>
         var k = -1
         outCols.map {
           case (_, Left(i)) => gkey(groupIdx.indexOf(i))

@@ -213,6 +213,12 @@ class ContinuousStatementsSpec extends AnyFunSuite {
     // hop guards: width < slide would leave rows in no window
     rejects("SELECT hop(key, 10, 5) AS w, count(*) AS c FROM lt_feed " +
       "GROUP BY hop(key, 10, 5)", "width must be >= slide")
+    // session guards: integral event time; one window fn per statement
+    rejects("SELECT session(value, 10) AS w, count(*) AS c FROM lt_feed " +
+      "GROUP BY session(value, 10)", "must be integral")
+    rejects("SELECT tumble(key, 10) AS t, session(key, 5) AS w, " +
+      "count(*) AS c FROM lt_feed GROUP BY tumble(key, 10), session(key, 5)",
+      "one event-time window")
     // HAVING is driver-evaluated over emitted snapshots, so ITS algebra
     // is the compiled subset: column-vs-column comparisons reject
     // (WHERE, by contrast, rides the executor-side Catalyst rewrite and
@@ -1554,6 +1560,57 @@ class ContinuousStatementsSpec extends AnyFunSuite {
       while (cl2.consume(1).nonEmpty) ()
       assert(cl2.collapse().rows.toSet == Set(Vector[Any](7.0, "3.5")))
     } finally s2.stop()
+  }
+
+  test("SESSION windows: a bridge event MERGES two sessions, its " +
+    "retraction SPLITS them back, closed sessions fire their final row " +
+    "then retract, and late rows drop — per key") {
+    val mem = newFeed("sess_feed")
+    val stmts = new Statements(spark)
+    // id plays the event-time domain; gap 10
+    val stmt = stmts.create(
+      "SELECT key, session(id, 10) AS win, count(*) AS c, " +
+        "min(value) AS mv FROM sess_feed GROUP BY key, session(id, 10)")
+    try {
+      assert(stmt.isStreaming, "session must route through the IVM fold")
+      assert(stmt.columns == Seq("key", "win", "c", "mv"))
+      assert(stmts.waitForStatus(stmt, Set(Phase.Running)).isDefined)
+      val cl = stmt.handle.get.changelog()
+      def sync(): Set[Vector[Any]] = {
+        stmt.handle.get.processAllAvailable()
+        while (cl.consume(1).nonEmpty) ()
+        cl.collapse().rows.toSet
+      }
+      // one session of two events 5 apart
+      mem.addData((0L, 1L, 100L, "x", false), (1L, 1L, 105L, "q", false))
+      assert(sync() == Set(Vector[Any](1L, 100L, 2L, "q")))
+      // a batch adds 118 (new session: 118-105 > 10) THEN the bridge
+      // 109 — the two sessions MERGE into one (105→109→118 all ≤ gap),
+      // and the min bag merges across the run's buckets
+      mem.addData((2L, 1L, 118L, "z", false), (3L, 1L, 109L, "m", false))
+      assert(sync() == Set(Vector[Any](1L, 100L, 4L, "m")))
+      // retracting the bridge SPLITS the session — the transition batch
+      // engines cannot express. The left part {100,105} then has
+      // last + gap = 115 <= watermark 118, so it CLOSES: fires its
+      // final (1, 100, 2, "q") row, then retracts it with -D
+      mem.addData((4L, 1L, 109L, "m", true))
+      assert(sync() == Set(Vector[Any](1L, 118L, 1L, "z")))
+      val dels = cl.history.filter(_.op.contains(graft.changelog.Op.Delete))
+      assert(dels.exists(_.values == Vector[Any](1L, 100L, 2L, "q")),
+        s"the closed split-off session must retract with its final row: $dels")
+      // a late event (101 + 10 <= 118) drops; a live extension folds
+      mem.addData((5L, 1L, 101L, "late", false), (6L, 1L, 126L, "y", false))
+      assert(sync() == Set(Vector[Any](1L, 118L, 2L, "y")))
+      // a second key sessions independently (watermark is global)
+      mem.addData((7L, 2L, 130L, "k2", false))
+      assert(sync() == Set(Vector[Any](1L, 118L, 2L, "y"),
+        Vector[Any](2L, 130L, 1L, "k2")))
+      // an event far ahead closes BOTH keys' open sessions
+      mem.addData((8L, 2L, 200L, "far", false))
+      assert(sync() == Set(Vector[Any](2L, 200L, 1L, "far")))
+      assert(cl.history.filter(_.op.contains(graft.changelog.Op.Delete))
+        .exists(_.values == Vector[Any](1L, 118L, 2L, "y")))
+    } finally stmt.stop()
   }
 
   test("continuous COUNT(DISTINCT): the count decreases exactly when the " +
