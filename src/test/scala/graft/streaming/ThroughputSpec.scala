@@ -141,6 +141,56 @@ class ThroughputSpec extends AnyFunSuite {
     } finally stmt.stop()
   }
 
+  test("different-key Z-set cascade statement sustains well over the " +
+      "20 changes/s baseline") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    def feed(name: String): MemoryStream[(Long, Long, Long, String, Boolean)] = {
+      val m = MemoryStream[(Long, Long, Long, String, Boolean)]
+      m.toDF().toDF("seq", "key", "id", "value", "delete")
+        .createOrReplaceTempView(name)
+      m
+    }
+    val am = feed("tpc_a"); val bm = feed("tpc_b"); val cm = feed("tpc_c")
+    val stmts = new graft.api.Statements(s)
+    // the 5-stateful-operator route: 3 upsert IVMs + 2 Z-set join stages,
+    // each keyed by its own join column — the cascade's full price
+    val stmt = stmts.create("SELECT * FROM tpc_a a " +
+      "JOIN tpc_b b ON a.key = b.key JOIN tpc_c c ON b.id = c.key")
+    try {
+      val rnd = new scala.util.Random(5)
+      var seqNo = 0L
+      // 50 join keys × few live rows/side, b ids feeding c's key domain —
+      // realistic fan-outs without a degenerate hot key
+      def batch(n: Int, keyOf: () => Long, idBase: Long) =
+        (0 until n).map { _ =>
+          seqNo += 1
+          (seqNo, keyOf(), idBase + rnd.nextInt(200).toLong,
+            s"v${rnd.nextInt(100)}", rnd.nextInt(5) == 0)
+        }
+      def sync(): Unit =
+        s.streams.active.find(_.name == stmt.name).get.processAllAvailable()
+      am.addData(batch(5, () => rnd.nextInt(50).toLong, 1000L))
+      bm.addData(batch(5, () => rnd.nextInt(50).toLong, 2000L))
+      cm.addData(batch(5, () => 2000L + rnd.nextInt(200).toLong, 3000L))
+      sync() // warmup (plan + codegen for all five operators)
+      val total = 10 * 900
+      val t0 = System.nanoTime()
+      (1 to 10).foreach { _ =>
+        am.addData(batch(300, () => rnd.nextInt(50).toLong, 1000L))
+        bm.addData(batch(300, () => rnd.nextInt(50).toLong, 2000L))
+        cm.addData(batch(300, () => 2000L + rnd.nextInt(200).toLong, 3000L))
+        sync() // freshness per micro-batch
+      }
+      val secs = (System.nanoTime() - t0) / 1e9
+      val rate = total / secs
+      info(f"sustained $rate%.0f changes/s through the 3-feed cascade")
+      assert(rate >= 20 * 10,
+        f"cascade rate $rate%.0f changes/s below 10x the baseline")
+    } finally stmt.stop()
+  }
+
   test("ingest-twin pipeline (classify + drift) sustains well over the " +
       "20 docs/s baseline") {
     val s = spark
