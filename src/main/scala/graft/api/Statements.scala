@@ -2047,12 +2047,19 @@ final class Statements(spark: SparkSession, prefix: String = "stmt-",
       if (next == 0L) { bag.remove(x); if (prev > 0L) budget.shrink() }
       else { if (prev == 0L) budget.grow(); bag.update(x, next) }
     }
-    // window watermark: the max window start any ADD has reached. A
-    // window whose END the watermark has passed is closed — late rows
-    // (and retractions of already-evicted rows) drop, per Flink's
-    // late-event discipline. For tumble the rule is exact; for hop it is
-    // conservative by < slide (a close can be DELAYED one slide, never
-    // premature — the max start trails the max event time by < slide).
+    // window watermark: the max window start any ADD has reached, at
+    // BATCH granularity — late-drop inside a batch compares against the
+    // watermark as of the batch's START, and the batch's adds advance it
+    // at the END (Spark's own watermark discipline: batch N+1 observes
+    // batch N's watermark). Per-delta advancement would be
+    // order-sensitive: the upsert IVM emits a batch's deltas per
+    // state-store group, with NO cross-row order guarantee, so a
+    // high-time delta processed first must not late-drop its batch
+    // siblings. A window whose END the (end-of-batch) watermark has
+    // passed is closed; late rows and retractions of already-evicted
+    // rows drop, per Flink's late-event discipline. For tumble the rule
+    // is exact; for hop it is conservative by < slide (a close can be
+    // DELAYED one slide, never premature).
     var watermark = Long.MinValue
     def windowStart(gkey: Vector[Any]): Option[(Long, Long)] =
       tumblePos.flatMap { case (p, w) =>
@@ -2062,6 +2069,8 @@ final class Statements(spark: SparkSession, prefix: String = "stmt-",
     // does not advance the watermark skips the O(live groups) rescan
     var evictScanAt = Long.MinValue
     def fold(deltas: Seq[Vector[Any]]): Seq[Seq[Vector[Any]]] = {
+      val wmAtStart = watermark
+      var batchMax = Long.MinValue
       deltas.foreach { row =>
         // delta rows lead with the changelog op; view columns follow
         val sign = row(0).asInstanceOf[Int] match {
@@ -2081,12 +2090,13 @@ final class Statements(spark: SparkSession, prefix: String = "stmt-",
             case null => true
             case v =>
               val s = v.asInstanceOf[Number].longValue
-              if (s + w <= watermark) true // closed window: drop
-              else { if (sign > 0) watermark = math.max(watermark, s); false }
+              if (s + w <= wmAtStart) true // closed window: drop
+              else { if (sign > 0) batchMax = math.max(batchMax, s); false }
           }
         }
         if (!late) foldRow(sign, view, gkey)
       }
+      watermark = math.max(watermark, batchMax)
       // eviction: every window whose end the watermark has passed leaves
       // the maintained view. The batch that closes a window may ALSO
       // carry its last contributions, so the close publishes in TWO

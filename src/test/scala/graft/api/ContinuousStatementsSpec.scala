@@ -1613,6 +1613,81 @@ class ContinuousStatementsSpec extends AnyFunSuite {
     } finally stmt.stop()
   }
 
+  test("SESSION window property: random delete-heavy churn collapses to " +
+    "a reference model of the full pipeline (upsert deltas in seq order, " +
+    "per-delta late-drop, gap runs, per-batch eviction) after every page") {
+    val gap = 7L
+    for (seed <- Seq(3, 29)) {
+      val mem = newFeed(s"sp_feed$seed")
+      val stmts = new Statements(spark)
+      val stmt = stmts.create(s"SELECT key, session(id, $gap) AS win, " +
+        s"count(*) AS c FROM sp_feed$seed GROUP BY key, session(id, $gap)")
+      try {
+        assert(stmts.waitForStatus(stmt, Set(Phase.Running)).isDefined)
+        val cl = stmt.handle.get.changelog()
+        val rnd = new scala.util.Random(seed)
+        // reference model: the upsert table (id → row), the fold's live
+        // (key, ts=id) bucket counts, and the running watermark
+        val upsert = scala.collection.mutable.Map.empty[Long, (Long, String)]
+        val buckets = scala.collection.mutable.Map.empty[(Long, Long), Long]
+        // watermark advances at BATCH granularity (the fold's own rule:
+        // late-drop compares against the batch-START watermark; the
+        // batch's adds advance it at the end)
+        var wm = Long.MinValue
+        var batchMax = Long.MinValue
+        def applyDelta(sign: Long, k: Long, ts: Long): Unit = {
+          if (ts + gap <= wm) return // late: closed territory
+          if (sign > 0) batchMax = math.max(batchMax, ts)
+          val next = buckets.getOrElse((k, ts), 0L) + sign
+          if (next == 0L) buckets.remove((k, ts)) else buckets((k, ts)) = next
+        }
+        def runsOf(k: Long): Seq[Seq[Long]] = {
+          val ts = buckets.keys.filter(_._1 == k).map(_._2).toSeq.sorted
+          ts.foldLeft(Vector.empty[Vector[Long]]) { (acc, t) =>
+            if (acc.nonEmpty && t - acc.last.last <= gap)
+              acc.init :+ (acc.last :+ t)
+            else acc :+ Vector(t)
+          }
+        }
+        var seq = 0L
+        for (pg <- 0 until 8) {
+          val evs = (0 until rnd.nextInt(8)).map { _ =>
+            seq += 1
+            // ts = id drawn from a slowly advancing band so sessions
+            // keep forming, merging, and closing as pages progress
+            val ts = 100L + pg * 4 + rnd.nextInt(12)
+            (seq, 1L + rnd.nextInt(2), ts, s"v${rnd.nextInt(9)}",
+              rnd.nextInt(3) == 0)
+          }
+          if (evs.nonEmpty) mem.addData(evs)
+          stmt.handle.get.processAllAvailable()
+          // model: upsert IVM deltas in seq order, fold per delta
+          batchMax = Long.MinValue
+          evs.foreach { case (_, k, id, v, del) =>
+            upsert.get(id).foreach { case (k0, _) => applyDelta(-1L, k0, id) }
+            if (del) upsert.remove(id)
+            else { upsert(id) = (k, v); applyDelta(1L, k, id) }
+          }
+          wm = math.max(wm, batchMax)
+          // model: per-batch eviction of closed runs (last + gap <= wm)
+          (1L to 2L).foreach { k =>
+            runsOf(k).filter(_.last + gap <= wm)
+              .foreach(_.foreach(t => buckets.remove((k, t))))
+          }
+          val expected = (1L to 2L).flatMap { k =>
+            runsOf(k).map(run =>
+              Vector[Any](k, run.head,
+                run.map(t => buckets((k, t))).sum))
+          }.toSet
+          while (cl.consume(1).nonEmpty) ()
+          val got = cl.collapse().rows.toSet
+          assert(got == expected,
+            s"seed $seed page $pg: session collapse $got != model $expected")
+        }
+      } finally stmt.stop()
+    }
+  }
+
   test("continuous COUNT(DISTINCT): the count decreases exactly when the " +
     "LAST duplicate of a value retracts, and collapse == batch per page") {
     val mem = newFeed("cd_feed")
