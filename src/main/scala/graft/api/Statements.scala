@@ -353,6 +353,14 @@ final class Statements(spark: SparkSession, prefix: String = "stmt-",
         .select("seq", "key", "id", "value", "delete")
         .as[(Long, Long, Long, String, Boolean)]
         .map { case (seq, k, id, v, del) =>
+          // -1 is the outer routes' pad-sentinel id: a live row carrying
+          // it would be misread as a pad by the denull conversion below
+          // — fail loudly (the cascade route enforces the same contract)
+          if ((lo || ro) && id == -1L)
+            throw new IllegalStateException(
+              "changelog feed id -1 is reserved for outer-join pad " +
+                "sentinels and cannot be a live row identity in an " +
+                "outer continuous join")
           (seq, StatefulOps.JoinEvent(k, isLeft, id, v, del))
         }
       val raw = StatefulOps
@@ -878,8 +886,7 @@ final class Statements(spark: SparkSession, prefix: String = "stmt-",
       items: Seq[(String, Expression)]): Option[DeltaSource] = {
     import org.apache.spark.sql.graftbridge.ColumnBridge
     val outNames = items.map(_._1)
-    if (outNames.contains("op") || outNames.distinct.length != outNames.length)
-      return None
+    if (outNames.contains("op")) return None
     var ok = true
     def rewrite(e: Expression): Expression = e.transform {
       case a: UnresolvedAttribute => ds.resolve(a) match {
@@ -900,9 +907,16 @@ final class Statements(spark: SparkSession, prefix: String = "stmt-",
       if (!deterministic) None
       else {
         val types = projected.schema.fields.drop(1).map(_.dataType).toSeq
+        // duplicate output names are servable AS A VIEW (r10's projected
+        // route served `SELECT a.id, b.id` — Spark selects carry
+        // duplicate names fine) but are AMBIGUOUS to reference: the
+        // resolver answers only names that occur exactly once, so a
+        // downstream aggregate over the duplicate rejects loudly via its
+        // own unresolved-column path instead of picking one silently
         val resolve: UnresolvedAttribute => Option[Int] = a =>
           a.nameParts match {
-            case Seq(c) if outNames.contains(c) => Some(outNames.indexOf(c))
+            case Seq(c) if outNames.count(_ == c) == 1 =>
+              Some(outNames.indexOf(c))
             case _ => None
           }
         Some(DeltaSource(projected, outNames, types, resolve))
@@ -1388,7 +1402,7 @@ final class Statements(spark: SparkSession, prefix: String = "stmt-",
     if (sessions.length > 1)
       bail("one session window per continuous statement")
     val (f, outName) = sessions.head
-    val col = f.arguments match {
+    val (col, gap) = f.arguments match {
       case Seq(a: UnresolvedAttribute, Literal(w, _)) =>
         val wl = w match {
           case i: java.lang.Integer => i.longValue
@@ -1402,14 +1416,10 @@ final class Statements(spark: SparkSession, prefix: String = "stmt-",
         if (kindOf(ds.types(i)) != Some(LongK))
           bail(s"session column ${ds.viewCols(i)} must be integral " +
             "(the feed's event-time domain)")
-        a
+        (a, wl)
       case _ =>
         bail("session(col, gap) needs a view column and an integer " +
           "literal gap")
-    }
-    val gap = f.arguments(1).asInstanceOf[Literal].value match {
-      case i: java.lang.Integer => i.longValue
-      case l: java.lang.Long => l.longValue
     }
     val newAgg = agg.copy(
       aggregateExpressions = agg.aggregateExpressions.map {
@@ -2090,8 +2100,21 @@ final class Statements(spark: SparkSession, prefix: String = "stmt-",
             case null => true
             case v =>
               val s = v.asInstanceOf[Number].longValue
-              if (s + w <= wmAtStart) true // closed window: drop
-              else { if (sign > 0) batchMax = math.max(batchMax, s); false }
+              if (sign > 0) {
+                // an ADD cannot create or extend a closed window
+                if (s + w <= wmAtStart) true
+                else { batchMax = math.max(batchMax, s); false }
+              } else {
+                // a RETRACTION applies iff its bucket is still LIVE: a
+                // session run can stay open across event times the
+                // watermark has long passed (later times keep bridging
+                // it), and retracting those rows must still fold — only
+                // a retraction of an EVICTED bucket drops (its add was
+                // late-dropped, or its window closed and fired). For
+                // tumble/hop this is the old watermark rule exactly:
+                // eviction keeps no live bucket behind the watermark.
+                !state.contains(gkey)
+              }
           }
         }
         if (!late) foldRow(sign, view, gkey)
@@ -2105,36 +2128,45 @@ final class Statements(spark: SparkSession, prefix: String = "stmt-",
       // post-eviction snapshot whose diff emits the -D. An evicted
       // group's bags may still hold entries (unlike natural group
       // death), so the budget releases them too.
-      val dead: Seq[Vector[Any]] =
-        if (sessionMode) {
-          // sessions must scan EVERY batch, not just on watermark
-          // advance: retracting a bridge SPLITS a run, and the split-off
-          // part can fall behind an already-passed watermark. A closed
-          // session (last time + gap behind the watermark) releases
-          // every one of its per-time buckets.
-          sessionRuns().filter { run =>
-            val (last, gap) = windowStart(run.last._1).get
-            last + gap <= watermark
-          }.flatMap(_.map(_._1))
-        } else if (tumblePos.isDefined && watermark > evictScanAt) {
-          // tumble/hop closure is purely watermark-driven (membership is
-          // static), so a watermark-stale batch skips the group rescan
-          evictScanAt = watermark
-          state.keysIterator
-            .filter(k => windowStart(k).exists { case (s, w) =>
-              s + w <= watermark
-            }).toVector
-        } else Vector.empty
-      if (dead.isEmpty) Seq(emitSnapshot())
-      else {
-        val atClose = emitSnapshot()
-        dead.foreach { k =>
-          state.remove(k).foreach { g =>
-            budget.shrink()
-            g.bags.foreach(b => if (b != null) budget.shrink(b.size.toLong))
-          }
+      def removeBucket(k: Vector[Any]): Unit =
+        state.remove(k).foreach { g =>
+          budget.shrink()
+          g.bags.foreach(b => if (b != null) budget.shrink(b.size.toLong))
         }
-        Seq(atClose, emitSnapshot())
+      if (sessionMode) {
+        // sessions must scan EVERY batch, not just on watermark advance:
+        // retracting a bridge SPLITS a run, and the split-off part can
+        // fall behind an already-passed watermark. The runs are computed
+        // ONCE: eviction removes whole runs, so the live partition IS
+        // the post-eviction run set.
+        val runs = sessionRuns()
+        val (dead, live) = runs.partition { run =>
+          val (last, gap) = windowStart(run.last._1).get
+          last + gap <= watermark
+        }
+        if (dead.isEmpty) Seq(sessionSnapshot(runs))
+        else {
+          val atClose = sessionSnapshot(runs)
+          dead.foreach(_.foreach { case (k, _) => removeBucket(k) })
+          Seq(atClose, sessionSnapshot(live))
+        }
+      } else {
+        val dead: Seq[Vector[Any]] =
+          if (tumblePos.isDefined && watermark > evictScanAt) {
+            // tumble/hop closure is purely watermark-driven (membership
+            // is static), so a watermark-stale batch skips the rescan
+            evictScanAt = watermark
+            state.keysIterator
+              .filter(k => windowStart(k).exists { case (s, w) =>
+                s + w <= watermark
+              }).toVector
+          } else Vector.empty
+        if (dead.isEmpty) Seq(emitSnapshot())
+        else {
+          val atClose = emitSnapshot()
+          dead.foreach(removeBucket)
+          Seq(atClose, emitSnapshot())
+        }
       }
     }
     def foldRow(sign: Long, view: Vector[Any], gkey: Vector[Any]): Unit = {
@@ -2239,18 +2271,19 @@ final class Statements(spark: SparkSession, prefix: String = "stmt-",
       }
       m
     }
+    // session mode merges each gap-run into ONE row keyed by the run's
+    // first event time (the run's first bucket's gkey already carries it
+    // in the window slot); plain mode serves the buckets as the groups
+    // they are
+    def sessionSnapshot(runs: Seq[Seq[(Vector[Any], GState)]]): Seq[Vector[Any]] =
+      snapshotOf(runs.iterator.map(run => (run.head._1, mergeRun(run))))
     def emitSnapshot(): Seq[Vector[Any]] = {
       if (ungrouped)
         state.getOrElseUpdate(Vector.empty, { budget.grow(); new GState })
-      // session mode merges each gap-run into ONE row keyed by the run's
-      // first event time (the emitted window value); plain mode serves
-      // the buckets as the groups they are
-      val entries: Iterator[(Vector[Any], GState)] =
-        if (sessionMode) {
-          // the run's first bucket's gkey already carries the session's
-          // first event time in the window slot
-          sessionRuns().iterator.map(run => (run.head._1, mergeRun(run)))
-        } else state.iterator
+      snapshotOf(state.iterator)
+    }
+    def snapshotOf(
+        entries: Iterator[(Vector[Any], GState)]): Seq[Vector[Any]] = {
       val snapshot = entries.map { case (gkey, g) =>
         var k = -1
         outCols.map {

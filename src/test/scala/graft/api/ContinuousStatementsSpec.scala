@@ -1601,15 +1601,24 @@ class ContinuousStatementsSpec extends AnyFunSuite {
       // a late event (101 + 10 <= 118) drops; a live extension folds
       mem.addData((5L, 1L, 101L, "late", false), (6L, 1L, 126L, "y", false))
       assert(sync() == Set(Vector[Any](1L, 118L, 2L, "y")))
+      // an OPEN session can span times the watermark has passed: 118 is
+      // old territory (118 + 10 <= 128 after the next event) yet its
+      // retraction must still fold — only evicted buckets drop
+      mem.addData((9L, 1L, 128L, "w", false))
+      assert(sync() == Set(Vector[Any](1L, 118L, 3L, "w")))
+      mem.addData((10L, 1L, 118L, "z", true))
+      assert(sync() == Set(Vector[Any](1L, 126L, 2L, "w")),
+        "retracting a live bucket behind the watermark must fold, " +
+          "re-keying the session to its new first time")
       // a second key sessions independently (watermark is global)
       mem.addData((7L, 2L, 130L, "k2", false))
-      assert(sync() == Set(Vector[Any](1L, 118L, 2L, "y"),
+      assert(sync() == Set(Vector[Any](1L, 126L, 2L, "w"),
         Vector[Any](2L, 130L, 1L, "k2")))
       // an event far ahead closes BOTH keys' open sessions
       mem.addData((8L, 2L, 200L, "far", false))
       assert(sync() == Set(Vector[Any](2L, 200L, 1L, "far")))
       assert(cl.history.filter(_.op.contains(graft.changelog.Op.Delete))
-        .exists(_.values == Vector[Any](1L, 118L, 2L, "y")))
+        .exists(_.values == Vector[Any](1L, 126L, 2L, "w")))
     } finally stmt.stop()
   }
 
@@ -1636,8 +1645,13 @@ class ContinuousStatementsSpec extends AnyFunSuite {
         var wm = Long.MinValue
         var batchMax = Long.MinValue
         def applyDelta(sign: Long, k: Long, ts: Long): Unit = {
-          if (ts + gap <= wm) return // late: closed territory
-          if (sign > 0) batchMax = math.max(batchMax, ts)
+          // adds cannot enter closed territory; retractions apply iff
+          // their bucket is still live (an open session can span times
+          // the watermark has passed)
+          if (sign > 0) {
+            if (ts + gap <= wm) return
+            batchMax = math.max(batchMax, ts)
+          } else if (!buckets.contains((k, ts))) return
           val next = buckets.getOrElse((k, ts), 0L) + sign
           if (next == 0L) buckets.remove((k, ts)) else buckets((k, ts)) = next
         }
