@@ -725,18 +725,23 @@ final class Statements(spark: SparkSession, prefix: String = "stmt-",
     import spark.implicits._
     import org.apache.spark.sql.functions.{col, element_at, lit, when}
     import graft.streaming.StatefulOps.{ZDelta, ZEvent, ZRow}
+    // -1 is the cascade's OUTER-pad sentinel, so the reservation only
+    // binds when the cascade actually HAS an outer stage — an all-INNER
+    // cascade never emits pads, and -1 is a legal domain value there
+    // (the two-feed route draws the same line); guarding unconditionally
+    // would kill a RUNNING inner cascade mid-stream for a legal row
+    val anyOuter = refs.exists(r => r._3 || r._4)
     def feedDeltas(t: DataFrame): org.apache.spark.sql.Dataset[ZDelta] =
       upsertDeltas(t).as[(Int, Long, Long, String)].map {
         case (op, k, id, v) =>
-          // -1 is the cascade's OUTER-pad sentinel (the same reserved id
-          // as changelogJoinStream's pads): a live row carrying it would
-          // be misread as a pad in the served view, or join pad rows at
-          // a later stage where SQL NULL matches nothing — fail loudly
-          if (k == -1L || id == -1L)
+          // a live row carrying the pad sentinel would be misread as a
+          // pad in the served view, or join pad rows at a later stage
+          // where SQL NULL matches nothing — fail loudly
+          if (anyOuter && (k == -1L || id == -1L))
             throw new IllegalStateException(
               "changelog feed key/id -1 is reserved for outer-join pad " +
-                "sentinels and cannot be a live row identity in a join " +
-                "cascade")
+                "sentinels and cannot be a live row identity in an " +
+                "outer join cascade")
           ZDelta(op, ZRow(Seq(k), Seq(id), Seq(v)))
       }
     var acc = feedDeltas(feeds.head)
@@ -751,7 +756,6 @@ final class Statements(spark: SparkSession, prefix: String = "stmt-",
       acc = StatefulOps.zJoinStream(left.union(right), leftOuter = lo,
         rightOuter = ro, leftArity = i + 1, rightArity = 1)
     }
-    val anyOuter = refs.exists(r => r._3 || r._4)
     val sideCols = aliases.zipWithIndex.flatMap { case (al, i) =>
       val key = element_at(col("row.keys"), i + 1)
       val id = element_at(col("row.ids"), i + 1)
@@ -818,7 +822,10 @@ final class Statements(spark: SparkSession, prefix: String = "stmt-",
     * matches SQL scoping since the outer query can only name `v`). */
   private def aliased(ds: DeltaSource, alias: String): DeltaSource =
     ds.copy(resolve = a => ds.resolve(a).orElse(a.nameParts match {
-      case Seq(q, rest @ _*) if q == alias && rest.nonEmpty =>
+      // case-INSENSITIVE, like every other identifier in this resolver
+      // (and Catalyst's default): `SELECT V.x FROM (…) v` must serve the
+      // projected view, not silently fall back to the append route
+      case Seq(q, rest @ _*) if q.equalsIgnoreCase(alias) && rest.nonEmpty =>
         ds.resolve(UnresolvedAttribute(rest))
       case _ => None
     }))
@@ -1323,6 +1330,16 @@ final class Statements(spark: SparkSession, prefix: String = "stmt-",
     if (ds.viewCols.contains(outName))
       bail(s"hop output name $outName shadows a view column — alias it " +
         "differently")
+    // the fan-out below selects source columns BY NAME, which a raw
+    // AnalysisException would reject if the projected source carries
+    // duplicate output names (a shape projectSource permits) — turn
+    // that into the loud documented rejection every other limit uses
+    val dupCols = ds.viewCols.groupBy(identity)
+      .collect { case (n, g) if g.size > 1 => n }
+    if (dupCols.nonEmpty)
+      bail(s"hop over a view with duplicate column names " +
+        s"(${dupCols.mkString(", ")}) — alias the subquery's items to " +
+        "unique names")
     // the window-start fan-out, executor-side: one delta row per window
     // the event falls in
     val dsH: DeltaSource = {
@@ -2101,8 +2118,18 @@ final class Statements(spark: SparkSession, prefix: String = "stmt-",
             case v =>
               val s = v.asInstanceOf[Number].longValue
               if (sign > 0) {
-                // an ADD cannot create or extend a closed window
-                if (s + w <= wmAtStart) true
+                // an ADD cannot CREATE a closed window — but a session
+                // bucket that is still LIVE behind the watermark (later
+                // bridges keep its run open) can always accept the time
+                // it already holds. The rule must be symmetric with the
+                // retraction rule below: the old asymmetric drop let a
+                // legal add-then-retract pair fold only its retraction,
+                // crashing MIN/DISTINCT bags ("retracted a value never
+                // added") and phantom-shrinking live COUNT/SUM buckets.
+                // Tumble/hop eviction keeps no live bucket behind the
+                // watermark, so there the liveness arm never fires.
+                if (s + w <= wmAtStart &&
+                  !(sessionMode && state.contains(gkey))) true
                 else { batchMax = math.max(batchMax, s); false }
               } else {
                 // a RETRACTION applies iff its bucket is still LIVE: a

@@ -1622,6 +1622,47 @@ class ContinuousStatementsSpec extends AnyFunSuite {
     } finally stmt.stop()
   }
 
+  test("SESSION windows: an ADD behind the watermark into a still-LIVE " +
+    "bucket folds (symmetric with its retraction) — the asymmetric drop " +
+    "crashed MIN bags and phantom-shrank live counts") {
+    // key plays the event-time domain here so several upsert ids can
+    // share one (group, time) bucket; value is the group
+    val mem = newFeed("sess_sym_feed")
+    val stmts = new Statements(spark)
+    val stmt = stmts.create(
+      "SELECT value, session(key, 10) AS win, count(*) AS c, " +
+        "min(id) AS mi FROM sess_sym_feed GROUP BY value, session(key, 10)")
+    try {
+      assert(stmts.waitForStatus(stmt, Set(Phase.Running)).isDefined)
+      val cl = stmt.handle.get.changelog()
+      def sync(): Set[Vector[Any]] = {
+        stmt.handle.get.processAllAvailable()
+        while (cl.consume(1).nonEmpty) ()
+        cl.collapse().rows.toSet
+      }
+      // one bridged run {100,109,118}; watermark reaches 118
+      mem.addData((0L, 100L, 1L, "g", false), (0L, 109L, 2L, "g", false),
+        (0L, 118L, 3L, "g", false))
+      assert(sync() == Set(Vector[Any]("g", 100L, 3L, 1L)))
+      // time 100 is behind the watermark (100+10 <= 118) but its bucket
+      // is LIVE (the run spans it): the add must fold, not late-drop
+      mem.addData((0L, 100L, 4L, "g", false))
+      assert(sync() == Set(Vector[Any]("g", 100L, 4L, 1L)),
+        "an add into a live bucket behind the watermark must fold")
+      // its retraction passes the same liveness rule: both fold, so the
+      // MIN bag stays consistent (the old asymmetric drop folded ONLY
+      // the retraction → 'retracted a value never added' crash)
+      mem.addData((0L, 100L, 4L, "g", true))
+      assert(sync() == Set(Vector[Any]("g", 100L, 3L, 1L)))
+      // an add at a DEAD time (no live bucket) still drops, and so does
+      // its retraction — symmetric on the drop side too
+      mem.addData((0L, 50L, 5L, "g", false))
+      assert(sync() == Set(Vector[Any]("g", 100L, 3L, 1L)))
+      mem.addData((0L, 50L, 5L, "g", true))
+      assert(sync() == Set(Vector[Any]("g", 100L, 3L, 1L)))
+    } finally stmt.stop()
+  }
+
   test("SESSION window property: random delete-heavy churn collapses to " +
     "a reference model of the full pipeline (upsert deltas in seq order, " +
     "per-delta late-drop, gap runs, per-batch eviction) after every page") {
@@ -1645,11 +1686,14 @@ class ContinuousStatementsSpec extends AnyFunSuite {
         var wm = Long.MinValue
         var batchMax = Long.MinValue
         def applyDelta(sign: Long, k: Long, ts: Long): Unit = {
-          // adds cannot enter closed territory; retractions apply iff
-          // their bucket is still live (an open session can span times
-          // the watermark has passed)
+          // adds cannot enter closed territory UNLESS the bucket is
+          // still live (a bridged session can span the watermark, and a
+          // live bucket always accepts the time it already holds);
+          // retractions apply iff their bucket is still live. The two
+          // rules are symmetric, so a legal add-then-retract pair
+          // either both fold or both drop.
           if (sign > 0) {
-            if (ts + gap <= wm) return
+            if (ts + gap <= wm && !buckets.contains((k, ts))) return
             batchMax = math.max(batchMax, ts)
           } else if (!buckets.contains((k, ts))) return
           val next = buckets.getOrElse((k, ts), 0L) + sign
