@@ -534,7 +534,17 @@ object StatefulOps extends Serializable {
         OutputMode.Append, GroupStateTimeout.NoTimeout()) {
         (key: Long, rows: Iterator[(Long, JoinEvent)],
          state: GroupState[JoinState]) =>
-          var s = state.getOption.getOrElse(JoinState(Nil, Nil, Nil, Nil))
+          val s0 = state.getOption.getOrElse(JoinState(Nil, Nil, Nil, Nil))
+          // id-keyed working views of both sides, insertion-ordered like
+          // the stored seqs (an update removes then re-appends — exactly
+          // the old patch-then-append order, so emission order is
+          // unchanged): O(1) per event instead of indexOf/patch's
+          // O(live rows), so a hot join key's batch folds in
+          // O(live + events), not O(live × events)
+          val lmap = scala.collection.mutable.LinkedHashMap
+            .from(s0.lid.zip(s0.lval))
+          val rmap = scala.collection.mutable.LinkedHashMap
+            .from(s0.rid.zip(s0.rval))
           val out = Seq.newBuilder[JoinDelta]
           // the null-padded emission for an unmatched row of either side
           def pad(op: Int, left: Boolean, id: Long, v: String): JoinDelta =
@@ -543,58 +553,45 @@ object StatefulOps extends Serializable {
           // micro-batch iterator order is not a delivery contract; the
           // caller-supplied seq number makes the fold deterministic
           rows.toSeq.sortBy(_._1).foreach { case (_, e) =>
-            val (ids, vals, oIds, oVals) =
-              if (e.left) (s.lid, s.lval, s.rid, s.rval)
-              else (s.rid, s.rval, s.lid, s.lval)
+            val (own, opp) = if (e.left) (lmap, rmap) else (rmap, lmap)
             // does this event's OWN side pad when the opposite is empty?
             val padOwn = if (e.left) leftOuter else rightOuter
             // do the OPPOSITE side's pads track THIS side's 0/1 counts?
             val padOpp = if (e.left) rightOuter else leftOuter
-            val at = ids.indexOf(e.id)
+            val old = own.remove(e.id)
             // retract the old value's matches (update or delete)
-            if (at >= 0) {
-              val old = vals(at)
-              oIds.zip(oVals).foreach { case (oi, ov) =>
-                out += (if (e.left) JoinDelta(3, key, e.id, old, oi, ov)
-                        else JoinDelta(3, key, oi, ov, e.id, old))
+            old.foreach { ov0 =>
+              opp.foreach { case (oi, ov) =>
+                out += (if (e.left) JoinDelta(3, key, e.id, ov0, oi, ov)
+                        else JoinDelta(3, key, oi, ov, e.id, ov0))
               }
               // outer: an unmatched row of this side was live null-padded
-              if (padOwn && oIds.isEmpty)
-                out += pad(3, e.left, e.id, old)
+              if (padOwn && opp.isEmpty)
+                out += pad(3, e.left, e.id, ov0)
             }
             // outer: this side's FIRST row retracts the opposite side's
             // null pads; it must happen before the inserts below
-            if (padOpp && !e.delete && at < 0 && ids.isEmpty)
-              oIds.zip(oVals).foreach { case (oi, ov) =>
-                out += pad(3, !e.left, oi, ov)
+            if (padOpp && !e.delete && old.isEmpty && own.isEmpty)
+              opp.foreach { case (oi, ov) => out += pad(3, !e.left, oi, ov) }
+            if (!e.delete) {
+              opp.foreach { case (oi, ov) =>
+                out += (if (e.left) JoinDelta(0, key, e.id, e.value, oi, ov)
+                        else JoinDelta(0, key, oi, ov, e.id, e.value))
               }
-            val (keepIds, keepVals) =
-              if (at >= 0) (ids.patch(at, Nil, 1), vals.patch(at, Nil, 1))
-              else (ids, vals)
-            val (nextIds, nextVals) =
-              if (e.delete) (keepIds, keepVals)
-              else {
-                oIds.zip(oVals).foreach { case (oi, ov) =>
-                  out += (if (e.left) JoinDelta(0, key, e.id, e.value, oi, ov)
-                          else JoinDelta(0, key, oi, ov, e.id, e.value))
-                }
-                // outer: an upsert into an opposite-empty key is live as
-                // a null pad (an update's old pad was retracted above)
-                if (padOwn && oIds.isEmpty)
-                  out += pad(0, e.left, e.id, e.value)
-                (keepIds :+ e.id, keepVals :+ e.value)
-              }
-            s = if (e.left) s.copy(lid = nextIds, lval = nextVals)
-                else s.copy(rid = nextIds, rval = nextVals)
+              // outer: an upsert into an opposite-empty key is live as
+              // a null pad (an update's old pad was retracted above)
+              if (padOwn && opp.isEmpty)
+                out += pad(0, e.left, e.id, e.value)
+              own.update(e.id, e.value)
+            }
             // outer: this side's LAST row leaving re-pads every live
             // opposite row with null
-            if (padOpp && e.delete && at >= 0 && nextIds.isEmpty)
-              oIds.zip(oVals).foreach { case (oi, ov) =>
-                out += pad(0, !e.left, oi, ov)
-              }
+            if (padOpp && e.delete && old.isDefined && own.isEmpty)
+              opp.foreach { case (oi, ov) => out += pad(0, !e.left, oi, ov) }
           }
-          if (s.lid.isEmpty && s.rid.isEmpty) state.remove()
-          else state.update(s)
+          if (lmap.isEmpty && rmap.isEmpty) state.remove()
+          else state.update(JoinState(lmap.keys.toSeq, lmap.values.toSeq,
+            rmap.keys.toSeq, rmap.values.toSeq))
           out.result().iterator
       }
   }
@@ -647,8 +644,14 @@ object StatefulOps extends Serializable {
         OutputMode.Append, GroupStateTimeout.NoTimeout()) {
         (key: Long, rows: Iterator[(Long, MultiJoinEvent)],
          state: GroupState[MultiJoinState]) =>
-          var s = state.getOption.getOrElse(MultiJoinState(
+          val s0 = state.getOption.getOrElse(MultiJoinState(
             Seq.fill(nSides)(Nil), Seq.fill(nSides)(Nil)))
+          // id-keyed working view per side, insertion-ordered like the
+          // stored seqs (remove-then-append == the old patch+append):
+          // O(1) per event instead of indexOf/patch's O(live rows)
+          val maps = s0.ids.zip(s0.vals).map { case (ids, vals) =>
+            scala.collection.mutable.LinkedHashMap.from(ids.zip(vals))
+          }.toIndexedSeq
           val out = Seq.newBuilder[MultiJoinDelta]
           // every combination of one live row from each side EXCEPT
           // `side`, with (id, v) plugged in at `side` — the exact delta
@@ -657,31 +660,25 @@ object StatefulOps extends Serializable {
             def rec(i: Int, ids: List[Long], vs: List[String]): Unit =
               if (i < 0) out += MultiJoinDelta(op, key, ids, vs)
               else if (i == side) rec(i - 1, id :: ids, v :: vs)
-              else s.ids(i).indices.foreach { j =>
-                rec(i - 1, s.ids(i)(j) :: ids, s.vals(i)(j) :: vs)
+              else maps(i).foreach { case (mi, mv) =>
+                rec(i - 1, mi :: ids, mv :: vs)
               }
             // the combination walk short-circuits to nothing if any
             // OTHER side is empty — an inner join has no partial rows
-            if ((0 until nSides).forall(i => i == side || s.ids(i).nonEmpty))
+            if ((0 until nSides).forall(i => i == side || maps(i).nonEmpty))
               rec(nSides - 1, Nil, Nil)
           }
           rows.toSeq.sortBy(_._1).foreach { case (_, e) =>
-            val ids = s.ids(e.side); val vals = s.vals(e.side)
-            val at = ids.indexOf(e.id)
-            if (at >= 0) emit(3, e.side, e.id, vals(at))
-            val (keepIds, keepVals) =
-              if (at >= 0) (ids.patch(at, Nil, 1), vals.patch(at, Nil, 1))
-              else (ids, vals)
-            s = MultiJoinState(s.ids.updated(e.side, keepIds),
-              s.vals.updated(e.side, keepVals))
+            val old = maps(e.side).remove(e.id)
+            old.foreach(v0 => emit(3, e.side, e.id, v0))
             if (!e.delete) {
               emit(0, e.side, e.id, e.value)
-              s = MultiJoinState(
-                s.ids.updated(e.side, keepIds :+ e.id),
-                s.vals.updated(e.side, keepVals :+ e.value))
+              maps(e.side).update(e.id, e.value)
             }
           }
-          if (s.ids.forall(_.isEmpty)) state.remove() else state.update(s)
+          if (maps.forall(_.isEmpty)) state.remove()
+          else state.update(MultiJoinState(
+            maps.map(_.keys.toSeq), maps.map(_.values.toSeq)))
           out.result().iterator
       }
   }

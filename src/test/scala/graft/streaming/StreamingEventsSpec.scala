@@ -1733,4 +1733,78 @@ class StreamingEventsSpec extends AnyFunSuite {
       assert(got == expect, "per-shard walks diverge from driver recompute")
     } finally q2.stop()
   }
+
+  test("hot-key churn microbench: a 40k-live-row join key absorbs a " +
+    "40k-event upsert batch in linear time (the id-keyed state fold; " +
+    "the old Seq.indexOf/patch fold was O(live × events) and busts the " +
+    "budget by an order of magnitude), and the collapse stays exact") {
+    import StatefulOps.{JoinDelta, JoinEvent}
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val n = 40000
+    val mem = MemoryStream[(Long, JoinEvent)]
+    val q = StatefulOps.changelogJoinStream(mem.toDS())
+      .writeStream.outputMode("append")
+      .format("memory").queryName("cl_join_hotkey").start()
+    try {
+      def timed(evs: Seq[(Long, JoinEvent)]): Double = {
+        val t0 = System.nanoTime
+        mem.addData(evs); q.processAllAvailable()
+        (System.nanoTime - t0) / 1e9
+      }
+      // batch 1: ONE join key, one right row, then 40k left inserts —
+      // each left insert emits exactly one joined row
+      val insert = (0L, JoinEvent(1L, false, -100L, "r", false)) +:
+        (0 until n).map(i =>
+          (i + 1L, JoinEvent(1L, true, i.toLong, s"v$i", false)))
+      val tIns = timed(insert)
+      // batch 2: re-key every live left id (retract + insert per event);
+      // the emission is 2 deltas/event, so the fold itself dominates
+      val churn = (0 until n).map(i =>
+        (i.toLong, JoinEvent(1L, true, i.toLong, s"w$i", false)))
+      val tChurn = timed(churn)
+      // generous linear budget with ~10× headroom on this hardware; the
+      // quadratic fold's ~1.6e9 list traversals + 40k list rebuilds sat
+      // well beyond it
+      assert(tIns < 30.0 && tChurn < 30.0,
+        f"hot-key batches took insert=$tIns%.1fs churn=$tChurn%.1fs — " +
+          "the join fold is not linear in (live rows + events)")
+      val counts = s.table("cl_join_hotkey").as[JoinDelta].collect()
+        .groupBy(d => (d.left_id, d.left_value))
+        .view.mapValues(_.map(d => if (d.op == 0) 1 else -1).sum)
+      val live = counts.filter(_._2 == 1).keys.toSet
+      assert(live == (0 until n).map(i => (i.toLong, s"w$i")).toSet,
+        s"hot-key collapse diverged (got ${live.size} live rows)")
+    } finally q.stop()
+    // the N-way fold shares the discipline: 20k churn events against a
+    // 20k-row side with singleton other sides emits O(1) per event
+    import StatefulOps.{MultiJoinDelta, MultiJoinEvent}
+    val m = 20000
+    val mem2 = MemoryStream[(Long, MultiJoinEvent)]
+    val q2 = StatefulOps.changelogMultiJoinStream(mem2.toDS(), nSides = 3)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("cl_mjoin_hotkey").start()
+    try {
+      val seed = Seq((0L, MultiJoinEvent(1L, 1, -1000L, "b", false)),
+        (1L, MultiJoinEvent(1L, 2, -2000L, "c", false)))
+      val ins = seed ++ (0 until m).map(i =>
+        (i + 2L, MultiJoinEvent(1L, 0, i.toLong, s"v$i", false)))
+      val t0 = System.nanoTime
+      mem2.addData(ins); q2.processAllAvailable()
+      mem2.addData((0 until m).map(i =>
+        (i.toLong, MultiJoinEvent(1L, 0, i.toLong, s"w$i", false))))
+      q2.processAllAvailable()
+      val tAll = (System.nanoTime - t0) / 1e9
+      assert(tAll < 30.0,
+        f"3-way hot-key fold took $tAll%.1fs — not linear")
+      val counts = s.table("cl_mjoin_hotkey").as[MultiJoinDelta].collect()
+        .groupBy(d => (d.ids, d.values))
+        .view.mapValues(_.map(d => if (d.op == 0) 1 else -1).sum)
+      val live = counts.filter(_._2 == 1).keys.toSet
+      assert(live == (0 until m).map(i =>
+        (Seq(i.toLong, -1000L, -2000L), Seq(s"w$i", "b", "c"))).toSet,
+        s"3-way hot-key collapse diverged (got ${live.size} live rows)")
+    } finally q2.stop()
+  }
 }
