@@ -36,6 +36,264 @@ object Profile {
     // warmup
     noop(Tables.load(spark, sfDir, "documents").groupBy($"lang").count())
 
+    // `cmp <names...>`: interleaved OLD-vs-NEW code comparison — the old
+    // (pre-r12) implementation of each changed query is copied verbatim
+    // below, and rounds alternate old/new inside ONE JVM (same rationale
+    // as `ab`: sequential process-level runs drifted up to 2× on this
+    // host with identical code).
+    if (args.headOption.contains("cmp")) {
+      import org.apache.spark.sql.DataFrame
+      import graft.operators.TextAnalysis
+      val oldImpl: Map[String, (SparkSession, String) => DataFrame] = Map(
+        "t10_surprisal" -> { (spark, dir) =>
+          val tk = Tables.load(spark, dir, "documents")
+            .select($"doc_id", explode(tokens($"text")).as("tok"))
+          val dt = tk.groupBy($"doc_id", $"tok").agg(count(lit(1)).as("c"))
+          val vocab = dt.groupBy($"tok").agg(sum($"c").as("cnt"))
+          val total = dt.select(sum($"c").as("total"))
+          dt.join(vocab, "tok")
+            .crossJoin(broadcast(total))
+            .withColumn("bits", length(bin(expr("total DIV cnt"))) - 1)
+            .groupBy($"doc_id")
+            .agg(sum($"c").as("n_tokens"), sum($"c" * $"bits").as("sum_bits"))
+            .withColumn("avg_bits",
+              $"sum_bits".cast("double") / $"n_tokens")
+            .select($"doc_id", $"n_tokens", $"sum_bits", $"avg_bits")
+            .orderBy($"doc_id")
+        },
+        "t11_bigram_surprisal" -> { (spark, dir) =>
+          val bg = Tables.load(spark, dir, "documents")
+            .select($"doc_id", tokens($"text").as("w"))
+            .filter(size($"w") >= 2)
+            .select($"doc_id", explode(expr(
+              "transform(sequence(1, size(w) - 1), i -> " +
+                "concat(element_at(w, i), ' ', element_at(w, i + 1)))")).as("big"))
+          val db = bg.groupBy($"doc_id", $"big").agg(count(lit(1)).as("m"))
+          val cb = db.groupBy($"big").agg(sum($"m").as("c2"))
+          val ctx = cb.groupBy(split($"big", " ").getItem(0).as("prev"))
+            .agg(sum($"c2").as("ctx"))
+          val model = cb
+            .withColumn("prev", split($"big", " ").getItem(0))
+            .join(ctx, "prev")
+            .select($"big", (length(bin(expr("ctx DIV c2"))) - 1).as("bits"))
+          db.join(model, "big")
+            .groupBy($"doc_id")
+            .agg(sum($"m").as("n_bigrams"), sum($"m" * $"bits").as("sum_bits"))
+            .withColumn("avg_bits", $"sum_bits".cast("double") / $"n_bigrams")
+            .select($"doc_id", $"n_bigrams", $"sum_bits", $"avg_bits")
+            .orderBy($"doc_id")
+        },
+        "q45_recursive_depth" -> { (spark, dir) =>
+          Tables.load(spark, dir, "customer")
+            .createOrReplaceTempView("customer_q45_old")
+          spark.sql(s"""
+            WITH RECURSIVE h (c_custkey, depth) AS (
+              SELECT c_custkey, 0 FROM customer_q45_old WHERE c_custkey = 1
+              UNION ALL
+              SELECT c.c_custkey, h.depth + 1
+              FROM customer_q45_old c JOIN h ON c.c_custkey DIV 2 = h.c_custkey
+            )
+            SELECT h.depth, count(*) AS n_nodes,
+                   CAST(sum(CAST(round(c.c_acctbal * 100) AS BIGINT)) AS DOUBLE)
+                     / 100 AS total_acctbal
+            FROM h JOIN customer_q45_old c ON h.c_custkey = c.c_custkey
+            GROUP BY h.depth ORDER BY h.depth""")
+        },
+        "p34_effective_mixture" -> { (spark, dir) =>
+          import graft.operators.{Dedup, Pipeline}
+          val docs = Tables.load(spark, dir, "documents")
+            .select($"doc_id", $"lang")
+          val dropped = Dedup.nearDupPairs(spark, dir)
+            .select($"d2".as("doc_id")).distinct()
+          val eff = docs.join(dropped, Seq("doc_id"), "left_anti")
+          val W = Pipeline.MixtureWeights.map(_._2).sum
+          val wdf = Pipeline.MixtureWeights.toDF("lang", "w")
+          val rawCnt = docs.groupBy($"lang").agg(count(lit(1)).as("raw_cnt"))
+          val effCnt = eff.groupBy($"lang").agg(count(lit(1)).as("c"))
+          val joined = rawCnt
+            .join(effCnt, Seq("lang"), "left")
+            .select($"lang", $"raw_cnt", coalesce($"c", lit(0L)).as("eff_cnt"))
+            .join(broadcast(wdf), "lang")
+          val totRaw = joined.agg(min(expr(s"(raw_cnt * $W) DIV w")).as("tot_raw"))
+          val totEff = joined.agg(min(expr(s"(eff_cnt * $W) DIV w")).as("tot_eff"))
+          joined.crossJoin(broadcast(totRaw)).crossJoin(broadcast(totEff))
+            .select($"lang", $"raw_cnt", $"eff_cnt",
+              expr(s"(tot_raw * w) DIV $W").as("quota_raw"),
+              expr(s"(tot_eff * w) DIV $W").as("quota_eff"))
+            .orderBy($"lang")
+        },
+        "d9_edit_verified" -> { (spark, dir) =>
+          import graft.operators.Dedup
+          val cand = Dedup.jaccardCandidates(spark, dir, Dedup.EditCandJaccard)
+            .select($"d1", $"d2")
+          val docs = Tables.load(spark, dir, "documents")
+            .select($"doc_id", $"text", $"n_chars")
+          cand
+            .hint("shuffle_hash")
+            .join(docs.select($"doc_id".as("d1"), $"text".as("t1"),
+              $"n_chars".as("len1")), "d1")
+            .hint("shuffle_hash")
+            .join(docs.select($"doc_id".as("d2"), $"text".as("t2"),
+              $"n_chars".as("len2")), "d2")
+            .withColumn("edit_dist",
+              levenshtein($"t1", $"t2", Dedup.EditMaxDist))
+            .filter($"edit_dist" >= 0 && $"edit_dist" <= Dedup.EditMaxDist)
+            .withColumn("edit_sim", lit(1.0) -
+              $"edit_dist".cast("double") / greatest($"len1", $"len2"))
+            .select($"d1", $"d2", $"edit_dist", $"len1", $"len2", $"edit_sim")
+            .orderBy($"d1", $"d2")
+        },
+        "d15_incremental_dedup" -> { (spark, dir) =>
+          import graft.operators.Dedup
+          val idx = Dedup.baseIndexModel(spark, dir)
+          val baseSizes = idx.groupBy($"doc_id").agg(count(lit(1)).as("n2"))
+          val dsh = Tables.load(spark, dir, "documents")
+            .filter($"doc_id" % 10 === Dedup.IncrMod)
+            .select($"doc_id",
+              explode(shingleHashes($"text", Dedup.ShingleN)).as("h"))
+            .join(Dedup.baseHotModel(spark, dir), Seq("h"), "left_anti")
+          val deltaSizes = dsh.groupBy($"doc_id").agg(count(lit(1)).as("n1"))
+          val pairs = dsh.as("d")
+            .join(idx.as("b"), $"d.h" === $"b.h")
+            .groupBy($"d.doc_id".as("d1"), $"b.doc_id".as("d2"))
+            .agg(count(lit(1)).as("shared"))
+            .join(deltaSizes.select($"doc_id".as("d1"), $"n1"), "d1")
+            .join(baseSizes.select($"doc_id".as("d2"), $"n2"), "d2")
+            .withColumn("j",
+              $"shared".cast("double") / ($"n1" + $"n2" - $"shared"))
+            .filter($"j" >= Dedup.JaccardThreshold)
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy($"d1").orderBy($"j".desc, $"d2".asc)
+          val best = pairs
+            .withColumn("rk", row_number().over(w))
+            .withColumn("nm", count(lit(1)).over(
+              org.apache.spark.sql.expressions.Window.partitionBy($"d1")))
+            .filter($"rk" === 1)
+            .select($"d1", $"nm", $"d2".as("best_base"), $"j".as("best_jaccard"))
+          Tables.load(spark, dir, "documents")
+            .filter($"doc_id" % 10 === Dedup.IncrMod)
+            .select($"doc_id")
+            .join(best, $"doc_id" === $"d1", "left_outer")
+            .select($"doc_id",
+              coalesce($"nm", lit(0L)).as("n_matches"),
+              $"best_base", $"best_jaccard",
+              $"best_base".isNull.as("admit"))
+            .orderBy($"doc_id")
+        },
+        "d16_longest_dup_span" -> { (spark, dir) =>
+          import graft.operators.Dedup
+          val pairs = Dedup.jaccardCandidates(spark, dir, Dedup.JaccardThreshold)
+            .select($"d1", $"d2")
+          val needed = pairs.select($"d1".as("doc_id"))
+            .union(pairs.select($"d2".as("doc_id"))).distinct()
+          val grams = Tables.load(spark, dir, "documents")
+            .join(needed, "doc_id")
+            .select($"doc_id",
+              posexplode(shingleHashesPos($"text", Dedup.ShingleN))
+                .as(Seq("p0", "g")))
+            .select($"doc_id", ($"p0" + 1).as("p"), $"g")
+          val shared = pairs
+            .join(grams.select($"doc_id".as("d1"), $"p".as("p1"), $"g"), "d1")
+            .join(grams.select($"doc_id".as("d2"), $"p".as("p2"), $"g"),
+              Seq("d2", "g"))
+            .select($"d1", $"d2", $"p1", $"p2")
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy($"d1", $"d2", $"diag").orderBy($"p1")
+          shared.withColumn("diag", $"p1" - $"p2")
+            .withColumn("grp", $"p1" - row_number().over(w))
+            .groupBy($"d1", $"d2", $"diag", $"grp")
+            .agg(count(lit(1)).as("run"))
+            .groupBy($"d1", $"d2")
+            .agg((max($"run") + (Dedup.ShingleN - 1)).as("longest_tokens"))
+            .orderBy($"d1", $"d2")
+        },
+        "p29_full_prep" -> { (spark, dir) =>
+          import graft.operators.Pipeline
+          val kept = Pipeline.p13QualityFilter(spark, dir)
+            .filter($"keep")
+            .select($"doc_id", $"n_tokens".cast("long").as("n_tokens"))
+          val docs = Tables.load(spark, dir, "documents")
+            .select($"doc_id", $"lang", md5($"text").as("tk"))
+          val joined = docs.join(kept, "doc_id")
+          val firstPerText = joined.groupBy($"tk").agg(min($"doc_id").as("keep_id"))
+          val deduped = joined
+            .join(firstPerText, joined("doc_id") === firstPerText("keep_id"))
+            .select($"doc_id", $"lang", $"n_tokens")
+          val sampled = deduped.filter(Pipeline.samplePredicate)
+          Pipeline.prefixSums(spark, sampled.select($"doc_id", $"n_tokens", $"lang"))
+            .select($"doc_id", $"lang", $"n_tokens",
+              expr(s"cum_before DIV ${Pipeline.SeqLen}").as("seq_start"),
+              expr(s"cum_before % ${Pipeline.SeqLen}").as("seq_offset"),
+              expr(s"(cum_before + n_tokens - 1) DIV ${Pipeline.SeqLen}").as("seq_end"))
+            .orderBy($"doc_id")
+        })
+      args.drop(1).foreach { q =>
+        val newFn = SparkEntry.queries(q)
+        val oldFn = oldImpl(q)
+        var oldT = List.empty[Double]; var newT = List.empty[Double]
+        for (_ <- 1 to 3) {
+          oldT ::= timed(noop(oldFn(spark, sfDir)))
+          newT ::= timed(noop(newFn(spark, sfDir)))
+        }
+        println(f"[cmp] $q%-30s new=${newT.min}%.3f s  old=${oldT.min}%.3f s  " +
+          f"ratio=${newT.min / oldT.min}%.2f " +
+          f"(new ${newT.reverse.map(t => f"$t%.2f").mkString(" ")}; " +
+          f"old ${oldT.reverse.map(t => f"$t%.2f").mkString(" ")})")
+      }
+      spark.stop()
+      return
+    }
+
+    // `ab <names...>`: interleaved spread-on/spread-off A/B — rounds
+    // alternate variants inside ONE JVM so host drift hits both equally;
+    // reports min-of-3 per variant. The only trustworthy comparison on a
+    // noisy host (sequential full-process runs drifted 1.7→4.6 s on
+    // identical code while building r12).
+    if (args.headOption.contains("ab")) {
+      val abNames = if (args.length > 1) args.drop(1).toSeq
+                    else SparkEntry.queries.keys.toSeq.sorted
+      abNames.foreach { q =>
+        val fn = SparkEntry.queries(q)
+        val times = scala.collection.mutable.Map(
+          true -> List.empty[Double], false -> List.empty[Double])
+        for (_ <- 1 to 3; spreadOn <- Seq(false, true)) {
+          graft.sources.Tables.spreadAll = spreadOn
+          times(spreadOn) ::= timed(noop(fn(spark, sfDir)))
+        }
+        graft.sources.Tables.spreadAll = false
+        println(f"[ab] $q%-30s spread=${times(true).min}%.3f s  " +
+          f"base=${times(false).min}%.3f s  " +
+          f"ratio=${times(true).min / times(false).min}%.2f " +
+          f"(spread runs ${times(true).reverse.map(t => f"$t%.2f").mkString(" ")}; " +
+          f"base runs ${times(false).reverse.map(t => f"$t%.2f").mkString(" ")})")
+      }
+      spark.stop()
+      return
+    }
+
+    // `explain <suffix> [names...]`: dump .explain("formatted") of the named
+    // registry queries (or every query with no names) to
+    // plans/r12/<name>_<suffix>.txt — the optimization round's plan-shape
+    // evidence (Exchange count, join strategy, PushedFilters/ReadSchema).
+    if (args.headOption.contains("explain")) {
+      val suffix = args.lift(1).getOrElse("before")
+      val names = if (args.length > 2) args.drop(2).toSeq
+                  else SparkEntry.queries.keys.toSeq.sorted
+      val outDir = java.nio.file.Paths.get("plans", "r12")
+      java.nio.file.Files.createDirectories(outDir)
+      names.foreach { q =>
+        val df = SparkEntry.queries(q)(spark, sfDir)
+        val txt = df.queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode)
+        java.nio.file.Files.write(outDir.resolve(s"${q}_$suffix.txt"),
+          txt.getBytes("UTF-8"))
+        println(s"[explain] wrote ${q}_$suffix.txt " +
+          s"(${txt.linesIterator.count(_.contains("Exchange"))} exchange lines)")
+      }
+      spark.stop()
+      return
+    }
+
     // `d5probe [n]`: measure SimHash candidate-pair counts under the old
     // single-byte-band scheme vs the band-pair scheme on n synthetic
     // near-unique docs (uniform sigs = the random-collision regime the

@@ -264,11 +264,28 @@ object Multimodal {
           // stale debris occupies the target and cannot be cleared safely:
           // serve this JVM's own complete copy (tmpdir-resident, bounded
           // to the pathological case) rather than touch shared state
-          return spark.read.parquet(tmp.getPath)
+          return spreadMedia(spark, tmp)
         }
       }
     }
-    spark.read.parquet(out.getPath)
+    spreadMedia(spark, out)
+  }
+
+  /** Scale-adaptive spread of the media scan (guide §2.5 input skew, same
+    * rule as [[graft.sources.Tables]]): payloads are tiny relative to
+    * their decode cost, and `openCostInBytes` packing would otherwise
+    * collapse the cache's small files into one or two scan tasks — every
+    * decode-heavy m-query then runs its codec loop on a single core. The
+    * one round-robin exchange moves the payload bytes once (§8: decide on
+    * cheap rows, move heavy bytes once — here the heavy COMPUTE rides the
+    * spread); a no-op whenever the layout already yields >= core-count
+    * scan partitions. */
+  private def spreadMedia(spark: SparkSession,
+                          path: java.io.File): DataFrame = {
+    val bytes =
+      Option(path.listFiles()).map(_.map(_.length()).sum).getOrElse(0L)
+    graft.sources.Tables.spreadNarrow(spark, bytes,
+      spark.read.parquet(path.getPath))
   }
 
   /** Decode + featurize one record (real decode; deterministic int math,

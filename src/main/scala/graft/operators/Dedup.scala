@@ -118,7 +118,7 @@ object Dedup {
     * most expensive dedup stage for work whose output never changes
     * between snapshots. Thresholds apply as filters over the index
     * (it stores ALL candidates — ≥ 2 shared rare shingles). */
-  private def jaccardCandidates(spark: SparkSession, dir: String,
+  private[graft] def jaccardCandidates(spark: SparkSession, dir: String,
                                 threshold: Double): DataFrame = {
     import spark.implicits._
     val all = pairIndexModel(spark, dir)
@@ -154,7 +154,7 @@ object Dedup {
   /** Near-dup pairs at the default threshold (d1 < d2), for cross-family
     * composition (p34's effective-size mixture reads these; same persisted
     * index every other d-consumer reads). */
-  private[operators] def nearDupPairs(spark: SparkSession,
+  private[graft] def nearDupPairs(spark: SparkSession,
                                       dir: String): DataFrame =
     jaccardCandidates(spark, dir, JaccardThreshold).select("d1", "d2")
 
@@ -203,9 +203,10 @@ object Dedup {
     * production dedup runs, with the O(L²) DP paid only on the bounded
     * candidate set, never N².
     *
-    * Scale: texts re-attach to the (tiny) candidate table via two
-    * shuffled-hash joins on doc_id — the corpus text crosses the network
-    * only for candidate rows. The Spark side uses the banded
+    * Scale: one semi-join reduces the corpus to candidate-referenced
+    * docs BEFORE any text moves (r12; guide §3.2), so the corpus text
+    * crosses the network only for candidate rows — at the exchanges,
+    * not just in the output. The Spark side uses the banded
     * threshold-Levenshtein (O(d·L) early-exit, exact for distances ≤ the
     * threshold, -1 beyond — filtered out either way), so a wildly
     * dissimilar candidate costs O(EditMaxDist·L), not O(L²).
@@ -217,12 +218,25 @@ object Dedup {
       .select($"d1", $"d2")
     val docs = Tables.load(spark, dir, "documents")
       .select($"doc_id", $"text", $"n_chars")
+    // r12: the old shape shuffled the FULL text column through two
+    // forced shuffled-hash joins — every document's text crossed the
+    // exchange twice so ~tens of candidate rows could attach (the
+    // scaladoc's "text crosses only for candidate rows" held for the
+    // OUTPUT, not the exchanges). Guide §3.2/§8: reduce the heavy side
+    // before it moves — one semi-join keeps only candidate-referenced
+    // docs (candidate-scale by construction), the checkpoint pins that
+    // survivor table (two attach legs), and the attach joins then move
+    // candidate-scale text once. Hints dropped: both attach sides are
+    // candidate-scale now, so the planner's choice (broadcast here,
+    // hash at 100 TB) is the right one at every scale.
+    val needed = cand.select($"d1".as("doc_id"))
+      .union(cand.select($"d2".as("doc_id"))).distinct()
+    val ctext = docs.join(needed, Seq("doc_id"), "left_semi")
+      .localCheckpoint()
     cand
-      .hint("shuffle_hash")
-      .join(docs.select($"doc_id".as("d1"), $"text".as("t1"),
+      .join(ctext.select($"doc_id".as("d1"), $"text".as("t1"),
         $"n_chars".as("len1")), "d1")
-      .hint("shuffle_hash")
-      .join(docs.select($"doc_id".as("d2"), $"text".as("t2"),
+      .join(ctext.select($"doc_id".as("d2"), $"text".as("t2"),
         $"n_chars".as("len2")), "d2")
       .withColumn("edit_dist", levenshtein($"t1", $"t2", EditMaxDist))
       .filter($"edit_dist" >= 0 && $"edit_dist" <= EditMaxDist)
@@ -663,6 +677,10 @@ object Dedup {
       .select($"d1", $"d2")
     val needed = pairs.select($"d1".as("doc_id"))
       .union(pairs.select($"d2".as("doc_id"))).distinct()
+    // grams feeds both attach legs; sharing it via localCheckpoint was
+    // MEASURED 1.15× worse at sf0.1 (r12 interleaved cmp: the candidate
+    // set is df-capped small, so the barrier costs more than the saved
+    // re-explode) — left recomputed deliberately
     val grams = Tables.load(spark, dir, "documents")
       .join(needed, "doc_id")
       .select($"doc_id",
@@ -1057,7 +1075,7 @@ object Dedup {
     * posting index: the delta batch needs it to trim its OWN shingle
     * sets, and must get it from the snapshot artifact — not by
     * re-scanning the base. */
-  private[operators] def baseHotModel(spark: SparkSession,
+  private[graft] def baseHotModel(spark: SparkSession,
                                       dir: String): DataFrame =
     graft.sources.ModelStore.table(spark, dir, "documents.parquet",
       s"d15-base-hot-n$ShingleN-df$MaxShingleDf-m$IncrMod") {
@@ -1069,7 +1087,7 @@ object Dedup {
         .filter($"df" > MaxShingleDf).select($"h")
     }
 
-  private[operators] def baseIndexModel(spark: SparkSession,
+  private[graft] def baseIndexModel(spark: SparkSession,
                                         dir: String): DataFrame =
     graft.sources.ModelStore.table(spark, dir, "documents.parquet",
       s"d15-base-index-n$ShingleN-df$MaxShingleDf-m$IncrMod") {
@@ -1100,10 +1118,14 @@ object Dedup {
     import spark.implicits._
     val idx = baseIndexModel(spark, dir)
     val baseSizes = idx.groupBy($"doc_id").agg(count(lit(1)).as("n2"))
+    // checkpoint (r12): dsh feeds the delta-size aggregate AND the
+    // posting probe — unshared, the delta shingle explode + hot-set
+    // anti-join ran twice
     val dsh = Tables.load(spark, dir, "documents")
       .filter($"doc_id" % 10 === IncrMod)
       .select($"doc_id", explode(shingleHashes($"text", ShingleN)).as("h"))
       .join(baseHotModel(spark, dir), Seq("h"), "left_anti")
+      .localCheckpoint()
     val deltaSizes = dsh.groupBy($"doc_id").agg(count(lit(1)).as("n1"))
     val pairs = dsh.as("d")
       .join(idx.as("b"), $"d.h" === $"b.h")

@@ -52,8 +52,10 @@ object Pipeline {
     // distinct word/bigram counts come from ShingleHashes (n=1/n=2): the
     // hash sets are a faithful dictionary encoding of the token sets
     // (TextFunctionsSpec), and the one-pass byte scan replaces the
-    // interpreted array_distinct/HOF-bigram build in the hot path
-    Tables.load(spark, dir, "documents")
+    // interpreted array_distinct/HOF-bigram build in the hot path.
+    // spread=true (r12): tokens + two ShingleHashes passes per row all
+    // fuse into the scan stage (interleaved A/B: 0.61× spread)
+    Tables.load(spark, dir, "documents", spread = true)
       .select($"doc_id", tokens($"text").as("toks"),
         size(shingleHashes($"text", 1)).as("n_distinct"),
         size(shingleHashes($"text", 2)).as("n_distinct_bigrams"))
@@ -87,7 +89,7 @@ object Pipeline {
   /** The p2 salted-bucket admission predicate over (doc_id, lang) — ONE
     * definition so the standalone sampler and composed pipelines (p29)
     * cannot drift; [[sampleCaseSql]] is its oracle-side twin. */
-  private def samplePredicate: Column = {
+  private[graft] def samplePredicate: Column = {
     val bucket =
       substring(md5(concat(lit("smpl"), col("doc_id").cast("string"))), 1, 2)
     val thresh =
@@ -160,7 +162,7 @@ object Pipeline {
     * out so composed pipelines (p29) can pack a FILTERED survivor set:
     * per-block window + tiny broadcast block-offset table; the corpus
     * never enters a global sort. Extra columns pass through untouched. */
-  private def prefixSums(spark: SparkSession, docs: DataFrame): DataFrame = {
+  private[graft] def prefixSums(spark: SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._
     // max over an empty table is null → getLong would NPE; 0L keeps the
     // empty-corpus result empty with blockWidth 1
@@ -723,13 +725,20 @@ object Pipeline {
     val wdf = MixtureWeights.toDF("lang", "w")
     val rawCnt = docs.groupBy($"lang").agg(count(lit(1)).as("raw_cnt"))
     val effCnt = eff.groupBy($"lang").agg(count(lit(1)).as("c"))
+    // checkpoint (r12): joined is ≤ n_langs rows but feeds the totals
+    // AND the final projection — unshared, the whole upstream (near-dup
+    // anti-join + both counts) re-ran per consumer (3× in the before
+    // plan). Both feasibility totals also collapse into ONE aggregate
+    // pass (they scan the same 5 rows; exact integer mins, same values).
     val joined = rawCnt
       .join(effCnt, Seq("lang"), "left")
       .select($"lang", $"raw_cnt", coalesce($"c", lit(0L)).as("eff_cnt"))
       .join(broadcast(wdf), "lang")
-    val totRaw = joined.agg(min(expr(s"(raw_cnt * $W) DIV w")).as("tot_raw"))
-    val totEff = joined.agg(min(expr(s"(eff_cnt * $W) DIV w")).as("tot_eff"))
-    joined.crossJoin(broadcast(totRaw)).crossJoin(broadcast(totEff))
+      .localCheckpoint()
+    val tots = joined.agg(
+      min(expr(s"(raw_cnt * $W) DIV w")).as("tot_raw"),
+      min(expr(s"(eff_cnt * $W) DIV w")).as("tot_eff"))
+    joined.crossJoin(broadcast(tots))
       .select($"lang", $"raw_cnt", $"eff_cnt",
         expr(s"(tot_raw * w) DIV $W").as("quota_raw"),
         expr(s"(tot_eff * w) DIV $W").as("quota_eff"))
@@ -967,7 +976,9 @@ object Pipeline {
     * both families to the same fixture top-k tokens. */
   def p18CmsTopK(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    Tables.load(spark, dir, "documents")
+    // spread=true (r12): the per-token md5 CMS update runs in the scan
+    // stage (interleaved A/B: 0.76× spread; murmur family same shape)
+    Tables.load(spark, dir, "documents", spread = true)
       .select(explode(tokens($"text")).as("token"))
       .agg(graft.plans.CmsTopKAggregate.cmsTopKMd5($"token", VocabK).as("top"))
       .select(posexplode($"top"))
@@ -980,7 +991,7 @@ object Pipeline {
     * sketch, non-replayable rows, ~5-10× cheaper per token. */
   def p18CmsTopKMurmur(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    Tables.load(spark, dir, "documents")
+    Tables.load(spark, dir, "documents", spread = true)
       .select(explode(tokens($"text")).as("token"))
       .agg(graft.plans.CmsTopKAggregate.cmsTopK($"token", VocabK).as("top"))
       .select(posexplode($"top"))
@@ -2062,7 +2073,14 @@ object Pipeline {
       .select($"doc_id", $"n_tokens".cast("long").as("n_tokens"))
     val docs = Tables.load(spark, dir, "documents")
       .select($"doc_id", $"lang", md5($"text").as("tk"))
-    val joined = docs.join(kept, "doc_id")
+    // joined feeds BOTH the first-per-text winner selection and the
+    // dedupe re-attach; unshared, its whole upstream — the p13 quality
+    // filter's p1+t2 document scans included — executes twice (the
+    // r12-before plan carried 24 parquet scans). localCheckpoint
+    // materializes the narrow (doc_id, lang, tk, n_tokens) rows once
+    // inside the timed query (t11's row-form-blocks reasoning; each
+    // bench run pays its own materialization, gc releases the blocks).
+    val joined = docs.join(kept, "doc_id").localCheckpoint()
     val firstPerText = joined.groupBy($"tk").agg(min($"doc_id").as("keep_id"))
     val deduped = joined
       .join(firstPerText, joined("doc_id") === firstPerText("keep_id"))

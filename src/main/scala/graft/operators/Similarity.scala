@@ -55,8 +55,11 @@ object Similarity {
     * Brute force N²/2 — correct baseline; d4-style LSH is the scale path. */
   def v2CosinePairs(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    // norm computed once per vector (N rows), not once per pair (N²/2)
-    val emb = Tables.load(spark, dir, "embeddings")
+    // norm computed once per vector (N rows), not once per pair (N²/2).
+    // spread=true (r12): the N²/2 dot products execute in the STREAMED
+    // side's scan stage of the broadcast join — unsplit, that whole
+    // quadratic loop ran as one task (interleaved A/B: 0.47× spread).
+    val emb = Tables.load(spark, dir, "embeddings", spread = true)
       .select($"vec_id", asDouble($"embedding").as("v"))
       .withColumn("nrm", norm($"v"))
     emb.as("a").join(emb.as("b"), $"a.vec_id" < $"b.vec_id")

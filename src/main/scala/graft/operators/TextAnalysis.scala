@@ -170,7 +170,9 @@ object TextAnalysis {
             .otherwise(acc("s2") + 1).as("s2"))
       },
       acc => struct(acc("d"), acc("hapax"), acc("s2")))
-    Tables.load(spark, dir, "documents")
+    // spread=true (r12): the per-row array_sort + aggregate scan fuses
+    // into the scan stage (interleaved A/B: 0.64× spread)
+    Tables.load(spark, dir, "documents", spread = true)
       .select($"doc_id", tokens($"text").as("toks"))
       .select($"doc_id", size($"toks").cast("long").as("n"), scan.as("sc"))
       .select($"doc_id",
@@ -276,7 +278,15 @@ object TextAnalysis {
       .select($"doc_id", explode(tokens($"text")).as("tok"))
     val dt = tk.groupBy($"doc_id", $"tok").agg(count(lit(1)).as("c"))
     val vocab = dt.groupBy($"tok").agg(sum($"c").as("cnt"))
-    val total = dt.select(sum($"c").as("total"))
+    // Σ_tok cnt == Σ_(doc,tok) c exactly (integer reassociation), so the
+    // corpus total derives from the VOCAB leg instead of a third scan +
+    // tokenize + explode of the corpus (r12: the before-plan carried 3
+    // Generates because column pruning specializes each consumer subtree
+    // and defeats ReuseExchange; this removes one of them for free —
+    // materializing dt to share the other two was measured 1.2–2×
+    // WORSE at sf0.1: cache/checkpoint build cost exceeds one extra
+    // 5k-doc tokenize pass; see t11, where three consumers DO repay it).
+    val total = vocab.select(sum($"cnt").as("total"))
     dt.join(vocab, "tok")
       .crossJoin(broadcast(total))
       .withColumn("bits", length(bin(expr("total DIV cnt"))) - 1)
@@ -323,7 +333,19 @@ object TextAnalysis {
       .select($"doc_id", explode(expr(
         "transform(sequence(1, size(w) - 1), i -> " +
           "concat(element_at(w, i), ' ', element_at(w, i + 1)))")).as("big"))
+    // db feeds THREE consumers (cb's two derivations — ctx and model —
+    // plus the final re-attach); column pruning specializes each subtree,
+    // defeating ReuseExchange, so unshared the corpus bigram explode ran
+    // 3× (3 Generates in the r12-before plan). localCheckpoint
+    // materializes db ONCE inside the timed query — row-form blocks, not
+    // the columnar cache, whose compression build measured 2× worse than
+    // the explodes it saves — and every consumer reads the blocks
+    // (measured ~1.46 s vs 1.6–2.4 s unshared at sf0.1; the win is the
+    // corpus-pass count, which is what grows at 100 TB). Bench/Verify
+    // clearCache+gc between runs releases the blocks, so each timed run
+    // pays its own materialization.
     val db = bg.groupBy($"doc_id", $"big").agg(count(lit(1)).as("m"))
+      .localCheckpoint()
     val cb = db.groupBy($"big").agg(sum($"m").as("c2"))
     val ctx = cb.groupBy(split($"big", " ").getItem(0).as("prev"))
       .agg(sum($"c2").as("ctx"))

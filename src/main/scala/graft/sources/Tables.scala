@@ -21,16 +21,81 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  // memoized per (session, path): re-reading re-lists files and re-reads
-  // footers; with 40+ registry queries per Verify/Bench run that overhead
-  // repeats for nothing (plans are immutable, reuse is safe)
+  // memoized per (session, path, spread): re-reading re-lists files and
+  // re-reads footers; with 40+ registry queries per Verify/Bench run that
+  // overhead repeats for nothing (plans are immutable, reuse is safe)
   private val cache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, Boolean), DataFrame]()
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    cache.computeIfAbsent((spark, s"$dir/$name.parquet"), _ =>
-      if (name == "events") loadEvents(spark, dir)
-      else spark.read.parquet(s"$dir/$name.parquet"))
+    load(spark, dir, name, spread = false)
+
+  /** Measurement-harness force-on for [[spreadNarrow]] (Profile's
+    * interleaved A/B runs both layouts in ONE JVM so host drift cancels);
+    * production entry points never touch it. Opt-in stays per call site
+    * because the win is per-OPERATOR, not per-table: spreading pays only
+    * when the scan stage itself carries heavy fused work (codec decode,
+    * Expand, wide moments), and costs a stage of overhead everywhere else
+    * (measured: m4 0.38×, q27 0.57× vs t10 1.60×, d9 1.35× at sf0.1). */
+  @volatile private[graft] var spreadAll = false
+
+  /** `spread = true` opts this call site into [[spreadNarrow]] — for
+    * operators whose SCAN STAGE carries heavy fused work that would
+    * otherwise run single-task on the fixtures' one-row-group files.
+    * NOT safe for the demo `user` view feeding demo1's seeded RAND jitter
+    * (rand(seed) draws per (partition, row-offset), so re-spreading would
+    * re-draw every jitter value). */
+  def load(spark: SparkSession, dir: String, name: String,
+           spread: Boolean): DataFrame = {
+    val eff = spread || spreadAll
+    cache.computeIfAbsent((spark, s"$dir/$name.parquet", eff), _ => {
+      val df = if (name == "events") loadEvents(spark, dir)
+               else spark.read.parquet(s"$dir/$name.parquet")
+      if (eff) spreadIfNarrow(spark, dir, name, df) else df
+    })
+  }
+
+  /** Input-spread floor: below this on-disk size the sequential scan is
+    * cheaper than an extra exchange (the fixed-cardinality dims —
+    * nation/region/supplier — never spread; every SF-proportional table
+    * crosses it from the smallest rung up, so the correctness SFs exercise
+    * the same plan shape the bench measures). */
+  private val MinSpreadBytes = 32L * 1024
+
+  /** Scale-adaptive input spread (optimization guide §2.5 "input skew":
+    * one unsplittable file → repartition immediately after the read).
+    * The fixture tables are single parquet files with a SINGLE row group,
+    * so every scan — and whatever Catalyst fuses into the scan stage:
+    * partial aggregation, shingle/token explodes, codec decodes — runs as
+    * ONE task regardless of `maxPartitionBytes`. Fires only when the scan
+    * yields fewer partitions than the session's core count AND the table
+    * crosses [[MinSpreadBytes]]; on any splittable layout (the 100 TB
+    * shape: many row groups / many files) the scan already parallelizes
+    * and this is a no-op, so nothing here is tuned to local mode. The
+    * round-robin exchange costs one pass over the (small, by construction)
+    * table and is REPARTITION_BY_NUM, which AQE never coalesces back down.
+    * Row-to-partition placement is deterministic (sortBeforeRepartition on
+    * by default) and every registry result is placement-independent by the
+    * engine's exact-arithmetic discipline (decimal/integer sums, total
+    * ORDER BY) — re-proven against the DuckDB oracle after this change. */
+  private def spreadIfNarrow(spark: SparkSession, dir: String, name: String,
+                             df: DataFrame): DataFrame = {
+    val bytes = new java.io.File(dir, s"$name.parquet") match {
+      case f if f.isFile => f.length()
+      case d => Option(d.listFiles()).map(_.map(_.length()).sum).getOrElse(0L)
+    }
+    spreadNarrow(spark, bytes, df)
+  }
+
+  /** The spread rule itself, for non-fixture parquet reads with the same
+    * unsplittable-small layout (the media table cache). */
+  private[graft] def spreadNarrow(spark: SparkSession, bytes: Long,
+                                  df: DataFrame): DataFrame = {
+    val p = spark.sparkContext.defaultParallelism
+    if (bytes >= MinSpreadBytes && df.rdd.getNumPartitions < p)
+      df.repartition(p)
+    else df
+  }
 
   /** events.parquet has shipped `ts` in two physical shapes across fixture
     * generations: parquet TIMESTAMP(NANOS) (which Spark's vectorized reader
