@@ -36,6 +36,29 @@ object Profile {
     // warmup
     noop(Tables.load(spark, sfDir, "documents").groupBy($"lang").count())
 
+    // `abn <names...>`: interleaved all-spread-off vs current — variant A
+    // sets Tables.spreadNone (kills table opt-ins AND the media spread),
+    // variant B is the shipped configuration. Complements `ab` (which
+    // toggles spread ON for everything).
+    if (args.headOption.contains("abn")) {
+      args.drop(1).foreach { q =>
+        val fn = SparkEntry.queries(q)
+        var offT = List.empty[Double]; var onT = List.empty[Double]
+        for (_ <- 1 to 3) {
+          graft.sources.Tables.spreadNone = true
+          offT ::= timed(noop(fn(spark, sfDir)))
+          graft.sources.Tables.spreadNone = false
+          onT ::= timed(noop(fn(spark, sfDir)))
+        }
+        println(f"[abn] $q%-30s shipped=${onT.min}%.3f s  off=${offT.min}%.3f s  " +
+          f"ratio=${onT.min / offT.min}%.2f " +
+          f"(shipped ${onT.reverse.map(t => f"$t%.2f").mkString(" ")}; " +
+          f"off ${offT.reverse.map(t => f"$t%.2f").mkString(" ")})")
+      }
+      spark.stop()
+      return
+    }
+
     // `cmp <names...>`: interleaved OLD-vs-NEW code comparison — the old
     // (pre-r12) implementation of each changed query is copied verbatim
     // below, and rounds alternate old/new inside ONE JVM (same rationale
@@ -82,6 +105,32 @@ object Profile {
             .withColumn("avg_bits", $"sum_bits".cast("double") / $"n_bigrams")
             .select($"doc_id", $"n_bigrams", $"sum_bits", $"avg_bits")
             .orderBy($"doc_id")
+        },
+        "t14_pmi_collocations" -> { (spark, dir) =>
+          import graft.operators.TextAnalysis
+          val tk = Tables.load(spark, dir, "documents")
+            .select($"doc_id", tokens($"text").as("w"))
+          val uni = tk.select(explode($"w").as("tok"))
+            .groupBy($"tok").agg(count(lit(1)).as("c1"))
+          val tot = uni.agg(sum($"c1").as("t"))
+          val cb = tk.filter(size($"w") >= 2)
+            .select(explode(expr(
+              "transform(sequence(1, size(w) - 1), i -> " +
+                "concat(element_at(w, i), ' ', element_at(w, i + 1)))")).as("big"))
+            .groupBy($"big").agg(count(lit(1)).as("c2"))
+            .filter($"c2" >= TextAnalysis.PmiMinCount)
+          cb.select($"big", $"c2",
+              posexplode(split($"big", " ")).as(Seq("pos", "tok")))
+            .join(uni.hint("shuffle_hash"), "tok")
+            .groupBy($"big", $"c2")
+            .agg(max(when($"pos" === 0, $"c1")).as("cx"),
+              max(when($"pos" === 1, $"c1")).as("cy"))
+            .crossJoin(broadcast(tot))
+            .withColumn("pmi_fp",
+              expr(s"(c2 * t * ${TextAnalysis.PmiScale}) DIV (cx * cy)"))
+            .select($"big", $"c2".as("pair_count"), $"cx", $"cy", $"pmi_fp")
+            .orderBy($"pmi_fp".desc, $"big".asc)
+            .limit(TextAnalysis.PmiTopK)
         },
         "q45_recursive_depth" -> { (spark, dir) =>
           Tables.load(spark, dir, "customer")
@@ -277,6 +326,10 @@ object Profile {
     // evidence (Exchange count, join strategy, PushedFilters/ReadSchema).
     if (args.headOption.contains("explain")) {
       val suffix = args.lift(1).getOrElse("before")
+      // "-nospread" suffix variants disable every input spread so the
+      // pre-spread plan of spread-only queries can be dumped from the
+      // current tree (their only delta IS the spread exchange)
+      if (suffix.endsWith("nospread")) graft.sources.Tables.spreadNone = true
       val names = if (args.length > 2) args.drop(2).toSeq
                   else SparkEntry.queries.keys.toSeq.sorted
       val outDir = java.nio.file.Paths.get("plans", "r12")

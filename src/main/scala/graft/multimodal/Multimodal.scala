@@ -233,7 +233,18 @@ object Multimodal {
     * way a raw String.hashCode could. Cross-process safety: the table is
     * written to a unique temp dir and atomically renamed into place; a
     * concurrent JVM that wins the race simply has its output adopted. */
-  def mediaParquet(spark: SparkSession, dir: String): DataFrame = synchronized {
+  def mediaParquet(spark: SparkSession, dir: String): DataFrame =
+    mediaParquet(spark, dir, spread = false)
+
+  /** `spread = true` opts the read into the scale-adaptive input spread
+    * ([[spreadMedia]]) — ONLY for queries whose scan stage round-trips
+    * full codecs per row (m4: interleaved A/B 0.32×). Everything else
+    * measured neutral-to-worse (m7 0.97×, m9 0.93×, m1 1.18×, m5 1.42×,
+    * m3 2.53×): the typed `.as[MediaRecord]` boundary defeats column
+    * pruning through the repartition, so a blanket spread shuffles
+    * payload bytes even for metadata-only queries. */
+  def mediaParquet(spark: SparkSession, dir: String,
+                   spread: Boolean): DataFrame = synchronized {
     val src = new java.io.File(dir, "documents.parquet")
     // v10: synth version participates in the stamp — a synth-logic change
     // (jpeg/png formats in v2, video scene cuts in v4, image textures +
@@ -264,11 +275,11 @@ object Multimodal {
           // stale debris occupies the target and cannot be cleared safely:
           // serve this JVM's own complete copy (tmpdir-resident, bounded
           // to the pathological case) rather than touch shared state
-          return spreadMedia(spark, tmp)
+          return spreadMedia(spark, tmp, spread)
         }
       }
     }
-    spreadMedia(spark, out)
+    spreadMedia(spark, out, spread)
   }
 
   /** Scale-adaptive spread of the media scan (guide §2.5 input skew, same
@@ -280,12 +291,13 @@ object Multimodal {
     * cheap rows, move heavy bytes once — here the heavy COMPUTE rides the
     * spread); a no-op whenever the layout already yields >= core-count
     * scan partitions. */
-  private def spreadMedia(spark: SparkSession,
-                          path: java.io.File): DataFrame = {
+  private def spreadMedia(spark: SparkSession, path: java.io.File,
+                          spread: Boolean): DataFrame = {
+    val df = spark.read.parquet(path.getPath)
+    if (!spread) return df
     val bytes =
       Option(path.listFiles()).map(_.map(_.length()).sum).getOrElse(0L)
-    graft.sources.Tables.spreadNarrow(spark, bytes,
-      spark.read.parquet(path.getPath))
+    graft.sources.Tables.spreadNarrow(spark, bytes, df)
   }
 
   /** Decode + featurize one record (real decode; deterministic int math,
@@ -839,7 +851,7 @@ object Multimodal {
       // r5 row carried the re-encoded byte length, whose JPEG/PNG
       // entropy coding is not SQL-derivable; payload validity is now
       // proven more strongly — every frame decodes, not just the first)
-      val resized = resize(mediaParquet(s, d).as[MediaRecord]
+      val resized = resize(mediaParquet(s, d, spread = true).as[MediaRecord]
         .filter(col("kind").isin("image", "video")), 32, 18)
       resized.map { m =>
         val (w, h, nf) =

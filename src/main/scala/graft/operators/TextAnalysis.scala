@@ -277,15 +277,17 @@ object TextAnalysis {
     val tk = Tables.load(spark, dir, "documents")
       .select($"doc_id", explode(tokens($"text")).as("tok"))
     val dt = tk.groupBy($"doc_id", $"tok").agg(count(lit(1)).as("c"))
-    val vocab = dt.groupBy($"tok").agg(sum($"c").as("cnt"))
-    // Σ_tok cnt == Σ_(doc,tok) c exactly (integer reassociation), so the
-    // corpus total derives from the VOCAB leg instead of a third scan +
-    // tokenize + explode of the corpus (r12: the before-plan carried 3
-    // Generates because column pruning specializes each consumer subtree
-    // and defeats ReuseExchange; this removes one of them for free —
-    // materializing dt to share the other two was measured 1.2–2×
-    // WORSE at sf0.1: cache/checkpoint build cost exceeds one extra
-    // 5k-doc tokenize pass; see t11, where three consumers DO repay it).
+    // vocab is VOCAB-scale (Heaps-law sublinear) and feeds two consumers:
+    // the frequency re-attach, and — via the exact integer identity
+    // Σ_tok cnt == Σ_(doc,tok) c — the corpus total. Checkpointing it
+    // (r12) shares one whole corpus tokenize+explode pass per extra
+    // consumer at the cost of materializing only vocab-sized rows; the
+    // before-plan carried 3 corpus Generates because column pruning
+    // specializes each consumer subtree and defeats ReuseExchange.
+    // (Checkpointing CORPUS-scale dt instead measured 1.2–2× worse at
+    // sf0.1 — materialization must stay small-side; t11's db is the
+    // exception that repays it with three saved explodes.)
+    val vocab = dt.groupBy($"tok").agg(sum($"c").as("cnt")).localCheckpoint()
     val total = vocab.select(sum($"cnt").as("total"))
     dt.join(vocab, "tok")
       .crossJoin(broadcast(total))
@@ -476,6 +478,10 @@ object TextAnalysis {
     import spark.implicits._
     val tk = Tables.load(spark, dir, "documents")
       .select($"doc_id", tokens($"text").as("w"))
+    // uni feeds the total and the re-attach; a vocab-scale checkpoint
+    // (t10's pattern) measured 1.11× WORSE here (r12 interleaved cmp —
+    // the barrier lands before the bigram leg can overlap), so the
+    // recompute is kept deliberately
     val uni = tk.select(explode($"w").as("tok"))
       .groupBy($"tok").agg(count(lit(1)).as("c1"))
     val tot = uni.agg(sum($"c1").as("t"))

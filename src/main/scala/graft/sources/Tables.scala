@@ -39,6 +39,11 @@ object Tables {
     * (measured: m4 0.38×, q27 0.57× vs t10 1.60×, d9 1.35× at sf0.1). */
   @volatile private[graft] var spreadAll = false
 
+  /** Measurement-harness force-OFF (wins over spreadAll and call-site
+    * opt-ins): reproduces the pre-spread plan of spread-only queries for
+    * the before/after plan dumps. Production never touches it. */
+  @volatile private[graft] var spreadNone = false
+
   /** `spread = true` opts this call site into [[spreadNarrow]] — for
     * operators whose SCAN STAGE carries heavy fused work that would
     * otherwise run single-task on the fixtures' one-row-group files.
@@ -47,7 +52,7 @@ object Tables {
     * re-draw every jitter value). */
   def load(spark: SparkSession, dir: String, name: String,
            spread: Boolean): DataFrame = {
-    val eff = spread || spreadAll
+    val eff = (spread || spreadAll) && !spreadNone
     cache.computeIfAbsent((spark, s"$dir/$name.parquet", eff), _ => {
       val df = if (name == "events") loadEvents(spark, dir)
                else spark.read.parquet(s"$dir/$name.parquet")
@@ -92,7 +97,7 @@ object Tables {
   private[graft] def spreadNarrow(spark: SparkSession, bytes: Long,
                                   df: DataFrame): DataFrame = {
     val p = spark.sparkContext.defaultParallelism
-    if (bytes >= MinSpreadBytes && df.rdd.getNumPartitions < p)
+    if (!spreadNone && bytes >= MinSpreadBytes && df.rdd.getNumPartitions < p)
       df.repartition(p)
     else df
   }
