@@ -46,8 +46,17 @@ object Bench {
     // A fresh session every [[RecycleEvery]] queries bounds that debt at
     // a fixed ~4 s restart+rewarmup cost per recycle, paid OUTSIDE the
     // timed window. Same root cause and remedy as Scaling's fresh-session
-    // retry pass.
-    val RecycleEvery = 25
+    // retry pass. Cadence MEASURED in r12 (back-to-back full runs, same
+    // host phase): 25 → 85.3 s total, 8 → 71.4 s, 4 → 77.7 s — the r9
+    // default of 25 still leaked ~16 % session debt into the timed
+    // numbers (median per-query 0.88× at cadence 8, late-position
+    // p-family hit hardest), while 4 over-recycles and loses the
+    // cross-query JIT warmth the untimed warmup doesn't cover. 8 is the
+    // tested optimum and agrees with the isolated SPARK_GRAFT_ONLY
+    // protocol NOTES declares canonical. SPARK_GRAFT_RECYCLE overrides
+    // for cadence experiments.
+    val RecycleEvery = sys.env.get("SPARK_GRAFT_RECYCLE")
+      .map(_.toInt).getOrElse(8)
 
     // min-of-N runs per query (N=3), report the fastest: first-touch
     // costs (file listing, codegen compilation, GC debt from the previous

@@ -434,7 +434,9 @@ object Dedup {
     * with a 28-row/doc explode of (2-byte key, 8-byte id) — linear. */
   def d5SimHash(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val sigs = Tables.load(spark, dir, "documents")
+    // spread=true (r12): the per-token-md5 signature build fuses into
+    // the scan stage ahead of the cache materialization
+    val sigs = Tables.load(spark, dir, "documents", spread = true)
       .select($"doc_id", simHash(tokens($"text")).as("sig")).cache()
     def byte(j: Int): Column =
       shiftright($"sig", j * 8).bitwiseAND(lit(0xffL))

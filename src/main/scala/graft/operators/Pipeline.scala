@@ -412,6 +412,9 @@ object Pipeline {
       shr(element_at(bitsLit, word), (p % 64).cast("int"))
         .bitwiseAND(lit(1L)) === lit(1L)
     }.reduce(_ && _)
+    // corpus-side spread measured exactly neutral here (r12 interleaved
+    // abn 1.00× — the probe stage is not the binding cost at sf0.1), so
+    // the scan keeps its native partitioning
     Tables.load(spark, dir, "documents")
       .filter($"source" =!= BenchmarkSource)
       .select($"doc_id", explode(graft.plans.VectorExpressions
