@@ -55,8 +55,17 @@ object Bench {
     // tested optimum and agrees with the isolated SPARK_GRAFT_ONLY
     // protocol NOTES declares canonical. SPARK_GRAFT_RECYCLE overrides
     // for cadence experiments.
-    val RecycleEvery = sys.env.get("SPARK_GRAFT_RECYCLE")
-      .map(_.toInt).getOrElse(8)
+    // toIntOption + loud fallback (ADVICE r12): a typo'd value must not
+    // crash the whole run with a bare NumberFormatException — match the
+    // SPARK_GRAFT_ONLY unknown-name behavior instead.
+    val RecycleEvery = sys.env.get("SPARK_GRAFT_RECYCLE") match {
+      case Some(v) => v.toIntOption.filter(_ > 0).getOrElse {
+        System.err.println(
+          s"[bench] WARNING: invalid SPARK_GRAFT_RECYCLE '$v', using 8")
+        8
+      }
+      case None => 8
+    }
 
     // min-of-N runs per query (N=3), report the fastest: first-touch
     // costs (file listing, codegen compilation, GC debt from the previous
@@ -137,8 +146,11 @@ object Bench {
     val twinTotal = results.collect {
       case (k, Some(v), _) if twinSet(k) => v }.sum
     val prodTotal = total - twinTotal
+    // recycle cadence recorded in both artifacts (ADVICE r12): cadence is
+    // the one measurement-protocol knob that changed across rounds, so
+    // every bench artifact must be self-describing about which it used
     val full =
-      s"""{"metric":"total","value":${jd(total)},"unit":"sec","runs_per_query":3,"production_total":${jd(prodTotal)},"md5_twin_total":${jd(twinTotal)},"queries":$qs,"families":$families,"runs":$runs,"failed":$failed,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${jd(total)},"unit":"sec","runs_per_query":3,"recycle_every":$RecycleEvery,"production_total":${jd(prodTotal)},"md5_twin_total":${jd(twinTotal)},"queries":$qs,"families":$families,"runs":$runs,"failed":$failed,"sf":"$sfDir"}"""
     // The driver parses the FINAL stdout line into BENCH_r{N}.parsed, but
     // it captures only a ~2 KB stdout TAIL: the 4.5 KB full per-query dict
     // as the last line arrives head-truncated and unparseable (r7 verdict
@@ -161,7 +173,7 @@ object Bench {
     // a previous full run's numbers to this subset
     val qf = if (only.isEmpty) "\"bench.json\"" else "null"
     println(full)
-    println(s"""{"metric":"total","value":${jd(total)},"unit":"sec","n":${results.size},"runs_per_query":3,"production_total":${jd(prodTotal)},"md5_twin_total":${jd(twinTotal)},"failed":$failed,"slowest":$slowest,"queries_file":$qf,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${jd(total)},"unit":"sec","n":${results.size},"runs_per_query":3,"recycle_every":$RecycleEvery,"production_total":${jd(prodTotal)},"md5_twin_total":${jd(twinTotal)},"failed":$failed,"slowest":$slowest,"queries_file":$qf,"sf":"$sfDir"}""")
     // the forked JVM's stdout must flush before sbt tears the pipe down
     System.out.flush()
     spark.stop()

@@ -256,6 +256,38 @@ object Profile {
             .agg((max($"run") + (Dedup.ShingleN - 1)).as("longest_tokens"))
             .orderBy($"d1", $"d2")
         },
+        "d14_span_removal" -> { (spark, dir) =>
+          // r12 shape: dup grams via distinct(doc,g) -> per-g count -> re-join
+          // onto a SECOND corpus gram explode (2 shingle_hashes Generates)
+          import graft.operators.Dedup
+          val docs = Tables.load(spark, dir, "documents")
+            .select($"doc_id", tokens($"text").as("w"))
+          val grams = Tables.load(spark, dir, "documents")
+            .select($"doc_id",
+              posexplode(shingleHashesPos($"text", Dedup.ShingleN))
+                .as(Seq("p0", "g")))
+            .select($"doc_id", ($"p0" + 1).as("start"), $"g")
+          val dupGrams = grams.select($"doc_id", $"g").distinct()
+            .groupBy($"g").agg(count(lit(1)).as("n_docs"))
+            .filter($"n_docs" >= 2)
+            .select($"g")
+          val covered = grams.join(dupGrams, "g")
+            .select($"doc_id",
+              explode(sequence($"start", $"start" + (Dedup.ShingleN - 1)))
+                .as("pos"))
+            .groupBy($"doc_id")
+            .agg(collect_set($"pos".cast("long")).as("cut"))
+          docs.join(covered, Seq("doc_id"), "left")
+            .select($"doc_id", size($"w").as("n_tokens"),
+              graft.plans.VectorExpressions.filterPositions($"w",
+                coalesce($"cut", expr("CAST(array() AS array<bigint>)")))
+                .as("kept"))
+            .select($"doc_id", $"n_tokens",
+              size($"kept").cast("long").as("n_kept"),
+              ($"n_tokens" - size($"kept")).cast("long").as("n_removed"),
+              md5(concat_ws(" ", $"kept")).as("cleaned_digest"))
+            .orderBy($"doc_id")
+        },
         "p29_full_prep" -> { (spark, dir) =>
           import graft.operators.Pipeline
           val kept = Pipeline.p13QualityFilter(spark, dir)
@@ -299,8 +331,12 @@ object Profile {
     // noisy host (sequential full-process runs drifted 1.7→4.6 s on
     // identical code while building r12).
     if (args.headOption.contains("ab")) {
-      val abNames = if (args.length > 1) args.drop(1).toSeq
-                    else SparkEntry.queries.keys.toSeq.sorted
+      // demo1 loads its `user` view UNSPREAD by design (seeded RAND(42)
+      // draws per (partition, row-offset)); forcing spreadAll on it would
+      // compare timings of non-identical work (ADVICE r12) — skip it.
+      val abNames = (if (args.length > 1) args.drop(1).toSeq
+                     else SparkEntry.queries.keys.toSeq.sorted)
+        .filterNot(_ == "demo1_user_locations")
       abNames.foreach { q =>
         val fn = SparkEntry.queries(q)
         val times = scala.collection.mutable.Map(
@@ -322,7 +358,7 @@ object Profile {
 
     // `explain <suffix> [names...]`: dump .explain("formatted") of the named
     // registry queries (or every query with no names) to
-    // plans/r12/<name>_<suffix>.txt — the optimization round's plan-shape
+    // plans/r13/<name>_<suffix>.txt — the optimization round's plan-shape
     // evidence (Exchange count, join strategy, PushedFilters/ReadSchema).
     if (args.headOption.contains("explain")) {
       val suffix = args.lift(1).getOrElse("before")
@@ -332,7 +368,7 @@ object Profile {
       if (suffix.endsWith("nospread")) graft.sources.Tables.spreadNone = true
       val names = if (args.length > 2) args.drop(2).toSeq
                   else SparkEntry.queries.keys.toSeq.sorted
-      val outDir = java.nio.file.Paths.get("plans", "r12")
+      val outDir = java.nio.file.Paths.get("plans", "r13")
       java.nio.file.Files.createDirectories(outDir)
       names.foreach { q =>
         val df = SparkEntry.queries(q)(spark, sfDir)

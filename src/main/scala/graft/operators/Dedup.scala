@@ -231,8 +231,8 @@ object Dedup {
     // hash at 100 TB) is the right one at every scale.
     val needed = cand.select($"d1".as("doc_id"))
       .union(cand.select($"d2".as("doc_id"))).distinct()
-    val ctext = docs.join(needed, Seq("doc_id"), "left_semi")
-      .localCheckpoint()
+    val ctext = graft.sources.Tables.stage(
+      docs.join(needed, Seq("doc_id"), "left_semi"))
     cand
       .join(ctext.select($"doc_id".as("d1"), $"text".as("t1"),
         $"n_chars".as("len1")), "d1")
@@ -739,11 +739,10 @@ object Dedup {
     import spark.implicits._
     val cols = pairs.columns
     // canonical undirected edges (a < b), deduped
-    var edges = pairs
+    var edges = graft.sources.Tables.stage(pairs
       .select(least(col(cols(0)), col(cols(1))).cast("long").as("a"),
         greatest(col(cols(0)), col(cols(1))).cast("long").as("b"))
-      .where($"a" =!= $"b").distinct()
-      .localCheckpoint()
+      .where($"a" =!= $"b").distinct())
 
     if (edges.count() <= driverEdgeLimit) {
       val parent = scala.collection.mutable.LongMap.empty[Long]
@@ -796,7 +795,7 @@ object Dedup {
     var rounds = 0
     var converged = edges.isEmpty
     while (!converged && rounds < 100) {
-      val next = smallStar(largeStar(edges)).localCheckpoint()
+      val next = graft.sources.Tables.stage(smallStar(largeStar(edges)))
       // set equality: both sides are distinct, so the symmetric difference
       // (either side null after a full outer join) being empty means
       // identical edge sets — ONE probe job per round, vs the previous
@@ -1027,10 +1026,19 @@ object Dedup {
               "i -> struct(i AS start, md5(concat_ws(' ', slice(w, i, 3))) AS g))"))
             .as("s"))
         .select($"doc_id", $"s.start", $"s.g")
-    val dupGrams = grams.select($"doc_id", $"g").distinct()
-      .groupBy($"g").agg(count(lit(1)).as("n_docs"))
-      .filter($"n_docs" >= 2)
-      .select($"g")
+    // dup detection fused into ONE corpus gram pass (r13; guide §2.4
+    // "remove shuffles outright" / §1.2 "don't recompute"): a gram is a
+    // dup span iff it occurs in ≥ 2 DISTINCT documents iff
+    // min(doc_id) ≠ max(doc_id) over its occurrence rows — an exact
+    // identity, so the unbounded-frame window over one hashpartition(g)
+    // exchange replaces the old aggregate-then-rejoin shape (distinct
+    // (doc,g) shuffle → per-g count → broadcast back onto a SECOND
+    // corpus gram explode: 2 shingle_hashes Generates, 2 corpus-scale
+    // exchanges in the r12 plan). The window sorts by g only (no
+    // orderBy ⇒ whole-partition frame) and spills per group, so a hot
+    // gram degrades to disk, never OOM; interleaved cmp min-of-3 at
+    // sf0.1: 0.72× vs the r12 shape (re-measured at commit time).
+    //
     // covered positions aggregate to ONE array row per touched doc —
     // the shuffle is sized by DUP SPANS (3 positions per dup gram,
     // set-collapsed), not by the corpus: the token explode + anti-join
@@ -1040,7 +1048,11 @@ object Dedup {
     // shuffle at any scale. Here the document text never leaves its
     // scan: the rebuild is a map-side native FilterPositions walk
     // (O(n + |cut|)/doc) against the joined cut array.
-    val covered = grams.join(dupGrams, "g")
+    val wg = org.apache.spark.sql.expressions.Window.partitionBy($"g")
+    val covered = grams
+      .withColumn("mn", min($"doc_id").over(wg))
+      .withColumn("mx", max($"doc_id").over(wg))
+      .filter($"mn" =!= $"mx")
       .select($"doc_id",
         explode(sequence($"start", $"start" + (ShingleN - 1))).as("pos"))
       .groupBy($"doc_id")
@@ -1123,11 +1135,10 @@ object Dedup {
     // checkpoint (r12): dsh feeds the delta-size aggregate AND the
     // posting probe — unshared, the delta shingle explode + hot-set
     // anti-join ran twice
-    val dsh = Tables.load(spark, dir, "documents")
+    val dsh = graft.sources.Tables.stage(Tables.load(spark, dir, "documents")
       .filter($"doc_id" % 10 === IncrMod)
       .select($"doc_id", explode(shingleHashes($"text", ShingleN)).as("h"))
-      .join(baseHotModel(spark, dir), Seq("h"), "left_anti")
-      .localCheckpoint()
+      .join(baseHotModel(spark, dir), Seq("h"), "left_anti"))
     val deltaSizes = dsh.groupBy($"doc_id").agg(count(lit(1)).as("n1"))
     val pairs = dsh.as("d")
       .join(idx.as("b"), $"d.h" === $"b.h")

@@ -733,11 +733,10 @@ object Pipeline {
     // anti-join + both counts) re-ran per consumer (3× in the before
     // plan). Both feasibility totals also collapse into ONE aggregate
     // pass (they scan the same 5 rows; exact integer mins, same values).
-    val joined = rawCnt
+    val joined = graft.sources.Tables.stage(rawCnt
       .join(effCnt, Seq("lang"), "left")
       .select($"lang", $"raw_cnt", coalesce($"c", lit(0L)).as("eff_cnt"))
-      .join(broadcast(wdf), "lang")
-      .localCheckpoint()
+      .join(broadcast(wdf), "lang"))
     val tots = joined.agg(
       min(expr(s"(raw_cnt * $W) DIV w")).as("tot_raw"),
       min(expr(s"(eff_cnt * $W) DIV w")).as("tot_eff"))
@@ -2083,7 +2082,7 @@ object Pipeline {
     // materializes the narrow (doc_id, lang, tk, n_tokens) rows once
     // inside the timed query (t11's row-form-blocks reasoning; each
     // bench run pays its own materialization, gc releases the blocks).
-    val joined = docs.join(kept, "doc_id").localCheckpoint()
+    val joined = graft.sources.Tables.stage(docs.join(kept, "doc_id"))
     val firstPerText = joined.groupBy($"tk").agg(min($"doc_id").as("keep_id"))
     val deduped = joined
       .join(firstPerText, joined("doc_id") === firstPerText("keep_id"))

@@ -481,13 +481,13 @@ object Similarity {
     val k = math.max(1L, emb.count() / perCell)
     var centroids = seedCentroids(emb, k.toInt)
     for (_ <- 1 to kmeansIters) {
-      centroids = ivfAssign(emb, centArray(centroids), 1)
-        .select($"cent_id", posexplode($"v"))
-        .groupBy($"cent_id", $"pos").agg(avg($"col").as("m"))
-        .groupBy($"cent_id")
-        .agg(array_sort(collect_list(struct($"pos", $"m"))).as("pm"))
-        .select($"cent_id", transform($"pm", x => x("m")).as("cv"))
-        .localCheckpoint() // truncate iterative lineage; only C rows
+      centroids = graft.sources.Tables.stage( // truncate iterative lineage
+        ivfAssign(emb, centArray(centroids), 1)
+          .select($"cent_id", posexplode($"v"))
+          .groupBy($"cent_id", $"pos").agg(avg($"col").as("m"))
+          .groupBy($"cent_id")
+          .agg(array_sort(collect_list(struct($"pos", $"m"))).as("pm"))
+          .select($"cent_id", transform($"pm", x => x("m")).as("cv")))
     }
     centroids
   }
@@ -1153,7 +1153,11 @@ object Similarity {
       .select($"query_id", $"c.id".as("vec_id"))
     val qvec = emb.filter($"vec_id" < QueryCount)
       .select($"vec_id".as("query_id"), $"v".as("qv"), $"nrm".as("qn"))
-    val out = shortlist
+    // queries×k rows: materialize eagerly so the fit-scoped caches are
+    // RELEASED here — the residual cache (store-miss path only) is
+    // corpus-sized and scoped to this run's fit; left cached it would
+    // only accumulate as dead weight until LRU eviction hits live caches
+    val out = graft.sources.Tables.stage(shortlist
       .join(broadcast(qvec), "query_id")
       .hint("shuffle_hash")
       .join(emb.select($"vec_id", $"v", $"nrm"), "vec_id")
@@ -1164,12 +1168,7 @@ object Similarity {
       .select($"query_id", posexplode($"top"))
       .select($"query_id", ($"pos" + 1).cast("int").as("rk"),
         $"col.id".as("vec_id"), round($"col.score", 6).as("cos_sim"))
-      .orderBy($"query_id", $"rk")
-      // queries×k rows: materialize eagerly so the fit-scoped caches are
-      // RELEASED here — the residual cache (store-miss path only) is
-      // corpus-sized and scoped to this run's fit; left cached it would
-      // only accumulate as dead weight until LRU eviction hits live caches
-      .localCheckpoint()
+      .orderBy($"query_id", $"rk"))
     residFit.foreach(_.unpersist())
     cents.unpersist()
     out

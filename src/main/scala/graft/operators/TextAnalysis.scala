@@ -287,7 +287,8 @@ object TextAnalysis {
     // (Checkpointing CORPUS-scale dt instead measured 1.2–2× worse at
     // sf0.1 — materialization must stay small-side; t11's db is the
     // exception that repays it with three saved explodes.)
-    val vocab = dt.groupBy($"tok").agg(sum($"c").as("cnt")).localCheckpoint()
+    val vocab = graft.sources.Tables.stage(
+      dt.groupBy($"tok").agg(sum($"c").as("cnt")))
     val total = vocab.select(sum($"cnt").as("total"))
     dt.join(vocab, "tok")
       .crossJoin(broadcast(total))
@@ -346,8 +347,8 @@ object TextAnalysis {
     // corpus-pass count, which is what grows at 100 TB). Bench/Verify
     // clearCache+gc between runs releases the blocks, so each timed run
     // pays its own materialization.
-    val db = bg.groupBy($"doc_id", $"big").agg(count(lit(1)).as("m"))
-      .localCheckpoint()
+    val db = graft.sources.Tables.stage(
+      bg.groupBy($"doc_id", $"big").agg(count(lit(1)).as("m")))
     val cb = db.groupBy($"big").agg(sum($"m").as("c2"))
     val ctx = cb.groupBy(split($"big", " ").getItem(0).as("prev"))
       .agg(sum($"c2").as("ctx"))
