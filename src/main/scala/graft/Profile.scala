@@ -67,6 +67,41 @@ object Profile {
     if (args.headOption.contains("cmp")) {
       import org.apache.spark.sql.DataFrame
       import graft.operators.TextAnalysis
+      // r12 q43 shape (diff-of-merge), factored so the old q44 can chain it
+      def oldQ43(spark: SparkSession, dir: String): DataFrame = {
+        import org.apache.spark.sql.Column
+        import org.apache.spark.sql.types.DoubleType
+        import graft.operators.Relational
+        val before = Tables.load(spark, dir, "customer")
+          .filter($"c_custkey" % 3 =!= 0)
+          .select($"c_custkey".as("merge_key"), lit(1).as("in_a"),
+            $"c_name".as("a_name"), $"c_mktsegment".as("a_seg"),
+            (round($"c_acctbal" * 100).cast("long").cast(DoubleType) / 100)
+              .as("a_bal"))
+        val after = Relational.q42MergeUpsert(spark, dir)
+          .select($"merge_key", lit(1).as("in_b"), $"c_name".as("b_name"),
+            $"c_mktsegment".as("b_seg"), $"acctbal".as("b_bal"))
+        def rec(op: String, n: Column, s: Column, bal: Column): Column =
+          struct(lit(op).as("op"), n.as("c_name"), s.as("c_mktsegment"),
+            bal.as("acctbal"))
+        val emptyT = "array<struct<op:string,c_name:string," +
+          "c_mktsegment:string,acctbal:double>>"
+        before.join(after, Seq("merge_key"), "full_outer")
+          .select($"merge_key", explode(
+            when($"in_a".isNull,
+              array(rec("+I", $"b_name", $"b_seg", $"b_bal")))
+              .when($"in_b".isNull,
+                array(rec("-D", $"a_name", $"a_seg", $"a_bal")))
+              .when($"a_name" =!= $"b_name" || $"a_seg" =!= $"b_seg" ||
+                $"a_bal" =!= $"b_bal",
+                array(rec("-U", $"a_name", $"a_seg", $"a_bal"),
+                  rec("+U", $"b_name", $"b_seg", $"b_bal")))
+              .otherwise(lit(null).cast(emptyT))).as("r"))
+          .select($"merge_key", $"r.op".as("op"), $"r.c_name",
+            $"r.c_mktsegment", $"r.acctbal")
+          .orderBy($"merge_key",
+            when($"op" === "-U", 1).when($"op" === "+U", 2).otherwise(0))
+      }
       val oldImpl: Map[String, (SparkSession, String) => DataFrame] = Map(
         "t10_surprisal" -> { (spark, dir) =>
           val tk = Tables.load(spark, dir, "documents")
@@ -256,6 +291,32 @@ object Profile {
             .agg((max($"run") + (Dedup.ShingleN - 1)).as("longest_tokens"))
             .orderBy($"d1", $"d2")
         },
+        "q43_snapshot_diff" -> (oldQ43 _),
+        "q44_incremental_agg" -> { (spark, dir) =>
+          // r12 shape verbatim, except deltas chain the OLD q43
+          val baseAgg = Tables.load(spark, dir, "customer")
+            .filter($"c_custkey" % 3 =!= 0)
+            .groupBy($"c_mktsegment")
+            .agg(count(lit(1)).as("n0"),
+              sum(round($"c_acctbal" * 100).cast("long")).as("c0"))
+          val deltas = oldQ43(spark, dir)
+            .select($"c_mktsegment",
+              when($"op".isin("+I", "+U"), 1L).otherwise(-1L).as("sgn"),
+              round($"acctbal" * 100).cast("long").as("cents"))
+            .groupBy($"c_mktsegment")
+            .agg(sum($"sgn").as("dn"), sum($"sgn" * $"cents").as("dc"))
+          baseAgg.join(deltas, Seq("c_mktsegment"), "full_outer")
+            .select($"c_mktsegment",
+              (coalesce($"n0", lit(0L)) + coalesce($"dn", lit(0L)))
+                .as("n_customers"),
+              (coalesce($"c0", lit(0L)) + coalesce($"dc", lit(0L)))
+                .as("cents"))
+            .filter($"n_customers" > 0)
+            .select($"c_mktsegment", $"n_customers",
+              ($"cents".cast(org.apache.spark.sql.types.DoubleType) / 100)
+                .as("total_acctbal"))
+            .orderBy($"c_mktsegment")
+        },
         "d14_span_removal" -> { (spark, dir) =>
           // r12 shape: dup grams via distinct(doc,g) -> per-g count -> re-join
           // onto a SECOND corpus gram explode (2 shingle_hashes Generates)
@@ -378,6 +439,59 @@ object Profile {
           txt.getBytes("UTF-8"))
         println(s"[explain] wrote ${q}_$suffix.txt " +
           s"(${txt.linesIterator.count(_.contains("Exchange"))} exchange lines)")
+      }
+      spark.stop()
+      return
+    }
+
+    // `floor <names...>`: decompose the fixed per-query overhead of the
+    // long-tail queries (~100 registry rows sit at 0.2–0.5 s regardless of
+    // SF — VERDICT r12 item #4). For each query, separately time
+    //   build    — registry fn call + analysis (logical plan ready)
+    //   plan     — executedPlan force (optimizer + physical planning +
+    //              any eager stage()/collect work the builder runs)
+    //   run1/2/3 — the noop action, with job/stage counts from a listener
+    // so the floor can be attributed to planning vs codegen vs job count.
+    if (args.headOption.contains("floor")) {
+      val names = if (args.length > 1) args.drop(1).toSeq
+                  else Seq("q6_group_count", "q4_casewhen_buckets",
+                    "t6_length_percentiles", "v22_range_search",
+                    "p5_vocab_topk", "d1_dedup_exact", "m3_media_catalog")
+      @volatile var jobs = 0; @volatile var stages = 0; @volatile var tasks = 0
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          jobs += 1; stages += j.stageInfos.size
+          tasks += j.stageInfos.map(_.numTasks).sum
+        }
+      }
+      spark.sparkContext.addSparkListener(listener)
+      names.foreach { q =>
+        spark.catalog.clearCache(); System.gc()
+        val t0 = System.nanoTime()
+        val df = SparkEntry.queries(q)(spark, sfDir)
+        val t1 = System.nanoTime()
+        df.queryExecution.executedPlan // force optimize + physical plan
+        val t2 = System.nanoTime()
+        jobs = 0; stages = 0; tasks = 0
+        val runs = (1 to 3).map { _ =>
+          val r0 = System.nanoTime()
+          noop(df)
+          (System.nanoTime() - r0) / 1e9
+        }
+        Thread.sleep(200) // let the async listener bus drain the job events
+        // what Bench actually times: a FRESH fn() call per run (build +
+        // analysis + optimization + codegen cache lookup + jobs)
+        val full = (1 to 3).map { _ =>
+          val r0 = System.nanoTime()
+          noop(SparkEntry.queries(q)(spark, sfDir))
+          (System.nanoTime() - r0) / 1e9
+        }
+        println(f"[floor] $q%-26s build=${(t1 - t0) / 1e9}%.3f " +
+          f"plan=${(t2 - t1) / 1e9}%.3f " +
+          f"action=${runs.map(t => f"$t%.3f").mkString("/")} " +
+          f"fresh=${full.map(t => f"$t%.3f").mkString("/")} " +
+          f"(3 actions: jobs=$jobs stages=$stages tasks=$tasks)")
       }
       spark.stop()
       return

@@ -1081,21 +1081,32 @@ object Relational {
     * reduction, AQE-skew-splittable, no broadcast assumption on either
     * side (at 100 TB both snapshot and feed are large). Money stays in
     * cent-longs until emission (the q36 rule). */
-  def q42MergeUpsert(spark: SparkSession, dir: String): DataFrame = {
+  /** The latest-change-per-key reduction shared by q42 (merge) and q43
+    * (direct diff): max_by aggregate, partial map-side, ONE shuffle on
+    * user_id — not a rank window, which would sort every key's full
+    * history.
+    *
+    * struct max = (us, eid, typ, cents) lexicographic — the trailing
+    * fields only matter if a fixture ever duplicated (ts, event_id)
+    * within a user; the oracle's row_number mirrors all four so a
+    * pathological fixture fails deterministically, never flakily. */
+  private[operators] def q42LatestChanges(spark: SparkSession,
+                                          dir: String): DataFrame = {
     import spark.implicits._
-    val latest = Tables.load(spark, dir, "events")
+    Tables.load(spark, dir, "events")
       .select($"user_id",
         struct(unix_micros($"ts").as("us"), $"event_id".as("eid"),
           $"event_type".as("typ"),
           round($"value" * 100).cast("long").as("cents")).as("ch"))
       .groupBy($"user_id")
-      // struct max = (us, eid, typ, cents) lexicographic — the trailing
-      // fields only matter if a fixture ever duplicated (ts, event_id)
-      // within a user; the oracle's row_number mirrors all four so a
-      // pathological fixture fails deterministically, never flakily
       .agg(max($"ch").as("ch"))
       .select($"user_id", $"ch".getField("typ").as("ev_type"),
         $"ch".getField("cents").as("ev_cents"))
+  }
+
+  def q42MergeUpsert(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val latest = q42LatestChanges(spark, dir)
     val target = Tables.load(spark, dir, "customer")
       .filter($"c_custkey" % 3 =!= 0)
       .select($"c_custkey", $"c_name", $"c_mktsegment",
@@ -1129,34 +1140,63 @@ object Relational {
     * mirror the merge's update/delete/insert arms by construction (a
     * spec cross-checks exactly that).
     *
-    * Scale shape: ONE co-partitioned full-outer sort-merge join on the
-    * key; the op fan-out is a per-row array explode (≤2 structs) inside
-    * the same stage — no second pass, no union of per-op scans (a
-    * 4-branch UNION would scan both snapshots four times). */
+    * Scale shape (restructured r13, guide §2.4 remove shuffles / §1.2
+    * don't compute what you throw away): diff(before, merge(before,
+    * latest)) is fully determined by `before ⋈ latest` — a before-only
+    * key is by construction identical in both snapshots and diffs to
+    * nothing, so materializing the merged snapshot just to re-shuffle
+    * and re-compare it against its own input was waste. The r12 shape
+    * chained TWO full-outer joins (snapshot shuffled at the merge,
+    * merged snapshot re-shuffled at the diff, customer scanned twice: 5
+    * exchanges, 3 scans); now ONE right-outer equi-join latest→snapshot
+    * derives every op directly (3 exchanges, 2 scans — the snapshot
+    * crosses the network once, and the latest side reuses its
+    * aggregation partitioning). Branch-for-branch equivalence with the
+    * old diff-of-merge, proven against the unchanged DuckDB oracle:
+    * matched+'error' ⇒ the merge would drop the row ⇒ -D; unmatched
+    * non-'error' ⇒ the merge would insert ⇒ +I; matched changed ⇒
+    * -U/+U (a_name/a_seg always equal — both came from the same
+    * customer row — so only the balance term can fire, but the full
+    * comparison is kept verbatim, same null semantics); everything
+    * else ⇒ no rows. The op fan-out stays a per-row array explode (≤2
+    * structs) inside the join stage. No broadcast assumption: the
+    * planner may broadcast the changelog side when it fits (the right
+    * call at 100 TB — zero snapshot shuffle), and falls back to the
+    * co-partitioned sort-merge join when it does not. */
   def q43SnapshotDiff(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val before = Tables.load(spark, dir, "customer")
       .filter($"c_custkey" % 3 =!= 0)
-      .select($"c_custkey".as("merge_key"), lit(1).as("in_a"),
-        $"c_name".as("a_name"), $"c_mktsegment".as("a_seg"),
-        (round($"c_acctbal" * 100).cast("long").cast(DoubleType) / 100)
-          .as("a_bal"))
-    val after = q42MergeUpsert(spark, dir)
-      .select($"merge_key", lit(1).as("in_b"), $"c_name".as("b_name"),
-        $"c_mktsegment".as("b_seg"), $"acctbal".as("b_bal"))
+      .select($"c_custkey".as("bk"), $"c_name".as("a_name"),
+        $"c_mktsegment".as("a_seg"),
+        round($"c_acctbal" * 100).cast("long").as("a_cents"))
+    val latest = q42LatestChanges(spark, dir)
     def rec(op: String, n: Column, s: Column, bal: Column): Column =
       struct(lit(op).as("op"), n.as("c_name"), s.as("c_mktsegment"),
         bal.as("acctbal"))
     val emptyT = "array<struct<op:string,c_name:string," +
       "c_mktsegment:string,acctbal:double>>"
-    before.join(after, Seq("merge_key"), "full_outer")
-      .select($"merge_key", explode(
-        when($"in_a".isNull, array(rec("+I", $"b_name", $"b_seg", $"b_bal")))
-          .when($"in_b".isNull, array(rec("-D", $"a_name", $"a_seg", $"a_bal")))
-          .when($"a_name" =!= $"b_name" || $"a_seg" =!= $"b_seg" ||
-            $"a_bal" =!= $"b_bal",
-            array(rec("-U", $"a_name", $"a_seg", $"a_bal"),
-              rec("+U", $"b_name", $"b_seg", $"b_bal")))
+    // value expressions byte-identical to the r12 diff-of-merge: a_bal
+    // is the before leg's cents→double, b_* are exactly what q42's
+    // projection would have produced for this row
+    val aBal = $"a_cents".cast(DoubleType) / 100
+    val bBal = coalesce($"ev_cents", $"a_cents").cast(DoubleType) / 100
+    val bName = when($"bk".isNull,
+      concat(lit("cdc-"), $"user_id".cast("string"))).otherwise($"a_name")
+    val bSeg = when($"bk".isNull, lit("NEW")).otherwise($"a_seg")
+    before.join(latest, $"bk" === $"user_id", "right_outer")
+      .select(coalesce($"bk", $"user_id").as("merge_key"), explode(
+        // latest-only 'error' rows are a no-op in BOTH snapshots: the
+        // null-guarded inner when emits no rows for them, exactly as
+        // they appeared in neither leg of the old full-outer diff
+        when($"ev_type" === "error",
+          when($"bk".isNotNull,
+            array(rec("-D", $"a_name", $"a_seg", aBal)))
+            .otherwise(lit(null).cast(emptyT)))
+          .when($"bk".isNull, array(rec("+I", bName, bSeg, bBal)))
+          .when($"a_name" =!= bName || $"a_seg" =!= bSeg || aBal =!= bBal,
+            array(rec("-U", $"a_name", $"a_seg", aBal),
+              rec("+U", bName, bSeg, bBal)))
           .otherwise(lit(null).cast(emptyT))).as("r")) // null array → no rows
       .select($"merge_key", $"r.op".as("op"), $"r.c_name",
         $"r.c_mktsegment", $"r.acctbal")

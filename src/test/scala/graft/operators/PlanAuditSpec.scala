@@ -301,26 +301,53 @@ class PlanAuditSpec extends AnyFunSuite {
       s"unexpected extra windows:\n${plan.take(800)}")
   }
 
-  test("q42/q43: the merge matrix runs on co-partitioned sort-merge " +
-      "full-outer joins — no broadcast assumption on either side") {
-    for (name <- Seq("q42_merge_upsert", "q43_snapshot_diff")) {
-      val plan = formatted(name)
-      // at 100 TB both the snapshot and the change feed are large: the
-      // merge join must be a key-partitioned SMJ, never a broadcast
-      assert(plan.contains("SortMergeJoin") && plan.contains("FullOuter"),
-        s"$name: expected full-outer sort-merge join:\n${plan.take(1200)}")
-      assert(!plan.contains("CartesianProduct") &&
-        !plan.contains("BroadcastNestedLoopJoin"),
-        s"$name: unbounded join shape:\n${plan.take(1200)}")
-      // latest-per-key is an aggregate (struct-max compiles to a partial+
-      // final SortAggregate pair — max over a struct is not hash-able),
-      // not a rank window over every key's full history
-      assert("(Hash|Sort|ObjectHash)Aggregate".r.findAllIn(plan).size >= 2,
-        s"$name: latest-change reduction must partial-aggregate:\n" +
-          plan.take(1200))
-      assert(!plan.contains("Window"),
-        s"$name: no window over the change feed:\n${plan.take(1200)}")
-    }
+  test("q42: the merge matrix runs on a co-partitioned sort-merge " +
+      "full-outer join — no broadcast assumption on either side") {
+    val plan = formatted("q42_merge_upsert")
+    // at 100 TB both the snapshot and the change feed are large: the
+    // merge join must be a key-partitioned SMJ, never a broadcast
+    assert(plan.contains("SortMergeJoin") && plan.contains("FullOuter"),
+      s"q42: expected full-outer sort-merge join:\n${plan.take(1200)}")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"q42: unbounded join shape:\n${plan.take(1200)}")
+    // latest-per-key is an aggregate (struct-max compiles to a partial+
+    // final SortAggregate pair — max over a struct is not hash-able),
+    // not a rank window over every key's full history
+    assert("(Hash|Sort|ObjectHash)Aggregate".r.findAllIn(plan).size >= 2,
+      s"q42: latest-change reduction must partial-aggregate:\n" +
+        plan.take(1200))
+    assert(!plan.contains("Window"),
+      s"q42: no window over the change feed:\n${plan.take(1200)}")
+  }
+
+  test("q43: the diff derives from ONE changelog→snapshot equi-join — " +
+      "the merged snapshot is never materialized or re-shuffled") {
+    val plan = formatted("q43_snapshot_diff")
+    // r13 restructure: diff(before, merge(before, latest)) computed
+    // directly from before ⋈ latest. Exactly one join (the r12 shape
+    // chained two full-outers), equi-keyed — the planner is free to
+    // broadcast the changelog side when it fits (zero snapshot shuffle
+    // at 100 TB) or sort-merge when it does not; never unbounded
+    // formatted output names each operator in the tree AND the details
+    // section — match the numbered detail header so one join counts once
+    assert("""\(\d+\) (SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)""".r
+      .findAllIn(plan).size == 1,
+      s"q43: expected exactly one equi-join:\n${plan.take(1200)}")
+    assert(!plan.contains("FullOuter"),
+      s"q43: merged-snapshot full-outer chain is back:\n${plan.take(1200)}")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"q43: unbounded join shape:\n${plan.take(1200)}")
+    // one snapshot scan (the r12 shape scanned customer twice)
+    assert(plan.linesIterator.count(l =>
+      l.contains("customer.parquet")) == 1,
+      s"q43: snapshot must be scanned once:\n${plan.take(1200)}")
+    assert("(Hash|Sort|ObjectHash)Aggregate".r.findAllIn(plan).size >= 2,
+      s"q43: latest-change reduction must partial-aggregate:\n" +
+        plan.take(1200))
+    assert(!plan.contains("Window"),
+      s"q43: no window over the change feed:\n${plan.take(1200)}")
   }
 
   test("p22: novelty re-attach is an equi-join on the gram key — no " +
