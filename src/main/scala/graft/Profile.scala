@@ -292,6 +292,11 @@ object Profile {
             .orderBy($"d1", $"d2")
         },
         "q43_snapshot_diff" -> (oldQ43 _),
+        "v21_cosine_pairs_blocked" -> { (spark, dir) =>
+          // r12 shape: shared assign/radius subtrees recomputed per consumer
+          graft.operators.Similarity.v21CosinePairsBlocked(spark, dir,
+            stageShared = false)
+        },
         "q44_incremental_agg" -> { (spark, dir) =>
           // r12 shape verbatim, except deltas chain the OLD q43
           val baseAgg = Tables.load(spark, dir, "customer")
@@ -493,6 +498,34 @@ object Profile {
           f"fresh=${full.map(t => f"$t%.3f").mkString("/")} " +
           f"(3 actions: jobs=$jobs stages=$stages tasks=$tasks)")
       }
+      spark.stop()
+      return
+    }
+
+    // `jobs <query>`: print every job one noop action of the query
+    // launches (stages, task counts, first stage name) — attributes the
+    // long-tail floor to specific job launches.
+    if (args.headOption.contains("jobs")) {
+      val q = args(1)
+      val df = SparkEntry.queries(q)(spark, sfDir)
+      noop(df) // warm: codegen + file listing out of the way
+      val log = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          val s = j.stageInfos
+          log.add(f"job ${j.jobId}%3d stages=${s.size} " +
+            f"tasks=${s.map(_.numTasks).sum} " +
+            s"[${s.map(i => i.name.takeWhile(_ != '\n')).mkString(" | ")}]")
+        }
+      }
+      spark.sparkContext.addSparkListener(listener)
+      val t0 = System.nanoTime()
+      noop(SparkEntry.queries(q)(spark, sfDir))
+      val el = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(300)
+      println(f"[jobs] $q action=$el%.3f s, jobs:")
+      log.forEach(l => println(s"  $l"))
       spark.stop()
       return
     }
@@ -704,6 +737,43 @@ object Profile {
       val b = postingList().collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
       println(s"[probe] equal=${a == b} pairs=${a.size} (cap=$maxDf, " +
         s"registry cap=${Dedup.MaxShingleDf})")
+      spark.stop()
+      return
+    }
+
+    // `p14probe`: stage breakdown of the bloom contamination twin — the
+    // bench-side bit-array build (explode + distinct + positions + bit_or
+    // + collect, runs at CONSTRUCTION time) vs the corpus-side probe scan
+    // (md5 span hashes + k codegen probes + per-doc distinct count).
+    if (args.headOption.contains("p14probe")) {
+      import graft.operators.Pipeline
+      for (_ <- 1 to 2) {
+        time("bench-side build (to collect)") {
+          val m = Pipeline.BloomTwinBits
+          val bench = Tables.load(spark, sfDir, "documents")
+            .filter($"source" === Pipeline.BenchmarkSource)
+            .select(explode(graft.plans.VectorExpressions
+              .md5SpanHashes($"text", Pipeline.ContamN)).as("s"))
+            .distinct()
+          val h1 = $"s" % lit(m)
+          val step = ($"s" / lit(1L << 20)).cast("long") * 2 + 1
+          val words = bench
+            .select(explode(array((0 until Pipeline.BloomTwinK).map(j =>
+              (h1 + step * j) % lit(m)): _*)).as("pos"))
+            .select(($"pos" / 64).cast("int").as("word"))
+            .groupBy($"word").agg(count(lit(1)).as("n"))
+          words.collect()
+        }
+        time("corpus md5 explode only") {
+          noop(Tables.load(spark, sfDir, "documents")
+            .filter($"source" =!= Pipeline.BenchmarkSource)
+            .select($"doc_id", explode(graft.plans.VectorExpressions
+              .md5SpanHashes($"text", Pipeline.ContamN)).as("s")))
+        }
+        time("full p14 (registry)") {
+          noop(SparkEntry.queries("p14_bloom_contamination")(spark, sfDir))
+        }
+      }
       spark.stop()
       return
     }

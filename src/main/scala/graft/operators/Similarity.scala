@@ -80,7 +80,8 @@ object Similarity {
     * (members+angles, surviving tile pairs, gathered tiles). See
     * [[v21CosinePairsBlocked]] for the algorithm and exactness argument. */
   private[operators] def v21Internals(spark: SparkSession, dir: String,
-                                      tau: Double, tileTarget: Int)
+                                      tau: Double, tileTarget: Int,
+                                      stageShared: Boolean = true)
       : (DataFrame, DataFrame, DataFrame) = {
     import spark.implicits._
     val emb = normalizedEmbeddings(spark, dir)
@@ -95,12 +96,25 @@ object Similarity {
     def angle(c: Column): Column =
       when(isnan(c) || c.isNull, lit(math.Pi))
         .otherwise(acos(greatest(lit(-1.0), least(lit(1.0), c))))
-    val withAngle = ivfAssign(emb, centArray(cents), 1)
+    // shared-subtree staging (r13, guide §1.2): column pruning
+    // specializes each consumer's subtree, so unstaged, the assign pass
+    // (N×k dot products) ran once for `radii` (via tm, itself consumed
+    // by BOTH tilePairs legs) and once for `tiles` — 3 executions of the
+    // O(N·k·D) leg. Staged, it runs once; tm (k rows — tile count, not
+    // corpus) stages too so the radius aggregate isn't re-run per
+    // tilePairs leg. withAngle is corpus-proportional (the p29/d15
+    // caution) but NARROW — ids, one D-vector, two doubles — and the
+    // sf1 interleaved cmp is the evidence the barrier pays.
+    // stageShared=false preserves the r12 recompute shape for Profile
+    // cmp A/Bs.
+    val withAngle0 = ivfAssign(emb, centArray(cents), 1)
       .join(broadcast(cmeta), Seq("cent_id"))
       .withColumn("ra", angle(dot($"v", $"cv") / ($"nrm" * $"cn")))
       .select($"cent_id", $"vec_id", $"v", $"nrm", $"ra")
+    val withAngle = if (stageShared) Tables.stage(withAngle0) else withAngle0
     val radii = withAngle.groupBy($"cent_id").agg(max($"ra").as("r"))
-    val tm = cmeta.join(radii, Seq("cent_id"))
+    val tm0 = cmeta.join(radii, Seq("cent_id"))
+    val tm = if (stageShared) Tables.stage(tm0) else tm0
     // triangle-inequality pruning on the ANGULAR metric θ = acos(cos):
     // a∈tile i, b∈tile j with cos(a,b) ≥ τ ⟹
     //   θ(cᵢ,cⱼ) ≤ θ(cᵢ,a) + θ(a,b) + θ(b,cⱼ) ≤ rᵢ + θτ + rⱼ,
@@ -166,9 +180,11 @@ object Similarity {
     * fixture scale. */
   def v21CosinePairsBlocked(spark: SparkSession, dir: String,
                             tau: Double = CosineThreshold,
-                            tileTarget: Int = ExactPairTileTarget): DataFrame = {
+                            tileTarget: Int = ExactPairTileTarget,
+                            stageShared: Boolean = true): DataFrame = {
     import spark.implicits._
-    val (_, tilePairs, tiles) = v21Internals(spark, dir, tau, tileTarget)
+    val (_, tilePairs, tiles) =
+      v21Internals(spark, dir, tau, tileTarget, stageShared)
     val paired = tilePairs
       .join(tiles.select($"cent_id".as("ci"), $"ids".as("aid"),
         $"flat".as("af"), $"nrms".as("an")), Seq("ci"))
