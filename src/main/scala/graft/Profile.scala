@@ -322,6 +322,53 @@ object Profile {
                 .as("total_acctbal"))
             .orderBy($"c_mktsegment")
         },
+        "p14_bloom_contamination" -> { (spark, dir) =>
+          // r12 shape: distinct before the bit build + the 6-conjunct
+          // probe with the 16384-long bit array INLINE as a literal per
+          // conjunct (~1.5 MB expression tree)
+          import org.apache.spark.sql.Column
+          import graft.operators.Pipeline
+          val m = Pipeline.BloomTwinBits
+          def positions(s: Column): Seq[Column] = {
+            val h1 = s % lit(m)
+            val step = (s / lit(1L << 20)).cast("long") * 2 + 1
+            (0 until Pipeline.BloomTwinK).map(j => (h1 + step * j) % lit(m))
+          }
+          val bench = Tables.load(spark, dir, "documents")
+            .filter($"source" === Pipeline.BenchmarkSource)
+            .select(explode(graft.plans.VectorExpressions
+              .md5SpanHashes($"text", Pipeline.ContamN)).as("s"))
+            .distinct()
+          import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+          def shl(v: Column, amount: Column): Column = column(
+            org.apache.spark.sql.catalyst.expressions.ShiftLeft(
+              expression(v), expression(amount)))
+          def shr(v: Column, amount: Column): Column = column(
+            org.apache.spark.sql.catalyst.expressions.ShiftRight(
+              expression(v), expression(amount)))
+          val words = bench
+            .select(explode(array(positions($"s"): _*)).as("pos"))
+            .select(($"pos" / 64).cast("int").as("word"),
+              shl(lit(1L), ($"pos" % 64).cast("int")).as("b"))
+            .groupBy($"word").agg(bit_or($"b").as("bits"))
+            .collect()
+          val bits = new Array[Long]((m / 64).toInt)
+          words.foreach(r => bits(r.getInt(0)) = r.getLong(1))
+          val bitsLit = lit(bits)
+          val hit = positions($"s").map { p =>
+            val word = (p / 64).cast("int") + 1
+            shr(element_at(bitsLit, word), (p % 64).cast("int"))
+              .bitwiseAND(lit(1L)) === lit(1L)
+          }.reduce(_ && _)
+          Tables.load(spark, dir, "documents")
+            .filter($"source" =!= Pipeline.BenchmarkSource)
+            .select($"doc_id", explode(graft.plans.VectorExpressions
+              .md5SpanHashes($"text", Pipeline.ContamN)).as("s"))
+            .filter(hit)
+            .groupBy($"doc_id")
+            .agg(countDistinct($"s").as("n_hit_ngrams"))
+            .orderBy($"doc_id")
+        },
         "d14_span_removal" -> { (spark, dir) =>
           // r12 shape: dup grams via distinct(doc,g) -> per-g count -> re-join
           // onto a SECOND corpus gram explode (2 shingle_hashes Generates)
@@ -772,6 +819,45 @@ object Profile {
         }
         time("full p14 (registry)") {
           noop(SparkEntry.queries("p14_bloom_contamination")(spark, sfDir))
+        }
+        // probe+agg with a PREBUILT bit array: isolates the corpus-side
+        // filter/countDistinct from the construction-time build job
+        locally {
+          import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+          val m = Pipeline.BloomTwinBits
+          def positions(s: org.apache.spark.sql.Column) = {
+            val h1 = s % lit(m)
+            val step = (s / lit(1L << 20)).cast("long") * 2 + 1
+            (0 until Pipeline.BloomTwinK).map(j => (h1 + step * j) % lit(m))
+          }
+          def shr(v: org.apache.spark.sql.Column,
+                  amount: org.apache.spark.sql.Column) = column(
+            org.apache.spark.sql.catalyst.expressions.ShiftRight(
+              expression(v), expression(amount)))
+          val bits = new Array[Long]((m / 64).toInt) // empty: zero hits,
+          // upper-bounds the probe cost (every gram evaluates all 6 probes
+          // only until the first zero bit — an EMPTY filter SHORTS at probe
+          // 1, so also time an ALL-ONES filter: every gram runs all 6 and
+          // survives to the aggregate)
+          val bitsLit = lit(bits)
+          val ones = lit(Array.fill((m / 64).toInt)(-1L))
+          for ((bl, tag) <- Seq((bitsLit, "empty"), (ones, "all-ones"))) {
+            val hit = positions($"s").map { p =>
+              val word = (p / 64).cast("int") + 1
+              shr(element_at(bl, word), (p % 64).cast("int"))
+                .bitwiseAND(lit(1L)) === lit(1L)
+            }.reduce(_ && _)
+            time(s"corpus probe+agg ($tag bits)") {
+              noop(Tables.load(spark, sfDir, "documents")
+                .filter($"source" =!= Pipeline.BenchmarkSource)
+                .select($"doc_id", explode(graft.plans.VectorExpressions
+                  .md5SpanHashes($"text", Pipeline.ContamN)).as("s"))
+                .filter(hit)
+                .groupBy($"doc_id")
+                .agg(countDistinct($"s").as("n_hit_ngrams"))
+                .orderBy($"doc_id"))
+            }
+          }
         }
       }
       spark.stop()

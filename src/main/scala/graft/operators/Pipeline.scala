@@ -328,7 +328,17 @@ object Pipeline {
   def benchmarkBloomBytes(spark: SparkSession, dir: String,
       expectedItems: Long = BloomExpectedItems,
       fpp: Double = BloomFpp): Array[Byte] = {
-    val bf = benchmarkGrams(spark, dir).stat
+    import spark.implicits._
+    // non-distinct grams (r13): bloom insertion is idempotent — duplicate
+    // grams set the same bits, the serialized sketch is byte-identical —
+    // and stat.bloomFilter is a map-side-merged aggregate, so skipping
+    // benchmarkGrams' distinct removes the build's only full exchange
+    // (benchmarkGrams keeps its distinct for the JOIN consumers, where
+    // multiplicity changes row counts)
+    val bf = Tables.load(spark, dir, "documents")
+      .filter($"source" === BenchmarkSource)
+      .select(explode(shingleHashes($"text", ContamN)).as("s"))
+      .stat
       .bloomFilter("s", expectedItems, fpp)
     val bos = new java.io.ByteArrayOutputStream()
     bf.writeTo(bos)
@@ -386,17 +396,19 @@ object Pipeline {
       val step = (s / lit(1L << 20)).cast("long") * 2 + 1
       (0 until BloomTwinK).map(j => (h1 + step * j) % lit(m))
     }
+    // NO distinct before the bit build (r13): bit_or is idempotent, so
+    // duplicate grams set the same bits and the array is byte-identical —
+    // dropping the distinct removes a full O(bench grams) exchange, and
+    // the per-(word) partial bit_or collapses each map task's output to
+    // ≤ m/64 rows regardless of gram multiplicity (guide §2.3 "aggregate
+    // before you shuffle")
     val bench = Tables.load(spark, dir, "documents")
       .filter($"source" === BenchmarkSource)
       .select(explode(graft.plans.VectorExpressions
         .md5SpanHashes($"text", ContamN)).as("s"))
-      .distinct()
     import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
     def shl(v: Column, amount: Column): Column = column(
       org.apache.spark.sql.catalyst.expressions.ShiftLeft(
-        expression(v), expression(amount)))
-    def shr(v: Column, amount: Column): Column = column(
-      org.apache.spark.sql.catalyst.expressions.ShiftRight(
         expression(v), expression(amount)))
     val words = bench
       .select(explode(array(positions($"s"): _*)).as("pos"))
@@ -406,12 +418,15 @@ object Pipeline {
       .collect() // ≤ m/64 = 16384 rows by construction — the model artifact
     val bits = new Array[Long]((m / 64).toInt)
     words.foreach(r => bits(r.getInt(0)) = r.getLong(1))
-    val bitsLit = lit(bits)
-    val hit = positions($"s").map { p =>
-      val word = (p / 64).cast("int") + 1
-      shr(element_at(bitsLit, word), (p % 64).cast("int"))
-        .bitwiseAND(lit(1L)) === lit(1L)
-    }.reduce(_ && _)
+    // native k-probe (r13): the old per-probe column conjunction embedded
+    // the 16384-long array as a LITERAL in all six conjuncts — a ~1.5 MB
+    // expression tree that every Catalyst transform and AQE per-stage
+    // re-optimization re-walked (the action alone re-ran 2.6 s on a
+    // 0.28 s explode). BloomBitsProbe holds the array once in codegen
+    // references and emits bit-identical values (same double-hash
+    // arithmetic, same left-to-right short-circuit).
+    val hit = graft.plans.VectorExpressions
+      .bloomBitsProbe($"s", bits.toIndexedSeq, m, BloomTwinK)
     // corpus-side spread measured exactly neutral here (r12 interleaved
     // abn 1.00× — the probe stage is not the binding cost at sf0.1), so
     // the scan keeps its native partitioning

@@ -724,6 +724,86 @@ case class ElementSignBits(child: Expression)
     copy(child = c)
 }
 
+/** K-probe bit-array membership test for p14's md5-twin bloom: probe
+  * positions follow the Kirsch–Mitzenmacher double-hash EXACTLY as the
+  * column formulation it replaces — h1 = s % m, step = 2·⌊s/2²⁰⌋+1 (the
+  * ⌊·⌋ via the same double division Catalyst inserted for `s / lit`),
+  * pos_j = (h1 + j·step) % m, bit = (bits[⌊pos/64⌋] >> (pos%64)) & 1 —
+  * so every emitted value is bit-identical to the old
+  * `positions(s).map(element_at…).reduce(_ && _)` conjunction, and the
+  * oracle's replay is untouched. What changes is the PLAN: the old form
+  * embedded the 16384-long bit array as a Literal in EVERY conjunct —
+  * six 128 KB literals made the filter's expression tree ~1.5 MB
+  * (p14's r12 plan dump), which every Catalyst transform, canonicalize,
+  * and AQE per-stage re-optimization re-walked (measured: the action
+  * re-ran 2.6 s on a 0.28 s explode). Here the array lives ONCE in the
+  * codegen references, the tree is one node, and the probe loop is a
+  * tight short-circuiting whole-stage-codegen loop (same left-to-right
+  * And order). */
+case class BloomBitsProbe(child: Expression, bits: IndexedSeq[Long],
+                          m: Long, k: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.BooleanType
+  override def prettyName: String = "bloom_bits_probe"
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case LongType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+          .TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+          .TypeCheckFailure(
+            s"bloom_bits_probe expects bigint keys, got $other")
+    }
+
+  private lazy val bitsArr: Array[Long] = bits.toArray
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[Long]
+    val h1 = s % m
+    // the double division mirrors Catalyst's implicit cast for
+    // `s / lit(1L << 20)` — exact for the 32-bit md5 keys this probes
+    val step = ((s.toDouble / 1048576.0d).toLong) * 2L + 1L
+    var hit = true
+    var j = 0
+    while (j < k && hit) {
+      val p = (h1 + step * j) % m
+      hit = ((bitsArr((p.toDouble / 64.0d).toInt) >> (p % 64L).toInt)
+        & 1L) == 1L
+      j += 1
+    }
+    java.lang.Boolean.valueOf(hit)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s => {
+      val arr = ctx.addReferenceObj("bloomBits", bitsArr, "long[]")
+      // freshName for every local — the DotProduct redefinition lesson
+      val h1 = ctx.freshName("bpH1")
+      val step = ctx.freshName("bpStep")
+      val hit = ctx.freshName("bpHit")
+      val j = ctx.freshName("bpJ")
+      val p = ctx.freshName("bpP")
+      s"""
+         |long $h1 = $s % ${m}L;
+         |long $step = ((long) ((double) $s / 1048576.0D)) * 2L + 1L;
+         |boolean $hit = true;
+         |for (int $j = 0; $j < $k && $hit; $j++) {
+         |  long $p = ($h1 + $step * (long) $j) % ${m}L;
+         |  $hit = (($arr[(int) ((double) $p / 64.0D)]
+         |    >> ((int) ($p % 64L))) & 1L) == 1L;
+         |}
+         |${ev.value} = $hit;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): BloomBitsProbe =
+    copy(child = c)
+}
+
 object VectorExpressions {
   import ColumnBridge.{column, expression}
   def dotProduct(a: Column, b: Column): Column =
@@ -752,4 +832,7 @@ object VectorExpressions {
     column(ElementSignBits(expression(v)))
   def adcScore(lut: Column, codes: Column): Column =
     column(AdcScore(expression(lut), expression(codes)))
+  def bloomBitsProbe(s: Column, bits: IndexedSeq[Long],
+                     m: Long, k: Int): Column =
+    column(BloomBitsProbe(expression(s), bits, m, k))
 }

@@ -251,14 +251,19 @@ class PlanAuditSpec extends AnyFunSuite {
   }
 
   test("p14: bloom probe is join-free — corpus only exchanges for its own count") {
-    // registry row = the md5 twin: the bit array rides an array LITERAL
-    // and the probe is k element_at/shift tests, map-side
+    // registry row = the md5 twin: the bit array rides in the native
+    // probe's references (r13 — the per-conjunct 128 KB array LITERALS
+    // made a ~1.5 MB expression tree that every AQE re-optimization
+    // re-walked) and the probe is one codegen'd k-probe loop, map-side
     val df = graft.SparkEntry.queries("p14_bloom_contamination")(spark, dir)
     val plan = df.queryExecution.executedPlan.toString
     assert(!plan.contains("Join"),
-      s"the bloom literal must probe map-side, not join:\n$plan")
-    assert(plan.contains("element_at"),
-      s"expected the literal-bit-array probe:\n${plan.take(1200)}")
+      s"the bloom bits must probe map-side, not join:\n$plan")
+    assert(plan.contains("bloom_bits_probe"),
+      s"expected the native bit-array probe:\n${plan.take(1200)}")
+    assert(plan.length < 100000,
+      s"p14's plan blew up again (${plan.length} chars) — a bit-array " +
+        "literal is back in the expression tree")
     // the production family keeps the codegen'd BloomFilterMightContain
     val prod = graft.operators.Pipeline.p14BloomContamination(spark, dir)
     val pplan = prod.queryExecution.executedPlan.toString
