@@ -322,6 +322,130 @@ object Profile {
                 .as("total_acctbal"))
             .orderBy($"c_mktsegment")
         },
+        "p24_drift_audit" -> { (spark, dir) =>
+          // r12 shape: counts (≤ sources×256 rows) recomputed per consumer
+          import org.apache.spark.sql.types.DoubleType
+          import graft.operators.Pipeline
+          def bucketSql(t: String): String =
+            s"(instr('0123456789abcdef', substring(md5($t), 1, 1)) - 1) * 16" +
+              s" + (instr('0123456789abcdef', substring(md5($t), 2, 1)) - 1)"
+          val counts = Tables.load(spark, dir, "documents")
+            .select($"source", explode(tokens($"text")).as("token"))
+            .withColumn("bucket", expr(bucketSql("token")))
+            .groupBy($"source", $"bucket").agg(count(lit(1)).as("o"))
+          val ref = counts.filter($"source" === Pipeline.DsirTarget)
+            .select($"bucket", $"o".as("r"))
+          val refTot = ref.agg(sum($"r").as("n_ref"))
+          val srcTot = counts.filter($"source" =!= Pipeline.DsirTarget)
+            .groupBy($"source").agg(sum($"o").as("n_src"))
+          counts.filter($"source" =!= Pipeline.DsirTarget)
+            .join(broadcast(ref), Seq("bucket"), "left")
+            .join(broadcast(srcTot), "source")
+            .crossJoin(broadcast(refTot))
+            .groupBy($"source", $"n_src", $"n_ref")
+            .agg(sum(abs($"o" * $"n_ref" - coalesce($"r", lit(0L)) * $"n_src"))
+                .as("covered_num"),
+              sum(coalesce($"r", lit(0L))).as("covered_r"))
+            .select($"source", $"n_src", $"n_ref",
+              ($"covered_num" + $"n_src" * ($"n_ref" - $"covered_r"))
+                .as("l1_num"))
+            .withColumn("tvd", $"l1_num".cast(DoubleType) /
+              ($"n_src" * $"n_ref" * 2).cast(DoubleType))
+            .orderBy($"source")
+        },
+        "p28_epoch_plan" -> { (spark, dir) =>
+          // r12 shape: per-source aggregate chain re-derived per consumer
+          // (5 corpus tokenize passes)
+          import org.apache.spark.sql.expressions.Window
+          import graft.operators.Pipeline
+          val d = Tables.load(spark, dir, "documents")
+            .select($"doc_id", $"source",
+              size(tokens($"text")).cast("long").as("nt"))
+          val s = d.groupBy($"source")
+            .agg(count(lit(1)).as("n_docs"), sum($"nt").as("toks"))
+          val w = s.withColumn("wt", floor(sqrt($"toks") * lit(1e6)))
+          val tot = w.agg(sum($"wt").as("wsum"), sum($"toks").as("b"))
+          val tg = w.crossJoin(broadcast(tot))
+            .select($"source", $"n_docs", $"toks",
+              expr("CAST((CAST(b AS DECIMAL(38,0)) * wt) DIV wsum AS BIGINT)")
+                .as("target"))
+          val rkW = Window.partitionBy($"source")
+            .orderBy(md5(concat(lit(Pipeline.EpochSalt),
+              $"doc_id".cast("string"))), $"doc_id")
+            .rowsBetween(Window.unboundedPreceding, -1)
+          val p = d.withColumn("cumb",
+              coalesce(sum($"nt").over(rkW), lit(0L)))
+            .join(broadcast(tg.select($"source", $"toks".as("stoks"),
+              $"target")), "source")
+            .filter($"cumb" < $"target" % $"stoks")
+            .groupBy($"source")
+            .agg(count(lit(1)).as("partial_docs"),
+              sum($"nt").as("partial_tokens"))
+          tg.join(p, Seq("source"), "left_outer")
+            .select($"source", $"n_docs", $"toks".as("tokens_total"),
+              $"target".as("target_tokens"),
+              expr("target DIV toks").as("full_epochs"),
+              ($"target" % $"toks").as("rem_tokens"),
+              coalesce($"partial_docs", lit(0L)).as("partial_docs"),
+              coalesce($"partial_tokens", lit(0L)).as("partial_tokens"))
+            .orderBy($"source")
+        },
+        "v26_hybrid_rrf" -> { (spark, dir) =>
+          // r12 shape: idx recomputed per consumer (3 corpus explodes)
+          import graft.functions.VectorFunctions.{asDouble, cosine}
+          import graft.operators.Similarity
+          val emb = Tables.load(spark, dir, "embeddings")
+            .select($"vec_id", asDouble($"embedding").as("v"))
+          val queries = emb.filter($"vec_id" < Similarity.QueryCount)
+            .select($"vec_id".as("query_id"), $"v".as("qv"))
+          val dense = emb
+            .join(broadcast(queries), $"vec_id" =!= $"query_id")
+            .select($"query_id", $"vec_id", cosine($"qv", $"v").as("cos"))
+            .groupBy($"query_id")
+            .agg(graft.plans.TopKAggregate
+              .topK($"cos", $"vec_id", Similarity.FuseDepth).as("top"))
+            .select($"query_id", posexplode($"top"))
+            .select($"query_id", $"col.id".as("id"),
+              ($"pos" + 1).cast("long").as("rd"))
+          val toks = Tables.load(spark, dir, "documents")
+            .select($"doc_id",
+              explode(array_distinct(split($"text", " "))).as("tok"))
+          val kept = toks.groupBy($"tok").agg(count(lit(1)).as("df"))
+            .filter($"df" <= Similarity.HybridDfCap).select($"tok")
+          val idx = toks.join(kept, "tok")
+          val qtok = idx.filter($"doc_id" < Similarity.QueryCount)
+            .select($"doc_id".as("query_id"), $"tok")
+          val overlap = qtok
+            .join(idx.withColumnRenamed("doc_id", "id"), "tok")
+            .filter($"id" =!= $"query_id")
+            .groupBy($"query_id", $"id")
+            .agg(count(lit(1)).as("shared"))
+          val lex = overlap
+            .groupBy($"query_id")
+            .agg(graft.plans.TopKAggregate
+              .topK($"shared".cast("double"), $"id",
+                Similarity.FuseDepth).as("top"))
+            .select($"query_id", posexplode($"top"))
+            .select($"query_id", $"col.id".as("id"),
+              ($"pos" + 1).cast("long").as("rl"))
+          val fused = dense.join(lex, Seq("query_id", "id"), "full_outer")
+            .select($"query_id", $"id".as("doc_id"),
+              (coalesce(expr(s"${Similarity.RrfScale} DIV " +
+                s"(${Similarity.RrfConst} + rd)"), lit(0L)) +
+                coalesce(expr(s"${Similarity.RrfScale} DIV " +
+                  s"(${Similarity.RrfConst} + rl)"), lit(0L)))
+                .as("rrf"))
+          fused
+            .groupBy($"query_id")
+            .agg(graft.plans.TopKAggregate
+              .topK($"rrf".cast("double"), $"doc_id", Similarity.K)
+              .as("top"))
+            .select($"query_id", posexplode($"top"))
+            .select($"query_id", ($"pos" + 1).cast("int").as("rk"),
+              $"col.id".as("doc_id"), $"col.score".cast("long")
+                .as("rrf_score"))
+            .orderBy($"query_id", $"rk")
+        },
         "p14_bloom_contamination" -> { (spark, dir) =>
           // r12 shape: distinct before the bit build + the 6-conjunct
           // probe with the 16384-long bit array INLINE as a literal per

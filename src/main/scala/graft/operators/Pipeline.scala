@@ -1540,10 +1540,16 @@ object Pipeline {
     * tiny aggregate. The corpus is touched ONCE, map-side. */
   def p24DriftAudit(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val counts = Tables.load(spark, dir, "documents")
-      .select($"source", explode(tokens($"text")).as("token"))
-      .withColumn("bucket", expr(dsirBucketSql("token")))
-      .groupBy($"source", $"bucket").agg(count(lit(1)).as("o"))
+    // stage (r13, guide §1.2): counts is ≤ sources×256 rows but was
+    // consumed THREE ways (ref / srcTot / the main leg), and column
+    // pruning specialized each consumer's subtree — the corpus token
+    // explode ran 3×. Staged, the corpus really is touched once
+    // (interleaved cmp 0.73× at sf0.1; 4 scans → 1 in the plan).
+    val counts = graft.sources.Tables.stage(
+      Tables.load(spark, dir, "documents")
+        .select($"source", explode(tokens($"text")).as("token"))
+        .withColumn("bucket", expr(dsirBucketSql("token")))
+        .groupBy($"source", $"bucket").agg(count(lit(1)).as("o")))
     val ref = counts.filter($"source" === DsirTarget)
       .select($"bucket", $"o".as("r"))
     val refTot = ref.agg(sum($"r").as("n_ref"))
@@ -1984,8 +1990,16 @@ object Pipeline {
     val d = Tables.load(spark, dir, "documents")
       .select($"doc_id", $"source",
         size(tokens($"text")).cast("long").as("nt"))
-    val s = d.groupBy($"source")
-      .agg(count(lit(1)).as("n_docs"), sum($"nt").as("toks"))
+    // stage (r13, guide §1.2): s is ≤|sources| rows, but tg is consumed
+    // twice and tot re-derives w→s inside tg, so the corpus tokenize
+    // pass under d ran FIVE times (the r12 plan's 5 scans). Staged, it
+    // runs twice — the per-source aggregate and the admission window,
+    // the two passes the operator genuinely needs. Bench-neutral at
+    // sf0.1 (interleaved cmp 0.95×/0.97× — the t11 pattern: the win
+    // term is corpus passes, which grow with scale; the staged side is
+    // ≤|sources| rows, so there is no checkpoint-scale caution).
+    val s = graft.sources.Tables.stage(d.groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"), sum($"nt").as("toks")))
     val w = s.withColumn("wt", floor(sqrt($"toks") * lit(1e6)))
     val tot = w.agg(sum($"wt").as("wsum"), sum($"toks").as("b"))
     // b·wt ≈ b^1.5·10⁶ clears the BIGINT ceiling near 4·10⁸ corpus

@@ -1911,6 +1911,12 @@ object Similarity {
     // the candidate fan-out at scale while carrying no selectivity
     val kept = toks.groupBy($"tok").agg(count(lit(1)).as("df"))
       .filter($"df" <= HybridDfCap).select($"tok")
+    // idx feeds the query side AND the probe side, so the corpus token
+    // explode runs 3× (kept build + both consumers). Staging idx was
+    // TRIED in r13 and measured 1.03×/1.08× WORSE in two interleaved
+    // cmps at sf0.1 — the explode it saves (split+array_distinct, no
+    // hashing) is cheaper than the corpus-scale checkpoint barrier (the
+    // d16 lesson), so the recompute stays.
     val idx = toks.join(kept, "tok")
     val qtok = idx.filter($"doc_id" < QueryCount)
       .select($"doc_id".as("query_id"), $"tok")
