@@ -102,7 +102,52 @@ object Profile {
           .orderBy($"merge_key",
             when($"op" === "-U", 1).when($"op" === "+U", 2).otherwise(0))
       }
+      // r12 prefixSums shape: input relation re-executed per consumer
+      // (maxId head + offsets aggregate + per-block window leg)
+      def oldPrefixSums(docs: DataFrame): DataFrame = {
+        import org.apache.spark.sql.expressions.Window
+        import graft.operators.Pipeline
+        val maxId = Option(docs.agg(max($"doc_id")).head().get(0))
+          .map(_.asInstanceOf[Long]).getOrElse(0L)
+        val blockWidth = maxId / Pipeline.ShardMaxBlocks + 1
+        val base = docs
+          .withColumn("block", expr(s"doc_id DIV $blockWidth"))
+        val wIn = Window.partitionBy($"block").orderBy($"doc_id")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val wBlocks = Window.orderBy($"block")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val offsets = base.groupBy($"block")
+          .agg(sum($"n_tokens").as("block_total"))
+          .select($"block",
+            coalesce(sum($"block_total").over(wBlocks), lit(0L))
+              .as("block_off"))
+        base.join(broadcast(offsets), "block")
+          .select(docs.columns.toIndexedSeq.map(col) :+
+            (($"block_off" + coalesce(sum($"n_tokens").over(wIn), lit(0L)))
+              .as("cum_before")): _*)
+      }
       val oldImpl: Map[String, (SparkSession, String) => DataFrame] = Map(
+        "p3_token_shards" -> { (spark, dir) =>
+          import graft.operators.Pipeline
+          oldPrefixSums(Tables.load(spark, dir, "documents")
+            .select($"doc_id", size(tokens($"text")).as("n_tokens")))
+            .select($"doc_id", $"n_tokens", $"cum_before",
+              expr(s"cum_before DIV ${Pipeline.ShardTokenBudget}")
+                .as("shard_id"))
+            .orderBy($"doc_id")
+        },
+        "p15_sequence_pack" -> { (spark, dir) =>
+          import graft.operators.Pipeline
+          oldPrefixSums(Tables.load(spark, dir, "documents")
+            .select($"doc_id", size(tokens($"text")).as("n_tokens")))
+            .select($"doc_id", $"n_tokens", $"cum_before",
+              expr(s"cum_before DIV ${Pipeline.SeqLen}").as("seq_start"),
+              expr(s"(cum_before + n_tokens - 1) DIV ${Pipeline.SeqLen}")
+                .as("seq_end"),
+              expr(s"cum_before % ${Pipeline.SeqLen}").as("seq_offset"))
+            .withColumn("n_seqs_spanned", $"seq_end" - $"seq_start" + 1)
+            .orderBy($"doc_id")
+        },
         "t10_surprisal" -> { (spark, dir) =>
           val tk = Tables.load(spark, dir, "documents")
             .select($"doc_id", explode(tokens($"text")).as("tok"))
@@ -526,19 +571,21 @@ object Profile {
             .orderBy($"doc_id")
         },
         "p29_full_prep" -> { (spark, dir) =>
+          // r13-old: the r12 staged `joined` KEPT (that change is settled)
+          // but prefixSums unstaged — isolates this round's delta
           import graft.operators.Pipeline
           val kept = Pipeline.p13QualityFilter(spark, dir)
             .filter($"keep")
             .select($"doc_id", $"n_tokens".cast("long").as("n_tokens"))
           val docs = Tables.load(spark, dir, "documents")
             .select($"doc_id", $"lang", md5($"text").as("tk"))
-          val joined = docs.join(kept, "doc_id")
+          val joined = graft.sources.Tables.stage(docs.join(kept, "doc_id"))
           val firstPerText = joined.groupBy($"tk").agg(min($"doc_id").as("keep_id"))
           val deduped = joined
             .join(firstPerText, joined("doc_id") === firstPerText("keep_id"))
             .select($"doc_id", $"lang", $"n_tokens")
           val sampled = deduped.filter(Pipeline.samplePredicate)
-          Pipeline.prefixSums(spark, sampled.select($"doc_id", $"n_tokens", $"lang"))
+          oldPrefixSums(sampled.select($"doc_id", $"n_tokens", $"lang"))
             .select($"doc_id", $"lang", $"n_tokens",
               expr(s"cum_before DIV ${Pipeline.SeqLen}").as("seq_start"),
               expr(s"cum_before % ${Pipeline.SeqLen}").as("seq_offset"),

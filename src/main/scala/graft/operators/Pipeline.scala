@@ -164,12 +164,23 @@ object Pipeline {
     * never enters a global sort. Extra columns pass through untouched. */
   private[graft] def prefixSums(spark: SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._
+    // stage (r13, guide §1.2): the input relation executed THREE times —
+    // the maxId head at construction, the block-offsets aggregate, and
+    // the per-block window leg — re-running the caller's whole upstream
+    // each time (p3/p15: the corpus scan+tokenize; p29: the dedup join
+    // over its staged survivors). The rows are narrow by contract
+    // (doc_id, n_tokens, carry), so the blocks are a fraction of the
+    // text they replace. Interleaved cmp at sf0.1, two brackets: p29
+    // 0.56× (its input subtree is the dedup join — the expensive case),
+    // p3 0.77×/0.96×, p15 1.02×/0.95× (neutral-to-positive; the win
+    // term is input-subtree executions, 3 → 1).
+    val d = graft.sources.Tables.stage(docs)
     // max over an empty table is null → getLong would NPE; 0L keeps the
     // empty-corpus result empty with blockWidth 1
-    val maxId = Option(docs.agg(max($"doc_id")).head().get(0))
+    val maxId = Option(d.agg(max($"doc_id")).head().get(0))
       .map(_.asInstanceOf[Long]).getOrElse(0L)
     val blockWidth = maxId / ShardMaxBlocks + 1
-    val base = docs
+    val base = d
       .withColumn("block", expr(s"doc_id DIV $blockWidth"))
     val wIn = Window.partitionBy($"block").orderBy($"doc_id")
       .rowsBetween(Window.unboundedPreceding, -1)
