@@ -213,7 +213,9 @@ object Profile {
             .limit(TextAnalysis.PmiTopK)
         },
         "q45_recursive_depth" -> { (spark, dir) =>
-          Tables.load(spark, dir, "customer")
+          // r13-old: the r12 cache KEPT (settled) but full-width —
+          // isolates this round's column-narrowing delta
+          Tables.load(spark, dir, "customer").cache()
             .createOrReplaceTempView("customer_q45_old")
           spark.sql(s"""
             WITH RECURSIVE h (c_custkey, depth) AS (

@@ -1270,8 +1270,14 @@ object Relational {
     // which re-scanned the parquet ~⌊log₂ keys⌋ times (once per depth
     // level); caching the recursion input pays one materialization per
     // run (Bench clearCache()s between runs) and each iteration reads
-    // the in-memory relation instead
-    Tables.load(spark, dir, "customer").cache()
+    // the in-memory relation instead. Narrowed to the two columns the
+    // recursion touches (r13, guide §2.3 narrower types): the full-width
+    // cache columnar-compressed every customer string per run while the
+    // CTE reads only the key and the balance. Bench-neutral at sf0.1
+    // (cmp 0.98× — 15 k rows compress in noise); the win term is cache
+    // bytes, which at scale are dominated by the strings this drops.
+    Tables.load(spark, dir, "customer")
+      .select($"c_custkey", $"c_acctbal").cache()
       .createOrReplaceTempView("customer_q45")
     spark.sql(s"""
       WITH RECURSIVE h (c_custkey, depth) AS (
